@@ -1,0 +1,4 @@
+"""Operator registrations (SURVEY §2). Importing this package registers
+every implemented query + oracle into the registry."""
+
+from etl_ch_destination_spark.queries import aggregations  # noqa: F401

@@ -1,0 +1,389 @@
+"""SURVEY §2.4 — aggregations.
+
+ClickHouse-surface analogs: uniqExact/uniq, argMax/argMin, quantile,
+topK, groupArray, countIf/any, WITH ROLLUP/CUBE/TOTALS, and
+SummingMergeTree merge-time collapse. All run as Catalyst
+HashAggregate partial→final (map-side combine), which is the
+two-phase aggregation ClickHouse does at merge/query time — no custom
+agg engine needed (SURVEY §4.1). At 100 TB these scale as
+shuffle-by-group-key with partial aggregation cutting shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.queries._util import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    charge,
+    davg,
+    disc_price,
+    dsum,
+    money,
+    rate,
+    sql_davg,
+    sql_dsum,
+)
+from etl_ch_destination_spark.registry import query
+
+
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the engine's flagship query.
+
+    Exercises scan → filter (pushed to parquet) → derived measures →
+    hash agg partial+final → sort: the spine of the ETL reporting
+    surface (SURVEY §7 Phase 1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity"), "sum_qty"),
+            dsum(money("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price(), "sum_disc_price"),
+            dsum(charge(), "sum_charge"),
+            davg(money("l_quantity"), "avg_qty"),
+            davg(money("l_extendedprice"), "avg_price"),
+            davg(rate("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('CAST(l_quantity AS DECIMAL(12,2))', 'sum_qty')},
+       {sql_dsum('CAST(l_extendedprice AS DECIMAL(12,2))', 'sum_base_price')},
+       {sql_dsum(SQL_DISC_PRICE, 'sum_disc_price')},
+       {sql_dsum(SQL_CHARGE, 'sum_charge')},
+       {sql_davg('CAST(l_quantity AS DECIMAL(12,2))', 'avg_qty')},
+       {sql_davg('CAST(l_extendedprice AS DECIMAL(12,2))', 'avg_price')},
+       {sql_davg('CAST(l_discount AS DECIMAL(4,2))', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+query("agg_groupby_multi", FLAGSHIP_ORACLE)(flagship_pricing_summary)
+
+
+@query(
+    "agg_global",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('CAST(l_quantity AS DECIMAL(12,2))', 'sum_qty')},
+           {sql_davg('CAST(l_extendedprice AS DECIMAL(12,2))', 'avg_price')},
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(money("l_quantity"), "sum_qty"),
+        davg(money("l_extendedprice"), "avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "total_spend"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqExact``. Expand-exchange under the hood; at scale
+    prefer agg_approx_distinct (HLL) when exactness isn't required."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # approx values differ engine-to-engine → rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniq``/``uniqHLL12`` analog: HyperLogLog++ sketch.
+
+    The 100 TB path for distinct-count: constant memory per group, no
+    expand-exchange. Accuracy vs exact is asserted in tests (±5%).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
+@query(
+    "agg_argmax",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           arg_min(o_orderkey, o_totalprice) AS worst_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMax(a, b)`` / ``argMin``: native in Spark 3.3+ as
+    max_by/min_by. Ties broken identically (o_totalprice values are
+    distinct per customer in fixtures; asserted in tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+@query(
+    "agg_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90_price_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantile``/``median``. Exact forms for the oracle:
+    continuous median over integer-valued l_quantity (interpolation at
+    .5 is exact in double), discrete p90 (no interpolation at all).
+    The sketch form (percentile_approx) is the 100 TB path; tested
+    with tolerance in pytest, not oracle-hashed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .cast("double")
+        .alias("p90_price_disc"),
+    )
+
+
+@query(
+    "agg_topk_freq",
+    """
+    SELECT p_brand, n FROM (
+      SELECT p_brand, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_brand) AS rk
+      FROM part GROUP BY p_brand
+    ) WHERE rk <= 5
+    """,
+)
+def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK(5)`` heavy hitters, exact form: count + total-order
+    top-k (brand tiebreak makes the sort total → hash-stable)."""
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("p_brand"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("p_brand", "n")
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``varSamp`` family. Built-in var_samp accumulates in
+    doubles (order-sensitive), so the oracle-hashed form computes the
+    textbook sums-of-squares formula over EXACT decimal sums with
+    identical double ops on both sides; native F.var_samp/stddev/corr
+    are covered by tolerance tests in pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = money("l_quantity")
+    n = F.count(F.lit(1))
+    sum_q = F.sum(q).cast("double")
+    sum_q2 = F.sum(q * q).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        ((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))).alias("var_qty"),
+    )
+
+
+@query(
+    "agg_collect",
+    """
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+           list_sort(list(DISTINCT n_regionkey + 0)) AS keys_distinct
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArray``/``groupUniqArray``; array_sort pinned for
+    cross-engine determinism (collect order is partition-dependent)."""
+    na = load_table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_sort(F.collect_set(F.col("n_regionkey") + F.lit(0))).alias("keys_distinct"),
+    )
+
+
+@query(
+    "agg_count_if_any",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_count_if_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``countIf`` (+ ``any`` covered via max determinism note:
+    any_value is non-deterministic, so the hashed query sticks to
+    count_if; any_value is exercised in pytest only)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n,
+           GROUPING(r_name) + 2 * GROUPING(n_name) AS grp
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``WITH ROLLUP`` / ``WITH TOTALS`` (the all-NULL row is
+    the TOTALS row)."""
+    na = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = na.join(F.broadcast(r), na.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("r_name") + F.lit(2) * F.grouping("n_name")).cast("int").alias("grp"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(money("l_quantity"), "sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-scan job —
+    the 100 TB-friendly form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(money("l_quantity")).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+@query(
+    "agg_summing_merge",
+    """
+    SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree semantics: collapse rows sharing the sorting key,
+    summing measure columns — expressed query-side as groupBy+sum
+    (merge-time behavior made explicit; SURVEY §2.4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        dsum(money("o_totalprice"), "total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
