@@ -1,0 +1,3 @@
+"""Custom library operators — things Spark lacks a native primitive for
+(SURVEY §4.2): ReplacingMergeTree-style dedup, ASOF join, skew salting,
+vector similarity, MinHash near-dedup, text analysis."""

@@ -1,4 +1,9 @@
 """Operator registrations (SURVEY §2). Importing this package registers
 every implemented query + oracle into the registry."""
 
-from etl_ch_destination_spark.queries import aggregations  # noqa: F401
+from etl_ch_destination_spark.queries import (  # noqa: F401
+    aggregations,
+    projection,
+    setops,
+    sorts,
+)

@@ -1,0 +1,88 @@
+"""SURVEY §2.7 — set operations (CH UNION ALL/DISTINCT, INTERSECT, EXCEPT).
+
+Scale notes: UNION ALL is a zero-shuffle concatenation of scans;
+DISTINCT/INTERSECT/EXCEPT each shuffle once on the full row. Column
+resolution is by NAME (unionByName), never by position — positional
+union is a classic silent-corruption bug in ETL pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+
+def _cust_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+
+
+def _supp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_union_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).unionByName(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cust_nations(spark, sf_dir)
+        .unionByName(_supp_nations(spark, sf_dir))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that never ordered (non-empty in TPC-H-shaped data)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return cust.subtract(ordered)

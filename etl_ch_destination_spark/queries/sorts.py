@@ -1,0 +1,75 @@
+"""SURVEY §2.6 — sorts, limits, top-k, sampling.
+
+Scale notes: global ORDER BY is a range-partitioned exchange; ORDER BY
++ LIMIT k is planned as TakeOrderedAndProject (per-partition top-k,
+then k-merge on the driver) — O(k) memory, the only safe global sort
+at 100 TB. Sort keys in hash-checked queries are made TOTAL with a
+unique tiebreaker (SURVEY §7 watch list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+
+@query(
+    "sort_multikey",
+    """
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           ROW_NUMBER() OVER (ORDER BY c_acctbal DESC NULLS LAST,
+                              c_mktsegment ASC NULLS FIRST, c_custkey) AS pos
+    FROM customer
+    """,
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort; the hash gate is order-insensitive
+    so the sort position is materialized as a rank column over the
+    same (total) ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    order = [
+        F.desc_nulls_last("c_acctbal"),
+        F.asc_nulls_first("c_mktsegment"),
+        F.asc("c_custkey"),
+    ]
+    w = Window.orderBy(*order)
+    return (
+        c.orderBy(*order)
+        .withColumn("pos", F.row_number().over(w))
+        .select("c_custkey", "c_acctbal", "c_mktsegment", "pos")
+    )
+
+
+@query(
+    "topk_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (plan-shape asserted in
+    tests). o_orderkey tiebreak makes the top-10 unique."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query("sample_fraction")  # RNG differs across engines → rows-only check
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``SAMPLE 0.1``: seeded Bernoulli sample — deterministic for a
+    fixed seed+partitioning within Spark (asserted in tests), but RNG
+    streams differ engine-to-engine, so no value oracle exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
