@@ -1,9 +1,11 @@
 """Fixture catalog: parquet loaders + temp-view registration.
 
-Scale notes: reads are plain ``spark.read.parquet`` so Catalyst gets
-predicate pushdown / column pruning / partition pruning for free; at
-100 TB the same call points at a partitioned table root and nothing
-here changes.
+Every table is read with its explicit measured schema (schemas.py) —
+never inference in production paths, mirroring a ClickHouse
+destination's rigid declared schemas (SURVEY §1.1). Reads stay plain
+``spark.read`` so Catalyst gets predicate pushdown / column pruning /
+partition pruning for free; at 100 TB the same call points at a
+partitioned table root and nothing here changes.
 """
 
 from __future__ import annotations
@@ -11,9 +13,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from etl_ch_destination_spark.schemas import TABLES
-from etl_ch_destination_spark.session import ensure_utc
+from etl_ch_destination_spark.schemas import EVENTS_RAW, TABLE_SCHEMAS, TABLES
+from etl_ch_destination_spark.session import ensure_session_defaults
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -22,20 +25,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Columnar scan ≈ ClickHouse MergeTree read.
 
     ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects; read it as raw int64 nanos and
-    convert with exact integer division (values are µs-granular, so
+    vectorized parquet reader rejects; with ``nanosAsLong`` (pinned in
+    ensure_session_defaults) it arrives as raw int64 nanos and is
+    converted with exact integer division (values are µs-granular, so
     the conversion is lossless — verified against DuckDB).
     """
-    ensure_utc(spark)
+    ensure_session_defaults(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(path)
+        raw = spark.read.schema(EVENTS_RAW).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -46,3 +46,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every fixture table as a temp view (SQL entry point, SURVEY §3.2)."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def scratch_dir(subdir: str = "") -> str:
+    """Writable scratch root for sink round-trips (inside the repo,
+    gitignored — the environment forbids writes outside /root/repo)."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    path = os.path.join(root, subdir) if subdir else root
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -11,9 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.ops.rank import with_global_rank
 from etl_ch_destination_spark.registry import query
 
 
@@ -29,19 +29,20 @@ from etl_ch_destination_spark.registry import query
 def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key mixed-direction sort; the hash gate is order-insensitive
     so the sort position is materialized as a rank column over the
-    same (total) ordering."""
+    same (total) ordering.
+
+    The rank is computed with the bucketed global-rank op (ops/rank.py):
+    percentile-bucket on the leading key, partitioned window within
+    buckets, cumulative offsets — never a single-task global window.
+    """
     c = load_table(spark, sf_dir, "customer")
     order = [
         F.desc_nulls_last("c_acctbal"),
         F.asc_nulls_first("c_mktsegment"),
         F.asc("c_custkey"),
     ]
-    w = Window.orderBy(*order)
-    return (
-        c.orderBy(*order)
-        .withColumn("pos", F.row_number().over(w))
-        .select("c_custkey", "c_acctbal", "c_mktsegment", "pos")
-    )
+    ranked = with_global_rank(c, order, lead="c_acctbal", descending=True, name="pos")
+    return ranked.select("c_custkey", "c_acctbal", "c_mktsegment", "pos")
 
 
 @query(

@@ -2,8 +2,11 @@
 
 Runs every registered query at a scale factor and compares against its
 DuckDB oracle: row count, column names/type-kinds, and exact
-(bit-level for floats) order-insensitive value comparison. Stricter
-than the driver's hash, so green here ⇒ green there.
+(bit-level for floats) order-insensitive value comparison. It also
+rejects array/map/struct-typed columns in oracle-checked queries: the
+driver's pandas-based hasher cannot hash list cells, so such queries
+would pass a naive local comparison yet error in the driver gate
+(ADVICE r1). With that lint, green here ⇒ green there.
 
 Usage: python tools/check_parity.py [--sf /root/testdata/sf0.01] [--keys k1,k2]
 """
@@ -125,6 +128,23 @@ def main() -> int:
             n_fail += 1
             failures.append(key)
             continue
+        if key in oracles:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL {key}: oracle-checked query returns complex-typed "
+                    f"columns {complex_cols} — the driver's pandas hasher "
+                    f"cannot hash these; serialize to scalars"
+                )
+                n_fail += 1
+                failures.append(key)
+                continue
         if key not in oracles:
             print(f"rows-only {key}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
