@@ -1,0 +1,84 @@
+"""ASOF join — a headline ClickHouse join type (SURVEY §2.3 `join_asof`).
+
+Semantics: for each left row, attach the LATEST right row whose
+timestamp is <= the left row's timestamp, within the same key group
+(ClickHouse ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``).
+
+Spark has no native DataFrame asof join, so the engine implements the
+sort-merge-shaped union idiom:
+
+1. union left and right rows into one frame, tagging sides, carrying
+   the right payload as a struct (null on left rows);
+2. one window per key ordered by (ts, side) — side=0 (right) sorts
+   before side=1 (left) at equal ts, giving the inclusive ``<=``;
+3. ``last(payload, ignorenulls=True)`` over the unbounded-preceding
+   frame picks each left row's latest right match;
+4. keep only left rows, unpack the struct.
+
+Scale (100 TB): exactly one shuffle of EACH side on the join keys and
+a linear per-partition window scan — the same cost shape as a
+sort-merge join, with no range-explosion. Never a cross/BNL join.
+Skewed keys are split by AQE; the window itself streams, holding only
+one struct of state per row.
+
+Determinism: the right side must be unique per (keys, ts) — pre-dedup
+with ``ops.dedup.latest_by_key`` otherwise — or ties make the winner
+partition-order-dependent (same caveat ClickHouse resolves
+arbitrarily).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+    how: str = "left",
+) -> DataFrame:
+    """ASOF-join ``right`` onto ``left``: latest right row with
+    ``right.ts <= left.ts`` per key group.
+
+    Returns all left columns plus ``{prefix}{ts}`` (the matched right
+    timestamp) and ``{prefix}{c}`` for each of ``right_cols``.
+    ``how``: "left" keeps unmatched left rows (nulls), "inner" drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    rts = right_ts or ts
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in set(keys) | {rts}
+    ]
+
+    payload = F.struct(
+        F.col(rts).alias(f"{prefix}{ts}"), *[F.col(c).alias(f"{prefix}{c}") for c in rcols]
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        payload.alias("__asof_rv"),
+    )
+    l = left.withColumn("__asof_ts", F.col(ts)).withColumn("__asof_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("__asof_ts"), F.asc("__asof_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__asof_m", F.last("__asof_rv", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__asof_side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__asof_m").isNotNull())
+    for name in [f"{prefix}{ts}", *[f"{prefix}{c}" for c in rcols]]:
+        out = out.withColumn(name, F.col("__asof_m").getField(name))
+    return out.drop("__asof_ts", "__asof_side", "__asof_rv", "__asof_m")

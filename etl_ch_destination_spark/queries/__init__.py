@@ -3,7 +3,9 @@ every implemented query + oracle into the registry."""
 
 from etl_ch_destination_spark.queries import (  # noqa: F401
     aggregations,
+    joins,
     projection,
     setops,
     sorts,
+    windows,
 )
