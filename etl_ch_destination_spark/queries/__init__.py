@@ -5,6 +5,10 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     aggregations,
     joins,
     projection,
+    scalars_complex,
+    scalars_date,
+    scalars_math,
+    scalars_string,
     setops,
     sorts,
     windows,

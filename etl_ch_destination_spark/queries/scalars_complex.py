@@ -1,0 +1,204 @@
+"""SURVEY §2.8 — array / map / JSON scalar families (arr_construct,
+arr_explode, arr_membership, arr_transform_ho, map_funcs,
+json_extract_props, json_struct_ops).
+
+ClickHouse analog: `Array`/`Map` types, `arrayJoin` (the CH-idiomatic
+UNNEST), the `arrayMap`/`arrayFilter`/`arrayReduce` higher-order
+family, and `JSONExtract*` over the `events.props` JSON column.
+
+Driver-hasher constraint: oracle-checked results must be scalar-typed,
+so array outputs are serialized (`array_join`) and map outputs are
+projected to scalars. DuckDB map extraction returns a LIST (probed),
+so `map_funcs`' oracle states the equivalent scalar semantics in plain
+SQL while the Spark side genuinely builds and queries a MapType.
+
+Scale notes: `arr_explode` multiplies rows (fan-out ≈ tokens/row) —
+at 100 TB that's the one to budget shuffle after; everything else is
+a narrow codegen projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+from etl_ch_destination_spark.schemas import PROPS_JSON
+
+
+@query(
+    "arr_construct",
+    """
+    SELECT p_partkey,
+           len([p_size, p_size * 2, 0]) AS sz,
+           list_extract([p_size, p_size * 2, 0], 1) AS first_el,
+           array_to_string([p_size, p_size * 2, 0], ',') AS csv
+    FROM part
+    """,
+)
+def arr_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construct / size / element access (CH `array`, `length`,
+    `arrayElement`). The array itself is serialized for the hasher."""
+    p = load_table(spark, sf_dir, "part")
+    arr = F.array(F.col("p_size"), F.col("p_size") * 2, F.lit(0))
+    return p.select(
+        "p_partkey",
+        F.size(arr).alias("sz"),
+        F.element_at(arr, 1).alias("first_el"),
+        F.array_join(arr.cast("array<string>"), ",").alias("csv"),
+    )
+
+
+@query(
+    "arr_explode",
+    """
+    SELECT p_partkey, unnest(string_split(p_type, ' ')) AS token
+    FROM part
+    """,
+)
+def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `arrayJoin` — unnest to rows. Fan-out is the row multiplier
+    to budget at scale; posexplode/explode_outer variants in tests."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_type", " ")).alias("token"))
+
+
+@query(
+    "arr_membership",
+    """
+    SELECT p_partkey,
+           list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass,
+           CAST(list_position(string_split(p_type, ' '), 'BRASS') AS BIGINT) AS pos_brass,
+           len(list_intersect(string_split(p_type, ' '), ['BRASS', 'COPPER'])) > 0 AS overlaps
+    FROM part
+    """,
+)
+def arr_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains / position / overlap (CH `has`, `indexOf`,
+    `hasAny`). Both engines return position 0 for a missing element
+    (probed), so no coalesce shim is needed."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.array_contains(words, "BRASS").alias("has_brass"),
+        F.array_position(words, "BRASS").alias("pos_brass"),
+        F.arrays_overlap(words, F.array(F.lit("BRASS"), F.lit("COPPER"))).alias("overlaps"),
+    )
+
+
+@query(
+    "arr_transform_ho",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3),
+                                          x -> upper(x)), ',') AS upper3,
+           len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
+           CAST(list_reduce(list_transform(string_split(text, ' '), x -> length(x)),
+                            (acc, x) -> acc + x) AS INT) AS total_chars,
+           list_sort(string_split(text, ' '))[1] AS first_sorted,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents
+    """,
+)
+def arr_transform_ho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions ≈ CH `arrayMap`/`arrayFilter`/
+    `arrayReduce`/`arraySort`/`arrayDistinct` — all JVM-side codegen
+    lambdas, no Python. Spark slice(start=1, length=3) lines up with
+    DuckDB list_slice(1, 3) (1-based inclusive, probed)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_join(F.transform(F.slice(words, 1, 3), lambda x: F.upper(x)), ",").alias(
+            "upper3"
+        ),
+        F.size(F.filter(words, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.element_at(F.array_sort(words), 1).alias("first_sorted"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT event_id,
+           2 AS n_keys,
+           'type,uid' AS keys_csv,
+           event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS uid_val
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construct/keys/lookup (CH `map`, `mapKeys`). The Spark side
+    genuinely builds a MapType and queries it; DuckDB map extraction
+    returns a LIST (probed), so the oracle states the equivalent scalar
+    results in plain SQL. map_values/map_from_entries in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+        F.element_at(m, F.lit("uid")).alias("uid_val"),
+    )
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `JSONExtractInt` over the events.props JSON column — both the
+    path-string form (get_json_object) and the typed from_json form."""
+    ev = load_table(spark, sf_dir, "events")
+    typed = F.from_json("props", PROPS_JSON)
+    k_path = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k_path.alias("k_path"),
+        typed.getField("k").alias("k_typed"),
+        k_path.isNotNull().alias("has_k"),
+    )
+
+
+@query(
+    "json_struct_ops",
+    """
+    SELECT event_id,
+           CAST(to_json(struct_pack(
+             k := CAST(json_extract_string(props, '$.k') AS INT),
+             et := event_type
+           )) AS VARCHAR) AS payload,
+           CAST(json_extract_string(props, '$.k') AS INT) + 1 AS k_next
+    FROM events
+    """,
+)
+def json_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse JSON → struct, enrich, serialize back (CH `JSONExtract` +
+    `toJSONString` round-trip). Both engines emit compact JSON with
+    field order preserved (probed)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", PROPS_JSON).getField("k")
+    payload = F.struct(k.alias("k"), F.col("event_type").alias("et"))
+    return ev.select(
+        "event_id",
+        F.to_json(payload).alias("payload"),
+        (k + 1).alias("k_next"),
+    )

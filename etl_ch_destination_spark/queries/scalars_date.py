@@ -1,0 +1,132 @@
+"""SURVEY §2.8 — date/time scalar families (date_parts,
+date_trunc_bucket, date_arith, date_epoch_fmt).
+
+ClickHouse analog: `toYear`/`toStartOfDay`/`toStartOfMonth` — the
+backbone of CH reporting partitions — plus date arithmetic and epoch
+conversions.
+
+Dialect pins (DuckDB 1.0, probed): `dayofweek` there is Sunday=0, so
+the ISO form is used on both sides (Spark `weekday()+1` ↔ DuckDB
+`isodow`); DuckDB's `date_trunc('day'|'month')` returns DATE, so the
+oracle casts back to TIMESTAMP; second-epoch is derived from the
+exact µs epoch with identical floor arithmetic on both sides rather
+than engine-specific `epoch()` variants.
+
+Scale notes: narrow projections, no shuffle, codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+
+@query(
+    "date_parts",
+    """
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+           isodow(ts) AS dow_iso, dayofyear(ts) AS doy, quarter(ts) AS q
+    FROM events
+    """,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `toYear`/`toMonth`/.../`toDayOfWeek`. ISO day-of-week
+    (Monday=1) on both sides: Spark weekday()+1 ↔ DuckDB isodow."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        (F.weekday("ts") + F.lit(1)).alias("dow_iso"),
+        F.dayofyear("ts").alias("doy"),
+        F.quarter("ts").alias("q"),
+    )
+
+
+@query(
+    "date_trunc_bucket",
+    """
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_ts,
+           strftime(ts, '%Y-%m') AS ym
+    FROM events
+    """,
+)
+def date_trunc_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `toStartOfDay/Hour/Month` + `toYYYYMM` — the time-bucketing
+    backbone of reporting partitions (sink_parquet_partitioned uses the
+    same ym derivation for its layout)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.date_trunc("month", "ts").alias("month_ts"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 7 AS DATE) AS plus7,
+           CAST(CAST(o_orderdate AS DATE) - 30 AS DATE) AS minus30,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-09-02') AS days_to_cutoff,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           o_orderdate + INTERVAL 90 MINUTE AS plus90m
+    FROM orders
+    """,
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `addDays`/`subtractDays`/`dateDiff`/`toLastDayOfMonth` +
+    interval arithmetic on timestamps."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(od, 7).alias("plus7"),
+        F.date_sub(od, 30).alias("minus30"),
+        F.datediff(F.lit("1998-09-02").cast("date"), od).alias("days_to_cutoff"),
+        F.last_day(od).alias("eom"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES")).alias("plus90m"),
+    )
+
+
+@query(
+    "date_epoch_fmt",
+    """
+    SELECT event_id,
+           epoch_us(ts) AS us,
+           CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS secs,
+           make_timestamp(epoch_us(ts)) AS roundtrip,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
+           strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed
+    FROM events
+    """,
+)
+def date_epoch_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `toUnixTimestamp`/`fromUnixTimestamp`/`formatDateTime`.
+    Second-epoch derived from exact µs with identical floor arithmetic
+    on both sides (naive UTC timestamps end to end)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        us.alias("us"),
+        F.floor(us / F.lit(1_000_000)).cast("long").alias("secs"),
+        F.timestamp_micros(us).alias("roundtrip"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("fmt"),
+        F.to_timestamp(F.date_format("ts", "yyyy-MM-dd"), "yyyy-MM-dd").alias("reparsed"),
+    )

@@ -1,0 +1,119 @@
+"""SURVEY §2.8 — math / safe-arithmetic / hash scalar families
+(math_funcs, safe_arith, hash_funcs).
+
+Dialect pins (DuckDB 1.0, probed): floor/ceil return DOUBLE there and
+LONG in Spark → both cast to BIGINT; sign() width differs → cast INT;
+transcendentals (exp/log) and half-up-vs-half-even rounding edge cases
+are NOT hash-compared — libm last-ulp differences across engines make
+them tolerance-test material (tests/test_scalars.py). Hash functions:
+md5/sha256 are cross-engine identical hex; crc32/xxhash64 are
+Spark-only (different polynomial/seed conventions elsewhere) and
+pytest-covered — xxhash64 is still the engine's workhorse for dedup
+bucketing (ops/salting.py, llm dedup) where only self-consistency
+matters.
+
+Scale notes: narrow projections, no shuffle, codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0) AS abs_c,
+           CAST(floor(l_quantity) AS BIGINT) AS floor_c,
+           CAST(ceil(l_quantity) AS BIGINT) AS ceil_c,
+           sqrt(l_extendedprice) AS sqrt_c,
+           CAST(sign(l_quantity - 25.0) AS INT) AS sign_c,
+           pow(l_linenumber, 2) AS pow_c,
+           l_orderkey % 7 AS mod_c,
+           greatest(l_quantity, 25.0) AS gr_c,
+           least(l_quantity, 25.0) AS le_c,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS rnd_c
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH math surface. Every hashed expression is IEEE-deterministic
+    cross-engine: abs/floor/ceil/greatest/least/% are exact, sqrt is
+    IEEE-754 correctly rounded, pow on small integer bases is exact,
+    and round runs on DECIMAL (half-up, both engines) before one
+    final decimal→double conversion (correctly rounded parse). exp/log
+    live in tolerance tests only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25.0).alias("abs_c"),
+        F.floor(q).cast("long").alias("floor_c"),
+        F.ceil(q).cast("long").alias("ceil_c"),
+        F.sqrt("l_extendedprice").alias("sqrt_c"),
+        F.signum(q - 25.0).cast("int").alias("sign_c"),
+        F.pow("l_linenumber", F.lit(2)).alias("pow_c"),
+        (F.col("l_orderkey") % 7).alias("mod_c"),
+        F.greatest(q, F.lit(25.0)).alias("gr_c"),
+        F.least(q, F.lit(25.0)).alias("le_c"),
+        F.round(F.col("l_extendedprice").cast("decimal(12,2)"), 1)
+        .cast("double")
+        .alias("rnd_c"),
+    )
+
+
+@query(
+    "safe_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - l_quantity, 0) AS div0,
+           l_extendedprice / NULLIF(l_quantity, 0) AS unit_price,
+           TRY_CAST(l_returnflag AS INT) AS bad_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS ok_int,
+           l_orderkey + 1 AS next_key
+    FROM lineitem
+    """,
+)
+def safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-safe arithmetic for dirty ETL data: try_divide → NULL on
+    zero denominator (oracle mirrors with a NULLIF guard), try_cast →
+    NULL on malformed input, try_add for overflow-safe increments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), q - q).alias("div0"),
+        F.try_divide(F.col("l_extendedprice"), q).alias("unit_price"),
+        F.col("l_returnflag").try_cast("int").alias("bad_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("ok_int"),
+        F.try_add(F.col("l_orderkey"), F.lit(1)).alias("next_key"),
+    )
+
+
+@query(
+    "hash_funcs",
+    """
+    SELECT p_partkey,
+           md5(p_name) AS md5_name,
+           sha256(lower(p_name)) AS sha_name
+    FROM part
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row hashing for dedup/bucketing (CH `MD5`/`SHA256`/`cityHash64`).
+    md5/sha256 hex strings are cross-engine identical; xxhash64/crc32
+    (seed/polynomial conventions differ) are pytest-covered and remain
+    the internal workhorses where only self-consistency matters."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name").cast("binary")).alias("md5_name"),
+        F.sha2(F.lower("p_name").cast("binary"), 256).alias("sha_name"),
+    )

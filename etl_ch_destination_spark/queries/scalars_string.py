@@ -1,0 +1,128 @@
+"""SURVEY §2.8 — string scalar families (str_basic, str_regex,
+str_search, str_distance).
+
+ClickHouse analog: the string function surface (`concat`, `upper`,
+`replaceRegexpAll`, `extract`, `position`, `levenshtein`...).
+
+Scale notes: pure narrow projections — no shuffle, whole-stage
+codegen end to end, column-pruned parquet scans (only the referenced
+part/nation columns are read). Dialect-pinned against DuckDB 1.0:
+no `initcap` (absent there — pytest-only on the Spark side),
+regexp_replace carries the 'g' flag in the oracle (DuckDB replaces
+first match by default; Spark replaces all), extract-all arrays are
+serialized with array_join (the driver's hasher takes scalars only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+
+@query(
+    "str_basic",
+    """
+    SELECT p_partkey,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           upper(p_type) AS up,
+           lower(p_name) AS lo,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 5) AS name5,
+           replace(p_name, ' ', '_') AS snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           split_part(p_name, ' ', 2) AS word2
+    FROM part
+    """,
+)
+def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/upper/lower/trim/length/substring/replace/lpad/split_part
+    (CH string basics). `initcap` is Spark-only (no DuckDB equivalent)
+    and covered in tests/test_scalars.py."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_type").alias("up"),
+        F.lower("p_name").alias("lo"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
+    )
+
+
+@query(
+    "str_regex",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS type_tokens
+    FROM part
+    """,
+)
+def str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `extract`/`replaceRegexpAll`/`extractAll`. POSIX-safe patterns
+    only (SURVEY §2.8 dialect note); Spark regexp_replace is global by
+    default — the oracle pins DuckDB's 'g' flag to match."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.array_join(
+            F.regexp_extract_all(F.col("p_type"), F.lit("[A-Z]+"), F.lit(0)), ","
+        ).alias("type_tokens"),
+    )
+
+
+@query(
+    "str_search",
+    """
+    SELECT p_partkey,
+           strpos(p_type, 'BRASS') AS pos_brass,
+           contains(p_type, 'PROMO') AS has_promo,
+           starts_with(p_type, 'PROMO') AS is_promo,
+           ends_with(p_type, 'STEEL') AS is_steel
+    FROM part
+    """,
+)
+def str_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """position/contains/startsWith/endsWith (CH `position`,
+    `hasSubstr`, `startsWith`, `endsWith`)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_type", "BRASS").alias("pos_brass"),
+        F.contains(F.col("p_type"), F.lit("PROMO")).alias("has_promo"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+        F.endswith(F.col("p_type"), F.lit("STEEL")).alias("is_steel"),
+    )
+
+
+@query(
+    "str_distance",
+    """
+    SELECT n_name,
+           levenshtein(n_name, 'UNITED STATES') AS lev_us,
+           levenshtein(n_name, 'CHINA') AS lev_cn
+    FROM nation
+    """,
+)
+def str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance for fuzzy dedup (BASELINE north-star `dedup`).
+    `soundex` is Spark-only (absent in DuckDB) — tests/test_scalars.py."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("lev_us"),
+        F.levenshtein(F.col("n_name"), F.lit("CHINA")).alias("lev_cn"),
+    )
