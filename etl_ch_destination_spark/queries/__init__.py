@@ -4,6 +4,8 @@ every implemented query + oracle into the registry."""
 from etl_ch_destination_spark.queries import (  # noqa: F401
     aggregations,
     joins,
+    llm_text,
+    llm_vectors,
     projection,
     scalars_complex,
     scalars_date,
@@ -11,5 +13,6 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     scalars_string,
     setops,
     sorts,
+    udfs,
     windows,
 )

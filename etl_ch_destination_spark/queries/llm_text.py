@@ -1,0 +1,159 @@
+"""SURVEY §2.10 — LLM-pipeline text operators (llm_text_stats,
+llm_lang_filter_quality, llm_dedup_exact, llm_tfidf_terms).
+
+North-star coverage (BASELINE.json): text analysis, corpus quality
+filtering, exact dedup, term importance — the batch hygiene passes a
+training-data pipeline runs over a crawled corpus before tokenizing.
+
+Scale notes (100 TB): every operator here is a scan + hash-aggregate
+shape — one shuffle on the group key, partial aggregation map-side.
+`llm_dedup_exact` shuffles on the 128-bit content hash (uniform by
+construction, no skew); `llm_tfidf_terms` shuffles exploded tokens —
+the one fan-out to budget — then reduces to (lang, term) cardinality
+immediately via partial aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.ops.dedup import latest_by_key
+from etl_ch_destination_spark.registry import query
+
+
+@query(
+    "llm_text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           length(text) = n_chars AS n_chars_ok,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(list_reduce(list_transform(string_split(text, ' '), x -> length(x)),
+                            (acc, x) -> acc + x) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (char/word counts, average word
+    length) — validates the fixture's own n_chars column. Integer
+    folds + one IEEE double division keep it hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    total_wchars = F.aggregate(
+        F.transform(words, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+        F.size(words).alias("n_words"),
+        (total_wchars.cast("double") / F.size(words)).alias("avg_word_len"),
+    )
+
+
+@query(
+    "llm_lang_filter_quality",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr') AND n_chars BETWEEN 100 AND 10000
+    GROUP BY source
+    """,
+)
+def llm_lang_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality report: language whitelist + length bounds, then
+    per-source stats — the keep/drop accounting a crawl-cleaning pass
+    emits. Filters push down to the parquet scan."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(
+        F.col("lang").isin("en", "de", "fr") & F.col("n_chars").between(100, 10000)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "llm_dedup_exact",
+    """
+    SELECT doc_id, content_hash FROM (
+      SELECT doc_id,
+             md5(lower(trim(text))) AS content_hash,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: one canonical doc (lowest
+    doc_id) survives per distinct normalized text. The md5 form is the
+    oracle-checked variant; internal pipelines use xxhash64 over the
+    same normalization (cheaper, but seed conventions differ across
+    engines). Fixture corpus has no dupes — planted-duplicate behavior
+    is asserted in tests/test_llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.withColumn(
+        "content_hash", F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    )
+    return latest_by_key(hashed, ["content_hash"], [F.asc("doc_id")]).select(
+        "doc_id", "content_hash"
+    )
+
+
+@query(
+    "llm_tfidf_terms",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tstats AS (
+      SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY lang, term
+    ),
+    nl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT lang, term, tf, df, score, rk FROM (
+      SELECT t.lang AS lang, term, tf, df,
+             tf * (CAST(n_docs AS DOUBLE) / df) AS score,
+             ROW_NUMBER() OVER (PARTITION BY t.lang
+                                ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC,
+                                         term) AS rk
+      FROM tstats t JOIN nl ON t.lang = nl.lang
+    ) WHERE rk <= 5
+    """,
+)
+def llm_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term importance per language: tf × (N/df), top 5 terms per lang
+    (`limit_by` pattern). The rational tf·N/df form replaces log-idf in
+    the hashed query — same ranking, no cross-engine libm drift; the
+    log form is tolerance-tested in pytest. Shuffle shape: explode →
+    immediate partial agg to (lang, term); the per-lang doc counts join
+    is broadcast-size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tstats = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    nl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tstats.join(F.broadcast(nl), "lang").withColumn(
+        "score", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rk")
+    )

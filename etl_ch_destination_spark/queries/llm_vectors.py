@@ -1,0 +1,107 @@
+"""SURVEY §2.10 — LLM-pipeline vector/binary operators
+(llm_sim_topk_exact, llm_sim_topk_ann, llm_dedup_near,
+llm_multimodal_ingest).
+
+North-star coverage (BASELINE.json): similarity search (exact oracle
+baseline + LSH scale path), near-duplicate detection (MinHash+LSH
+banding), multimodal binary columns (Arrow-batched feature
+extraction). Scale reasoning lives in the ops modules
+(ops/similarity.py, ops/neardup.py, ops/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.ops.multimodal import extract_features, synthesize_binary
+from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
+from etl_ch_destination_spark.ops.similarity import ann_topk, brute_force_topk
+from etl_ch_destination_spark.registry import query
+
+TOPK = 5
+
+
+@query(
+    "llm_sim_topk_exact",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+               ) AS cos_sim
+      FROM q, embeddings c
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOPK}
+    """,
+)
+def llm_sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (ops/similarity.brute_force_topk): every 10th
+    vector queries the full corpus; broadcast query side, candidates
+    never shuffle. Double-precision sequential folds match DuckDB's
+    list_sum(list_transform(...)) bit for bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return brute_force_topk(emb, queries, k=TOPK)
+
+
+@query("llm_sim_topk_ann")  # approximate — rows-only; recall gate in tests/test_llm.py
+def llm_sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via BucketedRandomProjectionLSH bucket pruning
+    (ops/similarity.ann_topk), seed pinned. Rows-only in the driver
+    gate (LSH output is approximate by construction); recall ≥ 0.9 vs
+    the exact path is the pytest gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ann_topk(emb, queries, k=TOPK)
+
+
+@query("llm_dedup_near")  # approximate — rows-only; recall gate in tests/test_llm.py
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash+LSH banding
+    (ops/neardup.near_duplicate_pairs): word-trigram shingles, 5 hash
+    tables, Jaccard distance ≤ 0.8, pinned seed. Planted-duplicate
+    recall asserted in tests/test_llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_duplicate_pairs(d, max_jaccard_distance=0.8)
+    return pairs.select("id_a", "id_b", "jaccard_dist")
+
+
+@query(
+    "llm_multimodal_ingest",
+    """
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           md5(text) AS content_md5,
+           'text/synthetic' AS modality
+    FROM documents
+    """,
+)
+def llm_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest plumbing: synthesize binary payloads from
+    documents.text (no binary fixture exists), run the Arrow-batched
+    mapInPandas feature extractor (ops/multimodal.py), join back the
+    metadata struct. The oracle mirrors the deterministic features
+    (fixture text is ASCII, so char length == byte length and
+    ascii(first char) == first byte)."""
+    d = load_table(spark, sf_dir, "documents")
+    binary = synthesize_binary(d)
+    feats = extract_features(binary)
+    meta = binary.select("doc_id", F.col("meta.modality").alias("modality"))
+    return feats.join(meta, "doc_id").select(
+        "doc_id", "n_bytes", "first_byte", "content_md5", "modality"
+    )
