@@ -13,6 +13,8 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     scalars_string,
     setops,
     sorts,
+    sources_sinks,
+    streaming_batch,
     udfs,
     windows,
 )

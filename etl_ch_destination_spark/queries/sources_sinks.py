@@ -1,0 +1,185 @@
+"""SURVEY §2.1 — scans, sources, sinks.
+
+The extract and load ends of the ETL pipeline: typed parquet/CSV/JSONL
+reads (a ClickHouse destination's job is mapping loosely-typed source
+records onto rigid schemas — every read here uses an explicit schema),
+and the write path: partitioned parquet layout (≈ MergeTree PARTITION
+BY), sorted-by-key layout (≈ MergeTree ORDER BY), the ClickHouse JDBC
+sink (sink/clickhouse.py), and idempotent batch stamping.
+
+Sink keys verify by ROUND TRIP: write to the gitignored scratch dir,
+re-read, and hash-compare the re-read result against the oracle run
+on the original table — proving the sink lost/duplicated nothing.
+
+Scale notes (100 TB): partitionBy(ym) gives date-pruned scans (the CH
+PARTITION BY payoff — the re-read below filters on the partition
+column and Catalyst prunes directories, asserted in tests);
+repartition+sortWithinPartitions writes pre-sorted parts bounded by
+executor memory spill; CSV/JSONL scans parallelize by file split.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table, scratch_dir
+from etl_ch_destination_spark.queries._util import dsum, money, sql_dsum
+from etl_ch_destination_spark.registry import query
+from etl_ch_destination_spark.schemas import EVENTS, NATION
+from etl_ch_destination_spark.sink.clickhouse import (
+    DEFAULT_BATCH_SIZE,
+    ddl_for,
+    stamp_batch,
+)
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"  # µs-lossless JSONL round trip
+
+
+def _scratch(sf_dir: str, key: str) -> str:
+    """Per-(key, sf) scratch subdir so concurrent sfs never collide."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return scratch_dir(f"{key}/{tag}")
+
+
+@query(
+    "scan_parquet",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with column pruning — ReadSchema in the
+    plan carries only the 5 projected columns (asserted in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@query("scan_csv_typed", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV source (classic ETL extract): materialize nation as
+    headered CSV, read back with the explicit schema — never
+    inference. Round trip must hash-match the original table."""
+    path = _scratch(sf_dir, "scan_csv_typed")
+    n = load_table(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(NATION).option("header", True).csv(path)
+
+
+@query(
+    "scan_jsonl",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON-lines source: events round-tripped through JSONL with
+    a µs-precision timestamp format (the default millisecond format
+    would silently truncate sub-ms event times)."""
+    path = _scratch(sf_dir, "scan_jsonl")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+    return spark.read.schema(EVENTS).option("timestampFormat", TS_FMT).json(path)
+
+
+@query(
+    "sink_parquet_partitioned",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           COUNT(*) AS n,
+           {sql_dsum("CAST(o_totalprice AS DECIMAL(12,2))", "sum_price")}
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+    GROUP BY ym
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar sink ≈ ClickHouse PARTITION BY toYYYYMM():
+    write orders partitioned by month, re-read with a partition-column
+    filter (directory pruning — only matching ym=... partitions are
+    scanned), aggregate, and hash-match against the unpartitioned
+    original."""
+    path = _scratch(sf_dir, "sink_parquet_partitioned")
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn("ym", F.date_format("o_orderdate", "yyyy-MM")).write.mode(
+        "overwrite"
+    ).partitionBy("ym").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("ym") >= "1997-01")
+    return back.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n"), dsum(money("o_totalprice"), "sum_price")
+    )
+
+
+@query(
+    "sink_sorted_by_key",
+    f"""
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {sql_dsum("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty")}
+    FROM lineitem
+    """,
+)
+def sink_sorted_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-by-key sink ≈ MergeTree ORDER BY (l_orderkey,
+    l_linenumber): co-locate each order's rows in one file, sorted
+    within — parts arrive pre-sorted, range scans on the key skip
+    files. Round-trip totals hash-match the source; within-file
+    sortedness itself is asserted in tests/test_sinks.py."""
+    path = _scratch(sf_dir, "sink_sorted_by_key")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition("l_orderkey").sortWithinPartitions(
+        "l_orderkey", "l_linenumber"
+    ).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(money("l_quantity"), "sum_qty"),
+    )
+
+
+@query("sink_clickhouse_jdbc")  # no CH server in env — rows-only; DDL unit-tested
+def sink_clickhouse_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's defining sink, surfaced at its testable seam:
+    deterministic ClickHouse DDL + writer config generated from the
+    live fixture schemas (sink/clickhouse.py). The JDBC .save() itself
+    needs a server; everything up to that call is real and unit-tested."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = [
+        (
+            "orders",
+            ddl_for(
+                o.schema,
+                "orders",
+                order_by=["o_orderkey"],
+                partition_by="toYYYYMM(o_orderdate)",
+            ),
+            DEFAULT_BATCH_SIZE,
+        ),
+        (
+            "lineitem",
+            ddl_for(li.schema, "lineitem", order_by=["l_orderkey", "l_linenumber"]),
+            DEFAULT_BATCH_SIZE,
+        ),
+    ]
+    return spark.createDataFrame(rows, "table_name string, ddl string, batch_size long")
+
+
+@query(
+    "sink_idempotent_batch",
+    "SELECT o_orderkey, 'batch-00042' AS _batch_id FROM orders",
+)
+def sink_idempotent_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-style load: the same stamped batch is delivered
+    TWICE (append replay); downstream dedup on (_batch_id, key)
+    collapses the replay — the result hash-matches a single clean
+    delivery. This is the replay contract ClickHouse's insert-block
+    dedup gives natively."""
+    path = _scratch(sf_dir, "sink_idempotent_batch")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    stamped = stamp_batch(o, "batch-00042")
+    stamped.write.mode("append").parquet(path)   # first delivery
+    stamped.write.mode("append").parquet(path)   # replay of the same batch
+    back = spark.read.parquet(path)
+    return back.dropDuplicates(["_batch_id", "o_orderkey"]).select("o_orderkey", "_batch_id")

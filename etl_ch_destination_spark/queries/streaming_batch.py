@@ -1,0 +1,190 @@
+"""SURVEY §2.9 — streaming operators, batch-equivalent oracle forms.
+
+Strategy (SURVEY §2.9 preamble): streaming queries can't be DuckDB-
+oracled directly, so each key registers the BATCH form of the shared
+transformation in streaming/pipeline.py — `F.window`/`session_window`
+compute identically on batch frames — and the true streaming forms
+run under `availableNow` replay in tests/test_streaming.py, asserted
+equal to these oracle-checked results (stream-vs-batch equivalence).
+
+`stream_foreachbatch_sink` is the exception: it runs a REAL streaming
+query inside the callable (availableNow drains the bounded source,
+foreachBatch loads epoch-stamped parquet) and returns the re-read
+sink — so the driver gate itself exercises the reference's defining
+stream→batched-insert pattern end to end.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table, scratch_dir
+from etl_ch_destination_spark.registry import query
+from etl_ch_destination_spark.streaming import pipeline
+from etl_ch_destination_spark.streaming.replay import read_events_stream
+
+_SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+@query(
+    "stream_tumbling_counts",
+    f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS we,
+           event_type,
+           COUNT(*) AS n,
+           {_SUM_VALUE} AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling counts per event_type (pipeline.tumbling_counts;
+    DuckDB time_bucket and Spark F.window are both epoch-aligned —
+    probed)."""
+    return pipeline.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding_avg",
+    f"""
+    WITH x AS (
+      SELECT value,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+      FROM events
+    )
+    SELECT ws, ws + INTERVAL '10 minutes' AS we,
+           COUNT(*) AS n,
+           {_SUM_VALUE} / COUNT(*) AS avg_value
+    FROM x GROUP BY ws
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 (pipeline.sliding_avg): each
+    event lands in exactly two windows — the oracle materializes both
+    membership rows via unnest."""
+    return pipeline.sliding_avg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session_gap",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user (pipeline.session_gap).
+    Oracle reproduces Spark session_window semantics via
+    gaps-and-islands: new session at gap >= 30 min, session end =
+    last event + gap."""
+    return pipeline.session_gap(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_watermark_late",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS we,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling totals (pipeline.watermark_late, 15-minute
+    lateness bound). In batch the watermark is semantically a no-op
+    (everything is on time) — that IS the oracle-comparable form;
+    the actual late-row drop is asserted under out-of-order replay in
+    tests/test_streaming.py."""
+    return pipeline.watermark_late(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup_watermark",
+    """
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival dedup per (user_id, event_type)
+    (pipeline.first_arrival_dedup — the batch-deterministic analog of
+    dropDuplicatesWithinWatermark, whose arrival-order dependence makes
+    it replay-tested rather than oracled)."""
+    return pipeline.first_arrival_dedup(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_stateful_counter",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {_SUM_VALUE} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the per-user stateful counter
+    (streaming/stateful.py applyInPandasWithState): after draining a
+    bounded stream, the running (count, total) per user equals this
+    plain aggregate — the equivalence asserted under replay in
+    tests/test_streaming.py. The decimal-exact batch form is the
+    oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "stream_foreachbatch_sink",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {_SUM_VALUE} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pattern end to end, actually streamed: events
+    replayed as an availableNow stream, foreachBatch loads each
+    epoch-stamped micro-batch into the parquet stand-in sink
+    (pipeline.foreach_batch_load), and the re-read sink aggregates to
+    the same totals as the source — proving the load was complete and
+    non-duplicating."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = scratch_dir(f"stream_foreachbatch_sink/{tag}/out")
+    ckpt = scratch_dir(f"stream_foreachbatch_sink/{tag}/ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = read_events_stream(spark, sf_dir)
+    q = pipeline.foreach_batch_load(stream, out, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )

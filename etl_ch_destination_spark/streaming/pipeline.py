@@ -1,0 +1,135 @@
+"""Shared batch/stream transformations (SURVEY §2.9).
+
+Each function takes an events-shaped DataFrame — batch OR streaming —
+and returns the transformed frame. Batch invocations feed the DuckDB
+oracle gate (queries/streaming_batch.py); streaming invocations run
+under `availableNow` replay in tests/test_streaming.py and must
+produce the same final table (stream-vs-batch equivalence).
+
+ClickHouse analog: Kafka engine → materialized view with
+`toStartOfInterval` bucketing → MergeTree destination.
+
+Scale notes (100 TB/day ingest): windowed aggs keep state per
+(window, key) — watermarks bound that state and let the store evict;
+RocksDB state store (`spark.sql.streaming.stateStore.providerClass`)
+moves state off-heap for hot key spaces; `foreach_batch_load` writes
+idempotently (epoch-stamped batches) so a replayed micro-batch cannot
+double-count downstream — the same replay contract ClickHouse's
+insert-block dedup provides natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.sink.clickhouse import stamp_batch
+
+MONEY = "decimal(12,2)"  # events.value is 2-dp money-like (FIXTURES.md)
+
+
+def tumbling_counts(ev: DataFrame) -> DataFrame:
+    """10-minute tumbling counts/sums per event_type (CH: MV with
+    toStartOfInterval)."""
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(ev: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in two
+    windows; avg = exact-decimal sum / count (hash-stable)."""
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast(MONEY)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n", "avg_value")
+    )
+
+
+def session_gap(ev: DataFrame) -> DataFrame:
+    """Session windows: 30-minute inactivity gap per user. Session end =
+    last event + gap (Spark session_window semantics; the oracle's
+    gaps-and-islands SQL reproduces it exactly, with a new session at
+    diff >= gap)."""
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermark_late(ev: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """Tumbling per-window totals with a 15-minute watermark: streaming
+    drops rows later than the watermark and finalizes windows; in batch
+    the watermark is a no-op (all data is 'on time'), which is exactly
+    the oracle-comparable form. Late-drop behavior is asserted under
+    replay in tests/test_streaming.py."""
+    return (
+        ev.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n_events")
+    )
+
+
+def first_arrival_dedup(ev: DataFrame) -> DataFrame:
+    """Batch-deterministic form of streaming dedup: the FIRST event (by
+    event time, id tiebreak) per (user_id, event_type). The streaming
+    form is dropDuplicatesWithinWatermark — arrival-order dependent, so
+    it is equivalence-tested under ordered replay rather than oracled."""
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    return latest_by_key(
+        ev.select("user_id", "event_type", "event_id", "ts"),
+        ["user_id", "event_type"],
+        [F.asc("ts"), F.asc("event_id")],
+    )
+
+
+def dedup_within_watermark(ev: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Streaming dedup of event_id within the watermark horizon —
+    bounded state (ids older than the watermark are evicted), the
+    idempotent-ingest front door."""
+    return ev.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def foreach_batch_load(stream_df: DataFrame, out_path: str, checkpoint: str):
+    """THE reference pattern: stream → per-micro-batch batched insert.
+    Each epoch is stamped (`_batch_id`) before the append, so a
+    re-delivered epoch is deduplicable downstream — pair with
+    `dropDuplicates(['_batch_id', key])` at read time. Returns the
+    started StreamingQuery (availableNow: drains all input, then
+    stops)."""
+
+    def load_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        stamp_batch(batch_df, f"epoch-{epoch_id:05d}").write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(load_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
