@@ -137,9 +137,10 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term importance per language: tf × (N/df), top 5 terms per lang
-    (`limit_by` pattern). The rational tf·N/df form replaces log-idf in
-    the hashed query — same ranking, no cross-engine libm drift; the
-    log form is tolerance-tested in pytest. Shuffle shape: explode →
+    (`limit_by` pattern). The rational tf·N/df surrogate replaces
+    log-idf in the hashed query to avoid cross-engine libm drift (the
+    two weightings can rank differently — the classic tf·ln(N/df) form
+    is exercised in tests/test_llm.py). Shuffle shape: explode →
     immediate partial agg to (lang, term); the per-lang doc counts join
     is broadcast-size."""
     d = load_table(spark, sf_dir, "documents")

@@ -1,0 +1,103 @@
+"""Aggregation behaviors the oracle can't hash-check (SURVEY §5.3):
+native array collects, any_value domain membership, argMax tie
+uniqueness, approximate-aggregate tolerances."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_collect_list_native_arrays(spark, sf_dir):
+    """The hashed query serializes arrays; the native array form must
+    itself be correct."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    got = {
+        r["n_regionkey"]: r["nations"]
+        for r in n.groupBy("n_regionkey")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .collect()
+    }
+    expected: dict[int, list[str]] = {}
+    for r in n.collect():
+        expected.setdefault(r["n_regionkey"], []).append(r["n_name"])
+    assert got == {k: sorted(v) for k, v in expected.items()}
+
+
+def test_any_value_is_member_of_group(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    rows = c.groupBy("c_mktsegment").agg(F.any_value("c_name").alias("any_name")).collect()
+    names_by_seg = {}
+    for r in c.collect():
+        names_by_seg.setdefault(r["c_mktsegment"], set()).add(r["c_name"])
+    for r in rows:
+        assert r["any_name"] in names_by_seg[r["c_mktsegment"]]
+
+
+def test_argmax_ties_are_unique_in_fixture(spark, sf_dir):
+    """agg_argmax's determinism rests on o_totalprice being unique per
+    customer (aggregations.py docstring) — assert that holds."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    dup = (
+        o.groupBy("o_custkey", "o_totalprice")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", 0.05)).first()[0]
+    assert abs(approx - exact) <= 0.05 * exact + 2
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.expr("percentile(l_extendedprice, 0.5)")).first()[0]
+    approx = li.select(F.percentile_approx("l_extendedprice", 0.5, 10_000)).first()[0]
+    assert abs(approx - exact) / exact < 0.01
+
+
+def test_var_stddev_corr_tolerance(spark, sf_dir):
+    """Native var_samp/stddev/corr vs Python-computed references
+    (the hashed query uses the exact-decimal sums-of-squares form)."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = [(r["l_quantity"], r["l_extendedprice"]) for r in
+            li.select("l_quantity", "l_extendedprice").collect()]
+    q = [v[0] for v in vals]
+    n = len(q)
+    mean = sum(q) / n
+    var_ref = sum((x - mean) ** 2 for x in q) / (n - 1)
+    got = li.select(
+        F.var_samp("l_quantity"), F.stddev_samp("l_quantity"),
+        F.corr("l_quantity", "l_extendedprice"),
+    ).first()
+    assert math.isclose(got[0], var_ref, rel_tol=1e-6)
+    assert math.isclose(got[1], math.sqrt(var_ref), rel_tol=1e-6)
+    assert -1.0 <= got[2] <= 1.0
+
+
+def test_sample_fraction_seed_stable(spark, sf_dir):
+    """sample(seed=42) must return the identical row set across runs
+    with identical partitioning (sorts.py docstring claim)."""
+    from etl_ch_destination_spark.queries.sorts import sample_fraction
+
+    a = sorted(r["l_orderkey"] for r in sample_fraction(spark, sf_dir).collect())
+    b = sorted(r["l_orderkey"] for r in sample_fraction(spark, sf_dir).collect())
+    assert a == b and len(a) > 0

@@ -1,0 +1,130 @@
+"""Library-operator invariants (SURVEY §5.3 layer 4): dedup
+idempotence/determinism, ASOF correctness vs a range-join reference,
+salted join ≡ plain join, bucketed global rank ≡ naive enumeration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import rows_set
+
+
+def _events(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_latest_by_key_idempotent(spark, sf_dir):
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir)
+    order = [F.desc("ts"), F.desc("event_id")]
+    once = latest_by_key(ev, ["user_id"], order)
+    twice = latest_by_key(once, ["user_id"], order)
+    assert rows_set(once) == rows_set(twice)
+
+
+def test_latest_by_key_deterministic_under_partitioning(spark, sf_dir):
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir)
+    order = [F.desc("ts"), F.desc("event_id")]
+    a = latest_by_key(ev.repartition(3), ["user_id"], order)
+    b = latest_by_key(ev.repartition(17, "event_type"), ["user_id"], order)
+    assert rows_set(a) == rows_set(b)
+
+
+def test_asof_join_matches_range_join_reference(spark, sf_dir):
+    """ASOF = argmax over the range-join candidates; the window idiom
+    must reproduce that exactly (incl. unmatched lefts as nulls)."""
+    from etl_ch_destination_spark.ops.asof import asof_join
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purch = latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value"),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", F.col("ts").alias("pts"), F.col("value").alias("pval"))
+
+    got = asof_join(views, purch, keys=["user_id"], ts="ts", right_ts="pts",
+                    right_cols=["pval"], how="left")
+
+    # reference: range join + keep max matching pts per left row
+    cand = views.join(
+        purch,
+        (views.user_id == purch.user_id) & (purch.pts <= views.ts),
+        "left",
+    ).select(views.event_id, purch.pts, purch.pval)
+    ref = latest_by_key(cand, ["event_id"], [F.desc_nulls_last("pts")])
+
+    got_sel = got.select("event_id", F.col("asof_ts").alias("pts"), F.col("asof_pval").alias("pval"))
+    assert rows_set(got_sel) == rows_set(ref)
+
+
+def test_asof_result_subset_of_range_join(spark, sf_dir):
+    """SURVEY §5.3 invariant: every ASOF match is a valid range-join pair."""
+    from etl_ch_destination_spark.ops.asof import asof_join
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purch = latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id"),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", F.col("ts").alias("pts"))
+    got = asof_join(views, purch, keys=["user_id"], ts="ts", right_ts="pts",
+                    right_cols=[], how="inner")
+    violations = got.filter(F.col("asof_ts") > F.col("ts")).count()
+    assert violations == 0
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.salting import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    salted = salted_join(li, s, "l_suppkey", "s_suppkey",
+                         salt_cols=["l_orderkey", "l_linenumber"], n_salts=4)
+    plain = li.join(s, li.l_suppkey == s.s_suppkey)
+    cols = ["l_orderkey", "l_linenumber", "s_suppkey", "s_nationkey"]
+    assert rows_set(salted, cols) == rows_set(plain, cols)
+
+
+def test_global_rank_matches_naive_enumeration(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.rank import with_global_rank
+
+    c = load_table(spark, sf_dir, "customer")
+    order = [F.desc_nulls_last("c_acctbal"), F.asc("c_custkey")]
+    ranked = with_global_rank(c, order, lead="c_acctbal", descending=True, name="pos")
+    got = {r["c_custkey"]: r["pos"] for r in ranked.collect()}
+    naive = c.orderBy(*order).collect()
+    for i, r in enumerate(naive, start=1):
+        assert got[r["c_custkey"]] == i
+
+
+def test_union_all_count_additivity(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F")
+    b = o.filter(F.col("o_orderstatus") != "F")
+    assert a.count() + b.count() == a.unionByName(b).count() == o.count()
+
+
+def test_rollup_grand_total_equals_global(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    rolled = (
+        c.rollup("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("c_mktsegment").isNull())
+        .collect()
+    )
+    assert len(rolled) == 1 and rolled[0]["n"] == c.count()

@@ -1,0 +1,75 @@
+"""Spark-only scalar functions (no DuckDB equivalent — excluded from
+the hashed queries per module docstrings) and the libm tolerance
+cases."""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+from pyspark.sql import functions as F
+
+
+def test_initcap_and_soundex(spark):
+    row = spark.range(1).select(
+        F.initcap(F.lit("hello spark world")).alias("ic"),
+        F.soundex(F.lit("Robert")).alias("sx"),
+    ).first()
+    assert row["ic"] == "Hello Spark World"
+    assert row["sx"] == "R163"
+
+
+def test_crc32_matches_zlib_and_xxhash64_selfconsistent(spark):
+    row = spark.range(1).select(
+        F.crc32(F.lit("etl").cast("binary")).alias("crc"),
+        F.xxhash64(F.lit("etl")).alias("xx1"),
+        F.xxhash64(F.lit("etl")).alias("xx2"),
+    ).first()
+    assert row["crc"] == zlib.crc32(b"etl")
+    assert row["xx1"] == row["xx2"] != 0
+
+
+def test_exp_log_roundtrip_tolerance(spark, sf_dir):
+    """exp/log are excluded from hash-matching (libm last-ulp drift);
+    assert the Spark side is numerically sane instead."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(100)
+    rows = li.select(
+        "l_extendedprice",
+        F.log(F.exp(F.lit(1.0))).alias("lg_e"),
+        F.log(F.col("l_extendedprice")).alias("ln_p"),
+    ).collect()
+    assert math.isclose(rows[0]["lg_e"], 1.0, rel_tol=1e-12)
+    for r in rows:
+        assert math.isclose(r["ln_p"], math.log(r["l_extendedprice"]), rel_tol=1e-12)
+
+
+def test_posexplode_and_explode_outer(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, [])], "id int, xs array<string>")
+    pos = df.filter("id = 1").select(F.posexplode("xs")).collect()
+    assert [(r["pos"], r["col"]) for r in pos] == [(0, "a"), (1, "b")]
+    outer = df.select("id", F.explode_outer("xs").alias("x")).collect()
+    assert ("2", "None") in {(str(r["id"]), str(r["x"])) for r in outer}
+
+
+def test_map_values_and_map_from_entries(spark):
+    row = spark.range(1).select(
+        F.map_values(F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))).alias("vs"),
+        F.map_from_entries(
+            F.array(F.struct(F.lit("k").alias("key"), F.lit(9).alias("value")))
+        ).alias("m"),
+    ).first()
+    assert sorted(row["vs"]) == [1, 2]
+    assert row["m"] == {"k": 9}
+
+
+def test_zip_with_and_flatten(spark):
+    row = spark.range(1).select(
+        F.zip_with(
+            F.array(F.lit(1), F.lit(2)), F.array(F.lit(10), F.lit(20)), lambda a, b: a + b
+        ).alias("z"),
+        F.flatten(F.array(F.array(F.lit(1)), F.array(F.lit(2)))).alias("fl"),
+    ).first()
+    assert row["z"] == [11, 22]
+    assert row["fl"] == [1, 2]

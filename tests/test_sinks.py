@@ -1,0 +1,97 @@
+"""Sink layer: ClickHouse DDL generation (the unit-testable seam of
+sink_clickhouse_jdbc), sorted-sink file ordering, idempotent replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    NullType,
+    StringType,
+    TimestampType,
+)
+
+
+def test_ch_type_mapping():
+    from etl_ch_destination_spark.sink.clickhouse import ch_type
+
+    assert ch_type(LongType()) == "Int64"
+    assert ch_type(IntegerType(), nullable=True) == "Nullable(Int32)"
+    assert ch_type(DoubleType()) == "Float64"
+    assert ch_type(DecimalType(12, 2)) == "Decimal(12, 2)"
+    assert ch_type(TimestampType()) == "DateTime64(6)"
+    assert ch_type(ArrayType(FloatType())) == "Array(Float32)"
+    # Array element types are never Nullable, and the wrapper ignores
+    # nullable on container types
+    assert ch_type(ArrayType(StringType()), nullable=True) == "Array(String)"
+    with pytest.raises(TypeError):
+        ch_type(NullType())
+
+
+def test_ddl_for_orders_schema(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.sink.clickhouse import ddl_for
+
+    o = load_table(spark, sf_dir, "orders")
+    ddl = ddl_for(
+        o.schema, "orders", order_by=["o_orderkey"], partition_by="toYYYYMM(o_orderdate)"
+    )
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS orders")
+    assert "ENGINE = MergeTree()" in ddl
+    assert "PARTITION BY toYYYYMM(o_orderdate)" in ddl
+    assert "ORDER BY (`o_orderkey`)" in ddl
+    # the ORDER BY key column must not be Nullable; non-key columns are
+    assert "`o_orderkey` Int64" in ddl
+    assert "`o_totalprice` Nullable(Float64)" in ddl
+
+
+def test_jdbc_writer_is_configured(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.sink.clickhouse import jdbc_writer
+
+    o = load_table(spark, sf_dir, "orders")
+    w = jdbc_writer(o, "jdbc:clickhouse://localhost:8123/default", "orders", 50_000)
+    # not executed (no server); the writer object must exist and be JDBC
+    assert w is not None
+
+
+def test_sorted_sink_files_are_sorted_within(spark, sf_dir):
+    """sink_sorted_by_key promise: each written file holds one hash
+    bucket of orders, rows sorted by (l_orderkey, l_linenumber)."""
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.queries.sources_sinks import _scratch, sink_sorted_by_key
+
+    sink_sorted_by_key(spark, sf_dir)  # triggers the write
+    path = _scratch(sf_dir, "sink_sorted_by_key")
+    back = (
+        spark.read.parquet(path)
+        .withColumn("fid", F.input_file_name())
+        .withColumn("seq", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("fid").orderBy("seq")
+    keyed = back.withColumn(
+        "prev_ok",
+        (F.lag("l_orderkey").over(w).isNull())
+        | (F.lag("l_orderkey").over(w) < F.col("l_orderkey"))
+        | (
+            (F.lag("l_orderkey").over(w) == F.col("l_orderkey"))
+            & (F.lag("l_linenumber").over(w) <= F.col("l_linenumber"))
+        ),
+    )
+    assert keyed.filter(~F.col("prev_ok")).count() == 0
+
+
+def test_idempotent_batch_replay_collapses(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import sink_idempotent_batch
+
+    orders_n = load_table(spark, sf_dir, "orders").count()
+    deduped = sink_idempotent_batch(spark, sf_dir)
+    assert deduped.count() == orders_n

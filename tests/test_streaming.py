@@ -1,0 +1,170 @@
+"""Stream-vs-batch equivalence under availableNow replay (SURVEY §5.3
+layer 3): the streaming form of each shared pipeline transformation
+must converge to the oracle-checked batch result; watermarks must
+actually drop late data; the foreachBatch sink must be idempotent
+across restarts."""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from conftest import rows_set
+
+
+def _drain(q):
+    q.awaitTermination()
+
+
+def _staged(spark, sf_dir, tag, n_slices=4):
+    from etl_ch_destination_spark.streaming.replay import stage_replay
+
+    return stage_replay(spark, sf_dir, n_slices=n_slices, tag=tag)
+
+
+def _memory_query(df, name, mode):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_tumbling_counts_stream_equals_batch(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    staged = _staged(spark, sf_dir, "tumbling")
+    stream = pipeline.tumbling_counts(read_staged_stream(spark, staged))
+    _drain(_memory_query(stream, "t_tumbling", "complete"))
+    got = rows_set(spark.table("t_tumbling"))
+    want = rows_set(pipeline.tumbling_counts(load_table(spark, sf_dir, "events")))
+    assert got == want
+
+
+def test_session_gap_stream_equals_batch(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    staged = _staged(spark, sf_dir, "session")
+    stream = pipeline.session_gap(read_staged_stream(spark, staged))
+    _drain(_memory_query(stream, "t_session", "complete"))
+    got = rows_set(spark.table("t_session"))
+    want = rows_set(pipeline.session_gap(load_table(spark, sf_dir, "events")))
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """Three-phase replay: recent events, a small on-time batch, then
+    days-older events. Spark filters late input against the PREVIOUS
+    batch's watermark (verified empirically: a 2-batch replay drops
+    nothing because batch 1's late filter still sees the initial
+    watermark), so the old rows arrive in batch 2, where the filter
+    already sits 15 min behind phase-1 max event time — every old row
+    must be dropped and no old window may emit."""
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-10 00:00:00"
+    recent = ev.filter(F.col("ts") >= cutoff)
+    old = ev.filter(F.col("ts") < cutoff)
+
+    path = scratch_dir("events_replay/late_test")
+    shutil.rmtree(path, ignore_errors=True)
+    recent.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.2)  # file-source ordering is by modification time
+    mid = recent.filter(F.col("ts") >= "2024-01-30 18:00:00")  # deterministic few rows
+    mid.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.2)
+    old.coalesce(1).write.mode("append").parquet(path)
+
+    stream = pipeline.watermark_late(read_staged_stream(spark, path))
+    _drain(_memory_query(stream, "t_late", "append"))
+    got = {(str(r["ws"]), r["n_events"]) for r in spark.table("t_late").collect()}
+    assert got, "no windows finalized"
+
+    # no emitted window may predate the recent phase (old data dropped)
+    assert all(ws >= "2024-01-10" for ws, _ in got)
+    # every emitted window's count matches the batch count over the
+    # on-time data alone — late rows contributed nothing
+    want = {
+        (str(r["ws"]), r["n_events"])
+        for r in pipeline.watermark_late(recent.unionByName(mid)).collect()
+    }
+    assert got <= want
+
+
+def test_dedup_within_watermark_drops_in_batch_duplicates(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    path = scratch_dir("events_replay/dedup_test")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.unionByName(ev).coalesce(1).write.mode("append").parquet(path)  # double delivery
+
+    stream = pipeline.dedup_within_watermark(read_staged_stream(spark, path))
+    _drain(_memory_query(stream.select("event_id"), "t_dedup", "append"))
+    out = spark.table("t_dedup")
+    assert out.count() == ev.count()
+    assert out.distinct().count() == ev.count()
+
+
+def test_stateful_counter_converges_to_batch_totals(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+    from etl_ch_destination_spark.streaming.stateful import running_counter
+
+    staged = _staged(spark, sf_dir, "stateful")
+    stream = running_counter(read_staged_stream(spark, staged))
+    _drain(_memory_query(stream, "t_stateful", "update"))
+    # update mode re-emits growing totals; the final state per user is
+    # the maximal emission (counts are monotone)
+    final = (
+        spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("tv"))
+    )
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    got = {r["user_id"]: (r["n"], r["tv"]) for r in final.collect()}
+    assert set(got) == set(want)
+    for uid, (n, tv) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - tv) < 1e-6 * max(1.0, abs(tv))
+
+
+def test_foreachbatch_sink_idempotent_across_restart(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    staged = _staged(spark, sf_dir, "febatch")
+    out = scratch_dir("febatch_test/out")
+    ckpt = scratch_dir("febatch_test/ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    _drain(pipeline.foreach_batch_load(read_staged_stream(spark, staged), out, ckpt))
+    n_events = load_table(spark, sf_dir, "events").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_events
+    assert first.select("_batch_id").distinct().count() >= 2  # real multi-epoch replay
+
+    # restart against the same checkpoint: no new input → no duplicates
+    _drain(pipeline.foreach_batch_load(read_staged_stream(spark, staged), out, ckpt))
+    assert spark.read.parquet(out).count() == n_events
