@@ -1,0 +1,321 @@
+"""North-star dedup / text-analysis variants beyond SURVEY §2.10's
+eight keys (task brief: "exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup ... language-ID, token counting, document
+fingerprinting — each as a queries() entry with an oracle").
+
+All six keys here are ORACLE-CHECKED — including SimHash and the
+rolling-hash fingerprint, by building them from hash primitives both
+engines compute bit-identically (ops/fingerprint.py).
+
+Scale notes (100 TB):
+- simhash/fingerprint/token-count/lang-id: per-row arithmetic, no
+  shuffle; simhash band columns make near-dup search 4 equi-joins;
+- n-gram Jaccard: inverted-index self-join — fan-out bounded by the
+  shingle document-frequency cap (boilerplate shingles are dropped
+  BEFORE the join, the classic index-pruning trick);
+- embedding-cosine pairs: the exact all-pairs form is the oracle
+  baseline; at scale use the LSH-bucketed paths (llm_dedup_near /
+  llm_sim_topk_ann).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.ops.fingerprint import band, rolling_gram_hashes, with_simhash
+from etl_ch_destination_spark.ops.similarity import dot, l2_norm
+from etl_ch_destination_spark.registry import query
+
+DF_CAP = 50          # shingle document-frequency cap (index pruning)
+JACCARD_MIN = 0.2
+COS_MIN = 0.4        # ≈ top 0.5% of fixture pair similarities (probed)
+
+_MARKERS = {
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+
+@query(
+    "llm_dedup_simhash",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(list_transform(range(0, 60), x -> CAST(0 AS BIGINT)),
+                 list_transform(hs, hh -> list_transform(range(0, 60),
+                   i -> CASE WHEN ((hh >> CAST(i AS INT)) & 1) = 1
+                             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END))),
+               (a, b) -> list_transform(range(1, 61),
+                           i -> a[CAST(i AS INT)] + b[CAST(i AS INT)])) AS votes
+      FROM h
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN votes[CAST(i + 1 AS INT)] >= 0
+                         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      FROM v
+    )
+    SELECT doc_id, simhash,
+           (simhash >> 0) & 32767 AS band0,
+           (simhash >> 15) & 32767 AS band1,
+           (simhash >> 30) & 32767 AS band2,
+           (simhash >> 45) & 32767 AS band3
+    FROM s
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (per-bit majority vote over
+    md5-derived token hashes) plus its 4 LSH band keys — docs within
+    hamming distance 3 share at least one band (pigeonhole), so
+    near-dup candidates come from 4 exact equi-joins, never all-pairs.
+    Fully oracle-checked — both engines compute the identical hash."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = with_simhash(d.select("doc_id", "text")).drop("text")
+    for k in range(4):
+        sh = sh.withColumn(f"band{k}", band("simhash", k))
+    return sh
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle) JOIN kept USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, jaccard FROM (
+      SELECT id_a, id_b, n_common,
+             CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= {JACCARD_MIN}
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
+    index: explode distinct word-trigram shingles, drop shingles in
+    more than DF_CAP docs (bounds join fan-out — boilerplate pruning),
+    self-join on shingle for intersection counts, then
+    |A∩B|/(|A|+|B|−|A∩B|). Complements MinHash (llm_dedup_near): exact
+    scores, same candidate-bounding idea."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    kept = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DF_CAP
+    ).select("shingle")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .join(kept, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+@query(
+    "llm_dedup_embedding",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cos_sim
+      FROM n a, n b WHERE a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {COS_MIN}
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4 ≈ the top 0.5%
+    of fixture pair similarities). The all-pairs form is the exact
+    oracle baseline — at corpus scale the same threshold query runs
+    through LSH bucketing (llm_dedup_near / llm_sim_topk_ann) so only
+    colliding candidates are scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def side(name: str, idc: str, nc: str):
+        return emb.select(
+            F.col("vec_id").alias(idc),
+            F.col("embedding").alias(name),
+            l2_norm(F.col("embedding")).alias(nc),
+        )
+
+    a = side("__va", "id_a", "__na")
+    b = side("__vb", "id_b", "__nb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cos_sim") >= COS_MIN)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@query(
+    "llm_lang_id",
+    f"""
+    WITH w AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
+               FROM documents)
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_intersect(ws, {_MARKERS['en']!r})) AS s_en,
+             len(list_intersect(ws, {_MARKERS['de']!r})) AS s_de,
+             len(list_intersect(ws, {_MARKERS['fr']!r})) AS s_fr,
+             len(list_intersect(ws, {_MARKERS['es']!r})) AS s_es
+      FROM w
+    )
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (stopword-set intersections,
+    deterministic en>de>fr>es tie order). NOTE: the fixture corpus is
+    synthetic English word soup for every lang label (FIXTURES.md), so
+    this key validates the OPERATOR, not classifier accuracy — with
+    real multilingual text the same shape carries n-gram profiles."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.array_distinct(F.split("text", " "))
+    scores = {
+        lang: F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+@query(
+    "llm_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, a BPE-ish regex
+    segmentation (letter runs | digit runs | single punctuation), and
+    the chars/4 subword estimate used for quick budget accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).alias("n_bpe_ish"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_subword_est"),
+    )
+
+
+@query(
+    "llm_fingerprint_rolling",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, 8),
+                        j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+                    (acc, x) -> acc * 31 + x)) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(grams) AS fp_min,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct_grams
+    FROM g
+    """,
+)
+def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: Rabin-Karp base-31 hashes of
+    every character 8-gram, keeping the minimum (winnowing-lite — the
+    content-defined signature behind copy detection), plus gram
+    counts. Exact int64 arithmetic, oracle-checked bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = rolling_gram_hashes("text")
+    return d.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )

@@ -106,3 +106,84 @@ def test_log_idf_variant_is_finite_and_positive(spark, sf_dir):
     )
     assert scored.filter(F.col("tfidf_log") < 0).count() == 0
     assert scored.filter(F.isnan("tfidf_log") | F.col("tfidf_log").isNull()).count() == 0
+
+
+def test_simhash_near_duplicates_land_in_shared_band(spark, sf_dir):
+    """A one-token edit must leave the simhash within a few bits —
+    detectable through at least one shared LSH band (pigeonhole)."""
+    from etl_ch_destination_spark.ops.fingerprint import band, with_simhash
+
+    docs = _documents(spark, sf_dir).orderBy("doc_id").limit(5)
+    edited = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzyzx")).alias("text"),
+    )
+    sh = with_simhash(docs.select("doc_id", "text").unionByName(edited))
+    for k in range(4):
+        sh = sh.withColumn(f"band{k}", band("simhash", k))
+    rows = {r["doc_id"]: r for r in sh.collect()}
+    for r in docs.collect():
+        a, b = rows[r["doc_id"]], rows[r["doc_id"] + 10_000_000]
+        hamming = bin(a["simhash"] ^ b["simhash"]).count("1")
+        assert hamming <= 12, f"one-token edit moved {hamming} bits"
+        # identical docs → identical hash; near dups usually share a band
+        assert any(a[f"band{k}"] == b[f"band{k}"] for k in range(4)) or hamming > 3
+
+
+def test_ngram_jaccard_scores_planted_copy_high(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table  # noqa: F401
+    from etl_ch_destination_spark.queries.llm_dedup_extra import llm_dedup_ngram_jaccard
+
+    # the registered query at fixture scale: every reported pair is a
+    # valid score in (0, 1]
+    pairs = llm_dedup_ngram_jaccard(spark, sf_dir).collect()
+    for p in pairs:
+        assert 0.0 < p["jaccard"] <= 1.0
+        assert p["id_a"] < p["id_b"]
+
+
+def test_lang_id_markers_drive_prediction(spark):
+    from etl_ch_destination_spark.queries.llm_dedup_extra import _MARKERS  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze nicht"), (2, "the cat of the house is a")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("xx"))
+    df.createOrReplaceTempView("__lang_probe")
+    from etl_ch_destination_spark.ops.fingerprint import SIMHASH_BITS  # noqa: F401
+
+    ws = F.array_distinct(F.split("text", " "))
+    s_de = F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in _MARKERS["de"]])))
+    s_en = F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in _MARKERS["en"]])))
+    rows = {r["doc_id"]: (r["de"], r["en"]) for r in
+            df.select("doc_id", s_de.alias("de"), s_en.alias("en")).collect()}
+    assert rows[1][0] > rows[1][1]  # German markers dominate doc 1
+    assert rows[2][1] > rows[2][0]  # English markers dominate doc 2
+
+
+def test_token_count_matches_python_reference(spark, sf_dir):
+    import re
+
+    from etl_ch_destination_spark.queries.llm_dedup_extra import llm_token_count
+
+    got = {r["doc_id"]: r for r in llm_token_count(spark, sf_dir).collect()}
+    for r in _documents(spark, sf_dir).limit(20).collect():
+        t = r["text"]
+        g = got[r["doc_id"]]
+        assert g["n_ws_tokens"] == len(t.split(" "))
+        assert g["n_bpe_ish"] == len(re.findall(r"[a-z]+|[0-9]+|[^a-z0-9 ]", t))
+
+
+def test_rolling_fingerprint_is_content_determined(spark):
+    from etl_ch_destination_spark.ops.fingerprint import rolling_gram_hashes
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij klmnop qrstuv"), (2, "abcdefghij klmnop qrstuv"), (3, "completely different body")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", F.array_min(rolling_gram_hashes("text")).alias("fp")
+    ).collect()
+    fp = {r["doc_id"]: r["fp"] for r in out}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
