@@ -1,0 +1,59 @@
+"""Fleet-wide plan audit: no registered query may plan a cartesian or
+nested-loop join over unbounded inputs, and shuffle counts stay
+bounded. This is the 100 TB regression guard — a key that starts
+planning an accidental cross join fails here before it fails a
+cluster."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+# Callables with side effects or driver-side jobs during construction
+# (sinks write, streaming runs, rank collects bucket bounds, LSH fits)
+# — audited by their own dedicated tests instead.
+EFFECTFUL = {
+    "scan_csv_typed",
+    "scan_jsonl",
+    "sink_parquet_partitioned",
+    "sink_sorted_by_key",
+    "sink_idempotent_batch",
+    "sink_clickhouse_jdbc",
+    "stream_foreachbatch_sink",
+    "sort_multikey",
+    "llm_sim_topk_ann",
+    "llm_dedup_near",
+}
+
+# Bounded-by-construction nested-loop joins, each documented in its
+# module docstring:
+#   join_cross          — 25 × 5 dimension product
+#   llm_dedup_embedding — exact all-pairs oracle baseline (LSH at scale)
+#   llm_sim_topk_exact  — broadcast query side × streamed candidates
+#                         (the intended few-queries scan pattern)
+ALLOWED_NLJ = {"join_cross", "llm_dedup_embedding", "llm_sim_topk_exact"}
+
+MAX_HASH_SHUFFLES = 4
+
+
+def test_no_unplanned_cartesians_or_shuffle_explosions(spark, sf_dir):
+    from etl_ch_destination_spark.registry import all_queries
+
+    problems = []
+    for key, fn in sorted(all_queries().items()):
+        if key in EFFECTFUL:
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("extended")
+        phys = buf.getvalue().split("== Physical Plan ==")[-1]
+        if key not in ALLOWED_NLJ:
+            if "CartesianProduct" in phys:
+                problems.append(f"{key}: CartesianProduct")
+            if "BroadcastNestedLoopJoin" in phys:
+                problems.append(f"{key}: BroadcastNestedLoopJoin")
+        n_shuffles = phys.count("Exchange hashpartitioning")
+        if n_shuffles > MAX_HASH_SHUFFLES:
+            problems.append(f"{key}: {n_shuffles} hash shuffles")
+    assert not problems, "\n".join(problems)
