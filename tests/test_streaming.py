@@ -168,3 +168,31 @@ def test_foreachbatch_sink_idempotent_across_restart(spark, sf_dir):
     # restart against the same checkpoint: no new input → no duplicates
     _drain(pipeline.foreach_batch_load(read_staged_stream(spark, staged), out, ckpt))
     assert spark.read.parquet(out).count() == n_events
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state backend the streaming docstrings point at
+    (spark.sql.streaming.stateStore.providerClass=RocksDB...) must
+    actually run in this Spark build and produce the same result."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        staged = _staged(spark, sf_dir, "rocksdb")
+        stream = pipeline.tumbling_counts(read_staged_stream(spark, staged))
+        _drain(_memory_query(stream, "t_rocks", "complete"))
+        got = rows_set(spark.table("t_rocks"))
+        want = rows_set(pipeline.tumbling_counts(load_table(spark, sf_dir, "events")))
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
