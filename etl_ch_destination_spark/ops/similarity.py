@@ -2,7 +2,7 @@
 `llm_sim_topk_exact` / `llm_sim_topk_ann`; north-star "similarity
 search").
 
-Two paths, mirroring how a 100 TB corpus is actually served:
+Three paths, mirroring how a 100 TB corpus is actually served:
 
 - **Exact brute force** (`brute_force_topk`): the oracle-checkable
   baseline. The query set is broadcast (it is small by construction);
@@ -15,6 +15,9 @@ Two paths, mirroring how a 100 TB corpus is actually served:
   only scores collision candidates, pruning most of the corpus.
   Seeded → deterministic; recall vs the exact path is asserted ≥0.9
   in tests/test_llm.py.
+- **ANN via IVF** (`ivf_topk`): seeded-KMeans inverted lists with
+  n_probe pruning — the partition-layout-friendly alternative; with
+  n_probe == n_clusters it provably equals brute force (tested).
 
 All arithmetic is JVM-side codegen (`zip_with`/`aggregate` fold in
 DOUBLE — float products are exact in double, and the sequential fold
@@ -136,4 +139,96 @@ def ann_topk(
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partition pruning — the
+    other classic ANN layout next to LSH (ann_topk).
+
+    Build: seeded KMeans over the candidate vectors; every candidate is
+    assigned to its nearest centroid (the "inverted list"). Query: rank
+    centroids per query, score ONLY candidates in the closest
+    ``n_probe`` lists — at scale each query touches ~n_probe/n_clusters
+    of the corpus instead of all of it, and the per-list layout maps
+    directly onto partition pruning (cluster id as a partition column).
+
+    With ``n_probe == n_clusters`` this degrades to exact brute force —
+    the equality is asserted in tests/test_llm.py, alongside a recall
+    floor for the pruned form. Deterministic under the pinned seed.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    arr_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cn = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        array_to_vector(arr_dbl).alias("features"),
+    ).persist()  # KMeans iterates over the features — never recompute
+    # the HOF norm/vector projection per iteration
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(cn)
+    cn.unpersist(blocking=False)  # post-fit consumers read cn once, lazily
+    assigned = model.transform(cn).select(
+        "neighbor_id", "__cv", "__cn", F.col("prediction").alias("__cluster")
+    )
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = candidates.sparkSession.createDataFrame(
+        centroids, "__cluster int, __centroid array<double>"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    # rank centroids per query by euclidean distance, keep n_probe
+    qc = q.join(F.broadcast(cent_df)).withColumn(
+        "__cdist",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.col("__centroid"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("__cdist"), F.asc("__cluster"))
+    probes = (
+        qc.withColumn("__crk", F.row_number().over(wq))
+        .filter(F.col("__crk") <= n_probe)
+        .select("query_id", "__qv", "__qn", "__cluster")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "__cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

@@ -68,7 +68,13 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three outer-join types in one tagged union: BUILDING customers
-    vs per-customer order counts, so both sides have unmatched rows."""
+    vs per-customer order counts, so both sides have unmatched rows.
+
+    Plan note: the three joins pick different strategies, so Catalyst
+    cannot reuse the aggregated exchange and each branch re-derives its
+    inputs (3× scan+agg). Fine for this three-in-one diagnostic query;
+    a production pipeline runs ONE join type, or persists the shared
+    aggregate first when fanning out like this at scale."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from etl_ch_destination_spark.catalog import load_table
 from etl_ch_destination_spark.ops.multimodal import extract_features, synthesize_binary
 from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
-from etl_ch_destination_spark.ops.similarity import ann_topk, brute_force_topk
+from etl_ch_destination_spark.ops.similarity import ann_topk, brute_force_topk, ivf_topk
 from etl_ch_destination_spark.registry import query
 
 TOPK = 5
@@ -67,6 +67,18 @@ def llm_sim_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     return ann_topk(emb, queries, k=TOPK)
+
+
+@query("llm_sim_topk_ivf")  # approximate — rows-only; exactness/recall gates in tests/test_llm.py
+def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF inverted lists (ops/similarity.ivf_topk):
+    seeded KMeans build, n_probe=4-of-16 cluster pruning per query —
+    the partition-pruning ANN layout complementing the LSH variant.
+    Rows-only in the driver gate; tests assert n_probe=n_clusters ≡
+    brute force plus a recall floor for the pruned form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ivf_topk(emb, queries, k=TOPK)
 
 
 @query("llm_dedup_near")  # approximate — rows-only; recall gate in tests/test_llm.py

@@ -187,3 +187,32 @@ def test_rolling_fingerprint_is_content_determined(spark):
     fp = {r["doc_id"]: r["fp"] for r in out}
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing every inverted list is exact search — the IVF machinery
+    must reproduce brute force bit-for-bit (same fold, same tiebreak)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries, k=5)
+    full_probe = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8)
+    es = sorted(tuple(str(v) for v in r) for r in exact.collect())
+    fs = sorted(tuple(str(v) for v in r) for r in full_probe.collect())
+    assert es == fs
+
+
+def test_ivf_pruned_probe_has_recall_floor(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             brute_force_topk(emb, queries, k=5).collect()}
+    pruned = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=8).collect()}
+    recall = len(exact & pruned) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
