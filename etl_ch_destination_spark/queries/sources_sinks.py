@@ -183,3 +183,42 @@ def sink_idempotent_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamped.write.mode("append").parquet(path)   # replay of the same batch
     back = spark.read.parquet(path)
     return back.dropDuplicates(["_batch_id", "o_orderkey"]).select("o_orderkey", "_batch_id")
+
+
+@query(
+    "sink_bucketed_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed layout + co-located join — THE shuffle-elimination
+    technique for repeated joins at 100 TB: both tables are written
+    bucketBy(8) on the join key (≈ ClickHouse's co-partitioned ORDER BY
+    layouts), so the join consumes matching buckets directly; with
+    broadcast disabled the plan shows a SortMergeJoin with NO exchange
+    on either input (asserted in tests/test_sinks.py). Tables are
+    external (explicit .scratch paths) in the in-memory catalog, so
+    nothing writes outside the repo. The re-read join result
+    hash-matches the plain join oracle."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_customer = f"b_orders_{tag}", f"b_customer_{tag}"
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for name, df, key in ((t_orders, o, "o_custkey"), (t_customer, c, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _scratch(sf_dir, f"sink_bucketed_join/{name}"))
+            .saveAsTable(name)
+        )
+    bo, bc = spark.table(t_orders), spark.table(t_customer)
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

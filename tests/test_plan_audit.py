@@ -19,6 +19,7 @@ EFFECTFUL = {
     "sink_sorted_by_key",
     "sink_idempotent_batch",
     "sink_clickhouse_jdbc",
+    "sink_bucketed_join",
     "stream_foreachbatch_sink",
     "sort_multikey",
     "llm_sim_topk_ann",

@@ -95,3 +95,28 @@ def test_idempotent_batch_replay_collapses(spark, sf_dir):
     orders_n = load_table(spark, sf_dir, "orders").count()
     deduped = sink_idempotent_batch(spark, sf_dir)
     assert deduped.count() == orders_n
+
+
+def test_bucketed_join_eliminates_shuffles(spark, sf_dir):
+    """The whole point of the bucketed layout: with broadcast disabled,
+    the co-located join must plan a SortMergeJoin with NO exchange on
+    either input (bucket files feed the join directly)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_ch_destination_spark.queries.sources_sinks import sink_bucketed_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sink_bucketed_join(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin")[0]  # everything feeding the join
+        assert "Exchange hashpartitioning" not in join_part, join_part
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
