@@ -1,0 +1,125 @@
+"""Property-based invariants (SURVEY §5.3 layer 4, hypothesis-driven):
+the custom operators must agree with brute-force Python references on
+RANDOM inputs — nulls, ties, empty groups, skew — not just on the
+well-behaved fixture tables.
+
+Example counts are small (each example runs Spark jobs) but every run
+explores fresh shapes; failures shrink to minimal counterexamples.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=3)
+vers = st.integers(min_value=0, max_value=50)
+
+
+@given(rows=st.lists(st.tuples(keys, vers), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_latest_by_key_picks_true_maximum(spark, rows):
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, v int, id int")
+    got = {
+        r["k"]: (r["v"], r["id"])
+        for r in latest_by_key(df, ["k"], [F.desc("v"), F.desc("id")]).collect()
+    }
+    expected = {}
+    for k, v, i in data:
+        if k not in expected or (v, i) > expected[k]:
+            expected[k] = (v, i)
+    assert got == expected
+
+
+@given(
+    lefts=st.lists(st.tuples(keys, vers), min_size=1, max_size=20),
+    rights=st.lists(st.tuples(keys, vers, st.integers(0, 99)), min_size=0, max_size=20),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    from etl_ch_destination_spark.ops.asof import asof_join
+
+    ldata = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    # right must be unique per (key, ts) — asof_join's documented contract
+    rmap = {}
+    for k, t, val in rights:
+        rmap[(k, t)] = val
+    rdata = [(k, t, v) for (k, t), v in rmap.items()]
+
+    ldf = spark.createDataFrame(ldata, "k int, ts int, lid int")
+    rdf = (
+        spark.createDataFrame(rdata, "k int, ts int, val int")
+        if rdata
+        else spark.createDataFrame([], "k int, ts int, val int")
+    )
+    got = {
+        r["lid"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(
+            ldf, rdf, keys=["k"], ts="ts", right_cols=["val"], prefix="asof_", how="left"
+        ).collect()
+    }
+    for k, t, lid in ldata:
+        cand = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+        want = max(cand) if cand else (None, None)
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(-5, 5))), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_global_rank_handles_nulls_and_ties(spark, rows):
+    from etl_ch_destination_spark.ops.rank import with_global_rank
+
+    data = [(float(v[0]) if v[0] is not None else None, i) for i, v in enumerate(rows)]
+    df = spark.createDataFrame(data, "lead double, id int")
+    order = [F.desc_nulls_last("lead"), F.asc("id")]
+    got = {
+        r["id"]: r["pos"]
+        for r in with_global_rank(df, order, lead="lead", descending=True, buckets=4).collect()
+    }
+    ordered = sorted(
+        data, key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1])
+    )
+    for pos, (_, i) in enumerate(ordered, start=1):
+        assert got[i] == pos, (i, got[i], pos, ordered)
+
+
+@given(
+    facts=st.lists(st.tuples(keys, st.integers(0, 999)), min_size=0, max_size=30),
+    dims=st.lists(keys, min_size=0, max_size=4, unique=True),
+)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join_on_random_skew(spark, facts, dims):
+    from etl_ch_destination_spark.ops.salting import salted_join
+
+    fdata = [(k, p) for k, p in facts]
+    ddata = [(k, f"dim{k}") for k in dims]
+    fdf = (
+        spark.createDataFrame(fdata, "fk int, payload int")
+        if fdata
+        else spark.createDataFrame([], "fk int, payload int")
+    )
+    ddf = (
+        spark.createDataFrame(ddata, "dk int, name string")
+        if ddata
+        else spark.createDataFrame([], "dk int, name string")
+    )
+    salted = salted_join(fdf, ddf, "fk", "dk", salt_cols=["payload"], n_salts=3)
+    plain = fdf.join(ddf, fdf.fk == ddf.dk)
+    cols = ["fk", "payload", "name"]
+    gs = sorted(tuple(str(v) for v in r) for r in salted.select(*cols).collect())
+    gp = sorted(tuple(str(v) for v in r) for r in plain.select(*cols).collect())
+    assert gs == gp
