@@ -222,3 +222,40 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "scan_csv_badrows",
+    """
+    SELECT n_nationkey, n_name, n_regionkey, FALSE AS is_bad FROM nation
+    UNION ALL SELECT NULL, 'BADROW#1', NULL, TRUE
+    UNION ALL SELECT NULL, NULL, NULL, TRUE
+    """,
+)
+def scan_csv_badrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data extract — the day-one reality of a destination
+    connector: a CSV with planted malformed rows read in PERMISSIVE
+    mode with a corrupt-record column. Typed fields that parse survive,
+    failed fields go null, and the raw line lands in `_corrupt` for a
+    quarantine sink instead of killing the load (FAILFAST is one option
+    away when poison rows must halt). Probed semantics: partial rows
+    keep their parsable fields."""
+    path = _scratch(sf_dir, "scan_csv_badrows")
+    n = load_table(spark, sf_dir, "nation")
+    lines = ["n_nationkey,n_name,n_regionkey"]
+    lines += [
+        f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}" for r in n.collect()
+    ]
+    lines += ["xx,BADROW#1,yy", "zz"]  # type failure / truncated row
+    with open(os.path.join(path, "data.csv"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int, _corrupt string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey", F.col("_corrupt").isNotNull().alias("is_bad")
+    )

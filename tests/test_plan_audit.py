@@ -14,6 +14,7 @@ from contextlib import redirect_stdout
 # — audited by their own dedicated tests instead.
 EFFECTFUL = {
     "scan_csv_typed",
+    "scan_csv_badrows",
     "scan_jsonl",
     "sink_parquet_partitioned",
     "sink_sorted_by_key",
@@ -23,6 +24,7 @@ EFFECTFUL = {
     "stream_foreachbatch_sink",
     "sort_multikey",
     "llm_sim_topk_ann",
+    "llm_sim_topk_ivf",
     "llm_dedup_near",
 }
 
