@@ -122,7 +122,10 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on shingle for intersection counts, then
     |A∩B|/(|A|+|B|−|A∩B|). Complements MinHash (llm_dedup_near): exact
     scores, same candidate-bounding idea."""
-    d = load_table(spark, sf_dir, "documents")
+    # Fixture parquet is one split; spread the shingle explode (the
+    # widest stage) across cores before fan-out.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = load_table(spark, sf_dir, "documents").repartition(n_parts)
     sh = d.select(
         "doc_id",
         F.explode(
@@ -195,7 +198,12 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm(F.col("embedding")).alias(nc),
         )
 
-    a = side("__va", "id_a", "__na")
+    # The broadcast-nested-loop join preserves the stream side's
+    # partitioning, and a small parquet fixture arrives as ONE split —
+    # repartition so every core scores a slice of the pairs instead of
+    # one task doing all O(n²) folds (4× wall-clock at sf0.1).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = side("__va", "id_a", "__na").repartition(n_parts)
     b = side("__vb", "id_b", "__nb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
