@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_ch_destination_spark.catalog import load_table
-from etl_ch_destination_spark.ops.multimodal import extract_features, synthesize_binary
+from etl_ch_destination_spark.ops.multimodal import (
+    extract_features,
+    resize_image,
+    sample_frames,
+    synthesize_binary,
+)
 from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
 from etl_ch_destination_spark.ops.similarity import ann_topk, brute_force_topk, ivf_topk
 from etl_ch_destination_spark.registry import query
@@ -116,4 +121,66 @@ def llm_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = binary.select("doc_id", F.col("meta.modality").alias("modality"))
     return feats.join(meta, "doc_id").select(
         "doc_id", "n_bytes", "first_byte", "content_md5", "modality"
+    )
+
+
+RESIZE_W = RESIZE_H = 64  # target dims for the resize stage (4096-byte payload)
+
+
+@query(
+    "llm_multimodal_resize",
+    f"""
+    SELECT doc_id,
+           {RESIZE_W} AS width, {RESIZE_H} AS height,
+           length(text) AS orig_bytes,
+           {RESIZE_W * RESIZE_H} AS n_bytes,
+           md5(substr(repeat(text, CAST(ceil({RESIZE_W * RESIZE_H}.0 / length(text)) AS BIGINT)),
+                      1, {RESIZE_W * RESIZE_H})) AS content_md5
+    FROM documents
+    """,
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage plumbing (ops/multimodal.resize_image):
+    Arrow-batched mapInPandas, decode/resample stubbed as a
+    deterministic byte-cycle to the exact target payload size. The
+    hashed query projects scalar digests of the resized payload; the
+    oracle reproduces the cycle with repeat()+substr() (fixture text is
+    ASCII, so char ops == byte ops)."""
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_image(synthesize_binary(d), RESIZE_W, RESIZE_H)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        "orig_bytes",
+        F.octet_length("content").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+FRAME_BYTES = 64
+FRAME_EVERY = 10
+
+
+@query(
+    "llm_multimodal_frames",
+    f"""
+    SELECT doc_id,
+           CAST(unnest(range(0, length(text) // {FRAME_BYTES}, {FRAME_EVERY})) AS INT)
+             AS frame_idx,
+           {FRAME_BYTES} AS frame_bytes
+    FROM documents
+    """,
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (ops/multimodal.sample_frames):
+    payload treated as fixed-size frames, every-Nth kept, exploded
+    1:N through mapInPandas — the demux/decode step is the stub, the
+    row-explosion shape is real. Hashed form keeps (doc_id, frame_idx,
+    frame_bytes); frame payload digests are covered by the pytest
+    round-trip instead (binary column stays out of the driver hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_binary(d), FRAME_BYTES, FRAME_EVERY)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
     )

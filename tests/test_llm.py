@@ -85,6 +85,38 @@ def test_multimodal_features_match_reference(spark, sf_dir):
         decode_image(b"\x89PNG")
 
 
+def test_multimodal_resize_payload_roundtrip(spark, sf_dir):
+    from etl_ch_destination_spark.ops.multimodal import resize_image, synthesize_binary
+
+    docs = _documents(spark, sf_dir).limit(20)
+    out = {r["doc_id"]: r for r in
+           resize_image(synthesize_binary(docs), 32, 16).collect()}
+    for r in docs.collect():
+        raw = r["text"].encode("utf-8")
+        got = out[r["doc_id"]]
+        reps = -(-(32 * 16) // len(raw))
+        assert bytes(got["content"]) == (raw * reps)[: 32 * 16]
+        assert (got["width"], got["height"]) == (32, 16)
+        assert got["orig_bytes"] == len(raw)
+
+
+def test_multimodal_frame_sampling_roundtrip(spark, sf_dir):
+    from etl_ch_destination_spark.ops.multimodal import sample_frames, synthesize_binary
+
+    docs = _documents(spark, sf_dir).limit(20)
+    frames = sample_frames(synthesize_binary(docs), frame_bytes=64, every_nth=10)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for r in docs.collect():
+        raw = r["text"].encode("utf-8")
+        expected = {
+            i: raw[i * 64 : (i + 1) * 64]
+            for i in range(0, len(raw) // 64, 10)
+        }
+        assert got.get(r["doc_id"], {}) == expected
+
+
 def test_text_stats_validate_fixture_n_chars(spark, sf_dir):
     from etl_ch_destination_spark.queries.llm_text import llm_text_stats
 
