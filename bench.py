@@ -39,6 +39,7 @@ BENCH_KEYS = [
     "llm_tfidf_terms",
     "llm_sim_topk_exact",
     "llm_dedup_near",
+    "llm_dedup_simhash",
     "stream_session_gap",
     "stream_foreachbatch_sink",
 ]

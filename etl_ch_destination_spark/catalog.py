@@ -38,6 +38,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
+def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin-repartition a scan UP to the session's shuffle
+    parallelism — only when it arrives with fewer splits.
+
+    Fixture parquet files hold a single row group, so Spark cannot
+    split the scan and every downstream narrow stage (md5 hashing,
+    HOF arithmetic, Arrow-batched Python) runs on ONE task. A 100 TB
+    table scan already has thousands of splits, so this is a no-op
+    there — the guard means we never force a gratuitous full shuffle
+    of a big table just to round partition counts.
+
+    Use it before compute-heavy per-row stages; plain filters/projections
+    over built-ins don't need it (they're I/O-bound, not CPU-bound).
+    """
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < n_parts:
+        return df.repartition(n_parts)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

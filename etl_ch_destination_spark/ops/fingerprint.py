@@ -33,31 +33,44 @@ _TOKEN_HASHES = (
     "t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
 )
 
-_VOTES = (
-    f"aggregate({_TOKEN_HASHES}, "
-    f"array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}), "
-    f"(acc, h) -> zip_with(acc, "
-    f"  transform(sequence(0, {SIMHASH_BITS - 1}), "
-    f"    i -> IF((shiftright(h, i) & 1) = 1, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))), "
-    f"  (a, b) -> a + b))"
-)
-
-_PACK = (
-    f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
-    f"(acc, i) -> acc + IF(element_at({{votes}}, i + 1) >= 0, "
-    f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
-)
-
-
-def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Append a 60-bit SimHash column: per-bit majority vote over
-    md5-derived token hashes, packed into one BIGINT."""
-    votes_col = f"__{out}_votes"
-    return (
-        df.withColumn(votes_col, F.expr(_VOTES.format(text=text_col)))
-        .withColumn(out, F.expr(_PACK.format(votes=votes_col)))
-        .drop(votes_col)
+    md5-derived token hashes, packed into one BIGINT.
+
+    Shape: explode token hashes to rows, take 60 conditional SUMs in
+    one hash aggregate, pack bits with a flat 60-term expression. Every
+    stage is whole-stage-codegen (an earlier interpreted-HOF fold over
+    per-token 60-element arrays was ~40× slower at sf0.1). Map-side
+    partial aggregation collapses the exploded rows back to one row per
+    document before the shuffle, so shuffle volume is O(docs × 60
+    longs) regardless of document length — scale-safe at 100 TB.
+    """
+    bit = F.col("__h")
+    votes = (
+        df.select(F.col(id_col), F.explode(F.expr(_TOKEN_HASHES.format(text=text_col))).alias("__h"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.shiftright(bit, i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+                for i in range(SIMHASH_BITS)
+            ],
+        )
     )
+    # bit i is set iff set-votes >= unset-votes  ⟺  2·ones_i − n ≥ 0
+    packed = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"__b{i}") * 2 >= F.col("__n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    sh = votes.select(F.col(id_col), packed.alias(out))
+    return df.join(sh, id_col)
 
 
 def band(simhash: str | Column, k: int) -> Column:

@@ -76,6 +76,15 @@ def brute_force_topk(
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
     )
+    # The broadcast join keeps the candidate side's partitioning, and a
+    # small parquet fixture is ONE split — spread the O(|q|·|c|) scoring
+    # stage across all cores (at real scale the scan already has many
+    # splits and AQE would coalesce, so this round-robin is a no-op cost).
+    n_parts = int(
+        candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if c.rdd.getNumPartitions() < n_parts:
+        c = c.repartition(n_parts)
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -171,12 +180,20 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     arr_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n_parts = int(
+        candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     cn = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
         array_to_vector(arr_dbl).alias("features"),
-    ).persist()  # KMeans iterates over the features — never recompute
+    )
+    if cn.rdd.getNumPartitions() < n_parts:
+        # one-split fixture scan → parallelize both the KMeans fit and
+        # the downstream probe-scoring stage
+        cn = cn.repartition(n_parts)
+    cn = cn.persist()  # KMeans iterates over the features — never recompute
     # the HOF norm/vector projection per iteration
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(cn)
     cn.unpersist(blocking=False)  # post-fit consumers read cn once, lazily

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.catalog import load_table, parallelize_scan
 from etl_ch_destination_spark.ops.fingerprint import band, rolling_gram_hashes, with_simhash
 from etl_ch_destination_spark.ops.similarity import dot, l2_norm
 from etl_ch_destination_spark.registry import query
@@ -82,7 +82,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming distance 3 share at least one band (pigeonhole), so
     near-dup candidates come from 4 exact equi-joins, never all-pairs.
     Fully oracle-checked — both engines compute the identical hash."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     sh = with_simhash(d.select("doc_id", "text")).drop("text")
     for k in range(4):
         sh = sh.withColumn(f"band{k}", band("simhash", k))
@@ -124,8 +124,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, same candidate-bounding idea."""
     # Fixture parquet is one split; spread the shingle explode (the
     # widest stage) across cores before fan-out.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = load_table(spark, sf_dir, "documents").repartition(n_parts)
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     sh = d.select(
         "doc_id",
         F.explode(
@@ -199,11 +198,9 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # The broadcast-nested-loop join preserves the stream side's
-    # partitioning, and a small parquet fixture arrives as ONE split —
-    # repartition so every core scores a slice of the pairs instead of
-    # one task doing all O(n²) folds (4× wall-clock at sf0.1).
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = side("__va", "id_a", "__na").repartition(n_parts)
+    # partitioning — spread the O(n²) scoring stage across cores
+    # (4× wall-clock at sf0.1; no-op when the scan already has splits).
+    a = parallelize_scan(side("__va", "id_a", "__na"), spark)
     b = side("__vb", "id_b", "__nb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -319,7 +316,7 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     every character 8-gram, keeping the minimum (winnowing-lite — the
     content-defined signature behind copy detection), plus gram
     counts. Exact int64 arithmetic, oracle-checked bit-for-bit."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     grams = rolling_gram_hashes("text")
     return d.select(
         "doc_id",
