@@ -39,8 +39,10 @@ def with_simhash(
     out: str = "simhash",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Append a 60-bit SimHash column: per-bit majority vote over
-    md5-derived token hashes, packed into one BIGINT.
+    """Return ``(id_col, out)``: a 60-bit SimHash per document —
+    per-bit majority vote over md5-derived token hashes, packed into
+    one BIGINT. Join back on ``id_col`` if other columns are needed
+    (callers here never do, so the join isn't paid by default).
 
     Shape: explode token hashes to rows, take 60 conditional SUMs in
     one hash aggregate, pack bits with a flat 60-term expression. Every
@@ -69,8 +71,7 @@ def with_simhash(
             F.col(f"__b{i}") * 2 >= F.col("__n"), F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
-    sh = votes.select(F.col(id_col), packed.alias(out))
-    return df.join(sh, id_col)
+    return votes.select(F.col(id_col), packed.alias(out))
 
 
 def band(simhash: str | Column, k: int) -> Column:

@@ -36,19 +36,40 @@ def near_duplicate_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    from etl_ch_destination_spark.catalog import parallelize_scan
+
+    # One-split fixture scan would run the whole tokenize→shingle→TF
+    # chain on a single task; no-op at real scale (many splits).
+    base = parallelize_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        docs.sparkSession,
+    )
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(base)
     shingled = NGram(n=shingle_len, inputCol="tokens", outputCol="shingles").transform(tokens)
     # binary=True: shingle SET semantics (Jaccard is set-based)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=NUM_FEATURES, binary=True
     )
-    feat = tf.transform(shingled).filter(F.col("shingles") != F.array())
+    # Cache the featurized frame: it is read 3× (LSH fit, and BOTH
+    # sides of the self approxSimilarityJoin) — without the cache the
+    # tokenize/shingle/hash chain recomputes each time. At 100 TB this
+    # becomes persist(DISK_ONLY) or a checkpoint to a staging table;
+    # the shape (featurize once, join candidates only) is the same.
+    feat = (
+        tf.transform(shingled)
+        .filter(F.col("shingles") != F.array())
+        .select("id", "features")
+        .persist()
+    )
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="jaccard_dist")
+    # NOTE: feat stays persisted until the session evicts it (LRU) —
+    # unpersisting here would drop the cache before the returned lazy
+    # plan ever runs. Callers owning the lifecycle can unpersist after
+    # materializing.
     return (
         pairs.select(
             F.col("datasetA.id").alias("id_a"),

@@ -83,7 +83,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates come from 4 exact equi-joins, never all-pairs.
     Fully oracle-checked — both engines compute the identical hash."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    sh = with_simhash(d.select("doc_id", "text")).drop("text")
+    sh = with_simhash(d.select("doc_id", "text"))
     for k in range(4):
         sh = sh.withColumn(f"band{k}", band("simhash", k))
     return sh
