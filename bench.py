@@ -40,6 +40,7 @@ BENCH_KEYS = [
     "llm_sim_topk_exact",
     "llm_dedup_near",
     "llm_dedup_simhash",
+    "agg_window_funnel",
     "stream_session_gap",
     "stream_foreachbatch_sink",
 ]

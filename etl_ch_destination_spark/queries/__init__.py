@@ -3,6 +3,7 @@ every implemented query + oracle into the registry."""
 
 from etl_ch_destination_spark.queries import (  # noqa: F401
     aggregations,
+    behavior,
     joins,
     llm_dedup_extra,
     llm_text,

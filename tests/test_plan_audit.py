@@ -38,6 +38,15 @@ ALLOWED_NLJ = {"join_cross", "llm_dedup_embedding", "llm_sim_topk_exact"}
 
 MAX_HASH_SHUFFLES = 4
 
+# Per-key allowances above the fleet cap, each with its structural
+# reason (count is the static pre-AQE plan):
+#   agg_window_funnel — a 3-step exists-chain funnel irreducibly
+#     shuffles each step's filtered events plus the distinct-users
+#     frame, and the per-anchor→per-user reductions can't reuse a
+#     broadcast join's (non-)partitioning. 5 at fixture scale; 6 gives
+#     headroom for the stats flip to sort-merge joins.
+SHUFFLE_ALLOWANCE = {"agg_window_funnel": 6}
+
 
 def test_no_unplanned_cartesians_or_shuffle_explosions(spark, sf_dir):
     from etl_ch_destination_spark.registry import all_queries
@@ -57,6 +66,6 @@ def test_no_unplanned_cartesians_or_shuffle_explosions(spark, sf_dir):
             if "BroadcastNestedLoopJoin" in phys:
                 problems.append(f"{key}: BroadcastNestedLoopJoin")
         n_shuffles = phys.count("Exchange hashpartitioning")
-        if n_shuffles > MAX_HASH_SHUFFLES:
+        if n_shuffles > SHUFFLE_ALLOWANCE.get(key, MAX_HASH_SHUFFLES):
             problems.append(f"{key}: {n_shuffles} hash shuffles")
     assert not problems, "\n".join(problems)
