@@ -90,6 +90,9 @@ def main() -> int:
         except Exception as exc:  # a broken key must not zero the whole bench
             print(f"bench {key} failed: {exc}", file=sys.stderr)
             timings[key] = -1.0
+        # keys that persist() (neardup, ivf) must not hold executor
+        # memory against later keys — each key measures from a cold cache
+        spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     result = {
