@@ -403,3 +403,47 @@ def agg_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(money("o_totalprice"), "total"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_sum_map",
+    """
+    SELECT l_returnflag, 'qty' AS metric,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, 'tax_cents' AS metric,
+           CAST(SUM(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS total
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap``: key-wise sum of a map column per group,
+    returned in relational long form ``(group, metric, total)`` — the
+    map-typed result itself can't cross the driver's scalar-only hash
+    gate, and long form is what a downstream join wants anyway.
+
+    The Spark side genuinely exercises the map machinery — build a
+    per-row map, ``explode`` it, hash-aggregate ``(group, key)`` — so
+    arbitrary/ragged key sets work (the oracle enumerates the two fixed
+    fixture metrics for value comparison). Exploding multiplies rows by
+    map size before the map-side partial agg collapses them: shuffle
+    volume stays |groups| × |distinct keys|.
+
+    Metrics are exact integers (quantity is integral, tax scaled to
+    cents) so parallel summation is bit-stable in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        F.create_map(
+            F.lit("qty"),
+            F.col("l_quantity").cast("bigint"),
+            F.lit("tax_cents"),
+            F.round(F.col("l_tax") * 100).cast("bigint"),
+        ).alias("__m"),
+    )
+    exploded = m.select("l_returnflag", F.explode("__m").alias("metric", "__v"))
+    return exploded.groupBy("l_returnflag", "metric").agg(
+        F.sum("__v").cast("bigint").alias("total")
+    )

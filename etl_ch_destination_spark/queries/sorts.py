@@ -74,3 +74,42 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "sort_with_fill",
+    """
+    WITH c AS (
+      SELECT ts::DATE AS day, COUNT(*) AS n_signups
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+    d AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b)
+    SELECT d.day AS day, COALESCE(n_signups, 0) AS n_signups
+    FROM d LEFT JOIN c USING (day)
+    """,
+)
+def sort_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY day WITH FILL``: daily signup counts with
+    every missing calendar day materialized as a 0 row (the fixture has
+    a real gap — Jan 5 has no signups at sf0.01).
+
+    Shape: one hash aggregate for the sparse counts, a global min/max
+    (Exchange SinglePartition of one row), `sequence()` + `explode` to
+    generate the day spine driver-free, broadcast left join back. The
+    spine is bounded by the date RANGE, never by row count — at 100 TB
+    the counts aggregate dominates and the fill stays O(days).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    spine = (
+        c.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return spine.join(c, "day", "left").select(
+        "day", F.coalesce("n_signups", F.lit(0)).cast("bigint").alias("n_signups")
+    )
