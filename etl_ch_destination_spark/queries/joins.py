@@ -10,7 +10,7 @@ Scale notes (100 TB):
   turns out small, and splits skewed partitions (session.py turns
   both on);
 - dimensions (nation/region/supplier) are broadcast explicitly —
-  plan-shape asserted in tests/test_joins.py;
+  plan-shape asserted in tests/test_plans.py;
 - the theta/range join keeps an EQUI PREFIX (nation key) so Catalyst
   hash-joins and applies the range as a post-predicate — never a
   cross/BNL join over the fact table;
@@ -108,7 +108,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ broadcast dims (nation, region) — ClickHouse always hashes
     the right table in memory; broadcast is the faithful analog. The
     explicit F.broadcast makes the plan independent of stats/thresholds
-    (BroadcastHashJoin asserted in tests/test_joins.py)."""
+    (BroadcastHashJoin asserted in tests/test_plans.py)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
