@@ -259,3 +259,51 @@ def scan_csv_badrows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "n_nationkey", "n_name", "n_regionkey", F.col("_corrupt").isNotNull().alias("is_bad")
     )
+
+
+@query(
+    "sink_compact_files",
+    f"""
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2))", "sum_price")}
+    FROM lineitem
+    """,
+)
+def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the standard repair for fragmented ingest
+    output (streaming micro-batches, over-parallel writers). Stages
+    lineitem deliberately shattered into 64 tiny files, then compacts to
+    size-targeted outputs: total bytes are measured from the staged
+    footprint, file count = ceil(bytes / target), one round-robin
+    repartition to that count (even file sizes, no key skew).
+
+    At 100 TB the same arithmetic holds per partition directory and the
+    byte measurement comes from the object-store listing; compaction is
+    embarrassingly parallel across partitions. Content preservation is
+    the oracle (round-trip totals vs the source table); the file-count
+    collapse is asserted in tests/test_sinks.py.
+    """
+    target_bytes = 4 << 20  # small target so the fixture compacts to >1 file
+    frag = _scratch(sf_dir, "sink_compact_files/frag")
+    out = _scratch(sf_dir, "sink_compact_files/out")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+
+    n_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(frag)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-n_bytes // target_bytes))  # ceil
+    spark.read.parquet(frag).repartition(n_files).write.mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(money("l_extendedprice"), "sum_price"),
+    )

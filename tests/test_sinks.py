@@ -120,3 +120,30 @@ def test_bucketed_join_eliminates_shuffles(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_files_collapses_fragment_count(spark, sf_dir):
+    """sink_compact_files must end with far fewer, larger files than
+    the 64-way fragmented staging it starts from."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import _scratch, sink_compact_files
+
+    sink_compact_files(spark, sf_dir)  # triggers stage + compact
+
+    def parquet_files(path):
+        return [
+            os.path.join(root, f)
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+
+    frag = parquet_files(_scratch(sf_dir, "sink_compact_files/frag"))
+    out = parquet_files(_scratch(sf_dir, "sink_compact_files/out"))
+    assert len(frag) == 64
+    assert 1 <= len(out) < len(frag) / 4
+    # content preserved (row counts; value totals are the oracle's job)
+    n_frag = spark.read.parquet(*frag).count()
+    n_out = spark.read.parquet(*out).count()
+    assert n_frag == n_out
