@@ -447,3 +447,42 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("l_returnflag", "metric").agg(
         F.sum("__v").cast("bigint").alias("total")
     )
+
+
+@query(
+    "agg_collapsing_merge",
+    """
+    WITH log AS (
+      SELECT o_orderstatus, o_totalprice, 1 AS sign FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, -1 FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(sign) AS BIGINT) AS n_live,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * sign) AS DOUBLE) AS net_price
+    FROM log GROUP BY 1
+    """,
+)
+def agg_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree semantics: a signed changelog (insert = +1,
+    cancel = −1) collapses at query time by summing signs and
+    sign-weighted measures — cancelled rows net to zero without ever
+    locating their partners. The fixture synthesizes cancels for every
+    third order.
+
+    This is THE ClickHouse mutable-state idiom (sign column instead of
+    updates); the Spark form is a plain hash aggregate over the
+    changelog union — map-side partials make the collapse linear, no
+    join back to the insert stream. Exact-decimal sign-weighted sums
+    keep the hash bit-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select("o_orderstatus", "o_totalprice", F.lit(1).alias("sign"))
+    canc = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderstatus", "o_totalprice", F.lit(-1).alias("sign"))
+    )
+    log = ins.unionByName(canc)
+    return log.groupBy("o_orderstatus").agg(
+        F.sum("sign").cast("bigint").alias("n_live"),
+        F.sum(money("o_totalprice") * F.col("sign")).cast("double").alias("net_price"),
+    )

@@ -9,7 +9,7 @@ sort, streaming frame evaluation. No unpartitioned windows over base
 tables anywhere (the global-rank case goes through ops/rank.py).
 `limit_by` relies on Spark ≥3.5's InferWindowGroupLimit pushing the
 rank filter below the sort (WindowGroupLimit node asserted in
-tests/test_windows.py) so each partition keeps only n rows instead of
+tests/test_plans.py) so each partition keeps only n rows instead of
 sorting everything.
 
 Determinism: every ORDER BY carries a unique tiebreaker (orderkey /
@@ -195,7 +195,7 @@ def limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse `LIMIT 3 BY o_custkey` — top-3 orders per customer.
     Spark ≥3.5 rewrites the rank filter into WindowGroupLimit (per-
     partition top-n retained before the full sort — plan asserted in
-    tests/test_windows.py), making this the scale path for per-key
+    tests/test_plans.py), making this the scale path for per-key
     top-n."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -203,4 +203,55 @@ def limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the lag+cumsum idiom: an event opens a new
+    session when >30 min elapsed since the user's previous event;
+    running SUM of those break flags numbers the sessions. The batch
+    twin of stream_session_gap (same 30-min gap; the streaming form
+    uses session_window state).
+
+    One shuffle on user_id; both windows and the final per-session
+    aggregate reuse that partitioning. Per-user event counts bound the
+    sort — scale-safe. event_id tiebreak makes the order total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # strict <: an event exactly gap-after the previous one opens a NEW
+    # session, matching session_window's exclusive end (asserted against
+    # the session_window op in tests/test_behavior.py)
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) < 30 * 60
+    g = ev.withColumn(
+        "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    s = g.withColumn("session_seq", F.sum("new_session").over(run))
+    return s.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )

@@ -101,3 +101,22 @@ def test_sequence_match_agrees_with_brute_force(spark, sf_dir):
         purchases = [t for t, ty in rows if ty == "purchase"]
         want = int(bool(signups and purchases and min(signups) < max(purchases)))
         assert got[uid] == want, f"user {uid}"
+
+
+def test_sessionize_agrees_with_session_window_op(spark, sf_dir):
+    """The lag+cumsum batch sessionizer and Spark's session_window
+    (stream_session_gap's engine, same 30-min gap) must find the same
+    sessions: identical count and identical (user, start, n_events)
+    triples."""
+    from etl_ch_destination_spark.queries.windows import win_sessionize
+    from etl_ch_destination_spark.streaming import pipeline
+
+    ours = win_sessionize(spark, sf_dir)
+    theirs = pipeline.session_gap(_events(spark, sf_dir))
+    a = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in ours.collect()
+    )
+    b = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in theirs.collect()
+    )
+    assert a == b
