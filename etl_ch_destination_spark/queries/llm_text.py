@@ -158,3 +158,71 @@ def llm_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "term", "tf", "df", "score", "rk")
     )
+
+
+@query(
+    "llm_quality_score",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+             len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct_words,
+             len(list_filter(words, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+               AS n_stopwords,
+             n_punct
+      FROM w
+    )
+    SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct_words AS DOUBLE) / n_words AS lexical_diversity,
+           CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS mean_word_len,
+           CASE WHEN n_words >= 50
+                 AND CAST(n_stopwords AS DOUBLE) / n_words <= 0.3
+                 AND CAST(n_distinct_words AS DOUBLE) / n_words >= 0.1
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality scoring — the classic pre-training filter
+    heuristics (north-star "quality scoring: length/punct/stopword
+    ratios"): per document, word/char counts, lexical diversity
+    (distinct/total words), stopword ratio, punctuation density (the
+    synthetic fixture has none — the column exercises the machinery and
+    hashes as exact zeros), mean word length, and a composite `keep`
+    flag with the usual thresholds.
+
+    All whole-stage-codegen string/array built-ins over one narrow
+    projection — no shuffle at all; ratios are single double divisions
+    of integer counts, bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_stop = F.expr(
+        "size(filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+    )
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    lex = n_distinct.cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        lex.alias("lexical_diversity"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        ((n_chars - n_words + 1).cast("double") / n_words).alias("mean_word_len"),
+        F.when((n_words >= 50) & (stop_ratio <= 0.3) & (lex >= 0.1), 1)
+        .otherwise(0)
+        .alias("keep"),
+    )

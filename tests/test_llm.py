@@ -248,3 +248,23 @@ def test_ivf_pruned_probe_has_recall_floor(spark, sf_dir):
               ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=8).collect()}
     recall = len(exact & pruned) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_quality_score_ratios_are_bounded(spark, sf_dir):
+    """Ratios are true fractions and the keep flag is consistent with
+    its documented thresholds."""
+    from etl_ch_destination_spark.queries.llm_text import llm_quality_score
+
+    rows = llm_quality_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["lexical_diversity"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert r["mean_word_len"] > 0
+        want = int(
+            r["n_words"] >= 50
+            and r["stopword_ratio"] <= 0.3
+            and r["lexical_diversity"] >= 0.1
+        )
+        assert r["keep"] == want
