@@ -307,3 +307,26 @@ def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         dsum(money("l_extendedprice"), "sum_price"),
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {sql_dsum("CAST(o_totalprice AS DECIMAL(12,2))", "sum_price")}
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar source format (Spark-native reader with
+    the same pushdown/pruning machinery as parquet): write orders to
+    ORC with zlib, read it back, aggregate. DuckDB reads no ORC, so the
+    oracle checks round-trip fidelity against the source table — any
+    type or value loss in the ORC path breaks the hash."""
+    path = _scratch(sf_dir, "scan_orc_roundtrip")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(money("o_totalprice"), "sum_price")
+    )
