@@ -486,3 +486,62 @@ def agg_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("bigint").alias("n_live"),
         F.sum(money("o_totalprice") * F.col("sign")).cast("double").alias("net_price"),
     )
+
+
+@query(
+    "agg_state_merge",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum("CAST(l_quantity AS DECIMAL(12,2))", "sum_qty")},
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree ``-State``/``-Merge`` combinators: ingest
+    shards each hold PARTIAL aggregate state (count, decimal sum,
+    min/max); a later merge pass combines states into finals — the
+    incremental idiom behind CH materialized views and micro-batch
+    rollups. The Spark side actually runs the two-level path (partials
+    per synthetic shard ``l_orderkey % 8``, then merge); the oracle
+    computes the DIRECT one-pass aggregate, so the hash match proves
+    merge ≡ direct for these states.
+
+    Scale: partials collapse each shard map-side; the merge shuffles
+    |keys| × |shards| tiny state rows, never raw data — the same reason
+    CH pre-aggregates at insert time. avg is derived from merged
+    (sum, n), the canonical mergeable-moments form (plain avg-of-avgs
+    would be wrong and would fail the hash)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = (
+        li.withColumn("__shard", F.col("l_orderkey") % 8)
+        .groupBy("l_returnflag", "__shard")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(money("l_quantity")).alias("__sum_qty"),
+            F.min("l_shipdate").alias("__min_ship"),
+            F.max("l_shipdate").alias("__max_ship"),
+        )
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.sum("__n").alias("n"),
+        F.sum("__sum_qty").alias("__sum_qty"),
+        F.min("__min_ship").alias("min_ship"),
+        F.max("__max_ship").alias("max_ship"),
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        F.col("__sum_qty").cast("double").alias("sum_qty"),
+        "min_ship",
+        "max_ship",
+        # divide as double/double — decimal-division scale rules differ
+        # between engines and would shift the low mantissa bits
+        (F.col("__sum_qty").cast("double") / F.col("n").cast("double")).alias(
+            "avg_qty"
+        ),
+    )

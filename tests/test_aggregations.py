@@ -101,3 +101,36 @@ def test_sample_fraction_seed_stable(spark, sf_dir):
     a = sorted(r["l_orderkey"] for r in sample_fraction(spark, sf_dir).collect())
     b = sorted(r["l_orderkey"] for r in sample_fraction(spark, sf_dir).collect())
     assert a == b and len(a) > 0
+
+
+def test_state_merge_equals_direct_aggregation(spark, sf_dir):
+    """The -State/-Merge two-level path must be indistinguishable from
+    the direct one-pass aggregate (exact decimal sums make this an
+    equality, not a tolerance)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries._util import dsum, money
+    from etl_ch_destination_spark.queries.aggregations import agg_state_merge
+
+    merged = {
+        r["l_returnflag"]: (r["n"], r["sum_qty"], r["min_ship"], r["max_ship"], r["avg_qty"])
+        for r in agg_state_merge(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (
+            r["n"],
+            r["sum_qty"],
+            r["min_ship"],
+            r["max_ship"],
+            r["sum_qty"] / r["n"],
+        )
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(money("l_quantity"), "sum_qty"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .collect()
+    }
+    assert merged == direct
