@@ -40,7 +40,10 @@ BENCH_KEYS = [
     "llm_sim_topk_exact",
     "llm_dedup_near",
     "llm_dedup_simhash",
+    "llm_quality_score",
     "agg_window_funnel",
+    "agg_state_merge",
+    "win_sessionize",
     "stream_session_gap",
     "stream_foreachbatch_sink",
 ]
