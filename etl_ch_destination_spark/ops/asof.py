@@ -2,7 +2,11 @@
 
 Semantics: for each left row, attach the LATEST right row whose
 timestamp is <= the left row's timestamp, within the same key group
-(ClickHouse ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``).
+(ClickHouse ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``); a
+``direction="forward"`` mode attaches the EARLIEST right row with
+ts >= left.ts instead, and ``tolerance_seconds`` bounds the match
+horizon — the full pandas ``merge_asof`` surface (equivalence
+asserted against pandas itself in tests/test_ops.py).
 
 Spark has no native DataFrame asof join, so the engine implements the
 sort-merge-shaped union idiom:
@@ -43,16 +47,30 @@ def asof_join(
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
     how: str = "left",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """ASOF-join ``right`` onto ``left``: latest right row with
-    ``right.ts <= left.ts`` per key group.
+    """ASOF-join ``right`` onto ``left`` (pandas ``merge_asof`` surface):
+    per key group, ``direction="backward"`` attaches the LATEST right
+    row with ``right.ts <= left.ts``; ``"forward"`` the EARLIEST right
+    row with ``right.ts >= left.ts``. ``tolerance_seconds`` nulls the
+    match when |left.ts − matched.ts| exceeds it (applied after
+    matching, exactly like pandas).
 
     Returns all left columns plus ``{prefix}{ts}`` (the matched right
     timestamp) and ``{prefix}{c}`` for each of ``right_cols``.
     ``how``: "left" keeps unmatched left rows (nulls), "inner" drops them.
+
+    The forward direction is the same union+window scan run in
+    descending time order — identical one-shuffle-per-side cost; the
+    tolerance is a post-match null-out, never a range-join explosion.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     rts = right_ts or ts
     rcols = right_cols if right_cols is not None else [
         c for c in right.columns if c not in set(keys) | {rts}
@@ -70,12 +88,25 @@ def asof_join(
     l = left.withColumn("__asof_ts", F.col(ts)).withColumn("__asof_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
+    # backward scans time ascending (last right seen = latest <= lts);
+    # forward scans descending (last right seen = earliest >= lts).
+    # Either way side 0 (right) sorts before side 1 (left) at equal ts,
+    # which is exactly the inclusive bound.
+    ts_order = F.asc("__asof_ts") if direction == "backward" else F.desc("__asof_ts")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.asc("__asof_ts"), F.asc("__asof_side"))
+        .orderBy(ts_order, F.asc("__asof_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__asof_m", F.last("__asof_rv", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        mts = F.col("__asof_m").getField(f"{prefix}{ts}").cast("long")
+        lts = F.col("__asof_ts").cast("long")
+        gap = (lts - mts) if direction == "backward" else (mts - lts)
+        matched = matched.withColumn(
+            "__asof_m",
+            F.when(gap <= F.lit(tolerance_seconds), F.col("__asof_m")),
+        )
     out = matched.filter(F.col("__asof_side") == 1)
     if how == "inner":
         out = out.filter(F.col("__asof_m").isNotNull())

@@ -241,6 +241,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    """
+    WITH views AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT v.event_id, v.user_id, v.ts, v.value,
+           CASE WHEN p.ts - v.ts <= INTERVAL 2 HOUR THEN p.ts END AS asof_ts,
+           CASE WHEN p.ts - v.ts <= INTERVAL 2 HOUR THEN p.value END AS asof_value
+    FROM views v ASOF LEFT JOIN purch p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward ASOF with tolerance (pandas ``merge_asof`` parity): each
+    view matched to the user's EARLIEST purchase at-or-after it, nulled
+    beyond a 2-hour horizon — "did this view convert within 2h". Same
+    union+window idiom scanned in descending time; DuckDB's native
+    forward ASOF (``v.ts <= p.ts``) plus a CASE horizon is the oracle.
+    Equivalence to pandas merge_asof is asserted in tests/test_ops.py."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    purch = latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value"),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", "ts", "value")
+    return asof_join(
+        views, purch, keys=["user_id"], ts="ts", how="left",
+        direction="forward", tolerance_seconds=2 * 3600,
+    )
+
+
+@query(
     "join_skew_salted",
     f"""
     SELECT s_nationkey,

@@ -128,3 +128,46 @@ def test_rollup_grand_total_equals_global(spark, sf_dir):
         .collect()
     )
     assert len(rolled) == 1 and rolled[0]["n"] == c.count()
+
+
+def test_asof_join_matches_pandas_merge_asof_both_directions(spark, sf_dir):
+    """ops/asof.asof_join must agree with pandas.merge_asof row-for-row
+    in both directions, with and without a tolerance."""
+    import pandas as pd
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.asof import asof_join
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", "ts", "value")
+
+    lp = views.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = purch.toPandas().sort_values("ts").reset_index(drop=True)
+
+    for direction, tol in [("backward", None), ("forward", None), ("forward", 7200)]:
+        got = asof_join(
+            views, purch, keys=["user_id"], ts="ts",
+            direction=direction, tolerance_seconds=tol,
+        ).toPandas()
+        want = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction=direction,
+            tolerance=pd.Timedelta(seconds=tol) if tol else None,
+            suffixes=("", "_r"),
+        )
+        g = got.sort_values("event_id").reset_index(drop=True)
+        w = want.sort_values("event_id").reset_index(drop=True)
+        assert list(g["event_id"]) == list(w["event_id"])
+        assert g["asof_value"].fillna(-1).tolist() == w["value"].fillna(-1).tolist(), (
+            direction,
+            tol,
+        )
