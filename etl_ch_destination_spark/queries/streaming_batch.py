@@ -188,3 +188,23 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (pipeline.static_enrich):
+    events decorated with the customer's market segment. Stateless —
+    the streaming form appends enriched rows per micro-batch with no
+    watermark or state store; stream-vs-batch equality asserted in
+    tests/test_streaming.py."""
+    return pipeline.static_enrich(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

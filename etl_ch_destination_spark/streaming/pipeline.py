@@ -133,3 +133,18 @@ def foreach_batch_load(stream_df: DataFrame, out_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def static_enrich(ev: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment — the most common stateless
+    streaming ETL op (CH analog: dictGet inside a Kafka-fed MV). The
+    static side broadcasts; each micro-batch joins map-side with ZERO
+    state store involvement, so throughput is scan-bound. Inner
+    semantics: events without a registered customer drop (the
+    quarantine path is scan_csv_badrows's corrupt-record pattern)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "segment"
+    )

@@ -196,3 +196,19 @@ def test_stateful_ops_run_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_static_join_stream_equals_batch(spark, sf_dir):
+    """Stateless stream-static enrichment: the streamed micro-batches
+    must append exactly the rows the batch join produces."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    dim = load_table(spark, sf_dir, "customer")
+    staged = _staged(spark, sf_dir, "static_join")
+    stream = pipeline.static_enrich(read_staged_stream(spark, staged), dim)
+    _drain(_memory_query(stream, "t_static_join", "append"))
+    got = rows_set(spark.table("t_static_join"))
+    want = rows_set(pipeline.static_enrich(load_table(spark, sf_dir, "events"), dim))
+    assert got == want and len(want) > 0
