@@ -9,6 +9,7 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     llm_text,
     llm_vectors,
     projection,
+    reports,
     scalars_complex,
     scalars_date,
     scalars_math,

@@ -30,6 +30,11 @@ ANSI_PORTABLE_KEYS = [
     "set_intersect",
     "filter_compare",
     "topk_global",
+    "rpt_shipping_priority",
+    "rpt_revenue_forecast",
+    "rpt_local_supplier_volume",
+    "rpt_returned_items",
+    "rpt_order_priority_check",
 ]
 
 
