@@ -46,6 +46,12 @@ BENCH_KEYS = [
     "win_sessionize",
     "stream_session_gap",
     "stream_foreachbatch_sink",
+    # composed TPC-H-shaped reports (§2.12) — the end-to-end workload
+    "rpt_revenue_forecast",
+    "rpt_shipping_priority",
+    "rpt_local_supplier_volume",
+    "rpt_product_profit",
+    "rpt_large_volume_orders",
 ]
 
 N_RUNS = 3

@@ -10,6 +10,7 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     llm_vectors,
     projection,
     reports,
+    reports_supply,
     scalars_complex,
     scalars_date,
     scalars_math,

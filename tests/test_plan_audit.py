@@ -34,13 +34,15 @@ EFFECTFUL = {
 #   llm_dedup_embedding — exact all-pairs oracle baseline (LSH at scale)
 #   llm_sim_topk_exact  — broadcast query side × streamed candidates
 #                         (the intended few-queries scan pattern)
-#   rpt_idle_customers  — scalar avg threshold joined as a 1-row
-#                         broadcast (condition-free by design)
+#   rpt_idle_customers, rpt_nation_inventory_value — scalar threshold
+#                         joined as a 1-row broadcast (condition-free
+#                         by design)
 ALLOWED_NLJ = {
     "join_cross",
     "llm_dedup_embedding",
     "llm_sim_topk_exact",
     "rpt_idle_customers",
+    "rpt_nation_inventory_value",
 }
 
 MAX_HASH_SHUFFLES = 4
