@@ -108,6 +108,34 @@ ANNOTATIONS: dict[str, str] = {
         "featurized frame is `InMemoryTableScan` on both join sides "
         "(featurize once)."
     ),
+    "rpt_revenue_forecast": (
+        "TPC-H Q6 shape, the scan-efficiency benchmark: ALL four "
+        "predicates appear in `PushedFilters`, `ReadSchema` carries "
+        "only the 4 referenced columns, and the aggregate collapses to "
+        "a 1-row exchange. At 100 TB this plan reads a fraction of the "
+        "table and shuffles bytes, not gigabytes."
+    ),
+    "rpt_shipping_priority": (
+        "TPC-H Q3 shape: segment-filtered customer broadcast, ONE "
+        "fact-fact shuffle (orders ⋈ lineitem), partial+final agg on "
+        "the composite key, `TakeOrderedAndProject` for the top-10 — "
+        "O(k) driver memory, deterministic via the l_orderkey "
+        "tiebreaker."
+    ),
+    "rpt_local_supplier_volume": (
+        "TPC-H Q5 shape, 6-table star: supplier/nation/region/customer "
+        "all resolve as `BroadcastHashJoin`; lineitem ⋈ orders is the "
+        "only exchange pair. The co-location predicate "
+        "(c_nationkey = s_nationkey) is a post-broadcast filter, not "
+        "an extra shuffle."
+    ),
+    "rpt_waiting_orders": (
+        "TPC-H Q21 shape: the 'late shipment' frame feeds both the "
+        "driving side and the sole-blame `LeftAnti`; the multi-supplier "
+        "test is `LeftSemi` on l_orderkey with the supplier inequality "
+        "as a residual join predicate — three hash joins on the same "
+        "key, zero cartesians."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
