@@ -208,3 +208,28 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (pipeline.interval_join): purchases
+    attributed to a same-user view within the following hour. The
+    user_id equality keeps it a hash join (equi prefix, band as a
+    residual); in the true streaming form both sides carry watermarks
+    so join state is evicted at the event-time horizon — replay
+    equivalence asserted in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return pipeline.interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

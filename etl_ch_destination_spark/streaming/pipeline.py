@@ -135,6 +135,39 @@ def foreach_batch_load(stream_df: DataFrame, out_path: str, checkpoint: str):
     )
 
 
+def interval_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a view by
+    the same user within the following hour (ad-attribution shape).
+
+    Works on batch frames (oracle form) and on two watermarked streams:
+    the equality on user_id makes it a hash join, and the event-time
+    band [view_ts, view_ts + 1h] lets the state store evict a view row
+    once the purchase-side watermark passes its horizon — bounded state,
+    the condition Spark requires for unbounded stream-stream joins.
+    Pass frames already ``withWatermark``-ed in streaming callers; the
+    renames here preserve the watermark column.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return v.join(p, cond).select(
+        "view_id", "purchase_id", "user_id", "view_ts", "purchase_ts", "purchase_value"
+    )
+
+
 def static_enrich(ev: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static dimension enrichment — the most common stateless
     streaming ETL op (CH analog: dictGet inside a Kafka-fed MV). The

@@ -212,3 +212,29 @@ def test_static_join_stream_equals_batch(spark, sf_dir):
     got = rows_set(spark.table("t_static_join"))
     want = rows_set(pipeline.static_enrich(load_table(spark, sf_dir, "events"), dim))
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join: both sides watermarked, joined on
+    user_id + event-time band; availableNow replay must emit exactly
+    the batch join's rows (the watermark horizon only evicts state —
+    bounded replay means nothing arrives late enough to drop)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    staged = _staged(spark, sf_dir, "ss_join")
+    src = read_staged_stream(spark, staged)
+    views = src.filter(F.col("event_type") == "view").withWatermark("ts", "2 hours")
+    purchases = src.filter(F.col("event_type") == "purchase").withWatermark("ts", "2 hours")
+    stream = pipeline.interval_join(views, purchases)
+    _drain(_memory_query(stream, "t_ss_join", "append"))
+    got = rows_set(spark.table("t_ss_join"))
+    ev = load_table(spark, sf_dir, "events")
+    want = rows_set(
+        pipeline.interval_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+    )
+    assert got == want and len(want) > 0
