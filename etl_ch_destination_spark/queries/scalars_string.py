@@ -126,3 +126,41 @@ def str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("lev_us"),
         F.levenshtein(F.col("n_name"), F.lit("CHINA")).alias("lev_cn"),
     )
+
+
+@query(
+    "url_funcs",
+    """
+    SELECT doc_id,
+           'https' AS proto,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition family (CH `protocol`/`domain`/`path`/
+    `extractURLParameter`) via Spark's `parse_url` — exercised on a
+    URL derived deterministically from fixture columns (the corpus has
+    no URL column). The oracle reconstructs each component from the
+    same base columns, so this gate proves parse_url implements the
+    spec, not merely that both engines share a parser."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -128,3 +128,40 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, s.shingle FROM __udtf_docs, LATERAL shingles(text) s"
     )
+
+
+@query(
+    "udf_arrow_batch",
+    """
+    SELECT event_id,
+           CAST(FLOOR(value / 10.0) AS INT) AS value_bucket,
+           ABS(value) AS abs_value
+    FROM events
+    """,
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the zero-copy end of the extension surface: the
+    UDF receives raw `pyarrow.RecordBatch`es (no pandas conversion at
+    all), runs vectorized Arrow compute kernels, and yields batches.
+    The right tier when the Python logic is itself Arrow-native
+    (tokenizers, Arrow-backed model featurizers) — pandas round-trip
+    cost disappears. Division/floor/abs are IEEE in both engines, so
+    the oracle is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    def buckets(batches):
+        for batch in batches:
+            value = batch.column("value")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    pc.cast(pc.floor(pc.divide(value, pa.scalar(10.0))), pa.int32()),
+                    pc.abs(value),
+                ],
+                ["event_id", "value_bucket", "abs_value"],
+            )
+
+    return ev.mapInArrow(buckets, "event_id long, value_bucket int, abs_value double")
