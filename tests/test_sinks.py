@@ -147,3 +147,27 @@ def test_compact_files_collapses_fragment_count(spark, sf_dir):
     n_frag = spark.read.parquet(*frag).count()
     n_out = spark.read.parquet(*out).count()
     assert n_frag == n_out
+
+
+def test_partitioned_sink_reread_prunes_partitions(spark, sf_dir):
+    """The partitioned sink's value IS directory pruning: a filter on
+    the partition column must land in PartitionFilters (pruned at
+    planning), never as a post-scan predicate over all partitions."""
+    from pyspark.sql import functions as F
+
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+    from conftest import plan_of
+
+    path = scratch_dir("test_partition_pruning")
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn("ym", F.date_format("o_orderdate", "yyyy-MM")).write.mode(
+        "overwrite"
+    ).partitionBy("ym").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("ym") == "1997-03")
+    plan = plan_of(back)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    assert "ym" in " ".join(pf)
+    # pruned scan reads only the one partition's rows
+    expect = o.filter(F.date_format("o_orderdate", "yyyy-MM") == "1997-03").count()
+    assert back.count() == expect > 0
