@@ -1,0 +1,101 @@
+"""Distributed connected components: alternating large-star /
+small-star (the MapReduce CC algorithm of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public literature).
+
+Purpose in this engine: the last stage of a dedup pipeline. Pair
+generators (MinHash LSH, SimHash bands, exact n-gram Jaccard) emit
+EDGES between near-duplicate documents; turning edges into duplicate
+CLUSTERS with one canonical representative per cluster is a connected
+components problem — at 100 TB, a *distributed-graph* problem.
+
+Why this algorithm and not naive label propagation: min-label
+flooding converges in O(diameter) rounds; large-star/small-star
+contracts toward each component's minimum in O(log n) rounds with
+per-round cost = two grouped shuffles over the edge set. Duplicate
+clusters are usually near-cliques (tiny diameter), but chains happen
+(A~B~C transitive near-dups), and the log-round bound makes the
+driver-side loop safe regardless of shape.
+
+Spark mapping: each round is groupBy(node).min + a re-join — plain
+DataFrame ops, AQE-sized shuffles. `localCheckpoint` truncates the
+iterative lineage so plan size stays O(1) in rounds (the standard
+iterative-algorithm hygiene; without it every round's plan embeds all
+previous rounds). The driver loop itself only compares tiny
+convergence counters — no row data is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (big, small), deduped, no loops."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node u, connect each strictly-larger neighbor to
+    m = min(N(u) ∪ {u})."""
+    bidir = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    mins = bidir.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        bidir.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct each edge large→small; for every node u, connect its
+    smaller-or-equal neighbors (and u itself) to m = min(N(u) ∪ {u})."""
+    directed = e  # _canon already stores (u big, v small)
+    mins = directed.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    nbrs = directed.select("u", F.col("v").alias("n")).unionAll(
+        directed.select("u", F.col("u").alias("n")).distinct()
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Labels every node of the (undirected) edge set with the MINIMUM
+    node id of its component — columns ``(node, component)``.
+
+    Deterministic: the label is a pure function of the graph (the
+    component minimum), independent of partitioning or round count —
+    which is what makes this oracle-able against a recursive-CTE
+    transitive closure.
+    """
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        e2 = _canon(_small_star(_canon(_large_star(e))))
+        e2 = e2.localCheckpoint(eager=True)
+        # converged when the canonical edge sets are identical
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged: every edge points node → component-min (star form)
+    non_roots = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return non_roots.unionByName(roots).distinct()

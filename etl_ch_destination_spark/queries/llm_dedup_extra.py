@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table, parallelize_scan
 from etl_ch_destination_spark.ops.fingerprint import band, rolling_gram_hashes, with_simhash
@@ -89,10 +90,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh
 
 
-@query(
-    "llm_dedup_ngram_jaccard",
-    f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+# DuckDB form of the scored-pair frame (shared by the pairs key and
+# the clusters key built on top of it).
+_PAIRS_SQL = f"""
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
                i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS shingle
@@ -105,14 +106,24 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b USING (shingle) JOIN kept USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, n_common, jaccard FROM (
+        SELECT id_a, id_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) WHERE jaccard >= {JACCARD_MIN}
     )
-    SELECT id_a, id_b, n_common, jaccard FROM (
-      SELECT id_a, id_b, n_common,
-             CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-    ) WHERE jaccard >= {JACCARD_MIN}
+"""
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    f"""
+    WITH {_PAIRS_SQL}
+    SELECT id_a, id_b, n_common, jaccard FROM pairs
     """,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +172,48 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_MIN)
         .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+@query(
+    "llm_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(label) AS canonical_id FROM cc GROUP BY node)
+    SELECT doc_id, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM labels
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs — the stage after pair
+    generation in a real dedup pipeline: transitive closure of the
+    n-gram-Jaccard edge set via distributed connected components
+    (ops/components.py, alternating large-star/small-star, O(log n)
+    rounds), canonical doc = component-minimum doc_id.
+
+    The oracle is a DuckDB recursive-CTE transitive closure over the
+    SAME pair frame — component minima are partition-independent, so
+    the hash gate covers the full graph algorithm. A keep-canonical /
+    drop-duplicates policy is then one filter: doc_id = canonical_id."""
+    from etl_ch_destination_spark.ops.components import connected_components
+
+    pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 

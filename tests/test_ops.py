@@ -171,3 +171,42 @@ def test_asof_join_matches_pandas_merge_asof_both_directions(spark, sf_dir):
             direction,
             tol,
         )
+
+
+def test_connected_components_vs_union_find(spark):
+    """large-star/small-star must label every node with its component
+    minimum — checked against a driver-side union-find on a graph with
+    a long chain (worst case for naive flooding), a clique, an
+    isolated edge, and a random part (fixed seed)."""
+    import random
+
+    from etl_ch_destination_spark.ops.components import connected_components
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(100, 120)]          # chain
+    edges += [(a, b) for a in range(200, 206) for b in range(a + 1, 206)]  # clique
+    edges += [(300, 301)]                                   # isolated pair
+    nodes = list(range(400, 440))
+    edges += [tuple(rng.sample(nodes, 2)) for _ in range(30)]  # random
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want

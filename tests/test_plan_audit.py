@@ -26,6 +26,7 @@ EFFECTFUL = {
     "llm_sim_topk_ann",
     "llm_sim_topk_ivf",
     "llm_dedup_near",
+    "llm_dedup_clusters",  # iterative CC: jobs run during construction
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its
