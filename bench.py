@@ -40,6 +40,7 @@ BENCH_KEYS = [
     "llm_sim_topk_exact",
     "llm_dedup_near",
     "llm_dedup_simhash",
+    "llm_dedup_clusters",
     "llm_quality_score",
     "agg_window_funnel",
     "agg_state_merge",

@@ -12,6 +12,7 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     reports,
     reports_supply,
     scalars_complex,
+    scd,
     scalars_date,
     scalars_math,
     scalars_string,
@@ -19,6 +20,7 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     sorts,
     sources_sinks,
     streaming_batch,
+    timeseries,
     udfs,
     windows,
 )

@@ -1,0 +1,110 @@
+"""Time-series gap handling beyond ORDER BY WITH FILL (`sort_with_fill`
+in sorts.py fills missing rank rows with constants): LINEAR
+INTERPOLATION across time-bucket gaps — ClickHouse
+`WITH FILL ... INTERPOLATE` / TimescaleDB `interpolate()` analog.
+
+Scale notes (100 TB): the heavy stage is the per-bucket aggregate
+(map-side partial, one shuffle). The interpolation itself runs on the
+AGGREGATED bucket spine, whose cardinality is time-span/bucket-width
+(~4.3k for the fixture's 30 days of 10-minute buckets) — independent
+of row count — so the unpartitioned ordered window over it is bounded
+by construction (same documented exception as agg_topk_freq). For
+multi-entity interpolation, partition the window by the entity key and
+the bound is per-entity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+
+@query(
+    "ts_interpolate",
+    """
+    WITH base AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(ws) FROM base),
+                                    (SELECT MAX(ws) FROM base),
+                                    INTERVAL '10 minutes')) AS ws
+    ),
+    j AS (SELECT s.ws, base.v FROM spine s LEFT JOIN base ON s.ws = base.ws),
+    f AS (
+      SELECT ws, v,
+        last_value(v IGNORE NULLS) OVER
+          (ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN ws END IGNORE NULLS) OVER
+          (ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER
+          (ORDER BY ws ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN ws END IGNORE NULLS) OVER
+          (ORDER BY ws ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT ws,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * ((epoch(ws) - epoch(pb)) / (epoch(nb) - epoch(pb)))
+                ELSE COALESCE(pv, nv) END AS value_interp,
+           v IS NULL AS was_filled
+    FROM f
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over 10-minute purchase-value buckets: the
+    dense bucket spine is generated from the aggregated min/max (1-row
+    broadcast + sequence explode, never a driver collect), empty
+    buckets get pv + (nv−pv)·Δt-fraction between their known
+    neighbors (IEEE-identical to the oracle: exact-decimal bucket
+    averages, then the same double expression tree both sides)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .select(F.col("w.start").alias("ws"), "v")
+    )
+    bounds = base.agg(F.min("ws").alias("lo"), F.max("ws").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))).alias("ws")
+    )
+    j = spine.join(base, "ws", "left")
+    # bounded window: spine cardinality = span/width, not row count
+    w_prev = Window.orderBy("ws").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("ws").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_ws = F.when(F.col("v").isNotNull(), F.col("ws"))
+    f = j.select(
+        "ws",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_ws, ignorenulls=True).over(w_prev).alias("pb"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_ws, ignorenulls=True).over(w_next).alias("nb"),
+    )
+    ep = lambda c: F.unix_timestamp(F.col(c)).cast("double")  # noqa: E731
+    frac = (ep("ws") - ep("pb")) / (ep("nb") - ep("pb"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return f.select(
+        "ws",
+        interp.alias("value_interp"),
+        F.col("v").isNull().alias("was_filled"),
+    )

