@@ -715,3 +715,82 @@ def rpt_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@query(
+    "rpt_corpus_curation",
+    """
+    WITH canon AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT doc_id, text, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT lang, source,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+      FROM canon
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_words) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words) AS distinct_word_ratio
+    FROM scored
+    WHERE n_words >= 50
+      AND CAST(n_stop AS DOUBLE) / n_words <= 0.3
+      AND CAST(n_distinct AS DOUBLE) / n_words >= 0.1
+    GROUP BY lang, source
+    """,
+)
+def rpt_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed LLM-pipeline report — the corpus counterpart of the
+    TPC-H reports: exact-dedup (canonical per normalized-content hash)
+    → quality filter (length / stopword-ratio / lexical-diversity
+    thresholds, the llm_quality_score heuristics) → per-(lang, source)
+    curation rollup.
+
+    Determinism: group metrics are INTEGER sums with one final double
+    division — never a parallel sum of per-doc doubles (order-
+    sensitive). Plan: one shuffle for the content-hash dedup window
+    (uniform 128-bit key, skew-free), per-row scoring is codegen'd
+    string/array built-ins, then a partial+final agg on the tiny
+    (lang, source) grid."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    hashed = d.withColumn(
+        "content_hash", F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    )
+    canon = latest_by_key(hashed, ["content_hash"], [F.asc("doc_id")])
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_stop = F.expr(
+        "size(filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+    )
+    scored = canon.select(
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+        n_stop.alias("n_stop"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 50)
+        & (F.col("n_stop").cast("double") / F.col("n_words") <= 0.3)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.1)
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_distinct").cast("double") / F.sum("n_words")).alias("distinct_word_ratio"),
+    )
