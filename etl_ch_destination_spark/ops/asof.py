@@ -4,9 +4,10 @@ Semantics: for each left row, attach the LATEST right row whose
 timestamp is <= the left row's timestamp, within the same key group
 (ClickHouse ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``); a
 ``direction="forward"`` mode attaches the EARLIEST right row with
-ts >= left.ts instead, and ``tolerance_seconds`` bounds the match
-horizon — the full pandas ``merge_asof`` surface (equivalence
-asserted against pandas itself in tests/test_ops.py).
+ts >= left.ts instead, ``"nearest"`` picks whichever of the two is
+closer in time (tie → backward, as pandas), and ``tolerance_seconds``
+bounds the match horizon — the full pandas ``merge_asof`` surface
+(equivalence asserted against pandas itself in tests/test_ops.py).
 
 Spark has no native DataFrame asof join, so the engine implements the
 sort-merge-shaped union idiom:
@@ -67,9 +68,9 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+            f"asof_join: direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
         )
     rts = right_ts or ts
     rcols = right_cols if right_cols is not None else [
@@ -92,21 +93,49 @@ def asof_join(
     # forward scans descending (last right seen = earliest >= lts).
     # Either way side 0 (right) sorts before side 1 (left) at equal ts,
     # which is exactly the inclusive bound.
-    ts_order = F.asc("__asof_ts") if direction == "backward" else F.desc("__asof_ts")
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts_order, F.asc("__asof_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("__asof_m", F.last("__asof_rv", ignorenulls=True).over(w))
-    if tolerance_seconds is not None:
-        mts = F.col("__asof_m").getField(f"{prefix}{ts}").cast("long")
-        lts = F.col("__asof_ts").cast("long")
-        gap = (lts - mts) if direction == "backward" else (mts - lts)
-        matched = matched.withColumn(
-            "__asof_m",
-            F.when(gap <= F.lit(tolerance_seconds), F.col("__asof_m")),
+    def scan(dirn: str) -> F.Column:
+        ts_order = F.asc("__asof_ts") if dirn == "backward" else F.desc("__asof_ts")
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_order, F.asc("__asof_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        return F.last("__asof_rv", ignorenulls=True).over(w)
+
+    def gap_of(m: F.Column, dirn: str) -> F.Column:
+        mts = m.getField(f"{prefix}{ts}").cast("long")
+        lts = F.col("__asof_ts").cast("long")
+        return (lts - mts) if dirn == "backward" else (mts - lts)
+
+    def bounded(m: F.Column, dirn: str) -> F.Column:
+        if tolerance_seconds is None:
+            return m
+        return F.when(gap_of(m, dirn) <= F.lit(tolerance_seconds), m)
+
+    if direction == "nearest":
+        # both scans share ONE shuffle on the keys (same partitioning,
+        # two in-partition sorts); tie at equal distance -> backward,
+        # matching pandas merge_asof.
+        mb = bounded(scan("backward"), "backward")
+        mf = bounded(scan("forward"), "forward")
+        matched = (
+            u.withColumn("__asof_mb", mb)
+            .withColumn("__asof_mf", mf)
+            .withColumn(
+                "__asof_m",
+                F.when(F.col("__asof_mf").isNull(), F.col("__asof_mb"))
+                .when(F.col("__asof_mb").isNull(), F.col("__asof_mf"))
+                .when(
+                    gap_of(F.col("__asof_mb"), "backward")
+                    <= gap_of(F.col("__asof_mf"), "forward"),
+                    F.col("__asof_mb"),
+                )
+                .otherwise(F.col("__asof_mf")),
+            )
+            .drop("__asof_mb", "__asof_mf")
+        )
+    else:
+        matched = u.withColumn("__asof_m", bounded(scan(direction), direction))
     out = matched.filter(F.col("__asof_side") == 1)
     if how == "inner":
         out = out.filter(F.col("__asof_m").isNotNull())

@@ -545,3 +545,62 @@ def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_qty"
         ),
     )
+
+
+@query(
+    "agg_unpivot",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'sum_total' AS metric, sum_total AS value FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape (`df.unpivot`, the inverse of agg_pivot;
+    ANSI UNPIVOT / pandas melt): per-priority metrics melted to
+    (key, metric, value) rows — the shape metric stores and plotting
+    layers ingest. Narrow transform, no extra shuffle beyond the
+    feeding aggregate; the oracle is the portable UNION ALL form."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum(money("o_totalprice"), "sum_total"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_total"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "agg_distinct_windowed",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def agg_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hourly bucket — the DAU/uniques shape. Exact
+    COUNT(DISTINCT) expands to Spark's two-phase distinct aggregate
+    (partial distinct per partition, exchange on (bucket, user), final
+    count); at 100 TB swap in approx_count_distinct per bucket
+    (agg_approx_distinct pattern) to keep the exchange bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("ws"), "n_users", "n_events")
+    )

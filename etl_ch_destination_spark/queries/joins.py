@@ -306,3 +306,47 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(disc_price(), "revenue"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH views AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT v.event_id, v.user_id, v.ts, v.value,
+           CASE WHEN f.ts IS NULL THEN b.ts
+                WHEN b.ts IS NULL THEN f.ts
+                WHEN epoch(v.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(v.ts) THEN b.ts
+                ELSE f.ts END AS asof_ts,
+           CASE WHEN f.ts IS NULL THEN b.value
+                WHEN b.ts IS NULL THEN f.value
+                WHEN epoch(v.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(v.ts) THEN b.value
+                ELSE f.value END AS asof_value
+    FROM views v
+    ASOF LEFT JOIN purch b ON v.user_id = b.user_id AND v.ts >= b.ts
+    ASOF LEFT JOIN purch f ON v.user_id = f.user_id AND v.ts <= f.ts
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction ASOF (pandas ``merge_asof(direction='nearest')``
+    parity): each view matched to the user's CLOSEST purchase in time,
+    either side, tie broken toward the earlier one. One shuffle on the
+    key serves both in-partition scans (ascending + descending window
+    over the same partitioning); the oracle is two native DuckDB ASOF
+    joins arbitrated by the same distance CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    purch = latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value"),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", "ts", "value")
+    return asof_join(views, purch, keys=["user_id"], ts="ts", how="left", direction="nearest")

@@ -113,3 +113,24 @@ def sort_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(c, "day", "left").select(
         "day", F.coalesce("n_signups", F.lit(0)).cast("bigint").alias("n_signups")
     )
+
+
+@query("sample_stratified")  # RNG differs across engines → rows-only check
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (`df.sampleBy`): per-stratum Bernoulli
+    fractions over c_mktsegment — downsample dominant classes while
+    keeping rare ones (the class-balancing step of a training-data
+    pipeline). Seeded for reproducibility within Spark; cross-engine
+    RNG differs, so the gate is rows-only (stratum proportions are
+    asserted in tests/test_plans.py within binomial tolerance)."""
+    c = load_table(spark, sf_dir, "customer")
+    fractions = {
+        "BUILDING": 0.2,
+        "AUTOMOBILE": 0.5,
+        "MACHINERY": 0.5,
+        "HOUSEHOLD": 0.8,
+        "FURNITURE": 1.0,
+    }
+    return c.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment"
+    )

@@ -154,7 +154,13 @@ def test_asof_join_matches_pandas_merge_asof_both_directions(spark, sf_dir):
     lp = views.toPandas().sort_values("ts").reset_index(drop=True)
     rp = purch.toPandas().sort_values("ts").reset_index(drop=True)
 
-    for direction, tol in [("backward", None), ("forward", None), ("forward", 7200)]:
+    for direction, tol in [
+        ("backward", None),
+        ("forward", None),
+        ("forward", 7200),
+        ("nearest", None),
+        ("nearest", 3600),
+    ]:
         got = asof_join(
             views, purch, keys=["user_id"], ts="ts",
             direction=direction, tolerance_seconds=tol,

@@ -68,3 +68,42 @@ def test_no_cartesian_in_theta_range_join(spark, sf_dir):
     plan = plan_of(join_theta_range(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    """sampleBy must honor per-stratum fractions (within a loose
+    binomial band) and never emit a stratum it wasn't given."""
+    from pyspark.sql import functions as F
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sorts import sample_stratified
+
+    base = {
+        r["c_mktsegment"]: r["n"]
+        for r in load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in sample_stratified(spark, sf_dir)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = {
+        "BUILDING": 0.2,
+        "AUTOMOBILE": 0.5,
+        "MACHINERY": 0.5,
+        "HOUSEHOLD": 0.8,
+        "FURNITURE": 1.0,
+    }
+    assert set(got) <= set(fractions)
+    for seg, p in fractions.items():
+        n = base.get(seg, 0)
+        if n == 0:
+            continue
+        k = got.get(seg, 0)
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(k - n * p) <= max(5 * sigma, 5), (seg, k, n, p)
