@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
 from etl_ch_destination_spark.queries._util import (
@@ -603,4 +604,105 @@ def agg_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(F.col("w.start").alias("ws"), "n_users", "n_events")
+    )
+
+
+@query(
+    "agg_corr_exact",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation WITHOUT the usual parallel-nondeterminism:
+    built-in `corr()` merges co-moments in partition order (ulp drift
+    across engines/partitionings), so this computes the five exact
+    decimal sums (order-insensitive) and applies the closed form in
+    IEEE once — bit-identical to the oracle and to itself under any
+    partitioning. The decimal products stay well under 38 digits for
+    the fixture domains (12,2 × 12,2 summed over ≤ 1e7 rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = money("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median_price
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (ClickHouse `quantileExactWeighted(0.5)`):
+    smallest price whose cumulative quantity-weight reaches half the
+    group total. The crossing test is `2·cumsum ≥ total` in EXACT
+    decimals — no division, no epsilon, so ties and partitioning cannot
+    move the answer (rows tied on price accumulate in any order without
+    changing the crossing value).
+
+    Plan: one shuffle on the group key; the running sum is a per-group
+    ordered window (frame = each return-flag class; at 100 TB weighted
+    quantiles over high-cardinality groups stay per-group-bounded, and
+    a global weighted median uses the same two-pass trick as the
+    bucketed global rank)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("decimal(12,2)")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(w_cum).alias("cw"),
+        F.sum(wq).over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
     )
