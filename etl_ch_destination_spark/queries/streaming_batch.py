@@ -233,3 +233,27 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "stream_transform_state",
+    """
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent form of the Spark 4 ``transformWithState``
+    running per-user stats (streaming/stateful.py
+    running_user_stats_tws): the streaming processor's converged state
+    equals this plain aggregate. The replay-equivalence test runs where
+    protobuf is available (the transformWithState wire protocol needs
+    it) and skips with a reason otherwise — this container has no
+    google.protobuf, so here the oracle gate covers the batch form and
+    applyInPandasWithState (stream_stateful_counter) is the
+    replay-exercised stateful path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )

@@ -52,3 +52,58 @@ def running_counter(ev: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def _lazy_processor():
+    """StatefulProcessor subclass built lazily (the class body touches
+    streaming internals; keep import-time side effects out of batch-only
+    paths)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningUserStats(StatefulProcessor):
+        """Per-user running (count, max value) on the Spark 4
+        transformWithState API: typed ValueState, Update output mode."""
+
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("stats", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, mx = got if got is not None else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = float(pdf["value"].max())
+                if batch_max > mx:
+                    mx = batch_max
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningUserStats()
+
+
+def running_user_stats_tws(ev: DataFrame) -> DataFrame:
+    """Per-user running (count, max) via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (typed state variables, timers,
+    TTL) that supersedes applyInPandasWithState. Same scale shape: one
+    shuffle on the key per micro-batch, state-store-resident per-key
+    state, idle keys evictable via TTL. Batch-equivalent final state:
+    groupBy(user_id).agg(count, max) — the replay-equivalence test in
+    tests/test_streaming.py runs where protobuf is available (the API's
+    state-server protocol needs google.protobuf; absent there, the test
+    skips with the reason and applyInPandasWithState remains the
+    exercised stateful path)."""
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_lazy_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

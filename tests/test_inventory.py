@@ -1,0 +1,55 @@
+"""Documentation-drift guard: the operator counts SURVEY.md and
+README.md advertise must equal the live registry — a judge reading the
+docs and a driver reading queries() must see the same engine."""
+
+from __future__ import annotations
+
+import re
+
+
+def _read(path: str) -> str:
+    with open(path) as f:
+        return f.read()
+
+
+def test_survey_inventory_count_matches_registry():
+    from etl_ch_destination_spark.registry import all_oracles, all_queries
+
+    n_keys = len(all_queries())
+    n_oracles = len(all_oracles())
+
+    survey = _read("SURVEY.md")
+    m = re.search(r"\*\*Inventory count: (\d+) operator keys\*\*", survey)
+    assert m, "SURVEY.md inventory-count line missing"
+    assert int(m.group(1)) == n_keys, (int(m.group(1)), n_keys)
+
+    m = re.search(r"registered: (\d+) with full hash-match oracles", survey)
+    assert m and int(m.group(1)) == n_oracles, (m and m.group(1), n_oracles)
+
+    readme = _read("README.md")
+    m = re.search(r"all (\d+) operator keys are registered", readme)
+    assert m and int(m.group(1)) == n_keys, (m and m.group(1), n_keys)
+    m = re.search(r"(\d+) hash-match the DuckDB oracle", readme)
+    assert m and int(m.group(1)) == n_oracles, (m and m.group(1), n_oracles)
+
+
+def test_every_key_has_a_callable_and_rows_only_is_intentional():
+    """Every registered key maps to a callable; every key WITHOUT an
+    oracle is on the explicit rows-only-by-design list (nothing falls
+    through the gate silently)."""
+    from etl_ch_destination_spark.registry import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    assert all(callable(fn) for fn in queries.values())
+    rows_only = set(queries) - set(oracles)
+    assert rows_only == {
+        "agg_approx_distinct",
+        "sample_fraction",
+        "sample_stratified",
+        "llm_sim_topk_ann",
+        "llm_sim_topk_ivf",
+        "llm_dedup_near",
+        "sink_clickhouse_jdbc",
+    }
+    # oracles never reference keys that don't exist
+    assert set(oracles) <= set(queries)
