@@ -226,3 +226,58 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+@query(
+    "llm_pii_scrub",
+    r"""
+    WITH staged AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR)
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw
+    FROM staged
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass of a training-data pipeline:
+    emails and phone-shaped spans replaced with typed placeholder
+    tokens, plus per-doc redaction counts for curation stats. The
+    synthetic corpus carries no PII, so the op first STAGES
+    deterministic PII (derived from doc_id) into each document and the
+    oracle stages the identical text — the gate then proves both
+    engines scrub the same spans. Patterns are dialect-portable
+    (character classes + bounded quantifiers, no lookaround: Java
+    regex on the Spark side, RE2-ish on DuckDB's).
+
+    Scale: pure per-row regexp_replace inside whole-stage codegen — no
+    shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    staged = d.select("doc_id", raw.alias("raw"))
+    return staged.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("raw", F.lit(email_re), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.length("raw").cast("bigint").alias("n_chars_raw"),
+    )

@@ -255,3 +255,32 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "win_cume_pct",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+             AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+             AS cume
+    FROM orders
+    """,
+)
+def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position windows: percent_rank ((rank−1)/(n−1)) and
+    cume_dist (rows ≤ current / n) of order value within each priority
+    class. Both depend only on VALUES, not tie order — deterministic
+    without a tiebreaker, unlike row_number. One shuffle on the
+    partition key; both functions share the same window frame so
+    Catalyst evaluates them in one Window operator."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
