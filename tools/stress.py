@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Scaling stress: replicate the sf0.1 fact table in-memory N× and
+measure how the headline plans scale with input size on fixed cores.
+
+This does NOT synthesize new fixture data for correctness gates — the
+oracle gate always runs on the driver's parquet. It answers one
+question the fixtures alone can't: *is wall-clock linear in rows for
+the shapes we claim are scan/shuffle-bound?* A plan with an accidental
+quadratic term (all-pairs join, unpartitioned sort) shows super-linear
+growth here long before a cluster run would.
+
+Replication: `explode(sequence(1, N))` per row with the copy index
+mixed into the join/group keys where uniqueness matters — row count
+scales exactly N×, key cardinality scales with it, value domains stay
+fixture-realistic.
+
+Usage: python tools/stress.py [--factors 1,10,30]
+Prints one JSON line: {"factor": {"q1": sec, "join_agg": sec, ...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df, n: int, key_cols: list[str]):
+    from pyspark.sql import functions as F
+
+    if n == 1:
+        return df
+    rep = df.withColumn("__copy", F.explode(F.sequence(F.lit(1), F.lit(n))))
+    # shift integral keys by copy index so cardinality scales too
+    out = rep
+    for k in key_cols:
+        out = out.withColumn(k, F.col(k) + F.col("__copy").cast("long") * F.lit(10_000_000))
+    return out.drop("__copy")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,10,30")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries._util import disc_price, dsum, money, one, rate
+    from etl_ch_destination_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_ch_destination_spark.catalog import parallelize_scan
+
+    # The fixture parquet is one row group = one scan split; a 100 TB
+    # table arrives in thousands of splits. Spread the scan so the
+    # measured slope reflects the multi-core plan, not the fixture's
+    # single-task scan stage (the repartition cost is included in every
+    # timing, so this is conservative).
+    li0 = parallelize_scan(load_table(spark, SF_DIR, "lineitem"), spark)
+    o0 = parallelize_scan(load_table(spark, SF_DIR, "orders"), spark)
+
+    def time_action(fn) -> float:
+        fn()  # warm-up
+        return round(statistics.median(_timed(fn) for _ in range(args.runs)), 3)
+
+    def _timed(fn) -> float:
+        t0 = time.monotonic()
+        fn()
+        return time.monotonic() - t0
+
+    results: dict[str, dict[str, float]] = {}
+    for n in factors:
+        li = replicate(li0, n, ["l_orderkey"])
+        o = replicate(o0, n, ["o_orderkey"])
+
+        def q1():
+            (
+                li.filter(F.col("l_shipdate") <= "2001-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    dsum(money("l_quantity"), "sum_qty"),
+                    dsum(disc_price(), "sum_disc_price"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.mode("overwrite").format("noop").save()
+            )
+
+        def join_agg():
+            (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(dsum(disc_price(), "revenue"), F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite").format("noop").save()
+            )
+
+        def topk():
+            (
+                li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+                .limit(10)
+                .write.mode("overwrite").format("noop").save()
+            )
+
+        results[str(n)] = {
+            "rows": li.count(),
+            "q1": time_action(q1),
+            "join_agg": time_action(join_agg),
+            "topk_global": time_action(topk),
+        }
+        spark.catalog.clearCache()
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
