@@ -330,3 +330,35 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum(money("o_totalprice"), "sum_price")
     )
+
+
+@query(
+    "job_batch_etl",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           1 AS n_batches
+    FROM (
+      SELECT * FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, event_id) AS rn
+        FROM events e
+      ) WHERE rn = 1
+    )
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def job_batch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end batch ETL composition (jobs/batch_etl.py): typed JSONL
+    extract → id-dedup → broadcast enrich → date-partitioned stamped
+    load → re-read verification report. The oracle computes the same
+    report straight from the source tables, so a hash match proves the
+    pipeline's load lost and duplicated NOTHING across the full
+    extract→load→re-read path (n_batches pins exactly one stamp)."""
+    from etl_ch_destination_spark.jobs.batch_etl import run_batch_etl
+
+    out = _scratch(sf_dir, "job_batch_etl")
+    rep = run_batch_etl(spark, sf_dir, out)
+    return rep.withColumn("n_batches", F.col("n_batches").cast("int"))

@@ -27,6 +27,7 @@ EFFECTFUL = {
     "llm_sim_topk_ivf",
     "llm_dedup_near",
     "llm_dedup_clusters",  # iterative CC: jobs run during construction
+    "job_batch_etl",  # end-to-end ETL: writes staged JSONL + sink
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

@@ -171,3 +171,21 @@ def test_partitioned_sink_reread_prunes_partitions(spark, sf_dir):
     # pruned scan reads only the one partition's rows
     expect = o.filter(F.date_format("o_orderdate", "yyyy-MM") == "1997-03").count()
     assert back.count() == expect > 0
+
+
+def test_batch_etl_job_rerun_is_idempotent(spark, sf_dir):
+    """Running the composed ETL job twice (fresh batch id the second
+    time) must overwrite, not append: the verification report is
+    identical and every partition carries exactly the latest stamp."""
+    from conftest import rows_set
+
+    from etl_ch_destination_spark.catalog import scratch_dir
+    from etl_ch_destination_spark.jobs.batch_etl import run_batch_etl
+
+    out = scratch_dir("test_batch_etl_rerun")
+    r1 = rows_set(run_batch_etl(spark, sf_dir, out, batch_id="b1"))
+    r2 = rows_set(run_batch_etl(spark, sf_dir, out, batch_id="b2"))
+    assert r1 == r2 and len(r1) > 0
+    back = spark.read.parquet(f"{out}/events_loaded")
+    stamps = [r["_batch_id"] for r in back.select("_batch_id").distinct().collect()]
+    assert stamps == ["b2"]
