@@ -706,3 +706,39 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median_price"))
     )
+
+
+@query(
+    "agg_mad_robust",
+    """
+    WITH med AS (
+      SELECT l_returnflag AS m_flag, quantile_cont(l_quantity, 0.5) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, med_qty,
+           quantile_cont(abs(l_quantity - med_qty), 0.5) AS mad_qty
+    FROM lineitem JOIN med ON l_returnflag = m_flag
+    GROUP BY l_returnflag, med_qty
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust spread statistic outlier
+    filters use where stddev is skew-poisoned. Two-pass shape: exact
+    per-group median (interpolation over the half-integer grid of
+    l_quantity is exact in double), broadcast the ≤3-row median table
+    back, then the median of absolute deviations. Same double-exact
+    interpolation argument as agg_quantiles, so both passes hash-match
+    the oracle. At 100 TB swap pass 1 for percentile_approx and keep
+    pass 2 exact over the residuals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("m_flag")).agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty")
+    )
+    return (
+        li.join(F.broadcast(med), li.l_returnflag == F.col("m_flag"))
+        .groupBy("l_returnflag", "med_qty")
+        .agg(
+            F.expr("percentile(abs(l_quantity - med_qty), 0.5)").alias("mad_qty")
+        )
+        .select("l_returnflag", "med_qty", "mad_qty")
+    )
