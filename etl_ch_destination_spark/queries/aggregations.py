@@ -610,18 +610,21 @@ def agg_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_exact",
     """
-    WITH s AS (
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS xc,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS yc
+      FROM lineitem
+    ),
+    s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(xc) AS DOUBLE) AS sx,
+             CAST(SUM(yc) AS DOUBLE) AS sy,
+             CAST(SUM(xc * yc) AS DOUBLE) AS sxy,
+             CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+             CAST(SUM(yc * yc) AS DOUBLE) AS syy
+      FROM cents GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
@@ -632,15 +635,25 @@ def agg_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation WITHOUT the usual parallel-nondeterminism:
     built-in `corr()` merges co-moments in partition order (ulp drift
-    across engines/partitionings), so this computes the five exact
-    decimal sums (order-insensitive) and applies the closed form in
-    IEEE once — bit-identical to the oracle and to itself under any
-    partitioning. The decimal products stay well under 38 digits for
-    the fixture domains (12,2 × 12,2 summed over ≤ 1e7 rows)."""
+    across engines/partitionings), so this computes five exact INTEGER
+    sums (order-insensitive) and applies the closed form in IEEE once —
+    bit-identical to the oracle and to itself under any partitioning.
+
+    Why integer CENTS (scale-0 decimals), not (12,2) decimals: casting
+    a scale-k decimal to double is value/10^k — once the integer part
+    exceeds 2^53 that is TWO roundings in DuckDB (int→double, then the
+    division) vs one correctly-rounded BigDecimal conversion in Spark,
+    and the engines can disagree by 1 ulp (observed at sf0.001).
+    Scale-0 sums make both engines do a single int→double conversion,
+    and correlation is invariant to the ×100 rescaling of both axes.
+    Sums stay under DECIMAL(38,0): (18,0)×(18,0) products summed over
+    ≤1e7 rows ≈ 1e21 ≪ 1e38."""
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(12,2)")
-    y = money("l_extendedprice")
-    s = li.groupBy("l_returnflag").agg(
+    xc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("decimal(18,0)")
+    yc = (money("l_extendedprice") * 100).cast("decimal(18,0)")
+    cents = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    x, y = F.col("xc"), F.col("yc")
+    s = cents.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
