@@ -129,6 +129,25 @@ ANNOTATIONS: dict[str, str] = {
         "(c_nationkey = s_nationkey) is a post-broadcast filter, not "
         "an extra shuffle."
     ),
+    "ts_interpolate": (
+        "Gap interpolation: the ordered windows run over the AGGREGATED "
+        "bucket spine (cardinality = span/width, not row count) — the "
+        "only unpartitioned windows allowed are bounded-by-construction "
+        "ones like this. The heavy stage is the bucket aggregate with "
+        "map-side partials."
+    ),
+    "dim_scd2_history": (
+        "SCD2 stitching: one union (no shuffle) + ONE windowed shuffle "
+        "on the dimension key; the lead() frame is bounded per key by "
+        "the number of versions. The change-detection aggregate shows "
+        "partial+final HashAggregate."
+    ),
+    "rpt_corpus_curation": (
+        "Composed LLM-pipeline report: content-hash dedup window (one "
+        "shuffle on a uniform 128-bit key), codegen'd string/array "
+        "scoring, then partial+final agg on the small (lang, source) "
+        "grid. No Python anywhere in the plan."
+    ),
     "rpt_waiting_orders": (
         "TPC-H Q21 shape: the 'late shipment' frame feeds both the "
         "driving side and the sole-blame `LeftAnti`; the multi-supplier "
