@@ -103,14 +103,16 @@ def asof_join(
         return F.last("__asof_rv", ignorenulls=True).over(w)
 
     def gap_of(m: F.Column, dirn: str) -> F.Column:
-        mts = m.getField(f"{prefix}{ts}").cast("long")
-        lts = F.col("__asof_ts").cast("long")
+        # exact µs gaps — cast-to-long truncates to whole seconds and
+        # mis-classifies matches within 1s of the tolerance boundary
+        mts = F.unix_micros(m.getField(f"{prefix}{ts}"))
+        lts = F.unix_micros(F.col("__asof_ts"))
         return (lts - mts) if dirn == "backward" else (mts - lts)
 
     def bounded(m: F.Column, dirn: str) -> F.Column:
         if tolerance_seconds is None:
             return m
-        return F.when(gap_of(m, dirn) <= F.lit(tolerance_seconds), m)
+        return F.when(gap_of(m, dirn) <= F.lit(tolerance_seconds * 1_000_000), m)
 
     if direction == "nearest":
         # both scans share ONE shuffle on the keys (same partitioning,

@@ -93,6 +93,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(w_next).alias("nv"),
         F.first(known_ws, ignorenulls=True).over(w_next).alias("nb"),
     )
+    # whole-second epoch is EXACT here: ws/pb/nb are 10-minute-aligned
+    # bucket starts (zero sub-second part), unlike raw event times
     ep = lambda c: F.unix_timestamp(F.col(c)).cast("double")  # noqa: E731
     frac = (ep("ws") - ep("pb")) / (ep("nb") - ep("pb"))
     interp = (

@@ -242,10 +242,12 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # strict <: an event exactly gap-after the previous one opens a NEW
     # session, matching session_window's exclusive end (asserted against
-    # the session_window op in tests/test_behavior.py)
+    # the session_window op in tests/test_behavior.py). µs precision:
+    # cast-to-long truncates to seconds and mis-buckets events within
+    # 1s of the 30-min boundary (bit the sf0.1 sweep).
     gap_ok = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ) < 30 * 60
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    ) < 30 * 60 * 1_000_000
     g = ev.withColumn(
         "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
     )
