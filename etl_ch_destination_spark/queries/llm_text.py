@@ -281,3 +281,45 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("raw", F.lit(email_re), F.lit(0))).cast("bigint").alias("n_emails"),
         F.length("raw").cast("bigint").alias("n_chars_raw"),
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS h
+      FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+      SELECT doc_id, md5(lower(trim(text))) AS content_hash
+      FROM documents WHERE doc_id >= 250
+    ),
+    novel AS (
+      SELECT doc_id, content_hash FROM batch
+      WHERE content_hash NOT IN (SELECT h FROM seen)
+    )
+    SELECT doc_id, content_hash FROM (
+      SELECT doc_id, content_hash,
+             ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM novel
+    ) WHERE rn = 1
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the CONTINUOUS-ingest form of llm_dedup_exact:
+    a new batch (doc_id ≥ 250 stands in for today's crawl) dedups
+    against the persisted hash index of everything already ingested
+    (doc_id < 250) WITHOUT rescanning old text — the index is
+    hash-only, orders of magnitude smaller than the corpus. Two
+    stages: anti join against the index (hash-partitioned, uniform
+    128-bit key), then first-wins within the batch. At 100 TB the
+    index lives as a bucketed table on the hash so the anti join is
+    shuffle-free against it, and each day appends its novel hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    seen = d.filter(F.col("doc_id") < 250).select(h.alias("h")).distinct()
+    batch = d.filter(F.col("doc_id") >= 250).select("doc_id", h.alias("content_hash"))
+    novel = batch.join(seen, batch.content_hash == seen.h, "left_anti")
+    return latest_by_key(novel, ["content_hash"], [F.asc("doc_id")]).select(
+        "doc_id", "content_hash"
+    )
