@@ -202,3 +202,33 @@ def json_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(payload).alias("payload"),
         (k + 1).alias("k_next"),
     )
+
+
+@query(
+    "arr_zip_explode",
+    """
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w5) + 1), x -> CAST(x AS BIGINT))) AS pos,
+           unnest(w5) AS word
+    FROM (
+      SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS w5
+      FROM documents
+    )
+    """,
+)
+def arr_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ARRAY JOIN (CH `ARRAY JOIN arr1, arr2`): two parallel
+    arrays unnested POSITIONALLY in lockstep — here each document's
+    first five words with their 1-based positions. `arrays_zip` +
+    one explode keeps it a single generator (never a cross product of
+    the two arrays); the oracle is DuckDB's parallel multi-unnest."""
+    d = load_table(spark, sf_dir, "documents")
+    w5 = F.slice(F.split("text", " "), 1, 5)
+    z = F.arrays_zip(
+        F.sequence(F.lit(1), F.size(w5)).cast("array<bigint>").alias("pos"),
+        w5.alias("word"),
+    )
+    return (
+        d.select("doc_id", F.explode(z).alias("zc"))
+        .select("doc_id", F.col("zc.pos").alias("pos"), F.col("zc.word").alias("word"))
+    )
