@@ -1,0 +1,169 @@
+"""Invariant gates for the round-2 session-2 additions that would
+otherwise be covered only by oracle parity: each key gets the one
+property that would break first if its implementation drifted."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_cume_pct_bounds_and_monotonicity(spark, sf_dir):
+    from etl_ch_destination_spark.queries.windows import win_cume_pct
+
+    df = win_cume_pct(spark, sf_dir).cache()
+    bad = df.filter(
+        (F.col("pct_rank") < 0) | (F.col("pct_rank") > 1)
+        | (F.col("cume") <= 0) | (F.col("cume") > 1)
+        | (F.col("cume") < F.col("pct_rank"))  # cume_dist ≥ percent_rank always
+    )
+    assert bad.count() == 0
+    # max order in each class closes the distribution at exactly 1.0
+    tops = df.groupBy("o_orderpriority").agg(F.max("cume").alias("m"))
+    assert all(r.m == 1.0 for r in tops.collect())
+    df.unpersist()
+
+
+def test_unpivot_melts_every_metric_once(spark, sf_dir):
+    from etl_ch_destination_spark.queries.aggregations import agg_unpivot
+
+    rows = agg_unpivot(spark, sf_dir).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.o_orderpriority, set()).add(r.metric)
+    assert all(v == {"n_orders", "sum_total"} for v in per_key.values())
+
+
+def test_corr_exact_in_range_and_stable_under_repartition(spark, sf_dir):
+    """|corr| ≤ 1, and the value is BIT-identical when the input
+    partitioning changes — the whole point of exact-sum correlation."""
+    from etl_ch_destination_spark.queries.aggregations import agg_corr_exact
+
+    base = {r.l_returnflag: r.corr_qty_price for r in agg_corr_exact(spark, sf_dir).collect()}
+    assert all(-1.0 <= v <= 1.0 for v in base.values())
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = {
+            r.l_returnflag: r.corr_qty_price for r in agg_corr_exact(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == again  # exact equality, not approx
+
+
+def test_weighted_median_is_a_crossing_point(spark, sf_dir):
+    """At the reported median price, cumulative weight must reach half
+    the total, and strictly-below prices must not."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations import agg_weighted_median
+
+    med = {r.l_returnflag: r.weighted_median_price
+           for r in agg_weighted_median(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    for flag, m in med.items():
+        grp = li.filter(F.col("l_returnflag") == flag)
+        tot = grp.agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))).collect()[0][0]
+        at = grp.filter(F.col("l_extendedprice") <= m).agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        ).collect()[0][0]
+        below = grp.filter(F.col("l_extendedprice") < m).agg(
+            F.coalesce(F.sum(F.col("l_quantity").cast("decimal(12,2)")), F.lit(0))
+        ).collect()[0][0]
+        assert 2 * at >= tot
+        assert 2 * below < tot
+
+
+def test_mad_nonnegative_and_bounded_by_range(spark, sf_dir):
+    from etl_ch_destination_spark.queries.aggregations import agg_mad_robust
+
+    for r in agg_mad_robust(spark, sf_dir).collect():
+        assert 0 <= r.mad_qty <= 50  # l_quantity domain is [1, 50]
+
+
+def test_url_funcs_components_reassemble(spark, sf_dir):
+    from etl_ch_destination_spark.queries.scalars_string import url_funcs
+
+    rows = url_funcs(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.proto == "https"
+        assert r.host.endswith(".example.com")
+        assert r.path == f"/docs/{r.doc_id}"
+        assert r.lang_param  # query param extracted non-empty
+
+
+def test_arrow_batch_udf_matches_builtin(spark, sf_dir):
+    """mapInArrow result must equal the pure-JVM expression form."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.udfs import udf_arrow_batch
+
+    got = {r.event_id: (r.value_bucket, r.abs_value)
+           for r in udf_arrow_batch(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_id: (r.vb, r.av)
+        for r in ev.select(
+            "event_id",
+            F.floor(F.col("value") / 10.0).cast("int").alias("vb"),
+            F.abs("value").alias("av"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pii_scrub_leaves_no_pii(spark, sf_dir):
+    from etl_ch_destination_spark.queries.llm_text import llm_pii_scrub
+
+    df = llm_pii_scrub(spark, sf_dir)
+    leaked = df.filter(
+        F.col("scrubbed").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    )
+    assert leaked.count() == 0
+    assert df.filter(~F.col("scrubbed").contains("<EMAIL>")).count() == 0
+
+
+def test_incremental_dedup_disjoint_from_index_and_first_wins(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_text import llm_dedup_incremental
+
+    out = llm_dedup_incremental(spark, sf_dir).cache()
+    assert out.filter(F.col("doc_id") < 250).count() == 0  # batch rows only
+    # one survivor per content hash
+    assert out.groupBy("content_hash").count().filter("count > 1").count() == 0
+    # no survivor's hash exists in the seen index
+    d = load_table(spark, sf_dir, "documents")
+    seen = (
+        d.filter(F.col("doc_id") < 250)
+        .select(F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("content_hash"))
+        .distinct()
+    )
+    assert out.join(seen, "content_hash", "inner").count() == 0
+    out.unpersist()
+
+
+def test_zip_explode_positions_are_dense(spark, sf_dir):
+    from etl_ch_destination_spark.queries.scalars_complex import arr_zip_explode
+
+    df = arr_zip_explode(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    )
+    bad = per_doc.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+    assert bad.count() == 0
+
+
+def test_batch_etl_report_matches_source_totals(spark, sf_dir):
+    """The ETL verification report's global totals equal the source's
+    (enriched) totals — nothing lost or duplicated end to end."""
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+    from etl_ch_destination_spark.jobs.batch_etl import run_batch_etl
+
+    rep = run_batch_etl(spark, sf_dir, scratch_dir("test_batch_etl_totals"))
+    got = rep.agg(F.sum("n_events")).collect()[0][0]
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    want = ev.join(c, "user_id").count()
+    assert got == want
