@@ -755,3 +755,38 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "med_qty", "mad_qty")
     )
+
+
+@query(
+    "agg_histogram",
+    """
+    SELECT CAST(FLOOR(l_extendedprice / 12000.0) AS INT) AS bucket,
+           CAST(CAST(FLOOR(l_extendedprice / 12000.0) AS INT) * 12000.0 AS DOUBLE)
+             AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (CH `histogram()` fixed-bin form): price
+    bucketed into 12k-wide bins with per-bin counts and quantity
+    totals. The bin id is a pure projection, so this is an ordinary
+    partial+final agg with |bins| cardinality — the constant-memory way
+    to sketch a distribution at 100 TB (vs exact quantiles' sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 12000.0).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity").cast("decimal(12,2)"), "sum_qty"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 12000.0).alias("bucket_lo"),
+            "n",
+            "sum_qty",
+        )
+    )

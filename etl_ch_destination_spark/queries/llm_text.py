@@ -323,3 +323,46 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(novel, ["content_hash"], [F.asc("doc_id")]).select(
         "doc_id", "content_hash"
     )
+
+
+@query(
+    "llm_sequence_pack",
+    """
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-construction step of a pretraining
+    pipeline: documents are assigned to fixed-token-budget packs (2048
+    tokens) by cumulative token count within their source shard, each
+    doc joining the pack where it STARTS (the trainer then splits
+    stragglers; assignment is the distributed part).
+
+    Plan: the running sum partitions by ``source`` — the per-shard
+    cumsum a real corpus uses — so the window is partitioned, never a
+    global single-task scan; one shuffle total."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 2048.0).cast("bigint").alias("pack_id"),
+    )
