@@ -1,25 +1,79 @@
 """Near-duplicate detection: MinHash + LSH banding (SURVEY §2.10
 `llm_dedup_near`; north-star "dedup").
 
-Pipeline (all MLlib, JVM-side): whitespace tokenize → word n-gram
-shingles → binary HashingTF (shingle set → sparse indicator vector) →
-MinHashLSH with pinned seed → `approxSimilarityJoin` on Jaccard
-distance.
+Pure-DataFrame pipeline (whole-stage codegen end to end — no MLlib,
+no UDFs, no persisted intermediates):
 
-Scale (100 TB): the LSH banding join generates CANDIDATE PAIRS ONLY —
-documents sharing at least one minhash band bucket — never the all-
-pairs cross product. Shuffle volume is bounded by bucket collision
-counts; skewed buckets (boilerplate shingles) are split by AQE.
-Determinism: seed pinned; recall on planted duplicates asserted in
-tests/test_llm.py.
+  split → word n-gram shingles → md5-derived 28-bit shingle hashes
+  (set semantics) → H universal-hash permutations, min per permutation
+  (the MinHash signature) → posexplode the signature into (table,
+  minhash) band keys → self equi-join on the band key → exact Jaccard
+  on the hashed shingle sets → threshold filter.
+
+Scale (100 TB): the band equi-join generates CANDIDATE PAIRS ONLY —
+documents agreeing on at least one of the H minhash values — never the
+all-pairs cross product; shuffle volume is bounded by band-bucket
+collision counts and skewed buckets (boilerplate-heavy docs) are split
+by AQE. The featurize chain is a narrow codegen stage re-evaluated per
+branch instead of cached: at 100 TB you'd checkpoint `hs` to a staging
+table, but the plan shape (featurize once per branch, join candidates
+only) is unchanged and nothing holds executor memory between stages.
+
+Determinism + oracle: every step is exact integer / IEEE-double math on
+md5-derived hashes, so DuckDB reproduces the full pipeline bit for bit
+(see queries/llm_vectors.py `llm_dedup_near` oracle SQL) — this op is
+hash-checked against the oracle, not rows-only. Recall on planted
+duplicates is additionally asserted in tests/test_llm.py: a pair with
+true Jaccard similarity s survives banding with prob 1 − (1 − s)^H
+(H=5 ⇒ 0.97 at s=0.5, ≈1 at s≥0.8).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-NUM_FEATURES = 1 << 18
+# Mersenne prime 2^31 − 1: permutation modulus. Shingle hashes are 28
+# bits (7 hex chars of md5), coefficients < 2^31, so a*h + b < 2^59 —
+# exact in int64 in both Spark and DuckDB (no overflow divergence).
+MINHASH_PRIME = 2147483647
+HASH_HEX_CHARS = 7  # 28-bit shingle hashes
+
+
+def perm_params(num_hash_tables: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the H minhash permutations
+    h_j(x) = (a_j·x + b_j) mod P. Shared by the Spark pipeline and the
+    DuckDB oracle SQL so both engines compute identical signatures."""
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hash_tables)
+    ]
+
+
+def shingle_hashes(text: Column, shingle_len: int) -> Column:
+    """Distinct md5-derived 28-bit hashes of the word ``shingle_len``-
+    grams of ``text`` (split on single spaces — the fixture tokenizer
+    shared with the simhash/ngram keys). Set semantics: Jaccard is
+    computed on these hash sets."""
+    toks = F.split(text, " ")
+    grams = F.when(
+        F.size(toks) >= shingle_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (shingle_len - 1)),
+            lambda i: F.array_join(F.slice(toks, i, shingle_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(
+        F.transform(
+            grams,
+            lambda s: F.conv(F.substring(F.md5(s), 1, HASH_HEX_CHARS), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
 
 
 def near_duplicate_pairs(
@@ -31,50 +85,58 @@ def near_duplicate_pairs(
     max_jaccard_distance: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) with their estimated
-    Jaccard distance. ``max_jaccard_distance`` = 1 − minimum similarity.
+    """Candidate near-duplicate pairs (id_a < id_b) with their exact
+    Jaccard distance over hashed shingle sets.
+    ``max_jaccard_distance`` = 1 − minimum similarity.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
-
     from etl_ch_destination_spark.catalog import parallelize_scan
 
-    # One-split fixture scan would run the whole tokenize→shingle→TF
-    # chain on a single task; no-op at real scale (many splits).
+    # One-split fixture scan would run the whole md5/HOF chain on a
+    # single task; repartition the RAW text (before the hash chain is
+    # projected) so the compute lands after the exchange, spread across
+    # tasks. No-op at real scale (many splits), and the identical
+    # exchange subtree is deduplicated by ReuseExchange across the four
+    # branches below.
     base = parallelize_scan(
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
         docs.sparkSession,
     )
-    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(base)
-    shingled = NGram(n=shingle_len, inputCol="tokens", outputCol="shingles").transform(tokens)
-    # binary=True: shingle SET semantics (Jaccard is set-based)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=NUM_FEATURES, binary=True
+    feat = base.select(
+        "id", shingle_hashes(F.col("text"), shingle_len).alias("hs")
+    ).filter(F.size("hs") > 0)
+
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("hs", lambda h: F.pmod(a * h + b, F.lit(MINHASH_PRIME)))
+            )
+            for (a, b) in perm_params(num_hash_tables, seed)
+        ]
     )
-    # Cache the featurized frame: it is read 3× (LSH fit, and BOTH
-    # sides of the self approxSimilarityJoin) — without the cache the
-    # tokenize/shingle/hash chain recomputes each time. At 100 TB this
-    # becomes persist(DISK_ONLY) or a checkpoint to a staging table;
-    # the shape (featurize once, join candidates only) is the same.
-    feat = (
-        tf.transform(shingled)
-        .filter(F.col("shingles") != F.array())
-        .select("id", "features")
-        .persist()
-    )
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="jaccard_dist")
-    # NOTE: feat stays persisted until the session evicts it (LRU) —
-    # unpersisting here would drop the cache before the returned lazy
-    # plan ever runs. Callers owning the lifecycle can unpersist after
-    # materializing.
-    return (
-        pairs.select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.col("jaccard_dist"),
+    bands = feat.select("id", F.posexplode(sig).alias("band", "mh"))
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            [F.col("x.band") == F.col("y.band"), F.col("x.mh") == F.col("y.mh")],
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()  # a pair may collide in several bands
+    )
+
+    fa = feat.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    fb = feat.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "jaccard_dist",
+            F.lit(1.0) - inter.cast("double") / union.cast("double"),
+        )
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
+        .select("id_a", "id_b", "jaccard_dist")
     )

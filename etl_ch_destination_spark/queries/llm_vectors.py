@@ -21,7 +21,12 @@ from etl_ch_destination_spark.ops.multimodal import (
     sample_frames,
     synthesize_binary,
 )
-from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
+from etl_ch_destination_spark.ops.neardup import (
+    HASH_HEX_CHARS,
+    MINHASH_PRIME,
+    near_duplicate_pairs,
+    perm_params,
+)
 from etl_ch_destination_spark.ops.similarity import ann_topk, brute_force_topk, ivf_topk
 from etl_ch_destination_spark.registry import query
 
@@ -86,12 +91,50 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=TOPK)
 
 
-@query("llm_dedup_near")  # approximate — rows-only; recall gate in tests/test_llm.py
+_NEARDUP_PERMS = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(perm_params(5, 42))
+)
+
+
+@query(
+    "llm_dedup_near",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_transform(range(1, len(toks) - 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+               s -> CAST(('0x' || substr(md5(s), 1, {HASH_HEX_CHARS})) AS BIGINT))) AS hs
+      FROM w WHERE len(toks) >= 3
+    ),
+    b AS (
+      SELECT doc_id, p.j,
+             list_min(list_transform(hs, h -> (p.a * h + p.b) % {MINHASH_PRIME})) AS mh
+      FROM f CROSS JOIN (VALUES {_NEARDUP_PERMS}) AS p(j, a, b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM b x JOIN b y ON x.j = y.j AND x.mh = y.mh AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, jaccard_dist FROM (
+      SELECT id_a, id_b,
+             1.0 - CAST(len(list_intersect(fa.hs, fb.hs)) AS DOUBLE)
+                 / CAST(len(fa.hs) + len(fb.hs)
+                        - len(list_intersect(fa.hs, fb.hs)) AS DOUBLE) AS jaccard_dist
+      FROM cand JOIN f fa ON cand.id_a = fa.doc_id
+                JOIN f fb ON cand.id_b = fb.doc_id
+    ) WHERE jaccard_dist <= 0.8
+    """,
+)
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash+LSH banding
-    (ops/neardup.near_duplicate_pairs): word-trigram shingles, 5 hash
-    tables, Jaccard distance ≤ 0.8, pinned seed. Planted-duplicate
-    recall asserted in tests/test_llm.py."""
+    (ops/neardup.near_duplicate_pairs): word-trigram shingles hashed to
+    md5-derived 28-bit values, 5 universal-hash permutations, band
+    equi-join, exact hashed-set Jaccard ≤ 0.8, pinned seed. The whole
+    pipeline is exact integer/IEEE math, so the DuckDB oracle replays
+    it bit for bit — full hash gate, no longer rows-only. Planted-
+    duplicate recall additionally asserted in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents")
     pairs = near_duplicate_pairs(d, max_jaccard_distance=0.8)
     return pairs.select("id_a", "id_b", "jaccard_dist")

@@ -48,7 +48,6 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
         "sample_stratified",
         "llm_sim_topk_ann",
         "llm_sim_topk_ivf",
-        "llm_dedup_near",
         "sink_clickhouse_jdbc",
     }
     # oracles never reference keys that don't exist

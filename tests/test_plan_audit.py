@@ -33,15 +33,16 @@ EFFECTFUL = {
 # Bounded-by-construction nested-loop joins, each documented in its
 # module docstring:
 #   join_cross          — 25 × 5 dimension product
-#   llm_dedup_embedding — exact all-pairs oracle baseline (LSH at scale)
 #   llm_sim_topk_exact  — broadcast query side × streamed candidates
 #                         (the intended few-queries scan pattern)
 #   rpt_idle_customers, rpt_nation_inventory_value — scalar threshold
 #                         joined as a 1-row broadcast (condition-free
 #                         by design)
+# (llm_dedup_embedding left this list in round 3: it now plans a
+# blocked composite-key EQUI-join — the audit holds it to the fleet
+# no-NLJ rule like everything else.)
 ALLOWED_NLJ = {
     "join_cross",
-    "llm_dedup_embedding",
     "llm_sim_topk_exact",
     "rpt_idle_customers",
     "rpt_nation_inventory_value",
