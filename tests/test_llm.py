@@ -66,7 +66,6 @@ def test_near_dedup_finds_planted_near_duplicates(spark, sf_dir):
 
 def test_multimodal_features_match_reference(spark, sf_dir):
     from etl_ch_destination_spark.ops.multimodal import (
-        decode_image,
         extract_features,
         synthesize_binary,
     )
@@ -79,40 +78,80 @@ def test_multimodal_features_match_reference(spark, sf_dir):
         assert f["n_bytes"] == len(raw)
         assert f["first_byte"] == raw[0]
         assert f["content_md5"] == hashlib.md5(raw).hexdigest()
+
+
+def test_ppm_codec_roundtrip_and_decode_rejects_garbage():
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    from etl_ch_destination_spark.ops.imaging import ppm_decode, ppm_encode
+    from etl_ch_destination_spark.ops.multimodal import decode_image
+
+    pixels = bytes(range(2 * 3 * 3)) * 1  # 2x3 RGB
+    payload = ppm_encode(2, 3, pixels)
+    assert payload.startswith(b"P6\n2 3\n255\n")
+    assert ppm_decode(payload) == (2, 3, pixels)
+    assert decode_image(payload) == (2, 3, pixels)  # real decoder, no stub
+    with pytest.raises(ValueError):
+        ppm_decode(b"\x89PNG....")
 
 
-def test_multimodal_resize_payload_roundtrip(spark, sf_dir):
-    from etl_ch_destination_spark.ops.multimodal import resize_image, synthesize_binary
+def _reference_resize(pixels: bytes, w: int, h: int, W: int, H: int) -> bytes:
+    """Independent pure-Python nearest-neighbor resampler (no numpy)."""
+    out = bytearray()
+    for y in range(H):
+        sy = (y * h) // H
+        for x in range(W):
+            sx = (x * w) // W
+            base = (sy * w + sx) * 3
+            out += pixels[base : base + 3]
+    return bytes(out)
+
+
+def test_multimodal_resize_is_pixel_exact(spark, sf_dir):
+    from etl_ch_destination_spark.ops.imaging import cycle_bytes, ppm_decode
+    from etl_ch_destination_spark.ops.multimodal import (
+        resize_image,
+        synthesize_image,
+    )
 
     docs = _documents(spark, sf_dir).limit(20)
+    imgs = {r["doc_id"]: bytes(r["content"])
+            for r in synthesize_image(docs).collect()}
     out = {r["doc_id"]: r for r in
-           resize_image(synthesize_binary(docs), 32, 16).collect()}
+           resize_image(synthesize_image(docs), 32, 16).collect()}
     for r in docs.collect():
         raw = r["text"].encode("utf-8")
+        w, h = 16 + len(raw) % 17, 16 + len(raw) % 13
+        dw, dh, pixels = ppm_decode(imgs[r["doc_id"]])
+        assert (dw, dh) == (w, h)
+        assert pixels == cycle_bytes(raw, w * h * 3)
         got = out[r["doc_id"]]
-        reps = -(-(32 * 16) // len(raw))
-        assert bytes(got["content"]) == (raw * reps)[: 32 * 16]
+        assert bytes(got["content"]) == _reference_resize(pixels, w, h, 32, 16)
         assert (got["width"], got["height"]) == (32, 16)
-        assert got["orig_bytes"] == len(raw)
+        assert got["orig_bytes"] == len(imgs[r["doc_id"]])
 
 
-def test_multimodal_frame_sampling_roundtrip(spark, sf_dir):
-    from etl_ch_destination_spark.ops.multimodal import sample_frames, synthesize_binary
+def test_multimodal_frame_sampling_demuxes_real_frames(spark, sf_dir):
+    from etl_ch_destination_spark.ops.imaging import cycle_bytes
+    from etl_ch_destination_spark.ops.multimodal import (
+        sample_frames,
+        synthesize_video,
+    )
 
     docs = _documents(spark, sf_dir).limit(20)
-    frames = sample_frames(synthesize_binary(docs), frame_bytes=64, every_nth=10)
+    frames = sample_frames(synthesize_video(docs), every_nth=2)
     got = {}
     for r in frames.collect():
-        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = (
+            bytes(r["frame"]), r["width"], r["height"]
+        )
     for r in docs.collect():
         raw = r["text"].encode("utf-8")
+        w, h, n = 8 + len(raw) % 9, 8 + len(raw) % 7, 4 + len(raw) % 5
+        fb = w * h * 3
+        stream = cycle_bytes(raw, fb * n)
         expected = {
-            i: raw[i * 64 : (i + 1) * 64]
-            for i in range(0, len(raw) // 64, 10)
+            i: (stream[i * fb : (i + 1) * fb], w, h) for i in range(0, n, 2)
         }
         assert got.get(r["doc_id"], {}) == expected
 
