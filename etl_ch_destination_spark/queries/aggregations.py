@@ -548,6 +548,37 @@ def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_sketch_state")  # approximate — rows-only; tolerance gate in tests
+def agg_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-SKETCH state — the ClickHouse ``uniqState`` /
+    ``uniqMerge`` counterpart that `agg_state_merge` (exact moments)
+    doesn't cover: per-shard Apache DataSketches HLL partials
+    (`hll_sketch_agg`, a binary, persistable column), merged across
+    shards with `hll_union_agg`, finalized with `hll_sketch_estimate`.
+
+    Unlike exact count-distinct, the partial state is CONSTANT-SIZE
+    (~KB per group-shard regardless of cardinality) and closed under
+    union — so shards/batches/days can be aggregated independently,
+    persisted, and rolled up later, which is exactly how a CH
+    materialized view maintains `uniqState` columns. Scale: the merge
+    shuffles |keys|×|shards| kilobyte sketches, never user ids.
+
+    Rows-only in the driver gate (estimates are approximate by
+    construction, and DuckDB's approx_count_distinct uses a different
+    sketch); tests/test_aggregations.py gates the estimate within 5%
+    of exact and proves the parquet persist→reload→merge round-trip
+    equals the single-pass estimate."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = (
+        ev.withColumn("__shard", F.to_date("ts"))
+        .groupBy("event_type", "__shard")
+        .agg(F.hll_sketch_agg("user_id").alias("__sketch"))
+    )
+    return partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sketch")).alias("approx_users")
+    )
+
+
 @query(
     "agg_unpivot",
     """

@@ -97,9 +97,12 @@ def ddl_for(
     order_by: list[str],
     engine: str = "MergeTree",
     partition_by: str | None = None,
+    ttl: str | None = None,
+    settings: dict[str, str] | None = None,
 ) -> str:
     """CREATE TABLE DDL for a Spark schema. ORDER BY columns are never
-    Nullable (MergeTree key constraint)."""
+    Nullable (MergeTree key constraint); optional PARTITION BY / TTL /
+    SETTINGS clauses follow ClickHouse's documented clause order."""
     key = set(order_by)
     cols = ",\n  ".join(
         f"`{f.name}` {ch_type(f.dataType, f.nullable and f.name not in key)}"
@@ -109,7 +112,145 @@ def ddl_for(
     if partition_by:
         ddl += f"\nPARTITION BY {partition_by}"
     ddl += "\nORDER BY (" + ", ".join(f"`{c}`" for c in order_by) + ")"
+    if ttl:
+        ddl += f"\nTTL {ttl}"
+    if settings:
+        ddl += "\nSETTINGS " + ", ".join(f"{k} = {v}" for k, v in settings.items())
     return ddl
+
+
+# MergeTree layout for every fixture table (SURVEY §1.1 schemas):
+# ORDER BY = the dominant filter/join key prefix; PARTITION BY = the
+# natural time-pruning column where one exists; TTL on the mutable
+# event stream. At 100 TB these choices drive partition pruning and
+# part-merge behavior — they are the ClickHouse analog of the repo's
+# Spark-side partitioned-parquet layout (sink_parquet_partitioned).
+FIXTURE_TABLE_SPECS: dict[str, dict] = {
+    "region": {"order_by": ["r_regionkey"]},
+    "nation": {"order_by": ["n_nationkey"]},
+    "customer": {"order_by": ["c_custkey"]},
+    "supplier": {"order_by": ["s_suppkey"]},
+    "part": {"order_by": ["p_partkey"]},
+    "orders": {
+        "order_by": ["o_custkey", "o_orderkey"],
+        "partition_by": "toYYYYMM(`o_orderdate`)",
+    },
+    "lineitem": {
+        "order_by": ["l_orderkey", "l_linenumber"],
+        "partition_by": "toYYYYMM(`l_shipdate`)",
+    },
+    "events": {
+        "order_by": ["user_id", "ts"],
+        "partition_by": "toYYYYMM(`ts`)",
+        "ttl": "`ts` + INTERVAL 180 DAY",
+    },
+    "documents": {"order_by": ["doc_id"]},
+    "embeddings": {"order_by": ["vec_id"]},
+}
+
+
+def fixture_ddl(table: str) -> str:
+    """MergeTree DDL for a fixture table from its measured Spark schema
+    + the spec above (golden-file-tested in tests/test_sinks.py)."""
+    from etl_ch_destination_spark.schemas import TABLE_SCHEMAS
+
+    spec = FIXTURE_TABLE_SPECS[table]
+    schema = TABLE_SCHEMAS[table]
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    return ddl_for(
+        schema,
+        table,
+        spec["order_by"],
+        partition_by=spec.get("partition_by"),
+        ttl=spec.get("ttl"),
+    )
+
+
+def dedup_token(table: str, batch_id: str, block_index: int = 0) -> str:
+    """Deterministic `insert_deduplication_token` for a (table, batch,
+    block) triple. ClickHouse drops an insert whose token it has seen
+    in the dedup window, so a crashed-and-retried writer re-sending the
+    same logical block is a no-op server-side — exactly-once delivery
+    without transactions. The token must be stable across retries
+    (derive from logical identity, never from wall-clock)."""
+    import hashlib
+
+    raw = f"{table}\x00{batch_id}\x00{block_index}".encode()
+    return hashlib.sha256(raw).hexdigest()[:32]
+
+
+def insert_sql(
+    table: str,
+    columns: list[str],
+    token: str | None = None,
+    extra_settings: dict[str, str] | None = None,
+) -> str:
+    """INSERT statement head with a SETTINGS clause (token + overrides)
+    — the SQL a token-aware writer issues per block; JDBC's plain
+    batched INSERT path cannot carry per-insert settings, so the token
+    path goes through `insert_sql` + raw statement execution."""
+    settings = {}
+    if token:
+        settings["insert_deduplication_token"] = f"'{token}'"
+    settings.update(extra_settings or {})
+    head = f"INSERT INTO {table} (" + ", ".join(f"`{c}`" for c in columns) + ")"
+    if settings:
+        head += "\nSETTINGS " + ", ".join(f"{k} = {v}" for k, v in settings.items())
+    return head + "\nFORMAT RowBinary"
+
+
+# Static per-type row-size estimate (bytes, uncompressed insert block).
+_TYPE_BYTES: list[tuple[type, int]] = [
+    (ByteType, 1), (ShortType, 2), (IntegerType, 4), (BooleanType, 1),
+    (LongType, 8), (FloatType, 4), (DoubleType, 8), (DateType, 4),
+    (TimestampType, 8), (DecimalType, 16),
+]
+_VAR_TYPE_DEFAULT = 48  # strings/binaries: conservative average
+
+
+def estimate_row_bytes(schema: StructType) -> int:
+    """Schema-static estimate of uncompressed bytes per row (arrays/
+    maps assume ~8 elements of their value type)."""
+
+    def one(dt: DataType) -> int:
+        for t, n in _TYPE_BYTES:
+            if isinstance(dt, t):
+                return n
+        if isinstance(dt, ArrayType):
+            return 8 * one(dt.elementType)
+        if isinstance(dt, MapType):
+            return 8 * (one(dt.keyType) + one(dt.valueType))
+        if isinstance(dt, StructType):
+            return sum(one(f.dataType) for f in dt.fields)
+        return _VAR_TYPE_DEFAULT
+
+    return max(1, sum(one(f.dataType) for f in schema.fields))
+
+
+def plan_insert_blocks(
+    row_count: int, row_bytes: int, max_block_bytes: int = 256 << 20
+) -> tuple[int, int]:
+    """(n_blocks, rows_per_block) so no insert block exceeds
+    ``max_block_bytes`` uncompressed. Pure arithmetic — callers supply
+    the row count they already know (or pay one count() job)."""
+    rows_per_block = max(1, max_block_bytes // max(1, row_bytes))
+    n_blocks = max(1, -(-row_count // rows_per_block))
+    return n_blocks, rows_per_block
+
+
+def repartition_for_blocks(
+    df: DataFrame, row_count: int, max_block_bytes: int = 256 << 20
+) -> tuple[DataFrame, int]:
+    """Repartition so each partition's rows fit one insert block
+    (one JDBC connection writes one block per partition batch). Returns
+    (df, n_blocks). An oversized batch thus becomes several
+    independently-retryable, independently-tokenized blocks instead of
+    one giant insert the server would reject (max_insert_block_size)."""
+    n_blocks, _ = plan_insert_blocks(
+        row_count, estimate_row_bytes(df.schema), max_block_bytes
+    )
+    return df.repartition(n_blocks), n_blocks
 
 
 def jdbc_writer(

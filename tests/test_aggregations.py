@@ -134,3 +134,40 @@ def test_state_merge_equals_direct_aggregation(spark, sf_dir):
         .collect()
     }
     assert merged == direct
+
+
+def test_sketch_state_estimate_within_tolerance_and_merges_from_disk(
+    spark, sf_dir, tmp_path
+):
+    """agg_sketch_state gates: (a) HLL estimate within 5% of exact
+    per-group distinct counts; (b) sketch partials survive a parquet
+    persist→reload→merge round-trip with the identical estimate —
+    the property that makes the state MERGEABLE (CH uniqState)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations import agg_sketch_state
+
+    est = {r["event_type"]: r["approx_users"]
+           for r in agg_sketch_state(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+                       .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(1, 0.05 * n), (k, est[k], n)
+
+    partials = (
+        ev.withColumn("__shard", F.to_date("ts"))
+        .groupBy("event_type", "__shard")
+        .agg(F.hll_sketch_agg("user_id").alias("__sketch"))
+    )
+    path = str(tmp_path / "sketch_partials")
+    partials.write.mode("overwrite").parquet(path)  # binary state column
+    merged_from_disk = {
+        r["event_type"]: r["approx_users"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sketch")).alias("approx_users"))
+        .collect()
+    }
+    assert merged_from_disk == est

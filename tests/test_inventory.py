@@ -44,6 +44,7 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
     rows_only = set(queries) - set(oracles)
     assert rows_only == {
         "agg_approx_distinct",
+        "agg_sketch_state",
         "sample_fraction",
         "sample_stratified",
         "llm_sim_topk_ann",

@@ -189,3 +189,84 @@ def test_batch_etl_job_rerun_is_idempotent(spark, sf_dir):
     back = spark.read.parquet(f"{out}/events_loaded")
     stamps = [r["_batch_id"] for r in back.select("_batch_id").distinct().collect()]
     assert stamps == ["b2"]
+
+
+def test_fixture_ddl_golden_events(spark):
+    """Golden DDL: PARTITION BY / ORDER BY / TTL clause order and
+    content for the mutable event stream."""
+    from etl_ch_destination_spark.sink.clickhouse import fixture_ddl
+
+    assert fixture_ddl("events") == (
+        "CREATE TABLE IF NOT EXISTS events (\n"
+        "  `event_id` Nullable(Int64),\n"
+        "  `ts` DateTime64(6),\n"
+        "  `user_id` Int64,\n"
+        "  `event_type` Nullable(String),\n"
+        "  `value` Nullable(Float64),\n"
+        "  `props` Nullable(String)\n"
+        ") ENGINE = MergeTree()\n"
+        "PARTITION BY toYYYYMM(`ts`)\n"
+        "ORDER BY (`user_id`, `ts`)\n"
+        "TTL `ts` + INTERVAL 180 DAY"
+    )
+
+
+def test_fixture_ddl_covers_every_table(spark):
+    from etl_ch_destination_spark.schemas import TABLES
+    from etl_ch_destination_spark.sink.clickhouse import (
+        FIXTURE_TABLE_SPECS,
+        fixture_ddl,
+    )
+
+    assert set(FIXTURE_TABLE_SPECS) == set(TABLES)
+    for t in TABLES:
+        ddl = fixture_ddl(t)
+        assert ddl.startswith(f"CREATE TABLE IF NOT EXISTS {t} (")
+        assert "ORDER BY (" in ddl
+        # MergeTree key columns are never Nullable
+        for c in FIXTURE_TABLE_SPECS[t]["order_by"]:
+            assert f"`{c}` Nullable(" not in ddl
+
+
+def test_dedup_token_is_stable_and_block_scoped():
+    from etl_ch_destination_spark.sink.clickhouse import dedup_token
+
+    a = dedup_token("orders", "batch-0007", 0)
+    assert a == dedup_token("orders", "batch-0007", 0)  # retry-stable
+    assert a != dedup_token("orders", "batch-0007", 1)  # per-block
+    assert a != dedup_token("orders", "batch-0008", 0)  # per-batch
+    assert len(a) == 32 and all(c in "0123456789abcdef" for c in a)
+
+
+def test_insert_sql_carries_token_settings():
+    from etl_ch_destination_spark.sink.clickhouse import dedup_token, insert_sql
+
+    tok = dedup_token("events", "b1", 2)
+    sql = insert_sql("events", ["event_id", "ts"], token=tok,
+                     extra_settings={"max_insert_block_size": "1048576"})
+    assert sql == (
+        "INSERT INTO events (`event_id`, `ts`)\n"
+        f"SETTINGS insert_deduplication_token = '{tok}', "
+        "max_insert_block_size = 1048576\n"
+        "FORMAT RowBinary"
+    )
+
+
+def test_insert_block_planning_splits_oversized_batches(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.sink.clickhouse import (
+        estimate_row_bytes,
+        plan_insert_blocks,
+        repartition_for_blocks,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rb = estimate_row_bytes(li.schema)
+    assert rb > 50  # 16 columns incl. strings/dates
+    n_blocks, rows_per_block = plan_insert_blocks(10_000_000, rb, 256 << 20)
+    assert n_blocks == -(-10_000_000 // rows_per_block)
+    assert rows_per_block * rb <= 256 << 20
+    # tiny frame → one block; the repartition really takes effect
+    small, n = repartition_for_blocks(li.limit(100), 100)
+    assert n == 1
+    assert small.rdd.getNumPartitions() == 1

@@ -287,3 +287,74 @@ def test_transform_with_state_converges_to_batch(spark, sf_dir):
     }
     got = {r["user_id"]: (r["n"], r["mx"]) for r in final.collect()}
     assert got == want
+
+
+def test_kafka_record_parse_inverts_to_json(spark, sf_dir):
+    """parse_event_records must exactly invert to_kafka_records: every
+    typed event row survives the JSON encode→binary→decode trip, and
+    source-position lineage columns ride along."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming.kafka import (
+        parse_event_records,
+        to_kafka_records,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = parse_event_records(to_kafka_records(ev, topic="events-test"))
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    assert rows_set(parsed.select(*cols)) == rows_set(ev.select(*cols))
+    assert parsed.filter(F.col("_topic") != "events-test").count() == 0
+    assert parsed.filter(F.col("_offset") != F.col("event_id")).count() == 0
+
+
+def test_kafka_shaped_stream_equals_file_replay(spark, sf_dir, tmp_path):
+    """The same pipeline lattice over (a) a kafka-shaped micro-batch
+    stream (fixed KAFKA_RECORD_SCHEMA, value-decode via
+    parse_event_records) and (b) the plain file replay must converge
+    to identical results — the source swap is config, not code."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.kafka import (
+        KAFKA_RECORD_SCHEMA,
+        parse_event_records,
+        to_kafka_records,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "kafka_records")
+    # 4 files → 4 real micro-batches under maxFilesPerTrigger=1
+    to_kafka_records(ev).repartition(4).write.mode("overwrite").parquet(staged)
+    records = (
+        spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    stream = pipeline.tumbling_counts(
+        parse_event_records(records).drop("_topic", "_partition", "_offset")
+    )
+    _drain(_memory_query(stream, "t_kafka_shaped", "complete"))
+    got = rows_set(spark.table("t_kafka_shaped"))
+    want = rows_set(pipeline.tumbling_counts(ev))
+    assert got == want
+
+
+def test_kafka_reader_is_configured(spark):
+    """Config-only seam: the option map carries the documented source
+    options, and building the reader from it succeeds; no
+    broker/connector exists here so .load() is the caller's."""
+    from etl_ch_destination_spark.streaming.kafka import kafka_options, kafka_reader
+
+    opts = kafka_options(
+        "broker-1:9092,broker-2:9092", "events",
+        starting_offsets="latest", max_offsets_per_trigger=500_000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "500000",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_options("b:9092", "t").get("maxOffsetsPerTrigger") is None
+    # constructing the configured reader itself must not touch the network
+    kafka_reader(spark, "broker-1:9092", "events")
