@@ -103,10 +103,22 @@ ANNOTATIONS: dict[str, str] = {
         "fixture scale. No per-user event-list collection anywhere."
     ),
     "llm_dedup_near": (
-        "MinHash+LSH banding: candidate pairs only — the plan joins on "
-        "exploded band hashes, never a cartesian of documents. The "
-        "featurized frame is `InMemoryTableScan` on both join sides "
-        "(featurize once)."
+        "MinHash+LSH banding, pure codegen (round 3): minhash "
+        "signatures are array_min over universal-hash permutations of "
+        "md5-derived shingle hashes; candidates come from a self "
+        "EQUI-join on the posexploded (band, minhash) key — never a "
+        "cartesian of documents; exact Jaccard via hashed-set "
+        "intersect on the joined-back feature arrays. No MLlib stage, "
+        "no persisted intermediates (the cold path is the measured "
+        "path), one ReuseExchange-deduplicated featurize subtree."
+    ),
+    "llm_dedup_embedding": (
+        "EXACT cosine-threshold join as the triangle block-pair "
+        "decomposition: both sides replicate to their (p1, p2) block "
+        "pairs via a broadcast of the P(P+1)/2 pair dimension, then "
+        "ONE composite-key shuffle equi-join — O(n·P) shuffle volume, "
+        "(n/P)² scoring per task, no corpus broadcast, no NLJ "
+        "(plan-audited; the NLJ allow-list entry was removed in r3)."
     ),
     "rpt_revenue_forecast": (
         "TPC-H Q6 shape, the scan-efficiency benchmark: ALL four "
