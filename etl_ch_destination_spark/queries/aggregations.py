@@ -579,6 +579,104 @@ def agg_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSTATE_BINS = 2048
+QSTATE_HI = 110000.0  # l_extendedprice < 104950 at every fixture SF
+QSTATE_WIDTH = QSTATE_HI / QSTATE_BINS  # 53.7109375, exactly representable
+
+
+@query(
+    "agg_quantile_state",
+    f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             LEAST(CAST(FLOOR(l_extendedprice / {QSTATE_WIDTH!r}) AS BIGINT),
+                   {QSTATE_BINS - 1}) AS bin,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, bin,
+             SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM b
+    ),
+    q AS (
+      -- thresholds as DOUBLE on both engines: DuckDB would otherwise
+      -- run 0.90*total in exact DECIMAL while Spark rounds 0.9 to
+      -- binary — a cum exactly on the boundary would then diverge
+      SELECT l_returnflag,
+             MIN(CASE WHEN cum >= CAST(0.50 AS DOUBLE) * total THEN bin END) AS b50,
+             MIN(CASE WHEN cum >= CAST(0.90 AS DOUBLE) * total THEN bin END) AS b90,
+             MIN(CASE WHEN cum >= CAST(0.99 AS DOUBLE) * total THEN bin END) AS b99
+      FROM c GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST((b50 + 0.5) * {QSTATE_WIDTH!r} AS DOUBLE) AS p50_est,
+           CAST((b90 + 0.5) * {QSTATE_WIDTH!r} AS DOUBLE) AS p90_est,
+           CAST((b99 + 0.5) * {QSTATE_WIDTH!r} AS DOUBLE) AS p99_est
+    FROM q
+    """,
+)
+def agg_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE state — the ClickHouse ``quantileState`` /
+    T-Digest counterpart, completing the sketch-state pair with
+    `agg_sketch_state` (HLL). State = a fixed equi-width histogram in
+    LONG FORM (group, bin, count): closed under addition, so shards /
+    batches / days aggregate independently and merge by summing bin
+    counts — never re-reading raw values. Estimate = mid-point of the
+    first bin whose cumulative count crosses q·total.
+
+    Unlike the HLL key, the ESTIMATOR here is fully deterministic
+    (integer bin math + IEEE division by an exactly-representable
+    width), so the DuckDB oracle replays it bit for bit — a sketch
+    with a hash-match gate. Accuracy vs exact quantiles (bounded by
+    half a bin width) is separately gated in pytest.
+
+    Scale: partials collapse map-side per (key, shard, bin); the merge
+    shuffles ≤ |keys|×|shards|×|bins| counter rows, never raw data;
+    the cumulative window runs over ≤ {QSTATE_BINS} rows per key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.floor(F.col("l_extendedprice") / QSTATE_WIDTH).cast("bigint"),
+        F.lit(QSTATE_BINS - 1),
+    )
+    # two-level path: per-shard histogram partials, then the state merge
+    partials = (
+        li.withColumn("__shard", F.col("l_orderkey") % 8)
+        .withColumn("bin", bin_col)
+        .groupBy("l_returnflag", "__shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = partials.groupBy("l_returnflag", "bin").agg(F.sum("n").alias("n"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = merged.select(
+        "l_returnflag",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    q = c.groupBy("l_returnflag").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= frac * F.col("total"), F.col("bin"))
+            ).alias(name)
+            for frac, name in [(0.50, "b50"), (0.90, "b90"), (0.99, "b99")]
+        ]
+    )
+    return q.select(
+        "l_returnflag",
+        *[
+            ((F.col(b) + 0.5) * QSTATE_WIDTH).alias(p)
+            for b, p in [("b50", "p50_est"), ("b90", "p90_est"), ("b99", "p99_est")]
+        ],
+    )
+
+
 @query(
     "agg_unpivot",
     """

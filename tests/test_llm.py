@@ -307,3 +307,36 @@ def test_quality_score_ratios_are_bounded(spark, sf_dir):
             and r["lexical_diversity"] >= 0.1
         )
         assert r["keep"] == want
+
+
+def test_decontaminate_flags_planted_benchmark_copy(spark, sf_dir):
+    """Invariants: no benchmark doc appears in the output; a training
+    doc that IS a benchmark doc's text (planted near-copy) is flagged
+    with ~all its grams; a random-word doc is not flagged."""
+    from etl_ch_destination_spark.queries.llm_text import (
+        BENCH_MOD,
+        llm_decontaminate,
+    )
+
+    out = llm_decontaminate(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % BENCH_MOD == 0).count() == 0
+    flagged = {r["doc_id"]: r["n_contaminated_grams"] for r in out.collect()}
+    # every flagged doc shares at least one 5-gram with some benchmark
+    # doc — spot-check the top hit by brute force
+    docs = {r["doc_id"]: r["text"]
+            for r in _documents(spark, sf_dir).collect()}
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+    bench_grams = set().union(*(
+        grams(t) for d, t in docs.items() if d % BENCH_MOD == 0
+    ))
+    for d, n in sorted(flagged.items(), key=lambda kv: -kv[1])[:3]:
+        overlap = grams(docs[d]) & bench_grams
+        assert len(overlap) == n, (d, len(overlap), n)
+    # completeness: every doc with a true overlap is flagged
+    for d, t in docs.items():
+        if d % BENCH_MOD != 0 and grams(t) & bench_grams:
+            assert d in flagged, d
