@@ -83,16 +83,36 @@ def connected_components(
     """
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        e2 = _canon(_small_star(_canon(_large_star(e))))
-        e2 = e2.localCheckpoint(eager=True)
-        # converged when the canonical edge sets are identical
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+
+    def fingerprint(df: DataFrame) -> tuple:
+        """Order-insensitive exact-size + 128-bit-ish content summary of
+        the canonical edge SET: (count, sum of per-edge xxhash64 as
+        unbounded decimal, bit-xor of the hashes). Equal sets ⇒ equal
+        triples; unequal sets collide only if sum AND xor AND count all
+        collide (~2^-96, data-independent). One partial-aggregate job —
+        replaces the former two exceptAll shuffles per round."""
+        h = F.xxhash64("u", "v")
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(h.cast("decimal(38,0)")),
+                F.expr("bit_xor(xxhash64(u, v))"),
+            ).collect()[0]
         )
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        # large-star output is already directed big→small and loop-free
+        # (b > a ≥ m), so small-star consumes it directly; the outer
+        # _canon dedupes once per round instead of twice.
+        ls = _large_star(e).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        e2 = _canon(_small_star(ls))
+        e2 = e2.localCheckpoint(eager=True)
+        fp2 = fingerprint(e2)
         e = e2
-        if changed == 0:
+        if fp2 == fp:
             break
+        fp = fp2
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # converged: every edge points node → component-min (star form)
