@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.catalog import load_table, parallelize_scan
 from etl_ch_destination_spark.ops.multimodal import (
     extract_features,
     resize_image,
@@ -160,7 +160,7 @@ def llm_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata struct. The oracle mirrors the deterministic features
     (fixture text is ASCII, so char length == byte length and
     ascii(first char) == first byte)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     binary = synthesize_binary(d)
     feats = extract_features(binary)
     meta = binary.select("doc_id", F.col("meta.modality").alias("modality"))
@@ -204,7 +204,7 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked — no stub anywhere (VERDICT r2 "Next round" #3).
     Pixel-exactness against an independent reference resampler is
     additionally asserted in tests/test_llm.py."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     resized = resize_image(synthesize_image(d), RESIZE_W, RESIZE_H)
     return resized.select(
         "doc_id",
@@ -249,7 +249,7 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes each kept frame's digest from the text byte
     cycle, so demux, frame indexing, dims, AND frame payloads are all
     hash-checked."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     frames = sample_frames(synthesize_video(d), every_nth=FRAME_EVERY)
     return frames.select(
         "doc_id",
