@@ -21,18 +21,40 @@ from etl_ch_destination_spark.session import ensure_session_defaults
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """True if events.parquet stores ``ts`` as TIMESTAMP(NANOS).
+
+    The driver has shipped both generations of fixture data: NANOS
+    (earlier rounds — Spark's vectorized reader rejects it without the
+    ``nanosAsLong`` escape hatch) and plain µs (round 3 regen). One
+    footer read (no row data) keyed by path decides which read path
+    applies; wrong-guessing would silently shift every event time by
+    1000×, which is exactly the failure mode the 3-SF parity sweep
+    caught when the regen landed."""
+    if path not in _EVENTS_TS_NANOS_CACHE:
+        import pyarrow.parquet as pq
+
+        local = path[7:] if path.startswith("file://") else path
+        field = pq.read_schema(local).field("ts")
+        _EVENTS_TS_NANOS_CACHE[path] = str(field.type) == "timestamp[ns]"
+    return _EVENTS_TS_NANOS_CACHE[path]
+
+
+_EVENTS_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Columnar scan ≈ ClickHouse MergeTree read.
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects; with ``nanosAsLong`` (pinned in
-    ensure_session_defaults) it arrives as raw int64 nanos and is
-    converted with exact integer division (values are µs-granular, so
-    the conversion is lossless — verified against DuckDB).
-    """
+    ``events.parquet``: when ``ts`` is stored as TIMESTAMP(NANOS) —
+    which Spark's vectorized parquet reader rejects — it is read as
+    raw int64 nanos under ``nanosAsLong`` (pinned in
+    ensure_session_defaults) and converted with exact integer division
+    (values are µs-granular, so the conversion is lossless — verified
+    against DuckDB). µs-stored fixture generations read directly."""
     ensure_session_defaults(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         raw = spark.read.schema(EVENTS_RAW).parquet(path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)

@@ -21,8 +21,11 @@ PART = "p_partkey long, p_name string, p_brand string, p_type string, p_size int
 NATION = "n_nationkey int, n_name string, n_regionkey int"
 REGION = "r_regionkey int, r_name string"
 EVENTS = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-# Physical read schema for events.parquet: ts is TIMESTAMP(NANOS), read as
-# int64 nanos under spark.sql.legacy.parquet.nanosAsLong (see catalog.load_table).
+# Physical read schema for NANOS-generation events.parquet (rounds 1-2
+# fixture data): ts read as int64 nanos under
+# spark.sql.legacy.parquet.nanosAsLong. The round-3 regen stores µs and
+# reads through EVENTS directly; catalog.load_table sniffs the footer
+# and picks the matching path.
 EVENTS_RAW = "event_id long, ts long, user_id long, event_type string, value double, props string"
 DOCUMENTS = "doc_id long, text string, lang string, source string, n_chars long"
 EMBEDDINGS = "vec_id long, embedding array<float>, label int"

@@ -28,17 +28,24 @@ from etl_ch_destination_spark.session import ensure_session_defaults
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """events.parquet as a streaming source (same nanos→µs conversion
-    as the batch catalog path)."""
+    """events.parquet as a streaming source — same storage-generation
+    sniff as the batch catalog path (NANOS fixtures read raw + div
+    1000; µs fixtures read directly; see catalog._events_ts_is_nanos)."""
+    from etl_ch_destination_spark.catalog import _events_ts_is_nanos
+    from etl_ch_destination_spark.schemas import EVENTS
+
     ensure_session_defaults(spark)
+    nanos = _events_ts_is_nanos(f"{sf_dir.rstrip('/')}/events.parquet")
     reader = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(EVENTS_RAW if nanos else EVENTS)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir.rstrip("/"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def stage_replay(

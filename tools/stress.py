@@ -70,6 +70,32 @@ def main() -> int:
     # timing, so this is conservative).
     li0 = parallelize_scan(load_table(spark, SF_DIR, "lineitem"), spark)
     o0 = parallelize_scan(load_table(spark, SF_DIR, "orders"), spark)
+    d0 = parallelize_scan(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"), spark
+    )
+
+    def replicate_docs(df, n: int):
+        """N× corpus with CONSTANT duplicate density: every copy gets a
+        disjoint vocabulary (copy index suffixed onto every word), so
+        cross-copy shingles never collide and the near-dup pair
+        structure replicates instead of growing quadratically — the
+        measured slope is the pipeline's, not the duplicate
+        semantics'."""
+        if n == 1:
+            return df
+        rep = df.withColumn("__copy", F.explode(F.sequence(F.lit(1), F.lit(n))))
+        return rep.select(
+            (F.col("doc_id") + F.col("__copy").cast("long") * 10_000_000).alias(
+                "doc_id"
+            ),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(w, F.lit("_"), F.col("__copy").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+        )
 
     def time_action(fn) -> float:
         fn()  # warm-up
@@ -112,11 +138,19 @@ def main() -> int:
                 .write.mode("overwrite").format("noop").save()
             )
 
+        d = replicate_docs(d0, n)
+
+        def neardup():
+            from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
+
+            near_duplicate_pairs(d).write.mode("overwrite").format("noop").save()
+
         results[str(n)] = {
             "rows": li.count(),
             "q1": time_action(q1),
             "join_agg": time_action(join_agg),
             "topk_global": time_action(topk),
+            "neardup": time_action(neardup),
         }
         spark.catalog.clearCache()
 
