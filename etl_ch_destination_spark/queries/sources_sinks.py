@@ -137,6 +137,63 @@ def sink_sorted_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 8  # export shard count; thousands at 100 TB — same plan
+
+# 60-bit md5-derived content/shard hash both engines compute identically
+# (same trick as ops/fingerprint.py — 15 hex chars fit signed int64).
+_MD5_60 = "CAST(conv(substr(md5({c}), 1, 15), 16, 10) AS BIGINT)"
+_MD5_60_DUCK = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "sink_shard_balanced",
+    f"""
+    WITH s AS (
+      SELECT n_chars,
+             {_MD5_60_DUCK.format(c="CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+             {_MD5_60_DUCK.format(c="text")} AS content_h
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(content_h) AS content_xor
+    FROM s GROUP BY shard
+    """,
+)
+def sink_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharded training-data export: every document
+    lands in shard = md5(doc_id) mod N — stable across reruns and
+    cluster sizes (no round-robin / task-id dependence), so an
+    incremental re-export reshuffles nothing and a dataloader can
+    address shards by content, not by accident of scheduling.
+
+    Write plan: one shuffle on the shard key co-locates each shard in
+    a single task, ``partitionBy`` lays it out as one file per shard
+    directory — balanced file sizes because md5 spreads uniformly
+    (balance asserted in tests/test_sinks.py). At 100 TB: raise
+    N_SHARDS and cap file size with ``maxRecordsPerFile``; the plan is
+    unchanged. Round trip: the re-read per-shard doc counts, char
+    totals, and order-insensitive content XOR hash-match the oracle
+    computed on the ORIGINAL table — the export lost/duplicated/
+    corrupted nothing."""
+    path = _scratch(sf_dir, "sink_shard_balanced")
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.expr(_MD5_60.format(c="CAST(doc_id AS STRING)")) % N_SHARDS
+    (
+        d.withColumn("shard", shard)
+        .repartition(N_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("bit_xor(" + _MD5_60.format(c="text") + ")").alias("content_xor"),
+    )
+
+
 @query("sink_clickhouse_jdbc")  # no CH server in env — rows-only; DDL unit-tested
 def sink_clickhouse_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's defining sink, surfaced at its testable seam:

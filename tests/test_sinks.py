@@ -88,6 +88,38 @@ def test_sorted_sink_files_are_sorted_within(spark, sf_dir):
     assert keyed.filter(~F.col("prev_ok")).count() == 0
 
 
+def test_shard_export_is_balanced_one_file_per_shard(spark, sf_dir):
+    """sink_shard_balanced promises: (a) every shard directory holds
+    exactly ONE file (the repartition co-located it in one task);
+    (b) shard sizes are balanced — md5 spreads uniformly, so no shard
+    exceeds 3x the mean at fixture scale; (c) shard assignment is
+    deterministic: a second export produces byte-identical stats."""
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        N_SHARDS,
+        _scratch,
+        sink_shard_balanced,
+    )
+
+    first = sink_shard_balanced(spark, sf_dir).collect()
+    path = _scratch(sf_dir, "sink_shard_balanced")
+    back = spark.read.parquet(path)
+    files_per_shard = (
+        back.withColumn("fid", F.input_file_name())
+        .groupBy("shard")
+        .agg(F.countDistinct("fid").alias("nf"))
+        .collect()
+    )
+    assert len(files_per_shard) == N_SHARDS
+    assert all(r.nf == 1 for r in files_per_shard)
+
+    counts = sorted(r.n_docs for r in first)
+    mean = sum(counts) / len(counts)
+    assert counts[-1] <= 3 * mean and counts[0] > 0
+
+    second = sink_shard_balanced(spark, sf_dir).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
 def test_idempotent_batch_replay_collapses(spark, sf_dir):
     from etl_ch_destination_spark.catalog import load_table
     from etl_ch_destination_spark.queries.sources_sinks import sink_idempotent_batch
