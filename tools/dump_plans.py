@@ -120,6 +120,13 @@ ANNOTATIONS: dict[str, str] = {
         "(n/P)² scoring per task, no corpus broadcast, no NLJ "
         "(plan-audited; the NLJ allow-list entry was removed in r3)."
     ),
+    "llm_decontaminate": (
+        "Benchmark decontamination: the tiny distinct eval gram-hash "
+        "set BROADCASTS (BroadcastExchange on the bench side, "
+        "BroadcastHashJoin), so the overlap check is a map-side stage "
+        "over the exploded corpus grams — corpus rows never shuffle; "
+        "only per-doc hit counts reach the final aggregate exchange."
+    ),
     "rpt_revenue_forecast": (
         "TPC-H Q6 shape, the scan-efficiency benchmark: ALL four "
         "predicates appear in `PushedFilters`, `ReadSchema` carries "
