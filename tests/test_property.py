@@ -123,3 +123,54 @@ def test_salted_join_equals_plain_join_on_random_skew(spark, facts, dims):
     gs = sorted(tuple(str(v) for v in r) for r in salted.select(*cols).collect())
     gp = sorted(tuple(str(v) for v in r) for r in plain.select(*cols).collect())
     assert gs == gp
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative large-star/small-star CC must label every node
+    with its component MINIMUM — exactly what a sequential union-find
+    computes — on random multigraphs: self-loops, parallel edges,
+    both orientations, chains, isolated cliques."""
+    from etl_ch_destination_spark.ops.components import connected_components
+
+    df = (
+        spark.createDataFrame(edges, "src int, dst int")
+        if edges
+        else spark.createDataFrame([], "src int, dst int")
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+    # brute-force union-find over the non-self-loop edge set
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {n for a, b in edges if a != b for n in (a, b)}
+    for n in nodes:
+        parent[n] = n
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    expected = {}
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    for n in nodes:
+        expected[n] = comp_min[find(n)]
+
+    assert got == expected, (sorted(got.items()), sorted(expected.items()))
