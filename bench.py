@@ -47,7 +47,11 @@ BENCH_KEYS = [
     "llm_dedup_near",
     "llm_dedup_simhash",
     "llm_dedup_clusters",
+    "llm_dedup_embedding",
+    "llm_decontaminate",
     "llm_quality_score",
+    "agg_quantile_state",
+    "sink_shard_balanced",
     "agg_window_funnel",
     "agg_state_merge",
     "win_sessionize",
