@@ -174,3 +174,44 @@ def test_connected_components_matches_union_find(spark, edges):
         expected[n] = comp_min[find(n)]
 
     assert got == expected, (sorted(got.items()), sorted(expected.items()))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 1),                       # user
+            st.integers(0, 60),                      # minutes offset
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_levels_match_brute_force_on_random_sequences(spark, events):
+    """windowFunnel on adversarial random sequences: duplicate
+    timestamps (strict-progress rule), deadline-exact events
+    (inclusive window edge), interleaved users, steps out of order.
+    Must equal the greedy per-anchor reference used on the fixture."""
+    from datetime import datetime, timedelta
+
+    from etl_ch_destination_spark.ops.funnel import funnel_levels
+    from tests.test_behavior import STEPS, _brute_funnel_level
+
+    base = datetime(2024, 1, 1)
+    data = [(u, base + timedelta(minutes=m), ty) for u, m, ty in events]
+    df = spark.createDataFrame(data, "user_id int, ts timestamp, event_type string")
+    lv = funnel_levels(
+        df,
+        steps=[F.col("event_type") == s for s in STEPS],
+        window_expr="INTERVAL 30 MINUTES",
+    )
+    got = {r["user_id"]: r["funnel_level"] for r in lv.collect()}
+    per_user: dict[int, list] = {}
+    for u, t, ty in data:
+        per_user.setdefault(u, []).append((t, ty))
+    expected = {
+        u: _brute_funnel_level(rows, timedelta(minutes=30))
+        for u, rows in per_user.items()
+    }
+    assert got == expected
