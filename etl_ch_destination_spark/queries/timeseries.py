@@ -24,6 +24,70 @@ from etl_ch_destination_spark.registry import query
 
 
 @query(
+    "ts_resample_ohlc",
+    """
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bucket downsample — the classic time-series rollup
+    (ClickHouse `argMin`/`argMax` over `toStartOfHour`, TimescaleDB
+    `time_bucket` + `first`/`last`): per (series, hour) the opening /
+    closing / extreme values and exact-decimal volume.
+
+    Determinism: open/close pick the row with the unique
+    (ts, event_id) order via ROW_NUMBER on both engines — never a
+    bare `first()` whose tie-breaking is engine-defined.
+
+    Scale: ONE shuffle on (series, bucket); both window sorts and the
+    final aggregate reuse that partitioning (grouping keys = window
+    partition keys), and each window partition is one bucket of one
+    series — bounded by bucket width, never by table size."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = b.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("volume"),
+    )
+
+
+@query(
     "ts_interpolate",
     """
     WITH base AS (
