@@ -148,6 +148,13 @@ ANNOTATIONS: dict[str, str] = {
         "(c_nationkey = s_nationkey) is a post-broadcast filter, not "
         "an extra shuffle."
     ),
+    "ts_resample_ohlc": (
+        "OHLC downsample: ONE Exchange on (series, bucket) feeds both "
+        "window sorts AND the final HashAggregate (grouping keys = "
+        "window partition keys — no second shuffle). Open/close come "
+        "from ROW_NUMBER over the unique (ts, event_id) order, never "
+        "an engine-defined first()."
+    ),
     "ts_interpolate": (
         "Gap interpolation: the ordered windows run over the AGGREGATED "
         "bucket spine (cardinality = span/width, not row count) — the "
