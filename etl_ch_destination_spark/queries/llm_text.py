@@ -424,3 +424,61 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / 2048.0).cast("bigint").alias("pack_id"),
     )
+
+
+# Deterministic-mixture constants: 2^28 (7 md5 hex chars) — divisions
+# by a power of two are exact in IEEE double on both engines.
+MIX_DENOM = 268435456.0
+MIX_FLOOR = 0.2  # every source keeps at least 20%
+
+
+@query(
+    "llm_mixture_sample",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 7))
+                  AS BIGINT) / {MIX_DENOM!r} AS sample_u,
+             {MIX_FLOOR!r} + {1.0 - MIX_FLOOR!r} *
+               (CAST(('0x' || substr(md5(source), 1, 7)) AS BIGINT) / {MIX_DENOM!r})
+               AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, sample_u, rate
+    FROM rated WHERE sample_u < rate
+    """,
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixture sampling — the data-mixing step of
+    a pretraining pipeline: each source keeps a per-source fraction of
+    its documents, decided by HASH THRESHOLDING (keep iff
+    u(doc) < rate(source)), not by `sample()`. That makes the draw a
+    pure function of the data: reproducible across reruns, cluster
+    sizes, and partitionings; changing one source's rate re-decides
+    only that source's docs; and the oracle replays it bit for bit
+    (md5-derived 28-bit uniforms over an exact power-of-two
+    denominator — no engine RNG anywhere).
+
+    The demo rates derive from md5(source) (floor {MIX_FLOOR}) so the
+    key works at any SF without fixture-specific names; a production
+    mixture would broadcast-join a (source, rate) weights table —
+    identical plan shape.
+
+    Scale: a zero-shuffle map-side filter over the corpus scan; at
+    100 TB it composes with the quality/lang filters in the same
+    codegen stage."""
+    d = load_table(spark, sf_dir, "documents")
+    h7 = lambda c: F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint")  # noqa: E731
+    u = h7(F.concat(F.col("doc_id").cast("string"), F.lit(":mix1"))) / F.lit(MIX_DENOM)
+    rate = F.lit(MIX_FLOOR) + F.lit(1.0 - MIX_FLOOR) * (
+        h7(F.col("source")) / F.lit(MIX_DENOM)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            u.alias("sample_u"),
+            rate.alias("rate"),
+        )
+        .filter(F.col("sample_u") < F.col("rate"))
+    )

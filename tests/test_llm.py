@@ -340,3 +340,36 @@ def test_decontaminate_flags_planted_benchmark_copy(spark, sf_dir):
     for d, t in docs.items():
         if d % BENCH_MOD != 0 and grams(t) & bench_grams:
             assert d in flagged, d
+
+
+def test_mixture_sample_tracks_rates_and_is_deterministic(spark, sf_dir):
+    """Invariants: (a) every emitted rate is in [MIX_FLOOR, 1); (b) the
+    realized per-source keep fraction is within binomial noise of its
+    rate (5 sigma); (c) the draw is a pure function of the data — two
+    runs agree row for row; (d) kept rows satisfy sample_u < rate."""
+    import math
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_text import MIX_FLOOR, llm_mixture_sample
+
+    kept = llm_mixture_sample(spark, sf_dir).collect()
+    assert all(MIX_FLOOR <= r["rate"] < 1.0 for r in kept)
+    assert all(r["sample_u"] < r["rate"] for r in kept)
+
+    totals = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in kept:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rows in by_source.items():
+        n, rate = totals[src], rows[0]["rate"]
+        sigma = math.sqrt(n * rate * (1 - rate))
+        assert abs(len(rows) - n * rate) <= 5 * sigma + 1, (src, len(rows), n, rate)
+
+    again = llm_mixture_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
