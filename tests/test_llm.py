@@ -373,3 +373,24 @@ def test_mixture_sample_tracks_rates_and_is_deterministic(spark, sf_dir):
 
     again = llm_mixture_sample(spark, sf_dir).collect()
     assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+
+def test_sequence_pack_matches_sequential_packing(spark, sf_dir):
+    """Invariants: pack assignment equals a sequential per-source walk
+    (doc joins the pack where its start offset lands); pack ids are
+    non-decreasing in doc order; n_tokens is the whitespace count."""
+    from etl_ch_destination_spark.queries.llm_text import llm_sequence_pack
+
+    rows = llm_sequence_pack(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        offset, prev_pack = 0, -1
+        for r in docs:
+            want = offset // 2048
+            assert r["pack_id"] == want, (src, r["doc_id"], r["pack_id"], want)
+            assert r["pack_id"] >= prev_pack
+            prev_pack = r["pack_id"]
+            offset += r["n_tokens"]
