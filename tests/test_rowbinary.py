@@ -1,0 +1,233 @@
+"""Byte-level golden tests for the ClickHouse RowBinary encoder
+(sink/rowbinary.py). The expected byte strings below are hand-derived
+from the public format spec (little-endian fixed-width numerics,
+LEB128-prefixed strings, 0x00/0x01 Nullable markers) — they pin the
+wire contract so a future live-server integration is config-only.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from etl_ch_destination_spark.sink.rowbinary import (
+    encode_block,
+    encode_row,
+    encode_value,
+    names_types_header,
+    rowbinary_blocks,
+    varint,
+)
+
+
+class TestVarint:
+    def test_golden(self):
+        assert varint(0) == b"\x00"
+        assert varint(1) == b"\x01"
+        assert varint(127) == b"\x7f"
+        assert varint(128) == b"\x80\x01"
+        assert varint(300) == b"\xac\x02"
+        assert varint(100_000) == b"\xa0\x8d\x06"
+
+    def test_negative_rejected(self):
+        with pytest.raises(ValueError):
+            varint(-1)
+
+
+class TestScalars:
+    def test_integers_little_endian(self):
+        assert encode_value(IntegerType(), 1, False) == b"\x01\x00\x00\x00"
+        assert encode_value(IntegerType(), -2, False) == b"\xfe\xff\xff\xff"
+        assert encode_value(LongType(), 2**40, False) == b"\x00\x00\x00\x00\x00\x01\x00\x00"
+
+    def test_floats_ieee(self):
+        assert encode_value(DoubleType(), 1.5, False) == struct.pack("<d", 1.5)
+
+    def test_bool(self):
+        assert encode_value(BooleanType(), True, False) == b"\x01"
+        assert encode_value(BooleanType(), False, False) == b"\x00"
+
+    def test_string_leb128_prefixed(self):
+        assert encode_value(StringType(), "ABC", False) == b"\x03ABC"
+        assert encode_value(StringType(), "", False) == b"\x00"
+        # multi-byte length prefix at 300 chars
+        assert encode_value(StringType(), "x" * 300, False) == b"\xac\x02" + b"x" * 300
+        # UTF-8 length counts bytes, not codepoints
+        assert encode_value(StringType(), "é", False) == b"\x02\xc3\xa9"
+
+    def test_date32_days_since_epoch(self):
+        assert encode_value(DateType(), dt.date(1970, 1, 2), False) == b"\x01\x00\x00\x00"
+        # pre-epoch date goes negative (Date32 is signed)
+        assert encode_value(DateType(), dt.date(1969, 12, 31), False) == b"\xff\xff\xff\xff"
+
+    def test_datetime64_micros(self):
+        one_sec = dt.datetime(1970, 1, 1, 0, 0, 1)
+        assert encode_value(TimestampType(), one_sec, False) == struct.pack("<q", 1_000_000)
+        with_us = dt.datetime(1970, 1, 1, 0, 0, 0, 42)
+        assert encode_value(TimestampType(), with_us, False) == struct.pack("<q", 42)
+
+    def test_decimal_scaled_int(self):
+        # Decimal(12,2) -> Int64 of value*100
+        assert encode_value(DecimalType(12, 2), Decimal("123.45"), False) == struct.pack(
+            "<q", 12345
+        )
+        # Decimal(9,2) -> Int32
+        assert encode_value(DecimalType(9, 2), Decimal("-1.00"), False) == struct.pack(
+            "<i", -100
+        )
+        # Decimal(38,10) -> Int128 little-endian
+        got = encode_value(DecimalType(38, 10), Decimal("1"), False)
+        assert got == (10**10).to_bytes(16, "little", signed=True)
+        assert len(got) == 16
+
+
+class TestNullable:
+    def test_marker_bytes(self):
+        assert encode_value(LongType(), None, True) == b"\x01"
+        assert encode_value(LongType(), 5, True) == b"\x00" + struct.pack("<q", 5)
+
+    def test_null_in_non_nullable_raises(self):
+        with pytest.raises(ValueError):
+            encode_value(LongType(), None, False)
+
+    def test_nan_treated_as_null(self):
+        assert encode_value(DoubleType(), float("nan"), True) == b"\x01"
+
+
+class TestNested:
+    def test_array(self):
+        at = ArrayType(IntegerType(), containsNull=False)
+        assert (
+            encode_value(at, [1, 2], False)
+            == b"\x02" + b"\x01\x00\x00\x00" + b"\x02\x00\x00\x00"
+        )
+        assert encode_value(at, [], False) == b"\x00"
+
+    def test_array_of_nullable(self):
+        at = ArrayType(IntegerType(), containsNull=True)
+        assert (
+            encode_value(at, [1, None], False)
+            == b"\x02" + b"\x00\x01\x00\x00\x00" + b"\x01"
+        )
+
+    def test_map(self):
+        mt = MapType(StringType(), LongType(), valueContainsNull=False)
+        assert (
+            encode_value(mt, {"a": 1}, False)
+            == b"\x01" + b"\x01a" + struct.pack("<q", 1)
+        )
+
+
+ROW_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), nullable=False),
+        StructField("name", StringType(), nullable=True),
+        StructField("price", DecimalType(12, 2), nullable=False),
+        StructField("day", DateType(), nullable=False),
+    ]
+)
+
+
+class TestRowAndBlock:
+    def test_row_golden(self):
+        row = (7, "ab", Decimal("0.10"), dt.date(1970, 1, 3))
+        expect = (
+            struct.pack("<q", 7)
+            + b"\x00\x02ab"
+            + struct.pack("<q", 10)
+            + struct.pack("<i", 2)
+        )
+        assert encode_row(ROW_SCHEMA, row) == expect
+
+    def test_row_null_string(self):
+        row = (7, None, Decimal("0.00"), dt.date(1970, 1, 1))
+        assert (
+            encode_row(ROW_SCHEMA, row)
+            == struct.pack("<q", 7) + b"\x01" + struct.pack("<q", 0) + b"\x00" * 4
+        )
+
+    def test_row_width_mismatch(self):
+        with pytest.raises(ValueError):
+            encode_row(ROW_SCHEMA, (1, "x"))
+
+    def test_block_concatenates(self):
+        rows = [
+            (1, "a", Decimal("1.00"), dt.date(1970, 1, 1)),
+            (2, None, Decimal("2.00"), dt.date(1970, 1, 2)),
+        ]
+        assert encode_block(ROW_SCHEMA, rows) == encode_row(
+            ROW_SCHEMA, rows[0]
+        ) + encode_row(ROW_SCHEMA, rows[1])
+
+    def test_names_types_header_golden(self):
+        # 4 cols; names then ch_type texts (must agree with the DDL map)
+        head = names_types_header(ROW_SCHEMA)
+        expect = (
+            b"\x04"
+            + b"\x02id"
+            + b"\x04name"
+            + b"\x05price"
+            + b"\x03day"
+            + b"\x05Int64"
+            + b"\x10Nullable(String)"
+            + b"\x0eDecimal(12, 2)"
+            + b"\x06Date32"
+        )
+        assert head == expect
+        assert encode_block(ROW_SCHEMA, [], with_names_types=True) == expect
+
+
+class TestDistributedBlocks:
+    """The mapInPandas path must byte-match the local encoder and split
+    blocks by rows_per_block so each block is independently
+    tokenizable/retryable."""
+
+    def test_payload_matches_local_encode(self, spark, sf_dir):
+        nation = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .coalesce(1)
+        )
+        blocks = rowbinary_blocks(nation, rows_per_block=10).collect()
+        assert [b.block_rows for b in blocks] == [10, 10, 5]
+        payload = b"".join(b.payload for b in blocks)
+        local = encode_block(nation.schema, [tuple(r) for r in nation.collect()])
+        assert payload == local
+
+    def test_blocks_respect_partitions(self, spark):
+        df = spark.range(0, 100, 1, 4).select(
+            F.col("id"), F.concat(F.lit("row-"), F.col("id")).alias("tag")
+        )
+        blocks = rowbinary_blocks(df, rows_per_block=30).collect()
+        # 4 partitions x 25 rows, cap 30 -> one block per partition
+        assert sorted(b.block_rows for b in blocks) == [25, 25, 25, 25]
+        assert sum(b.block_rows for b in blocks) == 100
+
+    def test_roundtrip_decode_spot(self, spark):
+        """Decode the fixed-width prefix of a one-row block by hand."""
+        df = spark.createDataFrame(
+            [(42, 2.5)], "k BIGINT NOT NULL, v DOUBLE NOT NULL"
+        )
+        (block,) = rowbinary_blocks(df, rows_per_block=1).collect()
+        assert block.block_rows == 1
+        k, v = struct.unpack("<qd", bytes(block.payload))
+        assert (k, v) == (42, 2.5)
