@@ -19,9 +19,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from pyspark.sql import SparkSession
 
+    from etl_ch_destination_spark.pbcompat import PB_SITE_DIR, ensure_protobuf
     from etl_ch_destination_spark.session import ensure_session_defaults
 
-    s = (
+    builder = (
         SparkSession.builder.appName("etl-ch-destination-spark-tests")
         .master("local[4]")
         .config("spark.sql.session.timeZone", "UTC")
@@ -29,8 +30,19 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if ensure_protobuf():
+        # workers are fresh interpreters: the sitecustomize hook in
+        # PB_SITE_DIR re-applies the protobuf shim at worker start so
+        # transformWithStateInPandas' state protocol loads there too.
+        # Must be in the JVM's inherited env BEFORE the gateway launches:
+        # the streaming driver-side python runner builds its PYTHONPATH
+        # from the JVM env, not from spark.executorEnv.
+        os.environ["PYTHONPATH"] = (
+            PB_SITE_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+        builder = builder.config("spark.executorEnv.PYTHONPATH", PB_SITE_DIR)
+    s = builder.getOrCreate()
     ensure_session_defaults(s)
     yield s
     s.stop()

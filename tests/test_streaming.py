@@ -249,11 +249,11 @@ def test_transform_with_state_converges_to_batch(spark, sf_dir):
     and installs are disallowed)."""
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf absent: transformWithState state "
-                    "protocol unavailable in this environment")
+    from etl_ch_destination_spark.pbcompat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no usable google.protobuf runtime: transformWithState "
+                    "state protocol unavailable in this environment")
     from etl_ch_destination_spark.catalog import load_table
     from etl_ch_destination_spark.streaming.replay import read_staged_stream
     from etl_ch_destination_spark.streaming.stateful import running_user_stats_tws
