@@ -70,8 +70,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Exact set equality of two canonical (already-distinct) edge
+    frames — two except-shuffles; the audit path for the fingerprint."""
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    exact_convergence: bool = False,
 ) -> DataFrame:
     """Labels every node of the (undirected) edge set with the MINIMUM
     node id of its component — columns ``(node, component)``.
@@ -80,6 +90,14 @@ def connected_components(
     component minimum), independent of partitioning or round count —
     which is what makes this oracle-able against a recursive-CTE
     transitive closure.
+
+    ``exact_convergence=True`` re-checks every fingerprint-equality
+    stop with an exact exceptAll set comparison: a (≈2^-96, but
+    adversarially constructible — xxhash64 is not cryptographic)
+    fingerprint collision then iterates on instead of exiting early
+    with wrong labels. Default off: the exact check costs two extra
+    shuffles per convergence candidate; the property/parity suites run
+    with it on, production pipelines rely on the fingerprint.
     """
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
@@ -109,9 +127,11 @@ def connected_components(
         e2 = _canon(_small_star(ls))
         e2 = e2.localCheckpoint(eager=True)
         fp2 = fingerprint(e2)
-        e = e2
+        prev, e = e, e2
         if fp2 == fp:
-            break
+            if not exact_convergence or _edge_sets_equal(prev, e2):
+                break
+            # fingerprint collision caught by the exact audit: keep going
         fp = fp2
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

@@ -214,5 +214,5 @@ def test_connected_components_vs_union_find(spark):
     want = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {r.node: r.component for r in connected_components(df, exact_convergence=True).collect()}
     assert got == want

@@ -145,7 +145,7 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, exact_convergence=True).collect()
     }
 
     # brute-force union-find over the non-self-loop edge set
