@@ -30,13 +30,22 @@ def _events_ts_is_nanos(path: str) -> bool:
     footer read (no row data) keyed by path decides which read path
     applies; wrong-guessing would silently shift every event time by
     1000×, which is exactly the failure mode the 3-SF parity sweep
-    caught when the regen landed."""
-    if path not in _EVENTS_TS_NANOS_CACHE:
-        import pyarrow.parquet as pq
+    caught when the regen landed.
 
+    The local-pyarrow footer sniff only works for local filesystem
+    paths; on remote storage (s3://, hdfs://) — where spark.read would
+    still succeed — we fall back to the current driver generation's
+    µs schema instead of failing the read (the NANOS escape hatch was
+    only ever needed for locally-shipped early-round fixtures)."""
+    if path not in _EVENTS_TS_NANOS_CACHE:
         local = path[7:] if path.startswith("file://") else path
-        field = pq.read_schema(local).field("ts")
-        _EVENTS_TS_NANOS_CACHE[path] = str(field.type) == "timestamp[ns]"
+        if "://" in local:  # remote FS: pyarrow can't read the footer here
+            _EVENTS_TS_NANOS_CACHE[path] = False
+        else:
+            import pyarrow.parquet as pq
+
+            field = pq.read_schema(local).field("ts")
+            _EVENTS_TS_NANOS_CACHE[path] = str(field.type) == "timestamp[ns]"
     return _EVENTS_TS_NANOS_CACHE[path]
 
 

@@ -180,6 +180,7 @@ RESIZE_W = RESIZE_H = 64  # target dims for the resize stage
              16 + length(text) % 17 AS w,
              16 + length(text) % 13 AS h
       FROM documents
+      WHERE length(text) > 0
     )
     SELECT doc_id,
            {RESIZE_W} AS width, {RESIZE_H} AS height,
@@ -203,8 +204,15 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     index math (sx = x·w // W), so the pixel path itself is
     hash-checked — no stub anywhere (VERDICT r2 "Next round" #3).
     Pixel-exactness against an independent reference resampler is
-    additionally asserted in tests/test_llm.py."""
-    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    additionally asserted in tests/test_llm.py.
+
+    Empty documents are excluded on BOTH engine sides: the oracle's
+    byte-cycle index is ``% length(text)`` (undefined at 0) while the
+    Spark-side cycle would zero-fill — a latent parity break if a
+    fixture regen ever shipped an empty text (ADVICE r3)."""
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0), spark
+    )
     resized = resize_image(synthesize_image(d), RESIZE_W, RESIZE_H)
     return resized.select(
         "doc_id",
@@ -228,6 +236,7 @@ FRAME_EVERY = 2
              8 + length(text) % 7 AS h,
              4 + length(text) % 5 AS f
       FROM documents
+      WHERE length(text) > 0
     ),
     k AS (
       SELECT doc_id, text, L, w, h, w * h * 3 AS fb,
@@ -248,8 +257,11 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded 1:N through mapInPandas with its actual pixel bytes. The
     oracle recomputes each kept frame's digest from the text byte
     cycle, so demux, frame indexing, dims, AND frame payloads are all
-    hash-checked."""
-    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    hash-checked. Empty documents excluded on both sides (same
+    ``% length(text)`` rationale as llm_multimodal_resize)."""
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0), spark
+    )
     frames = sample_frames(synthesize_video(d), every_nth=FRAME_EVERY)
     return frames.select(
         "doc_id",
