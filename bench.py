@@ -67,6 +67,16 @@ BENCH_KEYS = [
 
 N_RUNS = 5
 
+# Discarded pre-suite priming: run a few representative plan shapes
+# (hash agg, shuffle join, window) before any timed key. Per-key
+# warm-up alone is not enough early in JVM life — C2 JIT compiles the
+# codegen/shuffle hot paths incrementally, so without priming the
+# FIRST keys in suite order pay JIT cost the later keys don't (r3
+# driver run: agg_groupby_multi, 2nd in order, measured 2.09x its
+# recorded baseline while identical code benched 1.1x mid-suite).
+PRIME_KEYS = ["agg_groupby_multi", "join_inner_equi", "win_ranking"]
+PRIME_ROUNDS = 2
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,6 +105,14 @@ def main() -> int:
     from etl_ch_destination_spark.registry import all_queries
 
     queries = all_queries()
+
+    # prime the JVM (JIT/codegen/shuffle machinery) before any timing
+    for _ in range(PRIME_ROUNDS):
+        for key in PRIME_KEYS:
+            spark.catalog.clearCache()
+            queries[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     p95s: dict[str, float] = {}
     for key in BENCH_KEYS:
@@ -139,7 +157,10 @@ def main() -> int:
             "shuffle_partitions": int(shuffle),
             "aqe": True,
             "runs": N_RUNS,
-            "protocol": "median of N_RUNS cold runs (cache cleared before each)",
+            "protocol": (
+                "discarded pre-suite JIT priming; then per key: warm-up + "
+                "median of N_RUNS cold runs (cache cleared before each)"
+            ),
             "os_cpus": os.cpu_count(),
         },
     }
