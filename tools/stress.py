@@ -73,6 +73,38 @@ def main() -> int:
     d0 = parallelize_scan(
         load_table(spark, SF_DIR, "documents").select("doc_id", "text"), spark
     )
+    emb0 = parallelize_scan(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"), spark
+    )
+
+    def replicate_vecs(df, n: int):
+        """N× corpus with a deterministic per-copy DIRECTION jitter.
+
+        Plain replication duplicates every vector exactly (cosine ties
+        across copies → degenerate neighbor sets) and pure scaling is
+        cosine-invariant; adding sin(vec_id·13 + copy·7 + i)·0.05 per
+        dimension perturbs directions reproducibly, so the replicated
+        corpus has a realistic (non-tied) neighborhood structure while
+        staying a pure function of (row, copy)."""
+        if n == 1:
+            return df
+        rep = df.withColumn("__copy", F.explode(F.sequence(F.lit(1), F.lit(n))))
+        jitter = F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.sin(
+                F.col("vec_id").cast("double") * 13.0
+                + F.col("__copy").cast("double") * 7.0
+                + i.cast("double")
+            )
+            * F.lit(0.05),
+        )
+        return rep.select(
+            (F.col("vec_id") + F.col("__copy").cast("long") * 10_000_000).alias(
+                "vec_id"
+            ),
+            jitter.alias("embedding"),
+        )
 
     def replicate_docs(df, n: int):
         """N× corpus with CONSTANT duplicate density: every copy gets a
@@ -145,16 +177,87 @@ def main() -> int:
 
             near_duplicate_pairs(d).write.mode("overwrite").format("noop").save()
 
+        # --- ANN vs exact: recall AND latency under row scaling -------
+        # (VERDICT r3 next-round #5: prove the approximate paths hold
+        # their recall floor as the corpus grows, not just their slope.)
+        from etl_ch_destination_spark.ops.similarity import (
+            ann_topk,
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        K = 10
+        corpus = replicate_vecs(emb0, n).persist()
+        corpus.count()  # materialize once; all three paths read the same frame
+        queries = emb0.filter(F.col("vec_id") < 16)
+
+        def collect_topk(fn):
+            rows = fn(corpus, queries, K).collect()
+            out: dict[int, set] = {}
+            for r in rows:
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return out
+
+        exact = collect_topk(brute_force_topk)
+
+        def recall_of(approx: dict[int, set]) -> float:
+            per_q = [
+                len(exact[q] & approx.get(q, set())) / max(1, len(exact[q]))
+                for q in exact
+            ]
+            return round(sum(per_q) / len(per_q), 4)
+
+        recall_ann = recall_of(collect_topk(ann_topk))
+        # IVF probes 8-of-16 cells, the config of the pytest recall
+        # floor: the fixture's isotropic unit vectors are IVF's worst
+        # case (no cluster structure → recall ≈ probed-mass fraction),
+        # so its floor is 0.5 where LSH holds 0.9; real embedding
+        # corpora cluster and close the gap. Full-probe ≡ brute force
+        # is the correctness gate (tests/test_llm.py).
+        recall_ivf = recall_of(
+            collect_topk(lambda c, q, k: ivf_topk(c, q, k, n_probe=8))
+        )
+
+        def t_exact():
+            brute_force_topk(corpus, queries, K).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        def t_ann():
+            ann_topk(corpus, queries, K).write.mode("overwrite").format("noop").save()
+
+        def t_ivf():
+            ivf_topk(corpus, queries, K).write.mode("overwrite").format("noop").save()
+
         results[str(n)] = {
             "rows": li.count(),
             "q1": time_action(q1),
             "join_agg": time_action(join_agg),
             "topk_global": time_action(topk),
             "neardup": time_action(neardup),
+            "vec_rows": corpus.count(),
+            "ann_recall_lsh": recall_ann,
+            "ann_recall_ivf": recall_ivf,
+            "sim_exact": time_action(t_exact),
+            "sim_lsh": time_action(t_ann),
+            "sim_ivf": time_action(t_ivf),
         }
+        corpus.unpersist(blocking=False)
         spark.catalog.clearCache()
 
     print(json.dumps(results))
+    # recall gate at the LARGEST factor: the approximate paths must
+    # hold ≥0.9 of exact top-k as the corpus scales, or the scale
+    # story is only a latency story.
+    top = str(max(factors))
+    # LSH holds the 0.9 product floor; IVF's floor on THIS fixture is
+    # 0.5 (isotropic vectors — see the recall comment above).
+    for key, floor in (("ann_recall_lsh", 0.9), ("ann_recall_ivf", 0.5)):
+        if results[top][key] < floor:
+            print(
+                f"FAIL {key}@{top}x = {results[top][key]} < {floor}", file=sys.stderr
+            )
+            return 1
     return 0
 
 
