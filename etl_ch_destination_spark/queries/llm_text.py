@@ -482,3 +482,187 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_u") < F.col("rate"))
     )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 shape):
+# docs above any of these are dropped by the keep flag.
+REP_MAX_DUP_WORD = 0.30     # fraction of words that are repeats
+REP_MAX_TOP_WORD = 0.20     # most-frequent word's share of all words
+REP_MAX_DUP_BIGRAM = 0.18   # fraction of bigrams that are repeats
+
+
+@query(
+    "llm_repetition_filter",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (
+      SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+    ),
+    wordstats AS (
+      SELECT doc_id, SUM(n) AS n_words, COUNT(*) AS n_distinct, MAX(n) AS top_n
+      FROM c GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) - 1 AS n_bigrams,
+             len(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+             ))) AS n_distinct_bigrams
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT ws.doc_id,
+           CAST(ws.n_words AS BIGINT) AS n_words,
+           1.0 - CAST(ws.n_distinct AS DOUBLE) / ws.n_words AS dup_word_frac,
+           CAST(ws.top_n AS DOUBLE) / ws.n_words AS top_word_frac,
+           CASE WHEN bg.n_bigrams > 0
+                THEN 1.0 - CAST(bg.n_distinct_bigrams AS DOUBLE) / bg.n_bigrams
+                ELSE 0.0 END AS dup_bigram_frac,
+           (1.0 - CAST(ws.n_distinct AS DOUBLE) / ws.n_words) <= {REP_MAX_DUP_WORD!r}
+             AND CAST(ws.top_n AS DOUBLE) / ws.n_words <= {REP_MAX_TOP_WORD!r}
+             AND (CASE WHEN bg.n_bigrams > 0
+                       THEN 1.0 - CAST(bg.n_distinct_bigrams AS DOUBLE) / bg.n_bigrams
+                       ELSE 0.0 END) <= {REP_MAX_DUP_BIGRAM!r} AS keep
+    FROM wordstats ws JOIN bigrams bg USING (doc_id)
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/MassiveText rules
+    in whitespace-token form): per document, the duplicate-word
+    fraction, the most-frequent word's share, and the duplicate-bigram
+    fraction, plus a keep flag over the pinned thresholds. Repetition
+    is the strongest cheap signal for boilerplate/spam/low-quality
+    generations, and it's orthogonal to the length/stopword scoring in
+    llm_quality_score.
+
+    Plan shape: word stats need the true per-(doc, word) counts, so one
+    explode → two-level partial+final hash aggregate — the exploded
+    shuffle is the op's only wide stage and reduces immediately to one
+    row per doc. Bigram stats stay ARRAY-SIDE (zip_with of the word
+    array with its own tail + array_distinct) — no second explode, no
+    O(n²) HOF. All fractions are integer ratios in one IEEE double
+    division each, so the oracle hash-matches exactly.
+
+    Scale (100 TB): partial aggregation bounds the exploded shuffle by
+    per-task distinct (doc, word) pairs; everything else is map-side.
+    The keep flag composes with the lang/quality/mixture filters in the
+    same codegen stage when chained."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.split("text", " ")
+
+    counts = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wordstats = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    )
+
+    tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    bigrams = F.zip_with(words, tail, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with NULL → drop the trailing
+    # (last_word, NULL) entry by slicing to n-1 first
+    bigrams = F.slice(bigrams, 1, F.greatest(F.size(words) - 1, F.lit(0)))
+    bg = d.select(
+        "doc_id",
+        (F.size(words) - 1).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+
+    dup_word = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words")
+    top_word = F.col("top_n").cast("double") / F.col("n_words")
+    dup_bigram = F.when(
+        F.col("n_bigrams") > 0,
+        1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return wordstats.join(bg, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        top_word.alias("top_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+        (
+            (dup_word <= REP_MAX_DUP_WORD)
+            & (top_word <= REP_MAX_TOP_WORD)
+            & (dup_bigram <= REP_MAX_DUP_BIGRAM)
+        ).alias("keep"),
+    )
+
+
+CHUNK_WORDS = 40   # window size (whitespace tokens)
+CHUNK_STRIDE = 20  # stride → 20-word overlap between neighbors
+
+
+@query(
+    "llm_chunk_overlap",
+    f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+      WHERE length(text) > 0
+    ),
+    n AS (
+      SELECT doc_id, w, nw,
+             CASE WHEN nw > {CHUNK_WORDS}
+                  THEN (nw - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+                  ELSE 1 END AS n_chunks
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(u AS INT) AS chunk_idx,
+           CAST(least(u * {CHUNK_STRIDE} + {CHUNK_WORDS}, nw)
+                - u * {CHUNK_STRIDE} AS INT) AS chunk_words,
+           md5(array_to_string(
+               w[u * {CHUNK_STRIDE} + 1 : least(u * {CHUNK_STRIDE} + {CHUNK_WORDS}, nw)],
+               ' ')) AS chunk_md5
+    FROM n, unnest(range(0, n_chunks)) AS t(u)
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the doc→training-sample explode of a
+    pretraining pipeline: fixed {CHUNK_WORDS}-word windows at stride
+    {CHUNK_STRIDE} (50% overlap), last window truncated, short docs one
+    chunk. Emits (doc_id, chunk_idx, chunk_words, chunk_md5) — the
+    digest stands in for the chunk text so the oracle compare stays
+    small while still pinning exact window CONTENT, not just counts.
+
+    Plan shape: pure map-side — chunk count is computed per row in
+    integer arithmetic, ``explode(sequence(...))`` fans out, ``slice``
+    takes each window from the one split array. NO shuffle anywhere:
+    at 100 TB this is the narrow stage that feeds the tokenizer, and
+    fan-out is bounded by ~nw/stride chunks per doc.
+
+    Sequence-packing (llm_sequence_pack) solves the dual problem —
+    packing short docs UP to a budget; this op cuts long docs DOWN."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.split("text", " ")
+    nw = F.size(words)
+    n_chunks = F.when(
+        nw > CHUNK_WORDS,
+        F.expr(
+            f"((size(split(text, ' ')) - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1) "
+            f"div {CHUNK_STRIDE}) + 1"
+        ),
+    ).otherwise(F.lit(1))
+    rows = d.select(
+        "doc_id",
+        words.alias("w"),
+        nw.alias("nw"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    end = F.least(F.col("chunk_idx") * CHUNK_STRIDE + CHUNK_WORDS, F.col("nw"))
+    chunk = F.slice(F.col("w"), start, end - start + 1)
+    return rows.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (end - start + 1).cast("int").alias("chunk_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

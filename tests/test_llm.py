@@ -394,3 +394,72 @@ def test_sequence_pack_matches_sequential_packing(spark, sf_dir):
             assert r["pack_id"] >= prev_pack
             prev_pack = r["pack_id"]
             offset += r["n_tokens"]
+
+
+def test_repetition_filter_flags_planted_spam(spark):
+    """A heavily-repetitive doc must fail the keep flag on every axis;
+    a diverse doc must pass — behavior beyond the oracle's value
+    equality (thresholds actually separate the classes)."""
+    import pandas as pd  # noqa: F401  (parity of import style in file)
+
+    from etl_ch_destination_spark.queries.llm_text import (
+        REP_MAX_DUP_BIGRAM,
+        REP_MAX_DUP_WORD,
+        REP_MAX_TOP_WORD,
+    )
+
+    spam = "buy now " * 30            # 60 words, 2 distinct
+    clean = " ".join(f"w{i}" for i in range(60))  # 60 words, all distinct
+    df = spark.createDataFrame(
+        [(1, spam.strip()), (2, clean)], "doc_id long, text string"
+    )
+    words = F.split("text", " ")
+    counts = (
+        df.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    ).collect()
+    by_id = {r.doc_id: r for r in stats}
+    spam_dup = 1 - by_id[1].n_distinct / by_id[1].n_words
+    clean_dup = 1 - by_id[2].n_distinct / by_id[2].n_words
+    assert spam_dup > REP_MAX_DUP_WORD > clean_dup
+    assert by_id[1].top_n / by_id[1].n_words > REP_MAX_TOP_WORD
+    assert by_id[2].top_n / by_id[2].n_words <= REP_MAX_TOP_WORD
+    assert 0 < REP_MAX_DUP_BIGRAM < 1  # threshold sanity
+
+
+def test_chunk_overlap_windows_tile_with_overlap(spark, tmp_path):
+    """Hand-check the window math on a synthetic doc: chunk starts
+    advance by the stride, neighbors overlap by CHUNK_WORDS - stride,
+    the tail truncates, and every word is covered."""
+    from etl_ch_destination_spark.queries.llm_text import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        llm_chunk_overlap,
+    )
+
+    n = 95
+    text = " ".join(f"t{i:03d}" for i in range(n))
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(
+        [(1, text, len(text), "en", "src")],
+        "doc_id long, text string, n_chars int, lang string, source string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.chunk_idx: r for r in llm_chunk_overlap(spark, sf).collect()}
+    # n=95, C=40, S=20 -> ceil((95-40)/20)+1 = 4 chunks
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert [rows[i].chunk_words for i in range(4)] == [40, 40, 40, 35]
+    # chunk i covers words [i*S, i*S + chunk_words): with S=20 the last
+    # word index covered is 3*20 + 35 = 95 = n -> full coverage
+    import hashlib
+
+    words = text.split(" ")
+    for i, r in rows.items():
+        want = " ".join(words[i * CHUNK_STRIDE: i * CHUNK_STRIDE + CHUNK_WORDS])
+        assert r.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
