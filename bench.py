@@ -50,6 +50,8 @@ BENCH_KEYS = [
     "llm_dedup_embedding",
     "llm_decontaminate",
     "llm_quality_score",
+    "llm_repetition_filter",
+    "llm_chunk_overlap",
     "agg_quantile_state",
     "sink_shard_balanced",
     "agg_window_funnel",

@@ -538,30 +538,36 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     generations, and it's orthogonal to the length/stopword scoring in
     llm_quality_score.
 
-    Plan shape: word stats need the true per-(doc, word) counts, so one
-    explode → two-level partial+final hash aggregate — the exploded
-    shuffle is the op's only wide stage and reduces immediately to one
-    row per doc. Bigram stats stay ARRAY-SIDE (zip_with of the word
-    array with its own tail + array_distinct) — no second explode, no
-    O(n²) HOF. All fractions are integer ratios in one IEEE double
-    division each, so the oracle hash-matches exactly.
+    Plan shape: ZERO-SHUFFLE map-side — every statistic is computed
+    inside the word ARRAY of its own row. The subtle one is the
+    most-frequent word's count: instead of explode → groupBy(doc, word)
+    → max (two shuffles + a join back, the first-draft plan), it is the
+    longest equal-run in array_sort(words), found by a single linear
+    HOF fold over the sorted array. Bigram stats are zip_with of the
+    word array with its own tail + array_distinct. All fractions are
+    integer ratios in one IEEE double division each, so the oracle
+    (which DOES use the grouped form — DuckDB has no run-length fold;
+    same values, different plan) hash-matches exactly.
 
-    Scale (100 TB): partial aggregation bounds the exploded shuffle by
-    per-task distinct (doc, word) pairs; everything else is map-side.
-    The keep flag composes with the lang/quality/mixture filters in the
-    same codegen stage when chained."""
+    Scale (100 TB): the whole operator fuses into the corpus scan's
+    codegen stage — per-row O(n log n) sort beats shuffling an exploded
+    word table by orders of magnitude at corpus scale. The keep flag
+    composes with the lang/quality/mixture filters in the same stage."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     words = F.split("text", " ")
 
-    counts = (
-        d.select("doc_id", F.explode(words).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    wordstats = counts.groupBy("doc_id").agg(
-        F.sum("n").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("n").alias("top_n"),
+    # longest equal-run in the sorted word array == max per-word count
+    top_n = F.expr(
+        """
+        aggregate(
+          array_sort(split(text, ' ')),
+          named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run',  IF(x <=> acc.prev, acc.run + 1, 1L),
+            'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))),
+          acc -> acc.best)
+        """
     )
 
     tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
@@ -569,8 +575,12 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zip_with pads the shorter side with NULL → drop the trailing
     # (last_word, NULL) entry by slicing to n-1 first
     bigrams = F.slice(bigrams, 1, F.greatest(F.size(words) - 1, F.lit(0)))
-    bg = d.select(
+
+    stats = d.select(
         "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
+        top_n.alias("top_n"),
         (F.size(words) - 1).alias("n_bigrams"),
         F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
     )
@@ -581,9 +591,9 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams") > 0,
         1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"),
     ).otherwise(F.lit(0.0))
-    return wordstats.join(bg, "doc_id").select(
+    return stats.select(
         "doc_id",
-        F.col("n_words").cast("bigint").alias("n_words"),
+        "n_words",
         dup_word.alias("dup_word_frac"),
         top_word.alias("top_word_frac"),
         dup_bigram.alias("dup_bigram_frac"),
