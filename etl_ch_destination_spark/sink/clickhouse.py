@@ -16,6 +16,12 @@ factored exactly at the testable seam:
   deduplicable downstream too (`sink_idempotent_batch`,
   `stream_foreachbatch_sink`).
 
+The wire layer below the SQL seam lives in ``sink/rowbinary.py``
+(round 4): DataFrame rows → ClickHouse RowBinary insert blocks,
+byte-golden-tested, sized by `plan_insert_blocks` and tokenized per
+block by `dedup_token` — so a live-server integration is
+`insert_sql(...) + POST payload` and nothing else.
+
 Scale notes (100 TB): one JDBC connection per partition writes
 `batchsize`-row insert blocks; size partitions so a block is a few
 hundred MB uncompressed (repartition before write), order rows by the

@@ -174,6 +174,20 @@ ANNOTATIONS: dict[str, str] = {
         "scoring, then partial+final agg on the small (lang, source) "
         "grid. No Python anywhere in the plan."
     ),
+    "llm_repetition_filter": (
+        "Repetition quality filter (round 4): ZERO exchanges — the "
+        "top-word count is the longest equal-run in array_sort(words) "
+        "via one linear HOF fold, bigram stats are zip_with + "
+        "array_distinct, so the whole operator fuses into the corpus "
+        "scan's projection stage. The first-draft explode→groupBy→join "
+        "plan (2 shuffles + a join) was rewritten away."
+    ),
+    "llm_chunk_overlap": (
+        "Sliding-window chunking (round 4): pure map-side "
+        "explode(sequence) + slice over the one split array — zero "
+        "exchanges; fan-out bounded by ~n_words/stride per doc. This "
+        "is the narrow stage that feeds the tokenizer at 100 TB."
+    ),
     "rpt_waiting_orders": (
         "TPC-H Q21 shape: the 'late shipment' frame feeds both the "
         "driving side and the sole-blame `LeftAnti`; the multi-supplier "
