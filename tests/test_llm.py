@@ -463,3 +463,45 @@ def test_chunk_overlap_windows_tile_with_overlap(spark, tmp_path):
     for i, r in rows.items():
         want = " ".join(words[i * CHUNK_STRIDE: i * CHUNK_STRIDE + CHUNK_WORDS])
         assert r.chunk_md5 == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_chunk_overlap_invariants_all_lengths(spark, tmp_path):
+    """For every n_words in 1..120 at once: chunks tile the doc with
+    stride-spaced starts, full word coverage, no window over C words,
+    and the expected chunk count — the closed-form math checked against
+    the operator for every length class (n < C, n = C, stride
+    boundaries, truncated tails)."""
+    from etl_ch_destination_spark.queries.llm_text import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        llm_chunk_overlap,
+    )
+
+    docs = []
+    for n in range(1, 121):
+        text = " ".join(f"w{n}_{i}" for i in range(n))
+        docs.append((n, text, len(text), "en", "src"))
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars int, lang string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = llm_chunk_overlap(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(1, 121))
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        want_n = 1 if n <= CHUNK_WORDS else -(-(n - CHUNK_WORDS) // CHUNK_STRIDE) + 1
+        assert len(chunks) == want_n, (n, len(chunks), want_n)
+        assert [c.chunk_idx for c in chunks] == list(range(want_n))
+        covered = 0
+        for c in chunks:
+            start = c.chunk_idx * CHUNK_STRIDE
+            assert 1 <= c.chunk_words <= CHUNK_WORDS
+            assert start < n  # every window begins inside the doc
+            assert c.chunk_words == min(start + CHUNK_WORDS, n) - start
+            covered = max(covered, start + c.chunk_words)
+        assert covered == n, (n, covered)  # tail fully covered
