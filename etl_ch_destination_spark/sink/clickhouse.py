@@ -17,9 +17,11 @@ factored exactly at the testable seam:
   `stream_foreachbatch_sink`).
 
 The wire layer below the SQL seam lives in ``sink/rowbinary.py``
-(round 4): DataFrame rows → ClickHouse RowBinary insert blocks,
-byte-golden-tested, sized by `plan_insert_blocks` and tokenized per
-block by `dedup_token` — so a live-server integration is
+and ``sink/native.py`` (round 4): DataFrame rows → ClickHouse
+RowBinary (row-wise, full type coverage) or Native (column-wise, the
+server's preferred bulk path) insert blocks, byte-golden-tested,
+sized by `plan_insert_blocks` and tokenized per block by
+`dedup_token` — so a live-server integration is
 `insert_sql(...) + POST payload` and nothing else.
 
 Scale notes (100 TB): one JDBC connection per partition writes
@@ -191,11 +193,14 @@ def insert_sql(
     columns: list[str],
     token: str | None = None,
     extra_settings: dict[str, str] | None = None,
+    fmt: str = "RowBinary",
 ) -> str:
     """INSERT statement head with a SETTINGS clause (token + overrides)
     — the SQL a token-aware writer issues per block; JDBC's plain
     batched INSERT path cannot carry per-insert settings, so the token
-    path goes through `insert_sql` + raw statement execution."""
+    path goes through `insert_sql` + raw statement execution. ``fmt``
+    names the payload encoding: "RowBinary" (sink/rowbinary.py) or
+    "Native" (sink/native.py)."""
     settings = {}
     if token:
         settings["insert_deduplication_token"] = f"'{token}'"
@@ -203,7 +208,7 @@ def insert_sql(
     head = f"INSERT INTO {table} (" + ", ".join(f"`{c}`" for c in columns) + ")"
     if settings:
         head += "\nSETTINGS " + ", ".join(f"{k} = {v}" for k, v in settings.items())
-    return head + "\nFORMAT RowBinary"
+    return head + f"\nFORMAT {fmt}"
 
 
 # Static per-type row-size estimate (bytes, uncompressed insert block).

@@ -1,0 +1,136 @@
+"""Byte-level golden tests for the ClickHouse Native (columnar) block
+encoder (sink/native.py) — hand-derived from the public format spec.
+Native differs from RowBinary in exactly two ways these tests pin:
+column-wise layout with a per-column name/type header, and Nullable
+null masks up front with DEFAULT values written in the null slots.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+from decimal import Decimal
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_ch_destination_spark.sink.native import (
+    encode_native_block,
+    encode_native_column,
+    native_blocks,
+)
+from etl_ch_destination_spark.sink.rowbinary import rowbinary_blocks
+
+
+class TestColumns:
+    def test_fixed_width_column(self):
+        got = encode_native_column(LongType(), False, [1, 2])
+        assert got == struct.pack("<q", 1) + struct.pack("<q", 2)
+
+    def test_string_column(self):
+        assert encode_native_column(StringType(), False, ["ab", ""]) == b"\x02ab\x00"
+
+    def test_nullable_mask_then_defaults(self):
+        # mask first (1 = NULL), then ALL rows' values with defaults in
+        # null slots — the defining difference vs RowBinary
+        got = encode_native_column(LongType(), True, [5, None, 7])
+        assert got == b"\x00\x01\x00" + struct.pack("<qqq", 5, 0, 7)
+
+    def test_nullable_string_default_is_empty(self):
+        got = encode_native_column(StringType(), True, [None, "x"])
+        assert got == b"\x01\x00" + b"\x00" + b"\x01x"
+
+    def test_null_in_non_nullable_raises(self):
+        with pytest.raises(ValueError):
+            encode_native_column(LongType(), False, [1, None])
+
+    def test_nested_rejected_with_pointer(self):
+        with pytest.raises(TypeError, match="rowbinary_blocks"):
+            encode_native_column(ArrayType(IntegerType()), False, [[1]])
+
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), nullable=False),
+        StructField("name", StringType(), nullable=True),
+    ]
+)
+
+
+class TestBlock:
+    def test_block_golden(self):
+        rows = [(1, "a"), (2, None)]
+        expect = (
+            b"\x02"            # n_columns
+            b"\x02"            # n_rows
+            b"\x02id"          # col 1 name
+            b"\x05Int64"       # col 1 type
+            + struct.pack("<qq", 1, 2)
+            + b"\x04name"      # col 2 name
+            + b"\x10Nullable(String)"
+            + b"\x00\x01"      # null mask
+            + b"\x01a" + b"\x00"  # values, default empty at null slot
+        )
+        assert encode_native_block(BLOCK_SCHEMA, rows) == expect
+
+    def test_empty_block(self):
+        # header + per-column name/type, zero data bytes
+        got = encode_native_block(BLOCK_SCHEMA, [])
+        assert got == b"\x02\x00" + b"\x02id\x05Int64" + b"\x04name\x10Nullable(String)"
+
+    def test_width_mismatch(self):
+        with pytest.raises(ValueError):
+            encode_native_block(BLOCK_SCHEMA, [(1,)])
+
+    def test_decimal_and_date_share_rowbinary_encodings(self):
+        schema = StructType(
+            [
+                StructField("p", DecimalType(12, 2), nullable=False),
+                StructField("d", DateType(), nullable=False),
+            ]
+        )
+        got = encode_native_block(schema, [(Decimal("3.50"), dt.date(1970, 1, 2))])
+        # decimal column data = scaled Int64; block ends with the date
+        # column (type header then Int32 days) — shared with rowbinary
+        assert struct.pack("<q", 350) in got
+        assert got.endswith(b"\x06Date32" + struct.pack("<i", 1))
+
+
+class TestDistributed:
+    def test_native_blocks_match_local_and_rowbinary_rowcount(self, spark, sf_dir):
+        nation = (
+            spark.read.parquet(f"{sf_dir}/nation.parquet")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .coalesce(1)
+        )
+        nat_blocks = native_blocks(nation, rows_per_block=10).collect()
+        assert [b.block_rows for b in nat_blocks] == [10, 10, 5]
+        rows = [tuple(r) for r in nation.collect()]
+        assert bytes(nat_blocks[0].payload) == encode_native_block(
+            nation.schema, rows[:10]
+        )
+        # both wire formats agree on the row partitioning contract
+        rb = rowbinary_blocks(nation, rows_per_block=10).collect()
+        assert [b.block_rows for b in rb] == [b.block_rows for b in nat_blocks]
+
+    def test_roundtrip_decode_fixed_column(self, spark):
+        df = spark.createDataFrame([(1, 2.5), (2, 3.5)], "k BIGINT NOT NULL, v DOUBLE NOT NULL")
+        (block,) = native_blocks(df.coalesce(1), rows_per_block=10).collect()
+        payload = bytes(block.payload)
+        # skip: n_cols(1) + n_rows(1) + "k"(2) + "Int64"(6)
+        pos = 1 + 1 + 2 + 6
+        ks = struct.unpack_from("<qq", payload, pos)
+        pos += 16 + 2 + 8  # k data + "v"(2) + "Float64"(8)
+        vs = struct.unpack_from("<dd", payload, pos)
+        assert ks == (1, 2) and vs == (2.5, 3.5)

@@ -107,3 +107,24 @@ def test_stratified_sample_proportions(spark, sf_dir):
         k = got.get(seg, 0)
         sigma = (n * p * (1 - p)) ** 0.5
         assert abs(k - n * p) <= max(5 * sigma, 5), (seg, k, n, p)
+
+
+def test_repetition_filter_is_zero_shuffle(spark, sf_dir):
+    """The round-4 sorted-run-fold rewrite must stay shuffle-free: the
+    whole operator is one map-side projection over the scan (the
+    first-draft explode→groupBy→join plan would show 2+ Exchanges)."""
+    from etl_ch_destination_spark.queries.llm_text import llm_repetition_filter
+
+    plan = plan_of(llm_repetition_filter(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_chunk_overlap_is_zero_shuffle(spark, sf_dir):
+    """Chunking is explode+slice over one split array — map-side only;
+    the fan-out must not introduce an exchange."""
+    from etl_ch_destination_spark.queries.llm_text import llm_chunk_overlap
+
+    plan = plan_of(llm_chunk_overlap(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode is the plan's one fan-out
