@@ -215,3 +215,51 @@ def test_funnel_levels_match_brute_force_on_random_sequences(spark, events):
         for u, rows in per_user.items()
     }
     assert got == expected
+
+
+words_alpha = st.lists(
+    st.sampled_from(["a", "b", "bb", "c", "longword", "x1"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(docs=st.lists(words_alpha, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_repetition_stats_match_counter_reference(spark, docs):
+    """The zero-shuffle sorted-run fold (top-word count) and the
+    array-side distinct/bigram stats must agree with collections.Counter
+    brute force on random word soups — heavy repeats, ties, singleton
+    docs."""
+    from collections import Counter
+
+    from etl_ch_destination_spark.queries.llm_text import llm_repetition_filter
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        sf = os.path.join(tmp, "sf")
+        os.makedirs(sf)
+        rows = [
+            (i, " ".join(ws), len(" ".join(ws)), "en", "src")
+            for i, ws in enumerate(docs)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars int, lang string, source string"
+        ).write.parquet(f"{sf}/documents.parquet")
+        got = {r.doc_id: r for r in llm_repetition_filter(spark, sf).collect()}
+
+    for i, ws in enumerate(docs):
+        c = Counter(ws)
+        n, distinct, top = len(ws), len(c), max(c.values())
+        bigs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        r = got[i]
+        assert r.n_words == n
+        assert abs(r.dup_word_frac - (1 - distinct / n)) < 1e-12
+        assert abs(r.top_word_frac - top / n) < 1e-12
+        if bigs:
+            want_bg = 1 - len(set(bigs)) / len(bigs)
+        else:
+            want_bg = 0.0
+        assert abs(r.dup_bigram_frac - want_bg) < 1e-12
