@@ -24,10 +24,12 @@ the public clickhouse-driver implementations). Block layout:
 
 Scalar byte encodings are shared with ``rowbinary`` (same type map:
 Date32 Int32 days, DateTime64(6) Int64 µs, Decimal scaled-int by
-precision) so the two formats cannot drift apart. Nested Array/Map
-columns use offset-array layouts in Native and are out of scope here —
-``rowbinary_blocks`` covers them row-wise; this encoder raises for
-them explicitly.
+precision) so the two formats cannot drift apart. ``Array(T)`` of a
+flat element type is supported via Native's offsets layout (UInt64
+cumulative end-offsets, then flattened elements) — the shape the
+``embeddings.embedding`` array<float> egress needs. Nested
+arrays/maps/structs stay with ``rowbinary_blocks`` (row-wise); this
+encoder raises for them explicitly.
 
 Scale notes: same egress shape as rowbinary_blocks — per-partition
 encoding, `plan_insert_blocks`-sized blocks, one `dedup_token` per
@@ -89,8 +91,37 @@ def _default_value(dt: DataType):
 
 
 def encode_native_column(dt: DataType, nullable: bool, values: list) -> bytes:
-    """One column's data section (null mask + column-wise values)."""
-    if isinstance(dt, (ArrayType, MapType, StructType)):
+    """One column's data section (null mask + column-wise values).
+
+    ``Array(T)`` of a flat element type uses Native's offsets layout:
+    one UInt64 cumulative element count per row, then the flattened
+    element data — the shape the ``embeddings.embedding``
+    (array<float>) egress needs. Nested arrays / maps / structs stay
+    with the row-wise encoder."""
+    if isinstance(dt, ArrayType):
+        if isinstance(dt.elementType, (ArrayType, MapType, StructType)):
+            raise TypeError(
+                "Native encoder covers flat array elements only; use "
+                f"rowbinary_blocks for {dt.simpleString()}"
+            )
+        # ch_type maps Array(T) without Nullable wrapping (CH forbids
+        # Nullable(Array) and Nullable elements by default)
+        out = bytearray()
+        total = 0
+        elems: list = []
+        for v in values:
+            if _is_null(v):
+                raise ValueError("NULL array in Native Array column")
+            row = list(v)
+            total += len(row)
+            out += total.to_bytes(8, "little")  # cumulative end offset
+            elems.extend(row)
+        for e in elems:
+            if _is_null(e):
+                raise ValueError("NULL element in Native Array column")
+            out += _encode_nonnull(dt.elementType, e)
+        return bytes(out)
+    if isinstance(dt, (MapType, StructType)):
         raise TypeError(
             f"Native encoder covers flat columns only; use rowbinary_blocks "
             f"for {dt.simpleString()}"

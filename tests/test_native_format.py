@@ -55,8 +55,10 @@ class TestColumns:
             encode_native_column(LongType(), False, [1, None])
 
     def test_nested_rejected_with_pointer(self):
+        from pyspark.sql.types import MapType
+
         with pytest.raises(TypeError, match="rowbinary_blocks"):
-            encode_native_column(ArrayType(IntegerType()), False, [[1]])
+            encode_native_column(MapType(StringType(), LongType()), False, [{"a": 1}])
 
 
 BLOCK_SCHEMA = StructType(
@@ -134,3 +136,78 @@ class TestDistributed:
         pos += 16 + 2 + 8  # k data + "v"(2) + "Float64"(8)
         vs = struct.unpack_from("<dd", payload, pos)
         assert ks == (1, 2) and vs == (2.5, 3.5)
+
+
+class TestArrays:
+    def test_array_offsets_then_flattened(self):
+        from pyspark.sql.types import FloatType
+
+        at = ArrayType(IntegerType(), containsNull=False)
+        got = encode_native_column(at, False, [[1, 2], [], [3]])
+        expect = (
+            (2).to_bytes(8, "little")
+            + (2).to_bytes(8, "little")
+            + (3).to_bytes(8, "little")
+            + struct.pack("<iii", 1, 2, 3)
+        )
+        assert got == expect
+        # Float32 elements (the embeddings egress shape)
+        af = ArrayType(FloatType(), containsNull=False)
+        got = encode_native_column(af, False, [[1.5], [2.5, -0.5]])
+        assert got == (
+            (1).to_bytes(8, "little")
+            + (3).to_bytes(8, "little")
+            + struct.pack("<fff", 1.5, 2.5, -0.5)
+        )
+
+    def test_null_array_or_element_rejected(self):
+        at = ArrayType(IntegerType(), containsNull=True)
+        with pytest.raises(ValueError):
+            encode_native_column(at, False, [None])
+        with pytest.raises(ValueError):
+            encode_native_column(at, False, [[1, None]])
+
+    def test_nested_array_still_rejected(self):
+        at = ArrayType(ArrayType(IntegerType()))
+        with pytest.raises(TypeError, match="rowbinary_blocks"):
+            encode_native_column(at, False, [[[1]]])
+
+    def test_embeddings_block_roundtrip(self, spark, sf_dir):
+        """The real embeddings table (vec_id bigint, embedding
+        array<float>) encodes to a decodable Native block — the exact
+        egress a vector corpus ships to ClickHouse."""
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(5)
+        )
+        rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+        # parquet reads declare everything nullable; the destination
+        # table is NOT NULL (MergeTree key + dense vectors), so the
+        # egress schema pins that — same real data
+        schema = StructType.fromDDL("vec_id BIGINT NOT NULL, embedding ARRAY<FLOAT> NOT NULL")
+        payload = encode_native_block(schema, rows)
+        # header: 2 cols, 5 rows
+        assert payload[:2] == b"\x02\x05"
+        pos = 2
+        # col 1: "vec_id" Int64
+        assert payload[pos:pos + 7] == b"\x06vec_id"; pos += 7
+        assert payload[pos:pos + 6] == b"\x05Int64"; pos += 6
+        ids = struct.unpack_from("<qqqqq", payload, pos); pos += 40
+        assert list(ids) == [r[0] for r in rows]
+        # col 2: "embedding" Array(Float32)
+        assert payload[pos:pos + 10] == b"\x09embedding"; pos += 10
+        assert payload[pos:pos + 15] == b"\x0eArray(Float32)"; pos += 15
+        offsets = [
+            int.from_bytes(payload[pos + 8 * i:pos + 8 * i + 8], "little")
+            for i in range(5)
+        ]
+        pos += 40
+        lens = [len(r[1]) for r in rows]
+        assert offsets == [sum(lens[: i + 1]) for i in range(5)]
+        flat = struct.unpack_from(f"<{sum(lens)}f", payload, pos)
+        pos += 4 * sum(lens)
+        assert pos == len(payload)
+        want = [x for r in rows for x in r[1]]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(flat, want))
