@@ -288,3 +288,27 @@ def stamp_batch(df: DataFrame, batch_id: str) -> DataFrame:
     """Stamp a replay-stable batch id so re-delivered batches are
     deduplicable (`dropDuplicates(['_batch_id', key])` downstream)."""
     return df.withColumn("_batch_id", F.lit(batch_id))
+
+
+def http_insert_request(
+    table: str,
+    columns: list[str],
+    token: str | None = None,
+    fmt: str = "RowBinary",
+    database: str = "default",
+    extra_settings: dict[str, str] | None = None,
+) -> tuple[str, dict[str, str]]:
+    """(path, query_params) for a ClickHouse HTTP-interface insert —
+    the transport that pairs with the block encoders: POST the
+    RowBinary/Native payload as the request body to ``path`` with
+    these params. Settings (dedup token included) ride as HTTP query
+    parameters, which the HTTP interface accepts for any server
+    setting — so the token works here even though plain JDBC batching
+    can't carry it. Pure function, golden-tested; no I/O here."""
+    query = f"INSERT INTO {table} (" + ", ".join(f"`{c}`" for c in columns) + f") FORMAT {fmt}"
+    params: dict[str, str] = {"database": database, "query": query}
+    if token:
+        params["insert_deduplication_token"] = token
+    for k, v in (extra_settings or {}).items():
+        params[k] = v
+    return "/", params

@@ -302,3 +302,32 @@ def test_insert_block_planning_splits_oversized_batches(spark, sf_dir):
     small, n = repartition_for_blocks(li.limit(100), 100)
     assert n == 1
     assert small.rdd.getNumPartitions() == 1
+
+
+def test_http_insert_request_golden():
+    """The HTTP transport seam: POST body = encoder output, params
+    carry the insert statement + dedup token as server settings."""
+    from etl_ch_destination_spark.sink.clickhouse import (
+        dedup_token,
+        http_insert_request,
+    )
+
+    tok = dedup_token("events", "batch-7", 3)
+    path, params = http_insert_request(
+        "events", ["event_id", "ts"], token=tok, fmt="Native"
+    )
+    assert path == "/"
+    assert params["database"] == "default"
+    assert params["query"] == "INSERT INTO events (`event_id`, `ts`) FORMAT Native"
+    assert params["insert_deduplication_token"] == tok
+    # token is deterministic across retries — same triple, same token
+    assert tok == dedup_token("events", "batch-7", 3)
+    assert tok != dedup_token("events", "batch-7", 4)
+
+
+def test_http_insert_request_defaults_rowbinary():
+    from etl_ch_destination_spark.sink.clickhouse import http_insert_request
+
+    _, params = http_insert_request("t", ["a"])
+    assert params["query"].endswith("FORMAT RowBinary")
+    assert "insert_deduplication_token" not in params
