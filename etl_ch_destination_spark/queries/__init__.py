@@ -32,6 +32,7 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     llm_text,
     llm_vectors,
     llm_dedup_extra,
+    llm_corpus,
     # driver-hash-confirmed in rounds 1-3
     aggregations,
     behavior,

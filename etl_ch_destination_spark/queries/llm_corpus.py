@@ -1,0 +1,294 @@
+"""SURVEY §2.10b extension — corpus-statistics operators for the
+training-data pipeline (round 4 additions beyond the 166-key contract).
+
+North-star coverage (BASELINE.json): unigram-frequency quality
+signals, cross-source priority dedup, embedding quantization for
+storage/serving egress, and sequence-length bucketing for batch-shape
+planning. Every key here carries a full DuckDB hash oracle.
+
+Scale notes (100 TB): `llm_word_rarity` is the only multi-shuffle op
+(corpus vocabulary build + join back); the rest are map-side or a
+single hash aggregate. See each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+# llm_length_buckets: fixed-width word-count buckets (whitespace tokens)
+BUCKET_WIDTH = 16
+
+# llm_embedding_quantize: symmetric int8 range
+Q_LEVELS = 127
+
+
+@query(
+    "llm_word_rarity",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE length(text) > 0
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS n FROM w GROUP BY word
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           MIN(v.n) AS min_count,
+           CAST(SUM(v.n) AS BIGINT) AS sum_count,
+           CAST(SUM(v.n) AS DOUBLE) / COUNT(*) AS avg_count
+    FROM w JOIN vocab v USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def llm_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity profile per document — the integer-exact
+    core of a CCNet-style unigram-LM quality filter: build the corpus
+    vocabulary (word -> count), join it back onto each document's
+    words, and report the rarest word's corpus count plus the mean
+    corpus count of the document's words. Documents full of hapax
+    tokens (min_count = 1, low avg_count) are OCR noise / mojibake
+    candidates; documents of only ultra-common words are boilerplate.
+    All statistics are integer aggregates with one final IEEE double
+    division, so the oracle hash-matches exactly (no logs — the
+    log-prob variant trades bit-stability across engines for no extra
+    signal on a rank filter).
+
+    Plan shape: explode words (the one fan-out, same budget as
+    llm_tfidf_terms) → hash-aggregate vocabulary (1 shuffle, partial
+    map-side) → shuffle equi-join exploded words to vocabulary on
+    `word` → hash-aggregate per doc_id (1 shuffle). Zipf helps twice
+    at 100 TB: the vocabulary is tiny relative to the corpus (tens of
+    millions of rows at web scale — broadcastable after a
+    document-frequency floor), and AQE's skew split handles the
+    ultra-hot stopword keys in the join.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        w.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.min("n").alias("min_count"),
+            F.sum("n").alias("sum_count"),
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_count"),
+        )
+    )
+
+
+@query(
+    "llm_cross_dedup",
+    """
+    WITH h AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS content_hash
+      FROM documents
+    ),
+    g AS (
+      SELECT content_hash, COUNT(*) AS n_copies,
+             COUNT(DISTINCT source) AS n_sources
+      FROM h GROUP BY content_hash
+    ),
+    r AS (
+      SELECT doc_id, source, content_hash,
+             ROW_NUMBER() OVER (PARTITION BY content_hash
+                                ORDER BY source, doc_id) AS rn
+      FROM h
+    )
+    SELECT r.doc_id, r.source, r.content_hash, g.n_copies, g.n_sources
+    FROM r JOIN g USING (content_hash)
+    WHERE r.rn = 1
+    """,
+)
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup — when the same text arrives from
+    several sources (curated dump vs web crawl), keep exactly one copy
+    from the *preferred* source rather than an arbitrary one, and
+    report how many copies/sources it shadowed. Here priority is the
+    lexicographic source rank (deterministic stand-in; a production
+    pipeline broadcast-joins a tiny (source, priority) table — the
+    plan shape is identical), tie-broken by doc_id so survivorship is
+    a total order (SURVEY §4.2 determinism policy).
+
+    Plan shape: one shuffle on the 128-bit content hash (uniform, no
+    skew) feeding BOTH the row_number window and the per-hash copy
+    counts — Spark computes the counts as window aggregates over the
+    same partitioning, so the exchange is reused and no second
+    shuffle or self-join materializes (the oracle uses the
+    groupBy+join form; same values). Survivor selection is
+    window-rank, never bare dropDuplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+    )
+    wp = Window.partitionBy("content_hash")
+    w = wp.orderBy("source", "doc_id")
+    ranked = h.select(
+        "doc_id",
+        "source",
+        "content_hash",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_copies"),
+        F.size(F.collect_set("source").over(wp)).alias("n_sources"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "source",
+        "content_hash",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+    )
+
+
+@query(
+    "llm_embedding_quantize",
+    f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e,
+             list_reduce(list_transform(e, x -> abs(x)),
+                         (a, b) -> greatest(a, b)) AS absmax
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, e, absmax,
+             absmax / {Q_LEVELS} AS scale,
+             list_transform(e, x -> greatest(-{Q_LEVELS}, least({Q_LEVELS},
+               CAST(floor(x / (absmax / {Q_LEVELS}) + 0.5) AS BIGINT)))) AS qv
+      FROM m WHERE absmax > 0
+    )
+    SELECT vec_id, absmax, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           list_reduce(
+             list_transform(range(1, len(e) + 1),
+               i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)),
+             (a, b) -> a + b) AS sq_err
+    FROM q
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving egress step of an embedding pipeline (4× smaller
+    than float32, what a vector store actually ingests). Per vector:
+    absmax scale = max|v|/127, quantized q_i = clamp(floor(v_i/scale
+    + 0.5), ±127) (explicit floor(x+0.5) so both engines round
+    identically — no engine-native round() half-even drift), plus the
+    reconstruction squared error as the quality audit.
+
+    All arithmetic is per-row left-to-right array folds in double
+    precision — deterministic on both engines, so the oracle
+    hash-matches bit for bit (same precedent as llm_sim_topk_exact's
+    dot products). Zero vectors (absmax = 0) are excluded on both
+    sides rather than special-cased to a 0/0 NaN.
+
+    Plan shape: ZERO-shuffle map-side codegen over the embeddings
+    scan; at 100 TB this fuses with the parquet scan and writes
+    straight to the sink. The int8 payload itself would be
+    `transform(...) cast array<tinyint>` into the Native/RowBinary
+    encoder (sink/native.py handles Array(Int8) via the same offsets
+    layout)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absmax = F.aggregate(
+        F.transform(e, lambda x: F.abs(x)), F.lit(0.0), lambda a, b: F.greatest(a, b)
+    )
+    base = emb.select("vec_id", e.alias("e"), absmax.alias("absmax")).filter(
+        F.col("absmax") > 0
+    )
+    scale = F.col("absmax") / Q_LEVELS
+    qv = F.transform(
+        F.col("e"),
+        lambda x: F.greatest(
+            F.lit(-Q_LEVELS),
+            F.least(F.lit(Q_LEVELS), F.floor(x / scale + 0.5).cast("bigint")),
+        ),
+    )
+    q = base.select("vec_id", "e", "absmax", scale.alias("scale"), qv.alias("qv"))
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qv"),
+            lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return q.select(
+        "vec_id",
+        "absmax",
+        "scale",
+        F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("q_l1"),
+        sq_err.alias("sq_err"),
+    )
+
+
+@query(
+    "llm_length_buckets",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS nw
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang,
+           CAST(nw // {BUCKET_WIDTH} AS BIGINT) AS bucket,
+           CAST(nw // {BUCKET_WIDTH} AS BIGINT) * {BUCKET_WIDTH} AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS total_words,
+           MIN(nw) AS min_words,
+           MAX(nw) AS max_words
+    FROM t
+    GROUP BY lang, bucket
+    """,
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per language, fixed {BUCKET_WIDTH}-word
+    buckets — the batch-shape / curriculum planning input: how much
+    padding a naive batcher wastes per bucket, where to cut
+    length-grouped batches, and what llm_sequence_pack's budget should
+    be. Integer-only arithmetic → exact oracle.
+
+    Plan shape: map-side bucket id fused into the scan, then ONE
+    partial+final hash aggregate on (lang, bucket) — cardinality is
+    tiny (langs × max_len/{BUCKET_WIDTH}) so the reduce side is
+    negligible at any scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    nw = F.size(F.split("text", " "))
+    t = d.select("lang", nw.alias("nw"))
+    return (
+        t.withColumn("bucket", F.floor(F.col("nw") / BUCKET_WIDTH).cast("bigint"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("total_words"),
+            F.min("nw").alias("min_words"),
+            F.max("nw").alias("max_words"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            (F.col("bucket") * BUCKET_WIDTH).alias("bucket_lo"),
+            "n_docs",
+            "total_words",
+            "min_words",
+            "max_words",
+        )
+    )

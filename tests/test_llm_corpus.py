@@ -1,0 +1,118 @@
+"""Gates for the round-4 corpus-statistics operators
+(queries/llm_corpus.py): Counter-reference equality for word rarity,
+priority-survivorship for cross-source dedup, the quantization error
+bound, and bucket-partition invariants for length buckets."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, n_chars int, lang string, source string"
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir(exist_ok=True)
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return sf
+
+
+def test_word_rarity_matches_counter_reference(spark, tmp_path):
+    """Exact equality against a Python Counter reference on a corpus
+    with a known vocabulary-frequency profile."""
+    from etl_ch_destination_spark.queries.llm_corpus import llm_word_rarity
+
+    texts = {
+        1: "a a b common common common",
+        2: "b rare common",
+        3: "common",
+        4: "x y z a",
+    }
+    rows = [(i, t, len(t), "en", "src") for i, t in texts.items()]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    vocab = Counter(w for t in texts.values() for w in t.split(" "))
+    got = {r.doc_id: r for r in llm_word_rarity(spark, sf).collect()}
+    assert sorted(got) == sorted(texts)
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        counts = [vocab[w] for w in words]
+        r = got[doc_id]
+        assert r.n_words == len(words)
+        assert r.min_count == min(counts)
+        assert r.sum_count == sum(counts)
+        assert r.avg_count == sum(counts) / len(words)
+
+
+def test_cross_dedup_keeps_priority_source(spark, tmp_path):
+    """Planted cross-source duplicates: the survivor is always the
+    lexicographically-first source (doc_id tiebreak), and the shadow
+    counts account for every copy."""
+    from etl_ch_destination_spark.queries.llm_corpus import llm_cross_dedup
+
+    rows = [
+        # same text from three sources -> survivor = (curated, 10)
+        (12, "the shared text", 15, "en", "web"),
+        (10, "the shared text", 15, "en", "curated"),
+        (11, "The Shared TEXT  ", 15, "en", "forum"),  # normalizes equal? no — spaces differ
+        (13, "the shared text", 15, "en", "curated"),  # tie on source -> doc_id wins
+        # unique text -> survives trivially
+        (20, "a unique document", 17, "en", "web"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in llm_cross_dedup(spark, sf).collect()}
+
+    # "The Shared TEXT  " lower+trims to "the shared text  "? No:
+    # trim strips outer spaces -> "the shared text" — it IS a dupe.
+    assert set(got) == {10, 20}
+    assert got[10].source == "curated"
+    assert got[10].n_copies == 4
+    assert got[10].n_sources == 3
+    assert got[20].n_copies == 1 and got[20].n_sources == 1
+    # survivors are unique per content hash
+    hashes = [r.content_hash for r in got.values()]
+    assert len(hashes) == len(set(hashes))
+
+
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    """Per-vector reconstruction error is bounded by the quantizer's
+    half-step: sq_err <= dim * (scale/2)^2 (floor(x+0.5) rounds to the
+    nearest level, clamp never binds at |x| <= absmax)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import llm_embedding_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    rows = llm_embedding_quantize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.scale > 0
+        assert r.sq_err <= dim * (r.scale / 2.0) ** 2 * (1 + 1e-12)
+        assert r.q_l1 >= abs(r.q_sum)
+        assert r.q_l1 <= dim * 127
+
+
+def test_length_buckets_partition_docs(spark, sf_dir):
+    """Buckets partition the corpus: per-lang doc counts sum to the
+    corpus count, and every bucket's min/max stay inside its bounds."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        BUCKET_WIDTH,
+        llm_length_buckets,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_docs = d.count()
+    rows = llm_length_buckets(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket_lo == r.bucket * BUCKET_WIDTH
+        assert r.bucket_lo <= r.min_words <= r.max_words < r.bucket_lo + BUCKET_WIDTH
+        assert r.min_words * r.n_docs <= r.total_words <= r.max_words * r.n_docs
+    # (lang, bucket) keys are unique
+    keys = [(r.lang, r.bucket) for r in rows]
+    assert len(keys) == len(set(keys))
