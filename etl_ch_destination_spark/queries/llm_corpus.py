@@ -84,6 +84,92 @@ def llm_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_unigram_logprob",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE length(text) > 0
+    ),
+    tok AS (
+      SELECT doc_id, word, COUNT(*) AS m FROM w GROUP BY doc_id, word
+    ),
+    vocab AS (
+      SELECT word, CAST(SUM(m) AS BIGINT) AS n FROM tok GROUP BY word
+    ),
+    total AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS corpus_n FROM vocab
+    ),
+    scored AS (
+      SELECT word, n,
+             CAST(length(format('{:b}', total.corpus_n // n)) - 1 AS BIGINT)
+               AS bits
+      FROM vocab, total
+    )
+    SELECT t.doc_id,
+           CAST(SUM(t.m) AS BIGINT) AS n_words,
+           CAST(SUM(t.m * s.bits) AS BIGINT) AS sum_bits,
+           CAST(SUM(t.m * s.bits) AS DOUBLE) / SUM(t.m) AS bits_per_word
+    FROM tok t JOIN scored s USING (word)
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document — the CCNet/KenLM-style
+    perplexity-proxy quality filter: train the maximum-likelihood
+    unigram model on the corpus itself (p(w) = n_w / N), then score
+    each document's mean per-word code length. Boilerplate of
+    ultra-common words scores low, mojibake/hapax soup scores high;
+    natural text sits in the middle band a filter keeps.
+
+    Determinism policy: surprisal is quantized to WHOLE BITS —
+    bits_w = floor(log2(N / n_w)) — computed entirely in integers as
+    bitlen(N div n_w) - 1 (binary-string length; the identity
+    floor(log2(N/n)) = floor(log2(floor(N/n))) holds for every
+    q = N div n >= 1 since q <= N/n < q+1 <= 2^(bitlen(q))). A probe
+    showed Spark's JVM `ln` drifts 1 ulp from DuckDB/glibc on some
+    inputs, so the float form of this score cannot hash-match across
+    engines; the whole-bit form preserves the filter's ordering at
+    ~0.5-bit quantization while keeping the oracle exact (integer
+    sums + one final IEEE double division). llm_word_rarity carries
+    the complementary sub-bit-resolution signal (raw corpus counts).
+
+    Plan shape: 4 hash shuffles at the fleet cap — (doc,word)
+    multiplicity agg, vocabulary agg, join-back on word, per-doc agg.
+    The corpus total N is a separate map-side count over the documents
+    scan (partial agg + single-partition exchange, no hash shuffle)
+    broadcast condition-free onto the tiny VOCABULARY — 1 row × vocab,
+    the rpt_idle_customers scalar pattern, allow-listed in the plan
+    audit; never a data×data NLJ. At 100 TB the scored vocabulary
+    after a document-frequency floor is ~10^7 rows — broadcastable,
+    which deletes the join-back shuffle; AQE splits the stopword skew
+    either way."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tok = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("m"))
+    vocab = tok.groupBy("word").agg(F.sum("m").alias("n"))
+    total = d.agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("corpus_n")
+    )
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        (F.length(F.conv(F.expr("corpus_n div n"), 10, 2)) - 1)
+        .cast("bigint")
+        .alias("bits"),
+    )
+    return (
+        tok.join(scored, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_words"),
+            F.sum(F.col("m") * F.col("bits")).alias("sum_bits"),
+            (
+                F.sum(F.col("m") * F.col("bits")).cast("double") / F.sum("m")
+            ).alias("bits_per_word"),
+        )
+    )
+
+
+@query(
     "llm_cross_dedup",
     """
     WITH h AS (

@@ -48,6 +48,43 @@ def test_word_rarity_matches_counter_reference(spark, tmp_path):
         assert r.avg_count == sum(counts) / len(words)
 
 
+def test_unigram_logprob_matches_bitlen_reference(spark, tmp_path):
+    """Exact equality against a Python reference: whole-bit surprisal
+    bits_w = bitlen(N // n_w) - 1 == floor(log2(N / n_w)), m-weighted
+    per doc. Also checks the quantization identity on every (N, n)
+    pair the corpus produces."""
+    import math
+
+    from etl_ch_destination_spark.queries.llm_corpus import llm_unigram_logprob
+
+    texts = {
+        1: "the the the cat",
+        2: "the quick brown fox jumps",
+        3: "zyx zyx qwerty",
+        4: "the cat the cat",
+    }
+    rows = [(i, t, len(t), "en", "src") for i, t in texts.items()]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    vocab = Counter(w for t in texts.values() for w in t.split(" "))
+    N = sum(vocab.values())
+    bits = {w: (N // n).bit_length() - 1 for w, n in vocab.items()}
+    for w, n in vocab.items():  # quantization identity
+        assert bits[w] == math.floor(math.log2(N / n))
+
+    got = {r.doc_id: r for r in llm_unigram_logprob(spark, sf).collect()}
+    assert sorted(got) == sorted(texts)
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        want_bits = sum(bits[w] for w in words)
+        r = got[doc_id]
+        assert r.n_words == len(words)
+        assert r.sum_bits == want_bits
+        assert r.bits_per_word == want_bits / len(words)
+    # ordering sanity: the all-stopword doc is cheaper than the rare one
+    assert got[4].bits_per_word < got[3].bits_per_word
+
+
 def test_cross_dedup_keeps_priority_source(spark, tmp_path):
     """Planted cross-source duplicates: the survivor is always the
     lexicographically-first source (doc_id tiebreak), and the shadow

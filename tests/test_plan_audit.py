@@ -46,6 +46,9 @@ ALLOWED_NLJ = {
     "llm_sim_topk_exact",
     "rpt_idle_customers",
     "rpt_nation_inventory_value",
+    # corpus-total N (1 row) broadcast onto the per-doc frame,
+    # condition-free by design (queries/llm_corpus.py)
+    "llm_unigram_logprob",
 }
 
 MAX_HASH_SHUFFLES = 4
