@@ -52,6 +52,8 @@ BENCH_KEYS = [
     "llm_quality_score",
     "llm_repetition_filter",
     "llm_chunk_overlap",
+    "llm_unigram_logprob",
+    "llm_cross_dedup",
     "agg_quantile_state",
     "sink_shard_balanced",
     "agg_window_funnel",

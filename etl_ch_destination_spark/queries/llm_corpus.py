@@ -378,3 +378,75 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_words",
         )
     )
+
+
+# llm_eval_split: hash-threshold boundaries (fractions of the 28-bit
+# md5 uniform) — train/valid/test = 80/10/10
+SPLIT_DENOM = 268435456.0  # 16^7: exact power of two under the 28-bit hash
+SPLIT_TRAIN = 0.8
+SPLIT_VALID = 0.9
+
+
+@query(
+    "llm_eval_split",
+    f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 7))
+                    AS BIGINT) / {SPLIT_DENOM!r} < {SPLIT_TRAIN!r} THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 7))
+                    AS BIGINT) / {SPLIT_DENOM!r} < {SPLIT_VALID!r} THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT source, split, COUNT(*) AS n_docs
+      FROM assigned GROUP BY source, split
+    )
+    SELECT source, split, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY source) AS frac
+    FROM g
+    """,
+)
+def llm_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (80/10/10) by hash
+    thresholding, reported as the per-source stratification audit a
+    pipeline runs before training: doc counts and realized fractions
+    per (source, split). The draw is a pure function of doc_id (same
+    28-bit md5-uniform construction as llm_mixture_sample, different
+    salt): reproducible across reruns, cluster sizes, partitionings,
+    and engines — no RNG, so the oracle replays it bit for bit — and
+    adding documents never reassigns existing ones (the property that
+    keeps eval sets stable across corpus refreshes).
+
+    Plan shape: map-side assignment fused into the scan, ONE hash
+    shuffle on (source, split) (cardinality = sources x 3), and the
+    per-source share as a window sum over the same tiny frame. At
+    100 TB the assignment column composes with the other map-side
+    filters; only the count frame ever shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split1"))), 1, 7),
+        16,
+        10,
+    ).cast("bigint") / F.lit(SPLIT_DENOM)
+    split = (
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VALID, "valid")
+        .otherwise("test")
+    )
+    g = (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("frac"),
+    )

@@ -133,6 +133,50 @@ def test_embedding_quantize_error_bound(spark, sf_dir):
         assert r.q_l1 <= dim * 127
 
 
+def test_eval_split_is_stable_and_partitions_corpus(spark, sf_dir, tmp_path):
+    """Split fractions sum to 1 per source, counts cover the corpus,
+    and — the property that matters — assignment is a pure function of
+    doc_id: adding documents never reassigns existing ones."""
+    import hashlib
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        SPLIT_DENOM,
+        SPLIT_TRAIN,
+        SPLIT_VALID,
+        llm_eval_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    rows = llm_eval_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        assert abs(sum(r.frac for r in rs) - 1.0) < 1e-12
+        # 80/10/10 targets within a generous tolerance at fixture scale
+        fr = {r.split: r.frac for r in rs}
+        assert fr.get("train", 0) > 0.6
+    # python replay of the md5 threshold == operator's implied assignment
+    def py_split(doc_id: int) -> str:
+        u = int(hashlib.md5(f"{doc_id}:split1".encode()).hexdigest()[:7], 16)
+        u /= SPLIT_DENOM
+        return "train" if u < SPLIT_TRAIN else ("valid" if u < SPLIT_VALID else "test")
+
+    ids = list(range(200))
+    synth = _write_docs(
+        spark, tmp_path, [(i, f"doc {i}", 6, "en", "s") for i in ids]
+    )
+    want = Counter(py_split(i) for i in ids)
+    got = {r.split: r.n_docs for r in llm_eval_split(spark, synth).collect()}
+    assert got == dict(want)
+    # determinism across reruns (same session, fresh plan)
+    again = {(r.source, r.split): r.n_docs for r in llm_eval_split(spark, sf_dir).collect()}
+    assert again == {(r.source, r.split): r.n_docs for r in rows}
+
+
 def test_length_buckets_partition_docs(spark, sf_dir):
     """Buckets partition the corpus: per-lang doc counts sum to the
     corpus count, and every bucket's min/max stay inside its bounds."""
