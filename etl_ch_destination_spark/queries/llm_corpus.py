@@ -450,3 +450,154 @@ def llm_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("frac"),
     )
+
+
+# rpt_training_mixture quality thresholds — same rules as
+# llm_quality_score (min length, stopword cap, diversity floor)
+TM_MIN_WORDS = 50
+TM_MAX_STOP = 0.3
+TM_MIN_LEX = 0.1
+
+
+@query(
+    "rpt_training_mixture",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(lower(trim(text))) AS content_hash,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a', 'of', 'and', 'to')))
+               AS n_stop,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 7))
+                    AS BIGINT) / {SPLIT_DENOM!r} < {SPLIT_TRAIN!r} THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 7))
+                    AS BIGINT) / {SPLIT_DENOM!r} < {SPLIT_VALID!r} THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    survivors AS (
+      SELECT *,
+             CASE WHEN n_words >= {TM_MIN_WORDS}
+                   AND CAST(n_stop AS DOUBLE) / n_words <= {TM_MAX_STOP!r}
+                   AND CAST(n_distinct AS DOUBLE) / n_words >= {TM_MIN_LEX!r}
+                  THEN 1 ELSE 0 END AS q
+      FROM ranked WHERE rn = 1
+    ),
+    raw AS (
+      SELECT source, COUNT(*) AS n_raw FROM base GROUP BY source
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS n_dedup,
+             CAST(SUM(q) AS BIGINT) AS n_quality,
+             CAST(SUM(CASE WHEN q = 1 AND split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN q = 1 AND split = 'valid' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_valid,
+             CAST(SUM(CASE WHEN q = 1 AND split = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN q = 1 AND split = 'train' THEN n_words ELSE 0 END)
+                  AS BIGINT) AS train_words
+      FROM survivors GROUP BY source
+    )
+    SELECT raw.source, raw.n_raw, agg.n_dedup, agg.n_quality,
+           agg.n_train, agg.n_valid, agg.n_test, agg.train_words
+    FROM raw JOIN agg USING (source)
+    """,
+)
+def rpt_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation FUNNEL report — the capstone composition a
+    pretraining data pipeline runs end-to-end, per source: raw doc
+    count → exact-dedup survivors (min-doc_id per normalized content
+    hash, counted under the surviving doc's source) → quality keepers
+    (llm_quality_score's rules: >= {TM_MIN_WORDS} words, stopword
+    ratio <= {TM_MAX_STOP}, lexical diversity >= {TM_MIN_LEX}) →
+    train/valid/test membership under llm_eval_split's deterministic
+    md5 assignment, plus the training-token budget (train_words).
+    Every stage reuses the exact semantics of its standalone operator
+    key, so this report is also an integration check across them.
+
+    All outputs are integer counts/sums — exact oracle. Plan shape:
+    one shuffle on the uniform content hash for the dedup window, one
+    tiny (source) aggregate each for the raw and survivor branches,
+    broadcast join of the two per-source frames. At 100 TB the funnel
+    is dedup-shuffle-bound, exactly like production curation runs; the
+    quality/split stages stay fused map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split1"))), 1, 7),
+        16,
+        10,
+    ).cast("bigint") / F.lit(SPLIT_DENOM)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to')))"
+        ).alias("n_stop"),
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VALID, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    survivors = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "q",
+            F.when(
+                (F.col("n_words") >= TM_MIN_WORDS)
+                & (F.col("n_stop").cast("double") / F.col("n_words") <= TM_MAX_STOP)
+                & (
+                    F.col("n_distinct").cast("double") / F.col("n_words")
+                    >= TM_MIN_LEX
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    raw = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    is_q = F.col("q") == 1
+    agg = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dedup"),
+        F.sum("q").alias("n_quality"),
+        F.sum(F.when(is_q & (F.col("split") == "train"), 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(is_q & (F.col("split") == "valid"), 1).otherwise(0)).alias(
+            "n_valid"
+        ),
+        F.sum(F.when(is_q & (F.col("split") == "test"), 1).otherwise(0)).alias(
+            "n_test"
+        ),
+        F.sum(
+            F.when(is_q & (F.col("split") == "train"), F.col("n_words")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("train_words"),
+    )
+    return raw.join(agg, "source").select(
+        "source",
+        "n_raw",
+        "n_dedup",
+        "n_quality",
+        "n_train",
+        "n_valid",
+        "n_test",
+        "train_words",
+    )

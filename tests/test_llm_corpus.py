@@ -177,6 +177,39 @@ def test_eval_split_is_stable_and_partitions_corpus(spark, sf_dir, tmp_path):
     assert again == {(r.source, r.split): r.n_docs for r in rows}
 
 
+def test_training_mixture_funnel_invariants(spark, sf_dir, tmp_path):
+    """Funnel stages are monotone and internally consistent: raw >=
+    dedup >= quality = train+valid+test per source; on a planted
+    corpus the dedup and quality stages drop exactly the planted
+    rows."""
+    from etl_ch_destination_spark.queries.llm_corpus import rpt_training_mixture
+
+    rows = rpt_training_mixture(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_dedup >= r.n_quality >= 0
+        assert r.n_quality == r.n_train + r.n_valid + r.n_test
+        assert r.train_words >= r.n_train * 50  # every kept doc has >= 50 words
+
+    # planted: 3 copies of one good doc (1 survives), 1 short doc
+    # (killed by quality), 1 distinct good doc
+    good = " ".join(f"w{i}" for i in range(60))
+    good2 = " ".join(f"v{i}" for i in range(60))
+    rows_in = [
+        (1, good, len(good), "en", "s"),
+        (2, good, len(good), "en", "s"),
+        (3, good, len(good), "en", "s"),
+        (4, "too short", 9, "en", "s"),
+        (5, good2, len(good2), "en", "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows_in)
+    r = rpt_training_mixture(spark, sf).collect()
+    assert len(r) == 1 and r[0].source == "s"
+    assert r[0].n_raw == 5
+    assert r[0].n_dedup == 3   # dupes of `good` collapse to doc 1
+    assert r[0].n_quality == 2  # short doc dropped
+
+
 def test_length_buckets_partition_docs(spark, sf_dir):
     """Buckets partition the corpus: per-lang doc counts sum to the
     corpus count, and every bucket's min/max stay inside its bounds."""
