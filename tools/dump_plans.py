@@ -188,6 +188,29 @@ ANNOTATIONS: dict[str, str] = {
         "exchanges; fan-out bounded by ~n_words/stride per doc. This "
         "is the narrow stage that feeds the tokenizer at 100 TB."
     ),
+    "llm_unigram_logprob": (
+        "Vocabulary-join spine (round 4): explode → partial+final "
+        "vocabulary HashAggregate → shuffle equi-join back on `word` → "
+        "per-doc HashAggregate; the corpus total rides a 1-row "
+        "condition-free broadcast (allow-listed, O(rows)). Verify NO "
+        "data×data nested loop and exactly 4 hash exchanges; at web "
+        "scale a document-frequency floor makes the vocabulary "
+        "broadcastable, deleting the join-back exchange."
+    ),
+    "llm_cross_dedup": (
+        "Priority-source dedup (round 4): ONE exchange on the uniform "
+        "128-bit content hash feeding row_number AND the per-hash "
+        "window counts over the same partitioning — verify a single "
+        "`Exchange hashpartitioning(content_hash)` with two Window "
+        "operators above it and no self-join."
+    ),
+    "rpt_training_mixture": (
+        "Curation funnel (round 4): the dedup window's content-hash "
+        "exchange dominates; the raw and survivor per-source "
+        "aggregates are tiny, and the final per-source join "
+        "broadcasts. Quality flags and split assignment stay fused in "
+        "the map-side projection under the window."
+    ),
     "rpt_waiting_orders": (
         "TPC-H Q21 shape: the 'late shipment' frame feeds both the "
         "driving side and the sole-blame `LeftAnti`; the multi-supplier "

@@ -177,6 +177,24 @@ def main() -> int:
 
             near_duplicate_pairs(d).write.mode("overwrite").format("noop").save()
 
+        def vocab_score():
+            # the llm_word_rarity / llm_unigram_logprob spine: explode →
+            # vocabulary agg → join-back → per-doc agg. replicate_docs
+            # gives each copy a disjoint vocabulary, so vocabulary
+            # cardinality scales N× with the corpus — the worst case for
+            # the join-back (no cross-copy key sharing to amortize).
+            w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            tok = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("m"))
+            vocab = tok.groupBy("word").agg(F.sum("m").alias("n"))
+            (
+                tok.join(vocab, "word")
+                .groupBy("doc_id")
+                .agg(F.sum("m").alias("n_words"), F.min("n").alias("min_n"))
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+
         # --- ANN vs exact: recall AND latency under row scaling -------
         # (VERDICT r3 next-round #5: prove the approximate paths hold
         # their recall floor as the corpus grows, not just their slope.)
@@ -235,6 +253,7 @@ def main() -> int:
             "join_agg": time_action(join_agg),
             "topk_global": time_action(topk),
             "neardup": time_action(neardup),
+            "vocab_score": time_action(vocab_score),
             "vec_rows": corpus.count(),
             "ann_recall_lsh": recall_ann,
             "ann_recall_ivf": recall_ivf,
