@@ -37,4 +37,6 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     aggregations,
     behavior,
     joins,
+    # round-4 ClickHouse-signature additions (never sampled yet)
+    aggregations_ch,
 )

@@ -1,0 +1,158 @@
+"""SURVEY §2.4 extension — additional ClickHouse aggregate-function
+signatures (round 4): ``uniqUpTo``, ``topKWeighted``, ``deltaSum``.
+
+Each key mirrors the ClickHouse function's exact semantics in
+DataFrame form with a full DuckDB hash oracle; determinism notes per
+key (the deltaSum series is quantized to integer micros because a
+parallel SUM over raw doubles is order-sensitive — SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+UNIQ_UPTO_N = 50   # uniqUpTo cap: exact below, N+1 sentinel above
+TOPK_W = 3         # topKWeighted k
+
+
+@query(
+    "agg_uniq_upto",
+    f"""
+    SELECT event_type,
+           LEAST(COUNT(DISTINCT user_id), {UNIQ_UPTO_N + 1}) AS users_upto,
+           LEAST(COUNT(DISTINCT user_id), 6) AS users_upto_5,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)(x)``: exact distinct count while it is
+    <= N, the sentinel N+1 once it exceeds N — the "is this column
+    low-cardinality?" probe used for dictionary/LowCardinality
+    decisions. Two caps ({UNIQ_UPTO_N} and 5) so the fixture exercises
+    both the exact and the saturated branch.
+
+    Semantics are the capped projection of an exact distinct count, so
+    the plan is Spark's expand-exchange distinct aggregate under a
+    `least()` — bit-exact, full oracle. CH's memory win (state capped
+    at N+1 values per group) has no built-in Spark twin: partial
+    distinct aggregation bounds per-partition state by the values
+    PRESENT, not by N. At 100 TB with a hot group the honest choices
+    are this exact form (expand shuffle) or agg_approx_distinct's HLL
+    (constant state, approximate); uniqUpTo's contract only needs
+    exactness below N, which both satisfy there."""
+    e = load_table(spark, sf_dir, "events")
+    cd = F.countDistinct("user_id")
+    return e.groupBy("event_type").agg(
+        F.least(cd, F.lit(UNIQ_UPTO_N + 1).cast("bigint")).alias("users_upto"),
+        F.least(cd, F.lit(6).cast("bigint")).alias("users_upto_5"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_topk_weighted",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ),
+    r AS (
+      SELECT l_returnflag, l_suppkey, total_qty,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY total_qty DESC, l_suppkey)
+                  AS INT) AS rank
+      FROM s
+    )
+    SELECT * FROM r WHERE rank <= {TOPK_W}
+    """,
+)
+def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(k)(x, w)``: the top-k items per group
+    ranked by SUMMED weight, not occurrence count (agg_topk_freq is
+    the unweighted sibling). Weight sums run under the exact-decimal
+    money policy (order-insensitive), the ranking is totalized with
+    an item tiebreak, and the final weight casts to double — full
+    hash oracle, unlike CH's own topK which is approximate
+    (SpaceSaving); at fixture scale the exact form IS the oracle for
+    that sketch.
+
+    Plan: partial+final hash aggregate on (group, item), then a
+    per-group WindowGroupLimit rank — the (group, item) aggregate
+    bounds the window input to distinct items, so the sort is over
+    item cardinality, never raw rows. At 100 TB both stages stay
+    shuffle-bounded by item cardinality; a SpaceSaving-style sketch
+    (CH's actual topK state) is the constant-memory variant when item
+    cardinality itself explodes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("total_qty"), F.asc("l_suppkey")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOPK_W)
+    )
+
+
+@query(
+    "agg_delta_sum",
+    """
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+      FROM events
+    ),
+    l AS (
+      SELECT user_id,
+             vq - lag(vq) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS d
+      FROM q
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+             AS delta_sum_micros,
+           CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS DOUBLE) / 1000000.0
+             AS delta_sum
+    FROM l GROUP BY user_id
+    """,
+)
+def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum(x)``: the sum of POSITIVE deltas between
+    consecutive values of an ordered series — the standard
+    counter-reset-tolerant rate primitive (a monotone counter that
+    resets to 0 contributes its true increase, not the negative jump).
+    Ordered per user by (ts, event_id) — a total order, so lag() is
+    deterministic under any partitioning.
+
+    Determinism: the series is quantized to integer MICROS via
+    floor(value * 1e6) before differencing — floor() (not a bigint
+    cast: Spark truncates toward zero, DuckDB rounds-to-nearest) and
+    an integer delta sum make the aggregate order-insensitive and the
+    oracle exact; the double form is one final division. CH's
+    deltaSum over raw Float64 has the same parallel-sum caveat — its
+    docs warn the result is order-dependent across parts.
+
+    Plan: one shuffle on user_id feeding lag + the per-user sum over
+    the same partitioning (exchange reused). At 100 TB this is the
+    sessionize shape: narrow sort within partitions, no global
+    order."""
+    e = load_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1000000.0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select("user_id", (vq - F.lag(vq).over(w)).alias("d"))
+    pos = F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0))
+    return d.groupBy("user_id").agg(
+        F.sum(pos).cast("bigint").alias("delta_sum_micros"),
+        (F.sum(pos).cast("double") / 1000000.0).alias("delta_sum"),
+    )

@@ -1,0 +1,98 @@
+"""Semantic gates for the round-4 ClickHouse aggregate signatures
+(queries/aggregations_ch.py): uniqUpTo saturation, topKWeighted
+ranking vs a Python reference, deltaSum vs a sequential replay."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_uniq_upto_caps_against_exact(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        UNIQ_UPTO_N,
+        agg_uniq_upto,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = agg_uniq_upto(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.users_upto == min(exact[r.event_type], UNIQ_UPTO_N + 1)
+        assert r.users_upto_5 == min(exact[r.event_type], 6)
+    # the fixture must exercise the saturated branch of the small cap
+    assert any(r.users_upto_5 == 6 for r in rows)
+
+
+def test_topk_weighted_matches_python_reference(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        TOPK_W,
+        agg_topk_weighted,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = (
+        li.groupBy("l_returnflag", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("w")
+        )
+        .collect()
+    )
+    by_group: dict = {}
+    for r in sums:
+        by_group.setdefault(r.l_returnflag, []).append((r.l_suppkey, r.w))
+    want = {
+        g: [
+            s
+            for s, _ in sorted(items, key=lambda t: (-t[1], t[0]))[:TOPK_W]
+        ]
+        for g, items in by_group.items()
+    }
+    got: dict = {}
+    for r in agg_topk_weighted(spark, sf_dir).collect():
+        got.setdefault(r.l_returnflag, {})[r.rank] = r.l_suppkey
+        assert 1 <= r.rank <= TOPK_W
+    assert {g: [d[i] for i in sorted(d)] for g, d in got.items()} == want
+
+
+def test_delta_sum_matches_sequential_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_delta_sum
+
+    e = load_table(spark, sf_dir, "events")
+    sample_users = [r.user_id for r in e.select("user_id").distinct().limit(5).collect()]
+    rows = (
+        e.filter(F.col("user_id").isin(sample_users))
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    want = {}
+    for u, evs in series.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        vq = [math.floor(v * 1_000_000.0) for _, _, v in evs]
+        want[u] = sum(max(b - a, 0) for a, b in zip(vq, vq[1:]))
+    got = {
+        r.user_id: r.delta_sum_micros
+        for r in agg_delta_sum(spark, sf_dir).collect()
+        if r.user_id in series
+    }
+    assert got == want
+    # a counter that resets must report only its increases
+    for u, evs in series.items():
+        if any(b < a for (_, _, a), (_, _, b) in zip(evs, evs[1:])):
+            assert got[u] >= 0
+            break
