@@ -156,3 +156,77 @@ def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pos).cast("bigint").alias("delta_sum_micros"),
         (F.sum(pos).cast("double") / 1000000.0).alias("delta_sum"),
     )
+
+
+@query(
+    "agg_linreg",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100.0) AS BIGINT) AS xq,
+             CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS yq
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(xq) AS DOUBLE) AS sx,
+             CAST(SUM(yq) AS DOUBLE) AS sy,
+             CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+             CAST(SUM(xq * yq) AS DOUBLE) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / (100.0 * CAST(n AS DOUBLE)) AS intercept
+    FROM s
+    """,
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)``: closed-form least
+    squares slope/intercept of extendedprice against quantity per
+    return flag, from the classic moment sums.
+
+    Determinism policy: the moments are INTEGER sums over
+    cent-quantized inputs (floor(v*100) — floor, not a bigint cast,
+    which rounds differently per engine). Integer sums are
+    order-insensitive; the worst-case magnitude (sum of xq*yq ~ 3e16
+    at sf0.1) fits int64 with two orders of headroom, and each final
+    scalar converts to double in ONE correctly-rounded step — unlike
+    wide-decimal sums (scaled value > 2^53), whose int128/10^k -> double
+    path double-rounds and can drift 1 ulp between engines. The
+    slope's cent scale factors cancel algebraically; the intercept
+    rescales by /100 once. The slope/intercept expression trees are
+    written identically on both sides, so every double op is
+    bit-reproducible.
+
+    Plan: one partial+final hash aggregate — the 100 TB shape for any
+    moment-based statistic (mergeable constant-size state per group,
+    exactly CH's AggregateFunction state model)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xq = F.floor(F.col("l_quantity") * 100.0).cast("bigint")
+    yq = F.floor(F.col("l_extendedprice") * 100.0).cast("bigint")
+    s = (
+        li.select("l_returnflag", xq.alias("xq"), yq.alias("yq"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xq").cast("double").alias("sx"),
+            F.sum("yq").cast("double").alias("sy"),
+            F.sum(F.col("xq") * F.col("xq")).cast("double").alias("sxx"),
+            F.sum(F.col("xq") * F.col("yq")).cast("double").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / (100.0 * nd)).alias("intercept"),
+    )

@@ -232,3 +232,56 @@ def arr_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(z).alias("zc"))
         .select("doc_id", F.col("zc.pos").alias("pos"), F.col("zc.word").alias("word"))
     )
+
+
+@query(
+    "arr_enumerate_ranks",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             list_concat(string_split(p_type, ' '),
+                         string_split(p_type, ' ')[1:1]) AS w
+      FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_transform(range(1, len(w) + 1),
+                                          i -> CAST(i AS VARCHAR)), ',') AS enum,
+           array_to_string(list_transform(range(1, len(w) + 1),
+             i -> CAST(len(list_filter(list_slice(w, 1, i), y -> y = w[i]))
+                       AS VARCHAR)), ',') AS enum_uniq,
+           array_to_string(list_transform(range(1, len(w) + 1),
+             i -> CAST(len(list_distinct(list_slice(w, 1, list_position(w, w[i]))))
+                       AS VARCHAR)), ',') AS enum_dense
+    FROM t
+    """,
+)
+def arr_enumerate_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayEnumerate`` / ``arrayEnumerateUniq`` /
+    ``arrayEnumerateDense`` — per-element position, occurrence index
+    (1st/2nd/... sighting of that value), and dense first-appearance
+    rank. The input array duplicates its first token (p_type words +
+    word[1]) so Uniq and Dense actually diverge from Enumerate on
+    every row. Results serialize to csv strings because the driver's
+    hasher can't hash list cells (check_parity lint).
+
+    Pure per-row HOF codegen — prefix scans are O(n²) per row but n is
+    the token count of one value; zero shuffles, fuses with the scan
+    at any scale."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    w = F.concat(words, F.slice(words, 1, 1))
+    idx = F.transform(w, lambda x, i: i + 1)
+    enum_uniq = F.transform(
+        w,
+        lambda x, i: F.size(F.filter(F.slice(w, 1, i + 1), lambda y: y == x)),
+    )
+    enum_dense = F.transform(
+        w,
+        lambda x: F.size(F.array_distinct(F.slice(w, 1, F.array_position(w, x)))),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(idx.cast("array<string>"), ",").alias("enum"),
+        F.array_join(enum_uniq.cast("array<string>"), ",").alias("enum_uniq"),
+        F.array_join(enum_dense.cast("array<string>"), ",").alias("enum_dense"),
+    )

@@ -96,3 +96,34 @@ def test_delta_sum_matches_sequential_replay(spark, sf_dir):
         if any(b < a for (_, _, a), (_, _, b) in zip(evs, evs[1:])):
             assert got[u] >= 0
             break
+
+
+def test_linreg_matches_python_reference(spark, sf_dir):
+    """Slope/intercept equal a least-squares replay over the SAME
+    cent-quantized series (exact integer moments in Python)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_linreg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    mom: dict = {}
+    for r in rows:
+        xq = math.floor(r.l_quantity * 100.0)
+        yq = math.floor(r.l_extendedprice * 100.0)
+        m = mom.setdefault(r.l_returnflag, [0, 0, 0, 0, 0])
+        m[0] += 1
+        m[1] += xq
+        m[2] += yq
+        m[3] += xq * xq
+        m[4] += xq * yq
+    got = {r.l_returnflag: r for r in agg_linreg(spark, sf_dir).collect()}
+    assert set(got) == set(mom)
+    for flag, (n, sx, sy, sxx, sxy) in mom.items():
+        nd, sxd, syd, sxxd, sxyd = float(n), float(sx), float(sy), float(sxx), float(sxy)
+        slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        intercept = (syd - slope * sxd) / (100.0 * nd)
+        assert got[flag].n == n
+        assert got[flag].slope == slope
+        assert got[flag].intercept == intercept
+        # the fit is non-degenerate (denominator nonzero, finite result)
+        assert math.isfinite(got[flag].slope)

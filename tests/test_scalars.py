@@ -93,3 +93,25 @@ def test_ts_interpolate_bounded_by_neighbors(spark, sf_dir):
     ).filter(F.col("d").isNotNull() & (F.col("d") != 600))
     assert gaps.count() == 0
     df.unpersist()
+
+
+def test_arr_enumerate_ranks_reference(spark, tmp_path):
+    """ClickHouse arrayEnumerate/Uniq/Dense semantics on a hand-checked
+    array with duplicates (the operator appends word[1], so 'a b a' ->
+    'a b a a')."""
+    from pyspark.sql import functions as F
+
+    from etl_ch_destination_spark.queries.scalars_complex import arr_enumerate_ranks
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(
+        [(1, "a b a", "m", "BRAND", 1, "c", 1.0, "x")],
+        "p_partkey long, p_type string, p_mfgr string, p_brand string, "
+        "p_size int, p_container string, p_retailprice double, p_comment string",
+    ).write.parquet(f"{sf}/part.parquet")
+    r = arr_enumerate_ranks(spark, sf).collect()[0]
+    # w = [a, b, a, a]
+    assert r.enum == "1,2,3,4"
+    assert r.enum_uniq == "1,1,2,3"   # occurrence index per sighting
+    assert r.enum_dense == "1,2,1,1"  # dense first-appearance rank
