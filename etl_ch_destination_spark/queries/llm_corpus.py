@@ -601,3 +601,101 @@ def rpt_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test",
         "train_words",
     )
+
+
+# llm_line_dedup: fixed block width (whitespace tokens) standing in for
+# "lines"/sentence spans — the fixture corpus has no newline or
+# sentence punctuation, so spans are defined positionally.
+LINE_W = 10
+
+
+@query(
+    "llm_line_dedup",
+    f"""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nw
+      FROM documents WHERE length(text) > 0
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(u AS INT) AS block_idx,
+             array_to_string(
+               w[u * {LINE_W} + 1 : least((u + 1) * {LINE_W}, nw)], ' ') AS btxt
+      FROM s, unnest(range(0, (nw + {LINE_W} - 1) // {LINE_W})) AS t(u)
+    ),
+    r AS (
+      SELECT doc_id, block_idx, btxt,
+             ROW_NUMBER() OVER (PARTITION BY md5(btxt)
+                                ORDER BY doc_id, block_idx) AS rn
+      FROM blocks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(array_to_string(
+             list(btxt ORDER BY block_idx) FILTER (WHERE rn = 1), ' '),
+             '')) AS kept_md5
+    FROM r GROUP BY doc_id
+    """,
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup (Raffel et al. 2020 discarded repeated
+    three-sentence spans corpus-wide; here the span is a positional
+    {LINE_W}-word block since the fixture has no sentence marks): any
+    block whose exact text occurs elsewhere in the corpus survives
+    only at its FIRST occurrence (min (doc_id, block_idx) — a total
+    order, so survivorship is deterministic), and each document is
+    reassembled from its kept blocks in order. Emits per doc the
+    block/keep counts and the md5 of the reassembled text — pinning
+    exact CONTENT, not just counts, while keeping the oracle
+    list-free (check_parity lint).
+
+    This is the intra-document-granularity complement of
+    llm_dedup_exact (whole doc) and llm_dedup_near (fuzzy doc):
+    boilerplate headers/footers repeated across pages die here while
+    the surrounding unique prose survives.
+
+    Plan shape: map-side block explode (bounded fan-out nw/{LINE_W}),
+    ONE shuffle on the uniform 128-bit block hash for the first-
+    occurrence window, one shuffle back to doc_id for reassembly. At
+    100 TB the block-hash exchange is the cost driver — identical to
+    production line-dedup passes (the hash is uniform, so no skew),
+    and the reassembly aggregate carries only kept blocks."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.split("text", " ")
+    nw = F.size(words)
+    n_blocks = F.expr(f"(size(split(text, ' ')) + {LINE_W} - 1) div {LINE_W}")
+    rows = d.select(
+        "doc_id",
+        words.alias("w"),
+        nw.alias("nw"),
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("block_idx"),
+    )
+    start = F.col("block_idx") * LINE_W + 1
+    end = F.least((F.col("block_idx") + 1) * LINE_W, F.col("nw"))
+    btxt = F.array_join(F.slice(F.col("w"), start, end - start + 1), " ")
+    blocks = rows.select(
+        "doc_id", F.col("block_idx").cast("int").alias("block_idx"), btxt.alias("btxt")
+    )
+    w = Window.partitionBy(F.md5("btxt")).orderBy("doc_id", "block_idx")
+    r = blocks.withColumn("rn", F.row_number().over(w))
+    kept_sorted = F.transform(
+        F.filter(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("block_idx").alias("i"),
+                        (F.col("rn") == 1).alias("keep"),
+                        F.col("btxt").alias("t"),
+                    )
+                )
+            ),
+            lambda x: x["keep"],
+        ),
+        lambda x: x["t"],
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("kept_md5"),
+    )

@@ -230,3 +230,45 @@ def test_length_buckets_partition_docs(spark, sf_dir):
     # (lang, bucket) keys are unique
     keys = [(r.lang, r.bucket) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_line_dedup_keeps_first_occurrence(spark, tmp_path):
+    """Hand-checked corpus: a 10-word block shared by two docs survives
+    only in the earlier doc; the later doc reassembles without it."""
+    import hashlib
+
+    from etl_ch_destination_spark.queries.llm_corpus import LINE_W, llm_line_dedup
+
+    shared = " ".join(f"s{i}" for i in range(LINE_W))
+    a_tail = " ".join(f"a{i}" for i in range(LINE_W))
+    b_tail = " ".join(f"b{i}" for i in range(7))  # partial last block
+    doc_a = f"{shared} {a_tail}"
+    doc_b = f"{shared} {b_tail}"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, doc_a, len(doc_a), "en", "s"), (2, doc_b, len(doc_b), "en", "s")],
+    )
+    got = {r.doc_id: r for r in llm_line_dedup(spark, sf).collect()}
+    assert got[1].n_blocks == 2 and got[1].n_kept == 2
+    assert got[2].n_blocks == 2 and got[2].n_kept == 1  # shared block dropped
+    assert got[1].kept_md5 == hashlib.md5(doc_a.encode()).hexdigest()
+    assert got[2].kept_md5 == hashlib.md5(b_tail.encode()).hexdigest()
+
+
+def test_line_dedup_is_identity_on_unique_corpus(spark, tmp_path):
+    """With no repeated blocks, every doc reassembles to itself."""
+    import hashlib
+
+    from etl_ch_destination_spark.queries.llm_corpus import llm_line_dedup
+
+    docs = {
+        i: " ".join(f"w{i}_{j}" for j in range(25)) for i in range(1, 5)
+    }
+    sf = _write_docs(
+        spark, tmp_path, [(i, t, len(t), "en", "s") for i, t in docs.items()]
+    )
+    got = {r.doc_id: r for r in llm_line_dedup(spark, sf).collect()}
+    for i, t in docs.items():
+        assert got[i].n_blocks == got[i].n_kept == 3  # 25 words -> 10+10+5
+        assert got[i].kept_md5 == hashlib.md5(t.encode()).hexdigest()
