@@ -699,3 +699,61 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
         F.md5(F.array_join(kept_sorted, " ")).alias("kept_md5"),
     )
+
+
+@query(
+    "job_corpus_curate",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(lower(trim(text))) AS content_hash,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a', 'of', 'and', 'to')))
+               AS n_stop,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 7))
+                    AS BIGINT) / {SPLIT_DENOM!r} < {SPLIT_TRAIN!r} THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 7))
+                    AS BIGINT) / {SPLIT_DENOM!r} < {SPLIT_VALID!r} THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents WHERE length(text) > 0
+    ),
+    survivors AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                                     ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT * FROM survivors
+      WHERE n_words >= {TM_MIN_WORDS}
+        AND CAST(n_stop AS DOUBLE) / n_words <= {TM_MAX_STOP!r}
+        AND CAST(n_distinct AS DOUBLE) / n_words >= {TM_MIN_LEX!r}
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           1 AS n_batches
+    FROM kept GROUP BY split, source
+    """,
+)
+def job_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation job (jobs/curate_corpus.py): dedup →
+    quality filter → deterministic split → parquet load partitioned by
+    split → RE-READ verification report. The oracle computes the same
+    per-(split, source) report straight from the source table, so a
+    hash match proves the written training corpus lost and duplicated
+    NOTHING across the full curate→load→re-read path (n_batches pins
+    exactly one stamp) — the LLM-pipeline twin of job_batch_etl."""
+    import os
+
+    from etl_ch_destination_spark.catalog import scratch_dir
+    from etl_ch_destination_spark.jobs.curate_corpus import run_curate_corpus
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = scratch_dir(f"job_corpus_curate/{tag}")
+    return run_curate_corpus(spark, sf_dir, out)

@@ -272,3 +272,28 @@ def test_line_dedup_is_identity_on_unique_corpus(spark, tmp_path):
     for i, t in docs.items():
         assert got[i].n_blocks == got[i].n_kept == 3  # 25 words -> 10+10+5
         assert got[i].kept_md5 == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_corpus_curate_job_roundtrip(spark, sf_dir, tmp_path):
+    """The curation job writes a split-partitioned corpus whose re-read
+    report matches the job's own return value, every written doc
+    passes the quality gate, and a re-run is idempotent."""
+    from etl_ch_destination_spark.jobs.curate_corpus import run_curate_corpus
+    from etl_ch_destination_spark.queries.llm_corpus import TM_MIN_WORDS
+
+    out = str(tmp_path / "curated")
+    rep1 = {(r.split, r.source): (r.n_docs, r.total_words, r.n_batches)
+            for r in run_curate_corpus(spark, sf_dir, out).collect()}
+    assert rep1 and all(nb == 1 for (_, _, nb) in rep1.values())
+
+    loaded = spark.read.parquet(out)
+    assert set(loaded.select("split").distinct().toPandas()["split"]) <= {
+        "train", "valid", "test"
+    }
+    # every written doc passes the length gate and is unique
+    assert loaded.filter(F.col("n_words") < TM_MIN_WORDS).count() == 0
+    assert loaded.select("doc_id").distinct().count() == loaded.count()
+
+    rep2 = {(r.split, r.source): (r.n_docs, r.total_words, r.n_batches)
+            for r in run_curate_corpus(spark, sf_dir, out).collect()}
+    assert rep2 == rep1
