@@ -419,3 +419,60 @@ def job_batch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch(sf_dir, "job_batch_etl")
     rep = run_batch_etl(spark, sf_dir, out)
     return rep.withColumn("n_batches", F.col("n_batches").cast("int"))
+
+
+@query(
+    "scan_schema_evolution",
+    """
+    WITH batches AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch,
+             CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang_evolved
+      FROM documents
+    )
+    SELECT batch,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang_evolved IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang_null,
+           COUNT(DISTINCT lang_evolved) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM batches GROUP BY batch
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the append-only data-lake reality:
+    batch v1 was written BEFORE the `lang` column existed (even
+    doc_ids, no lang column at all), batch v2 after (odd doc_ids,
+    lang present). `mergeSchema` unions the file schemas so v1 rows
+    surface lang as NULL instead of failing the scan, and the report
+    proves per batch that no rows were lost and the evolved column is
+    NULL exactly where the files never had it. The oracle simulates
+    the same evolution relationally from the source table.
+
+    At 100 TB schema drift arrives continuously (new crawl fields,
+    new telemetry props); a destination that requires rewriting old
+    partitions on every added column is unusable — this is the read
+    path that makes additive evolution free. Plan: two-file-group scan
+    + one tiny hash aggregate; mergeSchema costs one extra footer read
+    per file group at planning time."""
+    path = _scratch(sf_dir, "scan_schema_evolution")
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    )  # pre-evolution schema: no lang
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars", F.col("lang").alias("lang_evolved")
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/batch=v1")
+    v2.write.mode("overwrite").parquet(f"{path}/batch=v2")
+    back = spark.read.option("mergeSchema", "true").option(
+        "basePath", path
+    ).parquet(f"{path}/batch=v1", f"{path}/batch=v2")
+    return back.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("lang_evolved").isNull(), 1).otherwise(0)).alias(
+            "n_lang_null"
+        ),
+        F.countDistinct("lang_evolved").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -331,3 +331,25 @@ def test_http_insert_request_defaults_rowbinary():
     _, params = http_insert_request("t", ["a"])
     assert params["query"].endswith("FORMAT RowBinary")
     assert "insert_deduplication_token" not in params
+
+
+def test_schema_evolution_merges_additive_column(spark, sf_dir):
+    """mergeSchema surfaces the evolved column as NULL for
+    pre-evolution files and intact for post-evolution files; row
+    counts per batch cover the corpus exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import scan_schema_evolution
+
+    d = load_table(spark, sf_dir, "documents")
+    n_even = d.filter(F.col("doc_id") % 2 == 0).count()
+    n_odd = d.filter(F.col("doc_id") % 2 == 1).count()
+    rows = {r.batch: r for r in scan_schema_evolution(spark, sf_dir).collect()}
+    assert set(rows) == {"v1", "v2"}
+    assert rows["v1"].n_docs == n_even
+    assert rows["v2"].n_docs == n_odd
+    # v1 never had the column -> NULL everywhere; v2 carries real values
+    assert rows["v1"].n_lang_null == n_even
+    assert rows["v1"].n_langs == 0
+    assert rows["v2"].n_langs > 0
