@@ -54,6 +54,7 @@ BENCH_KEYS = [
     "llm_chunk_overlap",
     "llm_unigram_logprob",
     "llm_cross_dedup",
+    "llm_line_dedup",
     "agg_quantile_state",
     "sink_shard_balanced",
     "agg_window_funnel",

@@ -204,6 +204,13 @@ ANNOTATIONS: dict[str, str] = {
         "`Exchange hashpartitioning(content_hash)` with two Window "
         "operators above it and no self-join."
     ),
+    "llm_line_dedup": (
+        "C4 span-level dedup (round 4): block explode -> ONE exchange "
+        "on the uniform block hash (first-occurrence row_number) -> "
+        "one exchange back to doc_id for in-order reassembly. Verify "
+        "exactly two hash exchanges and no join — survivorship is a "
+        "window, and the reassembly is a sorted-collect aggregate."
+    ),
     "rpt_training_mixture": (
         "Curation funnel (round 4): the dedup window's content-hash "
         "exchange dominates; the raw and survivor per-source "

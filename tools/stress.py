@@ -177,6 +177,39 @@ def main() -> int:
 
             near_duplicate_pairs(d).write.mode("overwrite").format("noop").save()
 
+        def line_dedup():
+            # the llm_line_dedup spine: block explode → first-occurrence
+            # window on the block hash → doc_id reassembly. The heaviest
+            # corpus pass (both exchanges carry ~token volume); slope
+            # here is the whole C4-cleaning cost model.
+            from pyspark.sql.window import Window as W
+
+            LINE_W = 10
+            words = F.split("text", " ")
+            nb = F.expr(f"(size(split(text, ' ')) + {LINE_W} - 1) div {LINE_W}")
+            rows = d.select(
+                "doc_id",
+                words.alias("w"),
+                F.size(words).alias("nw"),
+                F.explode(F.sequence(F.lit(0), nb - 1)).alias("bi"),
+            )
+            start = F.col("bi") * LINE_W + 1
+            end = F.least((F.col("bi") + 1) * LINE_W, F.col("nw"))
+            btxt = F.array_join(F.slice(F.col("w"), start, end - start + 1), " ")
+            blocks = rows.select("doc_id", "bi", btxt.alias("btxt"))
+            win = W.partitionBy(F.md5("btxt")).orderBy("doc_id", "bi")
+            r = blocks.withColumn("rn", F.row_number().over(win))
+            (
+                r.groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+                )
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+
         def vocab_score():
             # the llm_word_rarity / llm_unigram_logprob spine: explode →
             # vocabulary agg → join-back → per-doc agg. replicate_docs
@@ -254,6 +287,7 @@ def main() -> int:
             "topk_global": time_action(topk),
             "neardup": time_action(neardup),
             "vocab_score": time_action(vocab_score),
+            "line_dedup": time_action(line_dedup),
             "vec_rows": corpus.count(),
             "ann_recall_lsh": recall_ann,
             "ann_recall_ivf": recall_ivf,
