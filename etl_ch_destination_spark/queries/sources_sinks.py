@@ -476,3 +476,77 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang_evolved").alias("n_langs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+ROWBINARY_BLOCK = 100  # docs per insert block (doc_id div — deterministic)
+
+
+@query(
+    "sink_rowbinary_export",
+    f"""
+    WITH sized AS (
+      SELECT doc_id // {ROWBINARY_BLOCK} AS block_idx,
+             -- RowBinary row size for the documents schema, all five
+             -- columns Nullable (1 flag byte each): 2 x Int64 + three
+             -- varint-length strings (fixture strings < 16384 chars)
+             5 + 8 + 8
+               + (CASE WHEN strlen(text)   < 128 THEN 1 ELSE 2 END) + strlen(text)
+               + (CASE WHEN strlen(lang)   < 128 THEN 1 ELSE 2 END) + strlen(lang)
+               + (CASE WHEN strlen(source) < 128 THEN 1 ELSE 2 END) + strlen(source)
+               AS row_bytes
+      FROM documents
+    )
+    SELECT CAST(block_idx AS BIGINT) AS block_idx,
+           COUNT(*) AS n_rows,
+           CAST(SUM(row_bytes) AS BIGINT) AS n_bytes
+    FROM sized GROUP BY block_idx
+    """,
+)
+def sink_rowbinary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ClickHouse RowBinary egress, cross-checked against
+    an INDEPENDENT size model: each insert block ({ROWBINARY_BLOCK}
+    docs by doc_id range — deterministic under any partitioning, no
+    global window) is encoded to real RowBinary bytes by
+    sink/rowbinary.encode_row inside an Arrow-batched applyInPandas,
+    and the report carries the block's actual encoded byte count. The
+    oracle recomputes every block's size purely relationally (null
+    flags + fixed widths + varint-length strings), so a hash match
+    proves the wire encoder's framing — every null marker, width, and
+    varint boundary — over the whole corpus, not just the golden
+    fixtures in tests/test_rowbinary.py. Byte-level CONTENT equality
+    (not just size) is held by those goldens plus the
+    hypothesis round-trip decoder.
+
+    Plan: one shuffle on block_idx, then per-block Arrow-batched
+    Python encode — the same shape `rowbinary_blocks` ships at scale
+    (tasks encode their partitions independently; blocks retry alone
+    with per-block dedup tokens)."""
+    from etl_ch_destination_spark.sink.rowbinary import encode_row
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = d.schema
+    with_block = d.withColumn(
+        "block_idx", F.expr(f"doc_id div {ROWBINARY_BLOCK}").cast("bigint")
+    )
+
+    def encode_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        payload = b"".join(
+            encode_row(schema, row)
+            for row in pdf[[f.name for f in schema.fields]].itertuples(
+                index=False, name=None
+            )
+        )
+        return pd.DataFrame(
+            {
+                "block_idx": [int(pdf["block_idx"].iloc[0])],
+                "n_rows": [len(pdf)],
+                "n_bytes": [len(payload)],
+            }
+        )
+
+    return with_block.groupBy("block_idx").applyInPandas(
+        encode_group, schema="block_idx bigint, n_rows bigint, n_bytes bigint"
+    )

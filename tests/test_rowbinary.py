@@ -361,3 +361,29 @@ def test_rowbinary_roundtrip_random_rows(rows):
         assert got[3] == _D(want[3]).quantize(_D("0.0001"))
         assert got[4] == want[4]
         assert got[5] == list(want[5])
+
+
+def test_rowbinary_export_blocks_match_local_encoder(spark, sf_dir):
+    """The distributed export's per-block byte counts equal a local
+    re-encode of the same doc_id range — the applyInPandas path and
+    the sequential encoder can never drift apart."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        ROWBINARY_BLOCK,
+        sink_rowbinary_export,
+    )
+    from etl_ch_destination_spark.sink.rowbinary import encode_row
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = d.schema
+    rows = sorted(d.collect(), key=lambda r: r.doc_id)
+    want: dict = {}
+    for r in rows:
+        b = r.doc_id // ROWBINARY_BLOCK
+        n, nb = want.get(b, (0, 0))
+        want[b] = (n + 1, nb + len(encode_row(schema, tuple(r))))
+    got = {
+        r.block_idx: (r.n_rows, r.n_bytes)
+        for r in sink_rowbinary_export(spark, sf_dir).collect()
+    }
+    assert got == want
