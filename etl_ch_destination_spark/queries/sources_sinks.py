@@ -550,3 +550,76 @@ def sink_rowbinary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_block.groupBy("block_idx").applyInPandas(
         encode_group, schema="block_idx bigint, n_rows bigint, n_bytes bigint"
     )
+
+
+# Native block header+column-prelude size for the documents schema
+# (validated against encode_native_block byte-for-byte):
+#   varint(n_cols)=1, varint(n_rows)=1 (blocks <= 127 rows), then per
+#   column varint(len(name))+name + varint(len(type))+type:
+#   doc_id/Nullable(Int64)=23, text/Nullable(String)=22,
+#   lang/Nullable(String)=22, source/Nullable(String)=24,
+#   n_chars/Nullable(Int64)=24 -> 115. Per row: 5 null-mask bytes +
+#   2x8 Int64 = 21 fixed + the three varint-length strings.
+NATIVE_PRELUDE = 2 + 115
+
+
+@query(
+    "sink_native_export",
+    f"""
+    WITH sized AS (
+      SELECT doc_id // {ROWBINARY_BLOCK} AS block_idx,
+             (CASE WHEN strlen(text)   < 128 THEN 1 ELSE 2 END) + strlen(text)
+               + (CASE WHEN strlen(lang)   < 128 THEN 1 ELSE 2 END) + strlen(lang)
+               + (CASE WHEN strlen(source) < 128 THEN 1 ELSE 2 END) + strlen(source)
+               AS var_bytes
+      FROM documents
+    )
+    SELECT CAST(block_idx AS BIGINT) AS block_idx,
+           COUNT(*) AS n_rows,
+           CAST({NATIVE_PRELUDE} + 21 * COUNT(*) + SUM(var_bytes) AS BIGINT)
+             AS n_bytes
+    FROM sized GROUP BY block_idx
+    """,
+)
+def sink_native_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ClickHouse Native (columnar) egress — the server's
+    bulk-insert path — cross-checked against an independent size
+    model, the columnar twin of sink_rowbinary_export: each
+    deterministic doc_id-range block is encoded by
+    sink/native.encode_native_block (null masks up front, then column
+    values) inside applyInPandas, and the report's REAL byte counts
+    hash-match the oracle's relational reconstruction (header varints
+    + per-column name/type preludes + per-row mask/width/varint
+    arithmetic — the prelude constant is validated byte-for-byte in
+    tests). Framing of the column-oriented layout is thereby proven
+    over the whole corpus.
+
+    Plan: identical to the RowBinary twin — one block_idx shuffle +
+    per-block Arrow-batched Python encode."""
+    from etl_ch_destination_spark.sink.native import encode_native_block
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = d.schema
+    with_block = d.withColumn(
+        "block_idx", F.expr(f"doc_id div {ROWBINARY_BLOCK}").cast("bigint")
+    )
+
+    def encode_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        block = encode_native_block(
+            schema,
+            pdf[[f.name for f in schema.fields]].itertuples(index=False, name=None),
+        )
+        return pd.DataFrame(
+            {
+                "block_idx": [int(pdf["block_idx"].iloc[0])],
+                "n_rows": [len(pdf)],
+                "n_bytes": [len(block)],
+            }
+        )
+
+    return with_block.groupBy("block_idx").applyInPandas(
+        encode_group, schema="block_idx bigint, n_rows bigint, n_bytes bigint"
+    )

@@ -211,3 +211,43 @@ class TestArrays:
         assert pos == len(payload)
         want = [x for r in rows for x in r[1]]
         assert all(abs(a - b) < 1e-6 for a, b in zip(flat, want))
+
+
+def test_native_export_prelude_constant_is_exact(spark, sf_dir):
+    """The oracle's NATIVE_PRELUDE constant equals the real encoder's
+    header + column-prelude size for the documents schema, and the
+    distributed export matches a local re-encode per block."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        NATIVE_PRELUDE,
+        ROWBINARY_BLOCK,
+        sink_native_export,
+    )
+    from etl_ch_destination_spark.sink.native import encode_native_block
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = d.schema
+    rows = sorted(d.collect(), key=lambda r: r.doc_id)
+
+    def var_bytes(s: str) -> int:
+        return (1 if len(s) < 128 else 2) + len(s)
+
+    # prelude check on one real block
+    blk = [tuple(r) for r in rows if r.doc_id // ROWBINARY_BLOCK == 0]
+    enc = encode_native_block(schema, blk)
+    per_row = 21 * len(blk) + sum(
+        var_bytes(r[1]) + var_bytes(r[2]) + var_bytes(r[3]) for r in blk
+    )
+    assert len(enc) - per_row == NATIVE_PRELUDE
+
+    # distributed path == local re-encode, every block
+    want: dict = {}
+    for r in rows:
+        want.setdefault(r.doc_id // ROWBINARY_BLOCK, []).append(tuple(r))
+    got = {
+        r.block_idx: (r.n_rows, r.n_bytes)
+        for r in sink_native_export(spark, sf_dir).collect()
+    }
+    assert got == {
+        b: (len(rs), len(encode_native_block(schema, rs))) for b, rs in want.items()
+    }
