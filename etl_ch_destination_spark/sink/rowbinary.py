@@ -69,6 +69,24 @@ from pyspark.sql.types import (
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_TS = _dt.datetime(1970, 1, 1)
 
+# Worker processes may not be able to import this package (the driver
+# contract runs from an arbitrary cwd — same reasoning as
+# ops/multimodal.py): ship this module and the type-name source BY
+# VALUE inside any pickled closure that references them, so encode_row
+# works in mapInPandas/applyInPandas regardless of the worker's
+# sys.path. (sink/native.py registers the same set; double
+# registration is harmless.)
+try:  # pragma: no cover - exercised by the export keys' worker path
+    from pyspark import cloudpickle as _cp
+
+    import etl_ch_destination_spark.sink.clickhouse as _ch_mod
+    import etl_ch_destination_spark.sink.rowbinary as _rb_mod
+
+    for _m in (_ch_mod, _rb_mod):
+        _cp.register_pickle_by_value(_m)
+except Exception:  # noqa: BLE001  (older pickler without the hook)
+    pass
+
 
 def varint(n: int) -> bytes:
     """Unsigned LEB128 — ClickHouse's length prefix for strings/arrays."""
@@ -189,7 +207,9 @@ def encode_row(schema: StructType, row) -> bytes:
 def names_types_header(schema: StructType) -> bytes:
     """RowBinaryWithNamesAndTypes prelude: LEB128 column count, then
     names, then ClickHouse type names — type text from ``ch_type`` so
-    header and DDL can never disagree."""
+    header and DDL can never disagree. (Lazy import: the header is a
+    per-INSERT driver-side prelude — the distributed encoders ship
+    headerless blocks, so this never runs on a worker.)"""
     from etl_ch_destination_spark.sink.clickhouse import ch_type
 
     out = varint(len(schema.fields))
