@@ -53,3 +53,21 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
     }
     # oracles never reference keys that don't exist
     assert set(oracles) <= set(queries)
+
+
+def test_driver_sample_front_is_fully_oracled_and_fresh():
+    """The driver's correctness harness samples the FIRST 50 keys in
+    registration order (VERDICT r3 #1). The round-4 rotation
+    front-loads never-driver-sampled modules — keep every key in that
+    window carrying a FULL hash oracle (a rows-only key in the front
+    would waste a driver-verification slot), and keep the window on
+    the rotation's target families."""
+    from etl_ch_destination_spark.registry import all_oracles, all_queries
+
+    first50 = list(all_queries())[:50]
+    oracles = all_oracles()
+    missing = [k for k in first50 if k not in oracles]
+    assert not missing, f"rows-only keys in the driver-sample window: {missing}"
+    fresh_prefixes = ("rpt_", "win_", "limit_by", "str_", "date_", "math_",
+                      "safe_", "hash_", "url_", "arr_", "map_", "json_")
+    assert all(k.startswith(fresh_prefixes) for k in first50), first50
