@@ -230,3 +230,79 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / (100.0 * nd)).alias("intercept"),
     )
+
+
+@query(
+    "agg_bounding_ratio",
+    """
+    WITH q AS (
+      SELECT user_id,
+             epoch_us(ts) AS tq,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT f.user_id,
+           l.tq - f.tq AS span_micros,
+           l.vq - f.vq AS dv_micros,
+           CAST(l.vq - f.vq AS DOUBLE)
+             / (CAST(l.tq - f.tq AS DOUBLE) / 1000000.0) AS rate_per_sec
+    FROM q f JOIN q l ON f.user_id = l.user_id AND f.ra = 1 AND l.rd = 1
+    WHERE l.tq > f.tq
+    """,
+)
+def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio(x, y)``: the slope between the first
+    and last point of each user's series — (y_last - y_first) /
+    (x_last - x_first) — the cheap end-to-end rate that complements
+    agg_delta_sum's reset-tolerant increase. Endpoints are selected by
+    the TOTAL order (ts, event_id), so the aggregate is deterministic
+    under any partitioning; single-point and zero-span series are
+    excluded (the ratio is undefined there, and CH returns nan —
+    excluded rather than NULL-cased so the oracle stays NaN-free).
+
+    Determinism: both axes are integers — epoch microseconds for time
+    (`unix_micros` ≡ DuckDB `epoch_us`) and floor-micro-quantized
+    values (the deltaSum policy) — so endpoint differences are exact
+    and the rate is one double division of two exact integers.
+
+    Plan: one shuffle on user_id feeding BOTH directional row_numbers
+    over the same partitioning (exchange reused), then the rn=1 rows
+    self-join on user_id — tiny (one row per side per user). At scale
+    this is min_by/max_by-shaped: constant state per group."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tq"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("vq"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("ra"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rd"),
+    )
+    f = q.filter(F.col("ra") == 1).select(
+        "user_id", F.col("tq").alias("t0"), F.col("vq").alias("v0")
+    )
+    l = q.filter(F.col("rd") == 1).select(
+        "user_id", F.col("tq").alias("t1"), F.col("vq").alias("v1")
+    )
+    j = f.join(l, "user_id").filter(F.col("t1") > F.col("t0"))
+    span = F.col("t1") - F.col("t0")
+    dv = F.col("v1") - F.col("v0")
+    return j.select(
+        "user_id",
+        span.alias("span_micros"),
+        dv.alias("dv_micros"),
+        (dv.cast("double") / (span.cast("double") / 1000000.0)).alias(
+            "rate_per_sec"
+        ),
+    )

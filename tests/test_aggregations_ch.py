@@ -127,3 +127,30 @@ def test_linreg_matches_python_reference(spark, sf_dir):
         assert got[flag].intercept == intercept
         # the fit is non-degenerate (denominator nonzero, finite result)
         assert math.isfinite(got[flag].slope)
+
+
+def test_bounding_ratio_matches_endpoint_replay(spark, sf_dir):
+    """Endpoints and slope equal a sequential per-user replay over the
+    same (ts, event_id) total order and micro-quantized values."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_bounding_ratio
+
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select("user_id", "ts", "event_id", "value").collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    want = {}
+    for u, evs in series.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        t0, t1 = evs[0][0], evs[-1][0]
+        span = int((t1 - t0).total_seconds() * 1_000_000)
+        if span <= 0:
+            continue
+        dv = math.floor(evs[-1][2] * 1e6) - math.floor(evs[0][2] * 1e6)
+        want[u] = (span, dv, float(dv) / (float(span) / 1e6))
+    got = {
+        r.user_id: (r.span_micros, r.dv_micros, r.rate_per_sec)
+        for r in agg_bounding_ratio(spark, sf_dir).collect()
+    }
+    assert got == want
