@@ -174,3 +174,63 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("value_interp"),
         F.col("v").isNull().alias("was_filled"),
     )
+
+
+MOVMED_FRAME = 4  # window = 4 preceding rows + current (5-point median)
+
+
+@query(
+    "ts_moving_median",
+    f"""
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS vq,
+             list(CAST(floor(value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {MOVMED_FRAME} PRECEDING AND CURRENT ROW)
+               AS l
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(len(l) AS INT) AS n_window,
+           list_sort(l)[CAST(floor((len(l) + 1) / 2.0) AS INT)]
+             AS median_micros,
+           CAST(list_sort(l)[CAST(floor((len(l) + 1) / 2.0) AS INT)] AS DOUBLE)
+             / 1000000.0 AS median_value
+    FROM q
+    """,
+)
+def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a bounded row frame ({MOVMED_FRAME} preceding
+    + current, per user, (ts, event_id) total order) — the robust
+    smoother a metrics pipeline runs where a moving AVERAGE would let
+    one spike poison the window. Median = the LOWER middle element of
+    the sorted frame, picked by explicit floor((n+1)/2) on BOTH
+    engines — a bare int cast would diverge (Spark truncates 1.5 -> 1,
+    DuckDB rounds 1.5 -> 2, probed), the same cross-engine cast trap
+    as deltaSum's quantization. Values are micro-quantized integers
+    (the deltaSum policy), so sorting and selection are exact; the
+    double form is one final division.
+
+    Plan: one shuffle on user_id; the frame is ROWS-bounded so state
+    per row is O({MOVMED_FRAME}+1) — no whole-partition buffering, and
+    the window sort is the partition's (ts, event_id) sort reused by
+    any other per-user window in the same stage. At 100 TB this is the
+    sessionize cost model, not the global-sort one."""
+    e = load_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1000000.0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MOVMED_FRAME, 0)
+    )
+    lst = F.collect_list(vq).over(w)
+    pick = F.floor((F.size(lst) + 1) / 2.0).cast("int")
+    med = F.element_at(F.sort_array(lst), pick)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(lst).alias("n_window"),
+        med.alias("median_micros"),
+        (med.cast("double") / 1000000.0).alias("median_value"),
+    )

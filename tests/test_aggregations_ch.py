@@ -154,3 +154,37 @@ def test_bounding_ratio_matches_endpoint_replay(spark, sf_dir):
         for r in agg_bounding_ratio(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_moving_median_matches_sequential_replay(spark, sf_dir):
+    """Window medians equal a per-user sequential replay (lower middle
+    of the sorted 5-point frame, micro-quantized)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries import (
+        MOVMED_FRAME,
+        ts_moving_median,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sample = [r.user_id for r in e.select("user_id").distinct().limit(4).collect()]
+    rows = (
+        e.filter(F.col("user_id").isin(sample))
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    want = {}
+    for u, evs in series.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        vq = [math.floor(v * 1e6) for _, _, v in evs]
+        for i, (_, eid, _) in enumerate(evs):
+            frame = sorted(vq[max(0, i - MOVMED_FRAME): i + 1])
+            want[(u, eid)] = (len(frame), frame[(len(frame) + 1) // 2 - 1])
+    got = {
+        (r.user_id, r.event_id): (r.n_window, r.median_micros)
+        for r in ts_moving_median(spark, sf_dir).collect()
+        if r.user_id in sample
+    }
+    assert got == want
