@@ -757,3 +757,85 @@ def job_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = scratch_dir(f"job_corpus_curate/{tag}")
     return run_curate_corpus(spark, sf_dir, out)
+
+
+BIGRAM_TOPK = 3  # successors kept per head word
+
+
+@query(
+    "llm_bigram_lm",
+    f"""
+    WITH docs AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE length(text) > 0 AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM docs, unnest(range(1, len(w))) AS t(i)
+    ),
+    counts AS (
+      SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2
+    ),
+    heads AS (
+      SELECT w1, CAST(SUM(n) AS BIGINT) AS head_n FROM counts GROUP BY w1
+    ),
+    ranked AS (
+      SELECT c.w1, c.w2, c.n, h.head_n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.w1
+                                     ORDER BY c.n DESC, c.w2) AS INT) AS rank
+      FROM counts c JOIN heads h USING (w1)
+    )
+    SELECT w1, w2, n, head_n, rank,
+           CAST(n AS DOUBLE) / head_n AS cond_prob
+    FROM ranked WHERE rank <= {BIGRAM_TOPK}
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM table — the Markov-chain artifact an n-gram
+    language model / next-word heuristic trains from: for every head
+    word, its top {BIGRAM_TOPK} successors with count and conditional
+    probability p(w2|w1) = n(w1,w2) / n(w1,*). Counts are integers and
+    the probability is one final double division of integer sums, so
+    the oracle hash-matches; the per-head rank is totalized (count
+    desc, successor asc).
+
+    Plan shape: map-side bigram fan-out via zip_with of the word
+    array with its own tail (no self-join, the llm_repetition_filter
+    idiom) → (w1, w2) hash aggregate (1 shuffle) → per-head totals as
+    a window SUM over the w1 partition → WindowGroupLimit rank over
+    the same partitioning (ONE w1 exchange serves both windows — the
+    oracle's join form is the same values). Zipf caps the reduce side:
+    distinct bigrams grow sublinearly in corpus size, and AQE splits
+    the stopword-head skew. At 100 TB this is the KenLM count-collect
+    stage shape."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.size(F.split("text", " ")) >= 2)
+    )
+    words = F.split("text", " ")
+    tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    pairs = F.slice(
+        F.zip_with(words, tail, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        1,
+        F.greatest(F.size(words) - 1, F.lit(0)),
+    )
+    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("w1")
+    ranked = counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.sum("n").over(wp).alias("head_n"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("n"), F.asc("w2")))
+        .cast("int")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= BIGRAM_TOPK).select(
+        "w1",
+        "w2",
+        "n",
+        "head_n",
+        "rank",
+        (F.col("n").cast("double") / F.col("head_n")).alias("cond_prob"),
+    )

@@ -297,3 +297,50 @@ def test_corpus_curate_job_roundtrip(spark, sf_dir, tmp_path):
     rep2 = {(r.split, r.source): (r.n_docs, r.total_words, r.n_batches)
             for r in run_curate_corpus(spark, sf_dir, out).collect()}
     assert rep2 == rep1
+
+
+def test_bigram_lm_matches_counter_reference(spark, tmp_path):
+    """Counts, head totals, ranks, and probabilities equal a Counter
+    reference on a corpus with known bigram structure."""
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        BIGRAM_TOPK,
+        llm_bigram_lm,
+    )
+
+    texts = {
+        1: "a b a b a c",
+        2: "a b x",
+        3: "c a b",
+        4: "solo",  # < 2 words -> contributes nothing
+    }
+    sf = _write_docs(
+        spark, tmp_path, [(i, t, len(t), "en", "s") for i, t in texts.items()]
+    )
+    bigrams = Counter()
+    for t in texts.values():
+        ws = t.split(" ")
+        bigrams.update(zip(ws, ws[1:]))
+    heads = Counter()
+    for (w1, _), n in bigrams.items():
+        heads[w1] += n
+
+    rows = llm_bigram_lm(spark, sf).collect()
+    for r in rows:
+        assert r.n == bigrams[(r.w1, r.w2)]
+        assert r.head_n == heads[r.w1]
+        assert r.cond_prob == r.n / r.head_n
+        assert 1 <= r.rank <= BIGRAM_TOPK
+    # per head: top successors by (count desc, word asc)
+    by_head: dict = {}
+    for r in rows:
+        by_head.setdefault(r.w1, {})[r.rank] = r.w2
+    for w1, d in by_head.items():
+        succ = sorted(
+            ((w2, n) for (h, w2), n in bigrams.items() if h == w1),
+            key=lambda t: (-t[1], t[0]),
+        )[:BIGRAM_TOPK]
+        assert [d[i] for i in sorted(d)] == [w for w, _ in succ]
+    assert "solo" not in by_head
+    # p(b|a) dominates: "a b" occurs 4 times of 5 a-heads
+    a_rows = {r.w2: r for r in rows if r.w1 == "a"}
+    assert a_rows["b"].rank == 1 and a_rows["b"].cond_prob == 4 / 5
