@@ -306,3 +306,60 @@ def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_per_sec"
         ),
     )
+
+
+@query(
+    "agg_entropy_gini",
+    """
+    WITH u AS (
+      SELECT event_type, user_id, COUNT(*) AS n_u
+      FROM events GROUP BY event_type, user_id
+    ),
+    t AS (
+      SELECT event_type, user_id, n_u,
+             CAST(SUM(n_u) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM u
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_users,
+           1.0 - CAST(SUM(n_u * n_u) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)) AS gini,
+           CAST(SUM(n_u * (length(format('{:b}', n // n_u)) - 1)) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE) AS entropy_bits
+    FROM t GROUP BY event_type
+    """,
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution concentration per event type over its user counts —
+    ClickHouse ``entropy(x)`` territory, made hash-exact: Gini
+    impurity 1 - sum(p_u^2) as an exact rational (integer sums, one
+    double expression), and Shannon entropy quantized to WHOLE BITS —
+    mean dyadic surprisal sum(n_u * floor(log2(N/n_u))) / N, the
+    bitlen(N div n_u) - 1 identity proven at llm_unigram_logprob (raw
+    float entropy cannot hash-match: JVM ln drifts 1 ulp from glibc).
+    Together they answer the monitoring question entropy() is used
+    for — "did this event type's traffic collapse onto few users?" —
+    with both a polynomial and a logarithmic lens.
+
+    Plan: (event_type, user) hash agg -> window total over the same
+    event_type partitioning -> final per-type agg; one exchange per
+    grouping level, partial aggs map-side. Constant mergeable state
+    per group at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_u"))
+    w = Window.partitionBy("event_type")
+    t = u.select(
+        "event_type", "n_u", F.sum("n_u").over(w).cast("bigint").alias("n")
+    )
+    bits = (F.length(F.conv(F.expr("n div n_u"), 10, 2)) - 1).cast("bigint")
+    nd = F.max("n").cast("double")
+    return t.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n_u") * F.col("n_u")).cast("double") / (nd * nd)
+        ).alias("gini"),
+        (F.sum(F.col("n_u") * bits).cast("double") / nd).alias("entropy_bits"),
+    )

