@@ -234,3 +234,57 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.alias("median_micros"),
         (med.cast("double") / 1000000.0).alias("median_value"),
     )
+
+
+GAP_MICROS = 86_400_000_000  # 1 day: flag silences longer than this
+
+
+@query(
+    "ts_gap_report",
+    f"""
+    WITH q AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS tq,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_tq
+      FROM events
+    )
+    SELECT user_id, event_id,
+           prev_tq, tq,
+           tq - prev_tq AS gap_micros,
+           CAST((tq - prev_tq) // {GAP_MICROS} AS BIGINT) AS gap_days
+    FROM q
+    WHERE prev_tq IS NOT NULL AND tq - prev_tq > {GAP_MICROS}
+    """,
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection — the diagnostic twin of sessionization: instead
+    of grouping events INTO sessions, report the silences BETWEEN
+    them (every inter-event gap over one day per user, with the event
+    that ended it). This is the data-freshness/outage report a
+    monitoring pipeline derives from the same lag() machinery
+    win_sessionize uses for its gap-threshold session ids.
+
+    Pure integer arithmetic end to end (epoch microseconds, integer
+    division for whole days) — nothing to quantize, the oracle is
+    exact by construction. Plan: one shuffle on user_id for the
+    ordered lag, then a map-side filter; at scale identical to the
+    sessionize cost model."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tq = F.unix_micros("ts")
+    q = e.select(
+        "user_id",
+        "event_id",
+        tq.alias("tq"),
+        F.lag(tq).over(w).alias("prev_tq"),
+    )
+    gap = F.col("tq") - F.col("prev_tq")
+    return q.filter(F.col("prev_tq").isNotNull() & (gap > GAP_MICROS)).select(
+        "user_id",
+        "event_id",
+        "prev_tq",
+        "tq",
+        gap.alias("gap_micros"),
+        F.expr(f"(tq - prev_tq) div {GAP_MICROS}").cast("bigint").alias("gap_days"),
+    )

@@ -219,3 +219,33 @@ def test_entropy_gini_matches_counter_replay(spark, sf_dir):
             (v / n) * math.log2(v / n) for v in c.values()
         )
         assert bits <= shannon + 1e-9 and bits >= shannon - 1.0
+
+
+def test_gap_report_matches_sequential_replay(spark, sf_dir):
+    """Reported gaps equal a per-user sequential scan: every silence
+    over the threshold, attributed to the event that ended it."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries import GAP_MICROS, ts_gap_report
+
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select("user_id", "ts", "event_id").collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    want = {}
+    for u, evs in series.items():
+        evs.sort()
+        tqs = [int((t - epoch).total_seconds() * 1_000_000) for t, _ in evs]
+        for (t_prev, (_, _)), (t_cur, (_, eid)) in zip(
+            zip(tqs, evs), zip(tqs[1:], evs[1:])
+        ):
+            gap = t_cur - t_prev
+            if gap > GAP_MICROS:
+                want[(u, eid)] = (gap, gap // GAP_MICROS)
+    got = {
+        (r.user_id, r.event_id): (r.gap_micros, r.gap_days)
+        for r in ts_gap_report(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(g > GAP_MICROS for g, _ in got.values())
