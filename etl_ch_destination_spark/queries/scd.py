@@ -85,3 +85,78 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.isNull().alias("is_current"),
         )
     )
+
+
+@query(
+    "join_pit_scd2",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS eff
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_totalprice > 200000
+      GROUP BY o_custkey
+    ),
+    versions AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c.c_custkey, 'PREMIER' AS segment, ch.eff AS valid_from
+      FROM customer c JOIN changes ch ON c.c_custkey = ch.c_custkey
+    ),
+    dim AS (
+      SELECT c_custkey, segment, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY c_custkey
+                                    ORDER BY valid_from) AS valid_to
+      FROM versions
+    )
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           d.segment AS segment_at_order,
+           d.valid_from AS version_from
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    """,
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — facts against the SCD2 dimension
+    AS OF each fact's own timestamp: every order picks the customer
+    version whose [valid_from, valid_to) interval contains
+    o_orderdate, so pre-promotion orders see the historical segment
+    and post-promotion orders see PREMIER. This is THE query shape an
+    SCD2 dimension exists to serve (and what `FINAL`-style latest-row
+    dedup gets wrong for historical facts); it complements join_asof
+    (nearest-key matching) with interval CONTAINMENT semantics.
+
+    The dimension is built by the same logic as dim_scd2_history, so
+    the two keys stay semantically locked. Correctness hinges on the
+    SCD2 invariants (disjoint, contiguous intervals — tested in
+    test_scd.py): they guarantee each order matches EXACTLY one
+    version, asserted in tests here.
+
+    Plan shape: an EQUI-join on the customer key with the interval
+    predicate as a residual filter — per key there are only a handful
+    of versions, so this is the standard bounded equi-prefix range
+    join (join_theta_range's argument), never an interval cross
+    product. At 100 TB the dim side is broadcastable after pruning to
+    (key, interval, attrs)."""
+    from etl_ch_destination_spark.queries.scd import dim_scd2_history
+
+    o = load_table(spark, sf_dir, "orders")
+    d = dim_scd2_history(spark, sf_dir).select(
+        "c_custkey", "segment", "valid_from", "valid_to"
+    )
+    cond = (
+        (o.o_custkey == d.c_custkey)
+        & (d.valid_from <= o.o_orderdate)
+        & (d.valid_to.isNull() | (o.o_orderdate < d.valid_to))
+    )
+    return o.join(d, cond).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("segment").alias("segment_at_order"),
+        F.col("valid_from").alias("version_from"),
+    )

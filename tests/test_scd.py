@@ -37,3 +37,39 @@ def test_scd2_intervals_are_well_formed(spark, sf_dir):
     per_key = df.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
     assert per_key.filter(~F.col("n").isin(1, 2)).count() == 0
     df.unpersist()
+
+
+def test_pit_join_matches_exactly_one_version_per_order(spark, sf_dir):
+    """The SCD2 interval invariants guarantee every order matches
+    exactly one dimension version; promoted customers see their
+    historical segment before eff and PREMIER at/after it."""
+    from pyspark.sql import functions as F
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scd import dim_scd2_history, join_pit_scd2
+
+    o = load_table(spark, sf_dir, "orders")
+    j = join_pit_scd2(spark, sf_dir)
+    assert j.count() == o.count()
+    assert j.select("o_orderkey").distinct().count() == o.count()
+
+    dim = dim_scd2_history(spark, sf_dir)
+    promoted = {
+        r.c_custkey: r.valid_from
+        for r in dim.filter(
+            (F.col("segment") == "PREMIER") & F.col("is_current")
+        ).collect()
+    }
+    if promoted:
+        cust = next(iter(promoted))
+        eff = promoted[cust]
+        rows = (
+            j.filter(F.col("o_custkey") == cust)
+            .join(o.select("o_orderkey", "o_orderdate"), "o_orderkey")
+            .collect()
+        )
+        for r in rows:
+            if r.o_orderdate >= eff:
+                assert r.segment_at_order == "PREMIER"
+            else:
+                assert r.segment_at_order != "PREMIER" or r.version_from < eff
