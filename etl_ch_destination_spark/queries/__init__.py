@@ -39,4 +39,6 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     joins,
     # round-4 ClickHouse-signature additions (never sampled yet)
     aggregations_ch,
+    scalars_binary,
+    windows_extra,
 )

@@ -363,3 +363,153 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         (F.sum(F.col("n_u") * bits).cast("double") / nd).alias("entropy_bits"),
     )
+
+
+@query(
+    "agg_avg_weighted",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS avg_w_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted(x, w)``: quantity-weighted mean price
+    per return flag. Hash-exact because both operands of the one
+    division are exact (decimal money x integral weight summed as
+    DECIMAL / BIGINT — order-insensitive), and int->double conversion
+    plus a single IEEE division are correctly rounded in both engines.
+    Plan: one partial+final hash aggregate, map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    wsum = F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * qty)
+    return li.groupBy("l_returnflag").agg(
+        (wsum.cast("double") / F.sum(qty).cast("double")).alias("avg_w_price"),
+        F.sum(qty).cast("bigint").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_max_intersections",
+    """
+    WITH iv AS (
+        SELECT o_orderpriority,
+               o_orderdate AS s,
+               o_orderdate + INTERVAL (o_orderkey % 30 + 1) DAY AS e
+        FROM orders
+    ),
+    ev AS (
+        SELECT o_orderpriority, s AS pos, 1 AS delta FROM iv
+        UNION ALL
+        SELECT o_orderpriority, e AS pos, -1 AS delta FROM iv
+    ),
+    run AS (
+        SELECT o_orderpriority,
+               SUM(delta) OVER (PARTITION BY o_orderpriority
+                                ORDER BY pos, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS open_now
+        FROM ev
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(open_now) AS BIGINT) AS max_open,
+           COUNT(*) / 2 AS n_intervals
+    FROM run GROUP BY o_orderpriority
+    """,
+)
+def agg_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)``: the maximum number
+    of simultaneously-open intervals per priority class, over synthetic
+    half-open order-fulfilment windows [orderdate, orderdate + 1..30d).
+
+    Sweep-line as relational algebra: every interval emits (+1 at
+    start, -1 at end), a partitioned running sum walks the timeline,
+    and the group max is the answer. Ordering (pos, delta) closes
+    intervals before opening new ones at the same instant (half-open
+    semantics); within a tie block the prefix sum is monotone, so the
+    block-internal order cannot change the max — deterministic under
+    any shuffle.
+
+    Plan: union of two narrow projections -> one shuffle on the
+    priority key -> per-partition sort + streaming window -> partial
+    +final max. Scales as a single exchange of 2 rows per interval."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("s"),
+        F.expr("o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 30 + 1 AS INT))").alias("e"),
+    )
+    ev = iv.select("o_orderpriority", F.col("s").alias("pos"), F.lit(1).alias("delta")).unionAll(
+        iv.select("o_orderpriority", F.col("e").alias("pos"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("pos", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.select("o_orderpriority", F.sum("delta").over(w).alias("open_now"))
+    return run.groupBy("o_orderpriority").agg(
+        F.max("open_now").cast("bigint").alias("max_open"),
+        (F.count(F.lit(1)) / 2).alias("n_intervals"),
+    )
+
+
+@query(
+    "agg_sequence_count",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(s) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc')) AS INT) AS n_view_click,
+           CAST(len(regexp_extract_all(s, 'v.*?p')) AS INT) AS n_view_then_purchase,
+           CAST(len(regexp_extract_all(s, 'sc*p')) AS INT) AS n_signup_clicks_purchase
+    FROM seq
+    """,
+)
+def agg_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount(pattern)(ts, cond...)``: how many
+    times a user's ordered event stream matches a pattern. Events
+    collapse to one char each (v/c/p/s/e); patterns become regexes over
+    the per-user string: strict adjacency 'vc', gapped 'v(?:.*?)p'
+    (sequenceCount's `(?1).*(?2)` with non-greedy = non-overlapping
+    leftmost scan in BOTH engines' regex (Java util.regex / RE2)), and
+    a bounded-gap 'sc*p'. Ties broken by unique event_id, so the
+    per-user string is total-ordered and identical everywhere.
+
+    Plan: one hash exchange on user_id; sort_array(collect_list) keeps
+    the per-user payload bounded by that user's event count (the same
+    bound any sequence engine needs); the regex scan is codegen
+    string work. Skew-safe for natural user distributions."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.regexp_count(F.col("s"), F.lit("vc")).cast("int").alias("n_view_click"),
+        F.regexp_count(F.col("s"), F.lit("v.*?p")).cast("int").alias("n_view_then_purchase"),
+        F.regexp_count(F.col("s"), F.lit("sc*p")).cast("int").alias("n_signup_clicks_purchase"),
+    )

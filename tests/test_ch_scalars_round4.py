@@ -1,0 +1,177 @@
+"""Invariant gates for the round-4 continuation batch (bit/encoding/IP
+scalar families, weighted mean, interval sweep-line, sequence counts,
+positional windows). Each key gets the property that breaks first if
+its implementation drifts; oracle parity covers the value-level rest.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def test_bit_funcs_algebraic_identities(spark, sf_dir):
+    """a + b == (a & b) + (a | b); xor == or - and; ~x == -x - 1;
+    x << 4 == x * 16; bit test lands in {0, 1}. Checked against the
+    source columns directly ((orderkey, linenumber) is NOT unique in
+    the fixture, so a key-join would fan out) — oracle parity already
+    pins the emitted values."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = F.col("l_orderkey"), F.col("l_partkey")
+    derived = li.select(
+        a.alias("a"),
+        b.alias("b"),
+        F.col("l_suppkey").alias("s"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        a.bitwiseAND(b).alias("and_c"),
+        a.bitwiseOR(b).alias("or_c"),
+        a.bitwiseXOR(b).alias("xor_c"),
+        F.bitwise_not(F.col("l_suppkey")).alias("not_c"),
+        F.shiftleft(F.col("l_linenumber").cast("long"), 4).alias("shl_c"),
+        F.getbit(a, F.lit(2)).cast("int").alias("test_c"),
+    )
+    bad = derived.filter(
+        (F.col("a") + F.col("b") != F.col("and_c") + F.col("or_c"))
+        | (F.col("xor_c") != F.col("or_c") - F.col("and_c"))
+        | (~F.col("test_c").isin(0, 1))
+        | (F.col("not_c") != -F.col("s") - 1)
+        | (F.col("shl_c") != F.col("ln") * 16)
+    )
+    assert bad.count() == 0
+    # and the registered key itself emits the same expression set
+    from etl_ch_destination_spark.queries.scalars_binary import bit_funcs
+
+    out = bit_funcs(spark, sf_dir)
+    assert out.filter(F.col("xor_c") != F.col("or_c") - F.col("and_c")).count() == 0
+
+
+def test_enc_funcs_roundtrips(spark, sf_dir):
+    from etl_ch_destination_spark.queries.scalars_binary import enc_funcs
+    from etl_ch_destination_spark.catalog import load_table
+
+    df = enc_funcs(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    j = df.join(p, "p_partkey")
+    bad = j.filter(
+        (F.col("unhex_rt") != F.col("p_name"))
+        | (F.col("b64_rt") != F.col("p_brand"))
+        | (F.length("hex_c") != 2 * F.col("byte_len"))
+    )
+    assert bad.count() == 0
+
+
+def test_ip_funcs_roundtrip_and_format(spark, sf_dir):
+    from etl_ch_destination_spark.queries.scalars_binary import ip_funcs
+
+    rows = ip_funcs(spark, sf_dir).collect()
+    pat = re.compile(r"^10\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    for r in rows:
+        assert r.ip_rt == r.ip_num, (r.ip_str, r.ip_rt, r.ip_num)
+        assert pat.match(r.ip_str), r.ip_str
+        octets = [int(x) for x in r.ip_str.split(".")]
+        assert all(0 <= o <= 255 for o in octets)
+
+
+def test_avg_weighted_bounds_and_partition_stability(spark, sf_dir):
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_avg_weighted
+    from etl_ch_destination_spark.catalog import load_table
+
+    res = {r.l_returnflag: r for r in agg_avg_weighted(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    rng = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    for flag, r in res.items():
+        lo, hi = rng[flag]
+        assert lo <= r.avg_w_price <= hi
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = {r.l_returnflag: r.avg_w_price for r in agg_avg_weighted(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert {k: v.avg_w_price for k, v in res.items()} == again  # bit-exact
+
+
+def test_max_intersections_matches_bruteforce(spark, sf_dir):
+    """Sweep-line result equals a day-by-day brute force over the same
+    synthetic intervals (sf0.001 scale)."""
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_max_intersections
+    from etl_ch_destination_spark.catalog import load_table
+    import datetime as dt
+
+    got = {r.o_orderpriority: r.max_open for r in agg_max_intersections(spark, sf_dir).collect()}
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_orderkey"
+    ).collect()
+    by_prio: dict[str, list[tuple[dt.datetime, dt.datetime]]] = {}
+    for r in orders:
+        days = r.o_orderkey % 30 + 1
+        by_prio.setdefault(r.o_orderpriority, []).append(
+            (r.o_orderdate, r.o_orderdate + dt.timedelta(days=days))
+        )
+    for prio, ivs in by_prio.items():
+        best = 0
+        starts = sorted(s for s, _ in ivs)
+        for s0 in starts:  # max overlap is attained at some interval start
+            best = max(best, sum(1 for s, e in ivs if s <= s0 < e))
+        assert got[prio] == best, (prio, got[prio], best)
+
+
+def test_sequence_count_matches_re_scan(spark, sf_dir):
+    """Per-user counts equal a Python re scan over the same ordered
+    event string (the leftmost non-overlapping contract)."""
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_sequence_count
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.user_id: r for r in agg_sequence_count(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type").collect()
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type[0]))
+    for uid, items in seqs.items():
+        s = "".join(c for _, _, c in sorted(items))
+        r = got[uid]
+        assert r.seq_len == len(s)
+        assert r.n_view_click == len(re.findall("vc", s))
+        assert r.n_view_then_purchase == len(re.findall("v.*?p", s))
+        assert r.n_signup_clicks_purchase == len(re.findall("sc*p", s))
+
+
+def test_nth_value_positional_contract(spark, sf_dir):
+    """second_price is NULL on each customer's first row and constant
+    (= the 2nd order's price) afterwards; last_nn carries the latest
+    non-null forward."""
+    from etl_ch_destination_spark.queries.windows_extra import win_nth_value
+
+    rows = win_nth_value(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.o_custkey].append(r)
+    # reconstruct order via the key used in the query: need orderdate;
+    # rely on second_price semantics instead: group rows, check that
+    # NULL second_price appears exactly once per customer (the first
+    # row) when the customer has >= 2 orders, and all non-null
+    # second_price values within a customer are identical.
+    for cust, rs in by_cust.items():
+        nn = [r.second_price for r in rs if r.second_price is not None]
+        nulls = [r for r in rs if r.second_price is None]
+        if len(rs) == 1:
+            assert len(nulls) == 1
+        else:
+            assert len(nulls) == 1  # only the first row lacks a 2nd value
+            assert len(set(nn)) == 1  # constant once defined
+        # last_nn is null only while no non-null has been seen; if any
+        # row has last_nn set, the customer has a non-null price row
+        if any(r.last_nn is not None for r in rs):
+            assert any(r.o_orderkey % 5 != 0 for r in rs)
