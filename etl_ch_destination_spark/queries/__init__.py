@@ -41,4 +41,5 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     aggregations_ch,
     scalars_binary,
     windows_extra,
+    reports_behavior,
 )

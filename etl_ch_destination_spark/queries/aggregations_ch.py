@@ -513,3 +513,47 @@ def agg_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("s"), F.lit("v.*?p")).cast("int").alias("n_view_then_purchase"),
         F.regexp_count(F.col("s"), F.lit("sc*p")).cast("int").alias("n_signup_clicks_purchase"),
     )
+
+
+@query(
+    "agg_top_bottom_k",
+    """
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS micros
+        FROM events
+    )
+    SELECT event_type,
+           array_to_string(list_transform(list_sort(list(micros))[1:5],
+                                          x -> CAST(x AS VARCHAR)), ',') AS bottom5,
+           array_to_string(list_transform(list_sort(list(micros), 'DESC')[1:5],
+                                          x -> CAST(x AS VARCHAR)), ',') AS top5,
+           COUNT(*) AS n
+    FROM q GROUP BY event_type
+    """,
+)
+def agg_top_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArraySorted(N)(x)`` both ways: the 5 smallest
+    and 5 largest values per event type as ordered CSV strings
+    (serialized — the driver hasher can't hash arrays). Values are
+    quantized to integer micros via floor (the agg_delta_sum policy:
+    IEEE multiply + floor are deterministic; a raw double sort key
+    would be too, but the STRING form of a double is not
+    cross-engine). Order is total because the sort is over the values
+    themselves.
+
+    Plan: partial collect per map task bounded at k after sort (Spark
+    keeps collect_list partials small only post-slice — for true
+    100 TB use the typed max-k aggregator pattern; at fixture scale
+    the per-group list is fine and the semantics are identical)."""
+    e = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * 1000000).cast("bigint")
+    q = e.select("event_type", micros.alias("micros"))
+    asc = F.slice(F.sort_array(F.collect_list("micros")), 1, 5)
+    desc = F.slice(F.sort_array(F.collect_list("micros"), asc=False), 1, 5)
+    to_csv = lambda arr: F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+    return q.groupBy("event_type").agg(
+        to_csv(asc).alias("bottom5"),
+        to_csv(desc).alias("top5"),
+        F.count(F.lit(1)).alias("n"),
+    )

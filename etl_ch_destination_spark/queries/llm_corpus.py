@@ -839,3 +839,80 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         (F.col("n").cast("double") / F.col("head_n")).alias("cond_prob"),
     )
+
+
+@query(
+    "llm_bigram_surprisal",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE length(text) > 0 AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM docs, unnest(range(1, len(w))) AS t(i)
+    ),
+    counts AS (
+      SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2
+    ),
+    model AS (
+      SELECT w1, w2, n,
+             CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS head_n
+      FROM counts
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             length(format('{:b}', m.head_n // m.n)) - 1 AS bits
+      FROM bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS sum_bits,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprisal — the perplexity-proxy quality
+    signal one LM-order above llm_unigram_logprob: each bigram (w1,w2)
+    costs floor(log2(n(w1,*) / n(w1,w2))) WHOLE BITS under the corpus'
+    own bigram model (the bitlen(a div b) - 1 identity proven at
+    llm_unigram_logprob — float log2 cannot hash-match across libms).
+    Repetitive/templated docs score near 0 bits; unpredictable word
+    salad scores high. sum/count are exact ints, the mean is one
+    correctly-rounded division.
+
+    Plan — the MODEL-APPLY SHAPE at scale: one map-side bigram
+    fan-out feeds BOTH the count aggregate (train) and the per-doc
+    score join (apply); Catalyst reuses the exchange. The join is
+    bigram-keyed equi vs a Zipf-bounded model table — AQE splits
+    stopword-bigram skew; at 100 TB the model side is orders of
+    magnitude smaller than the corpus side (distinct bigrams grow
+    sublinearly), exactly the KenLM score-pass layout."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.size(F.split("text", " ")) >= 2)
+    )
+    words = F.split("text", " ")
+    tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    pairs = F.slice(
+        F.zip_with(words, tail, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        1,
+        F.greatest(F.size(words) - 1, F.lit(0)),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    model = counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.sum("n").over(Window.partitionBy("w1")).cast("bigint").alias("head_n"),
+    )
+    bits = (F.length(F.conv(F.expr("head_n div n"), 10, 2)) - 1).cast("bigint")
+    scored = bg.join(model, ["w1", "w2"]).select("doc_id", bits.alias("bits"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+        (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
+    )

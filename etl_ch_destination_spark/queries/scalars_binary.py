@@ -168,3 +168,48 @@ def ip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "ip_num", "ip_str", "ip_rt", "in_lower_half", "octet_valid"
         )
     )
+
+
+@query(
+    "str_split_tokens",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_space_tokens,
+           len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                           x -> x != '')) AS n_alpha_tokens,
+           len(string_split(text, 'e')) AS n_parts_e,
+           CASE WHEN length(text) < 3 THEN 0
+                ELSE len(list_distinct(list_transform(
+                         range(1, length(lower(text)) - 1),
+                         i -> substr(lower(text), CAST(i AS INT), 3))))
+           END AS n_char3_distinct
+    FROM documents
+    """,
+)
+def str_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse tokenizer scalar family: ``splitByChar`` (space and
+    'e' separators — len(parts) = occurrences + 1 in both engines),
+    ``alphaTokens`` (maximal [A-Za-z]+ runs; the empty-edge tokens the
+    two regex engines disagree on are filtered on both sides), and the
+    ``ngrams(3)`` distinct-char-trigram profile (the lang-id/similarity
+    primitive). All counts are exact ints; zero-shuffle map-side
+    codegen + one HOF per row, linear at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    low = F.lower(txt)
+    alpha = F.filter(F.split(txt, "[^A-Za-z]+"), lambda x: x != F.lit(""))
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - 2),
+            lambda i: low.substr(i, F.lit(3)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split(txt, " ", -1)).cast("long").alias("n_space_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha_tokens"),
+        F.size(F.split(txt, "e", -1)).cast("long").alias("n_parts_e"),
+        F.when(F.length(txt) < 3, F.lit(0).cast("long"))
+        .otherwise(F.size(tri).cast("long"))
+        .alias("n_char3_distinct"),
+    )

@@ -175,3 +175,80 @@ def test_nth_value_positional_contract(spark, sf_dir):
         # row has last_nn set, the customer has a non-null price row
         if any(r.last_nn is not None for r in rs):
             assert any(r.o_orderkey % 5 != 0 for r in rs)
+
+
+def test_bigram_surprisal_repetitive_text_scores_low(spark, sf_dir):
+    """A doc that is one repeated bigram has deterministic successors
+    -> (near-)zero bits; and every doc's mean is sum/count exactly."""
+    from etl_ch_destination_spark.queries.llm_corpus import llm_bigram_surprisal
+
+    rows = llm_bigram_surprisal(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1 and r.sum_bits >= 0
+        assert r.mean_bits == r.sum_bits / r.n_bigrams
+
+    # planted-duplicate docs exist in the fixture; dupes of the same
+    # text must score identically
+    from etl_ch_destination_spark.catalog import load_table
+
+    d = {r.doc_id: r for r in rows}
+    texts = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    by_text: dict[str, list] = {}
+    for t in texts:
+        if t.doc_id in d:
+            by_text.setdefault(t.text, []).append(d[t.doc_id])
+    for grp in by_text.values():
+        assert len({(g.n_bigrams, g.sum_bits) for g in grp}) == 1
+
+
+def test_top_bottom_k_against_python_sort(spark, sf_dir):
+    import math
+
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_top_bottom_k
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.event_type: r for r in agg_top_bottom_k(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    vals: dict[str, list[int]] = {}
+    for r in ev:
+        vals.setdefault(r.event_type, []).append(math.floor(r.value * 1000000))
+    for et, v in vals.items():
+        v.sort()
+        assert got[et].bottom5 == ",".join(str(x) for x in v[:5])
+        assert got[et].top5 == ",".join(str(x) for x in sorted(v, reverse=True)[:5])
+        assert got[et].n == len(v)
+
+
+def test_split_tokens_counts_vs_python(spark, sf_dir):
+    import re as _re
+
+    from etl_ch_destination_spark.queries.scalars_binary import str_split_tokens
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.doc_id: r for r in str_split_tokens(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        r = got[d.doc_id]
+        assert r.n_space_tokens == len(d.text.split(" ")) if d.text else True
+        assert r.n_alpha_tokens == len(_re.findall("[A-Za-z]+", d.text))
+        assert r.n_parts_e == d.text.count("e") + 1
+        low = d.text.lower()
+        assert r.n_char3_distinct == len({low[i : i + 3] for i in range(max(0, len(low) - 2))})
+
+
+def test_cohort_retention_conservation(spark, sf_dir):
+    """Day-0 cohort sizes sum to the total distinct-user count, and no
+    later day of a cohort exceeds its day 0."""
+    from etl_ch_destination_spark.queries.reports_behavior import rpt_cohort_retention
+    from etl_ch_destination_spark.catalog import load_table
+
+    rows = rpt_cohort_retention(spark, sf_dir).collect()
+    day0 = {r.cohort_day: r.n_users for r in rows if r.days_since == 0}
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(day0.values()) == total_users  # every user lands in exactly one cohort
+    for r in rows:
+        assert r.n_users <= day0[r.cohort_day]
+        assert r.days_since >= 0
