@@ -42,4 +42,5 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     scalars_binary,
     windows_extra,
     reports_behavior,
+    timeseries_extra,
 )

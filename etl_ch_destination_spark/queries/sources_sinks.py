@@ -623,3 +623,55 @@ def sink_native_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_block.groupBy("block_idx").applyInPandas(
         encode_group, schema="block_idx bigint, n_rows bigint, n_bytes bigint"
     )
+
+
+@query(
+    "sink_csv_export",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           bit_xor({_MD5_60_DUCK.format(c="CAST(doc_id AS VARCHAR) || ':' || text")})
+             AS content_xor
+    FROM documents
+    """
+    + " GROUP BY source",
+)
+def sink_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV egress with full quoting/escaping round-trip: write the
+    documents table (free text with commas, quotes, newlines) to
+    quoted CSV, re-read it with multiLine parsing, and prove the read
+    content byte-identical via a per-source XOR of 60-bit md5 content
+    hashes (order-insensitive, collision-safe at fixture scale) that
+    the ORACLE computes from the ORIGINAL table — any mangled quote,
+    lost newline, or dropped row changes the XOR.
+
+    Scale: the write is one narrow map-side pass; multiLine CSV read
+    is the one format Spark cannot split per-file (quoted newlines),
+    so the writer shards by repartition(8) first — file-per-shard
+    parallelism survives at any scale (the shard count is the knob)."""
+    path = _scratch(sf_dir, "sink_csv_export")
+    d = load_table(spark, sf_dir, "documents")
+    (
+        d.select("doc_id", "source", "text")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("doc_id bigint, source string, text string")
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.expr(
+            "bit_xor(" + _MD5_60.format(c="concat(CAST(doc_id AS STRING), ':', text)") + ")"
+        ).alias("content_xor"),
+    )

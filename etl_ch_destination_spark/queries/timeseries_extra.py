@@ -1,0 +1,224 @@
+"""SURVEY §2.6 extension — ClickHouse array-sequence functions recast
+as partitioned windows (`arrayDifference`/`arrayFill`/`arrayCompact`),
+bounded dyadic exponential smoothing (`exponentialMovingAverage`), and
+robust MAD-based anomaly flagging (the `quantileExact`-driven outlier
+filter).
+
+Determinism: event values quantize to integer micros via floor (the
+agg_delta_sum policy); every window order carries the unique event_id
+tiebreaker; the EMA weights are dyadic integers so the weighted sum is
+int64-exact; medians over integers interpolate on the half-integer
+grid (exact in double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+EMA_WIN = 16  # lookback; weights 2^0 .. 2^15 (newest highest)
+
+
+@query(
+    "arr_fill_compact",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS x,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(floor(value * 1000000) AS BIGINT) END AS x_n,
+               ROW_NUMBER() OVER w AS idx,
+               lag(CAST(floor(value * 1000000) AS BIGINT)) OVER w AS prev,
+               last_value(CASE WHEN event_id % 7 = 0 THEN NULL
+                               ELSE CAST(floor(value * 1000000) AS BIGINT) END
+                          IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n,
+           md5(string_agg(CAST(COALESCE(x - prev, 0) AS VARCHAR), ','
+                          ORDER BY idx)) AS diffs_md5,
+           CAST(SUM(CASE WHEN prev IS NULL OR x != prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS compact_n,
+           md5(string_agg(CAST(COALESCE(filled, -1) AS VARCHAR), ','
+                          ORDER BY idx)) AS filled_md5,
+           CAST(SUM(abs(COALESCE(x - prev, 0))) AS BIGINT) AS sum_abs_diff
+    FROM seq GROUP BY user_id
+    """,
+)
+def arr_fill_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `arrayDifference` / `arrayCompact` / `arrayFill` over each
+    user's chronological value sequence — expressed the Spark-idiomatic
+    way: NOT collect-to-array-then-HOF, but lag/last-IGNORE-NULLS
+    windows over the row stream (one user-hash exchange, streaming
+    frames, no per-user array materialized until the final bounded
+    digest). arrayDifference = x - lag(x) (first element 0, the CH
+    convention); arrayCompact counts runs (first-or-changed);
+    arrayFill forward-fills a keyed null-out (event_id % 7) with the
+    last non-null. The per-user sequences are digested to md5 of the
+    ordered CSV — order pinned by (ts, event_id) — so the oracle
+    hash-compares entire sequences without complex-typed columns.
+
+    At 100 TB: windows stream per user partition; the only per-user
+    state is one row (lag/last), not the sequence — the digest
+    aggregation is the standard string_agg-shaped reduce."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 1000000).cast("bigint")
+    xn = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("bigint")).otherwise(x)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        x.alias("x"),
+        F.row_number().over(w).alias("idx"),
+        F.lag(x).over(w).alias("prev"),
+        F.last(xn, ignorenulls=True).over(wf).alias("filled"),
+    )
+    diff = F.coalesce(F.col("x") - F.col("prev"), F.lit(0))
+    ordered_csv = lambda col: F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", col.alias("v")))),
+            lambda s: s["v"].cast("string"),
+        ),
+        ",",
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.md5(ordered_csv(diff)).alias("diffs_md5"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("x") != F.col("prev")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("compact_n"),
+        F.md5(ordered_csv(F.coalesce(F.col("filled"), F.lit(-1)))).alias("filled_md5"),
+        F.sum(F.abs(diff)).cast("bigint").alias("sum_abs_diff"),
+    )
+
+
+@query(
+    "ts_ema_dyadic",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               list(CAST(floor(value * 1000000) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {EMA_WIN - 1} PRECEDING AND CURRENT ROW) AS xs
+        FROM events
+    )
+    SELECT user_id, event_id,
+           list_reduce(xs, (acc, x) -> acc * 2 + x) AS wsum,
+           CAST(len(xs) AS INT) AS m,
+           CAST(list_reduce(xs, (acc, x) -> acc * 2 + x) AS DOUBLE)
+             / ((1 << len(xs)) - 1) AS ema
+    FROM seq
+    """,
+)
+def ts_ema_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `exponentialMovingAverage` made hash-exact: truncated
+    exponential smoothing over the last {EMA_WIN} points with DYADIC
+    weights 2^0..2^(m-1) (newest highest). The weighted sum is the
+    Horner fold acc*2 + x over the chronological window — pure int64
+    (micros <= 2^43 after 16 doublings, no overflow) — and the EMA is
+    that integer divided once by the geometric norm 2^m - 1: one
+    correctly-rounded IEEE division, identical in both engines. A
+    float recursion ema = a*x + (1-a)*ema could never hash-match
+    (error compounds per step); the dyadic form is the same estimator
+    with exactly representable weights.
+
+    Plan: one user-hash exchange; the sliding frame streams — Spark
+    evaluates collect_list over a ROWS frame incrementally. The fold
+    is a codegen HOF on a <= {EMA_WIN}-element array."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 1000000).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EMA_WIN - 1), Window.currentRow)
+    )
+    seq = e.select(
+        "user_id", "event_id", F.collect_list(x).over(w).alias("xs")
+    )
+    wsum = F.aggregate(
+        F.col("xs"), F.lit(0).cast("bigint"), lambda acc, v: acc * 2 + v
+    )
+    m = F.size("xs")
+    return seq.select(
+        "user_id",
+        "event_id",
+        wsum.alias("wsum"),
+        m.cast("int").alias("m"),
+        (wsum.cast("double") / (F.expr("shiftleft(CAST(1 AS BIGINT), size(xs))") - 1)).alias(
+            "ema"
+        ),
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    """
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS x
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type AS s_type,
+               quantile_cont(x, 0.5) AS med
+        FROM q GROUP BY event_type
+    ),
+    mad AS (
+        SELECT event_type AS m_type,
+               quantile_cont(abs(x - med), 0.5) AS mad_x
+        FROM q JOIN stats ON event_type = s_type
+        GROUP BY event_type
+    )
+    SELECT event_id, event_type, x,
+           abs(x - med) AS dev,
+           abs(x - med) > 3 * mad_x AS is_anomaly
+    FROM q JOIN stats ON event_type = s_type
+           JOIN mad ON event_type = m_type
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-point anomaly flags: |x - median| > 3 * MAD per event
+    type — the outlier filter stddev-based z-scores get skew-poisoned
+    on. Two exact-median passes (the agg_mad_robust shape) over
+    integer micros: medians land on the half-integer grid (exact in
+    double), 3*MAD and the comparison are exact, so every flag is
+    deterministic — no epsilon, no engine drift.
+
+    Plan: tiny per-type stat tables broadcast back against the event
+    scan — the stats cost two aggregates over 5 groups; the flagging
+    pass is map-side. At 100 TB swap pass 1 to percentile_approx and
+    keep the comparison exact."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("x"),
+    )
+    stats = q.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    with_med = q.join(F.broadcast(stats), q.event_type == F.col("s_type")).drop("s_type")
+    mad = with_med.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.expr("percentile(abs(x - med), 0.5)").alias("mad_x")
+    )
+    return (
+        with_med.join(F.broadcast(mad), with_med.event_type == F.col("m_type"))
+        .select(
+            "event_id",
+            "event_type",
+            "x",
+            F.abs(F.col("x") - F.col("med")).alias("dev"),
+            (F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad_x")).alias("is_anomaly"),
+        )
+    )

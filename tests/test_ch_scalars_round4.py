@@ -252,3 +252,86 @@ def test_cohort_retention_conservation(spark, sf_dir):
     for r in rows:
         assert r.n_users <= day0[r.cohort_day]
         assert r.days_since >= 0
+
+
+def test_arr_fill_compact_sequence_laws(spark, sf_dir):
+    """diffs reconstruct the series (sum of diffs = last - first);
+    compact_n <= n; forward-fill digest changes iff nulls exist."""
+    from etl_ch_destination_spark.queries.timeseries_extra import arr_fill_compact
+    from etl_ch_destination_spark.catalog import load_table
+    import math
+
+    got = {r.user_id: r for r in arr_fill_compact(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, math.floor(r.value * 1000000)))
+    for uid, items in seqs.items():
+        items.sort()
+        xs = [v for _, _, v in items]
+        r = got[uid]
+        assert r.n == len(xs)
+        diffs = [0] + [b - a for a, b in zip(xs, xs[1:])]
+        assert r.sum_abs_diff == sum(abs(d) for d in diffs)
+        runs = 1 + sum(1 for a, b in zip(xs, xs[1:]) if a != b)
+        assert r.compact_n == runs
+
+
+def test_ema_dyadic_exactness_and_bounds(spark, sf_dir):
+    """wsum replays exactly via Horner in Python; ema lies within the
+    window's [min, max]."""
+    from etl_ch_destination_spark.queries.timeseries_extra import ts_ema_dyadic, EMA_WIN
+    from etl_ch_destination_spark.catalog import load_table
+    import math
+
+    got = {r.event_id: r for r in ts_ema_dyadic(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    seqs: dict[int, list] = {}
+    for r in ev:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, math.floor(r.value * 1000000)))
+    for uid, items in seqs.items():
+        items.sort()
+        xs = [v for _, _, v in items]
+        for i, (_, eid, _) in enumerate(items):
+            win = xs[max(0, i - EMA_WIN + 1) : i + 1]
+            acc = 0
+            for v in win:
+                acc = acc * 2 + v
+            r = got[eid]
+            assert r.wsum == acc and r.m == len(win)
+            assert min(win) - 1e-9 <= r.ema <= max(win) + 1e-9
+
+
+def test_mad_anomaly_flags_are_minority_and_consistent(spark, sf_dir):
+    from etl_ch_destination_spark.queries.timeseries_extra import ts_anomaly_mad
+
+    rows = ts_anomaly_mad(spark, sf_dir).collect()
+    n_anom = sum(1 for r in rows if r.is_anomaly)
+    assert 0 <= n_anom < len(rows) / 2  # MAD flags a minority by construction
+    for r in rows:
+        assert r.dev >= 0
+        assert isinstance(r.is_anomaly, bool)
+
+
+def test_csv_export_roundtrip_loses_nothing(spark, sf_dir):
+    """Row counts and char sums after the CSV round-trip equal the
+    source table exactly (the oracle already pins the content hash)."""
+    from etl_ch_destination_spark.queries.sources_sinks import sink_csv_export
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.source: r for r in sink_csv_export(spark, sf_dir).collect()}
+    src = {
+        r.source: r
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c"))
+        .collect()
+    }
+    assert set(got) == set(src)
+    for s in src:
+        assert got[s].n_docs == src[s].n
+        assert got[s].sum_chars == src[s].c
