@@ -43,4 +43,5 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     windows_extra,
     reports_behavior,
     timeseries_extra,
+    joins_extra,
 )

@@ -557,3 +557,87 @@ def agg_top_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_csv(desc).alias("top5"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_cramers_v",
+    """
+    WITH o AS (
+        SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o_ab
+        FROM events GROUP BY event_type, user_id % 4
+    ),
+    tot AS (
+        SELECT a, b, o_ab,
+               SUM(o_ab) OVER (PARTITION BY a) AS r_a,
+               SUM(o_ab) OVER (PARTITION BY b) AS c_b,
+               SUM(o_ab) OVER () AS n
+        FROM o
+    ),
+    cells AS (
+        SELECT a, b, o_ab, r_a, c_b, n,
+               CAST(floor(
+                 CAST(CAST(o_ab * n - r_a * c_b AS HUGEINT)
+                      * CAST(o_ab * n - r_a * c_b AS HUGEINT) AS DOUBLE)
+                 / CAST(r_a * c_b * n AS DOUBLE) * 1000000
+               ) AS BIGINT) AS term_e6
+        FROM tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT a) AS INT) AS n_rows_dim,
+           CAST(COUNT(DISTINCT b) AS INT) AS n_cols_dim,
+           CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           sqrt(CAST(SUM(term_e6) AS DOUBLE) / 1000000.0
+                / (CAST(MAX(n) AS DOUBLE)
+                   * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1)))
+             AS cramers_v
+    FROM cells
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(a, b)`` (with ``chi-squared`` as the
+    intermediate): association between event type and a user hash
+    bucket. Hash-exact by micro-quantization: each cell's chi-squared
+    term (o*n - r*c)^2 / (r*c*n) has an EXACT integer numerator
+    (decimal-widened square) and int64 denominator; both engines do
+    the same two correctly-rounded conversions + one division +
+    floor-to-millionths, making the per-cell term integer — so the
+    cell SUM is order-insensitive where a raw double sum would drift.
+    The final sqrt/divisions are a fixed expression tree over already-
+    deterministic scalars.
+
+    Plan: one (a, b) hash agg over the scan (25 cells), margins via
+    windows over the tiny cell table, final single-row agg. The scan
+    aggregate is the only data-sized stage at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 4).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o_ab"))
+    tot = o.select(
+        "a",
+        "b",
+        "o_ab",
+        F.sum("o_ab").over(Window.partitionBy("a")).alias("r_a"),
+        F.sum("o_ab").over(Window.partitionBy("b")).alias("c_b"),
+        F.sum("o_ab").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("o_ab") * F.col("n") - F.col("r_a") * F.col("c_b")).cast("decimal(19,0)")
+    term_e6 = F.floor(
+        (num * num).cast("double")
+        / (F.col("r_a") * F.col("c_b") * F.col("n")).cast("double")
+        * 1000000
+    ).cast("bigint")
+    cells = tot.select("a", "b", "n", term_e6.alias("term_e6"))
+    return cells.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("int").alias("n_rows_dim"),
+        F.countDistinct("b").cast("int").alias("n_cols_dim"),
+        F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+        F.sqrt(
+            F.sum("term_e6").cast("double")
+            / 1000000.0
+            / (
+                F.max("n").cast("double")
+                * (F.least(F.countDistinct("a"), F.countDistinct("b")) - 1)
+            )
+        ).alias("cramers_v"),
+    )

@@ -916,3 +916,86 @@ def llm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").cast("bigint").alias("sum_bits"),
         (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
     )
+
+
+OUTLIER_TOPK = 3  # flagged rows per label
+Q_SCALE = 1048576  # 2^20 fixed-point scale for embedding coordinates
+
+
+@query(
+    "llm_embedding_outliers",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(floor(embedding[i] * {Q_SCALE}) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    cen AS (
+      SELECT label AS cl, pos AS cp, SUM(q) AS s, COUNT(*) AS n
+      FROM ex GROUP BY label, pos
+    ),
+    terms AS (
+      SELECT vec_id, label, n,
+             CAST(q * n - s AS HUGEINT) * CAST(q * n - s AS HUGEINT) AS term
+      FROM ex JOIN cen ON label = cl AND pos = cp
+    ),
+    d AS (
+      SELECT vec_id, label, MAX(n) AS n, SUM(term) AS dist2
+      FROM terms GROUP BY vec_id, label
+    ),
+    r AS (
+      SELECT vec_id, label, n, dist2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY dist2 DESC, vec_id) AS INT) AS rk
+      FROM d
+    )
+    SELECT vec_id, label, rk,
+           CAST(dist2 AS DOUBLE) AS dist2_scaled
+    FROM r WHERE rk <= {OUTLIER_TOPK}
+    """,
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: the {OUTLIER_TOPK} vectors
+    farthest from their label's centroid — the 'mislabeled / corrupted
+    sample' sweep a training pipeline runs before contrastive
+    fine-tuning. Hash-exact distance geometry: coordinates quantize to
+    2^20 fixed point, the centroid comparison avoids division entirely
+    (compare q*n - S, the distance to the centroid SCALED by the group
+    size n), each squared term is int64, and the 64-dim sum rides a
+    38-digit decimal. Ranking compares the EXACT integer distance (a
+    double-rounded rank could disagree across engines); the double
+    cast happens only on output.
+
+    Plan: posexplode to (vec, dim) long form -> (label, dim) partial
+    +final agg (640-row centroid table) -> broadcast back onto the
+    exploded scan -> per-vec sum -> per-label WindowGroupLimit top-k.
+    Two narrow shuffles + a broadcast; at 100 TB the centroid table
+    stays dim*labels rows, the scan stays map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * Q_SCALE).cast("bigint").alias("q"),
+    )
+    cen = ex.groupBy(F.col("label").alias("cl"), F.col("pos").alias("cp")).agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    joined = ex.join(
+        F.broadcast(cen), (ex.label == F.col("cl")) & (ex.pos == F.col("cp"))
+    )
+    dcol = (F.col("q") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    terms = joined.select("vec_id", "label", (dcol * dcol).alias("term"))
+    dist = terms.groupBy("vec_id", "label").agg(F.sum("term").alias("dist2"))
+    rk = (
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id")))
+        .cast("int")
+    )
+    return (
+        dist.select("vec_id", "label", "dist2", rk.alias("rk"))
+        .filter(F.col("rk") <= OUTLIER_TOPK)
+        .select("vec_id", "label", "rk", F.col("dist2").cast("double").alias("dist2_scaled"))
+    )

@@ -335,3 +335,97 @@ def test_csv_export_roundtrip_loses_nothing(spark, sf_dir):
     for s in src:
         assert got[s].n_docs == src[s].n
         assert got[s].sum_chars == src[s].c
+
+
+def test_embedding_outliers_match_numpy_argmax(spark, sf_dir):
+    """The rank-1 outlier per label is the true argmax of the exact
+    quantized distance, replayed in integer arithmetic."""
+    import math
+
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        Q_SCALE,
+        llm_embedding_outliers,
+    )
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = llm_embedding_outliers(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        q = [math.floor(float(v) * Q_SCALE) for v in r.embedding]
+        by_label.setdefault(r.label, []).append((r.vec_id, q))
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        dim = len(vecs[0][1])
+        s = [sum(q[i] for _, q in vecs) for i in range(dim)]
+        dists = {
+            vid: sum((q[i] * n - s[i]) ** 2 for i in range(dim)) for vid, q in vecs
+        }
+        expect = sorted(dists, key=lambda v: (-dists[v], v))[:3]
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rk) if r.label == label]
+        assert mine == expect, (label, mine, expect)
+
+
+def test_cramers_v_range_and_python_replay(spark, sf_dir):
+    import math
+
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_cramers_v
+    from etl_ch_destination_spark.catalog import load_table
+
+    r = agg_cramers_v(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.chi2_e6 >= 0
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    from collections import Counter
+
+    o = Counter((e.event_type, e.user_id % 4) for e in ev)
+    ra = Counter()
+    cb = Counter()
+    for (a, b), c in o.items():
+        ra[a] += c
+        cb[b] += c
+    n = sum(o.values())
+    chi2_e6 = sum(
+        math.floor(
+            float((c * n - ra[a] * cb[b]) ** 2) / float(ra[a] * cb[b] * n) * 1e6
+        )
+        for (a, b), c in o.items()
+    )
+    assert r.chi2_e6 == chi2_e6
+    assert r.n == n and r.n_rows_dim == len(ra) and r.n_cols_dim == len(cb)
+
+
+def test_interval_bins_equals_bruteforce_pairs(spark, sf_dir):
+    from etl_ch_destination_spark.queries.joins_extra import join_interval_bins
+    from etl_ch_destination_spark.catalog import load_table
+    import datetime as dt
+
+    got = {r.o_orderpriority: r for r in join_interval_bins(spark, sf_dir).collect()}
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    by_p: dict[str, list] = {}
+    for r in orders:
+        s = (r.o_orderdate - epoch).days
+        by_p.setdefault(r.o_orderpriority, []).append((r.o_orderkey, s, s + r.o_orderkey % 5 + 1))
+    for p, ivs in by_p.items():
+        n_pairs = 0
+        overlap = 0
+        for i in range(len(ivs)):
+            for j in range(i + 1, len(ivs)):
+                (ka, sa, ea), (kb, sb, eb) = ivs[i], ivs[j]
+                if sa < eb and sb < ea:
+                    n_pairs += 1
+                    overlap += min(ea, eb) - max(sa, sb)
+        if n_pairs:
+            assert got[p].n_overlapping_pairs == n_pairs
+            assert got[p].sum_overlap_days == overlap
+        else:
+            assert p not in got
