@@ -38,6 +38,7 @@ BENCH_KEYS = [
     "join_inner_equi",
     "join_skew_salted",
     "join_asof",
+    "join_interval_bins",
     "win_ranking",
     "limit_by",
     "sort_multikey",
@@ -53,6 +54,7 @@ BENCH_KEYS = [
     "llm_repetition_filter",
     "llm_chunk_overlap",
     "llm_unigram_logprob",
+    "llm_bigram_surprisal",
     "llm_cross_dedup",
     "llm_line_dedup",
     "agg_quantile_state",

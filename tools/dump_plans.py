@@ -225,6 +225,31 @@ ANNOTATIONS: dict[str, str] = {
         "as a residual join predicate — three hash joins on the same "
         "key, zero cartesians."
     ),
+    "join_interval_bins": (
+        "Interval-overlap rewritten as an EQUI-join (round 4): both "
+        "sides explode to covered week buckets and hash-join on "
+        "(priority, week) with a.k < b.k as a residual — NO "
+        "BroadcastNestedLoopJoin / CartesianProduct anywhere in the "
+        "plan, where the naive theta self-join would be per-key "
+        "quadratic. The exact overlap predicate and the distinct run "
+        "on candidates only; candidate count is bounded by bucket "
+        "co-occupancy (the bucket width knob), so the same plan holds "
+        "when the interval table is 10^6x larger."
+    ),
+    "llm_bigram_surprisal": (
+        "Model-apply shape (round 4): the bigram fan-out appears on "
+        "both the train branch (the (w1, w2) count aggregate + per-"
+        "head window) and the apply branch — Catalyst RECOMPUTES the "
+        "fan-out rather than materializing it, the right call because "
+        "Generate-over-scan is a zero-shuffle codegen stage and the "
+        "join is the only exchange that matters. At fixture scale AQE "
+        "broadcasts one side; at 100 TB stats flip it to a shuffled "
+        "hash join on (w1, w2) — the model side is Zipf-bounded "
+        "(distinct bigrams grow sublinearly in corpus size), so the "
+        "apply join's reduce side is model-sized, not corpus-sized. "
+        "Whole-bit surprisal is codegen integer math — no UDF, no "
+        "float log."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
