@@ -999,3 +999,121 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= OUTLIER_TOPK)
         .select("vec_id", "label", "rk", F.col("dist2").cast("double").alias("dist2_scaled"))
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+      FROM w
+    ),
+    owner AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM sh s JOIN owner o ON s.shingle = o.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-novelty score — what fraction of a document's distinct
+    word-trigrams it contributes FIRST to the corpus (first = lowest
+    doc_id, the ingestion-order convention llm_dedup_incremental also
+    uses). Exact duplicates score 0 unless they are the first copy;
+    boilerplate-heavy docs score low; fresh prose scores near 1. The
+    per-doc counts are exact ints; novelty is one final division.
+
+    Plan: map-side shingle fan-out -> (shingle) min-aggregate (the
+    inverted-index shape every dedup pass here uses, Zipf-bounded
+    reduce side) -> hash join back on shingle -> per-doc count. AQE
+    splits hot boilerplate shingles; at 100 TB this is the n-gram
+    first-occurrence index build, linear in corpus shingles."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+TEMPLATE_PREFIX_WORDS = 8
+
+
+@query(
+    "llm_template_detect",
+    f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(string_split(text, ' '), 1,
+                                        {TEMPLATE_PREFIX_WORDS}), ' ') AS prefix
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {TEMPLATE_PREFIX_WORDS}
+    )
+    SELECT md5(prefix) AS prefix_md5,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(COUNT(DISTINCT source) AS INT) AS n_sources
+    FROM p
+    GROUP BY prefix
+    HAVING COUNT(*) >= 2
+    """,
+)
+def llm_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detector: documents sharing their first
+    {TEMPLATE_PREFIX_WORDS} words are near-certainly instances of one
+    template (the C4/RefinedWeb prefix heuristic). Groups of >= 2 are
+    emitted with size, first doc, and how many sources the template
+    spans (cross-source templates = syndicated boilerplate). The
+    prefix is reported as md5 to keep rows narrow.
+
+    Plan: one hash aggregate on the prefix (map-side partials), the
+    HAVING prunes singletons before any downstream work. Linear at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= TEMPLATE_PREFIX_WORDS
+    )
+    prefix = F.array_join(
+        F.slice(F.split("text", " "), 1, TEMPLATE_PREFIX_WORDS), " "
+    )
+    return (
+        d.select("doc_id", "source", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.countDistinct("source").cast("int").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("prefix").alias("prefix_md5"), "n_docs", "first_doc", "n_sources")
+    )

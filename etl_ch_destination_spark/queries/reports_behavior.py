@@ -71,3 +71,67 @@ def rpt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+def _dedup_audit_oracle() -> str:
+    # Compose the registered llm_dedup_near oracle verbatim so the
+    # audit's near-dup notion can never drift from the standalone key.
+    from etl_ch_destination_spark.registry import ORACLES
+
+    near = ORACLES["llm_dedup_near"]
+    return f"""
+    WITH pair_docs AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM ({near})
+            UNION ALL
+            SELECT id_b AS doc_id FROM ({near})
+        )
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(d.text)) AS BIGINT) AS n_unique_texts,
+           COUNT(*) - COUNT(DISTINCT md5(d.text)) AS n_exact_extra,
+           CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neardup_docs,
+           CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS neardup_rate
+    FROM documents d LEFT JOIN pair_docs p ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("rpt_dedup_audit", _dedup_audit_oracle())
+def rpt_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication audit — the go/no-go report a curation
+    run produces before committing a training mixture: how many docs,
+    how many DISTINCT texts (exact-dup overhead), and how many docs
+    participate in at least one MinHash near-duplicate pair. The
+    near-dup notion is EXACTLY the llm_dedup_near operator (same
+    shingles, permutations, band join, Jaccard cut — the oracle embeds
+    that key's SQL verbatim, the Spark side calls the same
+    ops/neardup.near_duplicate_pairs), so this report is a true
+    composition, not a re-implementation.
+
+    Plan: the banded pair generation dominates (see llm_dedup_near);
+    the audit adds one distinct over pair endpoints, a left semi-ish
+    join back to the doc scan, and a per-source aggregate. Bucketed
+    end to end — no all-pairs stage anywhere."""
+    from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_duplicate_pairs(d, max_jaccard_distance=0.8)
+    pair_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("in_pair", F.lit(1))
+    )
+    joined = d.join(pair_docs, "doc_id", "left")
+    near = F.sum(F.when(F.col("in_pair").isNotNull(), 1).otherwise(0)).cast("bigint")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_extra"),
+        near.alias("n_neardup_docs"),
+        (near.cast("double") / F.count(F.lit(1))).alias("neardup_rate"),
+    )

@@ -222,3 +222,51 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad_x")).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "date_business_days",
+    """
+    WITH d AS (
+        SELECT o_orderkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 + o_orderkey % 45 + 1 AS b
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(b - a AS INT) AS n_days,
+           CAST((5 * ((b + 3) // 7) + LEAST((b + 3) % 7, 5))
+                - (5 * ((a + 3) // 7) + LEAST((a + 3) % 7, 5)) AS INT)
+             AS n_busdays,
+           CAST((a + 3) % 7 AS INT) AS start_dow
+    FROM d
+    """,
+)
+def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Working-day arithmetic (CH `toDayOfWeek` + interval counting,
+    the SLA-deadline primitive) without either engine's weekday
+    builtin — their numbering conventions differ (Spark 1=Sunday,
+    DuckDB isodow 1=Monday), so both sides use pure integer epoch-day
+    math: weekday(x) = (x+3) % 7 with Monday=0 (1970-01-01 was a
+    Thursday), and business days in [a, b) = B(b) - B(a) where
+    B(y) = 5*((y+3) div 7) + least((y+3) mod 7, 5) counts weekdays in
+    the Monday-anchored prefix. Closed form, no loops, map-side
+    codegen — and the same expression text runs anywhere.
+
+    The synthetic horizon (1..45 days by order key) exercises spans
+    shorter and longer than a week."""
+    o = load_table(spark, sf_dir, "orders")
+    a = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    b = a + F.col("o_orderkey") % 45 + 1
+
+    def bus_prefix(y):
+        m = y + 3
+        return 5 * F.floor(m / 7).cast("bigint") + F.least(m % 7, F.lit(5))
+
+    return o.select(
+        "o_orderkey",
+        (b - a).cast("int").alias("n_days"),
+        (bus_prefix(b) - bus_prefix(a)).cast("int").alias("n_busdays"),
+        ((a + 3) % 7).cast("int").alias("start_dow"),
+    )

@@ -429,3 +429,101 @@ def test_interval_bins_equals_bruteforce_pairs(spark, sf_dir):
             assert got[p].sum_overlap_days == overlap
         else:
             assert p not in got
+
+
+def test_ngram_novelty_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.queries.llm_corpus import llm_ngram_novelty
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.doc_id: r for r in llm_ngram_novelty(spark, sf_dir).collect()}
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    owner: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        per_doc[r.doc_id] = sh
+        for s in sh:
+            owner.setdefault(s, r.doc_id)
+    for did, sh in per_doc.items():
+        r = got[did]
+        novel = sum(1 for s in sh if owner[s] == did)
+        assert r.n_shingles == len(sh) and r.n_novel == novel
+
+    # a planted duplicate that is NOT the first copy must have novelty 0
+    texts: dict[str, list[int]] = {}
+    for r in docs:
+        texts.setdefault(r.text, []).append(r.doc_id)
+    laters = [ids[1] for ids in texts.values() if len(ids) > 1 and ids[1] in got]
+    # (exact-text dupes exist only at some SFs — the planted dupes are
+    # near-dupes; when present, later copies must contribute nothing)
+    assert all(got[d].n_novel == 0 for d in laters)
+
+
+def test_template_detect_groups_are_real(spark, sf_dir):
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        TEMPLATE_PREFIX_WORDS,
+        llm_template_detect,
+    )
+    from etl_ch_destination_spark.catalog import load_table
+    from collections import Counter
+
+    got = llm_template_detect(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    prefixes = Counter(
+        " ".join(r.text.split(" ")[:TEMPLATE_PREFIX_WORDS])
+        for r in docs
+        if len(r.text.split(" ")) >= TEMPLATE_PREFIX_WORDS
+    )
+    expect = {p: c for p, c in prefixes.items() if c >= 2}
+    assert len(got) == len(expect)
+    assert sorted(r.n_docs for r in got) == sorted(expect.values())
+
+
+def test_business_days_matches_loop(spark, sf_dir):
+    import datetime as dt
+
+    from etl_ch_destination_spark.queries.timeseries_extra import date_business_days
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.o_orderkey: r for r in date_business_days(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()
+    for r in orders:
+        start = r.o_orderdate.date()
+        n = r.o_orderkey % 45 + 1
+        bus = sum(
+            1
+            for i in range(n)
+            if (start + dt.timedelta(days=i)).weekday() < 5
+        )
+        g = got[r.o_orderkey]
+        assert g.n_days == n
+        assert g.n_busdays == bus, (r.o_orderkey, start, n, g.n_busdays, bus)
+        assert g.start_dow == start.weekday()
+
+
+def test_dedup_audit_consistency_with_components(spark, sf_dir):
+    """Audit totals agree with the standalone exact/near-dup keys."""
+    from etl_ch_destination_spark.queries.reports_behavior import rpt_dedup_audit
+    from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
+    from etl_ch_destination_spark.catalog import load_table
+
+    audit = rpt_dedup_audit(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in audit) == d.count()
+    pairs = near_duplicate_pairs(d, max_jaccard_distance=0.8)
+    n_pair_docs = (
+        pairs.select(F.col("id_a").alias("x"))
+        .unionAll(pairs.select(F.col("id_b").alias("x")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_neardup_docs for r in audit) == n_pair_docs
+    for r in audit:
+        assert 0 <= r.n_exact_extra < r.n_docs
+        assert r.n_unique_texts + r.n_exact_extra == r.n_docs
