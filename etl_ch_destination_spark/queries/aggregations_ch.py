@@ -641,3 +641,146 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "agg_group_bit",
+    """
+    SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor,
+           bit_and(CAST(event_id % 256 AS BIGINT)) AS band_lo,
+           bit_xor(CAST(event_id % 256 AS BIGINT)) AS bxor_lo,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_group_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `groupBitAnd` / `groupBitOr` / `groupBitXor` — bitwise
+    aggregate reductions, the mask-merging primitive behind feature
+    flag rollups and bloom-ish membership unions. AND/OR/XOR are
+    associative + commutative, so the partial+final hash aggregate is
+    order-insensitive by construction — no quantization needed, the
+    raw int64 values hash-match exactly.
+
+    Plan: single partial+final hash aggregate over the events scan,
+    one shuffle on the 5-value event_type key; scales like any
+    map-side-combine aggregate at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = (F.col("event_id") % 256).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+        F.bit_and(lo).alias("band_lo"),
+        F.bit_xor(lo).alias("bxor_lo"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+IVL_BASE_SEC = 60   # minimum interval length
+IVL_MOD_SEC = 600   # event_id-keyed spread: 60..659 s
+
+
+@query(
+    "agg_interval_length_sum",
+    f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS s,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+                 + event_id % {IVL_MOD_SEC} + {IVL_BASE_SEC} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    per_island AS (
+        SELECT user_id, island, MAX(e) - MIN(s) AS ilen
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           SUM(ilen) AS covered_sec,
+           COUNT(*) AS n_islands
+    FROM per_island GROUP BY user_id
+    """,
+)
+def agg_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `intervalLengthSum` — total length of the UNION of each
+    user's [start, end) intervals, overlaps merged (utilization /
+    uptime accounting). Intervals derive deterministically from the
+    fixture: start = whole-second epoch, length = 60..659 s keyed by
+    event_id.
+
+    Classic gaps-and-islands: within each user, an interval starts a
+    new island iff its start exceeds the running max end of all
+    earlier intervals (ordered by start, event_id tiebreak); islands
+    are contiguous by construction, so union length per island is
+    simply max(e) - min(s). All arithmetic is int64-exact.
+
+    Every window (flag and island numbering) orders by (s, event_id)
+    — the unique tiebreaker — because two intervals tying on (s, e) at
+    an island boundary would otherwise renumber nondeterministically
+    (the flag is attached to a specific row). Plan: one shuffle on user_id reused by both windows and the
+    final aggregate (same partition key); the running-max window is a
+    single pass. At 100 TB this is the standard sessionization shape —
+    per-user state is a sort within the user's partition, no global
+    order."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.col("event_id") % IVL_MOD_SEC + IVL_BASE_SEC).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-(2**63))),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_cum).alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("ilen")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("ilen").alias("covered_sec"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )

@@ -111,3 +111,58 @@ def join_interval_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_overlap_days"),
     )
+
+
+@query(
+    "subq_correlated",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM orders o
+    WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            * (SELECT COUNT(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(CAST(o2.o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries — the oracle keeps them CORRELATED (a
+    scalar aggregate subquery per outer row + an EXISTS), while the
+    Spark side is the decorrelated plan Catalyst would produce anyway:
+    "orders above their own customer's average, having at least one
+    returned line". Demonstrating that the decorrelation rewrite is
+    semantics-preserving IS the point of the key.
+
+    The above-average test avoids division entirely: price * n >
+    sum(prices), all in int64 cents (exact decimal cast then cents) —
+    no float threshold can disagree between engines. The EXISTS is a
+    left-semi join on l_orderkey.
+
+    Plan: one hash aggregate on o_custkey (partial+final), an equi
+    join back on o_custkey, and a semi join against the filtered
+    lineitem scan (filter pushed to the scan). Both joins shuffle on
+    their natural keys; at 100 TB the aggregate side is tiny relative
+    to orders and AQE will pick broadcast where it fits."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("o_totalprice").cast("decimal(12,2)") * 100
+    ).cast("long")
+    with_cents = o.select("o_orderkey", "o_custkey", cents.alias("price_cents"))
+    per_cust = with_cents.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("sum_cents"),
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        with_cents.join(per_cust, "o_custkey")
+        .filter(F.col("price_cents") * F.col("n_orders") > F.col("sum_cents"))
+        .join(returned, with_cents.o_orderkey == returned.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_custkey", "price_cents")
+    )

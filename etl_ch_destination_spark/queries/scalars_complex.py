@@ -285,3 +285,73 @@ def arr_enumerate_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(enum_uniq.cast("array<string>"), ",").alias("enum_uniq"),
         F.array_join(enum_dense.cast("array<string>"), ",").alias("enum_dense"),
     )
+
+
+ARRSET_HEAD = 12  # words drawn from each end of the document
+
+
+@query(
+    "arr_set_ops",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ab AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_slice(toks, 1, {ARRSET_HEAD}))) AS a,
+               list_sort(list_distinct(
+                   list_slice(toks, len(toks) - {ARRSET_HEAD - 1}, len(toks)))) AS b
+        FROM t WHERE len(toks) >= {2 * ARRSET_HEAD}
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(list_intersect(a, b)), '|'),
+                    '') AS inter,
+           COALESCE(array_to_string(list_sort(list_distinct(list_cat(a, b))),
+                    '|'), '') AS uni,
+           COALESCE(array_to_string(
+                    list_sort(list_filter(a, x -> NOT list_contains(b, x))),
+                    '|'), '') AS exc,
+           CAST(len(list_intersect(a, b)) AS INT) AS n_inter,
+           CAST(len(list_distinct(list_cat(a, b))) AS INT) AS n_union,
+           CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INT) AS n_except
+    FROM ab
+    """,
+)
+def arr_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `arrayIntersect` / set union / array EXCEPT (`arrayFilter`
+    + `has`) — element-set algebra between two arrays, here the
+    distinct first-12 vs last-12 words of each long-enough document
+    (a cheap intro-vs-outro vocabulary-overlap signal).
+
+    Both engines dedup before comparing and every output array is
+    sorted, so the orderings the two engines' set primitives would
+    otherwise disagree on (Spark preserves first-array order, DuckDB
+    its own) never reach the hash; the arrays egress '|'-joined
+    because the driver hasher takes scalars only (empty DuckDB lists
+    stringify to NULL, hence the COALESCE). Purely map-side HOF
+    codegen — zero shuffles, scales with the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = d.filter(F.size(toks) >= 2 * ARRSET_HEAD).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.slice(toks, 1, ARRSET_HEAD))
+        ).alias("a"),
+        F.array_sort(
+            F.array_distinct(
+                F.slice(toks, F.size(toks) - (ARRSET_HEAD - 1), ARRSET_HEAD)
+            )
+        ).alias("b"),
+    )
+    inter = F.array_sort(F.array_intersect("a", "b"))
+    uni = F.array_sort(F.array_union("a", "b"))
+    exc = F.array_sort(F.array_except("a", "b"))
+    return d.select(
+        "doc_id",
+        F.array_join(inter, "|").alias("inter"),
+        F.array_join(uni, "|").alias("uni"),
+        F.array_join(exc, "|").alias("exc"),
+        F.size(inter).alias("n_inter"),
+        F.size(uni).alias("n_union"),
+        F.size(exc).alias("n_except"),
+    )

@@ -62,7 +62,13 @@ MAX_HASH_SHUFFLES = 4
 #     frame, and the per-anchor→per-user reductions can't reuse a
 #     broadcast join's (non-)partitioning. 5 at fixture scale; 6 gives
 #     headroom for the stats flip to sort-merge joins.
-SHUFFLE_ALLOWANCE = {"agg_window_funnel": 6}
+#   rpt_dedup_audit — composes the ENTIRE llm_dedup_near pipeline
+#     (band self-equi-join candidate generation, itself several
+#     exchanges) and then adds the audit's own distinct-endpoints,
+#     doc join, and per-source aggregate; the cap is meant to catch
+#     accidental shuffles in a single operator, not to penalize an
+#     honest composition of two bounded ones.
+SHUFFLE_ALLOWANCE = {"agg_window_funnel": 6, "rpt_dedup_audit": 6}
 
 
 def test_no_unplanned_cartesians_or_shuffle_explosions(spark, sf_dir):

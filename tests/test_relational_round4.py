@@ -1,0 +1,131 @@
+"""Invariant gates for the round-4 relational-algebra continuation
+batch: bit aggregates, interval-union length, correlated-subquery
+decorrelation, and array set algebra. Each test replays the operator's
+defining property with an independent Python computation; oracle
+parity pins the value-level rest.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+
+def test_group_bit_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_group_bit
+
+    got = {r.event_type: r for r in agg_group_bit(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert set(got) == set(by_type)
+    for et, rs in by_type.items():
+        uids = [r.user_id for r in rs]
+        los = [r.event_id % 256 for r in rs]
+        g = got[et]
+        assert g.band == reduce(lambda x, y: x & y, uids)
+        assert g.bor == reduce(lambda x, y: x | y, uids)
+        assert g.bxor == reduce(lambda x, y: x ^ y, uids)
+        assert g.band_lo == reduce(lambda x, y: x & y, los)
+        assert g.bxor_lo == reduce(lambda x, y: x ^ y, los)
+        assert g.n == len(rs)
+
+
+def test_interval_length_sum_equals_merged_union(spark, sf_dir):
+    """covered_sec must equal the length of the union of the user's
+    intervals computed by the classic sort-and-merge sweep; island
+    count must match the number of merged runs."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        IVL_BASE_SEC,
+        IVL_MOD_SEC,
+        agg_interval_length_sum,
+    )
+
+    got = {r.user_id: r for r in agg_interval_length_sum(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).collect()
+    ivs: dict[int, list] = {}
+    for r in ev:
+        s = r.us // 1_000_000
+        ivs.setdefault(r.user_id, []).append(
+            (s, s + r.event_id % IVL_MOD_SEC + IVL_BASE_SEC)
+        )
+    assert set(got) == set(ivs)
+    for uid, pairs in ivs.items():
+        pairs.sort()
+        merged = []
+        for s, e in pairs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        assert got[uid].covered_sec == sum(e - s for s, e in merged)
+        assert got[uid].n_islands == len(merged)
+
+
+def test_subq_correlated_matches_python_decorrelation(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.joins_extra import subq_correlated
+
+    got = {r.o_orderkey: r.price_cents for r in subq_correlated(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey").collect()
+    returned = {r.l_orderkey for r in li}
+    cents = {
+        r.o_orderkey: int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        for r in orders
+    }
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r.o_orderkey)
+    expect = {}
+    for cust, oks in by_cust.items():
+        total = sum(cents[k] for k in oks)
+        n = len(oks)
+        for k in oks:
+            if cents[k] * n > total and k in returned:
+                expect[k] = cents[k]
+    assert got == expect
+
+
+def test_arr_set_ops_python_set_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scalars_complex import (
+        ARRSET_HEAD,
+        arr_set_ops,
+    )
+
+    got = {r.doc_id: r for r in arr_set_ops(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_checked = 0
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < 2 * ARRSET_HEAD:
+            assert r.doc_id not in got
+            continue
+        a = set(toks[:ARRSET_HEAD])
+        b = set(toks[-ARRSET_HEAD:])
+        g = got[r.doc_id]
+        assert g.inter == "|".join(sorted(a & b))
+        assert g.uni == "|".join(sorted(a | b))
+        assert g.exc == "|".join(sorted(a - b))
+        assert (g.n_inter, g.n_union, g.n_except) == (
+            len(a & b), len(a | b), len(a - b),
+        )
+        n_checked += 1
+    assert n_checked > 0
