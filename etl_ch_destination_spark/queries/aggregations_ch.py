@@ -784,3 +784,108 @@ def agg_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ilen").alias("covered_sec"),
         F.count(F.lit(1)).alias("n_islands"),
     )
+
+
+@query(
+    "agg_minmax_map",
+    """
+    SELECT l_returnflag, 'qty' AS metric,
+           CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS lo,
+           CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS hi
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, 'tax_cents' AS metric,
+           CAST(MIN(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS lo,
+           CAST(MAX(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `minMap` / `maxMap` — key-wise min and max of a map column
+    per group, long-form egress like agg_sum_map (map-typed results
+    can't cross the scalar hash gate, and long form is the joinable
+    shape). The Spark side builds the per-row map and explodes it, so
+    ragged key sets work; min/max are order-insensitive, no
+    quantization caveats. One partial+final hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        F.create_map(
+            F.lit("qty"),
+            F.col("l_quantity").cast("bigint"),
+            F.lit("tax_cents"),
+            F.round(F.col("l_tax") * 100).cast("bigint"),
+        ).alias("__m"),
+    )
+    exploded = m.select("l_returnflag", F.explode("__m").alias("metric", "__v"))
+    return exploded.groupBy("l_returnflag", "metric").agg(
+        F.min("__v").cast("bigint").alias("lo"),
+        F.max("__v").cast("bigint").alias("hi"),
+    )
+
+
+BITMAP_BASE_EVENT = "purchase"
+
+
+@query(
+    "agg_bitmap_ops",
+    f"""
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    base AS (
+        SELECT user_id FROM d WHERE event_type = '{BITMAP_BASE_EVENT}'
+    ),
+    n_base AS (SELECT COUNT(*) AS nb FROM base)
+    SELECT d.event_type,
+           COUNT(*) AS card_t,
+           (SELECT nb FROM n_base) AS card_base,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS card_and,
+           (SELECT nb FROM n_base) + COUNT(*)
+             - CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS card_or,
+           (SELECT nb FROM n_base)
+             - CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS card_andnot
+    FROM d LEFT JOIN base b ON d.user_id = b.user_id
+    GROUP BY d.event_type
+    """,
+)
+def agg_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH bitmap algebra (`groupBitmapState` + `bitmapAndCardinality`
+    / `bitmapOrCardinality` / `bitmapAndnotCardinality`) — audience
+    set intersections: for every event type, how its user set overlaps
+    the base ('purchase') audience. ClickHouse materializes roaring
+    bitmaps; the relational recast keeps the SEMANTICS (exact set
+    cardinalities, inclusion-exclusion for OR) while letting Spark's
+    distinct + broadcast-joined membership flag do the work — at
+    100 TB the distinct (event_type, user_id) projection is the
+    bitmap build, and the base audience stays a broadcast-sized
+    single-column frame (or AQE falls back to shuffle join if some
+    audience explodes).
+
+    All outputs are exact int64 counts — no approximation, fully
+    order-insensitive."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    base = (
+        d.filter(F.col("event_type") == BITMAP_BASE_EVENT)
+        .select("user_id")
+        .withColumn("__in_base", F.lit(1))
+    )
+    nb = base.count()
+    overlap = F.sum(
+        F.when(F.col("__in_base").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(base), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("card_t"),
+            F.lit(nb).cast("bigint").alias("card_base"),
+            overlap.alias("card_and"),
+            (F.lit(nb) + F.count(F.lit(1)) - overlap).alias("card_or"),
+            (F.lit(nb) - overlap).alias("card_andnot"),
+        )
+    )

@@ -135,3 +135,67 @@ def rpt_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         near.alias("n_neardup_docs"),
         (near.cast("double") / F.count(F.lit(1))).alias("neardup_rate"),
     )
+
+
+SEQ_BASE_EVENT = "view"
+
+
+@query(
+    "seq_next_node",
+    f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lead(event_type) OVER w AS next_type,
+               lead(event_id) OVER w AS next_event_id,
+               CAST(floor(epoch_us(lead(ts) OVER w) / 1000000)
+                    - floor(epoch_us(ts) / 1000000) AS BIGINT) AS gap_sec,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS rn_of_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS anchor_event_id, next_type,
+           next_event_id, gap_sec
+    FROM seq
+    WHERE event_type = '{SEQ_BASE_EVENT}' AND rn_of_type = 1
+    """,
+)
+def seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `sequenceNextNode` — for each user, the event that
+    IMMEDIATELY follows the first occurrence of a base event type
+    ('view'), the where-do-users-go-next primitive behind funnel
+    exploration. NULL next_* columns mean the anchor was the user's
+    last event.
+
+    One lead() pass over the per-user event sequence (ts, event_id
+    total order) plus a per-(user, type) rank to pick the FIRST
+    anchor; both engines run the identical two windows over the same
+    user_id partition — one shuffle, reused by both window specs and
+    deterministic under the unique event_id tiebreak. Gap seconds are
+    whole-second integer math on exact epoch micros."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    secs = F.floor(F.unix_micros("ts") / F.lit(1_000_000))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.lead(secs).over(w) - secs).cast("bigint").alias("gap_sec"),
+        F.row_number().over(w_type).alias("rn_of_type"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == SEQ_BASE_EVENT) & (F.col("rn_of_type") == 1)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("anchor_event_id"),
+            "next_type",
+            "next_event_id",
+            "gap_sec",
+        )
+    )

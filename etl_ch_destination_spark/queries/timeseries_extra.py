@@ -270,3 +270,48 @@ def date_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bus_prefix(b) - bus_prefix(a)).cast("int").alias("n_busdays"),
         ((a + 3) % 7).cast("int").alias("start_dow"),
     )
+
+
+@query(
+    "date_iso_week",
+    """
+    WITH d AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS e
+        FROM orders
+    )
+    SELECT o_orderkey,
+           isoyear(od) AS iso_year,
+           CAST(weekofyear(od) AS INT) AS iso_week,
+           CAST(DATE '1970-01-01' + INTERVAL ((e - (e + 3) % 7)) DAY AS DATE) AS week_start,
+           CAST((e + 3) % 7 + 1 AS INT) AS iso_dow
+    FROM d
+    """,
+)
+def date_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `toISOYear` / `toISOWeek` / `toStartOfISOWeek` /
+    `toDayOfWeek`. Spark has no ISO-year builtin and its weekday
+    numbering differs from DuckDB's, so the Spark side derives ALL
+    FOUR fields from pure epoch-day arithmetic — the ISO 8601 rule
+    verbatim: a date's ISO week is the week of its Thursday, so
+    iso_year = year(thursday) and iso_week = (dayofyear(thursday)-1)
+    div 7 + 1; monday0 = (e+3) % 7 since 1970-01-01 was a Thursday —
+    while the ORACLE uses DuckDB's native isoyear()/weekofyear()
+    builtins. The hash match is therefore a cross-engine proof that
+    the closed-form derivation equals an independent implementation
+    (the pytest gate adds Python's datetime.isocalendar as a third).
+
+    Map-side codegen only; scales with the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch0 = F.lit("1970-01-01").cast("date")
+    od = F.to_date("o_orderdate")
+    e = F.datediff(od, epoch0)
+    monday0 = (e + 3) % 7
+    thu = F.date_add(epoch0, e - monday0 + 3)
+    return o.select(
+        "o_orderkey",
+        F.year(thu).alias("iso_year"),
+        ((F.dayofyear(thu) - 1) / 7 + 1).cast("int").alias("iso_week"),
+        F.date_add(epoch0, e - monday0).alias("week_start"),
+        (monday0 + 1).cast("int").alias("iso_dow"),
+    )

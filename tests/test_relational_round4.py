@@ -129,3 +129,116 @@ def test_arr_set_ops_python_set_replay(spark, sf_dir):
         )
         n_checked += 1
     assert n_checked > 0
+
+
+def test_iso_week_matches_python_isocalendar(spark, sf_dir):
+    """Third engine: Python's datetime.isocalendar() must agree with
+    the Spark arithmetic derivation on every order date (the oracle
+    already pins DuckDB's isoyear/weekofyear as the second)."""
+    from etl_ch_destination_spark.queries.timeseries_extra import date_iso_week
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.o_orderkey: r for r in date_iso_week(spark, sf_dir).collect()}
+    dates = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    ).collect()
+    import datetime as dt
+
+    for r in dates:
+        iso = r.od.isocalendar()
+        g = got[r.o_orderkey]
+        assert (g.iso_year, g.iso_week, g.iso_dow) == (
+            iso[0], iso[1], iso[2],
+        ), (r.od, tuple(iso), g)
+        assert g.week_start == r.od - dt.timedelta(days=iso[2] - 1)
+
+
+def test_seq_next_node_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        SEQ_BASE_EVENT,
+        seq_next_node,
+    )
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.user_id: r for r in seq_next_node(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+        ).collect(),
+        key=lambda r: (r.user_id, r.us, r.event_id),
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect_users = set()
+    for uid, rs in by_user.items():
+        anchor_idx = next(
+            (i for i, r in enumerate(rs) if r.event_type == SEQ_BASE_EVENT), None
+        )
+        if anchor_idx is None:
+            assert uid not in got
+            continue
+        expect_users.add(uid)
+        g = got[uid]
+        assert g.anchor_event_id == rs[anchor_idx].event_id
+        if anchor_idx + 1 < len(rs):
+            nxt = rs[anchor_idx + 1]
+            assert g.next_type == nxt.event_type
+            assert g.next_event_id == nxt.event_id
+            assert g.gap_sec == nxt.us // 1_000_000 - rs[anchor_idx].us // 1_000_000
+        else:
+            assert g.next_type is None and g.next_event_id is None
+    assert set(got) == expect_users
+
+
+def test_bitmap_ops_inclusion_exclusion_and_sets(spark, sf_dir):
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        BITMAP_BASE_EVENT,
+        agg_bitmap_ops,
+    )
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.event_type: r for r in agg_bitmap_ops(spark, sf_dir).collect()}
+    pairs = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).distinct().collect()
+    sets: dict[str, set] = {}
+    for r in pairs:
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    base = sets[BITMAP_BASE_EVENT]
+    assert set(got) == set(sets)
+    for et, s in sets.items():
+        g = got[et]
+        assert g.card_t == len(s)
+        assert g.card_base == len(base)
+        assert g.card_and == len(s & base)
+        assert g.card_or == len(s | base)
+        assert g.card_andnot == len(base - s)
+        # inclusion-exclusion closes
+        assert g.card_or == g.card_base + g.card_t - g.card_and
+    # the base row intersects itself completely
+    gb = got[BITMAP_BASE_EVENT]
+    assert gb.card_and == gb.card_base and gb.card_andnot == 0
+
+
+def test_minmax_map_brackets_sum_map(spark, sf_dir):
+    """lo <= hi always; per metric the (lo, hi) bracket must contain
+    the group's mean implied by agg_sum_map's totals."""
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_minmax_map
+    from etl_ch_destination_spark.queries.aggregations import agg_sum_map
+    from etl_ch_destination_spark.catalog import load_table
+
+    mm = {(r.l_returnflag, r.metric): r for r in agg_minmax_map(spark, sf_dir).collect()}
+    sm = {(r.l_returnflag, r.metric): r.total for r in agg_sum_map(spark, sf_dir).collect()}
+    n = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(mm) == set(sm)
+    for (flag, metric), r in mm.items():
+        assert r.lo <= r.hi
+        mean = sm[(flag, metric)] / n[flag]
+        assert r.lo <= mean <= r.hi
