@@ -889,3 +889,203 @@ def agg_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(nb) - overlap).alias("card_andnot"),
         )
     )
+
+
+QW_MILLE = (250, 500, 750, 900)  # quantile levels in thousandths
+
+
+@query(
+    "agg_quantiles_weighted",
+    f"""
+    WITH v AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS val,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, val, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY val, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+        FROM v
+    )
+    SELECT l_returnflag,
+           CAST(MAX(totw) AS BIGINT) AS total_weight,
+           {", ".join(
+             f"MIN(CASE WHEN 1000 * cumw >= {q} * totw THEN val END) AS q{q}"
+             for q in QW_MILLE)}
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `quantileExactWeighted` — exact weighted quantiles: the
+    smallest value v whose cumulative weight reaches q·W, computed
+    with pure int64 comparisons (1000·cumw >= q_mille·totw) so no
+    float threshold can disagree. Value ties are safe by construction:
+    whichever of the tied rows first crosses the threshold, MIN(val)
+    lands on the same value, so the intra-tie cumulative order can't
+    leak into the result (the `w` tiebreak in the window ORDER BY just
+    keeps both engines' scans aligned).
+
+    Plan: one shuffle on the group key shared by both windows and the
+    final aggregate. At 100 TB the per-group sort is the cost — the
+    same cost ClickHouse pays, and Spark spills it per-partition; for
+    heavy groups the histogram-bucketed agg_quantile_state key is the
+    pre-aggregated alternative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("val"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("val", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = v.select(
+        "l_returnflag",
+        "val",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(w_all).alias("totw"),
+    )
+    aggs = [F.max("totw").alias("total_weight")] + [
+        F.min(
+            F.when(1000 * F.col("cumw") >= q * F.col("totw"), F.col("val"))
+        ).alias(f"q{q}")
+        for q in QW_MILLE
+    ]
+    return c.groupBy("l_returnflag").agg(*aggs)
+
+
+@query(
+    "agg_skew_kurt",
+    """
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(9,0)) AS x
+        FROM events
+    ),
+    p AS (
+        SELECT event_type, x, CAST(x * x AS DECIMAL(19,0)) AS x2 FROM q
+    ),
+    raw AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS r1, SUM(x2) AS r2, SUM(x2 * x) AS r3,
+               SUM(x2 * x2) AS r4
+        FROM p GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, n,
+               CAST(CAST(CAST(r1 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(r1 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS s1,
+               CAST(CAST(CAST(r2 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(r2 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS s2,
+               CAST(CAST(CAST(r3 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(r3 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS s3,
+               CAST(CAST(CAST(r4 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(r4 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS s4
+        FROM raw
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skew_pop,
+           (s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurt_excess
+    FROM s
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `skewPop` / `kurtPop` — population skewness and excess
+    kurtosis via the agg_corr_exact determinism recipe: the four power
+    sums are exact scale-0 decimal sums over CENT-quantized values
+    (the fixture money policy; cents keep Σx⁴ ≤ ~1e28 ≪ 10^38 even at
+    sf100). x stays DECIMAL(9,0) — NOT pre-widened to (38,0) — because
+    DuckDB silently promotes any decimal product that would exceed
+    width 38 to DOUBLE (observed: a 4-ulp kurtosis drift at sf0.01
+    only), while 9-digit operands widen to an exact (36,0) product in
+    both engines; the squared term is staged once through DECIMAL(19,0)
+    (int128 territory) so x³ = x²·x and x⁴ = x²·x² multiply without
+    tripping DuckDB's physical-width overflow check.
+
+    The decimal→double step is the subtle one: DuckDB converts its
+    int128 decimals via hi·2^64 + lo in DOUBLE arithmetic (two
+    roundings), while Spark's BigDecimal.doubleValue() rounds once —
+    observed as a 4-ulp kurtosis drift at sf0.01. Both sides therefore
+    split every power sum into exact int64 halves (sum div 2^32, sum
+    mod 2^32) and recombine hi·2^32 + lo in doubles: the multiply is
+    exact (power-of-two scale) and the add rounds once, identically.
+    The DuckDB side must route the split through HUGEINT — `//` on a
+    DECIMAL operand is double division (it ROUNDS: observed hi off by
+    one exactly when the true quotient's fraction exceeds .5), while
+    HUGEINT `//` is true integer division; Spark's decimal `div` is
+    already integral. The recombination is
+    deterministic to the last bit for sums up to the full 38 digits,
+    so the recipe survives sf100. The closed forms are spelled with
+    byte-identical expression trees on both engines — every +,-,*,/
+    and sqrt is a single correctly-rounded IEEE op, so the doubles
+    match bit-for-bit (pow() is deliberately avoided: library pow is
+    NOT correctly rounded; m2^1.5 is written m2*sqrt(m2)).
+
+    Skew/kurtosis are invariant to the ×100 rescale. One partial+
+    final hash aggregate, order-insensitive by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(9,0)")
+    q = ev.select("event_type", x.alias("x"))
+    xc = F.col("x")
+    x2 = (xc * xc).cast("decimal(19,0)")
+    p = q.select("event_type", xc.alias("x"), x2.alias("x2"))
+    xc, x2c = F.col("x"), F.col("x2")
+    raw = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xc).alias("r1"),
+        F.sum(x2c).alias("r2"),
+        F.sum(x2c * xc).alias("r3"),
+        F.sum(x2c * x2c).alias("r4"),
+    )
+
+    def hilo(c: str):
+        hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({c} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = raw.select(
+        "event_type",
+        "n",
+        hilo("r1").alias("s1"),
+        hilo("r2").alias("s2"),
+        hilo("r3").alias("s3"),
+        hilo("r4").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / (m2 * F.sqrt(m2))
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    ) / (m2 * m2) - 3
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        skew.alias("skew_pop"),
+        kurt.alias("kurt_excess"),
+    )

@@ -315,3 +315,84 @@ def date_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(epoch0, e - monday0).alias("week_start"),
         (monday0 + 1).cast("int").alias("iso_dow"),
     )
+
+
+@query(
+    "ts_autocorr",
+    """
+    WITH q AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(9,0))
+                    AS DECIMAL(38,0)) AS x
+        FROM events
+    ),
+    pairs AS (
+        SELECT user_id, x,
+               lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        FROM q
+    ),
+    s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(x) AS dx, SUM(y) AS dy, SUM(x * y) AS dxy,
+               SUM(x * x) AS dxx, SUM(y * y) AS dyy
+        FROM pairs WHERE y IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           (CAST(n AS DOUBLE) * CAST(dxy AS DOUBLE)
+              - CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(dxx AS DOUBLE)
+                     - CAST(dx AS DOUBLE) * CAST(dx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(dyy AS DOUBLE)
+                       - CAST(dy AS DOUBLE) * CAST(dy AS DOUBLE))) AS r1
+    FROM s
+    WHERE n * dxx - dx * dx <> 0 AND n * dyy - dy * dy <> 0
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per user series (the CH
+    `autoRegression`-adjacent seasonality probe): Pearson r between
+    consecutive event values. Exact-integer moment sums per the
+    agg_corr_exact recipe — cents quantization, scale-0 decimal sums,
+    one double conversion each, identical IEEE expression trees — so
+    r1 hash-matches bit-for-bit. Degenerate series (zero variance on
+    either leg) are filtered with an EXACT decimal predicate, never a
+    float compare, so both engines drop identical groups instead of
+    disagreeing about inf/NaN.
+
+    Plan: one shuffle on user_id shared by the lag window and the
+    aggregate. The lag pairs never materialize off-heap wider than the
+    scan; at 100 TB this is a per-series window + partial agg, the
+    canonical time-series shape here."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("decimal(9,0)")
+        .cast("decimal(38,0)")
+    )
+    q = ev.select("user_id", "event_id", "ts", x.alias("x"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = q.select(
+        "user_id", "x", F.lag("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    xc, yc = F.col("x"), F.col("y")
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("dx"),
+        F.sum(yc).alias("dy"),
+        F.sum(xc * yc).alias("dxy"),
+        F.sum(xc * xc).alias("dxx"),
+        F.sum(yc * yc).alias("dyy"),
+    )
+    n = F.col("n")
+    dx, dy, dxy, dxx, dyy = (F.col(c) for c in ("dx", "dy", "dxy", "dxx", "dyy"))
+    nd = n.cast("double")
+    r1 = (nd * dxy.cast("double") - dx.cast("double") * dy.cast("double")) / (
+        F.sqrt(nd * dxx.cast("double") - dx.cast("double") * dx.cast("double"))
+        * F.sqrt(nd * dyy.cast("double") - dy.cast("double") * dy.cast("double"))
+    )
+    return (
+        s.filter((n * dxx - dx * dx != 0) & (n * dyy - dy * dy != 0))
+        .select("user_id", n.cast("bigint").alias("n_pairs"), r1.alias("r1"))
+    )

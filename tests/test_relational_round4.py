@@ -242,3 +242,96 @@ def test_minmax_map_brackets_sum_map(spark, sf_dir):
         assert r.lo <= r.hi
         mean = sm[(flag, metric)] / n[flag]
         assert r.lo <= mean <= r.hi
+
+
+def test_quantiles_weighted_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        QW_MILLE,
+        agg_quantiles_weighted,
+    )
+    from etl_ch_destination_spark.catalog import load_table
+    from decimal import Decimal
+
+    got = {r.l_returnflag: r for r in agg_quantiles_weighted(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        val = int(Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01")) * 100)
+        groups.setdefault(r.l_returnflag, []).append((val, int(r.l_quantity)))
+    assert set(got) == set(groups)
+    for flag, vw in groups.items():
+        vw.sort()
+        W = sum(w for _, w in vw)
+        g = got[flag]
+        assert g.total_weight == W
+        for q in QW_MILLE:
+            cum = 0
+            for v, w in vw:
+                cum += w
+                if 1000 * cum >= q * W:
+                    assert getattr(g, f"q{q}") == v
+                    break
+        # monotone in q
+        qs = [getattr(g, f"q{q}") for q in QW_MILLE]
+        assert qs == sorted(qs)
+
+
+def test_skew_kurt_matches_float_reference(spark, sf_dir):
+    """The quantized-moment closed form must agree with a straight
+    numpy population skew/kurtosis on the cent-rounded values to
+    ~1e-9 relative (numpy sums in float order; ours is exact-integer
+    then one IEEE evaluation — tiny drift is expected, sign/magnitude
+    agreement is the gate)."""
+    import numpy as np
+
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_skew_kurt
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.event_type: r for r in agg_skew_kurt(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(round(r.value * 100))
+    for et, xs in by_type.items():
+        a = np.array(xs, dtype=np.float64)
+        m = a.mean()
+        m2 = ((a - m) ** 2).mean()
+        skew = ((a - m) ** 3).mean() / m2**1.5
+        kurt = ((a - m) ** 4).mean() / m2**2 - 3
+        g = got[et]
+        assert abs(g.skew_pop - skew) <= 1e-9 * max(1, abs(skew))
+        assert abs(g.kurt_excess - kurt) <= 1e-9 * max(1, abs(kurt))
+        assert g.n == len(xs)
+
+
+def test_autocorr_matches_numpy_corrcoef(spark, sf_dir):
+    import numpy as np
+
+    from etl_ch_destination_spark.queries.timeseries_extra import ts_autocorr
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r.user_id: r for r in ts_autocorr(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(round(r.value * 100))
+    for uid, xs in series.items():
+        if len(xs) < 2:
+            assert uid not in got
+            continue
+        x = np.array(xs[1:], dtype=np.float64)
+        y = np.array(xs[:-1], dtype=np.float64)
+        if x.std() == 0 or y.std() == 0:
+            assert uid not in got
+            continue
+        ref = float(np.corrcoef(x, y)[0, 1])
+        g = got[uid]
+        assert g.n_pairs == len(x)
+        assert abs(g.r1 - ref) <= 1e-9
