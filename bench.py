@@ -58,6 +58,9 @@ BENCH_KEYS = [
     "llm_cross_dedup",
     "llm_line_dedup",
     "agg_quantile_state",
+    "agg_quantiles_weighted",
+    "agg_interval_length_sum",
+    "llm_ngram_novelty",
     "sink_shard_balanced",
     "agg_window_funnel",
     "agg_state_merge",
