@@ -166,3 +166,52 @@ def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(returned, with_cents.o_orderkey == returned.l_orderkey, "left_semi")
         .select("o_orderkey", "o_custkey", "price_cents")
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 25 END AS bucket
+        FROM orders
+    ),
+    d AS (
+        SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                    ELSE n_nationkey END AS bucket,
+               n_name
+        FROM nation
+    )
+    SELECT o.o_orderkey, o.bucket, d.n_name
+    FROM o JOIN d ON o.bucket IS NOT DISTINCT FROM d.bucket
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT
+    FROM) — NULL keys MATCH each other instead of silently dropping,
+    the semantics a dimension with an explicit "unknown" member needs.
+    The fixture derivation plants NULLs on both sides (every 7th order
+    key, every 5th nation key) so the NULL↔NULL match group is real
+    and multi-row on both sides.
+
+    Plan note: Spark hash-partitions `<=>` keys like ordinary equi
+    keys (NULL hashes to a bucket instead of being filtered), so this
+    stays a broadcast/shuffled HASH join — no nested-loop fallback;
+    the NULL group is a single hot key, the usual skew knobs apply at
+    scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 25)
+        .alias("bucket"),
+    )
+    d = load_table(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("bucket"),
+        "n_name",
+    )
+    return o.join(
+        F.broadcast(d), o["bucket"].eqNullSafe(d["bucket"])
+    ).select("o_orderkey", o["bucket"].alias("bucket"), "n_name")

@@ -355,3 +355,78 @@ def arr_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(uni).alias("n_union"),
         F.size(exc).alias("n_except"),
     )
+
+
+NGRAM_HEAD_CHARS = 40  # chars drawn from each end for the trigram profiles
+
+
+@query(
+    "str_ngram_distance",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               lower(substr(text, 1, {NGRAM_HEAD_CHARS})) AS a,
+               lower(substr(text, greatest(length(text) - {NGRAM_HEAD_CHARS - 1}, 1),
+                            {NGRAM_HEAD_CHARS})) AS b
+        FROM documents WHERE length(text) >= {2 * NGRAM_HEAD_CHARS}
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, length(a) - 1),
+                                            i -> substr(a, i, 3))) AS ga,
+               list_distinct(list_transform(range(1, length(b) - 1),
+                                            i -> substr(b, i, 3))) AS gb
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(len(ga) AS INT) AS n_a,
+           CAST(len(gb) AS INT) AS n_b,
+           CAST(len(list_intersect(ga, gb)) AS INT) AS n_common,
+           1.0 - CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+             / (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS trigram_dist
+    FROM g
+    """,
+)
+def str_ngram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `ngramDistance`-family string similarity, recast over
+    DISTINCT character trigrams (Jaccard distance) so the score is a
+    pure set computation both engines express with the same HOF
+    pipeline — CH's multiset symmetric-difference variant needs its
+    exact 4-gram hashing internals to reproduce, while the distinct
+    trigram Jaccard carries the same near/far signal and is
+    bit-deterministic (integer set sizes, one final IEEE division).
+    Compared strings: each document's lowercased head vs tail window
+    (the intro-vs-outro repetition probe).
+
+    Pure map-side codegen — zero shuffles, scales with the scan."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2 * NGRAM_HEAD_CHARS
+    )
+    # expr-level HOFs: substr with a lambda-bound start needs SQL substr
+    g = d.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, length(lower(substr(text, 1,"
+            f" {NGRAM_HEAD_CHARS}))) - 2), i -> substr(lower(substr(text, 1,"
+            f" {NGRAM_HEAD_CHARS})), i, 3)))"
+        ).alias("ga"),
+        F.expr(
+            f"array_distinct(transform(sequence(1, length(lower(substr(text,"
+            f" greatest(length(text) - {NGRAM_HEAD_CHARS - 1}, 1),"
+            f" {NGRAM_HEAD_CHARS}))) - 2), i -> substr(lower(substr(text,"
+            f" greatest(length(text) - {NGRAM_HEAD_CHARS - 1}, 1),"
+            f" {NGRAM_HEAD_CHARS})), i, 3)))"
+        ).alias("gb"),
+    )
+    common = F.size(F.array_intersect("ga", "gb"))
+    return g.select(
+        "doc_id",
+        F.size("ga").alias("n_a"),
+        F.size("gb").alias("n_b"),
+        common.alias("n_common"),
+        (
+            F.lit(1.0)
+            - common.cast("double")
+            / (F.size("ga") + F.size("gb") - common)
+        ).alias("trigram_dist"),
+    )

@@ -86,3 +86,47 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return cust.subtract(ordered)
+
+
+@query(
+    "set_bag_ops",
+    """
+    WITH a AS (
+        SELECT l_suppkey AS k, l_linenumber % 3 AS tag
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (
+        SELECT l_suppkey AS k, l_linenumber % 3 AS tag
+        FROM lineitem WHERE l_linestatus = 'F'
+    )
+    SELECT 'intersect_all' AS op, k, tag FROM (
+        SELECT k, tag FROM a INTERSECT ALL SELECT k, tag FROM b
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, k, tag FROM (
+        SELECT k, tag FROM a EXCEPT ALL SELECT k, tag FROM b
+    )
+    """,
+)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operations
+    (each row kept min(m, n) / max(m - n, 0) times), which the
+    distinct-flavored set_intersect/set_except keys deliberately do
+    not cover. Spark's intersectAll/exceptAll implement the multiset
+    algebra directly (a count-aggregate + generate under the hood —
+    no row-pairing join), matching SQL INTERSECT ALL/EXCEPT ALL.
+
+    Plan: each branch is one hash shuffle on the full row (the same
+    budget as DISTINCT); the duplicate multiplicities never explode
+    because replication is bounded by the input's own counts. Scales
+    exactly like the distinct forms at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k"), (F.col("l_linenumber") % 3).alias("tag")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_suppkey").alias("k"), (F.col("l_linenumber") % 3).alias("tag")
+    )
+    inter = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k", "tag")
+    exc = a.exceptAll(b).select(F.lit("except_all").alias("op"), "k", "tag")
+    return inter.unionAll(exc)

@@ -396,3 +396,59 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter((n * dxx - dx * dx != 0) & (n * dyy - dy * dy != 0))
         .select("user_id", n.cast("bigint").alias("n_pairs"), r1.alias("r1"))
     )
+
+
+SLOT_SEC = 1800          # timeSlots default: 30-minute grid
+SLOT_DUR_MOD = 3600      # synthetic duration: 600..4199 s by event_id
+SLOT_DUR_BASE = 600
+
+
+@query(
+    "date_time_slots",
+    f"""
+    WITH iv AS (
+        SELECT event_id,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS s,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+                 + event_id % {SLOT_DUR_MOD} + {SLOT_DUR_BASE} AS e
+        FROM events
+    )
+    SELECT event_id,
+           make_timestamp(slot * {SLOT_SEC} * 1000000) AS slot_start,
+           CAST(e - s AS BIGINT) AS dur_sec
+    FROM iv, unnest(range(s // {SLOT_SEC}, (e - 1) // {SLOT_SEC} + 1)) AS u(slot)
+    """,
+)
+def date_time_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `timeSlots(StartTime, Duration)` — explode each event's
+    [start, start+duration) interval into the 30-minute grid slots it
+    touches (the fan-out behind slot-wise utilization reports and the
+    interval-join binning in join_interval_bins). Slot indices are
+    pure integer epoch math (floor-div by 1800 — `//` on BIGINT is
+    true integer division in both engines, and s, e > 0), timestamps
+    reconstructed from exact micros.
+
+    Map-side explode, zero shuffles; fan-out is bounded by
+    duration/1800 + 1 ≤ 4 slots per event. Scales with the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    iv = ev.select(
+        "event_id",
+        s.alias("s"),
+        (s + F.col("event_id") % SLOT_DUR_MOD + SLOT_DUR_BASE).alias("e"),
+    )
+    slot = F.explode(
+        F.sequence(
+            F.floor(F.col("s") / SLOT_SEC).cast("long"),
+            F.floor((F.col("e") - 1) / SLOT_SEC).cast("long"),
+        )
+    )
+    return iv.select(
+        "event_id",
+        slot.alias("slot"),
+        (F.col("e") - F.col("s")).alias("dur_sec"),
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("slot") * SLOT_SEC * 1_000_000).alias("slot_start"),
+        "dur_sec",
+    )

@@ -335,3 +335,99 @@ def test_autocorr_matches_numpy_corrcoef(spark, sf_dir):
         g = got[uid]
         assert g.n_pairs == len(x)
         assert abs(g.r1 - ref) <= 1e-9
+
+
+def test_bag_ops_multiset_algebra(spark, sf_dir):
+    """intersectAll keeps min(m, n) copies, exceptAll max(m - n, 0) —
+    verified against Counter arithmetic on the raw rows."""
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.setops import set_bag_ops
+
+    rows = set_bag_ops(spark, sf_dir).collect()
+    got_inter = Counter((r.k, r.tag) for r in rows if r.op == "intersect_all")
+    got_exc = Counter((r.k, r.tag) for r in rows if r.op == "except_all")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    ).collect()
+    a = Counter((r.l_suppkey, r.l_linenumber % 3) for r in li if r.l_returnflag == "R")
+    b = Counter((r.l_suppkey, r.l_linenumber % 3) for r in li if r.l_linestatus == "F")
+    exp_inter = Counter({k: min(a[k], b[k]) for k in a if k in b and min(a[k], b[k]) > 0})
+    exp_exc = a - b
+    assert got_inter == +exp_inter
+    assert got_exc == exp_exc
+
+
+def test_null_safe_join_matches_null_group(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.joins_extra import join_null_safe
+
+    rows = join_null_safe(spark, sf_dir).collect()
+    nat = load_table(spark, sf_dir, "nation").collect()
+    null_names = sorted(r.n_name for r in nat if r.n_nationkey % 5 == 0)
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    null_orders = [r.o_orderkey for r in ords if r.o_orderkey % 7 == 0]
+    # every NULL-bucket order matches every NULL-bucket nation member
+    got_null = [r for r in rows if r.bucket is None]
+    assert len(got_null) == len(null_orders) * len(null_names)
+    # and non-null rows obey plain equality
+    for r in rows:
+        if r.bucket is not None:
+            assert r.o_orderkey % 7 != 0 and r.o_orderkey % 25 == r.bucket
+
+
+def test_ngram_distance_python_set_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scalars_complex import (
+        NGRAM_HEAD_CHARS,
+        str_ngram_distance,
+    )
+
+    got = {r.doc_id: r for r in str_ngram_distance(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_checked = 0
+    for r in docs:
+        if len(r.text) < 2 * NGRAM_HEAD_CHARS:
+            assert r.doc_id not in got
+            continue
+        a = r.text[:NGRAM_HEAD_CHARS].lower()
+        b = r.text[-NGRAM_HEAD_CHARS:].lower()
+        ga = {a[i : i + 3] for i in range(len(a) - 2)}
+        gb = {b[i : i + 3] for i in range(len(b) - 2)}
+        g = got[r.doc_id]
+        assert (g.n_a, g.n_b, g.n_common) == (len(ga), len(gb), len(ga & gb))
+        assert abs(g.trigram_dist - (1 - len(ga & gb) / len(ga | gb))) < 1e-12
+        assert 0.0 <= g.trigram_dist <= 1.0
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_time_slots_tile_the_interval(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        SLOT_DUR_BASE,
+        SLOT_DUR_MOD,
+        SLOT_SEC,
+        date_time_slots,
+    )
+
+    rows = date_time_slots(spark, sf_dir).collect()
+    by_event: dict[int, list] = {}
+    for r in rows:
+        by_event.setdefault(r.event_id, []).append(r)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    ).collect()
+    assert set(by_event) == {r.event_id for r in ev}
+    for r in ev:
+        s = r.us // 1_000_000
+        e = s + r.event_id % SLOT_DUR_MOD + SLOT_DUR_BASE
+        slots = sorted(
+            int(x.slot_start.timestamp()) for x in by_event[r.event_id]
+        )
+        # consecutive 1800s grid covering [s, e)
+        assert slots[0] == (s // SLOT_SEC) * SLOT_SEC
+        assert slots[-1] == ((e - 1) // SLOT_SEC) * SLOT_SEC
+        assert all(b - a == SLOT_SEC for a, b in zip(slots, slots[1:]))
+        assert all(x.dur_sec == e - s for x in by_event[r.event_id])
