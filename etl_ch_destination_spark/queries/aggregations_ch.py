@@ -1089,3 +1089,67 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skew_pop"),
         kurt.alias("kurt_excess"),
     )
+
+
+MOV_WIN = 3  # groupArrayMovingSum window width
+
+
+@query(
+    "agg_group_array_moving",
+    f"""
+    WITH q AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN {MOV_WIN - 1} PRECEDING
+                                AND CURRENT ROW) AS mov,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM q
+    )
+    SELECT user_id,
+           COUNT(*) AS n,
+           COALESCE(array_to_string(list(mov ORDER BY rn), '|'), '')
+             AS moving_sums
+    FROM m GROUP BY user_id
+    """,
+)
+def agg_group_array_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `groupArrayMovingSum(3)` — the per-group ARRAY of running
+    3-row moving sums in event order, egressed '|'-joined (the scalar
+    hash gate again). Sums are exact int64 cents; element order is
+    pinned by the (ts, event_id) unique tiebreak on both engines —
+    Spark materializes (rn, mov) structs and sorts the collected array
+    (collect_list order is partition-arrival nondeterministic by
+    itself), DuckDB uses list(... ORDER BY rn).
+
+    One shuffle on user_id shared by the window pair and the final
+    aggregate; per-group state is the group's own row count, the same
+    memory CH's groupArray holds. The moving window is ROWS-bounded —
+    single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    w_mov = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MOV_WIN - 1), 0)
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = q.select(
+        "user_id",
+        F.sum("cents").over(w_mov).alias("mov"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "mov"))),
+        lambda s: s["mov"].cast("string"),
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(arr, "|").alias("moving_sums"),
+    )

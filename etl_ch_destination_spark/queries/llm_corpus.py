@@ -1125,3 +1125,56 @@ def llm_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select(F.md5("prefix").alias("prefix_md5"), "n_docs", "first_doc", "n_sources")
     )
+
+
+CODE_PUNCT = r"[{}();=<>\[\]]"
+
+
+@query(
+    "llm_code_detect",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '{{|}}|\\(|\\)|;|=|<|>|\\[|\\]'))
+                 AS n_code_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(n_code_punct AS BIGINT) AS n_code_punct,
+           CAST(n_digits AS BIGINT) AS n_digits,
+           CAST(n_code_punct AS DOUBLE) / n_chars AS code_punct_ratio,
+           CAST(n_chars AS DOUBLE) / n_words AS avg_token_len,
+           CAST(100 * n_code_punct > 2 * n_chars AS BOOLEAN) AS is_codey
+    FROM s
+    """,
+)
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic (the StarCoder/pile-curation routing
+    signal): density of code punctuation ({{ }} ( ) ; = < > [ ]),
+    digit count, and mean token length; the `is_codey` flag fires when
+    code punctuation exceeds 2% of characters, decided by EXACT
+    integer cross-multiplication (100·punct > 2·chars) so no float
+    threshold can disagree between engines. Ratios are single final
+    IEEE divisions over integer counts.
+
+    Pure map-side regexp_count codegen — zero shuffles. Both regexes
+    are alternation-of-literals/char-class only, semantics identical
+    in RE2-style (DuckDB) and Java (Spark) dialects."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    n_punct = F.regexp_count("text", F.lit(CODE_PUNCT)).cast("bigint")
+    n_digits = F.regexp_count("text", F.lit("[0-9]")).cast("bigint")
+    n_words = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        "source",
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_code_punct"),
+        n_digits.alias("n_digits"),
+        (n_punct.cast("double") / n_chars).alias("code_punct_ratio"),
+        (n_chars.cast("double") / n_words).alias("avg_token_len"),
+        (100 * n_punct > 2 * n_chars).alias("is_codey"),
+    )

@@ -675,3 +675,53 @@ def sink_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(" + _MD5_60.format(c="concat(CAST(doc_id AS STRING), ':', text)") + ")"
         ).alias("content_xor"),
     )
+
+
+PRUNE_TYPES = ("purchase", "signup")
+
+
+@query(
+    "scan_partition_pruned",
+    f"""
+    SELECT event_type,
+           CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    WHERE event_type IN {PRUNE_TYPES!r}
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning on read — the physical layout +
+    scan contract every date/tenant-partitioned lake table depends on:
+    events re-laid-out as parquet partitioned BY event_type, then read
+    back with a partition-column filter that must prune to 2 of 5
+    directories BEFORE any file I/O (PartitionFilters in the scan
+    node, asserted in tests/test_relational_round4.py via both the
+    plan text and inputFiles()). The oracle replays the same
+    filter+aggregate relationally on the source table, so the
+    round-trip also proves the partitioned layout loses nothing
+    (values, per-partition row counts, date attribution).
+
+    The partition column comes BACK as a scan column (Hive layout
+    stores it in the path, not the file) — type fidelity across that
+    boundary is part of what the hash checks. At 100 TB this is the
+    difference between scanning 2 directories and scanning the lake;
+    the write side shows partitionBy + per-partition file sizing."""
+    path = _scratch(sf_dir, "scan_partition_pruned")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("event_type").isin(*PRUNE_TYPES))
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return back.groupBy(
+        "event_type", F.to_date("ts").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )

@@ -452,3 +452,39 @@ def date_time_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("slot") * SLOT_SEC * 1_000_000).alias("slot_start"),
         "dur_sec",
     )
+
+
+@query(
+    "ts_seasonality_profile",
+    """
+    SELECT event_type,
+           CAST(hour(ts) AS INT) AS hh,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS DOUBLE) AS sum_cents,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM events
+    GROUP BY event_type, hour(ts)
+    """,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type (the CH
+    `toHour`-keyed rollup behind diurnal load curves and
+    seasonal-naive baselines). Counts and cent sums are exact ints;
+    the mean is one final IEEE division. hour(ts) is taken under the
+    UTC session that ensure_session_defaults pins, so it agrees with
+    DuckDB's naive-timestamp hour at every session timezone.
+
+    One partial+final hash aggregate over (type, hour) — 120 groups,
+    map-side combine does nearly all the work at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        ev.groupBy("event_type", F.hour("ts").cast("int").alias("hh"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).cast("double").alias("sum_cents"),
+            (F.sum(cents).cast("double") / F.count(F.lit(1))).alias("avg_cents"),
+        )
+    )

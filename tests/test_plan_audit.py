@@ -30,6 +30,7 @@ EFFECTFUL = {
     "job_batch_etl",  # end-to-end ETL: writes staged JSONL + sink
     "job_corpus_curate",  # end-to-end curation: writes the split corpus
     "scan_schema_evolution",  # writes v1/v2 batches to scratch
+    "scan_partition_pruned",  # writes the partitioned layout to scratch
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

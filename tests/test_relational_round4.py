@@ -431,3 +431,106 @@ def test_time_slots_tile_the_interval(spark, sf_dir):
         assert slots[-1] == ((e - 1) // SLOT_SEC) * SLOT_SEC
         assert all(b - a == SLOT_SEC for a, b in zip(slots, slots[1:]))
         assert all(x.dur_sec == e - s for x in by_event[r.event_id])
+
+
+def test_partition_pruning_reaches_the_scan(spark, sf_dir):
+    """The partitioned read must prune at plan time: PartitionFilters
+    in the scan node, and inputFiles() confined to the two selected
+    event_type directories."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        PRUNE_TYPES,
+        _scratch,
+        scan_partition_pruned,
+    )
+
+    df = scan_partition_pruned(spark, sf_dir)  # also (re)writes the layout
+    path = _scratch(sf_dir, "scan_partition_pruned")
+    from pyspark.sql import functions as FF
+
+    back = spark.read.parquet(path).filter(FF.col("event_type").isin(*PRUNE_TYPES))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(True)
+    phys = buf.getvalue().split("== Physical Plan ==")[-1]
+    assert "PartitionFilters" in phys and "event_type" in phys
+    files = [
+        r[0]
+        for r in back.select(FF.input_file_name()).distinct().collect()
+    ]
+    assert files, "no input files resolved"
+    for f in files:
+        assert any(f"event_type={t}" in f for t in PRUNE_TYPES), f
+    # and the full 5-type layout exists on disk (pruning, not absence)
+    all_files = spark.read.parquet(path).inputFiles()
+    assert len({f.split("event_type=")[1].split("/")[0] for f in all_files}) == 5
+    assert df.count() > 0
+
+
+def test_group_array_moving_python_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        MOV_WIN,
+        agg_group_array_moving,
+    )
+
+    got = {r.user_id: r for r in agg_group_array_moving(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        series.setdefault(r.user_id, []).append(cents)
+    assert set(got) == set(series)
+    for uid, xs in series.items():
+        mov = [sum(xs[max(0, i - MOV_WIN + 1) : i + 1]) for i in range(len(xs))]
+        assert got[uid].n == len(xs)
+        assert got[uid].moving_sums == "|".join(str(v) for v in mov)
+
+
+def test_code_detect_counts_and_flag(spark, sf_dir):
+    import re
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import llm_code_detect
+
+    got = {r.doc_id: r for r in llm_code_detect(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    pat = re.compile(r"[{}();=<>\[\]]")
+    for r in docs:
+        if not r.text:
+            continue
+        g = got[r.doc_id]
+        n_punct = len(pat.findall(r.text))
+        n_digits = sum(ch.isdigit() for ch in r.text)
+        assert g.n_code_punct == n_punct
+        assert g.n_digits == n_digits
+        assert g.is_codey == (100 * n_punct > 2 * len(r.text))
+
+
+def test_seasonality_profile_exact_counts(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        ts_seasonality_profile,
+    )
+
+    got = {(r.event_type, r.hh): r for r in ts_seasonality_profile(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    acc: dict[tuple, list] = {}
+    for r in ev:
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        acc.setdefault((r.event_type, r.ts.hour), []).append(cents)
+    assert set(got) == set(acc)
+    for k, xs in acc.items():
+        g = got[k]
+        assert g.n_events == len(xs) and g.sum_cents == float(sum(xs))
