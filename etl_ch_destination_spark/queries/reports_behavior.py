@@ -199,3 +199,93 @@ def seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_sec",
         )
     )
+
+
+PEAK_SLOT_SEC = 1800
+
+
+@query(
+    "rpt_peak_concurrency",
+    f"""
+    WITH iv AS (
+        SELECT event_id, event_type,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS s,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+                 + event_id % 600 + 60 AS e
+        FROM events
+    ),
+    slots AS (
+        SELECT event_type, slot
+        FROM iv, unnest(range(s // {PEAK_SLOT_SEC},
+                              (e - 1) // {PEAK_SLOT_SEC} + 1)) AS u(slot)
+    ),
+    per_slot AS (
+        SELECT event_type, slot, COUNT(*) AS n_live
+        FROM slots GROUP BY event_type, slot
+    ),
+    ranked AS (
+        SELECT event_type, slot, n_live,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n_live DESC, slot) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_slots_used
+        FROM per_slot
+    )
+    SELECT event_type,
+           CAST(n_live AS BIGINT) AS peak_live,
+           make_timestamp(slot * {PEAK_SLOT_SEC} * 1000000) AS peak_slot,
+           CAST(n_slots_used AS BIGINT) AS n_slots_used
+    FROM ranked WHERE rk = 1
+    """,
+)
+def rpt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak slot load per event type — the capacity-planning report
+    composing the date_time_slots fan-out with the
+    agg_interval_length_sum interval derivation: explode each event's
+    active interval onto the 30-min grid, count live intervals per
+    (type, slot), report each type's busiest slot (earliest on ties).
+    Slot-granular concurrency is the planner's number: it bounds true
+    instantaneous concurrency within one slot width.
+
+    Plan: map-side bounded explode (≤2 slots per 60-659 s interval) →
+    (type, slot) partial+final count → per-type top-1 as a
+    WindowGroupLimit over the tiny per-slot frame. Two shuffles, both
+    on post-aggregation cardinalities."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        s.alias("s"),
+        (s + F.col("event_id") % 600 + 60).alias("e"),
+    )
+    slots = iv.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / PEAK_SLOT_SEC).cast("long"),
+                F.floor((F.col("e") - 1) / PEAK_SLOT_SEC).cast("long"),
+            )
+        ).alias("slot"),
+    )
+    per_slot = slots.groupBy("event_type", "slot").agg(
+        F.count(F.lit(1)).alias("n_live")
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.col("n_live").desc(), "slot"
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = per_slot.select(
+        "event_type",
+        "slot",
+        "n_live",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_slots_used"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n_live").cast("bigint").alias("peak_live"),
+        F.timestamp_micros(
+            F.col("slot") * PEAK_SLOT_SEC * 1_000_000
+        ).alias("peak_slot"),
+        F.col("n_slots_used").cast("bigint").alias("n_slots_used"),
+    )

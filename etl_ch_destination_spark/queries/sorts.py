@@ -134,3 +134,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.sampleBy("c_mktsegment", fractions, seed=42).select(
         "c_custkey", "c_mktsegment"
     )
+
+
+W_MAX = 50          # l_quantity upper bound in the fixture
+W_RATE_NUM = 1      # target base rate = 1/4 at w = W_MAX
+W_RATE_DEN = 4
+W_DENOM = 268435456  # 2^28 — md5-prefix uniform denominator
+
+
+@query(
+    "sample_weighted_hash",
+    f"""
+    WITH r AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS w,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                        CAST(l_linenumber AS VARCHAR) || ':ws1'),
+                                    1, 7)) AS BIGINT) AS u28
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, w, u28
+    FROM r
+    WHERE u28 * {W_MAX} * {W_RATE_DEN} < w * {W_DENOM} * {W_RATE_NUM}
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling — each row kept with
+    probability (w / W_MAX) · (1/4), decided by hash thresholding
+    (the llm_mixture_sample recipe: md5-prefix 28-bit uniform), with
+    the comparison cleared of ALL division: u·W_MAX·4 < w·2^28 is
+    exact int64 arithmetic, so both engines keep the identical row
+    set and the draw replays bit-for-bit across reruns, partitionings
+    and cluster sizes — the property `sample()` fundamentally lacks.
+    This is the per-row importance-sampling primitive (oversample
+    heavy rows) next to sample_fraction's uniform draw.
+
+    Zero-shuffle map-side filter; composes into the scan stage at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u28 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit(":ws1"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    r = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("w"),
+        u28.alias("u28"),
+    )
+    return r.filter(
+        F.col("u28") * W_MAX * W_RATE_DEN < F.col("w") * W_DENOM * W_RATE_NUM
+    )

@@ -725,3 +725,86 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).cast("bigint").alias("sum_cents"),
     )
+
+
+UPSERT_MOD = 7          # every 7th order gets an updated status/price
+UPSERT_NEW = 1_000_000_000  # synthetic new-key offset
+
+
+@query(
+    "sink_merge_upsert",
+    f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS price_cents
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, price_cents + 5 AS price_cents
+        FROM base WHERE o_orderkey % {UPSERT_MOD} = 0
+        UNION ALL
+        SELECT o_orderkey + {UPSERT_NEW}, 'I', price_cents
+        FROM base WHERE o_orderkey % {UPSERT_MOD} = 3
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.price_cents, b.price_cents) AS price_cents,
+           CAST(u.o_orderkey IS NOT NULL AS BOOLEAN) AS from_update
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / ReplacingMergeTree-style upsert against a
+    parquet-backed state table — the write path of every CDC
+    destination: WHEN MATCHED update, WHEN NOT MATCHED insert. The
+    base state is written to scratch first, the update batch (every
+    7th key updated, a disjoint synthetic set inserted) is merged via
+    full-outer join + coalesce — exactly what MERGE INTO lowers to on
+    engines without a native command — and the MERGED STATE IS
+    RE-READ from its own parquet before being returned, so the hash
+    proves the durable result, not the in-memory frame.
+
+    Plan: the merge join shuffles on the upsert key (both sides
+    pre-projected); at 100 TB base and updates would be bucketed on
+    the key so the merge is shuffle-free, and the rewrite is
+    partition-scoped (only partitions with updates rewrite — the
+    sink_parquet_partitioned layout composes here)."""
+    base_path = _scratch(sf_dir, "sink_merge_upsert_base")
+    merged_path = _scratch(sf_dir, "sink_merge_upsert_merged")
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_cents")
+    )
+    base.write.mode("overwrite").parquet(base_path)
+    base_r = spark.read.parquet(base_path)
+    updates = (
+        base_r.filter(F.col("o_orderkey") % UPSERT_MOD == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("price_cents") + 5).alias("price_cents"),
+        )
+        .unionAll(
+            base_r.filter(F.col("o_orderkey") % UPSERT_MOD == 3).select(
+                (F.col("o_orderkey") + UPSERT_NEW).alias("o_orderkey"),
+                F.lit("I").alias("o_orderstatus"),
+                F.col("price_cents"),
+            )
+        )
+    )
+    b = base_r.alias("b")
+    u = updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("u.price_cents"), F.col("b.price_cents")).alias(
+            "price_cents"
+        ),
+        F.col("u.o_orderkey").isNotNull().alias("from_update"),
+    )
+    merged.write.mode("overwrite").parquet(merged_path)
+    return spark.read.parquet(merged_path)

@@ -488,3 +488,80 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / F.count(F.lit(1))).alias("avg_cents"),
         )
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    """
+    WITH q AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    c AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER w AS k,
+               SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               SUM(x) OVER (PARTITION BY user_id) AS sn
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+        SELECT user_id, k, n,
+               abs(n * sk - k * sn) AS dev,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY abs(n * sk - k * sn) DESC, k)
+                 AS rk
+        FROM c
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_star,
+           CAST(dev AS BIGINT) AS peak_dev,
+           CAST(k AS DOUBLE) / n AS split_frac
+    FROM d WHERE rk = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator per user series — the classic
+    mean-shift detector: the index k maximizing |n·S_k − k·S_n|
+    (cumulative deviation from the series' own mean, cleared of the
+    division: n·S_k − k·S_n = n²·(S_k/k − S_n/n)·k/n scaled to stay in
+    EXACT int64 — cents · series length² stays ≪ 2^63 up to ~10^6-row
+    series). Ties break to the earliest k; the only doubles are the
+    final split-fraction division.
+
+    One shuffle on user_id shared by all four windows (same partition
+    spec) and the final top-1 filter is a WindowGroupLimit — no second
+    shuffle. The standard per-series scan shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("user_id", "event_id", "ts", x.alias("x"))
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("user_id")
+    c = q.select(
+        "user_id",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("x").over(w_cum).alias("sk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("sn"),
+    )
+    dev = F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("sn"))
+    d = c.select(
+        "user_id",
+        "k",
+        "n",
+        dev.alias("dev"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(dev.desc(), "k"))
+        .alias("rk"),
+    )
+    return d.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_star"),
+        F.col("dev").cast("bigint").alias("peak_dev"),
+        (F.col("k").cast("double") / F.col("n")).alias("split_frac"),
+    )

@@ -31,6 +31,7 @@ EFFECTFUL = {
     "job_corpus_curate",  # end-to-end curation: writes the split corpus
     "scan_schema_evolution",  # writes v1/v2 batches to scratch
     "scan_partition_pruned",  # writes the partitioned layout to scratch
+    "sink_merge_upsert",  # writes base + merged state to scratch
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

@@ -534,3 +534,139 @@ def test_seasonality_profile_exact_counts(spark, sf_dir):
     for k, xs in acc.items():
         g = got[k]
         assert g.n_events == len(xs) and g.sum_cents == float(sum(xs))
+
+
+def test_cusum_changepoint_python_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        ts_cusum_changepoint,
+    )
+
+    got = {r.user_id: r for r in ts_cusum_changepoint(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(
+            int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        )
+    assert set(got) == set(series)
+    for uid, xs in series.items():
+        n, sn = len(xs), sum(xs)
+        best = None
+        sk = 0
+        for k, x in enumerate(xs, start=1):
+            sk += x
+            dev = abs(n * sk - k * sn)
+            if best is None or dev > best[0]:
+                best = (dev, k)
+        g = got[uid]
+        assert (g.peak_dev, g.k_star, g.n) == (best[0], best[1], n)
+
+
+def test_merge_upsert_state_algebra(spark, sf_dir):
+    """Updated keys carry status U and +5 cents; inserted keys are the
+    offset set; untouched keys match base exactly; no key lost."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        UPSERT_MOD,
+        UPSERT_NEW,
+        sink_merge_upsert,
+    )
+    from decimal import Decimal
+
+    got = {r.o_orderkey: r for r in sink_merge_upsert(spark, sf_dir).collect()}
+    base = {
+        r.o_orderkey: (
+            r.o_orderstatus,
+            int(Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100),
+        )
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    expected_keys = set(base) | {
+        k + UPSERT_NEW for k in base if k % UPSERT_MOD == 3
+    }
+    assert set(got) == expected_keys
+    for k, (status, cents) in base.items():
+        g = got[k]
+        if k % UPSERT_MOD == 0:
+            assert (g.o_orderstatus, g.price_cents, g.from_update) == ("U", cents + 5, True)
+        else:
+            assert (g.o_orderstatus, g.price_cents, g.from_update) == (status, cents, False)
+        if k % UPSERT_MOD == 3:
+            gi = got[k + UPSERT_NEW]
+            assert (gi.o_orderstatus, gi.price_cents, gi.from_update) == ("I", cents, True)
+
+
+def test_weighted_sample_rate_tracks_weight(spark, sf_dir):
+    """Keep-rate per weight bucket must track w/(4*W_MAX) (binomial
+    tolerance), and the draw must be idempotent."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sorts import (
+        W_MAX,
+        W_RATE_DEN,
+        sample_weighted_hash,
+    )
+
+    kept = sample_weighted_hash(spark, sf_dir)
+    k1 = {(r.l_orderkey, r.l_linenumber) for r in kept.collect()}
+    k2 = {(r.l_orderkey, r.l_linenumber) for r in sample_weighted_hash(spark, sf_dir).collect()}
+    assert k1 == k2
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).collect()
+    from collections import Counter
+
+    tot = Counter()
+    for r in li:
+        tot[int(r.l_quantity)] += 1
+    got_w = Counter()
+    for r in kept.collect():
+        got_w[r.w] += 1
+    import math
+
+    for w, n in tot.items():
+        if n < 200:
+            continue
+        p = w / (W_MAX * W_RATE_DEN)
+        k = got_w.get(w, 0)
+        sd = math.sqrt(n * p * (1 - p))
+        assert abs(k - n * p) <= 5 * sd + 3, (w, k, n * p)
+
+
+def test_peak_concurrency_consistent_with_slots(spark, sf_dir):
+    """Peak per type must equal the max slot coverage computed from
+    the raw intervals in Python."""
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        PEAK_SLOT_SEC,
+        rpt_peak_concurrency,
+    )
+
+    got = {r.event_type: r for r in rpt_peak_concurrency(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    per_type: dict[str, Counter] = {}
+    for r in ev:
+        s = r.us // 1_000_000
+        e = s + r.event_id % 600 + 60
+        c = per_type.setdefault(r.event_type, Counter())
+        for slot in range(s // PEAK_SLOT_SEC, (e - 1) // PEAK_SLOT_SEC + 1):
+            c[slot] += 1
+    assert set(got) == set(per_type)
+    for et, c in per_type.items():
+        peak = max(c.values())
+        earliest = min(slot for slot, n in c.items() if n == peak)
+        g = got[et]
+        assert g.peak_live == peak
+        assert int(g.peak_slot.timestamp()) == earliest * PEAK_SLOT_SEC
+        assert g.n_slots_used == len(c)
