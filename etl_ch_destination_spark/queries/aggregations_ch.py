@@ -1153,3 +1153,188 @@ def agg_group_array_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.array_join(arr, "|").alias("moving_sums"),
     )
+
+
+@query(
+    "agg_rank_corr",
+    """
+    WITH v AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag,
+               CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+                    + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1
+                    AS DECIMAL(19,0)) AS rx,
+               CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+                    + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1
+                    AS DECIMAL(19,0)) AS ry
+        FROM v
+    ),
+    raw AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(rx) AS t1, SUM(ry) AS t2, SUM(rx * ry) AS t3,
+               SUM(rx * rx) AS t4, SUM(ry * ry) AS t5
+        FROM r GROUP BY l_returnflag
+    ),
+    s AS (
+        SELECT l_returnflag, n,
+               CAST(CAST(CAST(t1 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(t1 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS sx,
+               CAST(CAST(CAST(t2 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(t2 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS sy,
+               CAST(CAST(CAST(t3 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(t3 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS sxy,
+               CAST(CAST(CAST(t4 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(t4 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS sxx,
+               CAST(CAST(CAST(t5 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                   * 4294967296.0
+                 + CAST(CAST(CAST(t5 AS HUGEINT) % 4294967296 AS BIGINT)
+                        AS DOUBLE) AS syy
+        FROM raw
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS spearman_rho
+    FROM s
+    """,
+)
+def agg_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `rankCorr` — Spearman rank correlation, EXACT: Pearson on
+    tie-averaged ranks, with ranks doubled (2·avg_rank = 2·rank(x) +
+    tie_count(x) − 1) so average ranks of even tie groups stay
+    INTEGERS; correlation is scale-invariant, so the ×2 cancels. Rank
+    moment sums are exact decimals, converted to double via the
+    agg_skew_kurt hi/lo int64 split (DuckDB's hugeint→double rounds
+    twice; rank-square sums pass 2^53 already at sf0.1), and the
+    closed form is one shared IEEE expression tree.
+
+    Plan: two rank windows + a tie-count window per axis over the
+    same group partition (one shuffle on l_returnflag, reused), then a
+    partial+final moment aggregate. The per-group sort is the cost —
+    the same one quantileExactWeighted pays; rankCorr at 100 TB is
+    two sorted passes per group partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def rank2(col: str):
+        w_rank = Window.partitionBy("l_returnflag").orderBy(col)
+        w_tie = Window.partitionBy("l_returnflag", col)
+        return (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+        ).cast("decimal(19,0)")
+
+    r = v.select(
+        "l_returnflag", rank2("x").alias("rx"), rank2("y").alias("ry")
+    )
+    rx, ry = F.col("rx"), F.col("ry")
+    raw = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(rx).alias("t1"),
+        F.sum(ry).alias("t2"),
+        F.sum(rx * ry).alias("t3"),
+        F.sum(rx * rx).alias("t4"),
+        F.sum(ry * ry).alias("t5"),
+    )
+
+    def hilo(c: str):
+        hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({c} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = raw.select(
+        "l_returnflag",
+        "n",
+        hilo("t1").alias("sx"),
+        hilo("t2").alias("sy"),
+        hilo("t3").alias("sxy"),
+        hilo("t4").alias("sxx"),
+        hilo("t5").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select(
+        "l_returnflag", n.cast("bigint").alias("n"), rho.alias("spearman_rho")
+    )
+
+
+IF_CENTS_CUT = 10_000  # "big ticket" threshold: value > 100.00
+
+
+@query(
+    "agg_if_combinators",
+    f"""
+    WITH q AS (
+        SELECT event_type, user_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE cents > {IF_CENTS_CUT}) AS n_big,
+           CAST(COALESCE(SUM(cents) FILTER (WHERE cents > {IF_CENTS_CUT}), 0)
+                AS BIGINT) AS sum_big,
+           CAST(SUM(cents) FILTER (WHERE cents > {IF_CENTS_CUT}) AS DOUBLE)
+             / COUNT(*) FILTER (WHERE cents > {IF_CENTS_CUT}) AS avg_big,
+           MIN(cents) FILTER (WHERE cents > {IF_CENTS_CUT}) AS min_big,
+           MAX(cents) FILTER (WHERE cents > {IF_CENTS_CUT}) AS max_big,
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE cents > {IF_CENTS_CUT})
+                AS BIGINT) AS uniq_big_users
+    FROM q GROUP BY event_type
+    """,
+)
+def agg_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH `-If` aggregate-combinator family in one pass — sumIf /
+    avgIf / minIf / maxIf / uniqIf / countIf side by side with the
+    unconditional count, all over a single scan (the single-pass
+    conditional-aggregate pattern that replaces N filtered subqueries
+    with N predicates). The condition is an exact integer compare
+    (cents > 10000); avgIf is the one final IEEE division; empty
+    condition groups yield NULL min/max/avg and 0 sums, matching CH's
+    combinator semantics for empty states via the explicit COALESCE.
+
+    One partial+final hash aggregate — identical shuffle budget to a
+    single unconditional aggregate at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("event_type", "user_id", cents.alias("cents"))
+    big = F.col("cents") > IF_CENTS_CUT
+    cond = lambda c: F.when(big, c)  # noqa: E731
+    return q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(cond(F.lit(1))).alias("n_big"),
+        F.coalesce(F.sum(cond(F.col("cents"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_big"),
+        (
+            F.sum(cond(F.col("cents"))).cast("double")
+            / F.count(cond(F.lit(1)))
+        ).alias("avg_big"),
+        F.min(cond(F.col("cents"))).alias("min_big"),
+        F.max(cond(F.col("cents"))).alias("max_big"),
+        F.count_distinct(cond(F.col("user_id")))
+        .cast("bigint")
+        .alias("uniq_big_users"),
+    )

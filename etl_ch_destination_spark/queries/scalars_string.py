@@ -164,3 +164,77 @@ def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "str_readable_format",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(n_chars * (doc_id % 1000 + 1) AS BIGINT) AS nbytes
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, nbytes,
+               CASE WHEN nbytes >= 1073741824 THEN 3
+                    WHEN nbytes >= 1048576 THEN 2
+                    WHEN nbytes >= 1024 THEN 1
+                    ELSE 0 END AS unit
+        FROM b
+    ),
+    h AS (
+        SELECT doc_id, nbytes, unit,
+               CASE unit WHEN 0 THEN nbytes * 100
+                         WHEN 1 THEN nbytes * 100 // 1024
+                         WHEN 2 THEN nbytes * 100 // 1048576
+                         ELSE nbytes * 100 // 1073741824 END AS hundredths
+        FROM u
+    )
+    SELECT doc_id, nbytes,
+           CAST(hundredths // 100 AS VARCHAR) || '.' ||
+             lpad(CAST(hundredths % 100 AS VARCHAR), 2, '0') || ' ' ||
+             CASE unit WHEN 0 THEN 'B' WHEN 1 THEN 'KiB'
+                       WHEN 2 THEN 'MiB' ELSE 'GiB' END AS readable
+    FROM h
+    """,
+)
+def str_readable_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `formatReadableSize` — human-readable byte sizes ("1.38 MiB")
+    built from PURE INTEGER arithmetic: hundredths = bytes·100 div
+    1024^k, string = div 100 || '.' || lpad(mod 100). Deliberately NOT
+    printf('%.2f'): Java's format rounds HALF_UP while C's printf
+    rounds half-even, so float formatting cannot hash-match across
+    engines — floor-to-2-decimals integer formatting can, and the
+    floor semantics is documented here as the engine's contract.
+    Synthetic byte counts (n_chars · (doc_id mod 1000 + 1)) span B
+    through GiB so every unit branch is exercised.
+
+    Map-side codegen string building — zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    nbytes = (F.col("n_chars") * (F.col("doc_id") % 1000 + 1)).cast("bigint")
+    b = d.select("doc_id", nbytes.alias("nbytes"))
+    unit = (
+        F.when(F.col("nbytes") >= 1073741824, 3)
+        .when(F.col("nbytes") >= 1048576, 2)
+        .when(F.col("nbytes") >= 1024, 1)
+        .otherwise(0)
+    )
+    u = b.select("doc_id", "nbytes", unit.alias("unit"))
+    hundredths = (
+        F.when(F.col("unit") == 0, F.col("nbytes") * 100)
+        .when(F.col("unit") == 1, F.expr("nbytes * 100 div 1024"))
+        .when(F.col("unit") == 2, F.expr("nbytes * 100 div 1048576"))
+        .otherwise(F.expr("nbytes * 100 div 1073741824"))
+    )
+    h = u.select("doc_id", "nbytes", "unit", hundredths.alias("hundredths"))
+    readable = F.concat(
+        F.expr("CAST(hundredths div 100 AS STRING)"),
+        F.lit("."),
+        F.lpad((F.col("hundredths") % 100).cast("string"), 2, "0"),
+        F.lit(" "),
+        F.when(F.col("unit") == 0, "B")
+        .when(F.col("unit") == 1, "KiB")
+        .when(F.col("unit") == 2, "MiB")
+        .otherwise("GiB"),
+    )
+    return h.select("doc_id", "nbytes", readable.alias("readable"))

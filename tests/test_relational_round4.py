@@ -670,3 +670,108 @@ def test_peak_concurrency_consistent_with_slots(spark, sf_dir):
         assert g.peak_live == peak
         assert int(g.peak_slot.timestamp()) == earliest * PEAK_SLOT_SEC
         assert g.n_slots_used == len(c)
+
+
+def test_rank_corr_matches_scipy_free_reference(spark, sf_dir):
+    """Spearman rho must equal Pearson-on-average-ranks computed in
+    Python (tie-aware), to float tolerance."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_rank_corr
+    from decimal import Decimal
+
+    got = {r.l_returnflag: r for r in agg_rank_corr(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            (
+                int(r.l_quantity),
+                int(Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01")) * 100),
+            )
+        )
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        ranks = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and xs[order[j]] == xs[order[i]]:
+                j += 1
+            avg = (i + j - 1) / 2 + 1
+            for t in range(i, j):
+                ranks[order[t]] = avg
+            i = j
+        return ranks
+
+    import math
+
+    for flag, vw in groups.items():
+        xs = [v for v, _ in vw]
+        ys = [w for _, w in vw]
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(vw)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        ref = cov / math.sqrt(vx * vy)
+        g = got[flag]
+        assert g.n == n
+        assert abs(g.spearman_rho - ref) < 1e-9
+
+
+def test_if_combinators_python_replay(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        IF_CENTS_CUT,
+        agg_if_combinators,
+    )
+
+    got = {r.event_type: r for r in agg_if_combinators(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    acc: dict[str, list] = {}
+    for r in ev:
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        acc.setdefault(r.event_type, []).append((cents, r.user_id))
+    for et, xs in acc.items():
+        big = [(c, u) for c, u in xs if c > IF_CENTS_CUT]
+        g = got[et]
+        assert g.n == len(xs) and g.n_big == len(big)
+        if big:
+            cs = [c for c, _ in big]
+            assert g.sum_big == sum(cs)
+            assert g.min_big == min(cs) and g.max_big == max(cs)
+            assert abs(g.avg_big - sum(cs) / len(cs)) < 1e-9
+            assert g.uniq_big_users == len({u for _, u in big})
+        else:
+            assert g.sum_big == 0 and g.min_big is None
+
+
+def test_readable_format_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scalars_string import (
+        str_readable_format,
+    )
+
+    got = {r.doc_id: r for r in str_readable_format(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    units = [(1073741824, "GiB"), (1048576, "MiB"), (1024, "KiB"), (1, "B")]
+    seen_units = set()
+    for r in docs:
+        nb = r.n_chars * (r.doc_id % 1000 + 1)
+        for div, name in units:
+            if nb >= div or name == "B":
+                h = nb * 100 // div
+                exp = f"{h // 100}.{h % 100:02d} {name}"
+                seen_units.add(name)
+                break
+        g = got[r.doc_id]
+        assert g.nbytes == nb and g.readable == exp, (nb, exp, g.readable)
+    assert len(seen_units) >= 2  # multiple unit branches exercised
