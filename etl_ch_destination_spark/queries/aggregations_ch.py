@@ -1338,3 +1338,189 @@ def agg_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("uniq_big_users"),
     )
+
+
+TT_GROUP_A = "purchase"
+TT_GROUP_B = "view"
+
+
+@query(
+    "agg_welch_ttest",
+    f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(9,0)) AS x
+        FROM events WHERE event_type IN ('{TT_GROUP_A}', '{TT_GROUP_B}')
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS s1,
+               CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0))) AS HUGEINT)
+                         // 4294967296 AS BIGINT) AS DOUBLE) * 4294967296.0
+                 + CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0))) AS HUGEINT)
+                             % 4294967296 AS BIGINT) AS DOUBLE) AS s2
+        FROM q GROUP BY event_type
+    ),
+    w AS (
+        SELECT
+          (SELECT n FROM s WHERE event_type = '{TT_GROUP_A}') AS na,
+          (SELECT s1 FROM s WHERE event_type = '{TT_GROUP_A}') AS sa1,
+          (SELECT s2 FROM s WHERE event_type = '{TT_GROUP_A}') AS sa2,
+          (SELECT n FROM s WHERE event_type = '{TT_GROUP_B}') AS nb,
+          (SELECT s1 FROM s WHERE event_type = '{TT_GROUP_B}') AS sb1,
+          (SELECT s2 FROM s WHERE event_type = '{TT_GROUP_B}') AS sb2
+    )
+    SELECT '{TT_GROUP_A}_vs_{TT_GROUP_B}' AS pair,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           (sa1 / na - sb1 / nb)
+             / sqrt((sa2 / na - (sa1 / na) * (sa1 / na)) / (na - 1)
+                    + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / (nb - 1))
+             AS welch_t
+    FROM w
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `welchTTest` — the Welch t STATISTIC for unequal-variance
+    mean comparison between two event populations, computed from
+    exact integer moment sums (cents; squares staged through (19,0);
+    hugeint hi/lo split on the wide sum — the full agg_skew_kurt
+    recipe) and one shared IEEE expression tree, so the statistic
+    hash-matches bit-for-bit. The p-value is deliberately NOT emitted:
+    it needs the incomplete beta function, which neither engine
+    exposes with reproducible rounding — the statistic + dof are the
+    deterministic core (CH's own test returns the statistic too).
+
+    Plan: one 2-group aggregate + a 1-row reshape — the cost IS the
+    scan; population variance uses the n−1 sample form like CH."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_GROUP_A, TT_GROUP_B)
+    )
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(9,0)")
+    q = ev.select("event_type", x.alias("x"))
+    x2 = (F.col("x") * F.col("x")).cast("decimal(19,0)")
+
+    def hilo(c: str):
+        hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({c} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = (
+        q.select("event_type", "x", x2.alias("x2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("r1"),
+            F.sum("x2").alias("r2"),
+        )
+        .select("event_type", "n", hilo("r1").alias("s1"), hilo("r2").alias("s2"))
+    )
+    a = s.filter(F.col("event_type") == TT_GROUP_A).select(
+        F.col("n").alias("na"), F.col("s1").alias("sa1"), F.col("s2").alias("sa2")
+    )
+    b = s.filter(F.col("event_type") == TT_GROUP_B).select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb1"), F.col("s2").alias("sb2")
+    )
+    w = a.crossJoin(b)  # 1 row × 1 row
+    na, nb = F.col("na"), F.col("nb")
+    sa1, sa2, sb1, sb2 = (F.col(c) for c in ("sa1", "sa2", "sb1", "sb2"))
+    t = (sa1 / na - sb1 / nb) / F.sqrt(
+        (sa2 / na - (sa1 / na) * (sa1 / na)) / (na - 1)
+        + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / (nb - 1)
+    )
+    return w.select(
+        F.lit(f"{TT_GROUP_A}_vs_{TT_GROUP_B}").alias("pair"),
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        t.alias("welch_t"),
+    )
+
+
+@query(
+    "agg_mannwhitney_u",
+    f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        FROM events WHERE event_type IN ('{TT_GROUP_A}', '{TT_GROUP_B}')
+    ),
+    g AS (
+        SELECT x, event_type, COUNT(*) AS m FROM q GROUP BY x, event_type
+    ),
+    vals AS (
+        SELECT x, CAST(SUM(m) AS BIGINT) AS mv FROM g GROUP BY x
+    ),
+    spine AS (
+        SELECT x, mv,
+               SUM(mv) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - mv AS below
+        FROM vals
+    ),
+    s AS (
+        SELECT
+          CAST(SUM(CASE WHEN g.event_type = '{TT_GROUP_A}'
+                        THEN g.m * (2 * sp.below + sp.mv + 1) ELSE 0 END)
+               AS BIGINT) AS ra2,
+          CAST(SUM(CASE WHEN g.event_type = '{TT_GROUP_A}' THEN g.m ELSE 0 END)
+               AS BIGINT) AS na,
+          CAST(SUM(CASE WHEN g.event_type = '{TT_GROUP_B}' THEN g.m ELSE 0 END)
+               AS BIGINT) AS nb
+        FROM g JOIN spine sp ON g.x = sp.x
+    )
+    SELECT '{TT_GROUP_A}_vs_{TT_GROUP_B}' AS pair, na, nb,
+           ra2 AS rank_sum_x2,
+           ra2 - na * (na + 1) AS u_x2,
+           CAST(ra2 - na * (na + 1) AS DOUBLE) / (2 * na * nb) AS auc
+    FROM s
+    """,
+)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `mannWhitneyUTest` — the U statistic (and its AUC
+    normalization U/(n_a·n_b), the probability a random A value beats
+    a random B value) computed EXACTLY: tie-averaged ranks doubled to
+    stay integers (the agg_rank_corr device), U·2 = 2·R_A −
+    n_a(n_a+1), one final IEEE division for the AUC. No normal
+    approximation, no p-value — the statistic itself is exact int64.
+
+    Plan — deliberately NO row-level global rank window (a bare
+    Window.orderBy funnels every row through one task): the rank sum
+    needs only Σ m_A(v)·(2·below(v) + m(v) + 1), so everything
+    reduces to VALUE-level aggregates — per-(value, group) counts, a
+    cumulative count over the DISTINCT-VALUE spine (bounded by the
+    cents domain, ≤ 49 002 rows regardless of data size — the
+    agg_quantile_state bounded-spine pattern), and an equi-join of
+    two value-keyed frames. At 100 TB the row count never touches an
+    ordered window; only the fixed-size value spine does."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_GROUP_A, TT_GROUP_B)
+    )
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("event_type", x.alias("x"))
+    g = q.groupBy("x", "event_type").agg(F.count(F.lit(1)).alias("m"))
+    vals = g.groupBy("x").agg(F.sum("m").cast("bigint").alias("mv"))
+    w_spine = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    spine = vals.select(
+        "x",
+        "mv",
+        (F.sum("mv").over(w_spine) - F.col("mv")).alias("below"),
+    )
+    joined = g.join(spine, "x")
+    is_a = F.col("event_type") == TT_GROUP_A
+    r2 = 2 * F.col("below") + F.col("mv") + 1
+    s = joined.agg(
+        F.sum(F.when(is_a, F.col("m") * r2).otherwise(0))
+        .cast("bigint")
+        .alias("ra2"),
+        F.sum(F.when(is_a, F.col("m")).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~is_a, F.col("m")).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    u2 = F.col("ra2") - F.col("na") * (F.col("na") + 1)
+    return s.select(
+        F.lit(f"{TT_GROUP_A}_vs_{TT_GROUP_B}").alias("pair"),
+        "na",
+        "nb",
+        F.col("ra2").alias("rank_sum_x2"),
+        u2.alias("u_x2"),
+        (u2.cast("double") / (2 * F.col("na") * F.col("nb"))).alias("auc"),
+    )

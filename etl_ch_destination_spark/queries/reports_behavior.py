@@ -289,3 +289,66 @@ def rpt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("peak_slot"),
         F.col("n_slots_used").cast("bigint").alias("n_slots_used"),
     )
+
+
+@query(
+    "rpt_conversion_lag",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS s
+        FROM events
+    ),
+    v AS (
+        SELECT user_id, MIN(s) AS first_view
+        FROM e WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.s) AS first_purchase_after
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.s >= v.first_view
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           v.first_view,
+           p.first_purchase_after,
+           p.first_purchase_after - v.first_view AS lag_sec,
+           CAST(p.user_id IS NOT NULL AS BOOLEAN) AS converted
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def rpt_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert — for every user with a 'view', the seconds
+    from their FIRST view to their first purchase AT-OR-AFTER it
+    (NULL lag = viewed, never converted). The product-analytics
+    number behind conversion SLAs, sitting next to agg_window_funnel
+    (step reach) and agg_retention (day-wise return): funnel DEPTH
+    there, funnel LATENCY here. Whole-second integer epochs; the >=
+    anchor makes a same-second view+purchase count as converted.
+
+    Plan: two per-user min-aggregates (partial+final) and two
+    user_id-keyed joins — all four exchanges on the same key, so AQE
+    reuses the partitioning; no window needed at all. Scales as the
+    standard per-entity funnel shape."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    e = ev.select("user_id", "event_type", s.alias("s"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("s") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("first_purchase_after"))
+    )
+    return v.join(p, "user_id", "left").select(
+        "user_id",
+        "first_view",
+        "first_purchase_after",
+        (F.col("first_purchase_after") - F.col("first_view")).alias("lag_sec"),
+        F.col("first_purchase_after").isNotNull().alias("converted"),
+    )

@@ -53,6 +53,9 @@ ALLOWED_NLJ = {
     # corpus-total N (1 row) broadcast onto the per-doc frame,
     # condition-free by design (queries/llm_corpus.py)
     "llm_unigram_logprob",
+    # 1-row × 1-row reshape of the two group summaries into the final
+    # statistic row (queries/aggregations_ch.py agg_welch_ttest)
+    "agg_welch_ttest",
 }
 
 MAX_HASH_SHUFFLES = 4

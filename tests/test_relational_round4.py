@@ -775,3 +775,106 @@ def test_readable_format_python_replay(spark, sf_dir):
         g = got[r.doc_id]
         assert g.nbytes == nb and g.readable == exp, (nb, exp, g.readable)
     assert len(seen_units) >= 2  # multiple unit branches exercised
+
+
+def test_conversion_lag_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        rpt_conversion_lag,
+    )
+
+    got = {r.user_id: r for r in rpt_conversion_lag(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    views: dict[int, int] = {}
+    purchases: dict[int, list] = {}
+    for r in ev:
+        s = r.us // 1_000_000
+        if r.event_type == "view":
+            views[r.user_id] = min(views.get(r.user_id, s), s)
+        elif r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(s)
+    assert set(got) == set(views)
+    for uid, fv in views.items():
+        after = [s for s in purchases.get(uid, []) if s >= fv]
+        g = got[uid]
+        assert g.first_view == fv
+        if after:
+            assert g.converted and g.first_purchase_after == min(after)
+            assert g.lag_sec == min(after) - fv
+        else:
+            assert not g.converted and g.lag_sec is None
+
+
+def test_welch_t_matches_scipy_formula(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        TT_GROUP_A,
+        TT_GROUP_B,
+        agg_welch_ttest,
+    )
+
+    g = agg_welch_ttest(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    a = [int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+         for r in ev if r.event_type == TT_GROUP_A]
+    b = [int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+         for r in ev if r.event_type == TT_GROUP_B]
+    import math
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    ref = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert (g.n_a, g.n_b) == (na, nb)
+    assert abs(g.welch_t - ref) < 1e-9
+
+
+def test_mannwhitney_auc_matches_pair_counting(spark, sf_dir):
+    """AUC = P(a > b) + 0.5·P(a == b), verified by exact pair counting
+    over value multiplicities."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        TT_GROUP_A,
+        TT_GROUP_B,
+        agg_mannwhitney_u,
+    )
+
+    g = agg_mannwhitney_u(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    ca, cb = Counter(), Counter()
+    for r in ev:
+        c = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        if r.event_type == TT_GROUP_A:
+            ca[c] += 1
+        elif r.event_type == TT_GROUP_B:
+            cb[c] += 1
+    wins = ties = 0
+    bvals = sorted(cb)
+    import bisect
+
+    prefix = [0]
+    for v in bvals:
+        prefix.append(prefix[-1] + cb[v])
+    for v, m in ca.items():
+        i = bisect.bisect_left(bvals, v)
+        wins += m * prefix[i]
+        if i < len(bvals) and bvals[i] == v:
+            ties += m * cb[v]
+    na, nb = sum(ca.values()), sum(cb.values())
+    assert (g.na, g.nb) == (na, nb)
+    auc_ref = (wins + 0.5 * ties) / (na * nb)
+    assert abs(g.auc - auc_ref) < 1e-12
+    # doubled-U identity: U = wins + ties/2, so u_x2 == 2·wins + ties
+    assert g.u_x2 == 2 * wins + ties
