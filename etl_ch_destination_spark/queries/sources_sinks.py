@@ -808,3 +808,96 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged.write.mode("overwrite").parquet(merged_path)
     return spark.read.parquet(merged_path)
+
+
+@query(
+    "scan_rowbinary_import",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents,
+           ts_us
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               epoch_us(o_orderdate) AS ts_us
+        FROM orders
+    )
+    """,
+)
+def scan_rowbinary_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RowBinary as a SOURCE — the decode half of the wire contract
+    (sink_rowbinary_export proves the encode half): orders are encoded
+    into real RowBinary insert blocks (sink/rowbinary.encode_row via
+    the distributed `rowbinary_blocks` mapInPandas), the raw block
+    payloads are persisted to scratch, read back, and DECODED
+    distributed (one task per block batch, sink/rowbinary.decode_rows
+    — the exact inverse parser, which raises on any trailing byte so
+    framing drift can never pass silently). The hash oracle compares
+    the decoded values against the source table relationally: a match
+    proves encode→store→decode is the identity over every value,
+    null marker, varint boundary and timestamp tick in the corpus —
+    the property a ClickHouse SELECT ... FORMAT RowBinary reader
+    needs.
+
+    Plan: encode and decode are both Arrow-batched Python over
+    independent blocks (embarrassingly parallel at any scale); the
+    timestamp egresses as exact epoch micros (int64) and money as
+    cents so the gate compares pure scalars."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from etl_ch_destination_spark.sink.rowbinary import (
+        decode_rows,
+        rowbinary_blocks,
+    )
+
+    path = _scratch(sf_dir, "scan_rowbinary_import")
+    o = load_table(spark, sf_dir, "orders")
+    wire_schema = StructType(
+        [
+            StructField("o_orderkey", LongType(), True),
+            StructField("o_orderstatus", StringType(), True),
+            StructField("o_totalprice", DecimalType(12, 2), True),
+            StructField("o_orderdate", TimestampType(), True),
+        ]
+    )
+    src = o.select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)"),
+        F.col("o_orderdate").cast("timestamp"),
+    )
+    rowbinary_blocks(src, rows_per_block=4096).write.mode("overwrite").parquet(path)
+
+    blocks = spark.read.parquet(path)
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"o_orderkey": [], "o_orderstatus": [], "price_cents": [], "ts_us": []}
+            for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                rows = decode_rows(wire_schema, bytes(payload))
+                if len(rows) != int(n):
+                    raise ValueError(f"block row-count drift: {len(rows)} != {n}")
+                for k, s, p, d in rows:
+                    out["o_orderkey"].append(k)
+                    out["o_orderstatus"].append(s)
+                    out["price_cents"].append(int(p.scaleb(2)))
+                    out["ts_us"].append(
+                        (d - __import__("datetime").datetime(1970, 1, 1))
+                        // __import__("datetime").timedelta(microseconds=1)
+                    )
+            yield pd.DataFrame(out)
+
+    return blocks.mapInPandas(
+        decode_partition,
+        schema="o_orderkey bigint, o_orderstatus string, price_cents bigint, ts_us bigint",
+    )

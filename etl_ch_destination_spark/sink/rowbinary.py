@@ -272,3 +272,106 @@ def rowbinary_blocks(df: DataFrame, rows_per_block: int = 100_000) -> DataFrame:
             yield flush()
 
     return df.mapInPandas(encode_partition, schema=BLOCK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decoder — the exact inverse of encode_row, making the wire contract
+# bidirectional: blocks produced by any RowBinary writer (this module,
+# or a ClickHouse server's SELECT ... FORMAT RowBinary) parse back into
+# rows under the same Spark schema. Used by the scan_rowbinary_import
+# key to prove a corpus-wide encode→decode round trip.
+# ---------------------------------------------------------------------------
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Unsigned LEB128 at ``pos``; returns (value, next_pos)."""
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _decode_nonnull(dt: DataType, buf: bytes, pos: int):  # noqa: C901
+    if isinstance(dt, ByteType):
+        return struct.unpack_from("<b", buf, pos)[0], pos + 1
+    if isinstance(dt, ShortType):
+        return struct.unpack_from("<h", buf, pos)[0], pos + 2
+    if isinstance(dt, IntegerType):
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if isinstance(dt, LongType):
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if isinstance(dt, FloatType):
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if isinstance(dt, DoubleType):
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if isinstance(dt, BooleanType):
+        return buf[pos] == 1, pos + 1
+    if isinstance(dt, StringType):
+        n, pos = read_varint(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if isinstance(dt, BinaryType):
+        n, pos = read_varint(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if isinstance(dt, DateType):
+        days = struct.unpack_from("<i", buf, pos)[0]
+        return _EPOCH_DATE + _dt.timedelta(days=days), pos + 4
+    if isinstance(dt, TimestampType):
+        micros = struct.unpack_from("<q", buf, pos)[0]
+        return _EPOCH_TS + _dt.timedelta(microseconds=micros), pos + 8
+    if isinstance(dt, DecimalType):
+        w = _decimal_width(dt.precision)
+        raw = int.from_bytes(buf[pos : pos + w], "little", signed=True)
+        return _decimal.Decimal(raw).scaleb(-dt.scale), pos + w
+    if isinstance(dt, ArrayType):
+        n, pos = read_varint(buf, pos)
+        out = []
+        for _ in range(n):
+            v, pos = decode_value(dt.elementType, dt.containsNull, buf, pos)
+            out.append(v)
+        return out, pos
+    if isinstance(dt, MapType):
+        n, pos = read_varint(buf, pos)
+        items = {}
+        for _ in range(n):
+            k, pos = _decode_nonnull(dt.keyType, buf, pos)
+            v, pos = decode_value(dt.valueType, dt.valueContainsNull, buf, pos)
+            items[k] = v
+        return items, pos
+    if isinstance(dt, StructType):
+        vals = []
+        for f in dt.fields:
+            v, pos = decode_value(f.dataType, f.nullable, buf, pos)
+            vals.append(v)
+        return tuple(vals), pos
+    raise TypeError(f"no RowBinary decoding for Spark type {dt.simpleString()}")
+
+
+def decode_value(dt: DataType, nullable: bool, buf: bytes, pos: int):
+    """Inverse of encode_value; returns (value_or_None, next_pos)."""
+    if nullable and not isinstance(dt, (ArrayType, MapType)):
+        marker = buf[pos]
+        pos += 1
+        if marker == 1:
+            return None, pos
+    return _decode_nonnull(dt, buf, pos)
+
+
+def decode_rows(schema: StructType, payload: bytes) -> list[tuple]:
+    """Parse a RowBinary block back into row tuples; raises if the
+    payload doesn't consume exactly (framing drift never passes
+    silently)."""
+    pos, rows = 0, []
+    end = len(payload)
+    while pos < end:
+        vals = []
+        for f in schema.fields:
+            v, pos = decode_value(f.dataType, f.nullable, payload, pos)
+            vals.append(v)
+        rows.append(tuple(vals))
+    if pos != end:
+        raise ValueError(f"trailing {end - pos} bytes after last row")
+    return rows

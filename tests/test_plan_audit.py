@@ -32,6 +32,7 @@ EFFECTFUL = {
     "scan_schema_evolution",  # writes v1/v2 batches to scratch
     "scan_partition_pruned",  # writes the partitioned layout to scratch
     "sink_merge_upsert",  # writes base + merged state to scratch
+    "scan_rowbinary_import",  # writes wire blocks to scratch
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

@@ -387,3 +387,83 @@ def test_rowbinary_export_blocks_match_local_encoder(spark, sf_dir):
         for r in sink_rowbinary_export(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_decoder_is_exact_inverse_and_rejects_framing_drift():
+    """decode_rows(encode_rows(x)) == x for a type-diverse schema, and
+    ANY byte appended/truncated raises instead of parsing silently."""
+    import datetime as dtm
+    import decimal as dec
+
+    import pytest
+
+    from etl_ch_destination_spark.sink.rowbinary import decode_rows, encode_row
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DecimalType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("s", StringType(), True),
+            StructField("p", DecimalType(12, 2), True),
+            StructField("t", TimestampType(), True),
+            StructField("b", BooleanType(), False),
+            StructField("xs", ArrayType(IntegerType(), True), False),
+            StructField("m", MapType(StringType(), LongType(), True), False),
+        ]
+    )
+    rows = [
+        (
+            -(2**62),
+            "żółć☃",
+            dec.Decimal("9999999999.99"),
+            dtm.datetime(1999, 12, 31, 23, 59, 59, 999999),
+            True,
+            [0, None, -1],
+            {"a": 1, "b": None},
+        ),
+        (7, None, None, None, False, [], {}),
+    ]
+    payload = b"".join(encode_row(schema, r) for r in rows)
+    assert decode_rows(schema, payload) == rows
+    with pytest.raises((ValueError, IndexError, UnicodeDecodeError, Exception)):
+        decode_rows(schema, payload + b"\x00")
+    with pytest.raises(Exception):
+        decode_rows(schema, payload[:-1])
+
+
+def test_import_key_round_trips_orders(spark, sf_dir):
+    """scan_rowbinary_import's decoded frame must equal the source
+    projection row-for-row (the Spark-side check independent of the
+    DuckDB oracle)."""
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_rowbinary_import,
+    )
+
+    got = {r.o_orderkey: r for r in scan_rowbinary_import(spark, sf_dir).collect()}
+    src = load_table(spark, sf_dir, "orders").collect()
+    assert len(got) == len(src)
+    for r in src:
+        g = got[r.o_orderkey]
+        assert g.o_orderstatus == r.o_orderstatus
+        assert g.price_cents == int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100
+        )
+        epoch = __import__("datetime").datetime(1970, 1, 1)
+        assert g.ts_us == (r.o_orderdate - epoch) // __import__(
+            "datetime"
+        ).timedelta(microseconds=1)

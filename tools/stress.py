@@ -228,6 +228,33 @@ def main() -> int:
                 .save()
             )
 
+        def ngram_novelty():
+            # the llm_ngram_novelty spine: trigram explode → shingle
+            # first-owner agg → TWO per-doc aggregates left-joined on
+            # doc_id (never a join back on the shingle key — the round-4
+            # rewrite). replicate_docs keeps per-copy vocabularies
+            # disjoint, so the shingle index cardinality scales N×.
+            dd = d.filter(F.size(F.split("text", " ")) >= 3)
+            toks = F.split("text", " ")
+            shingles = F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.array_join(F.slice(toks, i, 3), " "),
+                )
+            )
+            sh = dd.select("doc_id", F.explode(shingles).alias("shingle"))
+            per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+            owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+            novel = owner.groupBy(F.col("fd").alias("doc_id")).agg(
+                F.count(F.lit(1)).alias("nn")
+            )
+            (
+                per_doc.join(novel, "doc_id", "left")
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+
         # --- ANN vs exact: recall AND latency under row scaling -------
         # (VERDICT r3 next-round #5: prove the approximate paths hold
         # their recall floor as the corpus grows, not just their slope.)
@@ -287,6 +314,7 @@ def main() -> int:
             "topk_global": time_action(topk),
             "neardup": time_action(neardup),
             "vocab_score": time_action(vocab_score),
+            "ngram_novelty": time_action(ngram_novelty),
             "line_dedup": time_action(line_dedup),
             "vec_rows": corpus.count(),
             "ann_recall_lsh": recall_ann,
