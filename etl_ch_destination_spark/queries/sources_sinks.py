@@ -901,3 +901,101 @@ def scan_rowbinary_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_partition,
         schema="o_orderkey bigint, o_orderstatus string, price_cents bigint, ts_us bigint",
     )
+
+
+@query(
+    "scan_native_import",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+           list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          'sum') AS emb_sum
+    FROM embeddings
+    """,
+)
+def scan_native_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse Native format as a SOURCE — the columnar twin of
+    scan_rowbinary_import, exercising the part RowBinary doesn't: the
+    Array offsets layout (cumulative UInt64 end-offsets + flattened
+    element data) over the embeddings' array<float> column. Blocks
+    are encoded distributed (sink/native.native_blocks), persisted,
+    read back, and decoded by sink/native.decode_native_block — which
+    VALIDATES every embedded column name and ClickHouse type string
+    against the expected schema and raises on trailing bytes, so a
+    renamed, retyped, or misframed column fails loudly.
+
+    The hash oracle compares decoded values against the source table:
+    per-vector dims, exact first/last components (float32→double
+    widening is exact), and the sequential component sum (same
+    left-to-right fold on both engines). A match proves
+    encode→store→decode is the identity including every offset
+    boundary. Arrow-batched Python on both legs, block-parallel at
+    any scale."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_ch_destination_spark.sink.native import (
+        decode_native_block,
+        native_blocks,
+    )
+
+    path = _scratch(sf_dir, "scan_native_import")
+    e = load_table(spark, sf_dir, "embeddings")
+    wire_schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(FloatType(), False), False),
+            StructField("label", IntegerType(), True),
+        ]
+    )
+    src = e.select(
+        F.col("vec_id").cast("long"),
+        F.col("embedding"),
+        F.col("label").cast("int"),
+    )
+    native_blocks(src, rows_per_block=2048).write.mode("overwrite").parquet(path)
+    blocks = spark.read.parquet(path)
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "vec_id": [],
+                "label": [],
+                "n_dims": [],
+                "first_val": [],
+                "last_val": [],
+                "emb_sum": [],
+            }
+            for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                rows = decode_native_block(wire_schema, bytes(payload))
+                if len(rows) != int(n):
+                    raise ValueError(f"block row-count drift: {len(rows)} != {n}")
+                for vid, emb, lbl in rows:
+                    out["vec_id"].append(vid)
+                    out["label"].append(lbl)
+                    out["n_dims"].append(len(emb))
+                    out["first_val"].append(float(emb[0]))
+                    out["last_val"].append(float(emb[-1]))
+                    s = 0.0
+                    for x in emb:
+                        s += float(x)
+                    out["emb_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    return blocks.mapInPandas(
+        decode_partition,
+        schema=(
+            "vec_id bigint, label int, n_dims int, first_val double,"
+            " last_val double, emb_sum double"
+        ),
+    )

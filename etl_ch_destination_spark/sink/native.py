@@ -211,3 +211,124 @@ def native_blocks(df: DataFrame, rows_per_block: int = 100_000) -> DataFrame:
             yield flush()
 
     return df.mapInPandas(encode_partition, schema=NATIVE_BLOCK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decoder — inverse of encode_native_block, making the columnar wire
+# format bidirectional (the RowBinary module has the row-wise twin).
+# ---------------------------------------------------------------------------
+
+
+def _decode_fixed(dt: DataType, buf: bytes, pos: int):
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampType,
+    )
+    import datetime as _dt
+    import decimal as _decimal
+    import struct as _struct
+
+    if isinstance(dt, ByteType):
+        return _struct.unpack_from("<b", buf, pos)[0], pos + 1
+    if isinstance(dt, ShortType):
+        return _struct.unpack_from("<h", buf, pos)[0], pos + 2
+    if isinstance(dt, IntegerType):
+        return _struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if isinstance(dt, LongType):
+        return _struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if isinstance(dt, FloatType):
+        return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if isinstance(dt, DoubleType):
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if isinstance(dt, BooleanType):
+        return buf[pos] == 1, pos + 1
+    if isinstance(dt, (StringType, BinaryType)):
+        n, pos = _read_varint(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if isinstance(dt, StringType) else bytes(raw)), pos + n
+    if isinstance(dt, DateType):
+        days = _struct.unpack_from("<i", buf, pos)[0]
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=days), pos + 4
+    if isinstance(dt, TimestampType):
+        micros = _struct.unpack_from("<q", buf, pos)[0]
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros), pos + 8
+    if isinstance(dt, DecimalType):
+        w = 4 if dt.precision <= 9 else 8 if dt.precision <= 18 else 16
+        raw = int.from_bytes(buf[pos : pos + w], "little", signed=True)
+        return _decimal.Decimal(raw).scaleb(-dt.scale), pos + w
+    raise TypeError(f"no Native decoding for {dt.simpleString()}")
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def decode_native_block(schema: StructType, payload: bytes) -> list[tuple]:
+    """Parse a Native block back into row tuples under ``schema``.
+
+    Validates the embedded column names AND ClickHouse type strings
+    against ``ch_type`` of the expected schema (a renamed or retyped
+    column is an error, not a silent reinterpretation), re-applies
+    null masks, and rebuilds Array(T) columns from the cumulative
+    offsets layout. Raises on trailing bytes."""
+    pos = 0
+    n_cols, pos = _read_varint(payload, pos)
+    n_rows, pos = _read_varint(payload, pos)
+    if n_cols != len(schema.fields):
+        raise ValueError(f"block has {n_cols} columns, schema {len(schema.fields)}")
+    cols: list[list] = []
+    for f in schema.fields:
+        ln, pos = _read_varint(payload, pos)
+        name = payload[pos : pos + ln].decode("utf-8")
+        pos += ln
+        if name != f.name:
+            raise ValueError(f"column name {name!r} != schema {f.name!r}")
+        lt, pos = _read_varint(payload, pos)
+        typ = payload[pos : pos + lt].decode("utf-8")
+        pos += lt
+        expect = ch_type(f.dataType, f.nullable)
+        if typ != expect:
+            raise ValueError(f"column {name}: type {typ!r} != {expect!r}")
+        if isinstance(f.dataType, ArrayType):
+            offsets = []
+            for _ in range(n_rows):
+                offsets.append(int.from_bytes(payload[pos : pos + 8], "little"))
+                pos += 8
+            total = offsets[-1] if offsets else 0
+            elems = []
+            for _ in range(total):
+                v, pos = _decode_fixed(f.dataType.elementType, payload, pos)
+                elems.append(v)
+            vals, start = [], 0
+            for end in offsets:
+                vals.append(elems[start:end])
+                start = end
+            cols.append(vals)
+            continue
+        nulls = [False] * n_rows
+        if f.nullable:
+            nulls = [payload[pos + i] == 1 for i in range(n_rows)]
+            pos += n_rows
+        vals = []
+        for i in range(n_rows):
+            v, pos = _decode_fixed(f.dataType, payload, pos)
+            vals.append(None if nulls[i] else v)
+        cols.append(vals)
+    if pos != len(payload):
+        raise ValueError(f"trailing {len(payload) - pos} bytes after last column")
+    return [tuple(c[i] for c in cols) for i in range(n_rows)]

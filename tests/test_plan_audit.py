@@ -33,6 +33,7 @@ EFFECTFUL = {
     "scan_partition_pruned",  # writes the partitioned layout to scratch
     "sink_merge_upsert",  # writes base + merged state to scratch
     "scan_rowbinary_import",  # writes wire blocks to scratch
+    "scan_native_import",  # writes columnar wire blocks to scratch
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

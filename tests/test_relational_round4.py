@@ -878,3 +878,107 @@ def test_mannwhitney_auc_matches_pair_counting(spark, sf_dir):
     assert abs(g.auc - auc_ref) < 1e-12
     # doubled-U identity: U = wins + ties/2, so u_x2 == 2·wins + ties
     assert g.u_x2 == 2 * wins + ties
+
+
+def test_native_import_round_trips_embeddings(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_native_import,
+    )
+
+    got = {r.vec_id: r for r in scan_native_import(spark, sf_dir).collect()}
+    src = load_table(spark, sf_dir, "embeddings").collect()
+    assert len(got) == len(src)
+    for r in src:
+        g = got[r.vec_id]
+        assert g.label == r.label and g.n_dims == len(r.embedding)
+        assert g.first_val == r.embedding[0] and g.last_val == r.embedding[-1]
+        s = 0.0
+        for x in r.embedding:
+            s += float(x)
+        assert g.emb_sum == s  # identical sequential fold
+
+
+def test_native_decoder_rejects_renamed_or_retyped_columns():
+    import pytest
+
+    from etl_ch_destination_spark.sink.native import (
+        decode_native_block,
+        encode_native_block,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("a", LongType(), False)])
+    payload = encode_native_block(schema, [(1,), (2,)])
+    renamed = StructType([StructField("b", LongType(), False)])
+    with pytest.raises(ValueError, match="column name"):
+        decode_native_block(renamed, payload)
+    retyped = StructType([StructField("a", LongType(), True)])  # Nullable drift
+    with pytest.raises(ValueError, match="type"):
+        decode_native_block(retyped, payload)
+    with pytest.raises(ValueError, match="trailing"):
+        decode_native_block(schema, payload + b"\x00")
+
+
+def test_strict_funnel_dominated_by_loose_funnel(spark, sf_dir):
+    """Strict levels can never exceed the base exists-chain funnel's
+    reach: sum of users at level >= L is <= the loose key's for every
+    L, and total user counts agree."""
+    from etl_ch_destination_spark.queries.behavior import (
+        agg_window_funnel,
+        agg_window_funnel_strict,
+    )
+
+    loose = {r.funnel_level: r.n_users for r in agg_window_funnel(spark, sf_dir).collect()}
+    strict = {r.funnel_level: r.n_users for r in agg_window_funnel_strict(spark, sf_dir).collect()}
+    assert sum(loose.values()) == sum(strict.values())
+    for lv in (2, 3):
+        loose_ge = sum(n for l, n in loose.items() if l >= lv)
+        strict_ge = sum(n for l, n in strict.items() if l >= lv)
+        assert strict_ge <= loose_ge, (lv, strict_ge, loose_ge)
+
+
+def test_strict_funnel_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.behavior import (
+        FUNNEL_TYPES,
+        agg_window_funnel_strict,
+    )
+
+    got = {r.funnel_level: r.n_users for r in agg_window_funnel_strict(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    import datetime
+
+    win = datetime.timedelta(hours=6)
+    seqs: dict[int, list] = {}
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type in FUNNEL_TYPES:
+            seqs.setdefault(r.user_id, []).append((r.event_type, r.ts))
+    levels: dict[int, int] = {}
+    for uid, s in seqs.items():
+        best = 0
+        for i, (et, t1) in enumerate(s):
+            if et != "view":
+                continue
+            lvl = 1
+            if i + 1 < len(s) and s[i + 1][0] == "click" and s[i + 1][1] <= t1 + win:
+                lvl = 2
+                if (
+                    i + 2 < len(s)
+                    and s[i + 2][0] == "purchase"
+                    and s[i + 2][1] <= t1 + win
+                ):
+                    lvl = 3
+            best = max(best, lvl)
+        levels[uid] = best
+    from collections import Counter
+
+    exp = Counter(levels.get(u, 0) for u in users)
+    assert got == dict(exp)
