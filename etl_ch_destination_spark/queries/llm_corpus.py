@@ -1178,3 +1178,77 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_chars.cast("double") / n_words).alias("avg_token_len"),
         (100 * n_punct > 2 * n_chars).alias("is_codey"),
     )
+
+
+VOCAB_MIN_DF = 2      # drop hapax-document words
+VOCAB_MAX_DF_PCT = 50  # drop words in more than half the docs
+
+
+@query(
+    "llm_vocab_prune",
+    f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        FROM documents WHERE length(text) > 0
+    ),
+    n_docs AS (SELECT COUNT(*) AS nd FROM documents WHERE length(text) > 0),
+    vocab AS (
+        SELECT word, COUNT(*) AS df FROM w GROUP BY word
+    ),
+    flags AS (
+        SELECT word, df,
+               df >= {VOCAB_MIN_DF}
+                 AND df * 100 <= (SELECT nd FROM n_docs) * {VOCAB_MAX_DF_PCT}
+                 AS kept
+        FROM vocab
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_distinct_words,
+           CAST(SUM(CASE WHEN f.kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_words,
+           CAST(SUM(CASE WHEN f.kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS kept_ratio
+    FROM w JOIN flags f USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def llm_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency vocabulary pruning — the TF-IDF / topic-model
+    preprocessing step: drop words appearing in fewer than VOCAB_MIN_DF (2)
+    documents (noise/hapax) or more than VOCAB_MAX_DF_PCT (50%) of
+    them (stopword-like), and report each document's retained-vocabulary
+    profile. The max-df test is an integer cross-multiplication
+    (df·100 <= n_docs·pct) — no float threshold. This is also the
+    operational justification for the "vocabulary becomes
+    broadcastable" claim the word_rarity/unigram keys make at 100 TB:
+    after this df floor/ceiling the surviving vocabulary is orders of
+    magnitude smaller than the corpus.
+
+    Plan: distinct-word explode → df aggregate (Zipf-bounded reduce) →
+    flag join back → per-doc aggregate; the 1-row corpus count
+    broadcasts onto the tiny vocab frame."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    w = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
+    nd = d.count()
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    flags = vocab.select(
+        "word",
+        "df",
+        (
+            (F.col("df") >= VOCAB_MIN_DF)
+            & (F.col("df") * 100 <= F.lit(nd * VOCAB_MAX_DF_PCT))
+        ).alias("kept"),
+    )
+    kept = F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint")
+    return (
+        w.join(flags, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            kept.alias("n_kept_words"),
+            (kept.cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
+        )
+    )

@@ -565,3 +565,67 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dev").cast("bigint").alias("peak_dev"),
         (F.col("k").cast("double") / F.col("n")).alias("split_frac"),
     )
+
+
+@query(
+    "gen_date_spine",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               MIN(CAST(ts AS DATE)) AS d0,
+               MAX(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, CAST(u.d AS DATE) AS day
+        FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT s.event_type, s.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           CAST(d.day IS NULL AS BOOLEAN) AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def gen_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation + zero-fill — the `generate_series`
+    source operator: build the COMPLETE day spine per event type from
+    its own min/max bounds, left-join the observed daily counts, and
+    emit explicit zero rows for silent days (is_gap flags them). The
+    dense-spine form every dashboard and gap-aware aggregate needs;
+    ORDER BY WITH FILL (sort_with_fill) is the within-result cousin,
+    this one creates rows a scan never produced.
+
+    Plan: bounds is a 5-row aggregate; sequence()+explode generates
+    the spine DISTRIBUTED from those 5 rows (≤ |days|·|types| rows —
+    tiny at any corpus scale, repartitioned off the single explode
+    source); the join back to daily counts is spine-sized. The big
+    table is touched exactly twice, both as partial+final aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    bounds = ev.groupBy("event_type").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = (
+        bounds.select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+        .repartition("event_type")
+    )
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )

@@ -59,3 +59,70 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(nullable, ignorenulls=True).over(w).alias("first_nn"),
         F.last(nullable, ignorenulls=True).over(w).alias("last_nn"),
     )
+
+
+EXCL_HALF = 3  # +-3-row neighborhood
+
+
+@query(
+    "win_frame_exclude_current",
+    f"""
+    WITH q AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, cents,
+               SUM(cents) OVER fr AS frame_sum,
+               COUNT(*) OVER fr AS frame_n
+        FROM q
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {EXCL_HALF} PRECEDING
+                      AND {EXCL_HALF} FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           CAST(frame_sum - cents AS BIGINT) AS neighbor_sum,
+           CAST(frame_n - 1 AS BIGINT) AS n_neighbors,
+           CASE WHEN frame_n > 1
+                THEN CAST(frame_sum - cents AS DOUBLE) / (frame_n - 1)
+           END AS neighbor_avg
+    FROM w
+    """,
+)
+def win_frame_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 frame exclusion (`EXCLUDE CURRENT ROW`) — the
+    leave-one-out neighborhood aggregate behind peer-comparison
+    anomaly scores. Neither engine implements the EXCLUDE clause, so
+    both build it the portable way: aggregate the FULL ±3-row frame,
+    then subtract the current row (sum) / decrement (count) — exact
+    int64 arithmetic, identical everywhere; a row with no neighbors
+    yields NULL avg on both sides.
+
+    One shuffle on user_id, single window pass, O(1) per-row state."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-EXCL_HALF, EXCL_HALF)
+    )
+    w = q.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.sum("cents").over(fr).alias("frame_sum"),
+        F.count(F.lit(1)).over(fr).alias("frame_n"),
+    )
+    return w.select(
+        "user_id",
+        "event_id",
+        (F.col("frame_sum") - F.col("cents")).cast("bigint").alias("neighbor_sum"),
+        (F.col("frame_n") - 1).cast("bigint").alias("n_neighbors"),
+        F.when(
+            F.col("frame_n") > 1,
+            (F.col("frame_sum") - F.col("cents")).cast("double")
+            / (F.col("frame_n") - 1),
+        ).alias("neighbor_avg"),
+    )

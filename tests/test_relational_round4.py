@@ -982,3 +982,98 @@ def test_strict_funnel_python_replay(spark, sf_dir):
 
     exp = Counter(levels.get(u, 0) for u in users)
     assert got == dict(exp)
+
+
+def test_date_spine_dense_and_zero_filled(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries_extra import gen_date_spine
+
+    rows = gen_date_spine(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    ).collect()
+    from collections import Counter
+    import datetime
+
+    counts: dict[str, Counter] = {}
+    for r in ev:
+        counts.setdefault(r.event_type, Counter())[r.day] += 1
+    assert set(by_type) == set(counts)
+    for et, rs in by_type.items():
+        days = sorted(r.day for r in rs)
+        # DENSE: every day between min and max exactly once
+        assert days[0] == min(counts[et]) and days[-1] == max(counts[et])
+        assert len(days) == (days[-1] - days[0]).days + 1
+        assert len(set(days)) == len(days)
+        for r in rs:
+            assert r.n_events == counts[et].get(r.day, 0)
+            assert r.is_gap == (r.day not in counts[et])
+        assert all(
+            b - a == datetime.timedelta(days=1)
+            for a, b in zip(days, days[1:])
+        )
+
+
+def test_frame_exclusion_equals_leave_one_out(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.windows_extra import (
+        EXCL_HALF,
+        win_frame_exclude_current,
+    )
+
+    got = {(r.user_id, r.event_id): r for r in win_frame_exclude_current(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(
+            (r.event_id, int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100))
+        )
+    for uid, xs in series.items():
+        for i, (eid, c) in enumerate(xs):
+            lo, hi = max(0, i - EXCL_HALF), min(len(xs), i + EXCL_HALF + 1)
+            neigh = [v for j, (_, v) in enumerate(xs[lo:hi], start=lo) if j != i]
+            g = got[(uid, eid)]
+            assert g.neighbor_sum == sum(neigh)
+            assert g.n_neighbors == len(neigh)
+            if neigh:
+                assert abs(g.neighbor_avg - sum(neigh) / len(neigh)) < 1e-9
+            else:
+                assert g.neighbor_avg is None
+
+
+def test_vocab_prune_python_replay(spark, sf_dir):
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        VOCAB_MAX_DF_PCT,
+        VOCAB_MIN_DF,
+        llm_vocab_prune,
+    )
+
+    got = {r.doc_id: r for r in llm_vocab_prune(spark, sf_dir).collect()}
+    docs = [
+        (r.doc_id, set(r.text.split(" ")))
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if r.text
+    ]
+    df = Counter()
+    for _, ws in docs:
+        for w in ws:
+            df[w] += 1
+    nd = len(docs)
+    kept = {w for w, d in df.items() if d >= VOCAB_MIN_DF and d * 100 <= nd * VOCAB_MAX_DF_PCT}
+    for did, ws in docs:
+        g = got[did]
+        assert g.n_distinct_words == len(ws)
+        assert g.n_kept_words == len(ws & kept)
