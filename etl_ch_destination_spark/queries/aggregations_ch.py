@@ -1524,3 +1524,53 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2.alias("u_x2"),
         (u2.cast("double") / (2 * F.col("na") * F.col("nb"))).alias("auc"),
     )
+
+
+TOTALS_SENTINEL = "<totals>"
+
+
+@query(
+    "agg_with_totals",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '{TOTALS_SENTINEL}', COUNT(*),
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+    """,
+)
+def agg_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `GROUP BY ... WITH TOTALS` — the per-group rows plus ONE
+    grand-total row (sentinel group key), where the total re-aggregates
+    the RAW input, not the group rows: COUNT(DISTINCT user_id) in the
+    totals row is the corpus-wide distinct count, NOT the sum of
+    per-group distincts — exactly the distinction WITH TOTALS exists
+    for (a user active in two event types counts once). ROLLUP gives
+    the same shape for additive measures only; this key pins the
+    non-additive semantics.
+
+    Plan: Spark computes it as rollup()-style grouping-sets (one pass,
+    partial+final, the distinct handled by expand) via
+    F.grouping_id-free union of two aggregates sharing the scan;
+    exchange budget = two aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("event_type", "user_id", cents.alias("cents"))
+    per = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    ).select(F.lit(TOTALS_SENTINEL).alias("event_type"), "n", "sum_cents", "n_users")
+    return per.unionAll(tot)

@@ -215,3 +215,50 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         F.broadcast(d), o["bucket"].eqNullSafe(d["bucket"])
     ).select("o_orderkey", o["bucket"].alias("bucket"), "n_name")
+
+
+DICT_DEFAULT_NAME = "<unknown>"
+
+
+@query(
+    "dict_get_lookup",
+    f"""
+    SELECT o.o_orderkey,
+           o.o_orderkey % 30 AS lookup_key,
+           COALESCE(n.n_name, '{DICT_DEFAULT_NAME}') AS nation_name,
+           CAST(n.n_nationkey IS NOT NULL AS BOOLEAN) AS dict_has
+    FROM orders o
+    LEFT JOIN nation n ON o.o_orderkey % 30 = n.n_nationkey
+    """,
+)
+def dict_get_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH external dictionaries — `dictGetOrDefault` / `dictHas`: a
+    small key→value table applied as a per-row FUNCTION rather than a
+    join. ClickHouse holds the dictionary in memory on every server;
+    the faithful Spark equivalent is a literal map built once on the
+    driver (25 nation rows — dictionaries are small by definition)
+    and baked into the plan as a codegen expression: ZERO join, zero
+    shuffle, exactly how dictGet executes. Keys 25-29 miss, proving
+    the OrDefault and dictHas paths.
+
+    At 100 TB the dictionary stays driver-built but broadcast-sized;
+    a dictionary too big for a literal map degrades to
+    join_broadcast_dim — the documented cliff. The oracle states the
+    same semantics relationally (LEFT JOIN + COALESCE)."""
+    from itertools import chain
+
+    o = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    mapping = F.create_map(
+        *chain.from_iterable(
+            (F.lit(int(r.n_nationkey)), F.lit(r.n_name)) for r in nat
+        )
+    )
+    key = (F.col("o_orderkey") % 30).alias("lookup_key")
+    looked = mapping[F.col("o_orderkey") % 30]
+    return o.select(
+        "o_orderkey",
+        key,
+        F.coalesce(looked, F.lit(DICT_DEFAULT_NAME)).alias("nation_name"),
+        looked.isNotNull().alias("dict_has"),
+    )

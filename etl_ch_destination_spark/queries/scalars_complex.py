@@ -430,3 +430,81 @@ def str_ngram_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.size("ga") + F.size("gb") - common)
         ).alias("trigram_dist"),
     )
+
+
+SORTKEY_WORDS = 10
+
+
+@query(
+    "arr_sort_by_key",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_slice(string_split(text, ' '), 1, {SORTKEY_WORDS}) AS ws
+        FROM documents WHERE len(string_split(text, ' ')) >= {SORTKEY_WORDS}
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_sort(list_transform(
+                 ws, w -> lpad(CAST(length(w) AS VARCHAR), 4, '0') || ':' || w)),
+               s -> s[6:]),
+             '|') AS by_len,
+           array_to_string(
+             list_transform(
+               list_sort(list_transform(
+                 ws, w -> reverse(w) || ':' || w)),
+               s -> string_split(s, ':')[2]),
+             '|') AS by_suffix
+    FROM t
+    """,
+)
+def arr_sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `arraySort(func, arr)` — sort by a COMPUTED key, not natural
+    order. Spark's array_sort comparator lambda and DuckDB's list_sort
+    have incompatible surfaces, so both engines use the portable
+    decorate-sort-undecorate idiom: map each element to
+    "key:element", natural-sort, strip the key — byte-identical
+    orderings by construction (keys are fixed-width via lpad, or
+    ':'-free via reverse). Demonstrated with two keys over each
+    document's first 10 words: by length (stable on word as
+    tiebreak), and by SUFFIX (reversed word — the rhyme/inflection
+    grouping trick).
+
+    Pure map-side HOF codegen, zero shuffles. The ':' separator is
+    safe: fixture words are alphanumeric (asserted in the pytest
+    replay)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = d.filter(F.size(toks) >= SORTKEY_WORDS).select(
+        "doc_id", F.slice(toks, 1, SORTKEY_WORDS).alias("ws")
+    )
+    by_len = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("ws"),
+                    lambda w: F.concat(
+                        F.lpad(F.length(w).cast("string"), 4, "0"),
+                        F.lit(":"),
+                        w,
+                    ),
+                )
+            ),
+            lambda s: F.substring(s, 6, 1_000_000),
+        ),
+        "|",
+    )
+    by_suffix = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("ws"),
+                    lambda w: F.concat(F.reverse(w), F.lit(":"), w),
+                )
+            ),
+            lambda s: F.element_at(F.split(s, ":"), 2),
+        ),
+        "|",
+    )
+    return d.select("doc_id", by_len.alias("by_len"), by_suffix.alias("by_suffix"))

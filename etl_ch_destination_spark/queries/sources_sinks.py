@@ -999,3 +999,63 @@ def scan_native_import(spark: SparkSession, sf_dir: str) -> DataFrame:
             " last_val double, emb_sum double"
         ),
     )
+
+
+@query(
+    "job_matview_refresh",
+    """
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def job_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance — the ClickHouse
+    SummingMergeTree-backed MV contract: the view's state is updated
+    INCREMENTALLY per ingested batch (aggregate the new batch alone,
+    union with the stored state, re-aggregate the additive measures),
+    and the invariant the oracle enforces is the one that makes MVs
+    trustworthy: incremental-refresh state ≡ full recompute over all
+    data. The key ingests the fixture in two batches (event_id mod 3
+    splits them), persists the view state to parquet after batch 1,
+    refreshes it with batch 2, RE-READS the durable state, and
+    returns it; the oracle recomputes from scratch.
+
+    Plan per refresh: one partial+final aggregate over the NEW batch
+    only + a merge with state (state-sized, not history-sized) — the
+    whole point of the MV pattern at 100 TB: cost tracks the delta.
+    Additive measures only (count, sum); non-additive ones need the
+    agg_state_merge partial-state forms."""
+    path = _scratch(sf_dir, "job_matview_refresh")
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    base = ev.select(
+        "event_id", "event_type", F.to_date("ts").alias("day"), cents.alias("cents")
+    )
+
+    def agg(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    batch1 = base.filter(F.col("event_id") % 3 != 0)
+    agg(batch1).write.mode("overwrite").parquet(path)
+
+    batch2 = base.filter(F.col("event_id") % 3 == 0)
+    state = spark.read.parquet(path)
+    refreshed = (
+        state.unionAll(agg(batch2))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    # MV refresh writes the next state version, then serves from it
+    refreshed.write.mode("overwrite").parquet(path + "_v2")
+    return spark.read.parquet(path + "_v2")

@@ -34,6 +34,7 @@ EFFECTFUL = {
     "sink_merge_upsert",  # writes base + merged state to scratch
     "scan_rowbinary_import",  # writes wire blocks to scratch
     "scan_native_import",  # writes columnar wire blocks to scratch
+    "job_matview_refresh",  # writes view-state versions to scratch
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

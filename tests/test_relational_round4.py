@@ -1077,3 +1077,113 @@ def test_vocab_prune_python_replay(spark, sf_dir):
         g = got[did]
         assert g.n_distinct_words == len(ws)
         assert g.n_kept_words == len(ws & kept)
+
+
+def test_dict_get_zero_join_plan_and_semantics(spark, sf_dir):
+    """dictGet must compile to a pure projection (no join operator in
+    the physical plan) and miss keys 25-29 with the default."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.joins_extra import (
+        DICT_DEFAULT_NAME,
+        dict_get_lookup,
+    )
+
+    df = dict_get_lookup(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    phys = buf.getvalue().split("== Physical Plan ==")[-1]
+    assert "Join" not in phys and "join" not in phys
+    names = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    for r in df.collect():
+        if r.lookup_key in names:
+            assert r.dict_has and r.nation_name == names[r.lookup_key]
+        else:
+            assert not r.dict_has and r.nation_name == DICT_DEFAULT_NAME
+            assert r.lookup_key >= 25
+
+
+def test_with_totals_non_additive_distinct(spark, sf_dir):
+    """The totals row's distinct-user count must be <= the sum of the
+    per-group distincts (strictly less when any user spans types) and
+    equal to the true corpus-wide distinct count."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        TOTALS_SENTINEL,
+        agg_with_totals,
+    )
+
+    rows = agg_with_totals(spark, sf_dir).collect()
+    groups = [r for r in rows if r.event_type != TOTALS_SENTINEL]
+    totals = [r for r in rows if r.event_type == TOTALS_SENTINEL]
+    assert len(totals) == 1
+    t = totals[0]
+    assert t.n == sum(r.n for r in groups)
+    assert t.sum_cents == sum(r.sum_cents for r in groups)
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert t.n_users == ev
+    assert t.n_users <= sum(r.n_users for r in groups)
+
+
+def test_sort_by_key_python_replay(spark, sf_dir):
+    import re
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scalars_complex import (
+        SORTKEY_WORDS,
+        arr_sort_by_key,
+    )
+
+    got = {r.doc_id: r for r in arr_sort_by_key(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    alnum = re.compile(r"^[A-Za-z0-9]+$")
+    for r in docs:
+        ws = r.text.split(" ")[:SORTKEY_WORDS]
+        if len(r.text.split(" ")) < SORTKEY_WORDS:
+            assert r.doc_id not in got
+            continue
+        assert all(alnum.match(w) for w in ws), "separator-safety premise broke"
+        g = got[r.doc_id]
+        assert g.by_len == "|".join(sorted(ws, key=lambda w: (len(w), w)))
+        assert g.by_suffix == "|".join(sorted(ws, key=lambda w: w[::-1]))
+
+
+def test_matview_refresh_equals_full_recompute_and_tracks_delta(spark, sf_dir):
+    """The refreshed durable state must equal the from-scratch
+    aggregate (the MV invariant), and the v1 state must differ (the
+    refresh really merged batch 2)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        _scratch,
+        job_matview_refresh,
+    )
+
+    got = {(r.event_type, r.day): (r.n, r.sum_cents) for r in job_matview_refresh(spark, sf_dir).collect()}
+    from decimal import Decimal
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("day"), "value"
+    ).collect()
+    full: dict[tuple, list] = {}
+    v1: dict[tuple, int] = {}
+    for r in ev:
+        c = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        k = (r.event_type, r.day)
+        acc = full.setdefault(k, [0, 0])
+        acc[0] += 1
+        acc[1] += c
+        if r.event_id % 3 != 0:
+            v1[k] = v1.get(k, 0) + 1
+    assert got == {k: tuple(v) for k, v in full.items()}
+    state_v1 = {
+        (r.event_type, r.day): r.n
+        for r in spark.read.parquet(_scratch(sf_dir, "job_matview_refresh")).collect()
+    }
+    assert state_v1 == v1
+    assert state_v1 != {k: v[0] for k, v in full.items()}
