@@ -75,3 +75,59 @@ def with_global_rank(
         .withColumn(name, (F.col("__off") + F.row_number().over(w)).cast("long"))
         .drop("__bkt", "__off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    lead: str,
+    value: str,
+    descending: bool = False,
+    name: str = "cum",
+    buckets: int = 64,
+) -> DataFrame:
+    """Append the global running sum of ``value`` under the TOTAL
+    order ``order`` — the scale-safe form of
+    ``SUM(value) OVER (ORDER BY ...)``, built exactly like
+    with_global_rank: value-range bucketing on ``lead``, a parallel
+    per-bucket cumulative window, and broadcast per-bucket SUM offsets
+    (driver state = |buckets| scalars). ``value`` must be integral
+    (int64 additions are order-insensitive; float cumsums are not
+    deterministic under re-bucketing)."""
+    spark = df.sparkSession
+    probs = [i / buckets for i in range(1, buckets)]
+    row = df.select(F.percentile_approx(lead, probs, 10_000).alias("b")).first()
+    bounds = sorted(set(row["b"] or []), reverse=descending)
+
+    c = F.col(lead)
+    bucket: Column = F.lit(0)
+    for b in bounds:
+        past = (c < F.lit(b)) if descending else (c > F.lit(b))
+        bucket = bucket + F.when(past, 1).otherwise(0)
+    bucket = F.when(c.isNull(), F.lit(len(bounds))).otherwise(bucket).cast("int")
+
+    bucketed = df.withColumn("__bkt", bucket)
+    sums = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum(value).cast("long").alias("__s"))
+        .collect()
+    )
+    acc = 0
+    offsets = []
+    for r in sorted(sums, key=lambda r: r["__bkt"]):
+        offsets.append((r["__bkt"], acc))
+        acc += r["__s"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__bkt int, __off long")
+
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "__bkt")
+        .withColumn(
+            name, (F.col("__off") + F.sum(value).over(w)).cast("long")
+        )
+        .drop("__bkt", "__off")
+    )

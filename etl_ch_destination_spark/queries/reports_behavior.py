@@ -352,3 +352,61 @@ def rpt_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("first_purchase_after") - F.col("first_view")).alias("lag_sec"),
         F.col("first_purchase_after").isNotNull().alias("converted"),
     )
+
+
+PATH_STEPS = 5
+
+
+@query(
+    "rpt_user_paths",
+    f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               array_to_string(list(substr(event_type, 1, 1) ORDER BY rn), '>')
+                 AS path
+        FROM o WHERE rn <= {PATH_STEPS}
+        GROUP BY user_id
+    )
+    SELECT path,
+           COUNT(*) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM paths GROUP BY path
+    """,
+)
+def rpt_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path analysis — each user's first five event-type
+    initials joined into a path signature ('v>c>p>v>c'), counted
+    across users: the CH `groupArray`-based journey histogram behind
+    every "what do users do first" sankey. Order is pinned by the
+    (ts, event_id) tiebreak; Spark sorts the collected (rn, step)
+    structs before joining (collect_list arrival order is not
+    deterministic), DuckDB uses list(... ORDER BY rn).
+
+    Plan: one shuffle on user_id (row_number + the per-user collect),
+    then a path-keyed count whose cardinality is bounded by 5^5
+    type sequences — tiny at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("step"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= PATH_STEPS)
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "step"))),
+            lambda s: s["step"],
+        ),
+        ">",
+    )
+    paths = o.groupBy("user_id").agg(path.alias("path"))
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").cast("bigint").alias("sample_user"),
+    )

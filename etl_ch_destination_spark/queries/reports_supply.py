@@ -320,3 +320,69 @@ def rpt_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+PARETO_PCT = 80
+
+
+@query(
+    "rpt_pareto_suppliers",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM rev),
+    c AS (
+        SELECT l_suppkey, rev_cents,
+               SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_cents
+        FROM rev
+    )
+    SELECT l_suppkey, rev_cents, cum_cents,
+           CAST(cum_cents AS DOUBLE) / (SELECT t FROM tot) AS cum_share,
+           100 * cum_cents <= {PARETO_PCT} * (SELECT t FROM tot) AS in_top80
+    FROM c
+    """,
+)
+def rpt_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration — suppliers ranked by revenue with the
+    GLOBAL running revenue share, flagging the set that carries the
+    first 80% (flag decided by integer cross-multiplication, share is
+    one final division). The classic ABC-analysis / "how concentrated
+    is my supply base" report.
+
+    The global cumulative sum uses ops/rank.with_global_cumsum — the
+    scale-safe SUM-OVER-(ORDER BY) idiom: value-range buckets on the
+    revenue key, parallel per-bucket cumulative windows, broadcast
+    per-bucket offsets — NOT a single-task global window; the oracle
+    states the same semantics with a plain window over the ~|suppliers|
+    aggregate. One aggregate shuffle + the bucketed exchange; at
+    100 TB the cumsum runs over the supplier aggregate, which is
+    orders of magnitude smaller than the scan."""
+    from etl_ch_destination_spark.ops.rank import with_global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents).cast("bigint").alias("rev_cents")
+    )
+    total = rev.agg(F.sum("rev_cents").cast("bigint").alias("t")).collect()[0].t
+    c = with_global_cumsum(
+        rev,
+        order=[F.col("rev_cents").desc(), F.col("l_suppkey")],
+        lead="rev_cents",
+        value="rev_cents",
+        descending=True,
+        name="cum_cents",
+    )
+    return c.select(
+        "l_suppkey",
+        "rev_cents",
+        "cum_cents",
+        (F.col("cum_cents").cast("double") / F.lit(float(total))).alias("cum_share"),
+        (100 * F.col("cum_cents") <= PARETO_PCT * F.lit(total)).alias("in_top80"),
+    )

@@ -1187,3 +1187,91 @@ def test_matview_refresh_equals_full_recompute_and_tracks_delta(spark, sf_dir):
     }
     assert state_v1 == v1
     assert state_v1 != {k: v[0] for k, v in full.items()}
+
+
+def test_user_paths_python_replay(spark, sf_dir):
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        PATH_STEPS,
+        rpt_user_paths,
+    )
+
+    got = {r.path: r for r in rpt_user_paths(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    seqs: dict[int, list] = {}
+    for r in ev:
+        s = seqs.setdefault(r.user_id, [])
+        if len(s) < PATH_STEPS:
+            s.append(r.event_type[0])
+    paths = {uid: ">".join(s) for uid, s in seqs.items()}
+    exp = Counter(paths.values())
+    assert {p: r.n_users for p, r in got.items()} == dict(exp)
+    for p, r in got.items():
+        assert r.sample_user == min(u for u, q in paths.items() if q == p)
+
+
+def test_global_cumsum_op_equals_sequential(spark, sf_dir):
+    """with_global_cumsum must equal the sequential prefix sum under
+    the same total order, at several bucket counts (bucket boundaries
+    must never change the result)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.rank import with_global_cumsum
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = sorted(rev.collect(), key=lambda r: (-r.n, r.l_suppkey))
+    acc, exp = 0, {}
+    for r in rows:
+        acc += r.n
+        exp[r.l_suppkey] = acc
+    for buckets in (1, 7, 64):
+        got = {
+            r.l_suppkey: r.cum
+            for r in with_global_cumsum(
+                rev,
+                order=[F.col("n").desc(), F.col("l_suppkey")],
+                lead="n",
+                value="n",
+                descending=True,
+                buckets=buckets,
+            ).collect()
+        }
+        assert got == exp, buckets
+
+
+def test_pareto_flag_boundary(spark, sf_dir):
+    """in_top80 must be a prefix of the revenue-descending order, and
+    flipping exactly at the first supplier whose cumulative share
+    exceeds 80%."""
+    from etl_ch_destination_spark.queries.reports_supply import (
+        PARETO_PCT,
+        rpt_pareto_suppliers,
+    )
+
+    rows = sorted(
+        rpt_pareto_suppliers(spark, sf_dir).collect(),
+        key=lambda r: (-r.rev_cents, r.l_suppkey),
+    )
+    total = rows[-1].cum_cents
+    seen_false = False
+    prev_cum = 0
+    for r in rows:
+        assert r.cum_cents == prev_cum + r.rev_cents
+        prev_cum = r.cum_cents
+        expect = 100 * r.cum_cents <= PARETO_PCT * total
+        assert r.in_top80 == expect
+        if not r.in_top80:
+            seen_false = True
+        else:
+            assert not seen_false  # flag is a prefix
+    assert seen_false  # boundary actually exercised
