@@ -337,9 +337,9 @@ PARETO_PCT = 80
     tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM rev),
     c AS (
         SELECT l_suppkey, rev_cents,
-               SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cum_cents
+               CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS cum_cents
         FROM rev
     )
     SELECT l_suppkey, rev_cents, cum_cents,
