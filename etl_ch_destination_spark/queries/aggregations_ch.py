@@ -1574,3 +1574,86 @@ def agg_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     ).select(F.lit(TOTALS_SENTINEL).alias("event_type"), "n", "sum_cents", "n_users")
     return per.unionAll(tot)
+
+
+@query(
+    "agg_covar_exact",
+    """
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS xc,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS yc
+      FROM lineitem
+    ),
+    raw AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(xc) AS r1, SUM(yc) AS r2, SUM(xc * yc) AS r3
+      FROM cents GROUP BY l_returnflag
+    ),
+    s AS (
+      SELECT l_returnflag, n,
+             CAST(CAST(CAST(r1 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                 * 4294967296.0
+               + CAST(CAST(CAST(r1 AS HUGEINT) % 4294967296 AS BIGINT)
+                      AS DOUBLE) AS sx,
+             CAST(CAST(CAST(r2 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                 * 4294967296.0
+               + CAST(CAST(CAST(r2 AS HUGEINT) % 4294967296 AS BIGINT)
+                      AS DOUBLE) AS sy,
+             CAST(CAST(CAST(r3 AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)
+                 * 4294967296.0
+               + CAST(CAST(CAST(r3 AS HUGEINT) % 4294967296 AS BIGINT)
+                      AS DOUBLE) AS sxy
+      FROM raw
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * n) AS covar_pop,
+           (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp
+    FROM s
+    """,
+)
+def agg_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `covarPop` / `covarSamp` — deterministic covariance by the
+    agg_corr_exact recipe: built-in covar_* merges co-moments in
+    partition order (cross-engine ulp drift), so both engines take
+    three exact integer sums and apply the closed forms
+    (n·Σxy − Σx·Σy)/n² and /(n(n−1)) in one shared IEEE tree. The
+    product sum passes 2^53 around sf1, so every sum converts to
+    double via the hi/lo int64 split (the agg_skew_kurt recipe —
+    DuckDB's hugeint→double rounds twice otherwise). Units are cents²
+    — covariance scales with both axes, and the exact integers are
+    the point, not the unit.
+
+    One partial+final hash aggregate; order-insensitive everywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("decimal(18,0)")
+    yc = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("decimal(18,0)")
+    cents = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    x, y = F.col("xc"), F.col("yc")
+    raw = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("r1"),
+        F.sum(y).alias("r2"),
+        F.sum(x * y).alias("r3"),
+    )
+
+    def hilo(c: str):
+        hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({c} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = raw.select(
+        "l_returnflag",
+        "n",
+        hilo("r1").alias("sx"),
+        hilo("r2").alias("sy"),
+        hilo("r3").alias("sxy"),
+    )
+    n, sx, sy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+        ((n * sxy - sx * sy) / (n * (n - 1))).alias("covar_samp"),
+    )

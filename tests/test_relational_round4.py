@@ -1275,3 +1275,29 @@ def test_pareto_flag_boundary(spark, sf_dir):
         else:
             assert not seen_false  # flag is a prefix
     assert seen_false  # boundary actually exercised
+
+
+def test_covar_exact_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_covar_exact
+
+    got = {r.l_returnflag: r for r in agg_covar_exact(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            (round(r.l_quantity * 100), round(r.l_extendedprice * 100))
+        )
+    for flag, vw in groups.items():
+        x = np.array([a for a, _ in vw], dtype=np.float64)
+        y = np.array([b for _, b in vw], dtype=np.float64)
+        g = got[flag]
+        assert g.n == len(vw)
+        ref_pop = float(np.cov(x, y, bias=True)[0, 1])
+        ref_samp = float(np.cov(x, y, bias=False)[0, 1])
+        assert abs(g.covar_pop - ref_pop) <= 1e-6 * abs(ref_pop)
+        assert abs(g.covar_samp - ref_samp) <= 1e-6 * abs(ref_samp)
