@@ -250,6 +250,43 @@ ANNOTATIONS: dict[str, str] = {
         "Whole-bit surprisal is codegen integer math — no UDF, no "
         "float log."
     ),
+    "llm_ngram_novelty": (
+        "Shingle first-occurrence index (post-rewrite): trigram "
+        "Generate fans out map-side, the owner min-aggregate and the "
+        "per-doc count are BOTH |docs|/|shingles|-sized aggregates, and "
+        "the only join is a LEFT join of two per-doc frames on doc_id — "
+        "the exploded frame is never re-shuffled on the shingle key "
+        "(that form measured 2x slower at sf0.1)."
+    ),
+    "agg_quantiles_weighted": (
+        "Exact weighted quantiles: one exchange on the group key shared "
+        "by the cumulative-weight window, the per-group total window, "
+        "and the final aggregate; the threshold compare is pure int64 "
+        "(1000*cumw >= q*totw), so no float boundary exists to disagree "
+        "across engines."
+    ),
+    "agg_mannwhitney_u": (
+        "Pooled-rank statistic WITHOUT a row-level global window: the "
+        "rank sum reduces to per-(value, group) counts joined to a "
+        "cumulative count over the DISTINCT-VALUE spine (bounded by the "
+        "cents domain <= 49002 rows at ANY data size). The single "
+        "unpartitioned window in the plan runs over that fixed-size "
+        "spine, never the row count."
+    ),
+    "rpt_pareto_suppliers": (
+        "Global running revenue share via ops/rank.with_global_cumsum: "
+        "value-range bucket assignment baked in as literals, parallel "
+        "per-bucket cumulative windows, broadcast per-bucket offsets — "
+        "SUM OVER (ORDER BY) semantics with no single-task exchange "
+        "over base rows; the 80%% flag is an integer cross-multiply."
+    ),
+    "dict_get_lookup": (
+        "ClickHouse dictGet as a ZERO-JOIN codegen projection: the "
+        "25-entry dictionary is a literal map in the expression tree, "
+        "so the plan is Scan -> Project, no build side, no exchange — "
+        "asserted join-free in tests/test_relational_round4.py."
+    ),
+
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
