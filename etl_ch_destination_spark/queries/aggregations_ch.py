@@ -714,7 +714,7 @@ IVL_MOD_SEC = 600   # event_id-keyed spread: 60..659 s
         FROM islands GROUP BY user_id, island
     )
     SELECT user_id,
-           SUM(ilen) AS covered_sec,
+           CAST(SUM(ilen) AS BIGINT) AS covered_sec,
            COUNT(*) AS n_islands
     FROM per_island GROUP BY user_id
     """,

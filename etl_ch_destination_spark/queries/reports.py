@@ -739,8 +739,8 @@ def rpt_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_words) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words) AS distinct_word_ratio
     FROM scored
     WHERE n_words >= 50

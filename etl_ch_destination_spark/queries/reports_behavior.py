@@ -410,3 +410,94 @@ def rpt_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.min("user_id").cast("bigint").alias("sample_user"),
     )
+
+
+WAU_DAYS = 7
+MAU_DAYS = 30
+
+
+@query(
+    "rpt_active_users",
+    f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    spine AS (
+        SELECT CAST(u.d AS DATE) AS day
+        FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+    ),
+    dau AS (
+        SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+    ),
+    cov AS (
+        SELECT user_id, covered, MIN(o) AS min_o FROM (
+            SELECT user_id, CAST(day + INTERVAL (o) DAY AS DATE) AS covered, o
+            FROM ud, unnest(range(0, {MAU_DAYS})) AS t(o)
+        ) GROUP BY user_id, covered
+    ),
+    roll AS (
+        SELECT covered,
+               CAST(SUM(CASE WHEN min_o < {WAU_DAYS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS wau,
+               COUNT(*) AS mau
+        FROM cov GROUP BY covered
+    )
+    SELECT s.day,
+           CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(r.wau, 0) AS BIGINT) AS wau,
+           CAST(COALESCE(r.mau, 0) AS BIGINT) AS mau
+    FROM spine s
+    LEFT JOIN dau d ON s.day = d.day
+    LEFT JOIN roll r ON s.day = r.covered
+    """,
+)
+def rpt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU — daily actives plus trailing 7- and 30-day
+    ROLLING DISTINCT users, the engagement report every product team
+    runs. Rolling COUNT DISTINCT has no window form; the scale-safe
+    exact recast is the coverage fan-out: dedupe to (user, day) FIRST
+    (the only corpus-sized reduction), then each user-day covers the
+    next 30 report days ONCE, keeping the smallest offset — WAU
+    membership is just min_offset < 7, so one fan-out + one
+    (user, covered) aggregate serves BOTH trailing windows. Fan-out is
+    30× of USER-DAYS (already tiny relative to events), never of raw
+    rows; the day spine zero-fills silent days.
+
+    Plan: one distinct on (user, day), ONE bounded explode + two
+    aggregates for both windows, two spine-sized joins. The approximate alternative
+    at extreme user counts is agg_sketch_state's mergeable HLL
+    partials — same coverage trick, constant-size state."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    cov = (
+        ud.select(
+            "user_id",
+            F.posexplode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), MAU_DAYS - 1))
+            ).alias("o", "covered"),
+        )
+        .groupBy("user_id", "covered")
+        .agg(F.min("o").alias("min_o"))
+    )
+    roll = cov.groupBy("covered").agg(
+        F.sum(F.when(F.col("min_o") < WAU_DAYS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("wau"),
+        F.count(F.lit(1)).alias("mau"),
+    )
+    return (
+        spine.join(dau, "day", "left")
+        .join(roll, spine.day == roll.covered, "left")
+        .drop(roll.covered)
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("bigint").alias("wau"),
+            F.coalesce("mau", F.lit(0)).cast("bigint").alias("mau"),
+        )
+    )

@@ -76,7 +76,17 @@ MAX_HASH_SHUFFLES = 4
 #     doc join, and per-source aggregate; the cap is meant to catch
 #     accidental shuffles in a single operator, not to penalize an
 #     honest composition of two bounded ones.
-SHUFFLE_ALLOWANCE = {"agg_window_funnel": 6, "rpt_dedup_audit": 6}
+#   rpt_active_users — rolling-distinct engagement needs the
+#     (user, day) dedupe, the DAU aggregate, the single 30-day
+#     coverage aggregate pair (user-covered min-offset, then per-day),
+#     and the day-spine join: five genuinely distinct keys; the static
+#     plan shows the spine join exchange AQE replaces with a broadcast
+#     at runtime.
+SHUFFLE_ALLOWANCE = {
+    "agg_window_funnel": 6,
+    "rpt_dedup_audit": 6,
+    "rpt_active_users": 5,
+}
 
 
 def test_no_unplanned_cartesians_or_shuffle_explosions(spark, sf_dir):

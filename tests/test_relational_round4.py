@@ -1301,3 +1301,32 @@ def test_covar_exact_matches_numpy(spark, sf_dir):
         ref_samp = float(np.cov(x, y, bias=False)[0, 1])
         assert abs(g.covar_pop - ref_pop) <= 1e-6 * abs(ref_pop)
         assert abs(g.covar_samp - ref_samp) <= 1e-6 * abs(ref_samp)
+
+
+def test_active_users_python_replay(spark, sf_dir):
+    import datetime
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        MAU_DAYS,
+        WAU_DAYS,
+        rpt_active_users,
+    )
+
+    got = {r.day: r for r in rpt_active_users(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).collect()
+    ud = {(r.user_id, r.day) for r in ev}
+    days = sorted({d for _, d in ud})
+    d0, d1 = days[0], days[-1]
+    # spine density
+    assert set(got) == {
+        d0 + datetime.timedelta(days=i) for i in range((d1 - d0).days + 1)
+    }
+    for day, g in got.items():
+        dau = {u for u, d in ud if d == day}
+        wau = {u for u, d in ud if 0 <= (day - d).days < WAU_DAYS}
+        mau = {u for u, d in ud if 0 <= (day - d).days < MAU_DAYS}
+        assert (g.dau, g.wau, g.mau) == (len(dau), len(wau), len(mau))
+        assert g.dau <= g.wau <= g.mau  # monotone containment

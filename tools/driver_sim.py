@@ -53,8 +53,11 @@ NON_UTC_TZS = [
 
 
 def canon(v, pd):
-    if v is None or (isinstance(v, float) and pd.isna(v)):
-        return ""
+    try:
+        if v is None or pd.isna(v):
+            return ""
+    except (TypeError, ValueError):  # arrays etc.
+        pass
     if isinstance(v, float):
         return v.hex()
     if isinstance(v, (dt.date, dt.datetime, pd.Timestamp)):
