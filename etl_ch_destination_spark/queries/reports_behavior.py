@@ -501,3 +501,91 @@ def rpt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mau", F.lit(0)).cast("bigint").alias("mau"),
         )
     )
+
+
+@query(
+    "rpt_brand_affinity",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+    brand_n AS (
+        SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_pair
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_pair,
+           na.n_b AS n_a, nb.n_b AS n_b,
+           CAST(p.n_pair AS DOUBLE) * (SELECT n FROM n_orders)
+             / (na.n_b * nb.n_b) AS lift
+    FROM pairs p
+    JOIN brand_n na ON p.brand_a = na.p_brand
+    JOIN brand_n nb ON p.brand_b = nb.p_brand
+    """,
+)
+def rpt_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — brand pairs ordered together,
+    with support counts and LIFT (P(a,b)/(P(a)·P(b)), computed as one
+    double expression over exact integer counts). The association
+    shape behind "frequently bought together".
+
+    Scale shape: the pair generator is a SELF EQUI-JOIN on the order
+    key of the (order, brand) DISTINCT projection — candidates are
+    co-ordered brands only, never a brand×brand cartesian, and the
+    per-order fan-out is bounded by basket size (|lines| per order,
+    ~4 here). Dims broadcast; the distinct + pair count are the two
+    real exchanges. The same plan serves item-item co-occurrence at
+    100 TB (the pair-count reduce side is |brand|² bounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_pair").cast("double")
+                * F.lit(n_orders)
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -82,10 +82,17 @@ MAX_HASH_SHUFFLES = 4
 #     and the day-spine join: five genuinely distinct keys; the static
 #     plan shows the spine join exchange AQE replaces with a broadcast
 #     at runtime.
+#   rpt_brand_affinity — the (order, brand) basket projection feeds
+#     three branches (per-brand counts, both self-join sides); the
+#     STATIC plan prints an exchange per branch — at execution
+#     ReuseExchange/AQE collapse the identical subplans — plus the
+#     self-join's two order-key exchanges and the two count
+#     aggregates, all genuinely distinct keys.
 SHUFFLE_ALLOWANCE = {
     "agg_window_funnel": 6,
     "rpt_dedup_audit": 6,
     "rpt_active_users": 5,
+    "rpt_brand_affinity": 9,
 }
 
 

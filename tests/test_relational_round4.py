@@ -1330,3 +1330,38 @@ def test_active_users_python_replay(spark, sf_dir):
         mau = {u for u, d in ud if 0 <= (day - d).days < MAU_DAYS}
         assert (g.dau, g.wau, g.mau) == (len(dau), len(wau), len(mau))
         assert g.dau <= g.wau <= g.mau  # monotone containment
+
+
+def test_brand_affinity_python_replay(spark, sf_dir):
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        rpt_brand_affinity,
+    )
+
+    got = {(r.brand_a, r.brand_b): r for r in rpt_brand_affinity(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    parts = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(parts[r.l_partkey])
+    n_orders = len(baskets)
+    brand_n = Counter()
+    pair_n = Counter()
+    for bs in baskets.values():
+        for b in bs:
+            brand_n[b] += 1
+        for x, y in combinations(sorted(bs), 2):
+            pair_n[(x, y)] += 1
+    assert set(got) == set(pair_n)
+    for k, n in pair_n.items():
+        g = got[k]
+        assert g.n_pair == n
+        assert (g.n_a, g.n_b) == (brand_n[k[0]], brand_n[k[1]])
+        lift = n * n_orders / (brand_n[k[0]] * brand_n[k[1]])
+        assert abs(g.lift - lift) < 1e-9
