@@ -1657,3 +1657,61 @@ def agg_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
         ((n * sxy - sx * sy) / (n * (n - 1))).alias("covar_samp"),
     )
+
+
+@query(
+    "agg_histogram_log2",
+    """
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CASE WHEN cents <= 0 THEN -1
+                    ELSE length(format('{:b}', cents)) - 1 END AS bucket,
+               cents
+        FROM q
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(CASE WHEN bucket = -1 THEN 0
+                     ELSE 1 << bucket END AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-spaced (power-of-two) histogram — the latency/size
+    histogram convention (Prometheus-style exponential buckets)
+    computed EXACTLY: bucket = floor(log2(cents)) as bitlen(cents)−1
+    (the llm_unigram_logprob integer identity — no float log), bucket
+    floor = 1 << bucket. Equi-width agg_histogram covers linear
+    domains; heavy-tailed money/latency values need log buckets, and
+    whole-bit buckets make the oracle hash-exact.
+
+    One partial+final hash aggregate over ~34 buckets per type —
+    map-side combine does everything at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("event_type", cents.alias("cents"))
+    bucket = F.when(F.col("cents") <= 0, -1).otherwise(
+        F.length(F.conv(F.col("cents"), 10, 2)) - 1
+    )
+    b = q.select("event_type", bucket.cast("int").alias("bucket"), "cents")
+    g = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+    bucket_lo = (
+        F.when(F.col("bucket") == -1, 0)
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+        .cast("bigint")
+    )
+    return g.select(
+        "event_type", "bucket", bucket_lo.alias("bucket_lo"),
+        "n", "min_cents", "max_cents",
+    )

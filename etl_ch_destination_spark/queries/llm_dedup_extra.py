@@ -93,6 +93,23 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB form of the scored-pair frame (shared by the pairs key and
 # the clusters key built on top of it).
+_PAIRS_SQL_BASE = f"""
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle) JOIN kept USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
 _PAIRS_SQL = f"""
     w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     sh AS (
@@ -418,4 +435,82 @@ def llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(grams).alias("fp_min"),
         F.size(grams).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )
+
+
+CONTAIN_MIN = 0.5  # containment cut: half of the smaller doc's shingles
+
+
+@query(
+    "llm_dedup_containment",
+    f"""
+    WITH {_PAIRS_SQL_BASE}
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment,
+           sa.sz < sb.sz OR (sa.sz = sb.sz AND id_a < id_b) AS a_is_smaller
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * n_common >= LEAST(sa.sz, sb.sz)
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup pairs — |A∩B| / min(|A|, |B|), the
+    asymmetric cousin of llm_dedup_ngram_jaccard that catches
+    SUBSET duplication Jaccard misses: a short doc fully quoted
+    inside a long one has tiny Jaccard but containment ≈ 1 (the
+    quote/boilerplate-inclusion detector). Same inverted shingle
+    index and DF-capped self-join; the threshold test is an integer
+    cross-multiplication (2·n_common >= min size, i.e. containment
+    >= 0.5) so the kept pair set is float-free; the score itself is
+    one final IEEE division, and a_is_smaller orients which side is
+    the candidate quote.
+
+    Plan identical to the Jaccard key — candidate pairs only, never
+    all-pairs; see that docstring for the 100 TB argument."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .join(kept, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    mn = F.least(F.col("sza"), F.col("szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(2 * F.col("n_common") >= mn)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (F.col("n_common").cast("double") / mn).alias("containment"),
+            (
+                (F.col("sza") < F.col("szb"))
+                | ((F.col("sza") == F.col("szb")) & (F.col("id_a") < F.col("id_b")))
+            ).alias("a_is_smaller"),
+        )
     )

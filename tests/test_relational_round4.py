@@ -1365,3 +1365,79 @@ def test_brand_affinity_python_replay(spark, sf_dir):
         assert (g.n_a, g.n_b) == (brand_n[k[0]], brand_n[k[1]])
         lift = n * n_orders / (brand_n[k[0]] * brand_n[k[1]])
         assert abs(g.lift - lift) < 1e-9
+
+
+def test_containment_python_replay_and_subset_property(spark, sf_dir):
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_dedup_extra import (
+        CONTAIN_MIN,
+        DF_CAP,
+        llm_dedup_containment,
+    )
+
+    got = {(r.id_a, r.id_b): r for r in llm_dedup_containment(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sh: dict[int, set] = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) >= 3:
+            sh[r.doc_id] = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    df = Counter()
+    for s in sh.values():
+        for g in s:
+            df[g] += 1
+    kept = {g for g, d in df.items() if d <= DF_CAP}
+    expect = {}
+    ids = sorted(sh)
+    inv: dict[str, list] = {}
+    for did in ids:
+        for g in sh[did] & kept:
+            inv.setdefault(g, []).append(did)
+    common = Counter()
+    for g, ds in inv.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                common[(ds[i], ds[j])] += 1
+    for (a, b), n in common.items():
+        mn = min(len(sh[a]), len(sh[b]))
+        if 2 * n >= mn:
+            expect[(a, b)] = (n, n / mn)
+    assert set(got) == set(expect)
+    for k, (n, c) in expect.items():
+        g = got[k]
+        assert g.n_common == n and abs(g.containment - c) < 1e-12
+        assert 0 < g.containment <= 1 + 1e-12
+        assert CONTAIN_MIN <= g.containment + 1e-12
+
+
+def test_log2_histogram_bucket_invariants(spark, sf_dir):
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        agg_histogram_log2,
+    )
+
+    rows = agg_histogram_log2(spark, sf_dir).collect()
+    total = 0
+    for r in rows:
+        total += r.n
+        if r.bucket >= 0:
+            assert r.bucket_lo == 1 << r.bucket
+            assert r.bucket_lo <= r.min_cents <= r.max_cents < 2 * r.bucket_lo
+        else:
+            assert r.max_cents <= 0
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
+    # replay a few buckets exactly
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    from collections import Counter
+
+    exp = Counter()
+    for r in ev:
+        c = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        b = -1 if c <= 0 else c.bit_length() - 1
+        exp[(r.event_type, b)] += 1
+    assert {(r.event_type, r.bucket): r.n for r in rows} == dict(exp)
