@@ -508,3 +508,76 @@ def arr_sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|",
     )
     return d.select("doc_id", by_len.alias("by_len"), by_suffix.alias("by_suffix"))
+
+
+CUMSUM_WORDS = 10
+
+
+@query(
+    "arr_cumsum_scan",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(
+                 list_slice(string_split(text, ' '), 1, {CUMSUM_WORDS}),
+                 w -> length(w)) AS lens
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {CUMSUM_WORDS}
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, {CUMSUM_WORDS + 1}),
+             i -> CAST(list_sum(list_slice(lens, 1, i)) AS VARCHAR)), '|')
+             AS cumsum,
+           array_to_string(list_transform(range(1, {CUMSUM_WORDS + 1}),
+             i -> CAST(CASE WHEN i = 1 THEN lens[1]
+                            ELSE lens[i] - lens[i - 1] END AS VARCHAR)), '|')
+             AS diffs,
+           CAST(list_sum(lens) AS BIGINT) AS total
+    FROM t
+    """,
+)
+def arr_cumsum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `arrayCumSum` / `arrayDifference` — per-row ARRAY prefix
+    scans (here over the first 10 word lengths). Neither engine has a
+    scan-HOF both ways, so both spell the prefix sum as the same
+    slice-and-sum comprehension (O(k²) on a k=10 array — constant per
+    row) and the difference as the index comparison; every number is
+    an exact small integer, serialized '|'-joined for the scalar hash
+    gate.
+
+    Pure map-side HOF codegen, zero shuffles. The row-stream cousins
+    (running windows over events) live in arr_fill_compact /
+    win_running_rows; this key pins the ARRAY-level semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.filter(F.size(toks) >= CUMSUM_WORDS).select(
+        "doc_id",
+        F.transform(
+            F.slice(toks, 1, CUMSUM_WORDS), lambda w: F.length(w)
+        ).alias("lens"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(CUMSUM_WORDS))
+    cumsum = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(F.col("lens"), 1, i), F.lit(0), lambda a, x: a + x
+            ).cast("string"),
+        ),
+        "|",
+    )
+    diffs = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.when(i == 1, F.element_at(F.col("lens"), 1))
+            .otherwise(
+                F.element_at(F.col("lens"), i) - F.element_at(F.col("lens"), i - 1)
+            )
+            .cast("string"),
+        ),
+        "|",
+    )
+    total = F.aggregate(F.col("lens"), F.lit(0), lambda a, x: a + x).cast("bigint")
+    return t.select(
+        "doc_id", cumsum.alias("cumsum"), diffs.alias("diffs"), total.alias("total")
+    )

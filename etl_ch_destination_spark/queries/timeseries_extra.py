@@ -629,3 +629,55 @@ def gen_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+FISCAL_START_MONTH = 7  # fiscal year starts July 1
+
+
+@query(
+    "date_fiscal_calendar",
+    f"""
+    WITH d AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               year(CAST(o_orderdate AS DATE)) AS y,
+               month(CAST(o_orderdate AS DATE)) AS m
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN m >= {FISCAL_START_MONTH} THEN y + 1 ELSE y END
+                AS INT) AS fiscal_year,
+           CAST(((m - {FISCAL_START_MONTH} + 12) % 12) // 3 + 1 AS INT)
+             AS fiscal_quarter,
+           CAST((m - {FISCAL_START_MONTH} + 12) % 12 + 1 AS INT) AS fiscal_month,
+           CAST(CASE WHEN m >= {FISCAL_START_MONTH}
+                     THEN make_date(y, {FISCAL_START_MONTH}, 1)
+                     ELSE make_date(y - 1, {FISCAL_START_MONTH}, 1)
+                END AS DATE) AS fiscal_year_start
+    FROM d
+    """,
+)
+def date_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-calendar derivation (FY starting July 1, the
+    US-government/AU convention): fiscal year (labeled by its END
+    year), quarter, month index, and the fiscal year's start date —
+    pure month arithmetic, identical integer expressions on both
+    engines, no calendar-library dependence. The shifted-calendar
+    twin of date_iso_week's ISO derivation; together they cover the
+    two reporting calendars a warehouse actually meets.
+
+    Map-side codegen; scales with the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    y, m = F.year(od), F.month(od)
+    after = m >= FISCAL_START_MONTH
+    return o.select(
+        "o_orderkey",
+        F.when(after, y + 1).otherwise(y).cast("int").alias("fiscal_year"),
+        (
+            F.floor(((m - FISCAL_START_MONTH + 12) % 12) / 3) + 1
+        ).cast("int").alias("fiscal_quarter"),
+        ((m - FISCAL_START_MONTH + 12) % 12 + 1).cast("int").alias("fiscal_month"),
+        F.when(after, F.make_date(y, F.lit(FISCAL_START_MONTH), F.lit(1)))
+        .otherwise(F.make_date(y - 1, F.lit(FISCAL_START_MONTH), F.lit(1)))
+        .alias("fiscal_year_start"),
+    )

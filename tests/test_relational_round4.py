@@ -1441,3 +1441,57 @@ def test_log2_histogram_bucket_invariants(spark, sf_dir):
         b = -1 if c <= 0 else c.bit_length() - 1
         exp[(r.event_type, b)] += 1
     assert {(r.event_type, r.bucket): r.n for r in rows} == dict(exp)
+
+
+def test_cumsum_scan_python_replay(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scalars_complex import (
+        CUMSUM_WORDS,
+        arr_cumsum_scan,
+    )
+
+    got = {r.doc_id: r for r in arr_cumsum_scan(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    checked = 0
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) < CUMSUM_WORDS:
+            assert r.doc_id not in got
+            continue
+        lens = [len(w) for w in ws[:CUMSUM_WORDS]]
+        cs, acc = [], 0
+        for v in lens:
+            acc += v
+            cs.append(acc)
+        diffs = [lens[0]] + [lens[i] - lens[i - 1] for i in range(1, len(lens))]
+        g = got[r.doc_id]
+        assert g.cumsum == "|".join(map(str, cs))
+        assert g.diffs == "|".join(map(str, diffs))
+        assert g.total == sum(lens) == cs[-1]
+        checked += 1
+    assert checked > 0
+
+
+def test_fiscal_calendar_python_replay(spark, sf_dir):
+    import datetime
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        FISCAL_START_MONTH,
+        date_fiscal_calendar,
+    )
+
+    got = {r.o_orderkey: r for r in date_fiscal_calendar(spark, sf_dir).collect()}
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    ).collect():
+        d = r.od
+        fy = d.year + 1 if d.month >= FISCAL_START_MONTH else d.year
+        fm = (d.month - FISCAL_START_MONTH + 12) % 12 + 1
+        g = got[r.o_orderkey]
+        assert g.fiscal_year == fy
+        assert g.fiscal_month == fm
+        assert g.fiscal_quarter == (fm - 1) // 3 + 1
+        assert g.fiscal_year_start == datetime.date(fy - 1, FISCAL_START_MONTH, 1)
+        # the fiscal year start is at most a year before the date
+        assert g.fiscal_year_start <= d < datetime.date(fy, FISCAL_START_MONTH, 1)
