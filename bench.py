@@ -61,6 +61,8 @@ BENCH_KEYS = [
     "agg_quantiles_weighted",
     "agg_interval_length_sum",
     "llm_ngram_novelty",
+    "agg_rank_corr",
+    "rpt_active_users",
     "sink_shard_balanced",
     "agg_window_funnel",
     "agg_state_merge",
