@@ -13,9 +13,15 @@ into `format("noop")` so the full plan runs without driver-side
 transfer costing the measurement; a JVM GC is requested between keys
 so one key's garbage doesn't bill the next key's runs.
 
-Prints exactly ONE JSON line to stdout:
+Prints exactly ONE COMPACT JSON line to stdout:
   {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-   "queries": {...}, "queries_p95": {...}, "sf": ..., "config": {...}}
+   "queries": {...medians...}, "sf": ...}
+The driver captures only the LAST 2,000 characters of stdout
+(BENCH_r04 had "parsed": null because the old single line carried
+per-key p95s + config and overflowed that window, truncating its own
+head). The compact line stays well under the window; the full detail
+(p95s, config, protocol, raw samples) goes to the BENCH_DETAIL.json
+sidecar next to this script instead of stdout.
 """
 
 from __future__ import annotations
@@ -157,9 +163,10 @@ def main() -> int:
             pass
 
     ok = {k: v for k, v in timings.items() if v >= 0}
-    result = {
+    suite = round(sum(ok.values()), 3)
+    detail = {
         "metric": "suite_wall_sec",
-        "value": round(sum(ok.values()), 3),
+        "value": suite,
         "unit": "sec",
         "queries": timings,
         "queries_p95": p95s,
@@ -176,7 +183,20 @@ def main() -> int:
             "os_cpus": os.cpu_count(),
         },
     }
-    print(json.dumps(result))
+    # full detail (p95s, config) to the sidecar — NOT stdout; the
+    # driver's tail capture is 2,000 chars and must see a complete line
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "suite_wall_sec",
+        "value": suite,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1500, f"bench stdout line too long: {len(line)}"
+    print(line)
     spark.stop()
     return 0
 

@@ -3,45 +3,48 @@ every implemented query + oracle into the registry.
 
 IMPORT ORDER IS DELIBERATE, NOT ALPHABETICAL: the driver's correctness
 harness samples the FIRST 50 keys in registration (dict-insertion)
-order each round. Rounds 1-3 all sampled the same ~50 keys
-(aggregations/behavior/joins + part of the LLM set), leaving 96 keys
-locally-verified only. Round 4 front-loads the never-driver-sampled
-modules — composed reports, windows, scalar families — so
-CORRECTNESS_r04 verifies ~50 fresh keys; later rounds rotate again
-(udfs/streaming/sources next) until every key has a driver-green row.
+order each round. Rounds 1-4 covered 120 unique keys; each round
+front-loads a block of never-driver-sampled modules so the sample is
+all-fresh. Round-5 front block (53 keys, every one fresh): udfs,
+streaming_batch, sources_sinks, timeseries, scd, scalars_binary,
+windows_extra, joins_extra. Remaining rotation schedule (NOTES_r05.md):
+r6 = aggregations_ch + reports_behavior + timeseries_extra + tail of
+this round's block; r7 = llm_corpus + remaining llm_text/llm_vectors/
+scalars_complex/sorts/setops/behavior/llm_dedup_extra fresh keys —
+reaching 261/261 driver-green by round 7.
 """
 
 from etl_ch_destination_spark.queries import (  # noqa: F401
-    # never driver-sampled before round 4 — sampled first this round
+    # round-5 front block — never driver-sampled; sampled first this round
+    udfs,
+    streaming_batch,
+    sources_sinks,
+    timeseries,
+    scd,
+    scalars_binary,
+    windows_extra,
+    joins_extra,
+    # round-6 front-block candidates (never sampled; past the first-50 cut)
+    aggregations_ch,
+    llm_vectors,  # must precede reports_behavior (rpt_dedup_audit composes its oracle)
+    reports_behavior,
+    timeseries_extra,
+    # round-7 candidates (modules with some never-sampled keys left)
+    llm_corpus,
+    llm_text,
+    scalars_complex,
+    sorts,
+    setops,
+    behavior,
+    llm_dedup_extra,
+    # driver-hash-confirmed in rounds 1-4
+    projection,
+    aggregations,
+    joins,
     reports,
     reports_supply,
     windows,
     scalars_string,
     scalars_date,
     scalars_math,
-    scalars_complex,
-    # next rotation candidates (never sampled; past the first-50 cut)
-    udfs,
-    streaming_batch,
-    sources_sinks,
-    sorts,
-    timeseries,
-    scd,
-    setops,
-    projection,
-    llm_text,
-    llm_vectors,
-    llm_dedup_extra,
-    llm_corpus,
-    # driver-hash-confirmed in rounds 1-3
-    aggregations,
-    behavior,
-    joins,
-    # round-4 ClickHouse-signature additions (never sampled yet)
-    aggregations_ch,
-    scalars_binary,
-    windows_extra,
-    reports_behavior,
-    timeseries_extra,
-    joins_extra,
 )
