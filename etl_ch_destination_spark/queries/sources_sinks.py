@@ -487,12 +487,26 @@ ROWBINARY_BLOCK = 100  # docs per insert block (doc_id div — deterministic)
     WITH sized AS (
       SELECT doc_id // {ROWBINARY_BLOCK} AS block_idx,
              -- RowBinary row size for the documents schema, all five
-             -- columns Nullable (1 flag byte each): 2 x Int64 + three
-             -- varint-length strings (fixture strings < 16384 chars)
-             5 + 8 + 8
-               + (CASE WHEN strlen(text)   < 128 THEN 1 ELSE 2 END) + strlen(text)
-               + (CASE WHEN strlen(lang)   < 128 THEN 1 ELSE 2 END) + strlen(lang)
-               + (CASE WHEN strlen(source) < 128 THEN 1 ELSE 2 END) + strlen(source)
+             -- columns Nullable (1 flag byte each, always present); a
+             -- NULL value contributes NOTHING past its flag byte, and
+             -- varint string-length prefixes widen at 128 / 16384
+             -- (ADVICE r4: the model must stay faithful if a fixture
+             -- regen ever introduces NULLs or >=16384-char strings)
+             5
+               + (CASE WHEN doc_id  IS NULL THEN 0 ELSE 8 END)
+               + (CASE WHEN n_chars IS NULL THEN 0 ELSE 8 END)
+               + (CASE WHEN text IS NULL THEN 0
+                       WHEN strlen(text) < 128 THEN 1 + strlen(text)
+                       WHEN strlen(text) < 16384 THEN 2 + strlen(text)
+                       ELSE 3 + strlen(text) END)
+               + (CASE WHEN lang IS NULL THEN 0
+                       WHEN strlen(lang) < 128 THEN 1 + strlen(lang)
+                       WHEN strlen(lang) < 16384 THEN 2 + strlen(lang)
+                       ELSE 3 + strlen(lang) END)
+               + (CASE WHEN source IS NULL THEN 0
+                       WHEN strlen(source) < 128 THEN 1 + strlen(source)
+                       WHEN strlen(source) < 16384 THEN 2 + strlen(source)
+                       ELSE 3 + strlen(source) END)
                AS row_bytes
       FROM documents
     )
@@ -568,9 +582,23 @@ NATIVE_PRELUDE = 2 + 115
     f"""
     WITH sized AS (
       SELECT doc_id // {ROWBINARY_BLOCK} AS block_idx,
-             (CASE WHEN strlen(text)   < 128 THEN 1 ELSE 2 END) + strlen(text)
-               + (CASE WHEN strlen(lang)   < 128 THEN 1 ELSE 2 END) + strlen(lang)
-               + (CASE WHEN strlen(source) < 128 THEN 1 ELSE 2 END) + strlen(source)
+             -- Native writes DEFAULTS into null slots: a NULL string
+             -- still costs its varint(0) prefix byte (empty string),
+             -- a NULL Int64 still costs its full 8 bytes (counted in
+             -- the fixed 21 below); varint prefixes widen at 128 /
+             -- 16384 (ADVICE r4 null-faithfulness guard)
+             (CASE WHEN text IS NULL THEN 1
+                   WHEN strlen(text) < 128 THEN 1 + strlen(text)
+                   WHEN strlen(text) < 16384 THEN 2 + strlen(text)
+                   ELSE 3 + strlen(text) END)
+               + (CASE WHEN lang IS NULL THEN 1
+                       WHEN strlen(lang) < 128 THEN 1 + strlen(lang)
+                       WHEN strlen(lang) < 16384 THEN 2 + strlen(lang)
+                       ELSE 3 + strlen(lang) END)
+               + (CASE WHEN source IS NULL THEN 1
+                       WHEN strlen(source) < 128 THEN 1 + strlen(source)
+                       WHEN strlen(source) < 16384 THEN 2 + strlen(source)
+                       ELSE 3 + strlen(source) END)
                AS var_bytes
       FROM documents
     )
@@ -961,7 +989,13 @@ def scan_native_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         F.col("label").cast("int"),
     )
-    native_blocks(src, rows_per_block=2048).write.mode("overwrite").parquet(path)
+    # the parquet read declares array elements nullable; the egress
+    # pins the dense-vector wire type (Array(Float32), no element
+    # masks) via the schema override — encode still raises if a null
+    # element ever violates the declaration
+    native_blocks(src, rows_per_block=2048, wire_schema=wire_schema).write.mode(
+        "overwrite"
+    ).parquet(path)
     blocks = spark.read.parquet(path)
 
     def decode_partition(batches):

@@ -86,15 +86,27 @@ def ch_type(dt: DataType, nullable: bool = False) -> str:
     elif isinstance(dt, TimestampType):
         base = "DateTime64(6)"  # Spark timestamps are µs precision
     elif isinstance(dt, ArrayType):
-        # CH forbids Nullable inside Array element types by default
-        base = f"Array({ch_type(dt.elementType, nullable=False)})"
+        # element nullability follows the Spark schema: CH forbids
+        # Nullable(Array) but allows Array(Nullable(T)), and the
+        # RowBinary encoder keys per-element markers off containsNull —
+        # the declared type text must agree with the payload bytes
+        base = f"Array({ch_type(dt.elementType, dt.containsNull)})"
     elif isinstance(dt, MapType):
+        # CH map keys are never Nullable; value nullability follows
+        # valueContainsNull for the same bytes-agree-with-DDL reason
         base = (
-            f"Map({ch_type(dt.keyType, False)}, {ch_type(dt.valueType, False)})"
+            f"Map({ch_type(dt.keyType, False)}, "
+            f"{ch_type(dt.valueType, dt.valueContainsNull)})"
         )
+    elif isinstance(dt, StructType):
+        # named Tuple; CH forbids Nullable(Tuple) but allows Nullable
+        # fields — per-field nullability from the Spark struct fields
+        base = "Tuple(" + ", ".join(
+            f"{f.name} {ch_type(f.dataType, f.nullable)}" for f in dt.fields
+        ) + ")"
     else:
         raise TypeError(f"no ClickHouse mapping for Spark type {dt.simpleString()}")
-    if nullable and not isinstance(dt, (ArrayType, MapType)):
+    if nullable and not isinstance(dt, (ArrayType, MapType, StructType)):
         return f"Nullable({base})"
     return base
 

@@ -123,8 +123,13 @@ def encode_native_column(dt: DataType, nullable: bool, values: list) -> bytes:
                 "Native encoder covers flat array elements only; use "
                 f"rowbinary_blocks for {dt.simpleString()}"
             )
-        # ch_type maps Array(T) without Nullable wrapping (CH forbids
-        # Nullable(Array) and Nullable elements by default)
+        # CH forbids Nullable(Array) (the array itself is never null)
+        # but allows Array(Nullable(T)): when the Spark schema's
+        # containsNull is set, ch_type declares Nullable elements and
+        # the nested column serializes CH-Native-style — null mask for
+        # all flattened elements FIRST, then element data with type
+        # defaults in the null slots. Non-null element schemas reject
+        # null elements loudly (bytes always agree with the type text).
         out = bytearray()
         total = 0
         elems: list = []
@@ -135,9 +140,15 @@ def encode_native_column(dt: DataType, nullable: bool, values: list) -> bytes:
             total += len(row)
             out += total.to_bytes(8, "little")  # cumulative end offset
             elems.extend(row)
+        if dt.containsNull:
+            out += bytes(1 if _is_null(e) else 0 for e in elems)
+            default = _default_value(dt.elementType)
+            elems = [default if _is_null(e) else e for e in elems]
+        else:
+            for e in elems:
+                if _is_null(e):
+                    raise ValueError("NULL element in non-nullable Native Array column")
         for e in elems:
-            if _is_null(e):
-                raise ValueError("NULL element in Native Array column")
             out += _encode_nonnull(dt.elementType, e)
         return bytes(out)
     if isinstance(dt, (MapType, StructType)):
@@ -183,13 +194,26 @@ def encode_native_block(schema: StructType, rows: Iterable) -> bytes:
 NATIVE_BLOCK_SCHEMA = "block_rows INT, payload BINARY"
 
 
-def native_blocks(df: DataFrame, rows_per_block: int = 100_000) -> DataFrame:
+def native_blocks(
+    df: DataFrame,
+    rows_per_block: int = 100_000,
+    wire_schema: StructType | None = None,
+) -> DataFrame:
     """Encode ``df`` into Native insert blocks, distributed — the
     column-wise sibling of ``rowbinary_blocks`` with the same
-    per-partition slicing and per-block retry/tokenize contract."""
+    per-partition slicing and per-block retry/tokenize contract.
+
+    ``wire_schema`` overrides the DataFrame's schema for type-text and
+    nullability purposes: parquet reads declare every column and array
+    element nullable, but a destination table is usually NOT NULL
+    (MergeTree keys, dense vectors) — the override pins the declared
+    wire types while the encoder still raises on any value that
+    violates them, so a mismatch can never ship silently."""
     if rows_per_block < 1:
         raise ValueError("rows_per_block must be >= 1")
-    schema = df.schema
+    schema = wire_schema if wire_schema is not None else df.schema
+    if len(schema.fields) != len(df.schema.fields):
+        raise ValueError("wire_schema width != DataFrame width")
 
     def encode_partition(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -310,10 +334,16 @@ def decode_native_block(schema: StructType, payload: bytes) -> list[tuple]:
                 offsets.append(int.from_bytes(payload[pos : pos + 8], "little"))
                 pos += 8
             total = offsets[-1] if offsets else 0
+            elem_nulls = [False] * total
+            if f.dataType.containsNull:
+                # Array(Nullable(T)): flattened element null mask
+                # sits between the offsets and the element data
+                elem_nulls = [payload[pos + i] == 1 for i in range(total)]
+                pos += total
             elems = []
-            for _ in range(total):
+            for i in range(total):
                 v, pos = _decode_fixed(f.dataType.elementType, payload, pos)
-                elems.append(v)
+                elems.append(None if elem_nulls[i] else v)
             vals, start = [], 0
             for end in offsets:
                 vals.append(elems[start:end])

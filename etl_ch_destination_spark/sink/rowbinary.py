@@ -21,9 +21,18 @@ Encoding rules (all little-endian, no delimiters, values row-major):
 - Decimal(P, S)          scaled integer, width by precision:
                          P<=9 Int32, P<=18 Int64, P<=38 Int128
 - Nullable(T)            0x00 + value, or 0x01 alone for NULL
-- Array(T)               LEB128 element count + elements
-- Map(K, V)              LEB128 pair count + k1 v1 k2 v2 ...
-- Tuple/struct           fields in order, no prefix
+- Array(T)               LEB128 element count + elements; elements are
+                         Nullable (marker byte each) iff the Spark
+                         schema's containsNull is set — ch_type then
+                         declares Array(Nullable(T)) so header/DDL and
+                         payload always agree
+- Map(K, V)              LEB128 pair count + k1 v1 k2 v2 ...; values
+                         Nullable iff valueContainsNull (ditto)
+- Tuple/struct           fields in order, no prefix; per-field
+                         Nullable markers iff the field is nullable.
+                         CH forbids Nullable(Array/Map/Tuple) at the
+                         top level, so those columns never carry a
+                         column-level marker themselves
 
 Type *names* (for the RowBinaryWithNamesAndTypes header) come from
 ``clickhouse.ch_type`` so the bytes always agree with the DDL the sink
@@ -184,8 +193,9 @@ def _is_null(v) -> bool:
 
 def encode_value(dt: DataType, v, nullable: bool) -> bytes:
     """One value; Nullable(T) gets the 0x00/0x01 marker byte."""
-    if nullable and not isinstance(dt, (ArrayType, MapType)):
-        # ch_type never wraps Array/Map in Nullable (CH forbids it)
+    if nullable and not isinstance(dt, (ArrayType, MapType, StructType)):
+        # ch_type never wraps Array/Map/Tuple in Nullable (CH forbids
+        # it), so compound columns never carry a column-level marker
         if _is_null(v):
             return b"\x01"
         return b"\x00" + _encode_nonnull(dt, v)
@@ -352,7 +362,7 @@ def _decode_nonnull(dt: DataType, buf: bytes, pos: int):  # noqa: C901
 
 def decode_value(dt: DataType, nullable: bool, buf: bytes, pos: int):
     """Inverse of encode_value; returns (value_or_None, next_pos)."""
-    if nullable and not isinstance(dt, (ArrayType, MapType)):
+    if nullable and not isinstance(dt, (ArrayType, MapType, StructType)):
         marker = buf[pos]
         pos += 1
         if marker == 1:

@@ -160,12 +160,27 @@ class TestArrays:
             + struct.pack("<fff", 1.5, 2.5, -0.5)
         )
 
-    def test_null_array_or_element_rejected(self):
+    def test_null_array_rejected_null_element_masked(self):
+        # the array value itself can never be NULL (CH forbids
+        # Nullable(Array)); a null ELEMENT is only legal when the
+        # schema declares containsNull — it then serializes as
+        # Array(Nullable(T)): offsets, flattened element null mask,
+        # then element data with the type default in the null slot
         at = ArrayType(IntegerType(), containsNull=True)
         with pytest.raises(ValueError):
             encode_native_column(at, False, [None])
+        got = encode_native_column(at, False, [[1, None], [3]])
+        expect = (
+            (2).to_bytes(8, "little")
+            + (3).to_bytes(8, "little")
+            + b"\x00\x01\x00"  # element null mask
+            + struct.pack("<iii", 1, 0, 3)  # default 0 in the null slot
+        )
+        assert got == expect
+        # non-nullable element schema still rejects loudly
+        strict = ArrayType(IntegerType(), containsNull=False)
         with pytest.raises(ValueError):
-            encode_native_column(at, False, [[1, None]])
+            encode_native_column(strict, False, [[1, None]])
 
     def test_nested_array_still_rejected(self):
         at = ArrayType(ArrayType(IntegerType()))
@@ -185,8 +200,20 @@ class TestArrays:
         rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
         # parquet reads declare everything nullable; the destination
         # table is NOT NULL (MergeTree key + dense vectors), so the
-        # egress schema pins that — same real data
-        schema = StructType.fromDDL("vec_id BIGINT NOT NULL, embedding ARRAY<FLOAT> NOT NULL")
+        # egress schema pins that — same real data. containsNull=False
+        # keeps the wire type Array(Float32) with no element masks
+        # (DDL ARRAY<FLOAT> can't express element non-nullability).
+        from pyspark.sql.types import FloatType, LongType, StructField
+
+        schema = StructType(
+            [
+                StructField("vec_id", LongType(), nullable=False),
+                StructField(
+                    "embedding", ArrayType(FloatType(), containsNull=False),
+                    nullable=False,
+                ),
+            ]
+        )
         payload = encode_native_block(schema, rows)
         # header: 2 cols, 5 rows
         assert payload[:2] == b"\x02\x05"

@@ -194,6 +194,43 @@ class TestRowAndBlock:
         assert head == expect
         assert encode_block(ROW_SCHEMA, [], with_names_types=True) == expect
 
+    def test_names_types_header_covers_structs_and_nullable_elements(self):
+        """ADVICE r4: the header must cover the whole encodable type
+        surface — struct columns map to named Tuple, and Array/Map
+        element nullability in the type text must agree with the
+        per-element marker bytes the encoder emits."""
+        from pyspark.sql.types import ArrayType, IntegerType, MapType
+
+        schema = StructType(
+            [
+                StructField(
+                    "pt",
+                    StructType(
+                        [
+                            StructField("x", LongType(), nullable=False),
+                            StructField("y", StringType(), nullable=True),
+                        ]
+                    ),
+                    nullable=False,
+                ),
+                StructField("xs", ArrayType(IntegerType(), True), nullable=False),
+                StructField(
+                    "m", MapType(StringType(), LongType(), True), nullable=False
+                ),
+            ]
+        )
+        head = names_types_header(schema)
+        texts = [b"Tuple(x Int64, y Nullable(String))",
+                 b"Array(Nullable(Int32))",
+                 b"Map(String, Nullable(Int64))"]
+        for t in texts:
+            assert t in head
+        # and the declared Nullable element really is marker-encoded
+        at = ArrayType(IntegerType(), True)
+        assert encode_value(at, [1, None], False) == (
+            b"\x02" + b"\x00" + struct.pack("<i", 1) + b"\x01"
+        )
+
 
 class TestDistributedBlocks:
     """The mapInPandas path must byte-match the local encoder and split

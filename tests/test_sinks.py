@@ -26,10 +26,39 @@ def test_ch_type_mapping():
     assert ch_type(DoubleType()) == "Float64"
     assert ch_type(DecimalType(12, 2)) == "Decimal(12, 2)"
     assert ch_type(TimestampType()) == "DateTime64(6)"
-    assert ch_type(ArrayType(FloatType())) == "Array(Float32)"
-    # Array element types are never Nullable, and the wrapper ignores
-    # nullable on container types
-    assert ch_type(ArrayType(StringType()), nullable=True) == "Array(String)"
+    # element nullability follows the Spark schema (ADVICE r4: the
+    # declared type text must agree with the per-element marker bytes
+    # the RowBinary encoder keys off containsNull)
+    assert ch_type(ArrayType(FloatType(), containsNull=False)) == "Array(Float32)"
+    assert (
+        ch_type(ArrayType(FloatType(), containsNull=True))
+        == "Array(Nullable(Float32))"
+    )
+    # the wrapper ignores nullable on container types (CH forbids
+    # Nullable(Array)); inner nullability still follows containsNull
+    assert (
+        ch_type(ArrayType(StringType(), containsNull=False), nullable=True)
+        == "Array(String)"
+    )
+    from pyspark.sql.types import MapType, StructField, StructType
+
+    assert (
+        ch_type(MapType(StringType(), LongType(), valueContainsNull=True))
+        == "Map(String, Nullable(Int64))"
+    )
+    assert (
+        ch_type(MapType(StringType(), LongType(), valueContainsNull=False))
+        == "Map(String, Int64)"
+    )
+    # structs map to named Tuple with per-field nullability; CH forbids
+    # Nullable(Tuple) so the wrapper is ignored at the top level
+    st = StructType(
+        [
+            StructField("a", LongType(), nullable=False),
+            StructField("b", StringType(), nullable=True),
+        ]
+    )
+    assert ch_type(st, nullable=True) == "Tuple(a Int64, b Nullable(String))"
     with pytest.raises(TypeError):
         ch_type(NullType())
 

@@ -147,10 +147,16 @@ def main() -> int:
             failures.append((k, f"raised: {exc}"))
             print(f"FAIL {k}: raised {exc}")
             continue
-        if len(sp1) != len(sp2):
-            failures.append((k, f"non-idempotent: {len(sp1)} vs {len(sp2)} rows"))
-            continue
+        # idempotence must hold on VALUES, not just row counts — a
+        # scratch-path contamination that keeps the count but changes
+        # values (ADVICE r4) has to trip here
         a, da = norm(sp1, pd)
+        a2, _ = norm(sp2, pd)
+        if len(a) != len(a2) or not a.equals(a2):
+            failures.append(
+                (k, f"non-idempotent: run1 ({len(a)} rows) != run2 ({len(a2)} rows)")
+            )
+            continue
         b, db = norm(orc, pd)
         if list(a.columns) != list(b.columns):
             failures.append((k, f"columns {list(a.columns)} != {list(b.columns)}"))
