@@ -96,7 +96,45 @@ PRIME_KEYS = ["agg_groupby_multi", "join_inner_equi", "win_ranking"]
 PRIME_ROUNDS = 2
 
 
+def _spawn_cpu_load(n: int) -> list:
+    """Background busy-loop processes for --contended runs: measures
+    how each key degrades when the host is not idle (the driver's
+    bench host runs concurrent work; BASELINE.md records the deltas so
+    a driver-run p95 excursion can be read against an expected range
+    instead of a blanket noise band)."""
+    import subprocess
+
+    procs = []
+    for _ in range(n):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", "while True: pass"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    return procs
+
+
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--contended",
+        type=int,
+        default=0,
+        metavar="N",
+        help="co-schedule N busy-loop processes during the timed section",
+    )
+    ap.add_argument(
+        "--keys", default="", help="comma-separated subset of BENCH_KEYS"
+    )
+    args = ap.parse_args()
+    bench_keys = (
+        [k for k in args.keys.split(",") if k] if args.keys else BENCH_KEYS
+    )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
@@ -131,9 +169,11 @@ def main() -> int:
             queries[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
+    load_procs = _spawn_cpu_load(args.contended) if args.contended else []
+
     timings: dict[str, float] = {}
     p95s: dict[str, float] = {}
-    for key in BENCH_KEYS:
+    for key in bench_keys:
         fn = queries[key]
 
         def run() -> float:
@@ -162,6 +202,9 @@ def main() -> int:
         except Exception:
             pass
 
+    for p in load_procs:
+        p.terminate()
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     suite = round(sum(ok.values()), 3)
     detail = {
@@ -181,11 +224,19 @@ def main() -> int:
                 "median of N_RUNS cold runs (cache cleared before each)"
             ),
             "os_cpus": os.cpu_count(),
+            "contended_load_procs": args.contended,
         },
     }
     # full detail (p95s, config) to the sidecar — NOT stdout; the
-    # driver's tail capture is 2,000 chars and must see a complete line
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+    # driver's tail capture is 2,000 chars and must see a complete line.
+    # Contended / subset runs get their own sidecar so they never
+    # clobber the canonical idle full-suite record.
+    sidecar = (
+        "BENCH_DETAIL.json"
+        if not args.contended and not args.keys
+        else "BENCH_DETAIL_contended.json"
+    )
+    with open(os.path.join(REPO, sidecar), "w") as f:
         json.dump(detail, f, indent=1)
     compact = {
         "metric": "suite_wall_sec",
