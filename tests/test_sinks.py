@@ -382,3 +382,32 @@ def test_schema_evolution_merges_additive_column(spark, sf_dir):
     assert rows["v1"].n_lang_null == n_even
     assert rows["v1"].n_langs == 0
     assert rows["v2"].n_langs > 0
+
+
+def test_sink_ttl_expire_rewrites_only_survivors(spark, sf_dir):
+    """TTL expire-and-rewrite: expired + kept partitions the table
+    exactly, the rewritten part contains no row past the deadline, and
+    the report's totals come from the re-read survivors."""
+    import datetime as dt
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        TTL_DAYS,
+        _scratch,
+        sink_ttl_expire,
+    )
+    from etl_ch_destination_spark.catalog import load_table
+
+    rep = sink_ttl_expire(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_total = e.count()
+    assert sum(r.n_total for r in rep) == n_total
+    assert all(r.n_kept + r.n_expired == r.n_total for r in rep)
+    # something must actually expire AND survive at every fixture SF
+    assert sum(r.n_expired for r in rep) > 0
+    assert sum(r.n_kept for r in rep) > 0
+
+    mx = e.agg(F.max("ts").alias("m")).collect()[0].m
+    cutoff = mx - dt.timedelta(days=TTL_DAYS)
+    back = spark.read.parquet(_scratch(sf_dir, "sink_ttl_expire"))
+    assert back.count() == sum(r.n_kept for r in rep)
+    assert back.filter(F.col("ts") < F.lit(cutoff)).count() == 0
