@@ -579,6 +579,50 @@ def agg_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KLL_K = 200  # sketch size parameter: ~1.3% normalized rank error
+
+
+@query("agg_quantile_kll")  # approximate — rows-only; error-bound gate in tests
+def agg_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the ClickHouse ``quantileTDigest``
+    counterpart (VERDICT r4 #7), completing the sketch family next to
+    `agg_sketch_state` (HLL) and `agg_quantile_state` (exact mergeable
+    histogram partials): per-shard Apache DataSketches KLL doubles
+    sketches (`kll_sketch_agg_double`, a constant-size binary,
+    persistable column), merged across shards with
+    `kll_merge_agg_double`, then p50/p90/p99 extracted from the merged
+    state.
+
+    Like the HLL key, the partial state is closed under merge and
+    ~KB-sized regardless of row count, so shards/batches/days roll up
+    independently — the CH `quantileState`/`quantileMerge` idiom. At
+    100 TB the merge shuffles |keys|×|shards| kilobyte sketches, never
+    the raw measure column.
+
+    Rows-only in the driver gate (KLL estimates are approximate and
+    DuckDB has no KLL); tests/test_aggregations.py bounds each
+    estimate's TRUE rank within the k=200 sketch's ±2.5% normalized
+    rank error of the target, asserts exact n, and proves the
+    persist→reload→merge round trip equals the single-pass sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    partials = (
+        li.withColumn("__shard", F.col("l_orderkey") % 8)
+        .groupBy("l_returnflag", "__shard")
+        .agg(F.kll_sketch_agg_double(price, F.lit(KLL_K)).alias("__sk"))
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.kll_merge_agg_double("__sk", F.lit(KLL_K)).alias("__sk")
+    )
+    return merged.select(
+        "l_returnflag",
+        F.kll_sketch_get_n_double("__sk").cast("bigint").alias("n"),
+        F.kll_sketch_get_quantile_double("__sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("__sk", F.lit(0.9)).alias("q90"),
+        F.kll_sketch_get_quantile_double("__sk", F.lit(0.99)).alias("q99"),
+    )
+
+
 QSTATE_BINS = 2048
 QSTATE_HI = 110000.0  # l_extendedprice < 104950 at every fixture SF
 QSTATE_WIDTH = QSTATE_HI / QSTATE_BINS  # 53.7109375, exactly representable

@@ -204,3 +204,57 @@ def test_quantile_state_within_half_bin_of_exact(spark, sf_dir):
             assert abs(est[k][f"{p}_est"] - nearest_rank) <= QSTATE_WIDTH / 2, (
                 k, p, est[k][f"{p}_est"], nearest_rank,
             )
+
+
+def test_quantile_kll_rank_error_and_merges_from_disk(spark, sf_dir, tmp_path):
+    """agg_quantile_kll gates: (a) each estimated quantile's TRUE rank
+    in the exact sorted data is within the k=200 KLL sketch's ±2.5%
+    normalized rank error of the target rank; (b) n is exact; (c)
+    sketch partials survive a parquet persist → reload → merge with the
+    same accuracy guarantee (the CH quantileState/quantileMerge
+    materialized-view idiom)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations import (
+        KLL_K,
+        agg_quantile_kll,
+    )
+
+    rep = {r.l_returnflag: r for r in agg_quantile_kll(spark, sf_dir).collect()}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pdf = li.select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    ).toPandas()
+
+    def check(flag_rows):
+        for flag, r in flag_rows.items():
+            vals = sorted(pdf[pdf["l_returnflag"] == flag]["p"])
+            assert r.n == len(vals)
+            for target, est in ((0.5, r.q50), (0.9, r.q90), (0.99, r.q99)):
+                true_rank = sum(v <= est for v in vals) / len(vals)
+                assert abs(true_rank - target) <= 0.025, (flag, target, true_rank)
+
+    check(rep)
+
+    # partials → parquet → reload → merge must hold the same bound
+    price = F.col("l_extendedprice").cast("double")
+    partials = (
+        li.withColumn("__shard", F.col("l_orderkey") % 8)
+        .groupBy("l_returnflag", "__shard")
+        .agg(F.kll_sketch_agg_double(price, F.lit(KLL_K)).alias("__sk"))
+    )
+    path = str(tmp_path / "kll_partials")
+    partials.write.mode("overwrite").parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.kll_merge_agg_double("__sk", F.lit(KLL_K)).alias("__sk"))
+        .select(
+            "l_returnflag",
+            F.kll_sketch_get_n_double("__sk").cast("bigint").alias("n"),
+            F.kll_sketch_get_quantile_double("__sk", F.lit(0.5)).alias("q50"),
+            F.kll_sketch_get_quantile_double("__sk", F.lit(0.9)).alias("q90"),
+            F.kll_sketch_get_quantile_double("__sk", F.lit(0.99)).alias("q99"),
+        )
+    )
+    check({r.l_returnflag: r for r in merged.collect()})
