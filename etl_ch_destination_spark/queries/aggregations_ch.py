@@ -1715,3 +1715,190 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket", bucket_lo.alias("bucket_lo"),
         "n", "min_cents", "max_cents",
     )
+
+
+@query(
+    "agg_student_ttest",
+    f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(9,0)) AS x
+        FROM events WHERE event_type IN ('{TT_GROUP_A}', '{TT_GROUP_B}')
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS s1,
+               CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0))) AS HUGEINT)
+                         // 4294967296 AS BIGINT) AS DOUBLE) * 4294967296.0
+                 + CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0))) AS HUGEINT)
+                             % 4294967296 AS BIGINT) AS DOUBLE) AS s2
+        FROM q GROUP BY event_type
+    ),
+    w AS (
+        SELECT
+          (SELECT n FROM s WHERE event_type = '{TT_GROUP_A}') AS na,
+          (SELECT s1 FROM s WHERE event_type = '{TT_GROUP_A}') AS sa1,
+          (SELECT s2 FROM s WHERE event_type = '{TT_GROUP_A}') AS sa2,
+          (SELECT n FROM s WHERE event_type = '{TT_GROUP_B}') AS nb,
+          (SELECT s1 FROM s WHERE event_type = '{TT_GROUP_B}') AS sb1,
+          (SELECT s2 FROM s WHERE event_type = '{TT_GROUP_B}') AS sb2
+    )
+    SELECT '{TT_GROUP_A}_vs_{TT_GROUP_B}' AS pair,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(na + nb - 2 AS BIGINT) AS dof,
+           (sa1 / na - sb1 / nb)
+             / sqrt((((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
+                     / (na + nb - 2.0)) * (1.0 / na + 1.0 / nb))
+             AS student_t
+    FROM w
+    """,
+)
+def agg_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `studentTTest` — the equal-variance (pooled) two-sample t
+    STATISTIC, the classical sibling of `agg_welch_ttest` and computed
+    from the SAME exact integer moment sums (cents, squares staged
+    through (19,0), hugeint hi/lo split) with one shared IEEE
+    expression tree: pooled variance
+    s_p² = (Σ(x−m_a)² + Σ(x−m_b)²)/(n_a+n_b−2), statistic
+    (m_a−m_b)/√(s_p²(1/n_a+1/n_b)). The p-value is deliberately NOT
+    emitted (incomplete beta — not reproducible cross-engine); CH's
+    own function returns the statistic too.
+
+    Plan: identical to the Welch key — one 2-group aggregate + a
+    1-row×1-row reshape; the cost is the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_GROUP_A, TT_GROUP_B)
+    )
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(9,0)")
+    q = ev.select("event_type", x.alias("x"))
+    x2 = (F.col("x") * F.col("x")).cast("decimal(19,0)")
+
+    def hilo(c: str):
+        hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({c} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = (
+        q.select("event_type", "x", x2.alias("x2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("r1"),
+            F.sum("x2").alias("r2"),
+        )
+        .select("event_type", "n", hilo("r1").alias("s1"), hilo("r2").alias("s2"))
+    )
+    a = s.filter(F.col("event_type") == TT_GROUP_A).select(
+        F.col("n").alias("na"), F.col("s1").alias("sa1"), F.col("s2").alias("sa2")
+    )
+    b = s.filter(F.col("event_type") == TT_GROUP_B).select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb1"), F.col("s2").alias("sb2")
+    )
+    w = a.crossJoin(b)  # 1 row × 1 row
+    na, nb = F.col("na"), F.col("nb")
+    sa1, sa2, sb1, sb2 = (F.col(c) for c in ("sa1", "sa2", "sb1", "sb2"))
+    t = (sa1 / na - sb1 / nb) / F.sqrt(
+        (((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
+         / (na + nb - F.lit(2.0)))
+        * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return w.select(
+        F.lit(f"{TT_GROUP_A}_vs_{TT_GROUP_B}").alias("pair"),
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (na + nb - F.lit(2.0)).cast("bigint").alias("dof"),
+        t.alias("student_t"),
+    )
+
+
+@query(
+    "agg_ks_test",
+    f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        FROM events WHERE event_type IN ('{TT_GROUP_A}', '{TT_GROUP_B}')
+    ),
+    g AS (
+        SELECT x,
+               CAST(SUM(CASE WHEN event_type = '{TT_GROUP_A}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN event_type = '{TT_GROUP_B}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM q GROUP BY x
+    ),
+    spine AS (
+        SELECT x,
+               SUM(ca) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_a,
+               SUM(cb) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_b,
+               SUM(ca) OVER () AS na,
+               SUM(cb) OVER () AS nb
+        FROM g
+    )
+    SELECT '{TT_GROUP_A}_vs_{TT_GROUP_B}' AS pair,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
+             / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks_d
+    FROM spine
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `kolmogorovSmirnovTest` — the two-sample KS STATISTIC
+    D = max_x |F_a(x) − F_b(x)| computed EXACTLY: the ECDF difference
+    is cross-multiplied to integers (|C_a·n_b − C_b·n_a|, the
+    division-free device shared with `subq_correlated` and
+    `agg_mannwhitney_u`), the max is taken over integers, and ONE
+    final IEEE division produces D. No asymptotic distribution, no
+    p-value — the statistic is exact int64 arithmetic.
+
+    Plan — the `agg_mannwhitney_u` value-spine form: per-value
+    conditional counts (one aggregate over the scan), then cumulative
+    and total sums over the DISTINCT-VALUE spine (bounded by the cents
+    domain, ≤ 49 002 rows regardless of row count), then a 1-row max.
+    At 100 TB only the fixed-size spine crosses an ordered window,
+    never the raw rows. C·n products stay < 2^63 for any corpus where
+    rows_per_group < 3·10⁹; past that, restage through DECIMAL(38,0).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_GROUP_A, TT_GROUP_B)
+    )
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("event_type", x.alias("x"))
+    is_a = F.col("event_type") == TT_GROUP_A
+    g = q.groupBy("x").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    spine = g.select(
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    )
+    d = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+    return spine.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.max(d).cast("bigint").alias("d_num"),
+        (
+            F.max(d).cast("double")
+            / (F.max("na").cast("double") * F.max("nb").cast("double"))
+        ).alias("ks_d"),
+    ).select(
+        F.lit(f"{TT_GROUP_A}_vs_{TT_GROUP_B}").alias("pair"),
+        "n_a",
+        "n_b",
+        "d_num",
+        "ks_d",
+    )

@@ -514,3 +514,74 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a_is_smaller"),
         )
     )
+
+
+WINNOW_W = 4  # winnowing window: guarantee threshold t = w + 8 - 1 = 11 chars
+
+
+@query(
+    "llm_fingerprint_winnow",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, 8),
+                        j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+                    (acc, x) -> acc * 31 + x)) AS grams
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, grams,
+             CASE WHEN len(grams) >= {WINNOW_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(grams) - {WINNOW_W - 1} + 1),
+                         i -> list_min(list_slice(grams, i, i + {WINNOW_W - 1}))))
+                  ELSE list_distinct(grams) END AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(fps) AS INT) AS n_fp,
+           list_min(fps) AS fp_min,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                       (a, b) -> xor(a, b)) AS fp_xor
+    FROM w
+    """,
+)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS copy-detection
+    scheme; Schleimer/Wilkerson/Aiken 2003): over the Rabin-Karp
+    character-8-gram hashes (`ops/fingerprint.rolling_gram_hashes`,
+    shared with `llm_fingerprint_rolling`), slide a window of
+    {WINNOW_W} consecutive hashes and keep each window's MINIMUM — any
+    shared substring of at least w + k − 1 = 11 chars is then
+    guaranteed to contribute a shared fingerprint, while storage drops
+    to ~2/(w+1) of the gram stream. Documents shorter than one window
+    fall back to their full distinct gram set.
+
+    Exact int64 arithmetic end to end (min/xor folds — no floats), so
+    the DuckDB oracle replays the whole scheme bit for bit. Zero
+    shuffles: one narrow codegen projection per document; at 100 TB
+    the fingerprint sets feed an equi-join on fp (the
+    `llm_dedup_ngram_jaccard` inverted-index shape) rather than any
+    all-pairs comparison."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    grams = rolling_gram_hashes("text")
+    n = F.size(grams)
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(grams, i, WINNOW_W)),
+        )
+    )
+    fps = F.when(n >= WINNOW_W, winnowed).otherwise(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_grams"),
+        F.size(fps).cast("int").alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda a, b: a.bitwiseXOR(b)
+        ).alias("fp_xor"),
+    )

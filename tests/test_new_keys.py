@@ -167,3 +167,142 @@ def test_batch_etl_report_matches_source_totals(spark, sf_dir):
     )
     want = ev.join(c, "user_id").count()
     assert got == want
+
+
+def test_student_ttest_matches_python_replay(spark, sf_dir):
+    """agg_student_ttest vs a textbook pooled-variance replay on the
+    collected cents values (statistics.stdev-free: exact integer
+    moments in Python, one float expression at the end)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        TT_GROUP_A,
+        TT_GROUP_B,
+        agg_student_ttest,
+    )
+
+    r = agg_student_ttest(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_GROUP_A, TT_GROUP_B)
+    )
+    rows = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("x"),
+    ).collect()
+    xa = [row.x for row in rows if row.event_type == TT_GROUP_A]
+    xb = [row.x for row in rows if row.event_type == TT_GROUP_B]
+    na, nb = len(xa), len(xb)
+    assert (r.n_a, r.n_b, r.dof) == (na, nb, na + nb - 2)
+    sa1, sa2 = sum(xa), sum(v * v for v in xa)
+    sb1, sb2 = sum(xb), sum(v * v for v in xb)
+    ssq = (sa2 - sa1 / na * sa1) + (sb2 - sb1 / nb * sb1)
+    t = (sa1 / na - sb1 / nb) / (
+        (ssq / (na + nb - 2) * (1 / na + 1 / nb)) ** 0.5
+    )
+    assert abs(r.student_t - t) <= 1e-9 * max(1.0, abs(t))
+
+
+def test_ks_test_matches_brute_force_ecdf(spark, sf_dir):
+    """agg_ks_test's cross-multiplied integer D numerator must equal a
+    brute-force ECDF max-difference replay exactly."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        TT_GROUP_A,
+        TT_GROUP_B,
+        agg_ks_test,
+    )
+
+    r = agg_ks_test(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_GROUP_A, TT_GROUP_B)
+    )
+    rows = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("x"),
+    ).collect()
+    xa = sorted(row.x for row in rows if row.event_type == TT_GROUP_A)
+    xb = sorted(row.x for row in rows if row.event_type == TT_GROUP_B)
+    na, nb = len(xa), len(xb)
+    assert (r.n_a, r.n_b) == (na, nb)
+    import bisect
+
+    best = 0
+    for v in set(xa) | set(xb):
+        ca = bisect.bisect_right(xa, v)
+        cb = bisect.bisect_right(xb, v)
+        best = max(best, abs(ca * nb - cb * na))
+    assert r.d_num == best
+    assert abs(r.ks_d - best / (na * nb)) <= 1e-15
+
+
+def test_winnow_fingerprints_match_python_replay_and_guarantee(spark, sf_dir):
+    """llm_fingerprint_winnow vs a reference Python winnower on real
+    docs (exact equality), plus the winnowing GUARANTEE: two docs
+    sharing a >= w + k - 1 = 11-char substring share a fingerprint."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_dedup_extra import (
+        WINNOW_W,
+        llm_fingerprint_winnow,
+    )
+
+    def ref_winnow(text: str):
+        n_src = max(len(text) - 7, 1)
+        grams = []
+        for i in range(n_src):
+            acc = 0
+            for j in range(8):
+                c = text[i + j] if i + j < len(text) else ""
+                acc = acc * 31 + (ord(c) if c else 0)
+            grams.append(acc)
+        if len(grams) >= WINNOW_W:
+            fps = {
+                min(grams[i : i + WINNOW_W])
+                for i in range(len(grams) - WINNOW_W + 1)
+            }
+        else:
+            fps = set(grams)
+        xor = 0
+        for f in fps:
+            xor ^= f
+        return len(grams), len(fps), min(fps), xor
+
+    got = {
+        r.doc_id: r
+        for r in llm_fingerprint_winnow(spark, sf_dir).limit(50).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin([int(k) for k in got]))
+        .collect()
+    }
+    assert len(texts) == len(got)
+    for doc_id, r in got.items():
+        n_grams, n_fp, fp_min, fp_xor = ref_winnow(texts[doc_id])
+        assert (r.n_grams, r.n_fp, r.fp_min, r.fp_xor) == (
+            n_grams, n_fp, fp_min, fp_xor,
+        ), doc_id
+
+    # guarantee: a shared 11-char substring forces a shared fingerprint
+    shared = "qwertzuiopa"  # 11 chars = w + k - 1
+    a = "xx" + shared + "yy distinct tail one"
+    b = "completely other head " + shared + " zz"
+    fa = ref_winnow(a)
+    fb = ref_winnow(b)
+
+    def fp_set(text):
+        n_src = max(len(text) - 7, 1)
+        grams = []
+        for i in range(n_src):
+            acc = 0
+            for j in range(8):
+                c = text[i + j] if i + j < len(text) else ""
+                acc = acc * 31 + (ord(c) if c else 0)
+            grams.append(acc)
+        if len(grams) >= WINNOW_W:
+            return {
+                min(grams[i : i + WINNOW_W])
+                for i in range(len(grams) - WINNOW_W + 1)
+            }
+        return set(grams)
+
+    assert fp_set(a) & fp_set(b), (fa, fb)
