@@ -287,6 +287,43 @@ ANNOTATIONS: dict[str, str] = {
         "asserted join-free in tests/test_relational_round4.py."
     ),
 
+    "sink_ttl_expire": (
+        "TTL expire-and-rewrite: the collected cutoff is applied as a "
+        "LITERAL predicate, so `PushedFilters` carries the ts bound "
+        "into BOTH parquet scans (the expiry filter and the survivor "
+        "re-read) — at 100 TB with ts-ordered parts this is partition "
+        "pruning, mirroring a server TTL merge touching only "
+        "out-of-deadline parts. The per-type survivor aggregate is "
+        "broadcast into the totals join (no fact-table shuffle)."
+    ),
+    "agg_quantile_kll": (
+        "Mergeable-sketch two-level aggregate: per-shard KLL partials "
+        "collapse map-side (partial `objHashAggregate` before the "
+        "exchange), the merge shuffles |keys|x|shards| kilobyte "
+        "sketches — never the raw measure column. Same shape as the "
+        "HLL key; the quantile extraction is a scalar projection over "
+        "|keys| rows."
+    ),
+    "agg_student_ttest": (
+        "Two-group exact-moment aggregate + 1-row x 1-row reshape: one "
+        "partial/final HashAggregate pair over the filtered scan "
+        "(`PushedFilters` carries the event_type IN filter), then a "
+        "single-row cross join — the only 'cartesian' is 1x1, "
+        "exempted by size in the plan audit. The cost is the scan."
+    ),
+    "agg_ks_test": (
+        "Value-spine statistic (the Mann-Whitney form): per-value "
+        "conditional counts aggregate map-side; only the bounded "
+        "cents-domain spine (<= 49k rows at ANY data size) crosses the "
+        "single-partition ordered window; the final max is a 1-row "
+        "aggregate. Raw rows never see a global window."
+    ),
+    "llm_fingerprint_winnow": (
+        "Zero-shuffle winnowing: gram hashing, window-min selection, "
+        "and the xor/min folds are one narrow whole-stage-codegen "
+        "projection after the parallelize repartition — no exchange, "
+        "no Python. Fingerprint joins downstream are equi-joins on fp."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
