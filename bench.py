@@ -75,6 +75,11 @@ BENCH_KEYS = [
     "win_sessionize",
     "stream_session_gap",
     "stream_foreachbatch_sink",
+    # round-5 additions: TTL rewrite (write-heavy), value-spine KS
+    # statistic, zero-shuffle winnowing (HOF-heavy)
+    "sink_ttl_expire",
+    "agg_ks_test",
+    "llm_fingerprint_winnow",
     # composed TPC-H-shaped reports (§2.12) — the end-to-end workload
     "rpt_revenue_forecast",
     "rpt_shipping_priority",
