@@ -57,8 +57,10 @@ ALLOWED_NLJ = {
     # condition-free by design (queries/llm_corpus.py)
     "llm_unigram_logprob",
     # 1-row × 1-row reshape of the two group summaries into the final
-    # statistic row (queries/aggregations_ch.py agg_welch_ttest)
+    # statistic row (queries/aggregations_ch.py agg_welch_ttest /
+    # agg_student_ttest — same shape, same bound)
     "agg_welch_ttest",
+    "agg_student_ttest",
 }
 
 MAX_HASH_SHUFFLES = 4
