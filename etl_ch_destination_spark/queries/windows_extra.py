@@ -126,3 +126,65 @@ def win_frame_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("frame_n") - 1),
         ).alias("neighbor_avg"),
     )
+
+
+NTILE_K = 8
+
+
+@query(
+    "win_ntile",
+    f"""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             NTILE({NTILE_K}) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT), l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT l_returnflag, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM t GROUP BY l_returnflag, bucket
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE({NTILE_K}) equi-height bucketing (CH `ntile`) over a fully
+    deterministic order — integer cents with the (l_orderkey,
+    l_linenumber) unique tiebreaker, so both engines assign identical
+    buckets (the SQL-standard remainder rule: the first n mod k
+    buckets get one extra row). Buckets are summarized per
+    (returnflag, bucket) so the gate compares boundary placement and
+    content, not 600k raw rows.
+
+    Plan/scale: NTILE needs each partition's total row count, so the
+    window funnels each l_returnflag partition through one task — the
+    operator's inherent cost on ANY engine (CH sorts the partition
+    too). For equi-height buckets at 100 TB use the bounded value
+    spine instead (`agg_quantile_state`'s cumulative-histogram device
+    computes the same boundaries with one small-spine window); this
+    key is the exact NTILE semantics, documented as the
+    partition-bound form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+    t = li.select(
+        "l_returnflag", cents.alias("cents"), "l_orderkey", "l_linenumber"
+    ).withColumn(
+        "bucket",
+        F.ntile(NTILE_K).over(
+            Window.partitionBy("l_returnflag").orderBy(
+                "cents", "l_orderkey", "l_linenumber"
+            )
+        ),
+    )
+    return t.groupBy("l_returnflag", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
