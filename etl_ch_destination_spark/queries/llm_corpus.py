@@ -1252,3 +1252,99 @@ def llm_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (kept.cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
         )
     )
+
+
+BPE_MERGES = 24  # learned merge rules; driver loop is bounded by this
+
+
+def _bpe_apply_merge(sym_col, left: str, right: str):
+    """One BPE merge pass over a symbol array: left-to-right,
+    non-overlapping — a greedy fold where the just-merged token can
+    never re-match `left` (merged = left||right is strictly longer),
+    so plain last-element inspection implements the classic scan."""
+    merged = left + right
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@query("llm_bpe_learn")  # iterative: not SQL-expressible — rows-only;
+# EXACT Python-replay equality gate in tests/test_llm_corpus.py
+def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich et al.
+    2016), distributed the way it scales: the corpus collapses ONCE
+    into the (word, freq) vocabulary table (orders of magnitude
+    smaller than the text, the `llm_vocab_prune` broadcastability
+    argument), and every BPE iteration runs on that vocabulary only —
+    adjacent-pair counts weighted by word freq, the argmax pair chosen
+    with a total deterministic order (count DESC, then lexicographic
+    pair), and the merge applied to the symbol arrays by a
+    non-overlapping left-to-right HOF fold. The driver loop is bounded
+    by BPE_MERGES (the `llm_dedup_clusters` bounded-iteration
+    pattern: per-round `localCheckpoint` truncates lineage, 1-row
+    argmax collects only).
+
+    Returns the learned merge table (rank, left, right, merged,
+    pair_count) — ~BPE_MERGES rows, fully deterministic. Rows-only in
+    the driver gate (24 corpus-dependent iterations are not
+    SQL-expressible); tests/test_llm_corpus.py asserts EXACT equality
+    of the whole merge table against an independent Python replay of
+    the algorithm, plus invariants (ranks dense, counts
+    non-increasing under remerge consistency)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.col("freq"),
+            F.split(F.col("w"), "").alias("syms"),
+        )
+    )
+    work = vocab.localCheckpoint(eager=True)
+
+    rows = []
+    for rank in range(BPE_MERGES):
+        pairs = (
+            work.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + F.lit(1)).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        rows.append((rank, best.l, best.r, best.l + best.r, int(best.cnt)))
+        nxt = work.select(
+            "freq", _bpe_apply_merge(F.col("syms"), best.l, best.r).alias("syms")
+        )
+        work = nxt.localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_count bigint"
+    )

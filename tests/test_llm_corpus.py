@@ -344,3 +344,64 @@ def test_bigram_lm_matches_counter_reference(spark, tmp_path):
     # p(b|a) dominates: "a b" occurs 4 times of 5 a-heads
     a_rows = {r.w2: r for r in rows if r.w1 == "a"}
     assert a_rows["b"].rank == 1 and a_rows["b"].cond_prob == 4 / 5
+
+
+def test_bpe_learn_matches_exact_python_replay(spark, sf_dir):
+    """llm_bpe_learn vs an independent single-process replay of the
+    algorithm (freq-weighted pair counts over the word vocabulary,
+    argmax with count-desc-then-lexicographic tie-break, greedy
+    non-overlapping left-to-right merge application): the whole merge
+    table must match EXACTLY — rank for rank, pair for pair, count for
+    count. Stronger than a hash oracle for this operator."""
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        BPE_MERGES,
+        llm_bpe_learn,
+    )
+
+    got = [tuple(r) for r in llm_bpe_learn(spark, sf_dir).collect()]
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    vocab: dict = {}
+    for w, f in wc.items():
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + f
+
+    def apply_merge(syms, left, right):
+        out: list = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return tuple(out)
+
+    expect = []
+    for rank in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rank, left, right, left + right, cnt))
+        nxt: dict = {}
+        for syms, f in vocab.items():
+            ns = apply_merge(syms, left, right)
+            nxt[ns] = nxt.get(ns, 0) + f
+        vocab = nxt
+
+    assert len(got) == len(expect) == BPE_MERGES
+    assert got == expect
