@@ -1301,6 +1301,16 @@ def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the whole merge table against an independent Python replay of
     the algorithm, plus invariants (ranks dense, counts
     non-increasing under remerge consistency)."""
+    rows, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer: returns (merge_rows, trained_vocab) where
+    trained_vocab is the post-merge (w, freq, syms) frame — the word →
+    token-sequence dictionary `llm_bpe_encode` broadcasts."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1308,6 +1318,7 @@ def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(
+            "w",
             F.col("freq"),
             F.split(F.col("w"), "").alias("syms"),
         )
@@ -1341,10 +1352,54 @@ def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pairs[0]
         rows.append((rank, best.l, best.r, best.l + best.r, int(best.cnt)))
         nxt = work.select(
-            "freq", _bpe_apply_merge(F.col("syms"), best.l, best.r).alias("syms")
+            "w",
+            "freq",
+            _bpe_apply_merge(F.col("syms"), best.l, best.r).alias("syms"),
         )
         work = nxt.localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, merged string, pair_count bigint"
+    return rows, work
+
+
+@query("llm_bpe_encode")  # composes the iterative trainer — rows-only;
+# EXACT per-doc Python-replay gate in tests/test_llm_corpus.py
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the corpus-learned BPE merges — the
+    train→encode composition of `llm_bpe_learn`: the trained word →
+    token-sequence dictionary (one row per distinct word, tiny next to
+    the text — the `llm_vocab_prune` broadcastability argument) is
+    BROADCAST onto the exploded word stream, and each document reports
+    its word/char/BPE-token counts plus the resulting chars-per-token
+    compression — the batch-shape/token-budget numbers a
+    sequence-packing stage (`llm_sequence_pack`) consumes.
+
+    Plan/scale: one explode + one broadcast equi-join + one per-doc
+    aggregate; the iterative part never touches the corpus (it runs on
+    the vocabulary — `_bpe_train`). Rows-only (inherits the trainer's
+    data-dependent iteration); the pytest gate replays train+encode in
+    Python and matches per-doc token counts exactly."""
+    _, trained = _bpe_train(spark, sf_dir)
+    dict_df = trained.select("w", F.size("syms").alias("n_tok"))
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        words.join(F.broadcast(dict_df), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_chars").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_chars").cast("double") / F.col("n_bpe_tokens"))
+            .alias("chars_per_token"),
+        )
     )

@@ -405,3 +405,79 @@ def test_bpe_learn_matches_exact_python_replay(spark, sf_dir):
 
     assert len(got) == len(expect) == BPE_MERGES
     assert got == expect
+
+
+def test_bpe_encode_matches_python_train_and_encode(spark, sf_dir):
+    """llm_bpe_encode per-doc token counts vs a full Python replay of
+    train+encode: the learned dictionary applied word-by-word must
+    yield EXACTLY the same n_bpe_tokens for every document."""
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        BPE_MERGES,
+        llm_bpe_encode,
+    )
+
+    got = {r.doc_id: r for r in llm_bpe_encode(spark, sf_dir).collect()}
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    wc: Counter = Counter()
+    for t in docs.values():
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(w): f for w, f in wc.items()}
+
+    def apply_merge(syms, left, right):
+        out: list = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return tuple(out)
+
+    merges = []
+    for _ in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (left, right), _cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right))
+        nxt: dict = {}
+        for syms, f in vocab.items():
+            ns = apply_merge(syms, left, right)
+            nxt[ns] = nxt.get(ns, 0) + f
+        vocab = nxt
+
+    def encode_word(w):
+        syms = tuple(w)
+        for left, right in merges:
+            syms = apply_merge(syms, left, right)
+        return len(syms)
+
+    tok_cache: dict = {}
+    for doc_id, text in docs.items():
+        words = [w for w in text.split(" ") if w]
+        if not words:
+            assert doc_id not in got  # inner join drops word-less docs
+            continue
+        n_tok = 0
+        for w in words:
+            if w not in tok_cache:
+                tok_cache[w] = encode_word(w)
+            n_tok += tok_cache[w]
+        r = got[doc_id]
+        assert (r.n_words, r.n_bpe_tokens) == (len(words), n_tok), doc_id
+        assert r.n_chars == len(text)
