@@ -676,3 +676,50 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (end - start + 1).cast("int").alias("chunk_words"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+ZLIB_LEVEL = 6  # the default deflate level; pinned for reproducibility
+
+
+@query("llm_compression_ratio")  # deflate has no SQL form — rows-only;
+# EXACT zlib replay gate in tests/test_llm.py
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal — the classic C4/Gopher-family
+    repetitiveness filter a SQL engine cannot express: highly
+    templated/repetitive documents deflate far below typical prose, so
+    bytes/compressed-bytes flags them without any language model.
+    Computed by an Arrow-batched pandas UDF over stdlib zlib (level
+    {ZLIB_LEVEL} pinned; the closure references only the stdlib, so
+    the worker-cwd import trap cannot bite).
+
+    Rows-only in the driver gate (no deflate in DuckDB);
+    tests/test_llm.py replays zlib.compress per document and asserts
+    EXACT compressed-length equality plus the monotone sanity that a
+    constant-character document compresses below the corpus median
+    ratio... inverted: its ratio is ABOVE (compresses better).
+
+    Plan/scale: one Arrow-batched projection (no shuffle), then
+    whatever filter the pipeline composes on `compression_ratio` —
+    embarrassingly parallel at any scale; zlib cost is linear in
+    bytes, the same work a storage codec would do anyway."""
+    @F.pandas_udf("long")
+    def comp_len(texts):
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), ZLIB_LEVEL))
+        )
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    out = d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        comp_len("text").alias("comp_bytes"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "comp_bytes",
+        (F.col("n_bytes").cast("double") / F.col("comp_bytes"))
+        .alias("compression_ratio"),
+    )

@@ -505,3 +505,38 @@ def test_chunk_overlap_invariants_all_lengths(spark, tmp_path):
             assert c.chunk_words == min(start + CHUNK_WORDS, n) - start
             covered = max(covered, start + c.chunk_words)
         assert covered == n, (n, covered)  # tail fully covered
+
+
+def test_compression_ratio_matches_zlib_replay(spark, sf_dir):
+    """llm_compression_ratio vs direct zlib: exact compressed-length
+    equality per document, and a planted constant-character text must
+    compress better (higher ratio) than real prose."""
+    import zlib
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_text import (
+        ZLIB_LEVEL,
+        llm_compression_ratio,
+    )
+
+    got = {r.doc_id: r for r in llm_compression_ratio(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(got) == set(docs)
+    ratios = []
+    for doc_id, text in docs.items():
+        raw = (text or "").encode("utf-8")
+        expect = len(zlib.compress(raw, ZLIB_LEVEL))
+        r = got[doc_id]
+        assert (r.n_bytes, r.comp_bytes) == (len(raw), expect), doc_id
+        if r.n_bytes > 0:
+            ratios.append(r.compression_ratio)
+    ratios.sort()
+    median = ratios[len(ratios) // 2]
+    planted = "a" * 2000
+    planted_ratio = 2000 / len(zlib.compress(planted.encode(), ZLIB_LEVEL))
+    assert planted_ratio > 2 * median  # repetitive text stands out
