@@ -255,6 +255,51 @@ def main() -> int:
                 .save()
             )
 
+        def bpe_rounds():
+            # the llm_bpe_learn spine: the corpus collapses ONCE into
+            # the (word, freq) vocabulary and every BPE round iterates
+            # on that reduction only. replicate_docs gives each copy a
+            # disjoint vocabulary, so vocab cardinality scales N× —
+            # the iteration's worst case. Fixed 4 rounds: the slope
+            # measured is per-iteration cost vs vocab size.
+            from etl_ch_destination_spark.queries.llm_corpus import (
+                _bpe_apply_merge,
+            )
+
+            vocab = (
+                d.select(F.explode(F.split("text", " ")).alias("w"))
+                .filter(F.col("w") != "")
+                .groupBy("w")
+                .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+                .select("freq", F.split(F.col("w"), "").alias("syms"))
+            )
+            work = vocab.localCheckpoint(eager=True)
+            for _ in range(4):
+                best = (
+                    work.filter(F.size("syms") >= 2)
+                    .select(
+                        "freq",
+                        F.explode(
+                            F.transform(
+                                F.sequence(F.lit(1), F.size("syms") - 1),
+                                lambda i: F.struct(
+                                    F.element_at("syms", i).alias("l"),
+                                    F.element_at("syms", i + F.lit(1)).alias("r"),
+                                ),
+                            )
+                        ).alias("p"),
+                    )
+                    .groupBy("p.l", "p.r")
+                    .agg(F.sum("freq").alias("cnt"))
+                    .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+                    .limit(1)
+                    .collect()
+                )[0]
+                work = work.select(
+                    "freq",
+                    _bpe_apply_merge(F.col("syms"), best.l, best.r).alias("syms"),
+                ).localCheckpoint(eager=True)
+
         # --- ANN vs exact: recall AND latency under row scaling -------
         # (VERDICT r3 next-round #5: prove the approximate paths hold
         # their recall floor as the corpus grows, not just their slope.)
@@ -316,6 +361,7 @@ def main() -> int:
             "vocab_score": time_action(vocab_score),
             "ngram_novelty": time_action(ngram_novelty),
             "line_dedup": time_action(line_dedup),
+            "bpe_vocab_rounds": time_action(bpe_rounds),
             "vec_rows": corpus.count(),
             "ann_recall_lsh": recall_ann,
             "ann_recall_ivf": recall_ivf,
