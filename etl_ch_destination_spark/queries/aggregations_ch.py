@@ -1902,3 +1902,88 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_num",
         "ks_d",
     )
+
+
+@query(
+    "agg_corr_matrix",
+    """
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS xc,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0)) AS yc,
+             CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS DECIMAL(18,0)) AS zc
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(xc) AS DOUBLE) AS sx,
+             CAST(SUM(yc) AS DOUBLE) AS sy,
+             CAST(SUM(zc) AS DOUBLE) AS sz,
+             CAST(SUM(xc * yc) AS DOUBLE) AS sxy,
+             CAST(SUM(xc * zc) AS DOUBLE) AS sxz,
+             CAST(SUM(yc * zc) AS DOUBLE) AS syz,
+             CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+             CAST(SUM(yc * yc) AS DOUBLE) AS syy,
+             CAST(SUM(zc * zc) AS DOUBLE) AS szz
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price,
+           (n * sxz - sx * sz)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz))
+             AS corr_qty_disc,
+           (n * syz - sy * sz)
+             / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz))
+             AS corr_price_disc
+    FROM s
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `corrMatrix` — all pairwise Pearson correlations over three
+    measures (quantity, price, discount) in ONE aggregate pass: the
+    `agg_corr_exact` exact-integer-moment recipe extended to the full
+    moment vector (3 sums, 3 cross-products, 3 squares as exact
+    decimals), finalized by one shared IEEE expression tree per pair —
+    so the whole matrix hash-matches bit for bit.
+
+    Plan/scale: a single partial/final HashAggregate pair computes all
+    nine moments map-side — the matrix costs one scan regardless of
+    how many column pairs are requested, the same reason CH ships the
+    Matrix combinator instead of k² separate corr() calls."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("decimal(18,0)")
+    yc = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    zc = (F.col("l_discount").cast("decimal(12,4)") * 10000).cast("decimal(18,0)")
+    c = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"), zc.alias("zc"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum("zc").cast("double").alias("sz"),
+        F.sum(F.col("xc") * F.col("yc")).cast("double").alias("sxy"),
+        F.sum(F.col("xc") * F.col("zc")).cast("double").alias("sxz"),
+        F.sum(F.col("yc") * F.col("zc")).cast("double").alias("syz"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
+        F.sum(F.col("zc") * F.col("zc")).cast("double").alias("szz"),
+    )
+    n = F.col("n")
+
+    def corr(sa, sb, sab, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / (
+            F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
+            * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    return s.select(
+        "l_returnflag",
+        "n",
+        corr("sx", "sy", "sxy", "sxx", "syy").alias("corr_qty_price"),
+        corr("sx", "sz", "sxz", "sxx", "szz").alias("corr_qty_disc"),
+        corr("sy", "sz", "syz", "syy", "szz").alias("corr_price_disc"),
+    )

@@ -306,3 +306,32 @@ def test_winnow_fingerprints_match_python_replay_and_guarantee(spark, sf_dir):
         return set(grams)
 
     assert fp_set(a) & fp_set(b), (fa, fb)
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """agg_corr_matrix vs numpy corrcoef on the collected cents values
+    (population formula cancels in Pearson r): every pair within 1e-9."""
+    import numpy as np
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import agg_corr_matrix
+
+    got = {r.l_returnflag: r for r in agg_corr_matrix(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    pdf = li.select(
+        "l_returnflag",
+        (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+        (F.col("l_discount").cast("decimal(12,4)") * 10000)
+        .cast("long")
+        .alias("z"),
+    ).toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        m = np.corrcoef(np.vstack([grp["x"], grp["y"], grp["z"]]))
+        r = got[flag]
+        assert r.n == len(grp)
+        assert abs(r.corr_qty_price - m[0, 1]) < 1e-9
+        assert abs(r.corr_qty_disc - m[0, 2]) < 1e-9
+        assert abs(r.corr_price_disc - m[1, 2]) < 1e-9
