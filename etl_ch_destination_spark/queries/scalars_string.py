@@ -238,3 +238,68 @@ def str_readable_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("GiB"),
     )
     return h.select("doc_id", "nbytes", readable.alias("readable"))
+
+
+MULTI_NEEDLES = ("data", "model", "test", "spark")
+
+
+@query(
+    "str_multi_search",
+    f"""
+    SELECT doc_id,
+           (instr(text, 'data') > 0 OR instr(text, 'model') > 0
+            OR instr(text, 'test') > 0 OR instr(text, 'spark') > 0)
+             AS any_hit,
+           CAST((CASE WHEN instr(text, 'data')  > 0 THEN 1 ELSE 0 END
+               + CASE WHEN instr(text, 'model') > 0 THEN 1 ELSE 0 END
+               + CASE WHEN instr(text, 'test')  > 0 THEN 1 ELSE 0 END
+               + CASE WHEN instr(text, 'spark') > 0 THEN 1 ELSE 0 END)
+             AS INT) AS n_hits,
+           CAST(CASE
+             WHEN instr(text, 'data')  > 0 THEN 1
+             WHEN instr(text, 'model') > 0 THEN 2
+             WHEN instr(text, 'test')  > 0 THEN 3
+             WHEN instr(text, 'spark') > 0 THEN 4
+             ELSE 0 END AS INT) AS first_needle,
+           CAST(LEAST(
+             CASE WHEN instr(text, 'data')  > 0 THEN instr(text, 'data')  ELSE 2147483647 END,
+             CASE WHEN instr(text, 'model') > 0 THEN instr(text, 'model') ELSE 2147483647 END,
+             CASE WHEN instr(text, 'test')  > 0 THEN instr(text, 'test')  ELSE 2147483647 END,
+             CASE WHEN instr(text, 'spark') > 0 THEN instr(text, 'spark') ELSE 2147483647 END
+           ) AS BIGINT) AS min_pos
+    FROM documents
+    """,
+)
+def str_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `multiSearchAny` / `multiSearchFirstIndex` /
+    `multiSearchAllPositions`-style multi-needle search in one pass:
+    any-hit flag, hit count, 1-based index of the first matching
+    needle (needle-list order — the CH firstIndex convention), and the
+    earliest match position across all needles (sentinel INT32_MAX
+    when absent, matching the LEAST-fold both engines run). All
+    needles are evaluated in a single codegen projection — the
+    multi-needle point is one scan, not k scans.
+
+    Scale: pure map-side projection, no shuffle; at 100 TB this is
+    the predicate-bank shape (e.g. a blocklist screen) that runs at
+    scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = [F.instr("text", nd) for nd in MULTI_NEEDLES]
+    any_hit = hits[0] > 0
+    for h in hits[1:]:
+        any_hit = any_hit | (h > 0)
+    n_hits = sum((h > 0).cast("int") for h in hits)
+    first_needle = F.lit(0)
+    for idx in range(len(MULTI_NEEDLES) - 1, -1, -1):
+        first_needle = F.when(hits[idx] > 0, idx + 1).otherwise(first_needle)
+    sentinel = F.lit(2147483647)
+    min_pos = F.least(
+        *[F.when(h > 0, h).otherwise(sentinel) for h in hits]
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        any_hit.alias("any_hit"),
+        n_hits.cast("int").alias("n_hits"),
+        first_needle.cast("int").alias("first_needle"),
+        min_pos.alias("min_pos"),
+    )

@@ -188,3 +188,67 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+@query(
+    "win_ignore_nulls",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END
+               AS cents
+      FROM events
+    )
+    SELECT user_id, event_id, cents,
+           last_value(cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_cents,
+           last_value(cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_nonnull_cents,
+           first_value(cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_nonnull_cents
+    FROM s
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics (SQL:2008; CH `lagInFrame` /
+    `anyLast` gap-filling idioms) over a sparse measure: forward-fill
+    (last non-null up to the current row), previous non-null
+    (frame ending 1 PRECEDING — the NULL-skipping lag), and the
+    partition's first non-null. One synthetic NULL gap per three
+    events makes every code path real at every SF.
+
+    Plan/scale: one shuffle on user_id, three frames over the same
+    sort — Spark evaluates them in a single WindowExec pass; O(1)
+    running state per frame (ignoreNulls last/first are streaming
+    aggregates, not re-scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_id") % 3 != 0,
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+    )
+    s = ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    upto_now = order.rowsBetween(Window.unboundedPreceding, 0)
+    upto_prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    whole = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.last("cents", ignorenulls=True).over(upto_now).alias("ffill_cents"),
+        F.last("cents", ignorenulls=True)
+        .over(upto_prev)
+        .alias("prev_nonnull_cents"),
+        F.first("cents", ignorenulls=True)
+        .over(whole)
+        .alias("first_nonnull_cents"),
+    )
