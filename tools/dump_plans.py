@@ -320,9 +320,29 @@ ANNOTATIONS: dict[str, str] = {
     ),
     "llm_fingerprint_winnow": (
         "Zero-shuffle winnowing: gram hashing, window-min selection, "
-        "and the xor/min folds are one narrow whole-stage-codegen "
-        "projection after the parallelize repartition — no exchange, "
-        "no Python. Fingerprint joins downstream are equi-joins on fp."
+        "and the xor/min folds are STAGED PROJECTIONS over aliased "
+        "columns (grams, fps) — CollapseProject keeps each non-cheap "
+        "alias as one evaluation per row; the inlined-tree form "
+        "re-ran the chain per output column (350 s vs ~1 s at sf0.1). "
+        "No exchange beyond the scan-spread repartition, no Python."
+    ),
+    "agg_corr_matrix": (
+        "corrMatrix in one pass: a single partial/final HashAggregate "
+        "pair computes all nine exact-decimal moments map-side — the "
+        "matrix costs one scan regardless of pair count; the per-pair "
+        "Pearson finalization is a scalar projection over |groups| "
+        "rows."
+    ),
+    "win_ignore_nulls": (
+        "Three IGNORE-NULLS frames (forward-fill, 1-PRECEDING "
+        "NULL-skipping lag, whole-partition first) share ONE window "
+        "sort in a single WindowExec — one user_id shuffle, O(1) "
+        "running state per frame."
+    ),
+    "str_multi_search": (
+        "Multi-needle bank in one codegen projection — any-hit, "
+        "count, first-index, and min-position all derive from the "
+        "same four instr() subexpressions; one scan, no shuffle."
     ),
 }
 
