@@ -1987,3 +1987,68 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sx", "sz", "sxz", "sxx", "szz").alias("corr_qty_disc"),
         corr("sy", "sz", "syz", "syy", "szz").alias("corr_price_disc"),
     )
+
+
+CMS_EPS = 0.005  # ±0.5% of total count with 99% confidence
+CMS_CONF = 0.99
+CMS_SEED = 42
+
+
+@query("agg_heavy_hitters_cms")  # sketch estimates — rows-only;
+# overcount/merge gates in tests/test_aggregations_ch.py
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequency estimation with a Count-Min sketch — the
+    third mergeable-sketch family next to HLL (`agg_sketch_state`) and
+    KLL (`agg_quantile_kll`): per-day shard sketches built by Spark's
+    `count_min_sketch` aggregate (seeded → deterministic), merged on
+    the driver via the sketch library's exact counter-addition merge
+    (`CountMinSketch.mergeInPlace` — the ~30 day-shard sketches are a
+    BOUNDED collect, each a few KB), then the true top-10 user_ids
+    (exact distributed count) are looked up in the merged sketch.
+
+    CMS guarantees estimate ≥ true count, and ≤ true + eps·N with the
+    configured confidence — the overcount gate in tests. Scale: the
+    shard sketches are constant-size regardless of row count, so
+    days/batches roll up forever without touching raw ids — the CH
+    materialized-view idiom with a frequency (not cardinality) sketch.
+    Rows-only (estimates are approximate; DuckDB has no CMS)."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = (
+        ev.withColumn("__shard", F.to_date("ts"))
+        .groupBy("__shard")
+        .agg(
+            F.count_min_sketch(
+                "user_id", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("sk")
+        )
+        .collect()  # bounded: one row per day
+    )
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in sorted(shards, key=lambda r: str(r["__shard"])):
+        bis = jvm.java.io.ByteArrayInputStream(bytes(r.sk))
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id"))
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (int(r.user_id), int(r.true_n), int(merged.estimateCount(int(r.user_id))))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, true_n bigint, est_n bigint"
+    ).select(
+        "user_id",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )

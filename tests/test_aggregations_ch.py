@@ -249,3 +249,42 @@ def test_gap_report_matches_sequential_replay(spark, sf_dir):
     }
     assert got == want
     assert all(g > GAP_MICROS for g, _ in got.values())
+
+
+def test_heavy_hitters_cms_bounds_and_merge_equals_single_pass(spark, sf_dir):
+    """agg_heavy_hitters_cms gates: (a) CMS never underestimates
+    (overcount >= 0) and stays within eps*N with margin; (b) the
+    shard-merged sketch answers identically to a single-pass sketch
+    over the same data (CMS merge is exact counter addition); (c) the
+    reported true counts match an exact recount."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        CMS_CONF,
+        CMS_EPS,
+        CMS_SEED,
+        agg_heavy_hitters_cms,
+    )
+
+    rep = agg_heavy_hitters_cms(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rep:
+        assert r.true_n == exact[r.user_id]
+        assert r.overcount >= 0
+        assert r.overcount <= CMS_EPS * n_total  # the eps*N guarantee
+
+    # single-pass sketch answers must equal the shard-merged answers
+    row = ev.agg(
+        F.count_min_sketch(
+            "user_id", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(row.sk))
+    single = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    for r in rep:
+        assert int(single.estimateCount(int(r.user_id))) == r.est_n
