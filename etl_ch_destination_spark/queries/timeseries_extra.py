@@ -681,3 +681,106 @@ def date_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.make_date(y - 1, F.lit(FISCAL_START_MONTH), F.lit(1)))
         .alias("fiscal_year_start"),
     )
+
+
+LTTB_POINTS = 50  # downsampled points per series
+
+
+def lttb_select(ts_us, cents, n_out: int):
+    """Largest-Triangle-Three-Buckets point selection (Steinarsson
+    2013; CH `largestTriangleThreeBuckets`): keep the endpoints,
+    split the interior into n_out−2 equal buckets, and from each
+    bucket take the point with the largest triangle area formed with
+    the previously SELECTED point and the NEXT bucket's centroid.
+    Pure-Python reference shared verbatim by the operator's worker
+    closure and the pytest replay — strict `>` makes ties resolve to
+    the earliest index, so selection is fully deterministic."""
+    n = len(ts_us)
+    if n <= n_out:
+        return list(range(n))
+    every = (n - 2) / (n_out - 2)
+    out = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo = int(i * every) + 1
+        hi = min(int((i + 1) * every) + 1, n - 1)
+        nlo = min(int((i + 1) * every) + 1, n - 1)
+        nhi = min(int((i + 2) * every) + 1, n)
+        span = max(nhi - nlo, 1)
+        avg_t = sum(ts_us[nlo:nhi]) / span if nhi > nlo else ts_us[n - 1]
+        avg_v = sum(cents[nlo:nhi]) / span if nhi > nlo else cents[n - 1]
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            area = abs(
+                (ts_us[a] - avg_t) * (cents[j] - cents[a])
+                - (ts_us[a] - ts_us[j]) * (avg_v - cents[a])
+            )
+            if area > best_area:
+                best, best_area = j, area
+        out.append(best)
+        a = best
+    out.append(n - 1)
+    return out
+
+
+@query("ts_downsample_lttb")  # sequential selection — rows-only;
+# EXACT replay + endpoint/coverage gates in tests/test_new_keys.py
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual time-series downsampling via Largest-Triangle-Three-
+    Buckets (CH `largestTriangleThreeBuckets`): each event_type's
+    value series collapses to {LTTB_POINTS} visually-representative
+    points. The selection is inherently sequential (each choice
+    depends on the previous selected point), so it runs per series
+    inside an Arrow-batched ``applyInPandas`` — series are the unit
+    of parallelism, exactly how a 100 TB dashboard downsample shards
+    (thousands of series × bounded points each; no cross-series
+    shuffle beyond the one groupBy). The per-series sort is bounded
+    by the series length, and the worker closure carries the shared
+    pure-Python reference BY VALUE (module registered with
+    cloudpickle below) so it runs from any cwd.
+
+    Rows-only (the bucket iteration has no SQL form); the pytest gate
+    replays the identical algorithm on the collected series and
+    asserts EXACT index-set equality plus the endpoint and
+    bucket-coverage invariants."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+
+    n_out = LTTB_POINTS
+    pick = lttb_select
+
+    def downsample(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        idx = pick(pdf["ts_us"].tolist(), pdf["cents"].tolist(), n_out)
+        sel = pdf.iloc[idx]
+        return pd.DataFrame(
+            {
+                "event_type": sel["event_type"],
+                "pos": idx,
+                "ts_us": sel["ts_us"],
+                "cents": sel["cents"],
+            }
+        )
+
+    return q.groupBy("event_type").applyInPandas(
+        downsample, schema="event_type string, pos long, ts_us long, cents long"
+    )
+
+
+# ship this module by value so the lttb closure imports nothing from
+# the worker's sys.path (the ops/multimodal.py worker-cwd pattern)
+try:  # pragma: no cover - exercised by the key's worker path
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass

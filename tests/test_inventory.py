@@ -50,6 +50,7 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
         "llm_bpe_encode",
         "llm_compression_ratio",
         "agg_heavy_hitters_cms",
+        "ts_downsample_lttb",
         "sample_fraction",
         "sample_stratified",
         "llm_sim_topk_ann",
@@ -80,8 +81,9 @@ def test_driver_sample_front_is_fresh():
     rows_only_by_design = {
         "agg_approx_distinct", "agg_sketch_state", "agg_quantile_kll",
         "llm_bpe_learn", "llm_bpe_encode", "llm_compression_ratio",
-        "agg_heavy_hitters_cms", "sample_fraction", "sample_stratified",
-        "llm_sim_topk_ann", "llm_sim_topk_ivf", "sink_clickhouse_jdbc",
+        "agg_heavy_hitters_cms", "ts_downsample_lttb", "sample_fraction",
+        "sample_stratified", "llm_sim_topk_ann", "llm_sim_topk_ivf",
+        "sink_clickhouse_jdbc",
     }
     missing = [k for k in first50
                if k not in oracles and k not in rows_only_by_design]

@@ -335,3 +335,47 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
         assert abs(r.corr_qty_price - m[0, 1]) < 1e-9
         assert abs(r.corr_qty_disc - m[0, 2]) < 1e-9
         assert abs(r.corr_price_disc - m[1, 2]) < 1e-9
+
+
+def test_lttb_downsample_matches_reference_and_invariants(spark, sf_dir):
+    """ts_downsample_lttb vs the shared pure-Python reference run on
+    the driver-collected series: EXACT (pos, ts, cents) equality per
+    event_type, endpoints always kept, positions strictly increasing,
+    output size min(LTTB_POINTS, series length)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        LTTB_POINTS,
+        lttb_select,
+        ts_downsample_lttb,
+    )
+
+    got: dict = {}
+    for r in ts_downsample_lttb(spark, sf_dir).collect():
+        got.setdefault(r.event_type, []).append((r.pos, r.ts_us, r.cents))
+    for v in got.values():
+        v.sort()
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    ).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.ts_us, r.event_id, r.cents))
+
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        ts_us = [p[0] for p in pts]
+        cents = [p[2] for p in pts]
+        idx = lttb_select(ts_us, cents, LTTB_POINTS)
+        expect = [(i, ts_us[i], cents[i]) for i in idx]
+        assert got[et] == sorted(expect), et
+        # invariants
+        poss = [p[0] for p in got[et]]
+        assert poss[0] == 0 and poss[-1] == len(pts) - 1
+        assert all(b > a for a, b in zip(poss, poss[1:]))
+        assert len(poss) == min(LTTB_POINTS, len(pts))
