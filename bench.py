@@ -209,6 +209,12 @@ def main() -> int:
 
     for p in load_procs:
         p.terminate()
+    for p in load_procs:  # reap — terminate() alone leaves zombies
+        try:
+            p.wait(timeout=10)
+        except Exception:
+            p.kill()
+            p.wait()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     suite = round(sum(ok.values()), 3)
@@ -234,13 +240,15 @@ def main() -> int:
     }
     # full detail (p95s, config) to the sidecar — NOT stdout; the
     # driver's tail capture is 2,000 chars and must see a complete line.
-    # Contended / subset runs get their own sidecar so they never
-    # clobber the canonical idle full-suite record.
-    sidecar = (
-        "BENCH_DETAIL.json"
-        if not args.contended and not args.keys
-        else "BENCH_DETAIL_contended.json"
-    )
+    # Contended / subset runs get their own mode-named sidecar so an
+    # idle subset run is never mislabeled as contended and neither can
+    # clobber the canonical idle full-suite record (ADVICE r5).
+    if not args.contended and not args.keys:
+        sidecar = "BENCH_DETAIL.json"
+    elif args.contended:
+        sidecar = "BENCH_DETAIL_contended.json"
+    else:
+        sidecar = "BENCH_DETAIL_subset.json"
     with open(os.path.join(REPO, sidecar), "w") as f:
         json.dump(detail, f, indent=1)
     compact = {

@@ -42,6 +42,29 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def promote(keys: list[str]) -> None:
+    """Reorder the registry so ``keys`` come first, in the given order.
+
+    The driver's correctness harness samples the FIRST 50 keys of
+    ``queries()`` each round; rounds rotate never-driver-sampled keys
+    into that window. Before this existed the window was controlled by
+    module import order in ``queries/__init__``, which is whole-module
+    granularity — this makes the rotation an explicit, testable key
+    list instead. Keys not listed keep their registration order after
+    the promoted block.
+    """
+    missing = [k for k in keys if k not in QUERIES]
+    if missing:
+        raise KeyError(f"promote() of unregistered keys: {missing}")
+    if len(set(keys)) != len(keys):
+        raise ValueError("promote() list contains duplicates")
+    promoted = set(keys)
+    rest = [k for k in QUERIES if k not in promoted]
+    reordered = {k: QUERIES[k] for k in [*keys, *rest]}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
 def all_queries() -> dict[str, QueryFn]:
     import etl_ch_destination_spark.queries  # noqa: F401  (registers on import)
 

@@ -214,6 +214,22 @@ def native_blocks(
     schema = wire_schema if wire_schema is not None else df.schema
     if len(schema.fields) != len(df.schema.fields):
         raise ValueError("wire_schema width != DataFrame width")
+    if wire_schema is not None:
+        # Field-by-field dataType equality modulo nullability (relaxing
+        # nullability — column or array element — is the override's
+        # purpose). Without this, a double column declared Int64 would
+        # be silently coerced by _encode_nonnull's int(v), shipping
+        # truncated values under a wrong type text (ADVICE r5).
+        # simpleString() is the type shape with nullability stripped at
+        # every level (array<double> regardless of containsNull).
+        for wf, df_f in zip(wire_schema.fields, df.schema.fields):
+            if wf.dataType.simpleString() != df_f.dataType.simpleString():
+                raise TypeError(
+                    f"wire_schema type mismatch for column "
+                    f"{df_f.name!r}: DataFrame has "
+                    f"{df_f.dataType.simpleString()}, wire_schema declares "
+                    f"{wf.dataType.simpleString()}"
+                )
 
     def encode_partition(batches: Iterator) -> Iterator:
         import pandas as pd

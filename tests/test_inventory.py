@@ -61,40 +61,100 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
     assert set(oracles) <= set(queries)
 
 
-def test_driver_sample_front_is_fresh():
-    """The driver's correctness harness samples the FIRST 50 keys in
-    registration order (VERDICT r3 #1). Each round's rotation
-    front-loads never-driver-sampled modules, so every key in the
-    sample window must be one with NO driver row in any recorded
-    CORRECTNESS_r*.json — a re-sampled key wastes a verification slot.
-    Rows-only-by-design keys in the window are allowed (a rows-only
-    driver row is the strongest row such a key can ever earn), but
-    every other windowed key must carry a full hash oracle."""
+ROWS_ONLY_BY_DESIGN = {
+    "agg_approx_distinct", "agg_sketch_state", "agg_quantile_kll",
+    "llm_bpe_learn", "llm_bpe_encode", "llm_compression_ratio",
+    "agg_heavy_hitters_cms", "ts_downsample_lttb", "sample_fraction",
+    "sample_stratified", "llm_sim_topk_ann", "llm_sim_topk_ivf",
+    "sink_clickhouse_jdbc",
+}
+
+
+def _driver_sampled(exclude_latest: bool) -> set[str]:
+    """Keys with a recorded driver row across CORRECTNESS_r*.json.
+
+    ``exclude_latest`` drops the single highest-numbered round file:
+    the driver records a round's results AFTER the rotation for that
+    round landed, so the latest file always covers the current window
+    by construction (ADVICE r5 — recording results must not break the
+    suite before the NEXT rotation commit lands). Any older file
+    covering the window means a rotation was actually forgotten.
+    """
     import glob
     import json
     import os
+    import re
 
-    from etl_ch_destination_spark.registry import all_oracles, all_queries
-
-    first50 = list(all_queries())[:50]
-    oracles = all_oracles()
-    rows_only_by_design = {
-        "agg_approx_distinct", "agg_sketch_state", "agg_quantile_kll",
-        "llm_bpe_learn", "llm_bpe_encode", "llm_compression_ratio",
-        "agg_heavy_hitters_cms", "ts_downsample_lttb", "sample_fraction",
-        "sample_stratified", "llm_sim_topk_ann", "llm_sim_topk_ivf",
-        "sink_clickhouse_jdbc",
-    }
-    missing = [k for k in first50
-               if k not in oracles and k not in rows_only_by_design]
-    assert not missing, f"non-oracled keys in the driver-sample window: {missing}"
-
-    sampled: set[str] = set()
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob("CORRECTNESS_r*.json"):
         if os.path.getsize(path) == 0:
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rounds.append((int(m.group(1)) if m else -1, path))
+    rounds.sort()
+    if exclude_latest and rounds:
+        rounds = rounds[:-1]
+    sampled: set[str] = set()
+    for _, path in rounds:
         with open(path) as f:
             sampled |= set(json.load(f).keys())
+    return sampled
+
+
+def test_driver_sample_front_is_fresh():
+    """The driver's correctness harness samples the FIRST 50 keys in
+    ``queries()`` order (VERDICT r3 #1). Each round's rotation promotes
+    never-driver-sampled keys into that window, so every windowed key
+    must have NO driver row in any prior-round CORRECTNESS_r*.json — a
+    re-sampled key wastes a verification slot. Rows-only-by-design keys
+    in the window are allowed (a rows-only driver row is the strongest
+    row such a key can ever earn), but every other windowed key must
+    carry a full hash oracle."""
+    from etl_ch_destination_spark.queries import R6_WINDOW
+    from etl_ch_destination_spark.registry import all_oracles, all_queries
+
+    first50 = list(all_queries())[:50]
+    assert first50 == R6_WINDOW, "promote() did not apply the planned window"
+    oracles = all_oracles()
+    missing = [k for k in first50
+               if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
+    assert not missing, f"non-oracled keys in the driver-sample window: {missing}"
+
+    sampled = _driver_sampled(exclude_latest=True)
     if sampled:  # files exist only in the driver's repo checkout
         stale = [k for k in first50 if k in sampled]
         assert not stale, f"already-driver-sampled keys in the window: {stale}"
+
+
+def test_next_rotation_windows_are_prestaged():
+    """VERDICT r5 #2: the round-7 window and round-8 tail are planned
+    NOW and mechanically checked — together with the current window
+    they must cover every never-driver-sampled key, be mutually
+    disjoint, and (for r7) be fully hash-oracled so the driver record
+    reaches 275/275 on schedule."""
+    from etl_ch_destination_spark.queries import R6_WINDOW, R7_WINDOW, R8_TAIL
+    from etl_ch_destination_spark.registry import all_oracles, all_queries
+
+    planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL]
+    assert len(set(planned)) == len(planned), "rotation blocks overlap"
+    assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
+    assert set(planned) <= set(all_queries())
+
+    # The planned blocks cover every key never sampled in ANY recorded
+    # round (the latest included — these keys must not be in it either,
+    # except the R6 window which the latest round legitimately covers
+    # once the driver records round 6).
+    sampled_all = _driver_sampled(exclude_latest=False)
+    if sampled_all:
+        fresh = {k for k in all_queries() if k not in sampled_all}
+        unplanned = fresh - set(planned)
+        assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
+        # r7/r8 keys must have no driver row in any round recorded so far
+        stale_r7 = [k for k in [*R7_WINDOW, *R8_TAIL] if k in sampled_all]
+        assert not stale_r7, f"already-sampled keys pre-staged for r7/r8: {stale_r7}"
+
+    oracles = all_oracles()
+    not_oracled_r7 = [k for k in R7_WINDOW
+                      if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
+    assert not not_oracled_r7
+    assert set(R8_TAIL) <= ROWS_ONLY_BY_DESIGN
