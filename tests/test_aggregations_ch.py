@@ -253,11 +253,15 @@ def test_gap_report_matches_sequential_replay(spark, sf_dir):
 
 def test_heavy_hitters_cms_bounds_and_merge_equals_single_pass(spark, sf_dir):
     """agg_heavy_hitters_cms gates: (a) CMS never underestimates
-    (overcount >= 0) and stays within eps*N with margin; (b) the
-    shard-merged sketch answers identically to a single-pass sketch
-    over the same data (CMS merge is exact counter addition); (c) the
-    reported true counts match an exact recount."""
+    (overcount >= 0) and stays within eps*N with margin; (b) per-day
+    shard sketches merged by the pure-Python ops/cms.py merger are
+    BYTE-IDENTICAL to the one-pass sketch over the same data (CMS merge
+    is exact counter addition — the rollup-forever property); (c) the
+    reported true counts match an exact recount; (d) the Python V1
+    reader's estimates equal the JVM's own estimateCount bit-exactly
+    (pins the byte-format assumption against Spark's implementation)."""
     from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.cms import SparkCMS
     from etl_ch_destination_spark.queries.aggregations_ch import (
         CMS_CONF,
         CMS_EPS,
@@ -277,14 +281,79 @@ def test_heavy_hitters_cms_bounds_and_merge_equals_single_pass(spark, sf_dir):
         assert r.overcount >= 0
         assert r.overcount <= CMS_EPS * n_total  # the eps*N guarantee
 
-    # single-pass sketch answers must equal the shard-merged answers
-    row = ev.agg(
-        F.count_min_sketch(
-            "user_id", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
-        ).alias("sk")
-    ).collect()[0]
-    jvm = spark.sparkContext._jvm
-    bis = jvm.java.io.ByteArrayInputStream(bytes(row.sk))
-    single = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    cms_agg = F.count_min_sketch(
+        "user_id", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+    )
+    single_bytes = bytes(ev.agg(cms_agg.alias("sk")).head().sk)
+    single = SparkCMS.from_bytes(single_bytes)
     for r in rep:
-        assert int(single.estimateCount(int(r.user_id))) == r.est_n
+        assert single.estimate_long(int(r.user_id)) == r.est_n
+
+    # (b) shard-and-merge == one pass, byte-for-byte
+    shards = (
+        ev.withColumn("__shard", F.to_date("ts"))
+        .groupBy("__shard")
+        .agg(cms_agg.alias("sk"))
+        .collect()
+    )
+    assert len(shards) > 1, "fixture should span multiple days"
+    parsed = [SparkCMS.from_bytes(bytes(s.sk)) for s in shards]
+    merged = parsed[0]
+    for p in parsed[1:]:
+        merged = merged.merge(p)
+    assert merged.to_bytes() == single_bytes
+
+    # (d) reader matches the JVM's own estimates on raw heavy/light ids
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(single_bytes)
+    jsk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    assert int(jsk.totalCount()) == single.total_count == n_total
+    probe_ids = [int(r.user_id) for r in rep] + [-1, 0, 10**12 + 7]
+    for uid in probe_ids:
+        assert single.estimate_long(uid) == int(jsk.estimateCount(uid))
+
+
+def test_cms_reader_roundtrip_and_guards(spark, sf_dir):
+    """ops/cms.py unit gates: byte round-trip, geometry-mismatch merge
+    refusal, and the operator's empty-input guard (ADVICE r5: no
+    AttributeError when the source yields no rows)."""
+    import pytest as _pytest
+
+    from etl_ch_destination_spark.ops.cms import SparkCMS
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        agg_heavy_hitters_cms,
+    )
+
+    df = spark.range(0, 500).select((F.col("id") % 11).alias("v"))
+    b1 = bytes(
+        df.agg(
+            F.count_min_sketch("v", F.lit(0.01), F.lit(0.9), F.lit(7)).alias("sk")
+        ).head().sk
+    )
+    sk1 = SparkCMS.from_bytes(b1)
+    assert sk1.to_bytes() == b1
+    for v in range(11):
+        assert sk1.estimate_long(v) >= 500 // 11
+
+    b2 = bytes(
+        df.agg(
+            F.count_min_sketch("v", F.lit(0.1), F.lit(0.9), F.lit(7)).alias("sk")
+        ).head().sk
+    )
+    with _pytest.raises(ValueError, match="incompatible"):
+        sk1.merge(SparkCMS.from_bytes(b2))
+
+    # empty-input guard: declared schema, zero rows, no crash
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow.parquet as pq
+
+        # single-file parquet like the driver fixtures (load_table
+        # sniffs the footer of a plain file, not a Spark directory)
+        src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        pq.write_table(src.slice(0, 0), os.path.join(td, "events.parquet"))
+        out = agg_heavy_hitters_cms(spark, td)
+        assert out.columns == ["user_id", "true_n", "est_n", "overcount"]
+        assert out.count() == 0
