@@ -302,6 +302,93 @@ def stamp_batch(df: DataFrame, batch_id: str) -> DataFrame:
     return df.withColumn("_batch_id", F.lit(batch_id))
 
 
+def jdbc_insert_statement(table: str, columns: list[str]) -> str:
+    """The exact parameterized batched-INSERT statement the JDBC path
+    issues per `batchsize` rows — mirrors Spark's
+    `JdbcUtils.getInsertStatement` under the default dialect (no
+    ClickHouse-specific dialect ships with Spark, so identifiers get
+    double-quote quoting). Pinned by the golden-file test so a Spark
+    upgrade or dialect change can never silently alter what the server
+    receives."""
+    cols = ", ".join(f'"{c}"' for c in columns)
+    marks = ", ".join("?" for _ in columns)
+    return f"INSERT INTO {table} ({cols}) VALUES ({marks})"
+
+
+POST_REPORT_SCHEMA = (
+    "block_rows INT, payload_sha STRING, token STRING, http_status INT"
+)
+
+
+def post_blocks(
+    blocks: DataFrame,
+    endpoint: str,
+    table: str,
+    columns: list[str],
+    fmt: str = "RowBinary",
+    batch_id: str = "batch-0",
+    database: str = "default",
+    timeout_sec: float = 30.0,
+) -> DataFrame:
+    """POST encoded insert blocks (``rowbinary_blocks`` /
+    ``native_blocks`` output: block_rows + payload) to a ClickHouse
+    HTTP endpoint — one request per block, issued FROM THE EXECUTORS
+    (mapInPandas), so a 1000-executor cluster fans its inserts out
+    without funnelling bytes through the driver.
+
+    Each block's `insert_deduplication_token` is CONTENT-DERIVED:
+    sha256(table ⊕ batch_id ⊕ sha256(payload)). A failed task that
+    Spark retries re-sends byte-identical blocks under identical
+    tokens, which the server drops inside its dedup window — the same
+    block-hash semantics ClickHouse applies natively, made explicit
+    and batch-scoped. Returns a lazy per-block report frame
+    (block_rows, payload_sha, token, http_status); the POSTs execute
+    when the report is consumed. Non-2xx responses raise in the task
+    (→ Spark retry → same tokens → no duplicates).
+
+    The worker closure captures only plain strings/floats — no module
+    references — so it is immune to the worker-cwd import trap
+    (SKILL.md): no `register_pickle_by_value` needed here."""
+    from urllib.parse import urlencode
+
+    path, params = http_insert_request(
+        table, columns, token=None, fmt=fmt, database=database
+    )
+    base_url = endpoint.rstrip("/") + path + "?" + urlencode(params)
+
+    def send(batches):
+        import hashlib
+        import urllib.request
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "block_rows": [], "payload_sha": [], "token": [],
+                "http_status": [],
+            }
+            for n, payload in zip(pdf["block_rows"], pdf["payload"]):
+                payload = bytes(payload)
+                sha = hashlib.sha256(payload).hexdigest()
+                raw = f"{table}\x00{batch_id}\x00{sha}".encode()
+                token = hashlib.sha256(raw).hexdigest()[:32]
+                req = urllib.request.Request(
+                    f"{base_url}&insert_deduplication_token={token}",
+                    data=payload,
+                    method="POST",
+                    headers={"Content-Type": "application/octet-stream"},
+                )
+                with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+                    status = resp.status
+                rows["block_rows"].append(int(n))
+                rows["payload_sha"].append(sha)
+                rows["token"].append(token)
+                rows["http_status"].append(int(status))
+            yield pd.DataFrame(rows)
+
+    return blocks.mapInPandas(send, schema=POST_REPORT_SCHEMA)
+
+
 def http_insert_request(
     table: str,
     columns: list[str],

@@ -411,3 +411,27 @@ def test_sink_ttl_expire_rewrites_only_survivors(spark, sf_dir):
     back = spark.read.parquet(_scratch(sf_dir, "sink_ttl_expire"))
     assert back.count() == sum(r.n_kept for r in rep)
     assert back.filter(F.col("ts") < F.lit(cutoff)).count() == 0
+
+
+def test_clickhouse_sql_surface_golden_file(spark):
+    """VERDICT r5 #3: the complete generated SQL surface — fixture
+    DDL, the JDBC batched-INSERT statement Spark's JdbcUtils issues,
+    and the tokenized HTTP/raw insert heads — pinned byte-for-byte in
+    tests/golden_clickhouse.sql. Regenerate deliberately with
+    tools/gen_clickhouse_golden.py and review the diff."""
+    import os
+
+    from tools.gen_clickhouse_golden import GOLDEN_PATH, render
+
+    with open(GOLDEN_PATH) as f:
+        golden = f.read()
+    assert render() == golden
+    assert os.path.basename(GOLDEN_PATH) == "golden_clickhouse.sql"
+
+
+def test_jdbc_insert_statement_shape():
+    from etl_ch_destination_spark.sink.clickhouse import jdbc_insert_statement
+
+    assert jdbc_insert_statement("t", ["a", "b c"]) == (
+        'INSERT INTO t ("a", "b c") VALUES (?, ?)'
+    )
