@@ -214,7 +214,13 @@ def main() -> int:
             p.wait(timeout=10)
         except Exception:
             p.kill()
-            p.wait()
+            try:
+                # a process stuck in uninterruptible sleep (D state)
+                # survives SIGKILL until its syscall returns; don't let
+                # it hold the bench's stdout summary hostage (ADVICE r6)
+                p.wait(timeout=10)
+            except Exception:
+                print(f"load proc {p.pid} did not exit after kill", file=sys.stderr)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     suite = round(sum(ok.values()), 3)

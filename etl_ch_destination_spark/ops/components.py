@@ -82,6 +82,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     exact_convergence: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Labels every node of the (undirected) edge set with the MINIMUM
     node id of its component — columns ``(node, component)``.
@@ -98,6 +99,11 @@ def connected_components(
     with wrong labels. Default off: the exact check costs two extra
     shuffles per convergence candidate; the property/parity suites run
     with it on, production pipelines rely on the fingerprint.
+
+    ``stats``: optional dict the call fills with ``{"rounds": n}`` —
+    the number of star rounds executed before convergence. The O(log n)
+    round bound is this algorithm's scale claim; tools/stress.py gates
+    on it growing logarithmically (not linearly) under row replication.
     """
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
@@ -119,7 +125,9 @@ def connected_components(
         )
 
     fp = fingerprint(e)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star output is already directed big→small and loop-free
         # (b > a ≥ m), so small-star consumes it directly; the outer
         # _canon dedupes once per round instead of twice.
@@ -135,6 +143,8 @@ def connected_components(
         fp = fp2
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     # converged: every edge points node → component-min (star form)
     non_roots = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()

@@ -107,5 +107,9 @@ R8_TAIL = [
     "llm_compression_ratio", "sample_stratified",
 ]
 
-ROTATION = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL]
+# Round-7 rotation: R7_WINDOW (50 fresh keys) occupies the driver's
+# 50-key sample window; R8_TAIL sits immediately behind so the round-8
+# rotation is the one-line move of R8_TAIL to the front, completing
+# 275/275 driver-recorded keys.
+ROTATION = [*R7_WINDOW, *R8_TAIL, *R6_WINDOW]
 registry.promote(ROTATION)

@@ -88,6 +88,7 @@ query("agg_groupby_multi", FLAGSHIP_ORACLE)(flagship_pricing_summary)
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped (whole-table) aggregation — one partial-agg pass, single-row result, no exchange of row data."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -109,6 +110,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: the post-aggregation filter runs on the aggregated frame, never the fact rows."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -338,6 +340,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse WITH CUBE: all 2^k grouping-set combinations in one expand pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -354,6 +357,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS list (the generalization of rollup/cube) with grouping-id disambiguation of the NULL rows."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupingSets(
         [["l_returnflag"], ["l_linestatus"], []],

@@ -28,6 +28,7 @@ from etl_ch_destination_spark.registry import query
     """,
 )
 def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + rename — the minimal SELECT ... AS surface; pruned scan reads only the three projected columns."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderkey").alias("order_key"),
@@ -72,6 +73,7 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def derive_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns from arithmetic over existing ones (ClickHouse SELECT expression surface), all JVM-side codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -88,6 +90,7 @@ def derive_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 24 AND l_extendedprice >= 1000 AND l_linenumber != 7",
 )
 def filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive comparison predicates (<, >=, =) pushed to the parquet scan as PushedFilters."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_quantity") < 24)
@@ -106,6 +109,7 @@ def filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN range + IN-list predicates, both pushdown-eligible scan filters."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         F.col("l_shipdate").between("1996-01-01 00:00:00", "1996-12-31 00:00:00")
@@ -192,6 +196,7 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface: coalesce / nullif / nvl2-shaped CASE over nullable columns."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -210,6 +215,7 @@ def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a projected column set (hash-aggregate exchange on the projected key)."""
     li = load_table(spark, sf_dir, "lineitem")
     return dedup_exact(li.select("l_returnflag", "l_linestatus", "l_shipdate"))
 

@@ -38,6 +38,7 @@ def _supp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup exchange) of two conformed projections."""
     return _cust_nations(spark, sf_dir).unionByName(_supp_nations(spark, sf_dir))
 
 
@@ -50,6 +51,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT: bag union + one dedup exchange on the full row."""
     return (
         _cust_nations(spark, sf_dir)
         .unionByName(_supp_nations(spark, sf_dir))
@@ -66,6 +68,7 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): rows present in both inputs."""
     return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
 
 

@@ -307,11 +307,13 @@ def jdbc_insert_statement(table: str, columns: list[str]) -> str:
     issues per `batchsize` rows — mirrors Spark's
     `JdbcUtils.getInsertStatement` under the default dialect (no
     ClickHouse-specific dialect ships with Spark, so identifiers get
-    double-quote quoting). Pinned by the golden-file test so a Spark
-    upgrade or dialect change can never silently alter what the server
-    receives."""
-    cols = ", ".join(f'"{c}"' for c in columns)
-    marks = ", ".join("?" for _ in columns)
+    double-quote quoting), BYTE-EXACTLY: Spark joins both the column
+    list and the placeholder list with ``mkString(",")`` — a bare
+    comma, no space (ADVICE r6). Pinned by the golden-file test so a
+    Spark upgrade or dialect change can never silently alter what the
+    server receives."""
+    cols = ",".join(f'"{c}"' for c in columns)
+    marks = ",".join("?" for _ in columns)
     return f"INSERT INTO {table} ({cols}) VALUES ({marks})"
 
 
@@ -329,6 +331,7 @@ def post_blocks(
     batch_id: str = "batch-0",
     database: str = "default",
     timeout_sec: float = 30.0,
+    salt_block_ordinal: bool = False,
 ) -> DataFrame:
     """POST encoded insert blocks (``rowbinary_blocks`` /
     ``native_blocks`` output: block_rows + payload) to a ClickHouse
@@ -346,6 +349,21 @@ def post_blocks(
     when the report is consumed. Non-2xx responses raise in the task
     (→ Spark retry → same tokens → no duplicates).
 
+    CAVEAT (ADVICE r6) — content-derived tokens collapse IDENTICAL
+    blocks: two byte-identical blocks in the same batch (legitimately
+    duplicated rows that happen to fill whole blocks identically) get
+    the same token, and the server silently drops the second. That is
+    exactly ClickHouse's native block-hash dedup semantics, but it IS
+    a silent data drop from the caller's perspective. Callers that
+    must preserve duplicate blocks pass ``salt_block_ordinal=True``,
+    which mixes (partitionId, in-partition block ordinal) into the
+    token: duplicate blocks then survive, and plain task RETRIES still
+    dedup (a retry re-runs the same partition → same ordinals) — but a
+    re-SLICED retry (repartition between attempts, e.g. a foreachBatch
+    replay over a differently-partitioned frame) re-sends under new
+    tokens and duplicates. Pick per sink: exactly-once under re-slicing
+    (default) XOR duplicate-block preservation (salted).
+
     The worker closure captures only plain strings/floats — no module
     references — so it is immune to the worker-cwd import trap
     (SKILL.md): no `register_pickle_by_value` needed here."""
@@ -362,6 +380,12 @@ def post_blocks(
 
         import pandas as pd
 
+        if salt_block_ordinal:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            part = tc.partitionId() if tc is not None else -1
+        ordinal = 0
         for pdf in batches:
             rows: dict[str, list] = {
                 "block_rows": [], "payload_sha": [], "token": [],
@@ -371,6 +395,9 @@ def post_blocks(
                 payload = bytes(payload)
                 sha = hashlib.sha256(payload).hexdigest()
                 raw = f"{table}\x00{batch_id}\x00{sha}".encode()
+                if salt_block_ordinal:
+                    raw += f"\x00{part}\x00{ordinal}".encode()
+                ordinal += 1
                 token = hashlib.sha256(raw).hexdigest()[:32]
                 req = urllib.request.Request(
                     f"{base_url}&insert_deduplication_token={token}",

@@ -20,7 +20,7 @@ PARTITION BY toYYYYMM(`l_shipdate`)
 ORDER BY (`l_orderkey`, `l_linenumber`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO lineitem ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate") VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?);
+INSERT INTO lineitem ("l_orderkey","l_partkey","l_suppkey","l_linenumber","l_quantity","l_extendedprice","l_discount","l_tax","l_returnflag","l_linestatus","l_shipdate") VALUES (?,?,?,?,?,?,?,?,?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO lineitem (`l_orderkey`, `l_partkey`, `l_suppkey`, `l_linenumber`, `l_quantity`, `l_extendedprice`, `l_discount`, `l_tax`, `l_returnflag`, `l_linestatus`, `l_shipdate`)
@@ -40,7 +40,7 @@ PARTITION BY toYYYYMM(`o_orderdate`)
 ORDER BY (`o_custkey`, `o_orderkey`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO orders ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority") VALUES (?, ?, ?, ?, ?, ?);
+INSERT INTO orders ("o_orderkey","o_custkey","o_orderstatus","o_totalprice","o_orderdate","o_orderpriority") VALUES (?,?,?,?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO orders (`o_orderkey`, `o_custkey`, `o_orderstatus`, `o_totalprice`, `o_orderdate`, `o_orderpriority`)
@@ -58,7 +58,7 @@ CREATE TABLE IF NOT EXISTS customer (
 ORDER BY (`c_custkey`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO customer ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment") VALUES (?, ?, ?, ?, ?);
+INSERT INTO customer ("c_custkey","c_name","c_nationkey","c_acctbal","c_mktsegment") VALUES (?,?,?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO customer (`c_custkey`, `c_name`, `c_nationkey`, `c_acctbal`, `c_mktsegment`)
@@ -75,7 +75,7 @@ CREATE TABLE IF NOT EXISTS supplier (
 ORDER BY (`s_suppkey`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO supplier ("s_suppkey", "s_name", "s_nationkey", "s_acctbal") VALUES (?, ?, ?, ?);
+INSERT INTO supplier ("s_suppkey","s_name","s_nationkey","s_acctbal") VALUES (?,?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO supplier (`s_suppkey`, `s_name`, `s_nationkey`, `s_acctbal`)
@@ -94,7 +94,7 @@ CREATE TABLE IF NOT EXISTS part (
 ORDER BY (`p_partkey`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO part ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice") VALUES (?, ?, ?, ?, ?, ?);
+INSERT INTO part ("p_partkey","p_name","p_brand","p_type","p_size","p_retailprice") VALUES (?,?,?,?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO part (`p_partkey`, `p_name`, `p_brand`, `p_type`, `p_size`, `p_retailprice`)
@@ -110,7 +110,7 @@ CREATE TABLE IF NOT EXISTS nation (
 ORDER BY (`n_nationkey`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO nation ("n_nationkey", "n_name", "n_regionkey") VALUES (?, ?, ?);
+INSERT INTO nation ("n_nationkey","n_name","n_regionkey") VALUES (?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO nation (`n_nationkey`, `n_name`, `n_regionkey`)
@@ -125,7 +125,7 @@ CREATE TABLE IF NOT EXISTS region (
 ORDER BY (`r_regionkey`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO region ("r_regionkey", "r_name") VALUES (?, ?);
+INSERT INTO region ("r_regionkey","r_name") VALUES (?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO region (`r_regionkey`, `r_name`)
@@ -146,7 +146,7 @@ ORDER BY (`user_id`, `ts`)
 TTL `ts` + INTERVAL 180 DAY;
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO events ("event_id", "ts", "user_id", "event_type", "value", "props") VALUES (?, ?, ?, ?, ?, ?);
+INSERT INTO events ("event_id","ts","user_id","event_type","value","props") VALUES (?,?,?,?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO events (`event_id`, `ts`, `user_id`, `event_type`, `value`, `props`)
@@ -164,7 +164,7 @@ CREATE TABLE IF NOT EXISTS documents (
 ORDER BY (`doc_id`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO documents ("doc_id", "text", "lang", "source", "n_chars") VALUES (?, ?, ?, ?, ?);
+INSERT INTO documents ("doc_id","text","lang","source","n_chars") VALUES (?,?,?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO documents (`doc_id`, `text`, `lang`, `source`, `n_chars`)
@@ -180,7 +180,7 @@ CREATE TABLE IF NOT EXISTS embeddings (
 ORDER BY (`vec_id`);
 
 -- JDBC batched insert (Spark JdbcUtils, default dialect):
-INSERT INTO embeddings ("vec_id", "embedding", "label") VALUES (?, ?, ?);
+INSERT INTO embeddings ("vec_id","embedding","label") VALUES (?,?,?);
 
 -- HTTP/raw-statement tokenized insert head (block 0 of batch-0001):
 INSERT INTO embeddings (`vec_id`, `embedding`, `label`)

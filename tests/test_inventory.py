@@ -19,12 +19,27 @@ def test_survey_inventory_count_matches_registry():
     n_oracles = len(all_oracles())
 
     survey = _read("SURVEY.md")
-    m = re.search(r"\*\*Inventory count: (\d+) operator keys\*\*", survey)
-    assert m, "SURVEY.md inventory-count line missing"
+    m = re.search(
+        r"\*\*Inventory count \(generated from the registry\): (\d+) operator\s+"
+        r"keys — (\d+) with full DuckDB hash oracles",
+        survey,
+    )
+    assert m, "SURVEY.md generated inventory-count line missing"
     assert int(m.group(1)) == n_keys, (int(m.group(1)), n_keys)
+    assert int(m.group(2)) == n_oracles, (int(m.group(2)), n_oracles)
 
-    m = re.search(r"registered: (\d+) with full hash-match oracles", survey)
-    assert m and int(m.group(1)) == n_oracles, (m and m.group(1), n_oracles)
+    # the whole generated block must be byte-identical to what the
+    # generator would emit from the live registry (VERDICT r6 #4:
+    # generated, not hand-maintained)
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/gen_survey_inventory.py", "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
 
     readme = _read("README.md")
     m = re.search(r"all (\d+) operator keys are registered", readme)
@@ -110,11 +125,11 @@ def test_driver_sample_front_is_fresh():
     in the window are allowed (a rows-only driver row is the strongest
     row such a key can ever earn), but every other windowed key must
     carry a full hash oracle."""
-    from etl_ch_destination_spark.queries import R6_WINDOW
+    from etl_ch_destination_spark.queries import R7_WINDOW
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
     first50 = list(all_queries())[:50]
-    assert first50 == R6_WINDOW, "promote() did not apply the planned window"
+    assert first50 == R7_WINDOW, "promote() did not apply the planned window"
     oracles = all_oracles()
     missing = [k for k in first50
                if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]

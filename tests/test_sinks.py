@@ -430,8 +430,164 @@ def test_clickhouse_sql_surface_golden_file(spark):
 
 
 def test_jdbc_insert_statement_shape():
+    # byte-exact vs Spark JdbcUtils.getInsertStatement: mkString(",")
+    # joins with a bare comma, no space (ADVICE r6)
     from etl_ch_destination_spark.sink.clickhouse import jdbc_insert_statement
 
     assert jdbc_insert_statement("t", ["a", "b c"]) == (
-        'INSERT INTO t ("a", "b c") VALUES (?, ?)'
+        'INSERT INTO t ("a","b c") VALUES (?,?)'
+    )
+
+
+# ---------------------------------------------------------------------------
+# Socket-level integration (VERDICT r6 #7): post_blocks against a live
+# in-process HTTP server — the last seam short of a real ClickHouse
+# server. Asserts the bytes RECEIVED on the socket equal the golden
+# encoder's output byte-for-byte, and that the URL carries the same
+# (query, format, token) triple that http_insert_request pins.
+# ---------------------------------------------------------------------------
+
+
+def _start_capture_server():
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received = []
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            n = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(n)
+            with lock:
+                received.append({"path": self.path, "body": body})
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):  # silence per-request stderr lines
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, received
+
+
+def test_post_blocks_wire_bytes_match_golden_encoder(spark, sf_dir):
+    """End-to-end request assembly → live socket → byte comparison."""
+    import hashlib
+    from urllib.parse import parse_qs, urlparse
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.sink.clickhouse import post_blocks
+    from etl_ch_destination_spark.sink.rowbinary import (
+        encode_row,
+        rowbinary_blocks,
+    )
+
+    df = (
+        load_table(spark, sf_dir, "region")
+        .coalesce(1)
+        .sortWithinPartitions("r_regionkey")
+    )
+    cols = df.columns
+    # golden bytes, computed driver-side by the same public encoder the
+    # byte-golden tests pin — NOT by the code path under test
+    expected_payload = b"".join(
+        encode_row(df.schema, tuple(r)) for r in df.collect()
+    )
+
+    srv, received = _start_capture_server()
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        report = post_blocks(
+            rowbinary_blocks(df),
+            endpoint,
+            "region",
+            cols,
+            fmt="RowBinary",
+            batch_id="sock-batch-1",
+        ).collect()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    assert len(report) == 1 and len(received) == 1
+    assert report[0]["http_status"] == 200
+    # the bytes on the wire are the golden encoder's bytes
+    assert received[0]["body"] == expected_payload
+    sha = hashlib.sha256(expected_payload).hexdigest()
+    assert report[0]["payload_sha"] == sha
+
+    url = urlparse(received[0]["path"])
+    qs = parse_qs(url.query)
+    from etl_ch_destination_spark.sink.clickhouse import http_insert_request
+
+    _, params = http_insert_request("region", cols, fmt="RowBinary")
+    assert qs["query"] == [params["query"]]
+    assert "(`r_regionkey`, `r_name`)" in qs["query"][0]
+    expected_token = hashlib.sha256(
+        f"region\x00sock-batch-1\x00{sha}".encode()
+    ).hexdigest()[:32]
+    assert qs["insert_deduplication_token"] == [expected_token]
+    assert report[0]["token"] == expected_token
+
+
+def test_post_blocks_ordinal_salt_preserves_duplicate_blocks(spark):
+    """Default tokens collapse byte-identical blocks (ClickHouse
+    block-hash dedup semantics); salt_block_ordinal=True keeps them
+    distinct (ADVICE r6 opt-out)."""
+    from etl_ch_destination_spark.sink.clickhouse import post_blocks
+    from etl_ch_destination_spark.sink.rowbinary import rowbinary_blocks
+
+    # two byte-identical single-row blocks in one partition
+    df = (
+        spark.range(1)
+        .selectExpr("CAST(7 AS INT) AS k", "'dup' AS v")
+        .union(spark.range(1).selectExpr("CAST(7 AS INT) AS k", "'dup' AS v"))
+        .coalesce(1)
+    )
+    blocks = rowbinary_blocks(df, rows_per_block=1)
+
+    srv, received = _start_capture_server()
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        plain = post_blocks(
+            blocks, endpoint, "t", ["k", "v"], batch_id="b1"
+        ).collect()
+        salted = post_blocks(
+            blocks, endpoint, "t", ["k", "v"], batch_id="b1",
+            salt_block_ordinal=True,
+        ).collect()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    assert len(plain) == 2 and len(salted) == 2
+    assert len(received) == 4 and all(
+        r["body"] == received[0]["body"] for r in received
+    )
+    # content-derived: identical payload → identical token (server drops
+    # the second block); salted: same payload, distinct tokens
+    assert plain[0]["token"] == plain[1]["token"]
+    assert salted[0]["token"] != salted[1]["token"]
+    # salting is deterministic across re-runs of the same partitioning,
+    # so plain task retries still dedup
+    srv2, _ = _start_capture_server()
+    try:
+        salted_again = post_blocks(
+            blocks,
+            f"http://127.0.0.1:{srv2.server_address[1]}",
+            "t",
+            ["k", "v"],
+            batch_id="b1",
+            salt_block_ordinal=True,
+        ).collect()
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+    assert sorted(r["token"] for r in salted_again) == sorted(
+        r["token"] for r in salted
     )

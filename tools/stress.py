@@ -49,8 +49,22 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10,30")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--only",
+        default="",
+        help=(
+            "comma list of spine names to run (default: all). Names: "
+            "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
+            "line_dedup,bpe_vocab_rounds,cc,sim — 'sim' covers the "
+            "exact/LSH/IVF trio + recall gates"
+        ),
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
+    only = {s for s in args.only.split(",") if s}
+
+    def want(name: str) -> bool:
+        return not only or name in only
 
     from pyspark.sql import functions as F
 
@@ -300,92 +314,186 @@ def main() -> int:
                     _bpe_apply_merge(F.col("syms"), best.l, best.r).alias("syms"),
                 ).localCheckpoint(eager=True)
 
-        # --- ANN vs exact: recall AND latency under row scaling -------
-        # (VERDICT r3 next-round #5: prove the approximate paths hold
-        # their recall floor as the corpus grows, not just their slope.)
-        from etl_ch_destination_spark.ops.similarity import (
-            ann_topk,
-            brute_force_topk,
-            ivf_topk,
-        )
+        def cc_clusters():
+            # the llm_dedup_clusters spine ALONE: alternating
+            # large-star/small-star connected components over a
+            # materialized near-dup edge set (edge generation is the
+            # `neardup` spine; separating them isolates the iterative
+            # graph cost AND its rounds-to-converge, the O(log n)
+            # claim). replicate_docs keeps per-copy vocabularies
+            # disjoint, so components replicate per copy — edge count
+            # and component count both scale N×, component SHAPE stays
+            # fixture-realistic.
+            from etl_ch_destination_spark.ops.components import (
+                connected_components,
+            )
 
-        K = 10
-        corpus = replicate_vecs(emb0, n).persist()
-        corpus.count()  # materialize once; all three paths read the same frame
-        queries = emb0.filter(F.col("vec_id") < 16)
+            stats: dict = {}
+            connected_components(
+                cc_edges, src="id_a", dst="id_b", stats=stats
+            ).write.mode("overwrite").format("noop").save()
+            cc_rounds_seen.append(stats["rounds"])
 
-        def collect_topk(fn):
-            rows = fn(corpus, queries, K).collect()
-            out: dict[int, set] = {}
-            for r in rows:
-                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-            return out
+        row: dict[str, float] = {"rows": li.count()}
+        if want("q1"):
+            row["q1"] = time_action(q1)
+        if want("join_agg"):
+            row["join_agg"] = time_action(join_agg)
+        if want("topk_global"):
+            row["topk_global"] = time_action(topk)
+        if want("neardup"):
+            row["neardup"] = time_action(neardup)
+        if want("vocab_score"):
+            row["vocab_score"] = time_action(vocab_score)
+        if want("ngram_novelty"):
+            row["ngram_novelty"] = time_action(ngram_novelty)
+        if want("line_dedup"):
+            row["line_dedup"] = time_action(line_dedup)
+        if want("bpe_vocab_rounds"):
+            row["bpe_vocab_rounds"] = time_action(bpe_rounds)
+        if want("cc"):
+            from etl_ch_destination_spark.ops.neardup import (
+                near_duplicate_pairs,
+            )
 
-        exact = collect_topk(brute_force_topk)
+            cc_edges = near_duplicate_pairs(d).localCheckpoint(eager=True)
+            cc_rounds_seen: list[int] = []
+            row["cc"] = time_action(cc_clusters)
+            row["cc_rounds"] = max(cc_rounds_seen)
+            row["cc_edges"] = cc_edges.count()
 
-        def recall_of(approx: dict[int, set]) -> float:
-            per_q = [
-                len(exact[q] & approx.get(q, set())) / max(1, len(exact[q]))
-                for q in exact
-            ]
-            return round(sum(per_q) / len(per_q), 4)
+        if want("sim"):
+            # --- ANN vs exact: recall AND latency under row scaling ---
+            # (VERDICT r3 next-round #5: prove the approximate paths
+            # hold their recall floor as the corpus grows, not just
+            # their slope.)
+            from etl_ch_destination_spark.ops.similarity import (
+                ann_topk,
+                brute_force_topk,
+                ivf_topk,
+            )
 
-        recall_ann = recall_of(collect_topk(ann_topk))
-        # IVF probes 8-of-16 cells, the config of the pytest recall
-        # floor: the fixture's isotropic unit vectors are IVF's worst
-        # case (no cluster structure → recall ≈ probed-mass fraction),
-        # so its floor is 0.5 where LSH holds 0.9; real embedding
-        # corpora cluster and close the gap. Full-probe ≡ brute force
-        # is the correctness gate (tests/test_llm.py).
-        recall_ivf = recall_of(
-            collect_topk(lambda c, q, k: ivf_topk(c, q, k, n_probe=8))
-        )
+            K = 10
+            corpus = replicate_vecs(emb0, n).persist()
+            corpus.count()  # materialize once; all paths read the same frame
+            queries = emb0.filter(F.col("vec_id") < 16)
 
-        def t_exact():
-            brute_force_topk(corpus, queries, K).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            def collect_topk(fn):
+                rows = fn(corpus, queries, K).collect()
+                out: dict[int, set] = {}
+                for r in rows:
+                    out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+                return out
 
-        def t_ann():
-            ann_topk(corpus, queries, K).write.mode("overwrite").format("noop").save()
+            exact = collect_topk(brute_force_topk)
 
-        def t_ivf():
-            ivf_topk(corpus, queries, K).write.mode("overwrite").format("noop").save()
+            def recall_of(approx: dict[int, set]) -> float:
+                per_q = [
+                    len(exact[q] & approx.get(q, set())) / max(1, len(exact[q]))
+                    for q in exact
+                ]
+                return round(sum(per_q) / len(per_q), 4)
 
-        results[str(n)] = {
-            "rows": li.count(),
-            "q1": time_action(q1),
-            "join_agg": time_action(join_agg),
-            "topk_global": time_action(topk),
-            "neardup": time_action(neardup),
-            "vocab_score": time_action(vocab_score),
-            "ngram_novelty": time_action(ngram_novelty),
-            "line_dedup": time_action(line_dedup),
-            "bpe_vocab_rounds": time_action(bpe_rounds),
-            "vec_rows": corpus.count(),
-            "ann_recall_lsh": recall_ann,
-            "ann_recall_ivf": recall_ivf,
-            "sim_exact": time_action(t_exact),
-            "sim_lsh": time_action(t_ann),
-            "sim_ivf": time_action(t_ivf),
-        }
-        corpus.unpersist(blocking=False)
+            recall_ann = recall_of(collect_topk(ann_topk))
+            # IVF probes 8-of-16 cells, the config of the pytest recall
+            # floor: the fixture's isotropic unit vectors are IVF's worst
+            # case (no cluster structure → recall ≈ probed-mass fraction),
+            # so its floor is 0.5 where LSH holds 0.9; real embedding
+            # corpora cluster and close the gap. Full-probe ≡ brute force
+            # is the correctness gate (tests/test_llm.py).
+            recall_ivf = recall_of(
+                collect_topk(lambda c, q, k: ivf_topk(c, q, k, n_probe=8))
+            )
+
+            def t_exact():
+                brute_force_topk(corpus, queries, K).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+
+            def t_ann():
+                ann_topk(corpus, queries, K).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+
+            def t_ivf():
+                ivf_topk(corpus, queries, K).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+
+            row.update(
+                {
+                    "vec_rows": corpus.count(),
+                    "ann_recall_lsh": recall_ann,
+                    "ann_recall_ivf": recall_ivf,
+                    "sim_exact": time_action(t_exact),
+                    "sim_lsh": time_action(t_ann),
+                    "sim_ivf": time_action(t_ivf),
+                }
+            )
+            corpus.unpersist(blocking=False)
+
+        results[str(n)] = row
         spark.catalog.clearCache()
 
     print(json.dumps(results))
+    rc = 0
     # recall gate at the LARGEST factor: the approximate paths must
     # hold ≥0.9 of exact top-k as the corpus scales, or the scale
     # story is only a latency story.
     top = str(max(factors))
     # LSH holds the 0.9 product floor; IVF's floor on THIS fixture is
     # 0.5 (isotropic vectors — see the recall comment above).
-    for key, floor in (("ann_recall_lsh", 0.9), ("ann_recall_ivf", 0.5)):
-        if results[top][key] < floor:
+    if "ann_recall_lsh" in results[top]:
+        for key, floor in (("ann_recall_lsh", 0.9), ("ann_recall_ivf", 0.5)):
+            if results[top][key] < floor:
+                print(
+                    f"FAIL {key}@{top}x = {results[top][key]} < {floor}",
+                    file=sys.stderr,
+                )
+                rc = 1
+
+    # LINEARITY gate (VERDICT r5 #5 / r6 #3): between the two largest
+    # measured factors, wall-clock for every scan/shuffle-bound spine
+    # must grow at most linearly in rows × a 2.0 noise/log-term slack
+    # (log factors: sort depth, CC round count, AQE re-planning). A
+    # quadratic term (all-pairs join, unpartitioned sort) shows up as
+    # ratio >> factor-ratio long before the slack matters: e.g. 30→100×
+    # all-pairs costs 11× rows-ratio. Keys faster than 2 s at the top
+    # factor are scheduling-overhead-bound — slope is meaningless
+    # there, so they are exempt (recorded, not gated).
+    GATED = (
+        "q1", "join_agg", "neardup", "vocab_score", "ngram_novelty",
+        "line_dedup", "cc", "sim_exact", "sim_lsh",
+    )
+    if len(factors) >= 2:
+        f1, f2 = sorted(factors)[-2:]
+        rows_ratio = f2 / f1
+        for key in GATED:
+            a, b = results[str(f1)].get(key), results[str(f2)].get(key)
+            if a is None or b is None or b < 2.0 or a <= 0:
+                continue
+            ratio = b / a
+            if ratio > rows_ratio * 2.0:
+                print(
+                    f"FAIL super-linear {key}: {f1}x={a}s -> {f2}x={b}s "
+                    f"(ratio {ratio:.1f} > {rows_ratio:.1f}x rows * 2.0 slack)",
+                    file=sys.stderr,
+                )
+                rc = 1
+    # CC round-count gate: rounds must grow LOGARITHMICALLLY — allow
+    # +3 rounds over the smaller factor, never proportionally.
+    if len(factors) >= 2 and "cc_rounds" in results[str(max(factors))]:
+        f1, f2 = sorted(factors)[-2:]
+        r1 = results[str(f1)].get("cc_rounds")
+        r2 = results[str(f2)].get("cc_rounds")
+        if r1 is not None and r2 is not None and r2 > r1 + 3:
             print(
-                f"FAIL {key}@{top}x = {results[top][key]} < {floor}", file=sys.stderr
+                f"FAIL cc_rounds grew {r1} -> {r2} between {f1}x and {f2}x "
+                "(log-round claim violated)",
+                file=sys.stderr,
             )
-            return 1
-    return 0
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":
