@@ -86,6 +86,12 @@ BENCH_KEYS = [
     "rpt_local_supplier_volume",
     "rpt_product_profit",
     "rpt_large_volume_orders",
+    # round-7 additions: bigram-LM joins (corpus → type-table agg
+    # chain), trigram-explode entropy (heaviest exchange of the batch),
+    # six-moment rolling window
+    "llm_bigram_kneser_ney",
+    "llm_char_ngram_entropy",
+    "ts_rolling_corr",
 ]
 
 N_RUNS = 5

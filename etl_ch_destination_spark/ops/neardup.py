@@ -20,9 +20,11 @@ signatures, and both sides of the verify join), so `feat` is
 the three branches read the stored blocks instead of re-deriving it —
 measured r5 at sf0.1: median 3.13→2.74 s and p95 3.23→2.78 s idle,
 and under 16-core contention the p95 spread collapses (3.64→3.29 s),
-closing the r4 driver-host p95 variance flag. localCheckpoint is not
-fault-tolerant across executor loss; at 100 TB checkpoint `hs` to a
-staging table instead — same plan shape, durable blocks.
+closing the r4 driver-host p95 variance flag. The materialization goes
+through ``ops/staging.stage``: localCheckpoint by default (not
+fault-tolerant across executor loss), and the durable parquet
+staging-table variant — same plan shape, executor-loss-safe — whenever
+``spark.etl_ch.staging.dir`` is set, the 100 TB configuration.
 
 Determinism + oracle: every step is exact integer / IEEE-double math on
 md5-derived hashes, so DuckDB reproduces the full pipeline bit for bit
@@ -39,6 +41,8 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.ops.staging import stage
 
 # Mersenne prime 2^31 − 1: permutation modulus. Shingle hashes are 28
 # bits (7 hex chars of md5), coefficients < 2^31, so a*h + b < 2^59 —
@@ -112,7 +116,7 @@ def near_duplicate_pairs(
     # three consumers below (bands + both verify-join sides): compute
     # the md5/HOF featurize chain ONCE and serve stored blocks — see
     # the module docstring for measurements and the 100 TB variant
-    feat = feat.localCheckpoint(eager=False)
+    feat = stage(feat, eager=False, label="neardup-feat")
 
     sig = F.array(
         *[

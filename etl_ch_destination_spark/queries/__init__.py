@@ -25,6 +25,7 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     llm_corpus,
     llm_dedup_extra,
     llm_text,
+    llm_training,
     llm_vectors,  # must precede reports_behavior (rpt_dedup_audit composes its oracle)
     projection,
     reports,
@@ -99,17 +100,26 @@ R7_WINDOW = [
     "win_ntile", "win_ignore_nulls",
 ]
 
-# Round-8 tail: the last 5 never-driver-sampled keys, all rows-only by
-# design (sketch / RNG / replay-gated) — plus any keys added in rounds
-# 6-7 join this pool.
+# Round-8 tail: the last 5 never-driver-sampled keys of the original
+# 275, all rows-only by design (sketch / RNG / replay-gated).
 R8_TAIL = [
     "agg_quantile_kll", "llm_bpe_learn", "llm_bpe_encode",
     "llm_compression_ratio", "sample_stratified",
 ]
 
+# Keys ADDED in round 7 (all fully hash-oracled) — they join R8_TAIL in
+# round 8's driver-sample window, so the whole registry reaches
+# driver-recorded with a round to spare: 5 + 9 = 14 of the 50 slots.
+R8_NEW = [
+    "llm_context_window_stats", "llm_source_cap",
+    "llm_tokenizer_fertility", "llm_bigram_kneser_ney",
+    "llm_char_ngram_entropy", "llm_span_corruption_mask",
+    "join_asof_tolerance", "ts_rolling_corr", "rpt_dedup_cluster_sizes",
+]
+
 # Round-7 rotation: R7_WINDOW (50 fresh keys) occupies the driver's
-# 50-key sample window; R8_TAIL sits immediately behind so the round-8
-# rotation is the one-line move of R8_TAIL to the front, completing
-# 275/275 driver-recorded keys.
-ROTATION = [*R7_WINDOW, *R8_TAIL, *R6_WINDOW]
+# 50-key sample window; R8_TAIL + R8_NEW sit immediately behind so the
+# round-8 rotation is the one-line move of [*R8_TAIL, *R8_NEW] to the
+# front, completing driver records for the whole registry.
+ROTATION = [*R7_WINDOW, *R8_TAIL, *R8_NEW, *R6_WINDOW]
 registry.promote(ROTATION)

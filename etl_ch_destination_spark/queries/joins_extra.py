@@ -262,3 +262,70 @@ def dict_get_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(looked, F.lit(DICT_DEFAULT_NAME)).alias("nation_name"),
         looked.isNotNull().alias("dict_has"),
     )
+
+
+ASOF_TOLERANCE_S = 7200
+
+
+@query(
+    "join_asof_tolerance",
+    f"""
+    WITH views AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    matched AS (
+      SELECT v.event_id, v.user_id, v.ts, v.value,
+             p.ts AS m_ts, p.value AS m_value
+      FROM views v ASOF LEFT JOIN purch p
+        ON v.user_id = p.user_id AND v.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN m_ts IS NOT NULL
+                     AND ts - m_ts <= INTERVAL {ASOF_TOLERANCE_S} SECOND
+                THEN m_ts END AS asof_ts,
+           CASE WHEN m_ts IS NOT NULL
+                     AND ts - m_ts <= INTERVAL {ASOF_TOLERANCE_S} SECOND
+                THEN m_value END AS asof_value
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join with a max-staleness tolerance (pandas
+    ``merge_asof(tolerance=...)`` / the guarded form of ClickHouse
+    ASOF JOIN): each view matches the user's latest purchase at-or-
+    before it, but a match staler than {ASOF_TOLERANCE_S} s is nulled
+    — attaching a price quote or feature snapshot only while it is
+    still fresh. Tolerance is a post-match null-out in ops/asof.py
+    (never a range-join explosion), so the plan stays the ASOF
+    union+window single shuffle per side; the oracle replays the same
+    post-filter over DuckDB's native ASOF JOIN."""
+    from etl_ch_destination_spark.ops.asof import asof_join
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", "ts", "value")
+    return asof_join(
+        views,
+        purch,
+        keys=["user_id"],
+        ts="ts",
+        how="left",
+        tolerance_seconds=ASOF_TOLERANCE_S,
+    )

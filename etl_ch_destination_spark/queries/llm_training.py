@@ -1,0 +1,385 @@
+"""LLM-training-pipeline operators, round-7 batch (SURVEY §2.10).
+
+Six curation/budgeting signals a pretraining data pipeline computes at
+corpus scale, each Spark-first (built-in functions end to end — no
+Python workers) and hash-oracled against DuckDB:
+
+- ``llm_context_window_stats`` — token-budget fit per context window
+- ``llm_source_cap`` — per-source document cap (domain capping)
+- ``llm_tokenizer_fertility`` — tokens-per-word fertility per language
+- ``llm_bigram_kneser_ney`` — interpolated Kneser-Ney bigram LM
+- ``llm_char_ngram_entropy`` — dyadic character-trigram entropy
+  (gibberish / low-diversity detector)
+- ``llm_span_corruption_mask`` — deterministic T5-style span-corruption
+  plan (counts, not RNG — reproducible across retries)
+
+Determinism policy: integer/exact arithmetic everywhere, divisions and
+multiplications in identical parenthesized order on both engines, and
+logarithms only in the WHOLE-BIT dyadic form (bitlength(n div c) − 1 —
+the llm_unigram_logprob identity; raw ln cannot hash-match because the
+JVM's ln drifts 1 ulp from glibc's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.registry import query
+
+# whitespace tokens with empties dropped — the shared token definition
+# (a function, not a module-level Column: Column construction needs an
+# active SparkContext, and this module imports before any session)
+def _ws_tokens():
+    return F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+
+
+_SQL_WS_N = "len(list_filter(string_split(text, ' '), w -> w != ''))"
+
+
+@query(
+    "llm_context_window_stats",
+    f"""
+    WITH t AS (
+      SELECT CAST({_SQL_WS_N} AS BIGINT) AS n_tok
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT w.window_tokens,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN t.n_tok <= w.window_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_fit,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(LEAST(t.n_tok, w.window_tokens)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(LEAST(t.n_tok, w.window_tokens)) AS DOUBLE)
+             / CAST(SUM(t.n_tok) AS DOUBLE) AS frac_kept
+    FROM t CROSS JOIN (VALUES (128), (512), (2048), (8192))
+      AS w(window_tokens)
+    GROUP BY w.window_tokens
+    """,
+)
+def llm_context_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget report: for each candidate training
+    context length, how many documents fit whole and what fraction of
+    corpus tokens survives truncate-at-window packing. The standard
+    first question when choosing a context length for a pretraining
+    mix. Plan: one map-side explode of a 4-element literal array (no
+    join — the window list is a constant), one hash aggregate; integer
+    sums, single final IEEE division."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = d.select(F.size(_ws_tokens()).cast("bigint").alias("n_tok"))
+    rows = t.select(
+        "n_tok",
+        F.explode(F.array(*[F.lit(w) for w in (128, 512, 2048, 8192)])).alias(
+            "window_tokens"
+        ),
+    )
+    kept = F.sum(F.least(F.col("n_tok"), F.col("window_tokens"))).cast("bigint")
+    return rows.groupBy("window_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_tok") <= F.col("window_tokens"), 1).otherwise(0)
+        ).cast("bigint").alias("n_docs_fit"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        kept.alias("tokens_kept"),
+        (kept.cast("double") / F.sum("n_tok").cast("double")).alias("frac_kept"),
+    )
+
+
+SOURCE_CAP = 5
+
+
+@query(
+    "llm_source_cap",
+    f"""
+    SELECT source, doc_id, cap_rank FROM (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS cap_rank
+      FROM documents
+    ) WHERE cap_rank <= {SOURCE_CAP}
+    """,
+)
+def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain capping — the standard guard
+    against one crawl domain dominating the mixture): keep at most
+    SOURCE_CAP docs per source, selected by a deterministic md5 order
+    (an unseeded uniform draw both engines reproduce bit-for-bit;
+    doc_id tiebreak makes the order total). Plan: one hash exchange on
+    source + per-partition sort — the same shape at any scale; a
+    skewed giant source still caps to SOURCE_CAP rows out."""
+    d = load_table(spark, sf_dir, "documents")
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(win).cast("bigint").alias("cap_rank"),
+        )
+        .filter(F.col("cap_rank") <= SOURCE_CAP)
+    )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST({_SQL_WS_N} AS BIGINT)) AS BIGINT) AS n_words,
+           CAST(SUM(CAST(len(regexp_extract_all(text,
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT)
+             AS n_bpe_ish,
+           CAST(SUM(CAST(len(regexp_extract_all(text,
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST({_SQL_WS_N} AS BIGINT)) AS DOUBLE) AS fertility
+    FROM documents WHERE length(text) > 0
+    GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens emitted per whitespace word) per
+    language — the standard metric for how expensive a language is
+    under a given segmentation; high fertility flags scripts the
+    tokenizer fragments. Uses the llm_token_count BPE-ish segmentation
+    (letter runs | digit runs | single punctuation). Integer sums, one
+    final IEEE division — hash-exact."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+        )
+    ).cast("bigint")
+    t = d.select("lang", F.size(_ws_tokens()).cast("bigint").alias("nw"), bpe.alias("nb"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_words"),
+        F.sum("nb").cast("bigint").alias("n_bpe_ish"),
+        (F.sum("nb").cast("double") / F.sum("nw").cast("double")).alias(
+            "fertility"
+        ),
+    )
+
+
+KN_DISCOUNT = 0.75
+KN_TOP = 200
+
+
+@query(
+    "llm_bigram_kneser_ney",
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents WHERE {_SQL_WS_N} >= 2
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+               i -> {{'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i + 1 AS INT)]}}))
+               AS p
+      FROM words
+    ),
+    b AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY p.w1, p.w2
+    ),
+    lhs AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_w1
+      FROM b GROUP BY w1
+    ),
+    rhs AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w2 FROM b GROUP BY w2
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM b)
+    SELECT w1, w2, c,
+           (GREATEST(CAST(c AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+              / CAST(l.c_w1 AS DOUBLE))
+           + (({KN_DISCOUNT} * CAST(l.n1p_w1 AS DOUBLE))
+              / CAST(l.c_w1 AS DOUBLE))
+             * (CAST(r.n1p_w2 AS DOUBLE) / CAST(t.n_types AS DOUBLE))
+             AS p_kn
+    FROM b JOIN lhs l USING (w1) JOIN rhs r USING (w2) CROSS JOIN total t
+    ORDER BY c DESC, w1, w2 LIMIT {KN_TOP}
+    """,
+)
+def llm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (the classic
+    n-gram-LM smoothing: absolute discount d=0.75 + continuation-count
+    backoff), top-{KN_TOP} bigrams by count under a total order. The
+    LM that perplexity-filters corpora (CCNet-style) — here as an
+    exactly-reproducible DataFrame pipeline: every count is an
+    integer; P_KN is four IEEE ops in a fixed parenthesized order,
+    identical on both engines.
+
+    Plan: bigram explode → (w1,w2) hash agg; the w1 totals / w2
+    continuation counts are aggregates OF the bigram-type table (tiny
+    vs the corpus), joined back by key; the 1-row type-total
+    broadcasts. Scale: everything downstream of the first agg is
+    |bigram types|-sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(_ws_tokens().alias("ws")).filter(F.size("ws") >= 2)
+    pairs = ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    )
+    b = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lhs = b.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_w1"),
+    )
+    rhs = b.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p_w2"))
+    total = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    d75 = F.lit(KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("c").cast("double") - d75, F.lit(0.0))
+        / F.col("c_w1").cast("double")
+    ) + (
+        (d75 * F.col("n1p_w1").cast("double")) / F.col("c_w1").cast("double")
+    ) * (F.col("n1p_w2").cast("double") / F.col("n_types").cast("double"))
+    return (
+        b.join(lhs, "w1")
+        .join(rhs, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c", p_kn.alias("p_kn"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(KN_TOP)
+    )
+
+
+@query(
+    "llm_char_ngram_entropy",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+               i -> substring(text, CAST(i AS INT), 3))) AS gram
+      FROM documents WHERE length(text) >= 3
+    ),
+    gc AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, gram
+    ),
+    per AS (
+      SELECT doc_id, c,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM gc
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c * (length(format('{:b}', n // c)) - 1)) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE) AS entropy_bits
+    FROM per GROUP BY doc_id
+    """,
+)
+def llm_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram diversity per document — low entropy flags
+    gibberish, boilerplate, and keyboard-mash docs (a standard cheap
+    quality signal next to llm_quality_score's word-level rules).
+    Entropy in WHOLE-BIT dyadic form: mean over grams of
+    bitlength(n div c) − 1 = floor(log2(n/c)) — exact integers until
+    one final division, so it hash-matches cross-engine (raw ln would
+    drift 1 ulp). Plan: trigram explode → (doc, gram) hash agg (the
+    corpus-sized exchange) → doc_id exchange for the window total,
+    whose partitioning the final per-doc agg then reuses. Heaviest key
+    of the round-7 batch (every character shuffles once); linear in
+    corpus bytes, no all-pairs term."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    per = gc.select(
+        "doc_id", "c", F.sum("c").over(w).cast("bigint").alias("n")
+    )
+    bits = (
+        F.length(F.conv(F.expr("n div c"), 10, 2)) - F.lit(1)
+    ).cast("bigint")
+    return per.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.sum(F.col("c") * bits).cast("double") / F.max("n").cast("double")).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+MASK_PCT = 15   # target corruption percentage
+SPAN_LEN = 3    # mean/fixed span length
+
+
+@query(
+    "llm_span_corruption_mask",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST({_SQL_WS_N} AS BIGINT) AS n_tok
+      FROM documents WHERE length(text) > 0
+    ),
+    plan AS (
+      SELECT doc_id, n_tok,
+             (n_tok * {MASK_PCT} // 100) // {SPAN_LEN} AS n_spans
+      FROM t
+    )
+    SELECT doc_id, n_tok, n_spans,
+           n_tok // GREATEST(n_spans, 1) AS block_len,
+           n_spans * LEAST({SPAN_LEN}, n_tok // GREATEST(n_spans, 1))
+             AS masked_tokens,
+           CAST(n_spans * LEAST({SPAN_LEN}, n_tok // GREATEST(n_spans, 1))
+                AS DOUBLE)
+             / CAST(n_tok AS DOUBLE) AS mask_ratio
+    FROM plan WHERE n_spans >= 1
+    """,
+)
+def llm_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption PLAN per document: a
+    ~{MASK_PCT}% token budget in spans of {SPAN_LEN}, laid out
+    non-overlapping by partitioning the token sequence into
+    equal blocks and masking the head of each — counts derived purely
+    from integer arithmetic on the token count, so a retried task (or
+    a second engine) reproduces the identical plan without RNG state.
+    Map-only: no shuffle, no join; the mask layout a downstream
+    denoising-objective writer consumes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = d.select("doc_id", F.size(_ws_tokens()).cast("bigint").alias("n_tok"))
+    n_spans = F.expr(f"(n_tok * {MASK_PCT}) div 100 div {SPAN_LEN}")
+    plan = t.select("doc_id", "n_tok", n_spans.alias("n_spans")).filter(
+        F.col("n_spans") >= 1
+    )
+    # greatest() guard: the n_spans >= 1 filter removes zero-span docs,
+    # but Catalyst may reorder/inline this projection with downstream
+    # predicates, evaluating the division on pre-filter rows — under
+    # ANSI mode an integer div-by-zero then errors instead of nulling
+    block = F.expr("n_tok div greatest(n_spans, 1)")
+    masked = F.col("n_spans") * F.least(F.lit(SPAN_LEN).cast("bigint"), block)
+    return plan.select(
+        "doc_id",
+        "n_tok",
+        "n_spans",
+        block.alias("block_len"),
+        masked.alias("masked_tokens"),
+        (masked.cast("double") / F.col("n_tok").cast("double")).alias(
+            "mask_ratio"
+        ),
+    )

@@ -589,3 +589,49 @@ def rpt_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "rpt_dedup_cluster_sizes",
+    """
+    WITH cl AS (
+      SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY md5(text)
+    ),
+    hist AS (
+      SELECT sz AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+      FROM cl GROUP BY sz
+    ),
+    total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM hist)
+    SELECT cluster_size, n_clusters, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(t.total_docs AS DOUBLE) AS frac_docs
+    FROM hist CROSS JOIN total t
+    """,
+)
+def rpt_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram — the curation report
+    behind every dedup decision ("how much of the corpus is in
+    2-copies vs 100-copies clusters?"), the companion to
+    rpt_dedup_audit's per-source view. Plan: md5 hash agg (corpus-
+    sized exchange), then a |distinct sizes|-sized agg and a 1-row
+    broadcast for the fraction — integer counts, one final IEEE
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    cl = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = cl.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+    total = hist.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total_docs").cast("double")).alias(
+            "frac_docs"
+        ),
+    )

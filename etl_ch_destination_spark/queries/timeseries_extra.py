@@ -784,3 +784,95 @@ try:  # pragma: no cover - exercised by the key's worker path
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # noqa: BLE001
     pass
+
+
+ROLL_CORR_ROWS = 10
+
+
+@query(
+    "ts_rolling_corr",
+    f"""
+    WITH t AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    w AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+             CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER fr AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy
+      FROM t
+      WINDOW fr AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN {ROLL_CORR_ROWS - 1} PRECEDING
+                             AND CURRENT ROW)
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber, n AS n_window,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS corr_qty_price
+    FROM w
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between quantity and price over a
+    trailing {ROLL_CORR_ROWS}-row window per supplier — the
+    co-movement monitor shape (ClickHouse corr() over a sliding
+    frame). Hash-exact despite being a correlation of doubles: both
+    series are lifted to integers (quantity is integral; price in
+    exact cents via DECIMAL(12,2)·100), all five window moments are
+    int64 sums, and the correlation is assembled from those exact
+    moments with one division and two correctly-rounded sqrts in a
+    fixed order. Degenerate windows (zero variance) are NULL in both
+    engines. Plan: single hash exchange on l_suppkey, one sort, all
+    six moments from ONE window frame (no self-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    fr = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(ROLL_CORR_ROWS - 1), 0)
+    )
+    w = t.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("n"),
+        F.sum("x").over(fr).cast("bigint").alias("sx"),
+        F.sum("y").over(fr).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    cov = n * F.col("sxy") - sx * sy
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        cov.cast("double")
+        / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+    )
+    return w.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        n.alias("n_window"),
+        corr.alias("corr_qty_price"),
+    )

@@ -147,12 +147,19 @@ def test_next_rotation_windows_are_prestaged():
     they must cover every never-driver-sampled key, be mutually
     disjoint, and (for r7) be fully hash-oracled so the driver record
     reaches 275/275 on schedule."""
-    from etl_ch_destination_spark.queries import R6_WINDOW, R7_WINDOW, R8_TAIL
+    from etl_ch_destination_spark.queries import (
+        R6_WINDOW,
+        R7_WINDOW,
+        R8_NEW,
+        R8_TAIL,
+    )
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
-    planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL]
+    planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW]
     assert len(set(planned)) == len(planned), "rotation blocks overlap"
     assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
+    # round 8's window must fit the driver's 50-key sample
+    assert len(R8_TAIL) + len(R8_NEW) <= 50
     assert set(planned) <= set(all_queries())
 
     # The planned blocks cover every key never sampled in ANY recorded
@@ -165,7 +172,8 @@ def test_next_rotation_windows_are_prestaged():
         unplanned = fresh - set(planned)
         assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
         # r7/r8 keys must have no driver row in any round recorded so far
-        stale_r7 = [k for k in [*R7_WINDOW, *R8_TAIL] if k in sampled_all]
+        stale_r7 = [k for k in [*R7_WINDOW, *R8_TAIL, *R8_NEW]
+                    if k in sampled_all]
         assert not stale_r7, f"already-sampled keys pre-staged for r7/r8: {stale_r7}"
 
     oracles = all_oracles()
@@ -173,3 +181,5 @@ def test_next_rotation_windows_are_prestaged():
                       if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
     assert not not_oracled_r7
     assert set(R8_TAIL) <= ROWS_ONLY_BY_DESIGN
+    # every round-7 addition carries a full hash oracle
+    assert set(R8_NEW) <= set(oracles)

@@ -216,3 +216,46 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.component for r in connected_components(df, exact_convergence=True).collect()}
     assert got == want
+
+    # the fused variant (both stars per round, one distinct) must
+    # produce the identical label map — the label is a pure function
+    # of the graph, whichever contraction order reaches the fixed point
+    stats: dict = {}
+    got_fused = {
+        r.node: r.component
+        for r in connected_components(
+            df, exact_convergence=True, variant="fused", stats=stats
+        ).collect()
+    }
+    assert got_fused == want
+    assert stats["rounds"] >= 1
+
+
+def test_stage_local_and_durable_variants(spark, tmp_path):
+    """ops/staging.stage: default = localCheckpoint (lineage truncated,
+    same rows); with spark.etl_ch.staging.dir set = durable parquet
+    round-trip (same rows, files actually on disk)."""
+    from etl_ch_destination_spark.ops.staging import STAGING_DIR_CONF, stage
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    want = rows_set(df)
+
+    local = stage(df)
+    assert rows_set(local) == want
+    assert local.rdd.getNumPartitions() >= 1  # checkpointed RDD is live
+
+    staging_root = str(tmp_path / "staging")
+    spark.conf.set(STAGING_DIR_CONF, staging_root)
+    try:
+        durable = stage(df, label="t")
+        assert rows_set(durable) == want
+        import glob
+
+        files = glob.glob(f"{staging_root}/t-*/*.parquet")
+        assert files, "durable stage() left no parquet on disk"
+        # unique subdirectory per call: a second stage() cannot collide
+        durable2 = stage(df, label="t")
+        assert rows_set(durable2) == want
+        assert len(glob.glob(f"{staging_root}/t-*")) == 2
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)

@@ -61,6 +61,12 @@ ALLOWED_NLJ = {
     # agg_student_ttest — same shape, same bound)
     "agg_welch_ttest",
     "agg_student_ttest",
+    # bigram-type total (1 row) broadcast onto the type table
+    # (queries/llm_training.py)
+    "llm_bigram_kneser_ney",
+    # histogram total (1 row) broadcast onto the |distinct sizes| frame
+    # (queries/reports_behavior.py)
+    "rpt_dedup_cluster_sizes",
 }
 
 MAX_HASH_SHUFFLES = 4
@@ -90,11 +96,19 @@ MAX_HASH_SHUFFLES = 4
 #     ReuseExchange/AQE collapse the identical subplans — plus the
 #     self-join's two order-key exchanges and the two count
 #     aggregates, all genuinely distinct keys.
+#   llm_bigram_kneser_ney — the corpus collapses once into the
+#     bigram-TYPE table, but KN then needs that table keyed three ways
+#     (the (w1,w2) count agg, the w1 left-context agg + join-back, the
+#     w2 continuation agg + join-back): the static plan prints an
+#     exchange per keying of each side. All six carry |bigram types|
+#     rows, never corpus rows — the honest cost of the smoothing
+#     definition, not an accidental re-shuffle of the text.
 SHUFFLE_ALLOWANCE = {
     "agg_window_funnel": 6,
     "rpt_dedup_audit": 6,
     "rpt_active_users": 5,
     "rpt_brand_affinity": 9,
+    "llm_bigram_kneser_ney": 6,
 }
 
 

@@ -344,6 +344,27 @@ ANNOTATIONS: dict[str, str] = {
         "count, first-index, and min-position all derive from the "
         "same four instr() subexpressions; one scan, no shuffle."
     ),
+    "llm_bigram_kneser_ney": (
+        "The corpus collapses ONCE into the bigram-type table (the "
+        "explode + first HashAggregate); every later exchange — the "
+        "w1/w2 context aggregates and their join-backs — carries "
+        "|bigram types| rows, never corpus rows, and the 1-row type "
+        "total broadcasts. The TakeOrdered top-K is O(K) per "
+        "partition."
+    ),
+    "llm_char_ngram_entropy": (
+        "One corpus-sized exchange (the (doc, gram) HashAggregate "
+        "after the trigram explode); the doc_id window exchange and "
+        "final per-doc aggregate reuse each other's partitioning. "
+        "Dyadic bit-length entropy keeps the whole pipeline in "
+        "codegen — no ln, no Python."
+    ),
+    "ts_rolling_corr": (
+        "All six correlation moments come from ONE WindowExec frame "
+        "(single l_suppkey exchange + one sort) — no self-join, no "
+        "second window; the correlation itself is a scalar projection "
+        "assembling exact int64 moments."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
