@@ -50,13 +50,21 @@ def asof_join(
     how: str = "left",
     direction: str = "backward",
     tolerance_seconds: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """ASOF-join ``right`` onto ``left`` (pandas ``merge_asof`` surface):
     per key group, ``direction="backward"`` attaches the LATEST right
     row with ``right.ts <= left.ts``; ``"forward"`` the EARLIEST right
     row with ``right.ts >= left.ts``. ``tolerance_seconds`` nulls the
     match when |left.ts − matched.ts| exceeds it (applied after
-    matching, exactly like pandas).
+    matching, exactly like pandas). ``strict=True`` makes the bound
+    EXCLUSIVE (``<`` / ``>`` — ClickHouse ASOF JOIN's strict
+    comparators, pandas ``allow_exact_matches=False``): a same-
+    timestamp right row no longer matches, which is the correct form
+    whenever the right frame is a cause of the left one (a quote that
+    must precede the trade, a feature snapshot that must not leak the
+    label instant). Implemented as a sort-order flip on the tie-break
+    — identical plan and cost, no timestamp arithmetic.
 
     Returns all left columns plus ``{prefix}{ts}`` (the matched right
     timestamp) and ``{prefix}{c}`` for each of ``right_cols``.
@@ -91,13 +99,17 @@ def asof_join(
 
     # backward scans time ascending (last right seen = latest <= lts);
     # forward scans descending (last right seen = earliest >= lts).
-    # Either way side 0 (right) sorts before side 1 (left) at equal ts,
-    # which is exactly the inclusive bound.
+    # Inclusive bound: side 0 (right) sorts before side 1 (left) at
+    # equal ts, so the running `last` has already seen a same-ts right
+    # row. Strict bound: flip the tie-break so left rows sort FIRST at
+    # equal ts — the scan then matches only strictly-earlier (resp.
+    # strictly-later) right rows. Same window, same single shuffle.
     def scan(dirn: str) -> F.Column:
         ts_order = F.asc("__asof_ts") if dirn == "backward" else F.desc("__asof_ts")
+        side_order = F.desc("__asof_side") if strict else F.asc("__asof_side")
         w = (
             Window.partitionBy(*keys)
-            .orderBy(ts_order, F.asc("__asof_side"))
+            .orderBy(ts_order, side_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return F.last("__asof_rv", ignorenulls=True).over(w)

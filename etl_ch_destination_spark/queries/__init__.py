@@ -109,12 +109,14 @@ R8_TAIL = [
 
 # Keys ADDED in round 7 (all fully hash-oracled) — they join R8_TAIL in
 # round 8's driver-sample window, so the whole registry reaches
-# driver-recorded with a round to spare: 5 + 9 = 14 of the 50 slots.
+# driver-recorded with a round to spare: 5 + 14 = 19 of the 50 slots.
 R8_NEW = [
     "llm_context_window_stats", "llm_source_cap",
     "llm_tokenizer_fertility", "llm_bigram_kneser_ney",
     "llm_char_ngram_entropy", "llm_span_corruption_mask",
     "join_asof_tolerance", "ts_rolling_corr", "rpt_dedup_cluster_sizes",
+    "llm_ngram_coverage", "join_asof_strict", "dict_get_range",
+    "agg_sparkbar", "win_moving_regression",
 ]
 
 # Round-7 rotation: R7_WINDOW (50 fresh keys) occupies the driver's

@@ -2051,3 +2051,103 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(u, t, e, e - t) for u, t, e in rows], out_schema
     )
+
+
+SPARKBAR_CHARS = "▁▂▃▄▅▆▇█"
+SPARKBAR_Y0, SPARKBAR_Y1 = 1992, 1998
+
+
+@query(
+    "agg_sparkbar",
+    f"""
+    WITH counts AS (
+      SELECT l_returnflag AS flag,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate)
+            BETWEEN {SPARKBAR_Y0} AND {SPARKBAR_Y1}
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT flag, y, COALESCE(cnt, 0) AS cnt
+      FROM (SELECT DISTINCT flag FROM counts)
+      CROSS JOIN (SELECT unnest(range({SPARKBAR_Y0}, {SPARKBAR_Y1} + 1)) AS y)
+      LEFT JOIN counts USING (flag, y)
+    ),
+    dense AS (
+      SELECT flag,
+             list(cnt ORDER BY y) AS cs,
+             CAST(MAX(cnt) AS BIGINT) AS mx
+      FROM spine GROUP BY flag
+    )
+    SELECT flag,
+           mx AS max_count,
+           array_to_string(list_transform(cs, c ->
+             CASE WHEN c = 0 THEN '{SPARKBAR_CHARS[0]}'
+                  ELSE array_extract(string_split('{"|".join(SPARKBAR_CHARS)}', '|'),
+                         CAST(2 + ((c - 1) * 7) // mx AS INT))
+             END), '') AS bar
+    FROM dense
+    """,
+)
+def agg_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar(width)(x, y)``: a unicode block-character
+    histogram string per group — shipments per year per return flag
+    rendered as one glanceable cell (the monitoring-dashboard
+    formatter). Level mapping is pure integer arithmetic (zero → ▁,
+    else 1 + (cnt−1)·7 div max → ▂..█), so the emitted STRING is
+    byte-identical cross-engine and the key runs under the full hash
+    oracle — unusual for a visualization function.
+
+    Plan: one (flag, year) hash aggregate, then the 7-year dense spine
+    is built per group with a map lookup over a constant sequence —
+    the second aggregate touches |flags × years| rows only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.year("l_shipdate").cast("bigint")
+    counts = (
+        li.filter(y.between(SPARKBAR_Y0, SPARKBAR_Y1))
+        .groupBy(F.col("l_returnflag").alias("flag"), y.alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    dense = counts.groupBy("flag").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("y", "cnt"))
+        ).alias("m"),
+        F.max("cnt").cast("bigint").alias("mx"),
+    )
+    chars = F.array(*[F.lit(ch) for ch in SPARKBAR_CHARS])
+    bar = F.array_join(
+        F.transform(
+            F.sequence(F.lit(SPARKBAR_Y0), F.lit(SPARKBAR_Y1)),
+            lambda yy: F.when(
+                F.coalesce(
+                    F.element_at("m", yy.cast("bigint")), F.lit(0)
+                )
+                == 0,
+                F.lit(SPARKBAR_CHARS[0]),
+            ).otherwise(
+                F.element_at(
+                    chars,
+                    (
+                        F.lit(2)
+                        + (
+                            (
+                                F.coalesce(
+                                    F.element_at("m", yy.cast("bigint")),
+                                    F.lit(0),
+                                )
+                                - 1
+                            )
+                            * 7
+                        )
+                        / F.col("mx")
+                    ).cast("int"),
+                )
+            ),
+        ),
+        "",
+    )
+    return dense.select(
+        "flag", F.col("mx").alias("max_count"), bar.alias("bar")
+    )

@@ -329,3 +329,134 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left",
         tolerance_seconds=ASOF_TOLERANCE_S,
     )
+
+
+@query(
+    "join_asof_strict",
+    """
+    WITH views AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT v.event_id, v.user_id, v.ts, v.value,
+           p.ts AS asof_ts, p.value AS asof_value
+    FROM views v ASOF LEFT JOIN purch p
+      ON v.user_id = p.user_id AND v.ts > p.ts
+    """,
+)
+def join_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT ASOF join (ClickHouse ASOF JOIN with the ``>``
+    comparator; pandas ``allow_exact_matches=False``): each view
+    matches the user's latest purchase STRICTLY before it — the
+    leakage-safe form whenever the right frame must causally precede
+    the left (a feature snapshot must not see the label instant).
+    ops/asof.py implements strictness as a tie-break flip in the
+    union+window scan — identical single-shuffle plan, no timestamp
+    arithmetic; DuckDB's native strict ASOF comparator is the
+    oracle."""
+    from etl_ch_destination_spark.ops.asof import asof_join
+    from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = latest_by_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", "ts", "value")
+    return asof_join(
+        views, purch, keys=["user_id"], ts="ts", how="left", strict=True
+    )
+
+
+# range_hashed dictionary periods: deterministic per-nation rate bands
+DICT_RANGE_PERIODS = [
+    ("1994-01-01", "1996-01-01", 0),
+    ("1996-01-01", "1998-01-01", 1),
+    ("1998-01-01", "9999-01-01", 2),
+]
+
+
+@query(
+    "dict_get_range",
+    """
+    WITH periods(p_start, p_end, p_idx) AS (
+      VALUES (TIMESTAMP '1994-01-01', TIMESTAMP '1996-01-01', 0),
+             (TIMESTAMP '1996-01-01', TIMESTAMP '1998-01-01', 1),
+             (TIMESTAMP '1998-01-01', TIMESTAMP '9999-01-01', 2)
+    ),
+    rates AS (
+      SELECT n_nationkey, p_start, p_end,
+             CAST((n_nationkey * 7 + p_idx * 13) % 20 AS BIGINT) AS rate_pct
+      FROM nation CROSS JOIN periods
+    )
+    SELECT o.o_orderkey, c.c_nationkey AS nationkey, r.rate_pct
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN rates r ON c.c_nationkey = r.n_nationkey
+                AND o.o_orderdate >= r.p_start
+                AND o.o_orderdate < r.p_end
+    """,
+)
+def dict_get_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``range_hashed`` dictionary lookup (``dictGet`` with
+    a validity interval per key): each order resolves its customer
+    nation's rate AS OF the order date from a (key, start, end, value)
+    dictionary — the canonical slowly-changing-rate lookup (tax bands,
+    FX regimes, tariff schedules). The dictionary is built
+    deterministically from the nation dim (25 keys × 3 periods).
+
+    Plan: the fact side equi-joins the BROADCAST dictionary on the
+    hash key; the validity window is a residual predicate evaluated on
+    the ≤3 candidate rows per key — a range_hashed dictionary is
+    small by definition, so this is a map-side lookup at any fact
+    scale, exactly like ClickHouse's in-memory dict. The customer dim
+    also broadcasts (dict_get_lookup's shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    periods = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("timestamp").alias("p_start"),
+                F.lit(e).cast("timestamp").alias("p_end"),
+                F.lit(i).alias("p_idx"),
+            )
+            for s, e, i in DICT_RANGE_PERIODS
+        ]
+    )
+    rates = n.select(
+        "n_nationkey", F.explode(periods).alias("p")
+    ).select(
+        "n_nationkey",
+        F.col("p.p_start").alias("p_start"),
+        F.col("p.p_end").alias("p_end"),
+        ((F.col("n_nationkey") * 7 + F.col("p.p_idx") * 13) % 20)
+        .cast("bigint")
+        .alias("rate_pct"),
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(rates),
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("o_orderdate") >= F.col("p_start"))
+            & (F.col("o_orderdate") < F.col("p_end")),
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_nationkey").alias("nationkey"),
+            "rate_pct",
+        )
+    )

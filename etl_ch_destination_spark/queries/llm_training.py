@@ -296,7 +296,16 @@ def llm_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized exchange) → doc_id exchange for the window total,
     whose partitioning the final per-doc agg then reuses. Heaviest key
     of the round-7 batch (every character shuffles once); linear in
-    corpus bytes, no all-pairs term."""
+    corpus bytes, no all-pairs term.
+
+    Measured alternative, rejected: the statistic is per-document, so
+    a ZERO-SHUFFLE form exists — array_sort the row's trigrams and
+    walk the runs with one F.aggregate fold. Measured r7 at sf0.1 it
+    is SLOWER (3.33/3.39 s vs 2.79/2.81 s for this form): the fold's
+    per-element struct state allocates outside whole-stage codegen,
+    costing more than both exchanges combined. Keep the relational
+    form; revisit only if an exchange-starved cluster profile says
+    otherwise."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     grams = d.select(
         "doc_id",
@@ -382,4 +391,104 @@ def llm_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         (masked.cast("double") / F.col("n_tok").cast("double")).alias(
             "mask_ratio"
         ),
+    )
+
+
+COV_DENOM = 268435456.0  # 16^7 — the llm_eval_split 28-bit md5 uniform
+COV_TRAIN = 0.8
+
+
+@query(
+    "llm_ngram_coverage",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w != '') AS ws,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cov1'),
+                                  1, 7)) AS BIGINT) / {COV_DENOM!r}
+               < {COV_TRAIN!r} AS is_train
+      FROM documents WHERE {_SQL_WS_N} >= 3
+    ),
+    grams AS (
+      SELECT doc_id, is_train,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                    ' '))) AS gram
+      FROM tagged
+    ),
+    train_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE is_train
+    ),
+    eval_grams AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS m
+      FROM grams WHERE NOT is_train GROUP BY doc_id, gram
+    )
+    SELECT e.doc_id,
+           CAST(SUM(e.m) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN e.m ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN e.m ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(e.m) AS DOUBLE) AS coverage
+    FROM eval_grams e LEFT JOIN train_grams t USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def llm_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval n-gram coverage: for every EVAL-split document, the
+    fraction of its word trigrams that appear anywhere in the TRAIN
+    split — the memorization/contamination-pressure profile computed
+    before reporting eval numbers (`llm_decontaminate` flags overlap
+    docs; this measures the overlap mass). The split is the
+    llm_eval_split 28-bit md5 draw under a fresh salt, so both engines
+    replay it bit for bit.
+
+    Plan: one corpus trigram explode feeding both sides; the train
+    side collapses to DISTINCT grams, the eval side to (doc, gram)
+    multiplicities; one equi-join on the gram key (never a broadcast
+    assumption — a web-scale train gram set shuffles) and a per-doc
+    aggregate. Integer sums, one final division."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _ws_tokens()
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cov1"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(COV_DENOM)
+    tagged = d.filter(F.size(ws) >= 3).select(
+        "doc_id", ws.alias("ws"), (u < COV_TRAIN).alias("is_train")
+    )
+    grams = tagged.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.array_join(F.slice("ws", i, F.lit(3)), " "),
+            )
+        ).alias("gram"),
+    )
+    train_grams = grams.filter("is_train").select("gram").distinct()
+    eval_grams = (
+        grams.filter(~F.col("is_train"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    t = train_grams.withColumn("hit", F.lit(1))
+    covered = F.sum(
+        F.when(F.col("hit").isNotNull(), F.col("m")).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        eval_grams.join(t, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_grams"),
+            covered.alias("n_covered"),
+            (covered.cast("double") / F.sum("m").cast("double")).alias(
+                "coverage"
+            ),
+        )
     )

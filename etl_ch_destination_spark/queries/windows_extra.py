@@ -252,3 +252,99 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(whole)
         .alias("first_nonnull_cents"),
     )
+
+
+REG_WINDOW_ROWS = 20
+
+
+@query(
+    "win_moving_regression",
+    f"""
+    WITH t AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    w AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+             CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy
+      FROM t
+      WINDOW fr AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN {REG_WINDOW_ROWS - 1} PRECEDING
+                             AND CURRENT ROW)
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber, n AS n_window,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_unit,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                THEN (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS intercept_cents
+    FROM w
+    """,
+)
+def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ordinary-least-squares fit over a trailing
+    {REG_WINDOW_ROWS}-row window per supplier — the WINDOWED
+    counterpart of `agg_linreg` (ClickHouse simpleLinearRegression as
+    a moving trend detector: slope of price-in-cents vs quantity).
+    Hash-exact by the ts_rolling_corr recipe: both series lifted to
+    int64 (quantity integral, price in exact cents), the four moments
+    as exact window sums, then slope = cov/var in ONE division and
+    intercept assembled from (sy, slope, sx, n) in a fixed IEEE
+    order replayed identically by the oracle. Zero-variance windows
+    are NULL in both engines. Plan: one l_suppkey exchange + one sort;
+    all moments from a single WindowExec, regression is a scalar
+    projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    fr = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(REG_WINDOW_ROWS - 1), 0)
+    )
+    w = t.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("n"),
+        F.sum("x").over(fr).cast("bigint").alias("sx"),
+        F.sum("y").over(fr).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(fr).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    cov = n * F.col("sxy") - sx * sy
+    slope = cov.cast("double") / varx.cast("double")
+    intercept = (
+        sy.cast("double") - slope * sx.cast("double")
+    ) / n.cast("double")
+    return w.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        n.alias("n_window"),
+        F.when(varx > 0, slope).alias("slope_cents_per_unit"),
+        F.when(varx > 0, intercept).alias("intercept_cents"),
+    )
