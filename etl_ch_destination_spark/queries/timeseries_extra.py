@@ -808,7 +808,7 @@ ROLL_CORR_ROWS = 10
              CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy
       FROM t
       WINDOW fr AS (PARTITION BY l_suppkey
-                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y
                     ROWS BETWEEN {ROLL_CORR_ROWS - 1} PRECEDING
                              AND CURRENT ROW)
     )
@@ -831,7 +831,13 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 sums, and the correlation is assembled from those exact
     moments with one division and two correctly-rounded sqrts in a
     fixed order. Degenerate windows (zero variance) are NULL in both
-    engines. Plan: single hash exchange on l_suppkey, one sort, all
+    engines. The frame order carries (x, y) as final tiebreakers:
+    sf0.1 holds one duplicate (suppkey, shipdate, orderkey,
+    linenumber) tuple, and without them the two engines could
+    order that tie differently and shift every later frame in the
+    partition (caught by the r7 three-SF sweep; fully-tied rows
+    are frame-equivalent under any order, so this IS total for
+    the computation). Plan: single hash exchange on l_suppkey, one sort, all
     six moments from ONE window frame (no self-join)."""
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(
@@ -846,7 +852,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "x", "y")
         .rowsBetween(-(ROLL_CORR_ROWS - 1), 0)
     )
     w = t.select(

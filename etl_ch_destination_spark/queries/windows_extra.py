@@ -275,7 +275,7 @@ REG_WINDOW_ROWS = 20
              CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy
       FROM t
       WINDOW fr AS (PARTITION BY l_suppkey
-                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y
                     ROWS BETWEEN {REG_WINDOW_ROWS - 1} PRECEDING
                              AND CURRENT ROW)
     )
@@ -304,7 +304,10 @@ def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact window sums, then slope = cov/var in ONE division and
     intercept assembled from (sy, slope, sx, n) in a fixed IEEE
     order replayed identically by the oracle. Zero-variance windows
-    are NULL in both engines. Plan: one l_suppkey exchange + one sort;
+    are NULL in both engines; the frame order carries (x, y) as
+    final tiebreakers so the one duplicate (suppkey, shipdate,
+    orderkey, linenumber) tuple at sf0.1 cannot shift frames
+    (r7 three-SF sweep finding — see ts_rolling_corr). Plan: one l_suppkey exchange + one sort;
     all moments from a single WindowExec, regression is a scalar
     projection."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -320,7 +323,7 @@ def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "x", "y")
         .rowsBetween(-(REG_WINDOW_ROWS - 1), 0)
     )
     w = t.select(

@@ -259,3 +259,37 @@ def test_stage_local_and_durable_variants(spark, tmp_path):
         assert len(glob.glob(f"{staging_root}/t-*")) == 2
     finally:
         spark.conf.unset(STAGING_DIR_CONF)
+
+
+def test_durable_staging_pipelines_match_local(spark, sf_dir, tmp_path):
+    """The 100 TB configuration (spark.etl_ch.staging.dir set → every
+    stage() call becomes a durable parquet staging table) must produce
+    EXACTLY the frames the localCheckpoint default produces, on the
+    real pipelines that route through stage(): MinHash near-dup pair
+    generation and connected-components labeling."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.components import connected_components
+    from etl_ch_destination_spark.ops.neardup import near_duplicate_pairs
+    from etl_ch_destination_spark.ops.staging import STAGING_DIR_CONF
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs_local = near_duplicate_pairs(docs)
+    labels_local = rows_set(
+        connected_components(pairs_local, "id_a", "id_b")
+    )
+    pairs_set_local = rows_set(pairs_local)
+
+    spark.conf.set(STAGING_DIR_CONF, str(tmp_path / "staging"))
+    try:
+        pairs_durable = near_duplicate_pairs(docs)
+        assert rows_set(pairs_durable) == pairs_set_local
+        labels_durable = rows_set(
+            connected_components(pairs_durable, "id_a", "id_b")
+        )
+        assert labels_durable == labels_local
+        import glob
+
+        staged = glob.glob(str(tmp_path / "staging" / "*"))
+        assert staged, "durable mode wrote no staging tables"
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)
