@@ -2151,3 +2151,299 @@ def agg_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.select(
         "flag", F.col("mx").alias("max_count"), bar.alias("bar")
     )
+
+
+@query(
+    "agg_theils_u",
+    """
+    WITH o AS (
+        SELECT event_type AS a, user_id % 4 AS b,
+               CAST(COUNT(*) AS BIGINT) AS o_ab
+        FROM events GROUP BY event_type, user_id % 4
+    ),
+    tot AS (
+        SELECT a, b, o_ab,
+               CAST(SUM(o_ab) OVER (PARTITION BY a) AS BIGINT) AS r_a,
+               CAST(SUM(o_ab) OVER (PARTITION BY b) AS BIGINT) AS c_b,
+               CAST(SUM(o_ab) OVER () AS BIGINT) AS n
+        FROM o
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN b = (SELECT MIN(b) FROM o) THEN
+                 r_a * (length(format('{:b}', n // r_a)) - 1)
+                 ELSE 0 END) AS BIGINT) AS sx_bits,
+           CAST(SUM(o_ab * (length(format('{:b}', c_b // o_ab)) - 1))
+                AS BIGINT) AS sxy_bits,
+           CAST(SUM(CASE WHEN b = (SELECT MIN(b) FROM o) THEN
+                 r_a * (length(format('{:b}', n // r_a)) - 1)
+                 ELSE 0 END)
+                - SUM(o_ab * (length(format('{:b}', c_b // o_ab)) - 1))
+                AS DOUBLE)
+             / CAST(SUM(CASE WHEN b = (SELECT MIN(b) FROM o) THEN
+                   r_a * (length(format('{:b}', n // r_a)) - 1)
+                   ELSE 0 END) AS DOUBLE) AS theils_u_bits
+    FROM tot
+    """,
+)
+def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``theilsU(a, b)`` — the asymmetric uncertainty
+    coefficient U(X|Y) = (H(X) − H(X|Y)) / H(X) — in the repo's
+    WHOLE-BIT dyadic entropy form (the agg_entropy_gini /
+    llm_unigram_logprob identity; raw ln cannot hash-match). The
+    algebra collapses beautifully to integers: with surprisal sums
+    Sx = Σ_a r_a·bits(n div r_a) and Sxy = Σ_cells o_ab·bits(c_b div
+    o_ab), U = (Sx − Sxy) / Sx — both sums exact int64, ONE final IEEE
+    division. (The marginal Sx is summed once per row-class via the
+    min-b guard so the cell-level frame needs no second aggregate.)
+
+    Plan: one (a, b) hash agg over the scan (tiny contingency table),
+    margins as windows over the cells, one final aggregate — same
+    shape as agg_cramers_v at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 4).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o_ab"))
+    tot = o.select(
+        "a", "b", "o_ab",
+        F.sum("o_ab").over(Window.partitionBy("a")).cast("bigint").alias("r_a"),
+        F.sum("o_ab").over(Window.partitionBy("b")).cast("bigint").alias("c_b"),
+        F.sum("o_ab").over(
+            Window.partitionBy()
+        ).cast("bigint").alias("n"),
+    )
+    min_b = o.agg(F.min("b").alias("mb"))
+    bits_x = (
+        F.length(F.conv(F.expr("n div r_a"), 10, 2)) - F.lit(1)
+    ).cast("bigint")
+    bits_xy = (
+        F.length(F.conv(F.expr("c_b div o_ab"), 10, 2)) - F.lit(1)
+    ).cast("bigint")
+    cells = tot.crossJoin(F.broadcast(min_b))
+    sx = F.sum(
+        F.when(F.col("b") == F.col("mb"), F.col("r_a") * bits_x).otherwise(0)
+    ).cast("bigint")
+    sxy = F.sum(F.col("o_ab") * bits_xy).cast("bigint")
+    return cells.agg(
+        F.max("n").cast("bigint").alias("n"),
+        sx.alias("sx_bits"),
+        sxy.alias("sxy_bits"),
+        ((sx - sxy).cast("double") / sx.cast("double")).alias(
+            "theils_u_bits"
+        ),
+    )
+
+
+@query(
+    "agg_cramers_v_bc",
+    """
+    WITH o AS (
+        SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o_ab
+        FROM events GROUP BY event_type, user_id % 4
+    ),
+    tot AS (
+        SELECT a, b, o_ab,
+               SUM(o_ab) OVER (PARTITION BY a) AS r_a,
+               SUM(o_ab) OVER (PARTITION BY b) AS c_b,
+               SUM(o_ab) OVER () AS n
+        FROM o
+    ),
+    cells AS (
+        SELECT a, b, o_ab, r_a, c_b, n,
+               CAST(floor(
+                 CAST(CAST(o_ab * n - r_a * c_b AS HUGEINT)
+                      * CAST(o_ab * n - r_a * c_b AS HUGEINT) AS DOUBLE)
+                 / CAST(r_a * c_b * n AS DOUBLE) * 1000000
+               ) AS BIGINT) AS term_e6
+        FROM tot
+    ),
+    s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+             CAST(SUM(term_e6) AS BIGINT) AS chi2_e6
+      FROM cells
+    )
+    SELECT n, r, c, chi2_e6,
+           sqrt(
+             GREATEST(0.0,
+               CAST(chi2_e6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+               - CAST((r - 1) * (c - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+             / (LEAST(
+                  CAST(r AS DOUBLE)
+                  - CAST((r - 1) * (r - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE),
+                  CAST(c AS DOUBLE)
+                  - CAST((c - 1) * (c - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                - 1.0)
+           ) AS cramers_v_bc
+    FROM s
+    """,
+)
+def agg_cramers_v_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersVBiasCorrected(a, b)`` — the
+    Bergsma-Wicher bias-corrected Cramér's V: φ²_corr = max(0, φ² −
+    (r−1)(c−1)/(n−1)), with the row/column dimensions shrunk the same
+    way, completing the association family next to `agg_cramers_v` and
+    `agg_theils_u`. The χ² intermediate reuses the cramersV
+    micro-quantization (exact integer per-cell terms → order-
+    insensitive sum); the correction is a fixed scalar expression over
+    (n, r, c, χ²_e6) — every operand exact, replayed identically by
+    the oracle. Plan: identical to agg_cramers_v (one tiny hash agg +
+    margins)."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 4).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o_ab"))
+    w_a, w_b = Window.partitionBy("a"), Window.partitionBy("b")
+    tot = o.select(
+        "a", "b", "o_ab",
+        F.sum("o_ab").over(w_a).alias("r_a"),
+        F.sum("o_ab").over(w_b).alias("c_b"),
+        F.sum("o_ab").over(Window.partitionBy()).alias("n"),
+    )
+    num = (
+        F.col("o_ab").cast("decimal(20,0)") * F.col("n")
+        - F.col("r_a").cast("decimal(20,0)") * F.col("c_b")
+    )
+    term = F.floor(
+        (num * num).cast("double")
+        / (F.col("r_a") * F.col("c_b") * F.col("n")).cast("double")
+        * 1000000
+    ).cast("bigint")
+    s = tot.select("a", "b", "n", term.alias("term_e6")).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("r"),
+        F.countDistinct("b").cast("bigint").alias("c"),
+        F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+    )
+    n_d = F.col("n").cast("double")
+    phi2 = F.col("chi2_e6").cast("double") / 1000000.0 / n_d
+    corr = (
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("double")
+        / (F.col("n") - 1).cast("double")
+    )
+    r_sh = F.col("r").cast("double") - (
+        ((F.col("r") - 1) * (F.col("r") - 1)).cast("double")
+        / (F.col("n") - 1).cast("double")
+    )
+    c_sh = F.col("c").cast("double") - (
+        ((F.col("c") - 1) * (F.col("c") - 1)).cast("double")
+        / (F.col("n") - 1).cast("double")
+    )
+    v = F.sqrt(
+        F.greatest(F.lit(0.0), phi2 - corr) / (F.least(r_sh, c_sh) - 1.0)
+    )
+    return s.select("n", "r", "c", "chi2_e6", v.alias("cramers_v_bc"))
+
+
+@query(
+    "agg_contingency_coef",
+    """
+    WITH o AS (
+        SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o_ab
+        FROM events GROUP BY event_type, user_id % 4
+    ),
+    tot AS (
+        SELECT a, b, o_ab,
+               SUM(o_ab) OVER (PARTITION BY a) AS r_a,
+               SUM(o_ab) OVER (PARTITION BY b) AS c_b,
+               SUM(o_ab) OVER () AS n
+        FROM o
+    ),
+    cells AS (
+        SELECT o_ab, r_a, c_b, n,
+               CAST(floor(
+                 CAST(CAST(o_ab * n - r_a * c_b AS HUGEINT)
+                      * CAST(o_ab * n - r_a * c_b AS HUGEINT) AS DOUBLE)
+                 / CAST(r_a * c_b * n AS DOUBLE) * 1000000
+               ) AS BIGINT) AS term_e6
+        FROM tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           sqrt((CAST(SUM(term_e6) AS DOUBLE) / 1000000.0)
+                / (CAST(SUM(term_e6) AS DOUBLE) / 1000000.0
+                   + CAST(MAX(n) AS DOUBLE))) AS contingency_c
+    FROM cells
+    """,
+)
+def agg_contingency_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``contingency(a, b)`` — Pearson's contingency
+    coefficient C = sqrt(χ² / (χ² + n)), the third member of the CH
+    association family (with cramersV / cramersVBiasCorrected /
+    theilsU all now covered). Reuses the micro-quantized exact-integer
+    χ² cells; the final expression is two divisions and a sqrt over
+    deterministic scalars. Plan: identical tiny-contingency shape."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        F.col("event_type").alias("a"), (F.col("user_id") % 4).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o_ab"))
+    tot = o.select(
+        "o_ab",
+        F.sum("o_ab").over(Window.partitionBy("a")).alias("r_a"),
+        F.sum("o_ab").over(Window.partitionBy("b")).alias("c_b"),
+        F.sum("o_ab").over(Window.partitionBy()).alias("n"),
+    )
+    num = (
+        F.col("o_ab").cast("decimal(20,0)") * F.col("n")
+        - F.col("r_a").cast("decimal(20,0)") * F.col("c_b")
+    )
+    term = F.floor(
+        (num * num).cast("double")
+        / (F.col("r_a") * F.col("c_b") * F.col("n")).cast("double")
+        * 1000000
+    ).cast("bigint")
+    s = tot.select("n", term.alias("term_e6")).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+    )
+    chi2 = F.col("chi2_e6").cast("double") / 1000000.0
+    return s.select(
+        "n",
+        "chi2_e6",
+        F.sqrt(chi2 / (chi2 + F.col("n").cast("double"))).alias(
+            "contingency_c"
+        ),
+    )
+
+
+GROUP_SAMPLE_K = 5
+
+
+@query(
+    "agg_group_sample",
+    f"""
+    SELECT event_type, user_id, pos FROM (
+      SELECT event_type, user_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(user_id AS VARCHAR) || ':gsample'), user_id
+             ) AS BIGINT) AS pos
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+    ) WHERE pos <= {GROUP_SAMPLE_K}
+    """,
+)
+def agg_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArraySample(k)`` made reproducible: a
+    deterministic uniform k-sample of distinct users per event type,
+    drawn by md5 order (the unseeded uniform draw both engines replay
+    bit-for-bit) instead of RNG state — so the "sample" is stable
+    across reruns, partitionings, and engines, which is what a
+    debugging/eyeballing sample actually wants. Emitted in relational
+    long form (group, member, position) because the driver's hasher
+    rejects array cells. Plan: distinct-pair hash agg, then one
+    exchange on event_type with an early top-K window — a skewed
+    giant group still emits K rows."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select("event_type", "user_id").distinct()
+    win = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":gsample"))),
+        "user_id",
+    )
+    return (
+        pairs.select(
+            "event_type",
+            "user_id",
+            F.row_number().over(win).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("pos") <= GROUP_SAMPLE_K)
+    )

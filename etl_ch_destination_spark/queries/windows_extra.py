@@ -351,3 +351,58 @@ def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(varx > 0, slope).alias("slope_cents_per_unit"),
         F.when(varx > 0, intercept).alias("intercept_cents"),
     )
+
+
+TIME_RANGE_S = 3600  # trailing 1-hour range frame
+
+
+@query(
+    "win_time_range_sum",
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER fr AS BIGINT) AS n_1h,
+           CAST(SUM(v) OVER fr AS BIGINT) AS sum_micros_1h,
+           CAST(MAX(v) OVER fr AS BIGINT) AS max_micros_1h
+    FROM t
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL {TIME_RANGE_S} SECOND PRECEDING
+                            AND CURRENT ROW)
+    """,
+)
+def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (SQL RANGE BETWEEN INTERVAL ... 
+    PRECEDING): per user, the trailing-1-hour event count / sum / max
+    by TIMESTAMP VALUE, not row position — the rolling-rate shape
+    behind rate limiting and load monitoring, and the frame kind
+    `win_sliding_range` (numeric range) doesn't cover. Deterministic
+    WITHOUT a tiebreak column: a RANGE frame includes all ts-peers
+    together, so tied rows see identical frames regardless of their
+    relative order — range frames are total by construction. Values
+    quantize to integer micros (the agg_delta_sum policy) so the
+    window sums are exact int64.
+
+    Plan: one user_id exchange + one sort; Spark evaluates the range
+    frame with a sliding two-pointer over the sorted partition —
+    O(rows) per partition, constant state."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-TIME_RANGE_S * 1_000_000, 0)
+    )
+    return t.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("n_1h"),
+        F.sum("v").over(fr).cast("bigint").alias("sum_micros_1h"),
+        F.max("v").over(fr).cast("bigint").alias("max_micros_1h"),
+    )

@@ -278,3 +278,58 @@ def test_textrank_mass_and_order(spark, sf_dir):
     # the top word out-ranks the uniform initialization somewhere
     # (a flat graph would leave everything at ~SCALE/N)
     assert rows[0]["rank"] == fps[0] / TR_SCALE
+
+
+def test_association_family_consistent(spark, sf_dir):
+    """theilsU / cramersVBiasCorrected / contingency over the same
+    contingency table: all in [0, 1], bias-corrected V <= raw V, and
+    the chi-squared intermediates agree across the family."""
+    u = _q("agg_theils_u", spark, sf_dir).collect()[0]
+    assert 0.0 <= u["theils_u_bits"] <= 1.0
+    assert u["sx_bits"] >= u["sxy_bits"] >= 0
+
+    v_bc = _q("agg_cramers_v_bc", spark, sf_dir).collect()[0]
+    v = _q("agg_cramers_v", spark, sf_dir).collect()[0]
+    c = _q("agg_contingency_coef", spark, sf_dir).collect()[0]
+    assert 0.0 <= v_bc["cramers_v_bc"] <= 1.0
+    assert 0.0 <= c["contingency_c"] <= 1.0
+    assert v_bc["cramers_v_bc"] <= v["cramers_v"] + 1e-12
+    assert v_bc["chi2_e6"] == v["chi2_e6"] == c["chi2_e6"]
+    assert v_bc["n"] == u["n"] == c["n"]
+
+
+def test_group_sample_caps_and_is_stable(spark, sf_dir):
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        GROUP_SAMPLE_K,
+    )
+
+    df = _q("agg_group_sample", spark, sf_dir)
+    per = df.groupBy("event_type").count()
+    assert per.filter(F.col("count") > GROUP_SAMPLE_K).count() == 0
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in _q("agg_group_sample", spark, sf_dir).collect()}
+    assert a == b  # deterministic draw
+
+
+def test_time_range_frame_bounds(spark, sf_dir):
+    """every row's trailing-1h aggregates cover >= itself, and a
+    spot-checked user's frame matches a driver-side replay."""
+    from etl_ch_destination_spark.queries.windows_extra import TIME_RANGE_S
+
+    df = _q("win_time_range_sum", spark, sf_dir)
+    assert df.filter(F.col("n_1h") < 1).count() == 0
+    assert df.filter(F.col("max_micros_1h") * F.col("n_1h")
+                     < F.col("sum_micros_1h")).count() == 0
+    # replay one user in pandas
+    uid = df.select("user_id").orderBy("user_id").first()["user_id"]
+    rows = sorted(
+        df.filter(F.col("user_id") == uid).collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    events = [(r["ts"], r["event_id"]) for r in rows]
+    import datetime as dt
+
+    for r in rows:
+        lo = r["ts"] - dt.timedelta(seconds=TIME_RANGE_S)
+        want_n = sum(1 for ts, _ in events if lo <= ts <= r["ts"])
+        assert r["n_1h"] == want_n, (r, want_n)
