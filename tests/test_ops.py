@@ -154,20 +154,27 @@ def test_asof_join_matches_pandas_merge_asof_both_directions(spark, sf_dir):
     lp = views.toPandas().sort_values("ts").reset_index(drop=True)
     rp = purch.toPandas().sort_values("ts").reset_index(drop=True)
 
-    for direction, tol in [
-        ("backward", None),
-        ("forward", None),
-        ("forward", 7200),
-        ("nearest", None),
-        ("nearest", 3600),
+    for direction, tol, strict in [
+        ("backward", None, False),
+        ("forward", None, False),
+        ("forward", 7200, False),
+        ("nearest", None, False),
+        ("nearest", 3600, False),
+        # strict=True ↔ pandas allow_exact_matches=False (the r7
+        # ClickHouse strict-comparator ASOF form)
+        ("backward", None, True),
+        ("forward", None, True),
+        ("backward", 7200, True),
+        ("nearest", None, True),
     ]:
         got = asof_join(
             views, purch, keys=["user_id"], ts="ts",
-            direction=direction, tolerance_seconds=tol,
+            direction=direction, tolerance_seconds=tol, strict=strict,
         ).toPandas()
         want = pd.merge_asof(
             lp, rp, on="ts", by="user_id", direction=direction,
             tolerance=pd.Timedelta(seconds=tol) if tol else None,
+            allow_exact_matches=not strict,
             suffixes=("", "_r"),
         )
         g = got.sort_values("event_id").reset_index(drop=True)
@@ -176,6 +183,7 @@ def test_asof_join_matches_pandas_merge_asof_both_directions(spark, sf_dir):
         assert g["asof_value"].fillna(-1).tolist() == w["value"].fillna(-1).tolist(), (
             direction,
             tol,
+            strict,
         )
 
 
