@@ -257,3 +257,63 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("value").alias("max_value"),
     )
+
+
+@query(
+    "stream_windowed_topk",
+    f"""
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+               AS we,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT ws, we, event_type, n, rnk FROM (
+      SELECT ws, we, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY ws
+                    ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      FROM counts
+    ) WHERE rnk <= {pipeline.TOPK_PER_WINDOW}
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-K leaderboard (pipeline.windowed_topk): the
+    10-minute windowed counts stream under a watermark in append mode;
+    the rank stage runs DOWNSTREAM of the sink — rank over a streaming
+    aggregate is not expressible in append mode, and the
+    counts-to-sink + rank-on-read split is exactly how production
+    leaderboards materialize. tests/test_streaming.py replays the
+    stream and ranks the re-read sink, asserting equality with this
+    batch form."""
+    return pipeline.windowed_topk(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_cdc_upsert",
+    """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS last_value_micros,
+           n_updates
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_updates
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / ReplacingMergeTree final state (pipeline.cdc_latest):
+    events as a keyed changelog — latest row per user_id under the
+    monotone (ts, event_id) version, plus the per-key update count.
+    The streaming form applies the same reduction per micro-batch via
+    a foreachBatch merge into a versioned parquet state table
+    (pipeline.merge_cdc_state — associative, so micro-batch slicing
+    cannot change the final state); tests/test_streaming.py replays
+    the changelog in multiple batches and asserts the merged state
+    equals this batch form."""
+    return pipeline.cdc_latest(load_table(spark, sf_dir, "events"))

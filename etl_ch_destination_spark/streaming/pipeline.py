@@ -181,3 +181,108 @@ def static_enrich(ev: DataFrame, customer: DataFrame) -> DataFrame:
     return ev.join(F.broadcast(dim), "user_id").select(
         "event_id", "user_id", "event_type", "value", "segment"
     )
+
+
+TOPK_PER_WINDOW = 3
+
+
+def windowed_counts(ev: DataFrame) -> DataFrame:
+    """The streamable stage of the per-window leaderboard: 10-minute
+    tumbling counts per event_type (rank is not a streaming-supported
+    operator over an aggregate, so it runs downstream of the sink)."""
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def windowed_topk(ev: DataFrame) -> DataFrame:
+    """Top-K event types per 10-minute tumbling window by event count
+    (count DESC, event_type tiebreak — total order): the windowed
+    counts stage plus the downstream rank — exactly how a production
+    leaderboard materializes (counts to the sink, rank on read)."""
+    return rank_windowed_counts(windowed_counts(ev))
+
+
+def rank_windowed_counts(counts: DataFrame) -> DataFrame:
+    """The downstream-of-the-sink ranking stage, shared by the batch
+    key and the stream-equivalence test (which applies it to the
+    re-read streaming sink)."""
+    from pyspark.sql.window import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("ws").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        counts.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= TOPK_PER_WINDOW)
+    )
+
+
+def cdc_latest(ev: DataFrame) -> DataFrame:
+    """CDC apply: treat events as a keyed changelog (user_id is the
+    primary key; (ts, event_id) the monotone version) and keep the
+    LATEST row per key plus the update count — ReplacingMergeTree's
+    final state. The streaming form applies the same reduction per
+    micro-batch via foreachBatch merge into a versioned parquet state
+    table; the batch form is the direct window reduction."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_updates",
+            F.count(F.lit(1)).over(W.partitionBy("user_id")).cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value_micros").alias("last_value_micros"),
+            "n_updates",
+        )
+    )
+
+
+def merge_cdc_state(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One foreachBatch CDC merge step: union the previous latest-state
+    with the new batch's per-key latest, keep the later version per
+    key, and re-sum the update counts — the associative form that
+    makes micro-batch slicing irrelevant to the final state."""
+    from pyspark.sql.window import Window as W
+
+    batch_latest = cdc_latest(
+        batch.select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    if state is None:
+        return batch_latest
+    u = state.unionByName(batch_latest)
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("last_ts"), F.desc("last_event_id")
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "total_updates",
+            F.sum("n_updates").over(W.partitionBy("user_id")).cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "n_updates")
+        .withColumnRenamed("total_updates", "n_updates")
+    )

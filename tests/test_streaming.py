@@ -358,3 +358,58 @@ def test_kafka_reader_is_configured(spark):
     assert kafka_options("b:9092", "t").get("maxOffsetsPerTrigger") is None
     # constructing the configured reader itself must not touch the network
     kafka_reader(spark, "broker-1:9092", "events")
+
+
+def test_windowed_topk_stream_counts_plus_rank_equals_batch(spark, sf_dir):
+    """The leaderboard split: windowed counts stream to the sink, rank
+    applies on read — together they must equal the batch key."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    staged = _staged(spark, sf_dir, "wtopk")
+    stream = pipeline.windowed_counts(read_staged_stream(spark, staged))
+    _drain(_memory_query(stream, "t_wtopk_counts", "complete"))
+    got = rows_set(pipeline.rank_windowed_counts(spark.table("t_wtopk_counts")))
+    want = rows_set(pipeline.windowed_topk(load_table(spark, sf_dir, "events")))
+    assert got == want
+
+
+def test_cdc_upsert_foreachbatch_merge_converges_to_batch(spark, sf_dir):
+    """CDC apply: replaying the changelog in micro-batches through the
+    foreachBatch merge (union previous state + batch latest → keep the
+    later version, re-sum update counts) must converge to the batch
+    latest-per-key reduction regardless of slicing."""
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    staged = _staged(spark, sf_dir, "cdc", n_slices=5)
+    state_base = scratch_dir("cdc_state")
+    shutil.rmtree(state_base, ignore_errors=True)
+    versions = []
+
+    def apply_batch(batch_df, epoch_id):
+        prev = (
+            batch_df.sparkSession.read.parquet(versions[-1])
+            if versions
+            else None
+        )
+        new_state = pipeline.merge_cdc_state(prev, batch_df)
+        path = f"{state_base}/v{epoch_id}"
+        new_state.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    q = (
+        read_staged_stream(spark, staged)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{state_base}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    assert len(versions) >= 2, "replay did not slice into micro-batches"
+
+    got = rows_set(spark.read.parquet(versions[-1]))
+    want = rows_set(pipeline.cdc_latest(load_table(spark, sf_dir, "events")))
+    assert got == want
