@@ -1169,3 +1169,57 @@ def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oldest_kept_us",
         )
     )
+
+
+BINARY_FILES_N = 8
+
+
+@query(
+    "scan_binary_files",
+    f"""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           hex(encode(text)) AS content_hex
+    FROM documents WHERE doc_id < {BINARY_FILES_N}
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source — the real ingestion path for
+    multimodal blobs (images/audio land as whole-file rows with
+    ``path``/``length``/``content``), completing the multimodal family
+    whose decode plumbing `llm_multimodal_ingest` stubs: here the
+    BYTES THEMSELVES round-trip through the format and are
+    hash-compared. A bounded fixture set ({BINARY_FILES_N} files,
+    derived deterministically from the documents table) is staged to
+    scratch; the scan reads them back via ``format("binaryFile")`` and
+    emits (basename, length, hex(content)) — the oracle re-derives all
+    three from the same source rows, so the driver gate proves the
+    on-disk bytes, not the in-memory frame.
+
+    At 100 TB this is the pattern unchanged: a binaryFile scan over a
+    blob-store prefix parallelizes per file, `pathGlobFilter` prunes
+    by extension, and the content column feeds the Arrow-batched
+    multimodal UDFs (ops/multimodal.py)."""
+    import os
+
+    path = _scratch(sf_dir, "scan_binary_files")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_FILES_N)
+        .select("doc_id", "text")
+    )
+    # bounded driver-side staging (== BINARY_FILES_N tiny files): this
+    # is fixture creation for the scan under test, not a data path
+    for r in d.collect():
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return scanned.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("length"),
+        F.hex("content").alias("content_hex"),
+    )

@@ -36,6 +36,7 @@ EFFECTFUL = {
     "scan_rowbinary_import",  # writes wire blocks to scratch
     "scan_native_import",  # writes columnar wire blocks to scratch
     "job_matview_refresh",  # writes view-state versions to scratch
+    "scan_binary_files",  # stages blob fixture files to scratch
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its
