@@ -333,3 +333,28 @@ def test_time_range_frame_bounds(spark, sf_dir):
         lo = r["ts"] - dt.timedelta(seconds=TIME_RANGE_S)
         want_n = sum(1 for ts, _ in events if lo <= ts <= r["ts"])
         assert r["n_1h"] == want_n, (r, want_n)
+
+
+def test_binary_files_scan_round_trips_bytes(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        BINARY_FILES_N,
+    )
+
+    df = _q("scan_binary_files", spark, sf_dir)
+    rows = {r["file_name"]: r for r in df.collect()}
+    src = {
+        f"doc_{r['doc_id']}.bin": r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_FILES_N)
+        .collect()
+    }
+    assert set(rows) == set(src)
+    for name, r in rows.items():
+        raw = src[name].encode("utf-8")
+        assert r["length"] == len(raw)
+        assert r["content_hex"] == raw.hex().upper()
+    # idempotent: a re-run restages and re-reads identically
+    again = {r["file_name"]: r["content_hex"]
+             for r in _q("scan_binary_files", spark, sf_dir).collect()}
+    assert again == {k: v["content_hex"] for k, v in rows.items()}
