@@ -130,3 +130,43 @@ def date_epoch_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("fmt"),
         F.to_timestamp(F.date_format("ts", "yyyy-MM-dd"), "yyyy-MM-dd").alias("reparsed"),
     )
+
+
+TZ_ZONES = ("Asia/Tokyo", "Asia/Kolkata", "America/New_York")
+
+
+@query(
+    "date_tz_convert",
+    """
+    SELECT event_id, ts,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo'
+                AS TIMESTAMP) AS tokyo_ts,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Kolkata'
+                AS TIMESTAMP) AS kolkata_ts,
+           CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+                AS TIMESTAMP) AS ny_ts,
+           CAST(EXTRACT(hour FROM ts AT TIME ZONE 'UTC'
+                        AT TIME ZONE 'Asia/Tokyo') AS INT) AS tokyo_hour
+    FROM events
+    """,
+)
+def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-timezone conversion (ClickHouse ``toTimeZone`` / SQL AT
+    TIME ZONE): event timestamps (stored naive-UTC per the repo's
+    timestamp policy) rendered as local wall time in three IANA zones
+    — a whole-hour offset (Tokyo), a half-hour offset (Kolkata — the
+    classic off-by-30-minutes trap), and a DST zone (New York; the
+    fixture's January range sits squarely in EST so both engines'
+    tzdata agree regardless of minor database revisions). Both engines
+    resolve the same IANA identifiers, so the local timestamps
+    hash-match. Map-side codegen, no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    cols = [F.col("event_id"), F.col("ts")]
+    for z, alias in zip(TZ_ZONES, ("tokyo_ts", "kolkata_ts", "ny_ts")):
+        cols.append(F.from_utc_timestamp("ts", z).alias(alias))
+    cols.append(
+        F.hour(F.from_utc_timestamp("ts", "Asia/Tokyo")).cast("int").alias(
+            "tokyo_hour"
+        )
+    )
+    return e.select(*cols)

@@ -117,3 +117,60 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("p_name").cast("binary")).alias("md5_name"),
         F.sha2(F.lower("p_name").cast("binary"), 256).alias("sha_name"),
     )
+
+
+@query(
+    "math_round_modes",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(10,2)) * CAST(0.5 AS DECIMAL(2,1))
+               AS half,
+             CAST(l_quantity AS DECIMAL(10,2)) * CAST(0.25 AS DECIMAL(3,2))
+               AS quarter
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(half AS DOUBLE) AS half_raw,
+           CAST(round(half, 0) AS DOUBLE) AS half_up,
+           CAST(round_even(half, 0) AS DOUBLE) AS half_even,
+           CAST(round(quarter, 1) AS DOUBLE) AS quarter_up_1dp,
+           CAST(round_even(quarter, 1) AS DOUBLE) AS quarter_even_1dp,
+           CAST(floor(half) AS BIGINT) AS half_floor,
+           CAST(ceil(half) AS BIGINT) AS half_ceil
+    FROM t
+    """,
+)
+def math_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode semantics surface — ClickHouse ``round`` /
+    ``roundBankers`` / ``floor`` / ``ceil``: HALF_UP (Spark ``round``,
+    DuckDB ``round`` — identical on the positive domain) vs HALF_EVEN
+    banker's rounding (Spark ``bround``, DuckDB ``round_even``), at
+    whole and 1-dp precision, over EXACT decimal inputs constructed to
+    sit on ties (quantity × 0.5 → .0/.5; × 0.25 → .0/.25/.5/.75).
+    Exact decimals make the mode difference the ONLY signal — float
+    inputs would blur ties with representation error. All map-side
+    codegen; no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = (
+        F.col("l_quantity").cast("decimal(10,2)")
+        * F.lit("0.5").cast("decimal(2,1)")
+    )
+    quarter = (
+        F.col("l_quantity").cast("decimal(10,2)")
+        * F.lit("0.25").cast("decimal(3,2)")
+    )
+    t = li.select(
+        "l_orderkey", "l_linenumber", half.alias("half"), quarter.alias("quarter")
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("half").cast("double").alias("half_raw"),
+        F.round("half", 0).cast("double").alias("half_up"),
+        F.bround("half", 0).cast("double").alias("half_even"),
+        F.round("quarter", 1).cast("double").alias("quarter_up_1dp"),
+        F.bround("quarter", 1).cast("double").alias("quarter_even_1dp"),
+        F.floor("half").cast("bigint").alias("half_floor"),
+        F.ceil("half").cast("bigint").alias("half_ceil"),
+    )

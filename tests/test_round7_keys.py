@@ -358,3 +358,37 @@ def test_binary_files_scan_round_trips_bytes(spark, sf_dir):
     again = {r["file_name"]: r["content_hex"]
              for r in _q("scan_binary_files", spark, sf_dir).collect()}
     assert again == {k: v["content_hex"] for k, v in rows.items()}
+
+
+def test_round_modes_disagree_only_on_ties(spark, sf_dir):
+    """HALF_UP and HALF_EVEN may differ ONLY on exact .5 ties, and
+    there they differ by exactly 1 when the truncated integer is odd
+    ... even: banker's rounds down; the tie set must be non-empty or
+    the key tests nothing."""
+    df = _q("math_round_modes", spark, sf_dir)
+    ties = df.filter(F.col("half_raw") % 1.0 == 0.5)
+    assert ties.count() > 0
+    non_tie_diff = df.filter(
+        (F.col("half_raw") % 1.0 != 0.5)
+        & (F.col("half_up") != F.col("half_even"))
+    ).count()
+    assert non_tie_diff == 0
+    # on ties: up always rounds up; even rounds to the even neighbor
+    bad = ties.filter(
+        (F.col("half_up") != F.col("half_floor") + 1)
+        | (F.col("half_even") % 2.0 != 0.0)
+    ).count()
+    assert bad == 0
+
+
+def test_tz_convert_offsets(spark, sf_dir):
+    """Tokyo +9h, Kolkata +5h30, New York -5h (EST in the fixture's
+    January range) — exact offset arithmetic on every row."""
+    df = _q("date_tz_convert", spark, sf_dir)
+    us = lambda c: F.unix_micros(F.col(c))
+    bad = df.filter(
+        (us("tokyo_ts") - us("ts") != 9 * 3600 * 1_000_000)
+        | (us("kolkata_ts") - us("ts") != (5 * 3600 + 1800) * 1_000_000)
+        | (us("ny_ts") - us("ts") != -5 * 3600 * 1_000_000)
+    ).count()
+    assert bad == 0
