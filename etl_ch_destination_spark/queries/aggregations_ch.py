@@ -2169,19 +2169,15 @@ def agg_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM o
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN b = (SELECT MIN(b) FROM o) THEN
-                 r_a * (length(format('{:b}', n // r_a)) - 1)
-                 ELSE 0 END) AS BIGINT) AS sx_bits,
+           CAST(SUM(o_ab * (length(format('{:b}', n // r_a)) - 1))
+                AS BIGINT) AS sx_bits,
            CAST(SUM(o_ab * (length(format('{:b}', c_b // o_ab)) - 1))
                 AS BIGINT) AS sxy_bits,
-           CAST(SUM(CASE WHEN b = (SELECT MIN(b) FROM o) THEN
-                 r_a * (length(format('{:b}', n // r_a)) - 1)
-                 ELSE 0 END)
+           CAST(SUM(o_ab * (length(format('{:b}', n // r_a)) - 1))
                 - SUM(o_ab * (length(format('{:b}', c_b // o_ab)) - 1))
                 AS DOUBLE)
-             / CAST(SUM(CASE WHEN b = (SELECT MIN(b) FROM o) THEN
-                   r_a * (length(format('{:b}', n // r_a)) - 1)
-                   ELSE 0 END) AS DOUBLE) AS theils_u_bits
+             / CAST(SUM(o_ab * (length(format('{:b}', n // r_a)) - 1))
+                AS DOUBLE) AS theils_u_bits
     FROM tot
     """,
 )
@@ -2193,8 +2189,10 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra collapses beautifully to integers: with surprisal sums
     Sx = Σ_a r_a·bits(n div r_a) and Sxy = Σ_cells o_ab·bits(c_b div
     o_ab), U = (Sx − Sxy) / Sx — both sums exact int64, ONE final IEEE
-    division. (The marginal Sx is summed once per row-class via the
-    min-b guard so the cell-level frame needs no second aggregate.)
+    division. Sx is summed CELL-WISE via the identity Σ_b o_ab = r_a
+    (so Σ_cells o_ab·bits(n div r_a) = Σ_a r_a·bits(n div r_a)) —
+    correct on sparse contingency tables too, where a per-row-class
+    guard keyed to any particular column class would drop marginals.
 
     Plan: one (a, b) hash agg over the scan (tiny contingency table),
     margins as windows over the cells, one final aggregate — same
@@ -2211,19 +2209,15 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy()
         ).cast("bigint").alias("n"),
     )
-    min_b = o.agg(F.min("b").alias("mb"))
     bits_x = (
         F.length(F.conv(F.expr("n div r_a"), 10, 2)) - F.lit(1)
     ).cast("bigint")
     bits_xy = (
         F.length(F.conv(F.expr("c_b div o_ab"), 10, 2)) - F.lit(1)
     ).cast("bigint")
-    cells = tot.crossJoin(F.broadcast(min_b))
-    sx = F.sum(
-        F.when(F.col("b") == F.col("mb"), F.col("r_a") * bits_x).otherwise(0)
-    ).cast("bigint")
+    sx = F.sum(F.col("o_ab") * bits_x).cast("bigint")
     sxy = F.sum(F.col("o_ab") * bits_xy).cast("bigint")
-    return cells.agg(
+    return tot.agg(
         F.max("n").cast("bigint").alias("n"),
         sx.alias("sx_bits"),
         sxy.alias("sxy_bits"),

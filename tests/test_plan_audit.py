@@ -69,9 +69,6 @@ ALLOWED_NLJ = {
     # histogram total (1 row) broadcast onto the |distinct sizes| frame
     # (queries/reports_behavior.py)
     "rpt_dedup_cluster_sizes",
-    # min column-class id (1 row) broadcast onto the tiny contingency
-    # cell frame (queries/aggregations_ch.py)
-    "agg_theils_u",
 }
 
 MAX_HASH_SHUFFLES = 4

@@ -392,3 +392,27 @@ def test_tz_convert_offsets(spark, sf_dir):
         | (us("ny_ts") - us("ts") != -5 * 3600 * 1_000_000)
     ).count()
     assert bad == 0
+
+
+def test_theils_u_marginal_sum_identity(spark, sf_dir):
+    """Sx must equal the true marginal surprisal sum Σ_a r_a·bits(n div
+    r_a) — replayed driver-side from the raw contingency table (the
+    first form summed per-row-class via a min-column guard, which
+    silently drops marginals on sparse tables; the cell-wise identity
+    form cannot)."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(F.col("event_type").alias("a"), (F.col("user_id") % 4).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o_ab"))
+        .collect()
+    )
+    n = sum(r["o_ab"] for r in cells)
+    r_a: dict = {}
+    for r in cells:
+        r_a[r["a"]] = r_a.get(r["a"], 0) + r["o_ab"]
+    want_sx = sum(ra * ((n // ra).bit_length() - 1) for ra in r_a.values())
+    got = _q("agg_theils_u", spark, sf_dir).collect()[0]
+    assert got["sx_bits"] == want_sx
+    assert got["n"] == n
