@@ -11,7 +11,7 @@ immediately followed by the round-8 tail (5 rows-only-by-design keys
 — a rows-only driver row is the strongest row those can ever earn)
 and the 15 keys ADDED in round 7. Rotating for round 8 is a one-line
 edit: move [*R8_TAIL, *R8_NEW] to the front of ROTATION below — its
-30 keys complete driver records for the whole 300-key registry.
+32 keys complete driver records for the whole 302-key registry.
 tests/test_inventory.py enforces window freshness mechanically from
 the recorded CORRECTNESS_r*.json files.
 """
@@ -110,7 +110,7 @@ R8_TAIL = [
 
 # Keys ADDED in round 7 (all fully hash-oracled) — they join R8_TAIL in
 # round 8's driver-sample window, so the whole registry reaches
-# driver-recorded with a round to spare: 5 + 25 = 30 of the 50 slots.
+# driver-recorded with a round to spare: 5 + 27 = 32 of the 50 slots.
 R8_NEW = [
     "llm_context_window_stats", "llm_source_cap",
     "llm_tokenizer_fertility", "llm_bigram_kneser_ney",
@@ -122,6 +122,7 @@ R8_NEW = [
     "agg_group_sample", "win_time_range_sum",
     "stream_windowed_topk", "stream_cdc_upsert", "scan_binary_files",
     "math_round_modes", "date_tz_convert",
+    "llm_dedup_prefix", "llm_mixture_rebalance",
 ]
 
 # Round-7 rotation: R7_WINDOW (50 fresh keys) occupies the driver's

@@ -650,3 +650,120 @@ def llm_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "word")
         .limit(TR_TOP)
     )
+
+
+PREFIX_K = 12  # tokens compared for prefix-duplicate grouping
+
+
+@query(
+    "llm_dedup_prefix",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               (list_filter(string_split(text, ' '), w -> w != ''))
+                 [1:{PREFIX_K}], ' ')) AS pfx_hash,
+             CAST({_SQL_WS_N} AS BIGINT) AS n_tok
+      FROM documents WHERE {_SQL_WS_N} >= 1
+    )
+    SELECT doc_id, source, pfx_hash, n_tok, group_size,
+           keep_rank = 1 AS is_kept
+    FROM (
+      SELECT doc_id, source, pfx_hash, n_tok,
+             CAST(COUNT(*) OVER (PARTITION BY pfx_hash) AS BIGINT)
+               AS group_size,
+             ROW_NUMBER() OVER (PARTITION BY pfx_hash
+                                ORDER BY doc_id) AS keep_rank
+      FROM t
+    )
+    """,
+)
+def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate grouping — the boilerplate-header dedup pass
+    (crawl snapshots share identical page headers/navigation before
+    diverging, so exact-hash and shingle dedup both miss them): docs
+    sharing their first {PREFIX_K} whitespace tokens group under one
+    md5 prefix key; the earliest doc_id in each group is kept. A
+    distinct axis from exact (whole-text), line-level (C4 spans), and
+    MinHash (global similarity) dedup. Plan: one map-side prefix hash
+    fused into the scan, ONE exchange on the prefix key serving both
+    the group-size window and the keep-rank window (same partitioning,
+    one sort) — a skewed boilerplate prefix is one partition-local
+    group, never a join explosion."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _ws_tokens()
+    t = d.filter(F.size(ws) >= 1).select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.slice(ws, 1, PREFIX_K), " ")).alias("pfx_hash"),
+        F.size(ws).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("pfx_hash")
+    wr = w.orderBy("doc_id")
+    return t.select(
+        "doc_id",
+        "source",
+        "pfx_hash",
+        "n_tok",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        (F.row_number().over(wr) == 1).alias("is_kept"),
+    )
+
+
+@query(
+    "llm_mixture_rebalance",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST({_SQL_WS_N} AS BIGINT)) AS BIGINT) AS tokens
+      FROM documents WHERE length(text) > 0 GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_src
+    )
+    SELECT s.source, s.n_docs, s.tokens,
+           t.total_tokens // t.n_sources AS target_tokens,
+           LEAST(1.0, CAST(t.total_tokens // t.n_sources AS DOUBLE)
+                        / CAST(s.tokens AS DOUBLE)) AS sample_rate,
+           CAST(LEAST(CAST(s.tokens AS DOUBLE),
+                      CAST(t.total_tokens // t.n_sources AS DOUBLE))
+                AS DOUBLE) AS expected_tokens
+    FROM per_src s CROSS JOIN tot t
+    """,
+)
+def llm_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalancing rates toward a uniform per-source token
+    budget: each source's downsampling rate min(1, target/tokens) and
+    the expected post-sampling token mass — the arithmetic a mixture
+    designer runs BEFORE llm_mixture_sample draws documents (that key
+    consumes rates; this one derives them from the corpus). Integer
+    token sums, an integer target (total div n_sources), and two
+    fixed-order IEEE ops per row — hash-exact. Plan: one per-source
+    hash agg (|sources| rows) and a 1-row broadcast total."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(_ws_tokens())).cast("bigint").alias("tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    target = F.expr("total_tokens div n_sources")
+    rate = F.least(
+        F.lit(1.0), target.cast("double") / F.col("tokens").cast("double")
+    )
+    expected = F.least(
+        F.col("tokens").cast("double"), target.cast("double")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        target.alias("target_tokens"),
+        rate.alias("sample_rate"),
+        expected.cast("double").alias("expected_tokens"),
+    )

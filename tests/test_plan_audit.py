@@ -69,6 +69,9 @@ ALLOWED_NLJ = {
     # histogram total (1 row) broadcast onto the |distinct sizes| frame
     # (queries/reports_behavior.py)
     "rpt_dedup_cluster_sizes",
+    # 1-row corpus-total broadcast onto the |sources| frame
+    # (queries/llm_training.py)
+    "llm_mixture_rebalance",
 }
 
 MAX_HASH_SHUFFLES = 4

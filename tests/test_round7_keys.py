@@ -416,3 +416,43 @@ def test_theils_u_marginal_sum_identity(spark, sf_dir):
     got = _q("agg_theils_u", spark, sf_dir).collect()[0]
     assert got["sx_bits"] == want_sx
     assert got["n"] == n
+
+
+def test_prefix_dedup_groups_consistent(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    df = _q("llm_dedup_prefix", spark, sf_dir)
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .count()
+    )
+    assert df.count() == n_docs  # every non-empty doc classified
+    # exactly one kept doc per prefix group, and it's the min doc_id
+    per = df.groupBy("pfx_hash").agg(
+        F.sum(F.col("is_kept").cast("int")).alias("kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max(F.when(F.col("is_kept"), F.col("doc_id"))).alias("kept_id"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("group_size").alias("gs"),
+    )
+    bad = per.filter(
+        (F.col("kept") != 1)
+        | (F.col("kept_id") != F.col("min_id"))
+        | (F.col("n") != F.col("gs"))
+    ).count()
+    assert bad == 0
+
+
+def test_mixture_rebalance_budget_conserved(spark, sf_dir):
+    df = _q("llm_mixture_rebalance", spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in df)
+    target = total // len(df)
+    for r in df:
+        assert r["target_tokens"] == target
+        assert 0.0 < r["sample_rate"] <= 1.0
+        assert r["expected_tokens"] <= r["tokens"]
+        # rate 1 exactly when the source is under budget
+        assert (r["sample_rate"] == 1.0) == (r["tokens"] <= target)
+    # rebalanced mass never exceeds the original corpus
+    assert sum(r["expected_tokens"] for r in df) <= total
