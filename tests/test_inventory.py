@@ -119,17 +119,19 @@ def _driver_sampled(exclude_latest: bool) -> set[str]:
 def test_driver_sample_front_is_fresh():
     """The driver's correctness harness samples the FIRST 50 keys in
     ``queries()`` order (VERDICT r3 #1). Each round's rotation promotes
-    never-driver-sampled keys into that window, so every windowed key
-    must have NO driver row in any prior-round CORRECTNESS_r*.json — a
-    re-sampled key wastes a verification slot. Rows-only-by-design keys
-    in the window are allowed (a rows-only driver row is the strongest
-    row such a key can ever earn), but every other windowed key must
-    carry a full hash oracle."""
-    from etl_ch_destination_spark.queries import R7_WINDOW
+    never-driver-sampled keys into that window. Once fewer than 50
+    fresh keys remain (round 8+: only 32 of the original registry were
+    never sampled), already-sampled keys legitimately pad the window's
+    tail — but no fresh key may be left OUT of the window while a
+    re-sampled key occupies a slot. Rows-only-by-design keys in the
+    window are allowed (a rows-only driver row is the strongest row
+    such a key can ever earn); every other windowed key must carry a
+    full hash oracle."""
+    from etl_ch_destination_spark.queries import ROTATION
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
     first50 = list(all_queries())[:50]
-    assert first50 == R7_WINDOW, "promote() did not apply the planned window"
+    assert first50 == ROTATION[:50], "promote() did not apply the planned window"
     oracles = all_oracles()
     missing = [k for k in first50
                if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
@@ -137,49 +139,52 @@ def test_driver_sample_front_is_fresh():
 
     sampled = _driver_sampled(exclude_latest=True)
     if sampled:  # files exist only in the driver's repo checkout
+        fresh_left_out = [k for k in all_queries()
+                          if k not in sampled and k not in first50]
         stale = [k for k in first50 if k in sampled]
-        assert not stale, f"already-driver-sampled keys in the window: {stale}"
+        assert not (fresh_left_out and stale), (
+            f"window wastes slots on re-sampled keys {stale[:5]}... while "
+            f"never-sampled keys are left out: {fresh_left_out}"
+        )
 
 
 def test_next_rotation_windows_are_prestaged():
-    """VERDICT r5 #2: the round-7 window and round-8 tail are planned
-    NOW and mechanically checked — together with the current window
-    they must cover every never-driver-sampled key, be mutually
-    disjoint, and (for r7) be fully hash-oracled so the driver record
-    reaches 275/275 on schedule."""
+    """VERDICT r5 #2 (generalized for round 8): the rotation blocks are
+    planned NOW and mechanically checked — mutually disjoint, they
+    cover the whole registry, every never-driver-sampled key is in the
+    current window or a planned future one, and new-key batches carry
+    full hash oracles unless rows-only by design."""
     from etl_ch_destination_spark.queries import (
         R6_WINDOW,
         R7_WINDOW,
         R8_NEW,
         R8_TAIL,
+        R9_NEW,
+        ROTATION,
     )
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
-    planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW]
+    planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW, *R9_NEW]
     assert len(set(planned)) == len(planned), "rotation blocks overlap"
+    assert set(planned) == set(ROTATION) <= set(all_queries())
     assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
-    # round 8's window must fit the driver's 50-key sample
+    # round 8's never-sampled core must fit the driver's 50-key sample
     assert len(R8_TAIL) + len(R8_NEW) <= 50
-    assert set(planned) <= set(all_queries())
 
-    # The planned blocks cover every key never sampled in ANY recorded
-    # round (the latest included — these keys must not be in it either,
-    # except the R6 window which the latest round legitimately covers
-    # once the driver records round 6).
+    # Every key never sampled in ANY recorded round must sit in the
+    # current window or a planned block ahead of previously-sampled
+    # keys (no fresh key silently parked behind the window).
     sampled_all = _driver_sampled(exclude_latest=False)
     if sampled_all:
         fresh = {k for k in all_queries() if k not in sampled_all}
-        unplanned = fresh - set(planned)
+        unplanned = fresh - set([*R8_TAIL, *R8_NEW, *R9_NEW])
         assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
-        # r7/r8 keys must have no driver row in any round recorded so far
-        stale_r7 = [k for k in [*R7_WINDOW, *R8_TAIL, *R8_NEW]
-                    if k in sampled_all]
-        assert not stale_r7, f"already-sampled keys pre-staged for r7/r8: {stale_r7}"
 
     oracles = all_oracles()
-    not_oracled_r7 = [k for k in R7_WINDOW
-                      if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
-    assert not not_oracled_r7
     assert set(R8_TAIL) <= ROWS_ONLY_BY_DESIGN
-    # every round-7 addition carries a full hash oracle
-    assert set(R8_NEW) <= set(oracles)
+    # every round-7/8 addition carries a full hash oracle unless
+    # rows-only by design
+    for batch in (R8_NEW, R9_NEW):
+        not_oracled = [k for k in batch
+                       if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
+        assert not not_oracled, not_oracled
