@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_ch_destination_spark.ops.staging import stage
+from etl_ch_destination_spark.ops.staging import StagingPipeline
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -123,8 +123,12 @@ def connected_components(
     Same deterministic output either way — the label is a pure
     function of the graph.
     """
+    # keep=2: round N-1 ("prev") is still read by the exact-convergence
+    # audit after round N materializes; older rounds' staging tables are
+    # reclaimed as the loop advances (ADVICE r7 storage hygiene).
+    pipe = StagingPipeline(keep=2)
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    e = stage(e, label="cc-edges")
+    e = pipe.stage(e, label="cc-edges")
 
     def fingerprint(df: DataFrame) -> tuple:
         """Order-insensitive exact-size + 128-bit-ish content summary of
@@ -162,7 +166,7 @@ def connected_components(
                 F.col("src").alias("u"), F.col("dst").alias("v")
             )
             e2 = _canon(_small_star(ls))
-        e2 = stage(e2, label="cc-round")
+        e2 = pipe.stage(e2, label="cc-round")
         fp2 = fingerprint(e2)
         prev, e = e, e2
         if fp2 == fp:

@@ -27,15 +27,53 @@ path); unset (the default, and always in this container) it is a plain
 locally; the durable path is necessarily eager (the write runs when
 called) — acceptable, since every lazy call site materializes on first
 action anyway.
+
+Storage hygiene (ADVICE r7, medium): iterative callers (connected
+components up to 25 rounds, TextRank 5 rounds, BPE merges) supersede
+round N-1's staging table the moment round N is materialized. Left
+unmanaged, the exact configuration this feature targets — long-running
+100 TB jobs — accumulates one full intermediate copy per round under
+the staging dir. ``StagingPipeline`` fixes that: route a loop's
+``stage()`` calls through a pipeline and it deletes superseded tables
+(via the Hadoop FileSystem API, so any supported scheme — file://,
+hdfs://, s3a:// — works), keeping only the newest ``keep`` tables.
+Terminal tables (the loop's final output, still being read downstream)
+are never deleted by the pipeline; they are the job's working set and
+fall to the job's own teardown or a staging-dir TTL policy.
 """
 
 from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 STAGING_DIR_CONF = "spark.etl_ch.staging.dir"
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete a staging table through Hadoop's FileSystem
+    abstraction — scheme-agnostic (file://, hdfs://, s3a://, ...), the
+    same API Spark's own cleanup paths use."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _stage(
+    df: DataFrame, eager: bool, label: str
+) -> tuple[DataFrame, str | None]:
+    """Materialize ``df``; return (frame-reading-the-materialization,
+    durable path or None when the localCheckpoint mode was used)."""
+    spark = df.sparkSession
+    staging_dir = spark.conf.get(STAGING_DIR_CONF, "")
+    if not staging_dir:
+        return df.localCheckpoint(eager=eager), None
+    path = f"{staging_dir.rstrip('/')}/{label}-{uuid.uuid4().hex}"
+    df.write.mode("errorifexists").parquet(path)
+    return spark.read.schema(df.schema).parquet(path), path
 
 
 def stage(df: DataFrame, eager: bool = True, label: str = "stage") -> DataFrame:
@@ -43,11 +81,47 @@ def stage(df: DataFrame, eager: bool = True, label: str = "stage") -> DataFrame:
     blocks, truncating lineage. Local default: ``localCheckpoint``.
     With ``spark.etl_ch.staging.dir`` set: durable parquet staging
     table (executor-loss-safe — the 100 TB variant).
+
+    For iterative loops where each round supersedes the last, use a
+    ``StagingPipeline`` instead so superseded tables are deleted.
     """
-    spark = df.sparkSession
-    staging_dir = spark.conf.get(STAGING_DIR_CONF, "")
-    if not staging_dir:
-        return df.localCheckpoint(eager=eager)
-    path = f"{staging_dir.rstrip('/')}/{label}-{uuid.uuid4().hex}"
-    df.write.mode("errorifexists").parquet(path)
-    return spark.read.schema(df.schema).parquet(path)
+    out, _ = _stage(df, eager, label)
+    return out
+
+
+class StagingPipeline:
+    """Supersede-aware ``stage()`` for iterative pipelines (ADVICE r7).
+
+    Each ``pipeline.stage()`` call records the durable path it wrote;
+    once more than ``keep`` tables exist, the oldest is deleted —
+    round N's materialization reclaims round N-(keep)'s storage, so a
+    25-round connected-components run holds at most ``keep`` copies of
+    the edge set instead of 25.
+
+    ``keep=1`` (default) suits loops that only ever read the latest
+    round (BPE vocabulary, TextRank rank vector). Use ``keep=2`` when
+    round N-1 is still consumed after round N materializes (connected
+    components' exact-convergence audit compares ``prev`` against the
+    new round's edges).
+
+    In the default localCheckpoint mode there is nothing on disk to
+    reclaim (Spark GCs checkpoint blocks with the RDD), so
+    ``pipeline.stage()`` degenerates to the module-level ``stage()``.
+    The LAST ``keep`` tables are intentionally never deleted: the
+    loop's final frame reads from the newest one.
+    """
+
+    def __init__(self, keep: int = 1):
+        self.keep = max(1, keep)
+        self._paths: list[tuple[SparkSession, str]] = []
+
+    def stage(
+        self, df: DataFrame, eager: bool = True, label: str = "stage"
+    ) -> DataFrame:
+        out, path = _stage(df, eager, label)
+        if path is not None:
+            self._paths.append((df.sparkSession, path))
+            while len(self._paths) > self.keep:
+                spark, old = self._paths.pop(0)
+                _delete_path(spark, old)
+        return out

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
-from etl_ch_destination_spark.ops.staging import stage
+from etl_ch_destination_spark.ops.staging import StagingPipeline
 from etl_ch_destination_spark.registry import query
 
 # llm_length_buckets: fixed-width word-count buckets (whitespace tokens)
@@ -1324,7 +1324,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             F.split(F.col("w"), "").alias("syms"),
         )
     )
-    work = stage(vocab, label="bpe-vocab")
+    # each merge round supersedes the previous vocabulary table; the
+    # pipeline reclaims round N-1's staging storage when N lands
+    # (ADVICE r7 storage hygiene), keeping only the newest copy.
+    pipe = StagingPipeline(keep=1)
+    work = pipe.stage(vocab, label="bpe-vocab")
 
     rows = []
     for rank in range(BPE_MERGES):
@@ -1357,7 +1361,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             "freq",
             _bpe_apply_merge(F.col("syms"), best.l, best.r).alias("syms"),
         )
-        work = stage(nxt, label="bpe-round")
+        work = pipe.stage(nxt, label="bpe-round")
 
     return rows, work
 

@@ -542,7 +542,8 @@ def _textrank_oracle() -> str:
     r{k + 1} AS (
       SELECT n.node,
              (SELECT b FROM base)
-             + ({TR_DAMP_NUM} * COALESCE(SUM((r.r * ew.c) // ew.wsum), 0))
+             + ({TR_DAMP_NUM} * COALESCE(SUM(
+                 (CAST(r.r AS HUGEINT) * ew.c) // ew.wsum), 0))
                // {TR_DAMP_DEN} AS r
       FROM nodes n
       LEFT JOIN ew ON ew.w2 = n.node
@@ -580,7 +581,7 @@ def llm_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE and connected components, with per-round `stage()` lineage
     truncation. At web scale this is exactly distributed PageRank:
     linear per round, O(1) rounds."""
-    from etl_ch_destination_spark.ops.staging import stage
+    from etl_ch_destination_spark.ops.staging import StagingPipeline, stage
 
     d = load_table(spark, sf_dir, "documents")
     ws = _ws_tokens()
@@ -619,17 +620,28 @@ def llm_textrank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()  # 1-scalar driver value, the bounded-loop pattern
     base = (TR_SCALE * (TR_DAMP_DEN - TR_DAMP_NUM)) // TR_DAMP_DEN // n
     ranks = nodes.select("node", F.lit(TR_SCALE // n).cast("bigint").alias("r"))
+    # ew/nodes are loop-invariant (plain stage); only the rank vector
+    # supersedes per round — the pipeline reclaims round N-1's staging
+    # table when N lands (ADVICE r7 storage hygiene).
+    pipe = StagingPipeline(keep=1)
     for k in range(TR_ROUNDS):
         contribs = (
             ew.join(ranks, ew.w1 == ranks.node)
             .select(
                 F.col("w2").alias("node"),
-                F.expr("(r * c) div wsum").alias("contrib"),
+                # the product r*c can exceed int64 at corpus scale (r is
+                # ~10^12 fixed-point; c is a raw global bigram count, so
+                # c > ~9.2M would wrap silently under non-ANSI Spark) —
+                # widen the product to decimal(38,0); `div` still yields
+                # an exact int64 quotient since contrib <= r.
+                F.expr("(cast(r as decimal(38,0)) * c) div wsum").alias(
+                    "contrib"
+                ),
             )
             .groupBy("node")
             .agg(F.sum("contrib").cast("bigint").alias("s"))
         )
-        ranks = stage(
+        ranks = pipe.stage(
             nodes.join(contribs, "node", "left").select(
                 "node",
                 (

@@ -1203,6 +1203,13 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = _scratch(sf_dir, "scan_binary_files")
+    # the scratch dir persists across runs: drop any stale .bin left by
+    # a prior run (a shrunk BINARY_FILES_N or changed fixture doc_ids
+    # would otherwise still match pathGlobFilter and produce rows the
+    # oracle does not have — ADVICE r7)
+    for stale in os.listdir(path):
+        if stale.endswith(".bin"):
+            os.unlink(os.path.join(path, stale))
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < BINARY_FILES_N)

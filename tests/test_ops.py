@@ -269,6 +269,50 @@ def test_stage_local_and_durable_variants(spark, tmp_path):
         spark.conf.unset(STAGING_DIR_CONF)
 
 
+def test_staging_pipeline_reclaims_superseded_tables(spark, tmp_path):
+    """ADVICE r7 (medium): iterative callers must not accumulate one
+    durable staging table per round. StagingPipeline(keep=k) deletes
+    the oldest table once more than k exist, while the newest k stay
+    readable; localCheckpoint mode is unaffected."""
+    import glob
+
+    from etl_ch_destination_spark.ops.staging import (
+        STAGING_DIR_CONF,
+        StagingPipeline,
+    )
+
+    df = spark.range(50).selectExpr("id", "id * 3 AS v")
+    want = rows_set(df)
+
+    # local mode: identical to stage(), nothing on disk to manage
+    pipe = StagingPipeline(keep=1)
+    assert rows_set(pipe.stage(df)) == want
+
+    staging_root = str(tmp_path / "staging")
+    spark.conf.set(STAGING_DIR_CONF, staging_root)
+    try:
+        pipe = StagingPipeline(keep=1)
+        pipe.stage(df, label="r")
+        pipe.stage(df, label="r")
+        last = pipe.stage(df, label="r")
+        # only the newest table survives 3 rounds at keep=1 ...
+        assert len(glob.glob(f"{staging_root}/r-*")) == 1
+        # ... and it is the one the returned frame reads
+        assert rows_set(last) == want
+
+        pipe2 = StagingPipeline(keep=2)
+        a = pipe2.stage(df, label="s")
+        b = pipe2.stage(df, label="s")
+        pipe2.stage(df, label="s")
+        assert len(glob.glob(f"{staging_root}/s-*")) == 2
+        # keep=2 exists for CC's exact-convergence audit: the PREVIOUS
+        # round must still be readable after the new one materializes
+        assert rows_set(b) == want
+        del a
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)
+
+
 def test_durable_staging_pipelines_match_local(spark, sf_dir, tmp_path):
     """The 100 TB configuration (spark.etl_ch.staging.dir set → every
     stage() call becomes a durable parquet staging table) must produce

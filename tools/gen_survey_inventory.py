@@ -65,6 +65,7 @@ FAMILY = {
     "llm_dedup_extra": "LLM pipeline — dedup & fingerprints (§2.10b)",
     "llm_corpus": "LLM pipeline — corpus statistics & tokenization (§2.10)",
     "llm_vectors": "LLM pipeline — similarity & multimodal (§2.10)",
+    "llm_training": "LLM pipeline — training-data operators (§2.10)",
     "reports": "Composed reports — TPC-H part 1 (§2.12)",
     "reports_supply": "Composed reports — supply chain (§2.12)",
     "reports_behavior": "Composed reports — behavioral (§2.12)",
