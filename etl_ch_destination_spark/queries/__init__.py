@@ -20,10 +20,12 @@ from etl_ch_destination_spark.queries import (  # noqa: F401
     aggregations,
     aggregations_ch,
     behavior,
+    graph,
     joins,
     joins_extra,
     llm_corpus,
     llm_dedup_extra,
+    llm_filters,
     llm_text,
     llm_training,
     llm_vectors,  # must precede reports_behavior (rpt_dedup_audit composes its oracle)
@@ -127,7 +129,15 @@ R8_NEW = [
 # Keys ADDED in round 8 — staged directly into the window's 18 spare
 # slots (50 - 32) so they earn driver rows the same round they land.
 # Overflow beyond 18 sits immediately behind as the round-9 window.
-R9_NEW = []
+R9_NEW = [
+    "graph_triangle_count", "graph_degree_stats",
+    "llm_contamination_pairs", "llm_keyword_tag", "llm_lang_confusion",
+    "rpt_filter_funnel",
+    "agg_group_array_sorted", "agg_group_uniq_array", "agg_meanztest",
+    "agg_quantile_interp_exact",
+    "join_lateral_topn", "subq_any_all", "filter_qualify",
+    "win_percent_of_total", "str_readable_timedelta",
+]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled
 # keys of the 302 registry) occupy the front of the driver's 50-key

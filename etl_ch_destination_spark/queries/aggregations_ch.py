@@ -2441,3 +2441,283 @@ def agg_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pos") <= GROUP_SAMPLE_K)
     )
+
+
+GAS_K = 10  # groupArraySorted cap
+
+
+@query(
+    "agg_group_array_sorted",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           array_to_string(
+             list_transform(
+               (list_sort(list(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                    AS BIGINT))))[1:{GAS_K}],
+               x -> CAST(x AS VARCHAR)),
+             ',') AS low{GAS_K}_cents_csv
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArraySorted(N)(x)`` — the N smallest values
+    per group as a sorted array; here the {GAS_K} lowest order totals
+    (exact cents) per priority class, emitted as a csv string because
+    the driver's hasher rejects array cells. The multiset-sorted
+    prefix is a pure function of the group's values — deterministic
+    under any partitioning, unlike groupArray.
+
+    Plan: one hash aggregate; collect_list is safe because the
+    retained prefix is bounded (N) and the full per-group list is
+    bounded by the fixture's group sizes — at 100 TB swap the exact
+    collect for the same windowed top-N used in agg_group_sample
+    (rank <= N then collect), which this key's test pins as
+    equivalent."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        o.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("cents")), 1, GAS_K),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias(f"low{GAS_K}_cents_csv"),
+        )
+    )
+
+
+GUA_MOD = 50  # groupUniqArray bucket modulus
+
+
+@query(
+    "agg_group_uniq_array",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           array_to_string(
+             list_transform(list_sort(list(DISTINCT user_id % {GUA_MOD})),
+                            x -> CAST(x AS VARCHAR)),
+             ',') AS buckets_csv
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_group_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray(x)`` — the distinct value SET per
+    group (sorted csv so it hashes; set semantics make the value
+    partition-order-independent, which is why CH documents it as safe
+    where groupArray is not). Bucketed user ids (mod {GUA_MOD}) keep
+    the per-group set bounded; the exact distinct user count rides
+    along.
+
+    Plan: collect_set is a partial-aggregable set union — map-side
+    combine dedupes before the shuffle, so the exchange carries at
+    most |group| × {GUA_MOD} elements regardless of row count."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", "user_id", (F.col("user_id") % GUA_MOD).alias("b"))
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("b")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("buckets_csv"),
+        )
+    )
+
+
+# meanZTest population variances (cents^2) and 95% two-sided z quantile.
+# CH's signature takes the variances as parameters — they are priors,
+# not sample statistics; the z constant must be the same literal on
+# both engines (it is irrational, so each engine computing its own
+# quantile could drift a ulp).
+MZT_VAR_X = 1.0e8
+MZT_VAR_Y = 1.0e8
+MZT_Z95 = 1.959963984540054
+
+
+@query(
+    "agg_meanztest",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS DOUBLE) AS sum_cents
+      FROM events
+      WHERE event_type IN ('{{A}}', '{{B}}')
+      GROUP BY event_type
+    )
+    SELECT CAST(x.n AS BIGINT) AS n_x, CAST(y.n AS BIGINT) AS n_y,
+           x.sum_cents / x.n AS mean_x,
+           y.sum_cents / y.n AS mean_y,
+           ((x.sum_cents / x.n) - (y.sum_cents / y.n))
+             / sqrt({MZT_VAR_X} / x.n + {MZT_VAR_Y} / y.n) AS z_stat,
+           ((x.sum_cents / x.n) - (y.sum_cents / y.n))
+             - {MZT_Z95} * sqrt({MZT_VAR_X} / x.n + {MZT_VAR_Y} / y.n) AS ci_lo,
+           ((x.sum_cents / x.n) - (y.sum_cents / y.n))
+             + {MZT_Z95} * sqrt({MZT_VAR_X} / x.n + {MZT_VAR_Y} / y.n) AS ci_hi
+    FROM (SELECT * FROM s WHERE event_type = '{{A}}') x,
+         (SELECT * FROM s WHERE event_type = '{{B}}') y
+    """.replace("{A}", TT_GROUP_A).replace("{B}", TT_GROUP_B),
+)
+def agg_meanztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``meanZTest(pop_var_x, pop_var_y, conf)(sample, idx)``
+    — the two-sample z statistic and confidence interval for a mean
+    difference under KNOWN population variances (passed as parameters,
+    exactly like CH's signature). Everything is exact int64 cent sums
+    until one shared IEEE expression tree of +,-,*,/ and sqrt — all
+    correctly-rounded operations, so the statistic hash-matches
+    bit-for-bit (the same recipe as agg_welch_ttest; ln/exp never
+    appear). The z quantile is a pinned literal for the same reason.
+
+    Plan: ONE conditional aggregate over the scan, then a 1×1-row
+    reshape — the cost is the scan itself."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_GROUP_A, TT_GROUP_B)
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    s = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("cents").cast("double").alias("sum_cents"),
+        )
+    )
+    x = s.filter(F.col("event_type") == TT_GROUP_A).select(
+        F.col("n").alias("nx"), F.col("sum_cents").alias("sx")
+    )
+    y = s.filter(F.col("event_type") == TT_GROUP_B).select(
+        F.col("n").alias("ny"), F.col("sum_cents").alias("sy")
+    )
+    j = x.crossJoin(F.broadcast(y))
+    mx = F.col("sx") / F.col("nx")
+    my = F.col("sy") / F.col("ny")
+    se = F.sqrt(
+        F.lit(MZT_VAR_X) / F.col("nx") + F.lit(MZT_VAR_Y) / F.col("ny")
+    )
+    return j.select(
+        F.col("nx").cast("bigint").alias("n_x"),
+        F.col("ny").cast("bigint").alias("n_y"),
+        mx.alias("mean_x"),
+        my.alias("mean_y"),
+        ((mx - my) / se).alias("z_stat"),
+        ((mx - my) - F.lit(MZT_Z95) * se).alias("ci_lo"),
+        ((mx - my) + F.lit(MZT_Z95) * se).alias("ci_hi"),
+    )
+
+
+# exact interpolated quantiles: q = num/den over these rationals
+QIE_QS = [(1, 4), (2, 4), (3, 4)]
+
+
+@query(
+    "agg_quantile_interp_exact",
+    f"""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(CAST(l_quantity AS DECIMAL(12,2))
+                                              * 100 AS BIGINT)) AS rn
+      FROM lineitem
+    ),
+    n AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY flag),
+    qs AS (
+      SELECT n.flag, n.n, q.num, q.den,
+             ((n.n - 1) * q.num) // q.den AS idx0,
+             ((n.n - 1) * q.num) % q.den AS rem
+      FROM n CROSS JOIN (VALUES {", ".join(f"({a}, {b})" for a, b in QIE_QS)})
+        AS q(num, den)
+    )
+    SELECT qs.flag, CAST(qs.num AS BIGINT) AS q_num,
+           CAST(qs.den AS BIGINT) AS q_den,
+           CAST(lo.cents * (qs.den - qs.rem)
+                + COALESCE(hi.cents, lo.cents) * qs.rem AS BIGINT)
+             AS val_num_cents,
+           CAST(lo.cents * (qs.den - qs.rem)
+                + COALESCE(hi.cents, lo.cents) * qs.rem AS DOUBLE)
+             / (CAST(qs.den AS DOUBLE) * 100.0) AS quantile_value
+    FROM qs
+    JOIN v lo ON lo.flag = qs.flag AND lo.rn = qs.idx0 + 1
+    LEFT JOIN v hi ON hi.flag = qs.flag AND hi.rn = qs.idx0 + 2
+      AND qs.rem > 0
+    """,
+)
+def agg_quantile_interp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linearly-interpolated quantiles (the quantile_cont /
+    CH ``quantileExactInclusive`` definition) computed DISTRIBUTED and
+    in PURE INTEGER arithmetic: for q = num/den, position
+    (n−1)·num = den·idx0 + rem, value·den = lo·(den−rem) + hi·rem —
+    no float enters until the final display division, so the result
+    hash-matches where a built-in's double interpolation could drift
+    ulps (and the exact integer numerator is emitted alongside).
+
+    Plan: one per-group sort (window row_number on the value), a
+    6-row quantile-spec frame derived from group counts, and two
+    sparse equi-joins that each select ONE ranked row per (group, q)
+    — the sorted data never leaves executors and nothing is collected.
+    At 100 TB the ranked CTE is the same sort-exchange a quantile
+    aggregate needs anyway; the probe joins touch |groups|·|qs| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    v = li.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
+    w = Window.partitionBy("flag").orderBy("cents")
+    ranked = v.select("flag", "cents", F.row_number().over(w).alias("rn"))
+    n = v.groupBy("flag").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = spark.createDataFrame(QIE_QS, "num long, den long")
+    qs = (
+        n.crossJoin(F.broadcast(q))
+        .select(
+            "flag",
+            "num",
+            "den",
+            F.expr("((n - 1) * num) div den").alias("idx0"),
+            (((F.col("n") - 1) * F.col("num")) % F.col("den")).alias("rem"),
+        )
+    )
+    lo = ranked.select(
+        F.col("flag").alias("lflag"), F.col("cents").alias("lo_cents"),
+        F.col("rn").alias("lrn"),
+    )
+    hi = ranked.select(
+        F.col("flag").alias("hflag"), F.col("cents").alias("hi_cents"),
+        F.col("rn").alias("hrn"),
+    )
+    joined = (
+        qs.join(
+            lo,
+            (F.col("flag") == F.col("lflag")) & (F.col("lrn") == F.col("idx0") + 1),
+        )
+        .join(
+            hi,
+            (F.col("flag") == F.col("hflag"))
+            & (F.col("hrn") == F.col("idx0") + 2)
+            & (F.col("rem") > 0),
+            "left",
+        )
+    )
+    val_num = (
+        F.col("lo_cents") * (F.col("den") - F.col("rem"))
+        + F.coalesce("hi_cents", "lo_cents") * F.col("rem")
+    ).cast("bigint")
+    return joined.select(
+        "flag",
+        F.col("num").cast("bigint").alias("q_num"),
+        F.col("den").cast("bigint").alias("q_den"),
+        val_num.alias("val_num_cents"),
+        (
+            val_num.cast("double") / (F.col("den").cast("double") * F.lit(100.0))
+        ).alias("quantile_value"),
+    )

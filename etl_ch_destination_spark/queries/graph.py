@@ -1,0 +1,221 @@
+"""Graph operators over relational edge sets (SURVEY §2.13, round-8
+batch): triangle counting and degree statistics on the part
+co-purchase graph (parts appearing in the same order — the classic
+market-basket graph, ~116k edges / 2000 nodes at sf0.01).
+
+Both keys are pure DataFrame compositions (no Python workers) and
+fully hash-oracled: the algorithms are deterministic functions of the
+edge set, so DuckDB replays them with the same joins.
+
+Scale notes (100 TB): triangle enumeration uses the degree-ordered
+orientation of Suri & Vassilvitskii, "Counting Triangles and the Curse
+of the Last Reducer" (WWW 2011, public literature): orienting every
+edge from its lower-(degree, id) endpoint to the higher one bounds
+per-node out-degree by O(sqrt(m)), so the wedge self-join produces
+O(m^1.5) candidates TOTAL instead of sum(d^2) concentrated on hub
+nodes — the skew-killer that makes web-scale triangle counting
+feasible. Every step is an equi-join or hash aggregate on node keys;
+nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.ops.staging import stage
+from etl_ch_destination_spark.registry import query
+
+TRI_TOP = 100  # per-node triangle report size
+
+
+# Shared edge-set definition: distinct undirected part pairs co-occurring
+# in an order, canonical u < v. The SQL and DataFrame forms must stay in
+# lockstep — both keys and their oracles derive from this.
+_SQL_EDGES = """
+    lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY node)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (u < v) between parts that
+    share an order. One self-equi-join of the deduped (order, part)
+    projection on the order key; at 100 TB the join shuffles on
+    l_orderkey (its natural layout) and the per-order pair expansion is
+    bounded by orders' line counts (TPC-H: ≤ 7 lines/order)."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """Per-node triangle participation over a canonical undirected edge
+    frame ``(u, v)`` with u < v, distinct — the degree-ordered
+    enumeration described in graph_triangle_count's docstring, exposed
+    on an arbitrary edge set so tests can pin it on known graphs.
+    Returns ``(node, d, n_triangles)``; nodes in no triangle are
+    absent."""
+    deg = _degrees(e)
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ed = (
+        e.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select("u", "v", F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v"))
+    )
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("dt"),
+    )
+    o = stage(o, label="tri-oriented")  # read by o1, o2, and the closer
+    o1, o2, oc = o.alias("o1"), o.alias("o2"), o.alias("oc")
+    wedges = (
+        o1.join(o2, F.col("o1.s") == F.col("o2.s"))
+        .filter(
+            (F.col("o1.dt") < F.col("o2.dt"))
+            | ((F.col("o1.dt") == F.col("o2.dt")) & (F.col("o1.t") < F.col("o2.t")))
+        )
+        .select(
+            F.col("o1.s").alias("s"),
+            F.col("o1.t").alias("a"),
+            F.col("o2.t").alias("b"),
+        )
+    )
+    tri = wedges.join(
+        oc, (F.col("a") == F.col("oc.s")) & (F.col("b") == F.col("oc.t"))
+    ).select(wedges["s"], wedges["a"], wedges["b"])
+    corners = tri.select(
+        F.explode(F.array(F.col("s"), F.col("a"), F.col("b"))).alias("node")
+    )
+    cnt = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return cnt.join(deg, "node").select("node", "d", "n_triangles")
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH {_SQL_EDGES},
+    o AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN dv.d ELSE du.d END AS dt
+      FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    w AS (
+      SELECT o1.s AS s, o1.t AS a, o2.t AS b
+      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      WHERE (o1.dt < o2.dt) OR (o1.dt = o2.dt AND o1.t < o2.t)
+    ),
+    tri AS (SELECT w.s, w.a, w.b FROM w JOIN o ON o.s = w.a AND o.t = w.b),
+    corners AS (SELECT unnest([s, a, b]) AS node FROM tri),
+    cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node)
+    SELECT cnt.node AS part_key, deg.d AS degree, cnt.n_triangles
+    FROM cnt JOIN deg ON deg.node = cnt.node
+    ORDER BY cnt.n_triangles DESC, part_key
+    LIMIT {TRI_TOP}
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation counts on the part co-purchase
+    graph — top {TRI_TOP} parts by triangle count (graph clustering /
+    community-density signal; each triangle counts once at each of its
+    three corners).
+
+    Algorithm: degree-ordered triangle enumeration (Suri &
+    Vassilvitskii, WWW 2011). Each undirected edge is oriented from
+    its lower-(degree, node) endpoint to the higher one — a total
+    order, so every triangle is enumerated EXACTLY once as a wedge
+    (s→a, s→b with a before b in the same order) closed by the
+    oriented edge a→b. The orientation bounds out-degrees by
+    O(sqrt(m)), so the wedge join emits O(m^1.5) candidates total and
+    no reducer sees a hub's full neighborhood — the published fix for
+    the "curse of the last reducer" at web scale.
+
+    Plan: edge build (one self-join on l_orderkey), degree aggregate,
+    two broadcast-or-shuffle equi-joins to orient, the wedge self-join
+    on the source node, and the closing equi-join on (a, b) — all
+    hash joins on int keys, no Python, no driver collection. The
+    oriented edge set feeds three consumers, so it is staged once
+    (localCheckpoint locally, durable staging table at cluster scale).
+    """
+    cnt = triangle_counts(_copurchase_edges(spark, sf_dir))
+    return (
+        cnt.select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("degree"),
+            "n_triangles",
+        )
+        .orderBy(F.desc("n_triangles"), "part_key")
+        .limit(TRI_TOP)
+    )
+
+
+@query(
+    "graph_degree_stats",
+    f"""
+    WITH {_SQL_EDGES}
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS degree_log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(d) AS min_degree,
+           MAX(d) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS sum_degree
+    FROM deg
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph as a
+    log2-bucket histogram (the standard first look at a graph's skew —
+    a power-law tail here is what motivates the degree-ordered
+    orientation in graph_triangle_count). Bucket = floor(log2(degree))
+    computed EXACTLY as bitlength(d) − 1 (binary-string length — the
+    repo-wide whole-bit identity; float log2 could misround at powers
+    of two). One aggregate over the degree table; nothing leaves the
+    executors."""
+    deg = _degrees(_copurchase_edges(spark, sf_dir))
+    bucket = (F.length(F.conv(F.col("d"), 10, 2)) - F.lit(1)).cast("bigint")
+    return (
+        deg.groupBy(bucket.alias("degree_log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+            F.sum("d").cast("bigint").alias("sum_degree"),
+        )
+        .orderBy("degree_log2_bucket")
+    )

@@ -460,3 +460,111 @@ def dict_get_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_pct",
         )
     )
+
+
+LATERAL_TOPN = 3
+
+
+@query(
+    "join_lateral_topn",
+    f"""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.price_cents
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY price_cents DESC, o_orderkey
+      LIMIT {LATERAL_TOPN}
+    ) t
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — "each
+    customer's top {LATERAL_TOPN} orders by value", written as genuine
+    SQL LATERAL on BOTH engines (Spark supports correlated lateral
+    subqueries since 3.2). The interesting part is what Catalyst does
+    with it: the correlated LIMIT decorrelates into
+    WindowGroupLimit(row_number <= {LATERAL_TOPN}) with a PARTIAL
+    top-k pass BEFORE the shuffle — each map task locally keeps at
+    most {LATERAL_TOPN} rows per customer, so the exchange carries
+    O(customers x {LATERAL_TOPN}), not all orders. That partial/final
+    group-limit is exactly the plan you want at 100 TB; a per-customer
+    loop (the literal lateral reading) would be the curse-of-the-
+    last-reducer anti-pattern. Ties broken by o_orderkey so the kept
+    set is deterministic. Customers with no orders drop (inner
+    lateral, matching DuckDB)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "jlt_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("jlt_orders")
+    return spark.sql(f"""
+      SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.price_cents
+      FROM jlt_customer c,
+      LATERAL (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS price_cents
+        FROM jlt_orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY price_cents DESC, o_orderkey
+        LIMIT {LATERAL_TOPN}
+      ) t
+    """)
+
+
+@query(
+    "subq_any_all",
+    """
+    WITH nation_avgs AS (
+      SELECT CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_cents
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s_suppkey,
+           CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+           CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             > ALL (SELECT avg_cents FROM nation_avgs) AS above_all_nations,
+           CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             > ANY (SELECT avg_cents FROM nation_avgs) AS above_any_nation
+    FROM supplier
+    """,
+)
+def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified subquery predicates — ``> ALL`` / ``> ANY`` against
+    the per-nation average balances. The oracle keeps the quantifiers
+    literal; the Spark side is the reduction every optimizer applies
+    when the subquery is non-empty and null-free (both hold by
+    construction: every nation has suppliers, acctbal is NOT NULL):
+    x > ALL S == x > max(S), x > ANY S == x > min(S). The nation-avg
+    table collapses to a 1-row (max, min) broadcast, so the quantified
+    predicate costs one map-side comparison per supplier — no join
+    shuffle at any scale. Averages are single IEEE divisions of exact
+    cent sums, identical on both engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    cents = (F.col("s_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    avgs = (
+        s.select("s_nationkey", cents.alias("c"))
+        .groupBy("s_nationkey")
+        .agg(
+            (
+                F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_cents")
+        )
+    )
+    bounds = avgs.agg(
+        F.max("avg_cents").alias("max_avg"), F.min("avg_cents").alias("min_avg")
+    )
+    return (
+        s.select("s_suppkey", cents.alias("bal_cents"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "s_suppkey",
+            "bal_cents",
+            (F.col("bal_cents") > F.col("max_avg")).alias("above_all_nations"),
+            (F.col("bal_cents") > F.col("min_avg")).alias("above_any_nation"),
+        )
+    )

@@ -1,0 +1,421 @@
+"""LLM pipeline — contamination reporting, tagging, label QA, and the
+composed curation funnel (SURVEY §2.10, round-8 batch).
+
+Four operators a pretraining-data team runs on top of the primitive
+filters the earlier rounds registered:
+
+- ``llm_contamination_pairs`` — per-benchmark-doc top overlapping
+  train docs (the pair-level drill-down of ``llm_decontaminate``)
+- ``llm_keyword_tag`` — token-dictionary tagging via the
+  explode→broadcast-equi-join pattern (never array-contains NLJ)
+- ``llm_lang_confusion`` — labeled-vs-predicted language confusion
+  matrix (label-noise QA over ``llm_lang_id``'s heuristic)
+- ``rpt_filter_funnel`` — the stage-by-stage survivor funnel of the
+  full curation pipeline (raw → nonempty → length → quality →
+  exact-dedup → decontaminated)
+
+All four are built-in-function DataFrame plans (no Python workers)
+with full DuckDB hash oracles; ratios are single IEEE divisions of
+exact integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.catalog import load_table, parallelize_scan
+from etl_ch_destination_spark.queries.llm_dedup_extra import _MARKERS
+from etl_ch_destination_spark.queries.llm_text import BENCH_MOD, DECON_GRAM
+from etl_ch_destination_spark.registry import query
+
+PAIR_TOP = 5  # overlapping train docs reported per benchmark doc
+
+# the shared md5-derived 28-bit distinct gram hashes (ops/neardup.py)
+# in DuckDB form — identical to llm_decontaminate's oracle
+_SQL_GRAMS = f"""
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               list_transform(range(1, len(toks) - {DECON_GRAM - 2}),
+                 i -> array_to_string(list_slice(toks, i, i + {DECON_GRAM - 1}), ' ')),
+               s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)))) AS gh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= {DECON_GRAM}
+    )
+"""
+
+
+@query(
+    "llm_contamination_pairs",
+    f"""
+    WITH {_SQL_GRAMS},
+    bench AS (SELECT doc_id, gh FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT doc_id, gh FROM g WHERE doc_id % {BENCH_MOD} != 0),
+    bn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_grams
+           FROM bench GROUP BY doc_id),
+    p AS (SELECT b.doc_id AS bench_id, t.doc_id AS train_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM bench b JOIN train t USING (gh)
+          GROUP BY b.doc_id, t.doc_id)
+    SELECT bench_id, train_id, n_overlap, n_bench_grams,
+           CAST(n_overlap AS DOUBLE) / CAST(n_bench_grams AS DOUBLE)
+             AS containment
+    FROM (
+      SELECT p.*, bn.n_bench_grams,
+             ROW_NUMBER() OVER (PARTITION BY p.bench_id
+                                ORDER BY p.n_overlap DESC, p.train_id) AS rk
+      FROM p JOIN bn ON bn.doc_id = p.bench_id
+    )
+    WHERE rk <= {PAIR_TOP}
+    """,
+)
+def llm_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level contamination drill-down: for every benchmark
+    document, the top {PAIR_TOP} training documents by distinct
+    shared word-{DECON_GRAM}-grams, with the benchmark-side
+    containment ratio (shared / benchmark grams — the direction that
+    answers "how much of this eval item leaked"). The report a team
+    actually reads after ``llm_decontaminate`` flags volume.
+
+    Gram hashes are the shared md5-derived 28-bit values
+    (ops/neardup.shingle_hashes), so the DuckDB oracle replays the
+    pipeline exactly. Plan: the benchmark gram set is tiny next to a
+    100 TB corpus, so the pair join BROADCASTS the bench side into the
+    exploded train grams — a map-side stage over the corpus scan; only
+    (bench, train) pair counts shuffle, and the per-bench top-k is a
+    window over pair counts (bench-id partitions, thousands of rows
+    each at most)."""
+    from etl_ch_destination_spark.ops.neardup import shingle_hashes
+
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    g = d.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"), DECON_GRAM)).alias("gh")
+    )
+    bench = g.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = g.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), "gh"
+    )
+    bn = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_grams")
+    )
+    pairs = (
+        F.broadcast(bench)
+        .join(train, "gh")
+        .groupBy("bench_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    w = Window.partitionBy("bench_id").orderBy(F.desc("n_overlap"), "train_id")
+    return (
+        pairs.join(F.broadcast(bn), "bench_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PAIR_TOP)
+        .select(
+            "bench_id",
+            "train_id",
+            "n_overlap",
+            "n_bench_grams",
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n_bench_grams").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+# token → category dictionary for keyword tagging; terms chosen from the
+# fixture vocabulary so every category actually matches (FIXTURES.md)
+_KEYWORDS = {
+    "operator": ["join", "filter", "sort", "scan", "merge", "agg"],
+    "storage": ["column", "row", "table", "batch"],
+    "perf": ["fast", "slow", "big", "small"],
+}
+
+_SQL_KEYWORD_DIM = " UNION ALL ".join(
+    f"SELECT '{cat}' AS category, '{t}' AS term"
+    for cat, terms in _KEYWORDS.items()
+    for t in terms
+)
+
+
+@query(
+    "llm_keyword_tag",
+    f"""
+    WITH kw AS ({_SQL_KEYWORD_DIM}),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), w -> w != ''))) AS w
+      FROM documents
+    )
+    SELECT tok.doc_id, kw.category,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+           array_to_string(list_sort(list(kw.term)), ',') AS terms_csv
+    FROM tok JOIN kw ON kw.term = tok.w
+    GROUP BY tok.doc_id, kw.category
+    """,
+)
+def llm_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based document tagging: per (doc, category), how many
+    distinct dictionary terms appear, plus the sorted matched-term
+    list — the topic/routing tagger every corpus pipeline runs before
+    mixture construction.
+
+    Shape lesson the key demonstrates: a term dictionary is a JOIN
+    input, not an `array_contains` predicate — exploding the doc's
+    distinct tokens and equi-joining the (tiny, broadcast) dictionary
+    keeps the probe map-side and indexable, where a per-term
+    contains() scan is O(terms × corpus) and defeats pushdown. The
+    matched-term list is array_sort'ed before joining to a csv string,
+    so the value is order-insensitive and hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    kw_rows = [
+        (cat, t) for cat, terms in _KEYWORDS.items() for t in terms
+    ]
+    kw = spark.createDataFrame(kw_rows, "category string, term string")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).alias("w"),
+    )
+    return (
+        tok.join(F.broadcast(kw), tok.w == kw.term)
+        .groupBy("doc_id", "category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_terms"),
+            F.array_join(F.array_sort(F.collect_list("term")), ",").alias(
+                "terms_csv"
+            ),
+        )
+    )
+
+
+# the llm_lang_id scoring core, shared verbatim with its oracle
+_SQL_LANG_PRED = f"""
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM (
+        SELECT doc_id, lang,
+               len(list_intersect(ws, {_MARKERS['en']!r})) AS s_en,
+               len(list_intersect(ws, {_MARKERS['de']!r})) AS s_de,
+               len(list_intersect(ws, {_MARKERS['fr']!r})) AS s_fr,
+               len(list_intersect(ws, {_MARKERS['es']!r})) AS s_es
+        FROM (SELECT doc_id, lang,
+                     list_distinct(string_split(text, ' ')) AS ws
+              FROM documents)
+      )
+    )
+"""
+
+
+@query(
+    "llm_lang_confusion",
+    f"""
+    WITH {_SQL_LANG_PRED}
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE)
+             AS frac_of_lang
+    FROM pred
+    GROUP BY lang, pred_lang
+    """,
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label QA: the confusion matrix between the corpus's
+    labeled ``lang`` column and ``llm_lang_id``'s marker-word
+    prediction, with each cell's share of its labeled language — the
+    standard label-noise audit before trusting per-language mixture
+    weights. (Fixture text is English word soup for every label, so
+    the matrix collapses toward the 'en' column — the operator, not
+    classifier accuracy, is under test; see llm_lang_id.)
+
+    Plan: the scoring is per-row map-side set intersections against
+    literal arrays; the only exchanges are the (lang, pred) aggregate
+    and the tiny per-lang window over the ≤ |langs|² cell table."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.array_distinct(F.split("text", " "))
+    scores = {
+        lang: F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    cells = (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("frac_of_lang"),
+    )
+
+
+# funnel thresholds — quality stage shares llm_quality_score's rules
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_STAGES = [
+    "raw",
+    "nonempty",
+    "length",
+    "quality",
+    "exact_dedup",
+    "decontaminated",
+]
+
+
+@query(
+    "rpt_filter_funnel",
+    f"""
+    WITH {_SQL_GRAMS},
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gh)
+      WHERE g.doc_id % {BENCH_MOD} != 0
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '), w -> w != ''))
+                  AS BIGINT) AS n_tok,
+             len(string_split(d.text, ' ')) AS n_words_raw,
+             len(list_distinct(string_split(d.text, ' '))) AS n_distinct_raw,
+             len(list_filter(string_split(d.text, ' '),
+                 x -> list_contains(['the','a','of','and','to'], x))) AS n_stop,
+             ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+                                ORDER BY d.doc_id) AS dup_rk,
+             (c.doc_id IS NOT NULL) AS is_contam
+      FROM documents d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    ),
+    smax AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok < 1 THEN 1
+                  WHEN n_tok < {FUNNEL_MIN_TOKENS} THEN 2
+                  WHEN NOT (n_words_raw >= 50
+                            AND n_stop * 10 <= n_words_raw * 3
+                            AND n_distinct_raw * 10 >= n_words_raw) THEN 3
+                  WHEN dup_rk != 1 THEN 4
+                  WHEN doc_id % {BENCH_MOD} = 0 OR is_contam THEN 5
+                  ELSE 6 END AS survived_through
+      FROM flags
+    ),
+    expanded AS (
+      SELECT unnest(range(0, survived_through)) AS stage_idx, n_tok
+      FROM smax
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx,
+           ['raw','nonempty','length','quality','exact_dedup',
+            'decontaminated'][CAST(stage_idx AS INT) + 1] AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM expanded
+    GROUP BY stage_idx
+    ORDER BY stage_idx
+    """,
+)
+def rpt_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-funnel report: documents (and their token mass)
+    surviving each stage of the standard pretraining filter chain —
+    raw → nonempty → minimum length → quality heuristics
+    (llm_quality_score's thresholds, integer-cross-multiplied so no
+    ratio is ever a float) → exact dedup (first doc per md5(text)) →
+    decontamination (drop benchmark docs and any train doc sharing a
+    {DECON_GRAM}-gram with them). The one-page answer to "where does
+    our data go?".
+
+    Each doc computes its deepest-surviving stage in one pass (the
+    stages are nested by construction), then explodes into one row per
+    survived stage — a ≤ 6× row expansion of doc-level rows, not
+    corpus text. Exchanges: the md5 dedup window, the broadcast
+    decontamination semi-join, and the final 6-group aggregate."""
+    from etl_ch_destination_spark.ops.neardup import shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = d.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"), DECON_GRAM)).alias("gh")
+    )
+    bench_gh = g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gh").distinct()
+    contaminated = (
+        g.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_gh), "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    raw_words = F.split("text", " ")
+    n_words_raw = F.size(raw_words)
+    n_distinct_raw = F.size(F.array_distinct(raw_words))
+    n_stop = F.size(
+        F.filter(
+            raw_words,
+            lambda x: x.isin("the", "a", "of", "and", "to"),
+        )
+    )
+    dup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = (
+        d.join(F.broadcast(contaminated), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(F.filter(raw_words, lambda w: w != F.lit("")))
+            .cast("bigint")
+            .alias("n_tok"),
+            n_words_raw.alias("n_words_raw"),
+            n_distinct_raw.alias("n_distinct_raw"),
+            n_stop.alias("n_stop"),
+            F.row_number().over(dup_w).alias("dup_rk"),
+            F.coalesce("is_contam", F.lit(False)).alias("is_contam"),
+        )
+    )
+    quality_ok = (
+        (F.col("n_words_raw") >= 50)
+        & (F.col("n_stop") * 10 <= F.col("n_words_raw") * 3)
+        & (F.col("n_distinct_raw") * 10 >= F.col("n_words_raw"))
+    )
+    survived = (
+        F.when(F.col("n_tok") < 1, 1)
+        .when(F.col("n_tok") < FUNNEL_MIN_TOKENS, 2)
+        .when(~quality_ok, 3)
+        .when(F.col("dup_rk") != 1, 4)
+        .when((F.col("doc_id") % BENCH_MOD == 0) | F.col("is_contam"), 5)
+        .otherwise(6)
+    )
+    expanded = flags.select(
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), survived - 1)).alias("stage_idx"),
+    )
+    stage_name = F.element_at(
+        F.array(*[F.lit(s) for s in FUNNEL_STAGES]),
+        F.col("stage_idx").cast("int") + 1,
+    )
+    return (
+        expanded.groupBy(F.col("stage_idx").cast("bigint").alias("stage_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select("stage_idx", stage_name.alias("stage"), "n_docs", "n_tokens")
+        .orderBy("stage_idx")
+    )

@@ -303,3 +303,70 @@ def str_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_needle.cast("int").alias("first_needle"),
         min_pos.alias("min_pos"),
     )
+
+
+@query(
+    "str_readable_timedelta",
+    """
+    WITH t AS (
+      SELECT event_id, (event_id * 37) % 8000000 AS secs
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, secs,
+             secs // 86400 AS d, (secs % 86400) // 3600 AS h,
+             (secs % 3600) // 60 AS m, secs % 60 AS s
+      FROM t
+    )
+    SELECT event_id, CAST(secs AS BIGINT) AS secs,
+           concat_ws(', ',
+             CASE WHEN d > 0 THEN d || CASE WHEN d = 1 THEN ' day'
+                                            ELSE ' days' END END,
+             CASE WHEN h > 0 THEN h || CASE WHEN h = 1 THEN ' hour'
+                                            ELSE ' hours' END END,
+             CASE WHEN m > 0 THEN m || CASE WHEN m = 1 THEN ' minute'
+                                            ELSE ' minutes' END END,
+             CASE WHEN s > 0 OR secs = 0
+                  THEN s || CASE WHEN s = 1 THEN ' second'
+                                 ELSE ' seconds' END END
+           ) AS readable
+    FROM p
+    """,
+)
+def str_readable_timedelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``formatReadableTimeDelta`` — seconds rendered as
+    "2 days, 3 hours, 5 seconds" with singular/plural forms and zero
+    units elided (seconds kept when the whole delta is zero). Pure
+    integer div/mod + string concatenation — the same
+    no-float-formatting policy as str_readable_format (printf rounding
+    differs between JVM and C, integer string building cannot).
+    Synthetic deltas (event_id·37 mod 8e6) span seconds→months so
+    every unit and plural branch is exercised. Map-side codegen
+    projection, zero shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    secs = (F.col("event_id") * 37) % 8000000
+    d = F.expr("secs div 86400")
+    h = F.expr("(secs % 86400) div 3600")
+    m = F.expr("(secs % 3600) div 60")
+    s = F.col("secs") % 60
+
+    def unit(n, name):
+        return F.concat(
+            n.cast("string"),
+            F.when(n == 1, F.lit(f" {name}")).otherwise(F.lit(f" {name}s")),
+        )
+
+    return (
+        e.select("event_id", secs.alias("secs"))
+        .select(
+            "event_id",
+            F.col("secs").cast("bigint").alias("secs"),
+            F.concat_ws(
+                ", ",
+                F.when(d > 0, unit(d, "day")),
+                F.when(h > 0, unit(h, "hour")),
+                F.when(m > 0, unit(m, "minute")),
+                F.when((s > 0) | (F.col("secs") == 0), unit(s, "second")),
+            ).alias("readable"),
+        )
+    )

@@ -406,3 +406,111 @@ def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(fr).cast("bigint").alias("sum_micros_1h"),
         F.max("v").over(fr).cast("bigint").alias("max_micros_1h"),
     )
+
+
+@query(
+    "filter_qualify",
+    """
+    SELECT event_id, user_id,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_user,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                OVER (PARTITION BY user_id) AS BIGINT) AS total_cents
+    FROM events
+    QUALIFY cents * n_user > total_cents
+    """,
+)
+def filter_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY — filtering on a window AGGREGATE (not a rank): keep
+    each user's events strictly above that user's own average value.
+    The oracle uses DuckDB's native QUALIFY clause; Spark has no
+    QUALIFY keyword, so the same plan is window-then-filter — which is
+    precisely what QUALIFY desugars to in every engine that has it.
+    Distinct from limit_by/dedup_by_key_latest (those filter on
+    row_number ranks); here the predicate references two window
+    aggregates at once.
+
+    The above-average comparison is the integer cross-multiplication
+    cents·n > total — no division, no float, so the kept row set is
+    bit-deterministic. One exchange on user_id; both window aggregates
+    share the frame, so Catalyst evaluates them in a single Window
+    operator."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id")
+    q = e.select(
+        "event_id",
+        "user_id",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_user"),
+        F.sum(cents).over(w).cast("bigint").alias("total_cents"),
+    )
+    return q.filter(F.col("cents") * F.col("n_user") > F.col("total_cents"))
+
+
+@query(
+    "win_percent_of_total",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region, rev_cents,
+           CAST(rev_cents AS DOUBLE)
+             / CAST(SUM(rev_cents) OVER () AS DOUBLE) AS pct_of_total,
+           CAST(rev_cents AS DOUBLE)
+             / CAST(SUM(rev_cents) OVER (PARTITION BY region) AS DOUBLE)
+             AS pct_of_region,
+           CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC, nation)
+                AS BIGINT) AS rk
+    FROM rev
+    """,
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total and percent-of-parent — every BI tool's share
+    metrics — as windows over an ALREADY-AGGREGATED frame. The global
+    window (`OVER ()`) is the textbook single-partition bottleneck on
+    raw data; the scale discipline this key demonstrates is to reduce
+    FIRST (orders → 25 nation rows via a partial-aggregable hash agg;
+    dims broadcast) so the unpartitioned window touches a
+    dimension-sized frame no matter how large the fact table grows.
+    Shares are single IEEE divisions of exact cent sums."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    rev = (
+        o.select("o_custkey", cents.alias("cents"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w_all = Window.partitionBy()
+    w_reg = Window.partitionBy("region")
+    w_rk = Window.orderBy(F.desc("rev_cents"), "nation")
+    return rev.select(
+        "nation",
+        "region",
+        "rev_cents",
+        (
+            F.col("rev_cents").cast("double")
+            / F.sum("rev_cents").over(w_all).cast("double")
+        ).alias("pct_of_total"),
+        (
+            F.col("rev_cents").cast("double")
+            / F.sum("rev_cents").over(w_reg).cast("double")
+        ).alias("pct_of_region"),
+        F.row_number().over(w_rk).cast("bigint").alias("rk"),
+    )

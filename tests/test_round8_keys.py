@@ -1,0 +1,264 @@
+"""Semantic gates for the round-8 key batch — invariants the DuckDB
+parity hash cannot express (known-graph truths, formulation
+equivalences, filter complements)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_ch_destination_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(key):
+    return all_queries()[key]
+
+
+# ---------- graph ----------
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    """K4 has 4 triangles, every node in 3; attaching a pendant path
+    adds none; a square (C4) has none at all."""
+    from etl_ch_destination_spark.queries.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 4), (4, 5)]  # pendant path off node 3
+    e = spark.createDataFrame(k4 + path, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # path nodes absent
+
+    c4 = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "u long, v long")
+    assert triangle_counts(c4).count() == 0
+
+
+def test_triangle_query_total_matches_brute_force(spark):
+    """On the sf0.001 co-purchase graph, the degree-ordered enumeration
+    finds exactly the triangles a brute-force canonical triple join
+    finds."""
+    from etl_ch_destination_spark.queries.graph import (
+        _copurchase_edges,
+        triangle_counts,
+    )
+
+    e = _copurchase_edges(spark, SF).cache()
+    total_fast = (
+        triangle_counts(e).agg(F.sum("n_triangles")).collect()[0][0] or 0
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    brute = (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert total_fast == brute * 3  # each triangle counted at 3 corners
+    e.unpersist()
+
+
+def test_degree_stats_buckets_partition_nodes(spark):
+    out = _q("graph_degree_stats")(spark, SF).collect()
+    assert all(r["min_degree"] >= 2 ** r["degree_log2_bucket"] for r in out)
+    assert all(r["max_degree"] < 2 ** (r["degree_log2_bucket"] + 1) for r in out)
+
+
+# ---------- llm filters ----------
+
+
+def test_contamination_pairs_containment_bounds(spark):
+    rows = _q("llm_contamination_pairs")(spark, SF).collect()
+    for r in rows:
+        assert 1 <= r["n_overlap"] <= r["n_bench_grams"]
+        assert 0.0 < r["containment"] <= 1.0
+        assert r["bench_id"] % 97 == 0 and r["train_id"] % 97 != 0
+
+
+def test_keyword_tag_terms_belong_to_category(spark):
+    from etl_ch_destination_spark.queries.llm_filters import _KEYWORDS
+
+    rows = _q("llm_keyword_tag")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        terms = r["terms_csv"].split(",")
+        assert len(terms) == r["n_distinct_terms"]
+        assert len(set(terms)) == len(terms)
+        assert set(terms) <= set(_KEYWORDS[r["category"]])
+
+
+def test_lang_confusion_shares_sum_to_one(spark):
+    rows = _q("llm_lang_confusion")(spark, SF).collect()
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0.0) + r["frac_of_lang"]
+    assert by_lang and all(abs(v - 1.0) < 1e-9 for v in by_lang.values())
+
+
+def test_filter_funnel_is_monotone(spark):
+    rows = sorted(
+        _q("rpt_filter_funnel")(spark, SF).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows][:2] == ["raw", "nonempty"]
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    from etl_ch_destination_spark.catalog import load_table
+
+    assert docs[0] == load_table(spark, SF, "documents").count()
+
+
+# ---------- CH aggregates ----------
+
+
+def test_group_array_sorted_equals_windowed_topn(spark):
+    """The docstring's 100 TB claim: collect_list+sort+slice equals the
+    windowed rank<=N collect (the form that never materializes a whole
+    group)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations_ch import GAS_K
+
+    o = load_table(spark, SF, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    base = o.select("o_orderpriority", cents.alias("cents"))
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderpriority")
+    windowed = (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GAS_K)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("cents")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("csv")
+        )
+    )
+    got = {
+        r["o_orderpriority"]: r[f"low{GAS_K}_cents_csv"]
+        for r in _q("agg_group_array_sorted")(spark, SF).collect()
+    }
+    want = {r["o_orderpriority"]: r["csv"] for r in windowed.collect()}
+    assert got == want
+
+
+def test_meanztest_antisymmetry(spark):
+    """Swapping the two populations negates the statistic and mirrors
+    the CI — pinned by recomputing from the emitted means."""
+    r = _q("agg_meanztest")(spark, SF).collect()[0]
+    d = r["mean_x"] - r["mean_y"]
+    se = d / r["z_stat"]
+    assert se > 0
+    assert abs((r["ci_hi"] - r["ci_lo"]) / 2 - 1.959963984540054 * se) < 1e-6
+    assert abs((r["ci_hi"] + r["ci_lo"]) / 2 - d) < 1e-9
+
+
+def test_quantile_interp_matches_duckdb_quantile_cont(spark):
+    import duckdb
+
+    out = {
+        (r["flag"], r["q_num"], r["q_den"]): r["quantile_value"]
+        for r in _q("agg_quantile_interp_exact")(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    )
+    ref = con.execute(
+        """
+        SELECT l_returnflag,
+               quantile_cont(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                             AS BIGINT), [0.25, 0.5, 0.75]) AS qs
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    for flag, qs in ref:
+        for (num, den), got_q in zip([(1, 4), (2, 4), (3, 4)], qs):
+            assert abs(out[(flag, num, den)] - got_q / 100.0) < 1e-9
+
+
+# ---------- relational ----------
+
+
+def test_lateral_topn_shape_and_order(spark):
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.queries.joins_extra import LATERAL_TOPN
+
+    rows = _q("join_lateral_topn")(spark, SF).collect()
+    per_cust = defaultdict(list)
+    for r in rows:
+        per_cust[r["c_custkey"]].append((r["price_cents"], r["o_orderkey"]))
+    for got in per_cust.values():
+        assert len(got) <= LATERAL_TOPN
+        # descending by price, ascending orderkey on ties
+        assert got == sorted(got, key=lambda t: (-t[0], t[1]))
+
+
+def test_lateral_topn_plan_uses_window_group_limit(spark):
+    """The decorrelation claim in the docstring: Catalyst turns the
+    correlated LIMIT into WindowGroupLimit with a partial pre-shuffle
+    pass."""
+    plan = _q("join_lateral_topn")(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_subq_any_all_flags_consistent(spark):
+    rows = _q("subq_any_all")(spark, SF).collect()
+    assert any(r["above_any_nation"] for r in rows)
+    for r in rows:
+        # above ALL implies above ANY (non-empty subquery)
+        assert not r["above_all_nations"] or r["above_any_nation"]
+
+
+def test_filter_qualify_complement(spark):
+    """Kept rows satisfy the window predicate; kept+dropped = all."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    kept = _q("filter_qualify")(spark, SF).collect()
+    n_all = load_table(spark, SF, "events").count()
+    assert 0 < len(kept) < n_all
+    for r in kept:
+        assert r["cents"] * r["n_user"] > r["total_cents"]
+
+
+def test_percent_of_total_sums_to_one(spark):
+    rows = _q("win_percent_of_total")(spark, SF).collect()
+    assert abs(sum(r["pct_of_total"] for r in rows) - 1.0) < 1e-9
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r["region"]] = by_region.get(r["region"], 0.0) + r["pct_of_region"]
+    assert all(abs(v - 1.0) < 1e-9 for v in by_region.values())
+    assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_readable_timedelta_spot_values(spark):
+    rows = {
+        r["secs"]: r["readable"]
+        for r in _q("str_readable_timedelta")(spark, SF).collect()
+    }
+
+    def render(secs):
+        d, rem = divmod(secs, 86400)
+        h, rem = divmod(rem, 3600)
+        m, s = divmod(rem, 60)
+        parts = []
+        for n, name in [(d, "day"), (h, "hour"), (m, "minute")]:
+            if n > 0:
+                parts.append(f"{n} {name}" + ("" if n == 1 else "s"))
+        if s > 0 or secs == 0:
+            parts.append(f"{s} second" + ("" if s == 1 else "s"))
+        return ", ".join(parts)
+
+    assert rows
+    for secs, got in rows.items():
+        assert got == render(secs), (secs, got)

@@ -66,6 +66,8 @@ FAMILY = {
     "llm_corpus": "LLM pipeline — corpus statistics & tokenization (§2.10)",
     "llm_vectors": "LLM pipeline — similarity & multimodal (§2.10)",
     "llm_training": "LLM pipeline — training-data operators (§2.10)",
+    "llm_filters": "LLM pipeline — contamination, tagging & funnel (§2.10)",
+    "graph": "Graph operators (§2.13)",
     "reports": "Composed reports — TPC-H part 1 (§2.12)",
     "reports_supply": "Composed reports — supply chain (§2.12)",
     "reports_behavior": "Composed reports — behavioral (§2.12)",
