@@ -137,6 +137,7 @@ R9_NEW = [
     "agg_quantile_interp_exact",
     "join_lateral_topn", "subq_any_all", "filter_qualify",
     "win_percent_of_total", "str_readable_timedelta",
+    "llm_mattr_diversity", "num_radix_conv", "scan_text_lines",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

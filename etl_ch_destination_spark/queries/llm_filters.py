@@ -419,3 +419,87 @@ def rpt_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("stage_idx", stage_name.alias("stage"), "n_docs", "n_tokens")
         .orderBy("stage_idx")
     )
+
+
+MATTR_W = 20  # MATTR sliding-window width (Covington & McFall 2010)
+
+
+@query(
+    "llm_mattr_diversity",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w != '') AS toks
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), w -> w != '')) >= 1
+    ),
+    m AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+             CASE WHEN len(toks) >= {MATTR_W}
+                  THEN CAST(len(toks) - {MATTR_W} + 1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS n_windows,
+             CASE WHEN len(toks) >= {MATTR_W}
+                  THEN CAST(list_sum(list_transform(
+                         range(1, len(toks) - {MATTR_W} + 2),
+                         i -> len(list_distinct(list_slice(
+                                toks, CAST(i AS INT),
+                                CAST(i + {MATTR_W} - 1 AS INT))))))
+                       AS BIGINT)
+                  ELSE CAST(len(list_distinct(toks)) AS BIGINT) END
+               AS sum_distinct
+      FROM t
+    )
+    SELECT doc_id, n_tok, n_windows, sum_distinct,
+           CAST(sum_distinct AS DOUBLE)
+             / CAST(n_windows * LEAST(n_tok, {MATTR_W}) AS DOUBLE) AS mattr
+    FROM m
+    """,
+)
+def llm_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio (Covington & McFall,
+    JQL 2010; public literature): mean distinct-token ratio over every
+    sliding {MATTR_W}-token window. The length-invariant lexical-
+    diversity signal corpus QA uses where raw TTR (llm_quality_score's
+    lexical_diversity) shrinks with document length; docs shorter than
+    the window fall back to plain TTR. Emitted as exact integer
+    numerator (sum of per-window distinct counts) and denominator
+    parts with ONE final IEEE division, so it hash-matches.
+
+    Plan: pure per-row higher-order-function fold (transform over
+    window starts, array_distinct per slice) — zero shuffles, no
+    Python workers; O(n_tok · {MATTR_W}) per document, linear in
+    corpus bytes. The windows never materialize as rows — only the
+    per-doc integer sum leaves the expression."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    n = F.size("toks")
+    long_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n - MATTR_W + 1),
+            lambda i: F.size(F.array_distinct(F.slice("toks", i, MATTR_W))),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    m = t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tok"),
+        F.when(n >= MATTR_W, (n - MATTR_W + 1).cast("bigint"))
+        .otherwise(F.lit(1).cast("bigint"))
+        .alias("n_windows"),
+        F.when(n >= MATTR_W, long_sum)
+        .otherwise(F.size(F.array_distinct("toks")).cast("bigint"))
+        .alias("sum_distinct"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tok",
+        "n_windows",
+        "sum_distinct",
+        (
+            F.col("sum_distinct").cast("double")
+            / (F.col("n_windows") * F.least(F.col("n_tok"), F.lit(MATTR_W)))
+            .cast("double")
+        ).alias("mattr"),
+    )

@@ -174,3 +174,33 @@ def math_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("half").cast("bigint").alias("half_floor"),
         F.ceil("half").cast("bigint").alias("half_ceil"),
     )
+
+
+@query(
+    "num_radix_conv",
+    """
+    SELECT event_id,
+           hex(event_id) AS hex_str,
+           bin(event_id) AS bin_str,
+           to_base(event_id, 8) AS oct_str,
+           CAST(('0x' || hex(event_id)) AS BIGINT) AS hex_roundtrip
+    FROM events
+    WHERE event_id >= 0
+    """,
+)
+def num_radix_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``hex``/``bin``/math-base conversions (and Spark's ``conv``)
+    — radix rendering of non-negative int64 ids plus the hex→int
+    roundtrip proving the encodings agree byte-for-byte across
+    engines (both emit minimal-width uppercase hex / minimal binary;
+    the WHERE pins the shared non-negative domain, since two's-
+    complement rendering of negatives is 64-bit-width-dependent).
+    Map-side codegen projection, zero shuffles, column-pruned scan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") >= 0)
+    return e.select(
+        "event_id",
+        F.hex("event_id").alias("hex_str"),
+        F.bin("event_id").alias("bin_str"),
+        F.conv(F.col("event_id").cast("string"), 10, 8).alias("oct_str"),
+        F.conv(F.hex("event_id"), 16, 10).cast("bigint").alias("hex_roundtrip"),
+    )

@@ -1230,3 +1230,77 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("length"),
         F.hex("content").alias("content_hex"),
     )
+
+
+TEXT_FILES_N = 12   # staged .txt fixture files
+TEXT_WRAP_W = 10    # words per line when wrapping
+
+
+@query(
+    "scan_text_lines",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS toks
+      FROM documents WHERE doc_id < {TEXT_FILES_N}
+    ),
+    lines AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+             array_to_string(
+               list_slice(toks, CAST((ln - 1) * {TEXT_WRAP_W} + 1 AS INT),
+                          CAST(ln * {TEXT_WRAP_W} AS INT)), ' ') AS line
+      FROM src,
+      LATERAL (SELECT unnest(range(1,
+                 CAST(ceil(len(toks) / {TEXT_WRAP_W}.0) AS INT) + 1)) AS ln)
+      WHERE len(toks) >= 1
+    )
+    SELECT file_name, line,
+           CAST(length(line) AS BIGINT) AS line_len
+    FROM lines
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``text`` source — line-oriented ingestion (the raw-text
+    sibling of scan_binary_files' whole-file blobs): a bounded fixture
+    set ({TEXT_FILES_N} docs wrapped at {TEXT_WRAP_W} words/line) is
+    staged to scratch as .txt, scanned back via ``format("text")`` +
+    ``pathGlobFilter``, and emitted as (basename, line, byte length) —
+    the oracle re-derives every line from the source rows, so the gate
+    proves the on-disk newline framing round-trips, not just the frame.
+
+    At 100 TB this is the pattern unchanged: the text source splits
+    large files on line boundaries, so a corpus of flat text shards
+    parallelizes per HDFS block with no decode step; input_file_name()
+    carries provenance exactly as here."""
+    import os
+
+    path = _scratch(sf_dir, "scan_text_lines")
+    # stale-file scrub before staging (same lesson as scan_binary_files:
+    # the scratch dir persists, pathGlobFilter would resurrect old docs)
+    for stale in os.listdir(path):
+        if stale.endswith(".txt"):
+            os.unlink(os.path.join(path, stale))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < TEXT_FILES_N) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+    # bounded driver-side fixture staging (== TEXT_FILES_N tiny files)
+    for r in d.collect():
+        toks = [w for w in r["text"].split(" ") if w != ""]
+        lines = [
+            " ".join(toks[i : i + TEXT_WRAP_W])
+            for i in range(0, len(toks), TEXT_WRAP_W)
+        ]
+        with open(os.path.join(path, f"doc_{r['doc_id']}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    scanned = (
+        spark.read.format("text")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .filter(F.length("value") > 0)  # ignore the trailing newline row
+    )
+    return scanned.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name"),
+        F.col("value").alias("line"),
+        F.length("value").cast("bigint").alias("line_len"),
+    )

@@ -262,3 +262,73 @@ def test_readable_timedelta_spot_values(spark):
     assert rows
     for secs, got in rows.items():
         assert got == render(secs), (secs, got)
+
+
+def test_mattr_matches_python_reference(spark):
+    """MATTR recomputed in plain Python on a sample of docs."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_filters import MATTR_W
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").limit(40).collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in _q("llm_mattr_diversity")(spark, SF).collect()
+        if r["doc_id"] in docs
+    }
+    for doc_id, text in docs.items():
+        toks = [w for w in text.split(" ") if w]
+        if not toks:
+            assert doc_id not in out
+            continue
+        if len(toks) >= MATTR_W:
+            wins = [toks[i : i + MATTR_W] for i in range(len(toks) - MATTR_W + 1)]
+            sum_d = sum(len(set(w)) for w in wins)
+            n_win = len(wins)
+            denom = n_win * MATTR_W
+        else:
+            sum_d, n_win, denom = len(set(toks)), 1, len(toks)
+        r = out[doc_id]
+        assert (r["sum_distinct"], r["n_windows"]) == (sum_d, n_win)
+        assert abs(r["mattr"] - sum_d / denom) < 1e-12
+
+
+def test_radix_conv_roundtrip(spark):
+    rows = _q("num_radix_conv")(spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["hex_str"] == format(r["event_id"], "X")
+        assert r["bin_str"] == format(r["event_id"], "b")
+        assert r["oct_str"] == format(r["event_id"], "o")
+        assert r["hex_roundtrip"] == r["event_id"]
+
+
+def test_scan_text_lines_reassembles_documents(spark):
+    """Concatenating a file's scanned lines (wrapped at W words) must
+    reproduce the source document's token stream exactly."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        TEXT_FILES_N,
+        TEXT_WRAP_W,
+    )
+
+    out = _q("scan_text_lines")(spark, SF).collect()
+    by_file: dict[str, list[str]] = {}
+    for r in out:
+        by_file.setdefault(r["file_name"], []).append(r["line"])
+        assert r["line_len"] == len(r["line"])
+        assert len(r["line"].split(" ")) <= TEXT_WRAP_W
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w]
+        for r in load_table(spark, SF, "documents")
+        .filter(f"doc_id < {TEXT_FILES_N} AND length(text) > 0")
+        .collect()
+    }
+    assert len(by_file) == len(docs)
+    for doc_id, toks in docs.items():
+        lines = by_file[f"doc_{doc_id}.txt"]
+        # multiset of tokens matches even though line order is unordered
+        got = sorted(w for ln in lines for w in ln.split(" "))
+        assert got == sorted(toks)
