@@ -140,8 +140,16 @@ R9_NEW = [
     "llm_mattr_diversity", "num_radix_conv", "scan_text_lines",
 ]
 
+# Keys ADDED later in round 8 — the round-9 driver window (behind
+# R9_NEW's 18 in-window keys; promoted to the front next round).
+R10_NEW = [
+    "join_ip_cidr", "dict_get_hierarchy", "sink_zorder_layout",
+    "rpt_monthly_yoy", "ts_time_decayed_sum", "llm_temperature_mixture",
+    "url_hierarchy", "llm_perplexity_buckets", "llm_dedup_normalized",
+]
+
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled
 # keys of the 302 registry) occupy the front of the driver's 50-key
 # sample window; R9_NEW fills the remaining 18 slots.
-ROTATION = [*R8_TAIL, *R8_NEW, *R9_NEW, *R7_WINDOW, *R6_WINDOW]
+ROTATION = [*R8_TAIL, *R8_NEW, *R9_NEW, *R10_NEW, *R7_WINDOW, *R6_WINDOW]
 registry.promote(ROTATION)

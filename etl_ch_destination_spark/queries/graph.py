@@ -78,6 +78,10 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     on an arbitrary edge set so tests can pin it on known graphs.
     Returns ``(node, d, n_triangles)``; nodes in no triangle are
     absent."""
+    # the edge frame feeds the degree aggregate AND the orientation
+    # join — materialize it once instead of rebuilding the co-purchase
+    # self-join per consumer
+    e = stage(e, eager=False, label="tri-edges")
     deg = _degrees(e)
     du, dv = deg.alias("du"), deg.alias("dv")
     ed = (
@@ -93,7 +97,7 @@ def triangle_counts(e: DataFrame) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("dt"),
     )
-    o = stage(o, label="tri-oriented")  # read by o1, o2, and the closer
+    o = stage(o, eager=False, label="tri-oriented")  # read by o1/o2/closer
     o1, o2, oc = o.alias("o1"), o.alias("o2"), o.alias("oc")
     wedges = (
         o1.join(o2, F.col("o1.s") == F.col("o2.s"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
 from etl_ch_destination_spark.registry import query
@@ -566,5 +567,161 @@ def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_cents",
             (F.col("bal_cents") > F.col("max_avg")).alias("above_all_nations"),
             (F.col("bal_cents") > F.col("min_avg")).alias("above_any_nation"),
+        )
+    )
+
+
+# CIDR dictionary for longest-prefix-match enrichment, over the same
+# synthetic 10.0.0.0/8 space as ip_funcs (scalars_binary.py). Networks
+# are (label, prefix_len, network_int); generated constants keep the
+# Spark side and the DuckDB oracle byte-identical.
+_CIDR_BLOCKS = [
+    ("corp-wan", 8, "10.0.0.0"),
+    ("dc-east", 16, "10.3.0.0"),
+    ("dc-west", 16, "10.7.0.0"),
+    ("branch", 16, "10.12.0.0"),
+    ("rack-a", 24, "10.3.5.0"),
+    ("rack-b", 24, "10.3.9.0"),
+    ("rack-c", 24, "10.7.1.0"),
+]
+
+
+def _ip_int(dotted: str) -> int:
+    a, b, c, d = (int(x) for x in dotted.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+_CIDR_ROWS = [
+    (label, plen, _ip_int(net) >> (32 - plen)) for label, plen, net in _CIDR_BLOCKS
+]
+_CIDR_LENS = sorted({plen for _, plen, _ in _CIDR_ROWS})
+
+_SQL_CIDR_DIM = " UNION ALL ".join(
+    f"SELECT '{label}' AS label, {plen} AS plen, CAST({key} AS BIGINT) AS net_key"
+    for label, plen, key in _CIDR_ROWS
+)
+
+# the ip_funcs synthetic address, shared derivation
+_SQL_IP = (
+    "167772160 + (o_orderkey % 256) * 65536 + (o_custkey % 256) * 256"
+    " + (o_orderkey % 251)"
+)
+
+
+@query(
+    "join_ip_cidr",
+    f"""
+    WITH dim AS ({_SQL_CIDR_DIM}),
+    ips AS (SELECT o_orderkey, CAST({_SQL_IP} AS BIGINT) AS ip_num FROM orders),
+    probes AS (
+      SELECT o_orderkey, ip_num, l.plen AS plen,
+             ip_num // (1 << (32 - l.plen)) AS net_key
+      FROM ips CROSS JOIN (VALUES {", ".join(f"({n})" for n in _CIDR_LENS)})
+        AS l(plen)
+    ),
+    hits AS (
+      SELECT p.o_orderkey, p.ip_num, d.label, d.plen,
+             ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                                ORDER BY d.plen DESC, d.label) AS rk
+      FROM probes p JOIN dim d ON d.plen = p.plen AND d.net_key = p.net_key
+    )
+    SELECT o_orderkey, ip_num, label AS cidr_label,
+           CAST(plen AS BIGINT) AS prefix_len
+    FROM hits WHERE rk = 1
+    """,
+)
+def join_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match CIDR enrichment (the GeoIP / network-zone
+    join every clickstream pipeline runs) — CH's
+    ``isIPAddressInRange``-over-a-dictionary, expressed in the form
+    that scales: NOT a range/theta join. Each probe IP emits one
+    masked key per distinct prefix length in the dictionary
+    ({_CIDR_LENS!r} → a bounded constant fan-out), the dictionary is
+    keyed by (prefix_len, network), and the lookup becomes a BROADCAST
+    EQUI-JOIN; the most-specific match wins by a per-IP window over at
+    most |lens| candidate rows. A range join on (start, end) would be
+    a per-row interval probe; this is the classic LPM decomposition
+    routers and BigQuery's own GeoIP recipes use — map-side, O(lens)
+    per row, no shuffle of the fact side."""
+    o = load_table(spark, sf_dir, "orders")
+    ip = (
+        F.lit(167772160)
+        + (F.col("o_orderkey") % 256) * 65536
+        + (F.col("o_custkey") % 256) * 256
+        + (F.col("o_orderkey") % 251)
+    ).cast("bigint")
+    ips = o.select("o_orderkey", ip.alias("ip_num"))
+    # the per-length fan-out is a literal-array explode (map-side, no
+    # join operator), not a cross join against a dim frame
+    probes = ips.select(
+        "o_orderkey",
+        "ip_num",
+        F.explode(F.array(*[F.lit(n) for n in _CIDR_LENS])).alias("plen"),
+    ).select(
+        "o_orderkey",
+        "ip_num",
+        "plen",
+        F.expr("ip_num div (1 << (32 - plen))").alias("net_key"),
+    )
+    dim = spark.createDataFrame(
+        _CIDR_ROWS, "label string, dplen int, dnet_key long"
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("dplen"), "label")
+    return (
+        probes.join(
+            F.broadcast(dim),
+            (F.col("dplen") == F.col("plen"))
+            & (F.col("dnet_key") == F.col("net_key")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderkey",
+            "ip_num",
+            F.col("label").alias("cidr_label"),
+            F.col("dplen").cast("bigint").alias("prefix_len"),
+        )
+    )
+
+
+@query(
+    "dict_get_hierarchy",
+    """
+    SELECT c.c_custkey,
+           r.r_name || '>' || n.n_name || '>' || c.c_name AS path,
+           CAST(3 AS BIGINT) AS depth,
+           r.r_name = 'ASIA' AS in_asia
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def dict_get_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH hierarchical dictionaries — ``dictGetHierarchy`` (the full
+    ancestry path customer → nation → region) and ``dictIsIn`` (is
+    this key under that ancestor?). ClickHouse walks parent pointers
+    at lookup time; the scalable relational form is the fixed-depth
+    unrolled join — each hierarchy level is one broadcast hash join
+    against a dimension that fits in memory at any fact-table scale
+    (nation: 25 rows, region: 5). Map-side end to end; the fact side
+    never shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.select("c_custkey", "c_name", "c_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "c_custkey",
+            F.concat_ws(">", "r_name", "n_name", "c_name").alias("path"),
+            F.lit(3).cast("bigint").alias("depth"),
+            (F.col("r_name") == "ASIA").alias("in_asia"),
         )
     )

@@ -503,3 +503,224 @@ def llm_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("mattr"),
     )
+
+
+TEMP_ALPHA_SQRT = True  # alpha = 0.5 temperature (sqrt sampling)
+
+
+@query(
+    "llm_temperature_mixture",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), w -> w != '')))
+                  AS BIGINT) AS n_tok
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tok,
+             CAST(FLOOR(sqrt(CAST(n_tok AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS wt_micro
+      FROM s
+    )
+    SELECT source, n_tok,
+           CAST(wt_micro AS DOUBLE) / 1000000.0 AS weight,
+           CAST(wt_micro AS DOUBLE)
+             / CAST(SUM(wt_micro) OVER () AS DOUBLE) AS share,
+           (CAST(wt_micro AS DOUBLE)
+              / CAST(SUM(wt_micro) OVER () AS DOUBLE))
+             / (CAST(n_tok AS DOUBLE)
+                / CAST(SUM(n_tok) OVER () AS DOUBLE)) AS upsample_factor
+    FROM w
+    """,
+)
+def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting — the alpha = 0.5
+    exponentiated-smoothing rule multilingual pretraining uses (mBERT /
+    XLM-R's p_i^alpha renormalization, public literature) to boost
+    low-resource sources: weight_i = n_i^0.5, share_i = w_i / sum(w).
+    sqrt is an IEEE correctly-rounded operation, so both engines get
+    the identical double; the SUM of those irrational weights is the
+    one order-sensitive step, so the weights are quantized FIRST to
+    int64 micro-units via floor(sqrt·1e6) — floor of a double is exact
+    and identical everywhere, where a double→DECIMAL cast is NOT
+    (Spark rounds HALF_UP, DuckDB differs in the last place — measured
+    at sf0.1) — and the micro-unit sum is exact integer arithmetic.
+    upsample_factor = share / natural-share says how much each source
+    over/under-samples.
+
+    Plan: one per-source aggregate (map-side combinable), then windows
+    over the |sources|-sized frame — post-agg, any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+    s = d.groupBy("source").agg(F.sum(n_tok).cast("bigint").alias("n_tok"))
+    wt_micro = F.floor(
+        F.sqrt(F.col("n_tok").cast("double")) * F.lit(1000000.0)
+    ).cast("bigint")
+    w_all = Window.partitionBy()
+    base = s.select("source", "n_tok", wt_micro.alias("wt_micro"))
+    share = F.col("wt_micro").cast("double") / F.sum("wt_micro").over(
+        w_all
+    ).cast("double")
+    nat = F.col("n_tok").cast("double") / F.sum("n_tok").over(w_all).cast(
+        "double"
+    )
+    return base.select(
+        "source",
+        "n_tok",
+        (F.col("wt_micro").cast("double") / F.lit(1000000.0)).alias("weight"),
+        share.alias("share"),
+        (share / nat).alias("upsample_factor"),
+    )
+
+
+@query(
+    "llm_perplexity_buckets",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE length(text) > 0 AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM docs, unnest(range(1, len(w))) AS t(i)
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+    model AS (
+      SELECT w1, w2, n,
+             CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS head_n
+      FROM counts
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(length(format('{:b}', m.head_n // m.n)) - 1)
+                  AS BIGINT) AS sum_bits
+      FROM bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      GROUP BY b.doc_id
+    )
+    SELECT sum_bits // n_bigrams AS bits_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams_total,
+           CAST(SUM(sum_bits) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE)
+             AS mean_bits_in_bucket
+    FROM per_doc
+    GROUP BY bits_bucket
+    """,
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus perplexity histogram — documents bucketed by their
+    whole-bit mean bigram surprisal (floor of sum_bits/n_bigrams, an
+    integer division, so bucket membership is exact): the corpus-level
+    view a data team reads to pick the perplexity cutoffs that
+    llm_bigram_surprisal scores per document (the CCNet-style
+    perplexity-bucket triage, public literature). Same dyadic
+    whole-bit surprisal as the per-doc key — exact integers until the
+    final per-bucket mean.
+
+    Plan: identical model-train + model-apply shape as
+    llm_bigram_surprisal (one bigram fan-out feeding both the count
+    aggregate and the score join), plus one extra 6-ish-row bucket
+    aggregate on top."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.size(F.split("text", " ")) >= 2)
+    )
+    words = F.split("text", " ")
+    tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    pairs = F.slice(
+        F.zip_with(words, tail, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        1,
+        F.greatest(F.size(words) - 1, F.lit(0)),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    model = counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.sum("n").over(Window.partitionBy("w1")).cast("bigint").alias("head_n"),
+    )
+    bits = (F.length(F.conv(F.expr("head_n div n"), 10, 2)) - 1).cast("bigint")
+    per_doc = (
+        bg.join(model, ["w1", "w2"])
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("sum_bits"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.expr("sum_bits div n_bigrams").alias("bits_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams_total"),
+            (
+                F.sum("sum_bits").cast("double")
+                / F.sum("n_bigrams").cast("double")
+            ).alias("mean_bits_in_bucket"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_normalized",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash,
+             lower(text) != trim(regexp_replace(
+               regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+               ' +', ' ', 'g')) AS changed
+      FROM documents
+    )
+    SELECT doc_id, norm_hash, changed,
+           CAST(COUNT(*) OVER (PARTITION BY norm_hash) AS BIGINT)
+             AS group_size,
+           ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1
+             AS is_kept
+    FROM n
+    """,
+)
+def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup — the cheap fuzzy-dedup layer
+    between exact md5 dedup and MinHash: canonicalize (lowercase,
+    collapse digit runs to 0, collapse space runs, trim) and group by
+    the hash of the canonical form, so near-copies differing only in
+    casing, ids, or whitespace collapse into one group. This is the
+    C4-style preprocessing dedup; keeps the lowest doc_id per group
+    (the repo's deterministic keep rule).
+
+    Plan: the canonicalization is map-side regex codegen; one exchange
+    on the 128-bit norm hash serves both the group-size window and the
+    keeper rank (same partitioning, one Window operator)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"),
+            " +",
+            " ",
+        )
+    )
+    w = Window.partitionBy("norm_hash")
+    wr = Window.partitionBy("norm_hash").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(norm).alias("norm_hash"),
+            (F.lower(F.col("text")) != norm).alias("changed"),
+        )
+        .select(
+            "doc_id",
+            "norm_hash",
+            "changed",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+            (F.row_number().over(wr) == 1).alias("is_kept"),
+        )
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
 from etl_ch_destination_spark.queries._util import (
@@ -793,4 +794,67 @@ def rpt_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_distinct").cast("double") / F.sum("n_words")).alias("distinct_word_ratio"),
+    )
+
+
+@query(
+    "rpt_monthly_yoy",
+    """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT ym, rev_cents,
+           LAG(rev_cents, 12) OVER (ORDER BY ym) AS rev_cents_prev_year,
+           CAST(rev_cents - LAG(rev_cents, 12) OVER (ORDER BY ym) AS DOUBLE)
+             / CAST(LAG(rev_cents, 12) OVER (ORDER BY ym) AS DOUBLE)
+             AS yoy_growth,
+           CAST(SUM(rev_cents) OVER (PARTITION BY yr ORDER BY ym
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS ytd_cents
+    FROM m
+    """,
+)
+def rpt_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue report: lag-12 growth plus the
+    year-to-date running sum — the standard finance/BI trend pair.
+    The calendar is dense in the fixture (every month has orders), so
+    LAG(12) IS the same month last year; growth is one IEEE division
+    of exact cent sums and NULL for the first year, ytd is a running
+    window inside each year.
+
+    Plan discipline (the win_percent_of_total lesson): aggregate
+    FIRST — orders collapse to ~80 (month) rows via a partial-
+    aggregable hash agg, and only that dimension-sized frame flows
+    into the unpartitioned LAG window. The three windows share one
+    sort."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    m = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            cents.alias("cents"),
+        )
+        .groupBy("ym", "yr")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.orderBy("ym")
+    w_ytd = (
+        Window.partitionBy("yr")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("rev_cents", 12).over(w)
+    return m.select(
+        "ym",
+        "rev_cents",
+        prev.alias("rev_cents_prev_year"),
+        (
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double")
+        ).alias("yoy_growth"),
+        F.sum("rev_cents").over(w_ytd).cast("bigint").alias("ytd_cents"),
     )

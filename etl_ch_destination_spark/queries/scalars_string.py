@@ -370,3 +370,45 @@ def str_readable_timedelta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("readable"),
         )
     )
+
+
+@query(
+    "url_hierarchy",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com' AS origin,
+             '/docs/' || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    )
+    SELECT doc_id, CAST(lvl AS BIGINT) AS level,
+           CASE lvl WHEN 1 THEN origin || '/'
+                    WHEN 2 THEN origin || '/docs/'
+                    ELSE origin || path END AS url_prefix
+    FROM u CROSS JOIN (VALUES (1), (2), (3)) AS l(lvl)
+    """,
+)
+def url_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``URLPathHierarchy`` — the cumulative URL-prefix ladder
+    ("https://h/", "https://h/docs/", "https://h/docs/42") used for
+    drill-down path analytics; one row per (url, level) so downstream
+    GROUP BY level aggregates roll pageviews up the path tree. Same
+    synthetic URL derivation as url_funcs (the corpus has no URL
+    column). A 3-element literal fan-out + string concat — pure
+    map-side codegen, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    origin = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    full = F.concat(origin, F.lit("/docs/"), F.col("doc_id").cast("string"))
+    lvl = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+    return (
+        d.select("doc_id", origin.alias("origin"), full.alias("full"),
+                 lvl.alias("level"))
+        .select(
+            "doc_id",
+            F.col("level").cast("bigint").alias("level"),
+            F.when(F.col("level") == 1, F.concat("origin", F.lit("/")))
+            .when(F.col("level") == 2, F.concat("origin", F.lit("/docs/")))
+            .otherwise(F.col("full"))
+            .alias("url_prefix"),
+        )
+    )

@@ -882,3 +882,65 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_window"),
         corr.alias("corr_qty_price"),
     )
+
+
+DECAY_HALF_LIFE_S = 7 * 86400  # one integer halving per week of age
+
+
+@query(
+    "ts_time_decayed_sum",
+    f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             MAX(epoch_us(ts)) OVER () AS tmax
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents >> CAST(LEAST(
+                 (tmax - tus) // {DECAY_HALF_LIFE_S * 1_000_000},
+                 40) AS INT)) AS BIGINT)
+             AS decayed_cents,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents
+    FROM base
+    GROUP BY user_id
+    """,
+)
+def ts_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``exponentialTimeDecayedSum`` in the repo's dyadic-exact
+    form: each event's value is halved once per {DECAY_HALF_LIFE_S}-
+    second half-life of age (integer right-shift — floor semantics on
+    non-negative cents, capped at 40 shifts where the contribution is
+    already zero), so recency-weighted engagement sums are EXACT
+    integers that hash-match (a float 2^(-dt/hl) would drift across
+    libms, the same reason the repo's entropy keys are whole-bit).
+    Ages are µs-exact (unix_micros / epoch_us) — whole-second epochs
+    would FLOOR Spark-side but keep fractions DuckDB-side, shifting
+    events that sit on a half-life boundary into different buckets.
+
+    Plan: the reference time is one window MAX over the scan (at
+    100 TB you would pass it as a literal watermark instead — the
+    docstring of ts_ema_dyadic records the same pattern), then a
+    single map-side shift and one hash aggregate on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    base = e.select(
+        "user_id",
+        cents.alias("cents"),
+        F.unix_micros("ts").alias("tus"),
+    ).withColumn("tmax", F.max("tus").over(Window.partitionBy()))
+    decayed = F.expr(
+        "shiftright(cents, cast(least((tmax - tus) div "
+        f"{DECAY_HALF_LIFE_S * 1_000_000}, 40) as int))"
+    )
+    return (
+        base.select("user_id", "cents", decayed.alias("dc"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("dc").cast("bigint").alias("decayed_cents"),
+            F.sum("cents").cast("bigint").alias("raw_cents"),
+        )
+    )

@@ -72,6 +72,14 @@ ALLOWED_NLJ = {
     # 1-row corpus-total broadcast onto the |sources| frame
     # (queries/llm_training.py)
     "llm_mixture_rebalance",
+    # 1-row × 1-row reshape of the two group summaries into the final
+    # statistic row — the welch/student shape (aggregations_ch.py)
+    "agg_meanztest",
+    # |groups| × 3-row quantile-spec literal dim (aggregations_ch.py)
+    "agg_quantile_interp_exact",
+    # 1-row (max_avg, min_avg) bounds broadcast onto suppliers —
+    # condition-free by design (joins_extra.py)
+    "subq_any_all",
 }
 
 MAX_HASH_SHUFFLES = 4
@@ -108,12 +116,23 @@ MAX_HASH_SHUFFLES = 4
 #     exchange per keying of each side. All six carry |bigram types|
 #     rows, never corpus rows — the honest cost of the smoothing
 #     definition, not an accidental re-shuffle of the text.
+#   graph_degree_stats / graph_triangle_count — the co-purchase edge
+#     build alone is (order,part) distinct + self-join + edge distinct
+#     (3-4 exchanges of fact-derived rows); degree needs the node agg,
+#     orientation two deg join keyings, the wedge self-join, the
+#     closing join and the corner agg — every exchange carries edge-
+#     or wedge-sized rows on node keys, none is corpus-rescan or
+#     cartesian (the o(m^1.5) wedge bound is the algorithm's point).
+#     The triangle edge frame is staged (localCheckpoint), so the
+#     static plan under audit is the pre-stage construction count.
 SHUFFLE_ALLOWANCE = {
     "agg_window_funnel": 6,
     "rpt_dedup_audit": 6,
     "rpt_active_users": 5,
     "rpt_brand_affinity": 9,
     "llm_bigram_kneser_ney": 6,
+    "graph_degree_stats": 8,
+    "graph_triangle_count": 13,
 }
 
 

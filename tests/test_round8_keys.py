@@ -332,3 +332,172 @@ def test_scan_text_lines_reassembles_documents(spark):
         # multiset of tokens matches even though line order is unordered
         got = sorted(w for ln in lines for w in ln.split(" "))
         assert got == sorted(toks)
+
+
+# ---------- round-9 staged batch ----------
+
+
+def test_ip_cidr_longest_prefix_matches_python(spark):
+    from etl_ch_destination_spark.queries.joins_extra import _CIDR_ROWS
+
+    rows = _q("join_ip_cidr")(spark, SF).collect()
+    assert rows
+    for r in rows[:300]:
+        ip = r["ip_num"]
+        # most-specific prefix wins; label tiebreak is ORDER BY label
+        want = sorted(
+            [
+                (plen, label)
+                for label, plen, key in _CIDR_ROWS
+                if ip >> (32 - plen) == key
+            ],
+            key=lambda t: (-t[0], t[1]),
+        )[0]
+        assert (r["prefix_len"], r["cidr_label"]) == want
+
+
+def test_hierarchy_path_depth_and_membership(spark):
+    rows = _q("dict_get_hierarchy")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        parts = r["path"].split(">")
+        assert len(parts) == r["depth"] == 3
+        assert r["in_asia"] == (parts[0] == "ASIA")
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    from etl_ch_destination_spark.queries.sources_sinks import zorder_value
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 130, 255) for b in (0, 3, 77, 255)],
+        "a int, b int",
+    ).withColumn("z", zorder_value())
+
+    def interleave(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for r in df.collect():
+        assert r["z"] == interleave(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_files_have_disjoint_z_ranges(spark):
+    """repartitionByRange(z) + sortWithinPartitions(z) must yield
+    between-file disjoint z-ranges — the property box-scan pruning
+    relies on."""
+    import glob
+
+    from etl_ch_destination_spark.queries.sources_sinks import _scratch
+
+    _q("sink_zorder_layout")(spark, SF).collect()  # materialize the layout
+    path = _scratch(SF, "sink_zorder_layout")
+    spans = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        part = spark.read.parquet(f)
+        lo, hi = part.agg(F.min("z"), F.max("z")).collect()[0]
+        if lo is not None:
+            spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file z-ranges overlap"
+
+
+def test_monthly_yoy_lag_relation(spark):
+    rows = {r["ym"]: r for r in _q("rpt_monthly_yoy")(spark, SF).collect()}
+    for ym, r in rows.items():
+        y, m = ym.split("-")
+        prev = f"{int(y) - 1}-{m}"
+        if prev in rows:
+            assert r["rev_cents_prev_year"] == rows[prev]["rev_cents"]
+            want = (r["rev_cents"] - rows[prev]["rev_cents"]) / rows[prev][
+                "rev_cents"
+            ]
+            assert abs(r["yoy_growth"] - want) < 1e-12
+        else:
+            assert r["rev_cents_prev_year"] is None
+
+
+def test_time_decayed_sum_bounds_and_reference(spark):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        DECAY_HALF_LIFE_S,
+    )
+
+    out = {r["user_id"]: r for r in _q("ts_time_decayed_sum")(spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value").collect()
+    tmax = max(int(r["ts"].timestamp() * 1_000_000) for r in ev)
+    from collections import defaultdict
+    from decimal import Decimal
+
+    want = defaultdict(int)
+    for r in ev:
+        cents = int(
+            (Decimal(str(r["value"])).quantize(Decimal("0.01"))) * 100
+        )
+        k = min(
+            (tmax - int(r["ts"].timestamp() * 1_000_000))
+            // (DECAY_HALF_LIFE_S * 1_000_000),
+            40,
+        )
+        want[r["user_id"]] += cents >> k
+    for uid, r in out.items():
+        assert r["decayed_cents"] <= r["raw_cents"]
+        assert r["decayed_cents"] == want[uid], uid
+
+
+def test_temperature_mixture_properties(spark):
+    rows = _q("llm_temperature_mixture")(spark, SF).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    # sqrt flattening: the largest source downsamples, the smallest
+    # upsamples (relative to natural proportions)
+    big = max(rows, key=lambda r: r["n_tok"])
+    small = min(rows, key=lambda r: r["n_tok"])
+    if big["n_tok"] != small["n_tok"]:
+        assert big["upsample_factor"] < 1.0 < small["upsample_factor"]
+
+
+def test_url_hierarchy_prefix_ladder(spark):
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in _q("url_hierarchy")(spark, SF).collect():
+        by_doc.setdefault(r["doc_id"], {})[r["level"]] = r["url_prefix"]
+    assert by_doc
+    for doc_id, lv in by_doc.items():
+        assert sorted(lv) == [1, 2, 3]
+        assert lv[2].startswith(lv[1]) and lv[3].startswith(lv[2])
+        assert lv[3].endswith(f"/docs/{doc_id}")
+
+
+def test_perplexity_buckets_total_matches_surprisal(spark):
+    per_doc = _q("llm_bigram_surprisal")(spark, SF).collect()
+    buckets = _q("llm_perplexity_buckets")(spark, SF).collect()
+    assert sum(r["n_docs"] for r in buckets) == len(per_doc)
+    assert sum(r["n_bigrams_total"] for r in buckets) == sum(
+        r["n_bigrams"] for r in per_doc
+    )
+    from collections import Counter
+
+    want = Counter(r["sum_bits"] // r["n_bigrams"] for r in per_doc)
+    got = {r["bits_bucket"]: r["n_docs"] for r in buckets}
+    assert got == dict(want)
+
+
+def test_dedup_normalized_group_invariants(spark):
+    norm = _q("llm_dedup_normalized")(spark, SF).collect()
+    n_norm_groups = len({r["norm_hash"] for r in norm})
+    kept_norm = sum(1 for r in norm if r["is_kept"])
+    assert kept_norm == n_norm_groups <= len(norm)
+    # every group: exactly one keeper, the minimum doc_id
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in norm:
+        groups[r["norm_hash"]].append(r)
+    for rs in groups.values():
+        keepers = [r for r in rs if r["is_kept"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == min(r["doc_id"] for r in rs)
+        assert all(r["group_size"] == len(rs) for r in rs)
