@@ -92,6 +92,13 @@ BENCH_KEYS = [
     "llm_bigram_kneser_ney",
     "llm_char_ngram_entropy",
     "ts_rolling_corr",
+    # round-8 additions: degree-ordered triangle enumeration (the
+    # wedge-join graph workload, ~41M candidates at sf0.1), the
+    # composed six-stage curation funnel, and the MATTR zero-shuffle
+    # HOF fold
+    "graph_triangle_count",
+    "rpt_filter_funnel",
+    "llm_mattr_diversity",
 ]
 
 N_RUNS = 5
