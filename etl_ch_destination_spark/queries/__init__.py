@@ -146,6 +146,8 @@ R10_NEW = [
     "join_ip_cidr", "dict_get_hierarchy", "sink_zorder_layout",
     "rpt_monthly_yoy", "ts_time_decayed_sum", "llm_temperature_mixture",
     "url_hierarchy", "llm_perplexity_buckets", "llm_dedup_normalized",
+    "win_streaks", "agg_bool_aggs", "agg_mode_exact",
+    "date_us_precision", "ts_vwap", "str_char_ngrams",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

@@ -2721,3 +2721,82 @@ def agg_quantile_interp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             val_num.cast("double") / (F.col("den").cast("double") * F.lit(100.0))
         ).alias("quantile_value"),
     )
+
+
+@query(
+    "agg_bool_aggs",
+    """
+    SELECT event_type,
+           bool_and(value > 1.0) AS all_above_1,
+           bool_or(value > 400.0) AS any_above_400,
+           CAST(count_if(value > 100.0) AS BIGINT) AS n_above_100,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family — ``bool_and``/``bool_or``/``count_if``
+    (ANSI every/any + CH countIf): the predicate-rollup trio used for
+    data-quality assertions ("did EVERY row pass?", "did ANY row
+    trip?", "how many?"). All three are partial-aggregable (AND/OR/
+    count are associative-commutative), so map-side combine reduces
+    each group to three scalars before the exchange; the predicate
+    compares raw doubles to literals — no derived float arithmetic, so
+    results are exact booleans/counts on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("bool_and(value > 1.0)").alias("all_above_1"),
+        F.expr("bool_or(value > 400.0)").alias("any_above_400"),
+        F.expr("count_if(value > 100.0)").cast("bigint").alias("n_above_100"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "agg_mode_exact",
+    """
+    SELECT l_returnflag, mode_cents, mode_count
+    FROM (
+      SELECT l_returnflag,
+             cents AS mode_cents,
+             CAST(n AS BIGINT) AS mode_count,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, cents) AS rk
+      FROM (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS cents,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+      )
+    ) WHERE rk = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group with a PINNED tie-break (highest count,
+    then smallest value) — DuckDB's ``mode()`` and most engines leave
+    ties implementation-defined, which can never hash-match, so the
+    deterministic contract is the windowed form on both sides (the
+    same discipline as dedup_by_key_latest). Plan: value-frequency
+    hash aggregate (map-side combinable), then a per-group top-1
+    window over the |distinct values| frame — Spark plans
+    WindowGroupLimit, so only one candidate row per group survives
+    each partial stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    freq = (
+        li.select("l_returnflag", cents.alias("cents"))
+        .groupBy("l_returnflag", "cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "cents")
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("cents").alias("mode_cents"),
+            F.col("n").cast("bigint").alias("mode_count"),
+        )
+    )

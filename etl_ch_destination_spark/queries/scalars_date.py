@@ -170,3 +170,34 @@ def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return e.select(*cols)
+
+
+@query(
+    "date_us_precision",
+    """
+    SELECT event_id,
+           epoch_us(ts) AS tus,
+           make_timestamp(epoch_us(ts)) AS ts_roundtrip,
+           date_trunc('milliseconds', ts) AS ts_ms,
+           epoch_us(ts) % 1000000 AS us_in_second
+    FROM events
+    """,
+)
+def date_us_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateTime64(6) semantics — microsecond-exact epoch extraction,
+    the µs→timestamp roundtrip (unix_micros/timestamp_micros, CH
+    toUnixTimestamp64Micro / fromUnixTimestamp64Micro), millisecond
+    truncation, and the sub-second µs component. Everything is integer
+    µs arithmetic — the whole-second epoch functions FLOOR and lose
+    sub-second precision silently, which is exactly the bug class this
+    key pins against (the events fixture carries real sub-second
+    times). Map-side projection, zero shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        tus.alias("tus"),
+        F.timestamp_micros(tus).alias("ts_roundtrip"),
+        F.date_trunc("millisecond", F.col("ts")).alias("ts_ms"),
+        (tus % 1000000).alias("us_in_second"),
+    )

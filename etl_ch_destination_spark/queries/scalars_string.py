@@ -412,3 +412,50 @@ def url_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("url_prefix"),
         )
     )
+
+
+CHAR_NGRAM_N = 3
+CHAR_NGRAM_TOP = 50
+
+
+@query(
+    "str_char_ngrams",
+    f"""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               range(1, length(p_name) - {CHAR_NGRAM_N - 2}),
+               i -> substr(p_name, CAST(i AS INT), {CHAR_NGRAM_N}))) AS gram
+      FROM part WHERE length(p_name) >= {CHAR_NGRAM_N}
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT {CHAR_NGRAM_TOP}
+    """,
+)
+def str_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ngrams(s, n)`` — character {CHAR_NGRAM_N}-gram extraction
+    with a corpus-frequency rollup (top {CHAR_NGRAM_TOP} grams of the
+    part names, total order by count then gram). The char-gram
+    explode is the primitive under the simhash/ngram-distance keys,
+    exposed here as its own surface. Map-side substring transform +
+    one hash aggregate; the top-k is a WindowGroupLimit-style global
+    sort of the |distinct grams| frame, not the corpus."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.length("p_name") >= CHAR_NGRAM_N
+    )
+    grams = p.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("p_name") - (CHAR_NGRAM_N - 1)),
+                lambda i: F.col("p_name").substr(i, F.lit(CHAR_NGRAM_N)),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(CHAR_NGRAM_TOP)
+    )

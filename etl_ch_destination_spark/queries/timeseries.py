@@ -288,3 +288,48 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.alias("gap_micros"),
         F.expr(f"(tq - prev_tq) div {GAP_MICROS}").cast("bigint").alias("gap_days"),
     )
+
+
+@query(
+    "ts_vwap",
+    """
+    WITH t AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hb,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             user_id % 5 + 1 AS qty
+      FROM events
+    )
+    SELECT event_type, hb,
+           CAST(SUM(cents * qty) AS BIGINT) AS pv_cents,
+           CAST(SUM(qty) AS BIGINT) AS volume,
+           CAST(SUM(cents * qty) AS DOUBLE) / CAST(SUM(qty) AS DOUBLE)
+             AS vwap_cents
+    FROM t
+    GROUP BY event_type, hb
+    """,
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (series, hour) — the finance
+    resampling companion to ts_resample_ohlc: VWAP = sum(price·qty) /
+    sum(qty), with the numerator and denominator kept as EXACT int64
+    (cents × synthetic integer quantity) and one final IEEE division —
+    the repo's standard exact-ratio recipe. One partial-aggregable
+    hash aggregate on (series, bucket); at 100 TB the hour bucket is
+    derived map-side so the exchange is the aggregate's own."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    t = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hb"),
+        cents.alias("cents"),
+        (F.col("user_id") % 5 + 1).alias("qty"),
+    )
+    return t.groupBy("event_type", "hb").agg(
+        F.sum(F.col("cents") * F.col("qty")).cast("bigint").alias("pv_cents"),
+        F.sum("qty").cast("bigint").alias("volume"),
+        (
+            F.sum(F.col("cents") * F.col("qty")).cast("double")
+            / F.sum("qty").cast("double")
+        ).alias("vwap_cents"),
+    )

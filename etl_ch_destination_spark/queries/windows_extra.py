@@ -514,3 +514,60 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_of_region"),
         F.row_number().over(w_rk).cast("bigint").alias("rk"),
     )
+
+
+STREAK_EPOCH = "1995-01-01"  # day-index origin for the islands trick
+
+
+@query(
+    "win_streaks",
+    f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    idx AS (
+      SELECT user_id, day,
+             datediff('day', DATE '{STREAK_EPOCH}', day) AS day_idx,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days
+    )
+    SELECT user_id,
+           MIN(day) AS streak_start,
+           MAX(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM (SELECT user_id, day, day_idx - rn AS grp FROM idx)
+    GROUP BY user_id, grp
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — consecutive-day activity streaks per user,
+    via the classic islands trick: within a user, day_index −
+    row_number is CONSTANT exactly along a run of consecutive days, so
+    grouping by that difference yields one row per streak with no
+    self-join and no iteration (the engagement-streak metric every
+    activity dashboard wants). Distinct from win_sessionize: that
+    segments by timestamp gaps inside a day; this is calendar-day run
+    detection on the deduped (user, day) frame.
+
+    Plan: one distinct on (user, day), one user-partitioned window,
+    one hash aggregate — all sharing the user_id exchange."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    idx = days.select(
+        "user_id",
+        "day",
+        F.datediff("day", F.lit(STREAK_EPOCH).cast("date")).alias("day_idx"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        idx.select("user_id", "day", (F.col("day_idx") - F.col("rn")).alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .drop("grp")
+    )

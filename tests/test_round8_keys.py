@@ -501,3 +501,109 @@ def test_dedup_normalized_group_invariants(spark):
         assert len(keepers) == 1
         assert keepers[0]["doc_id"] == min(r["doc_id"] for r in rs)
         assert all(r["group_size"] == len(rs) for r in rs)
+
+
+def test_streaks_python_reference(spark):
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    want = set()
+    for uid, ds in days.items():
+        run = []
+        for d in sorted(ds):
+            if run and d == run[-1] + timedelta(days=1):
+                run.append(d)
+            else:
+                if run:
+                    want.add((uid, run[0], run[-1], len(run)))
+                run = [d]
+        want.add((uid, run[0], run[-1], len(run)))
+    got = {
+        (r["user_id"], r["streak_start"], r["streak_end"], r["streak_days"])
+        for r in _q("win_streaks")(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_mode_exact_brute_force(spark):
+    from collections import Counter
+    from decimal import Decimal
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).collect()
+    by_flag = {}
+    for r in li:
+        cents = int(Decimal(str(r["l_quantity"])).quantize(Decimal("0.01")) * 100)
+        by_flag.setdefault(r["l_returnflag"], Counter())[cents] += 1
+    got = {
+        r["l_returnflag"]: (r["mode_cents"], r["mode_count"])
+        for r in _q("agg_mode_exact")(spark, SF).collect()
+    }
+    for flag, cnt in by_flag.items():
+        best = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[0]
+        assert got[flag] == best
+
+
+def test_us_precision_roundtrip(spark):
+    rows = _q("date_us_precision")(spark, SF).collect()
+    assert any(r["us_in_second"] > 0 for r in rows), "fixture lost sub-second"
+    for r in rows[:500]:
+        assert int(r["ts_roundtrip"].timestamp() * 1_000_000) == r["tus"]
+        assert r["ts_ms"].microsecond % 1000 == 0
+        assert 0 <= r["us_in_second"] < 1_000_000
+
+
+def test_vwap_bounds(spark):
+    for r in _q("ts_vwap")(spark, SF).collect():
+        assert r["volume"] >= 1
+        assert abs(r["vwap_cents"] - r["pv_cents"] / r["volume"]) < 1e-9
+
+
+def test_char_ngrams_python_reference(spark):
+    from collections import Counter
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scalars_string import (
+        CHAR_NGRAM_N,
+        CHAR_NGRAM_TOP,
+    )
+
+    names = [
+        r["p_name"]
+        for r in load_table(spark, SF, "part").select("p_name").collect()
+    ]
+    cnt = Counter()
+    for nm in names:
+        for i in range(len(nm) - CHAR_NGRAM_N + 1):
+            cnt[nm[i : i + CHAR_NGRAM_N]] += 1
+    want = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:CHAR_NGRAM_TOP]
+    got = [
+        (r["gram"], r["n"]) for r in _q("str_char_ngrams")(spark, SF).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == want
+
+
+def test_bool_aggs_recompute(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select("event_type", "value").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in ev:
+        vals[r["event_type"]].append(r["value"])
+    for r in _q("agg_bool_aggs")(spark, SF).collect():
+        vs = vals[r["event_type"]]
+        assert r["all_above_1"] == all(v > 1.0 for v in vs)
+        assert r["any_above_400"] == any(v > 400.0 for v in vs)
+        assert r["n_above_100"] == sum(1 for v in vs if v > 100.0)
+        assert r["n"] == len(vs)
