@@ -635,3 +635,261 @@ def rpt_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_docs"
         ),
     )
+
+
+@query(
+    "rpt_column_profile",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_key,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_key,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_cust,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_cust,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_st,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+             MIN(o_orderstatus) AS min_st,
+             MAX(o_orderstatus) AS max_st,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tp,
+             CAST(COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS nd_tp,
+             CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS VARCHAR) AS min_tp,
+             CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS VARCHAR) AS max_tp,
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_dt,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_dt,
+             strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_dt,
+             strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_dt,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pr,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_pr,
+             MIN(o_orderpriority) AS min_pr,
+             MAX(o_orderpriority) AS max_pr
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n_rows, null_key AS n_null,
+           nd_key AS n_distinct, min_key AS min_repr, max_key AS max_repr FROM m
+    UNION ALL SELECT 'o_custkey', n_rows, null_cust, nd_cust, min_cust, max_cust FROM m
+    UNION ALL SELECT 'o_orderstatus', n_rows, null_st, nd_st, min_st, max_st FROM m
+    UNION ALL SELECT 'o_totalprice_cents', n_rows, null_tp, nd_tp, min_tp, max_tp FROM m
+    UNION ALL SELECT 'o_orderdate', n_rows, null_dt, nd_dt, min_dt, max_dt FROM m
+    UNION ALL SELECT 'o_orderpriority', n_rows, null_pr, nd_pr, min_pr, max_pr FROM m
+    """,
+)
+def rpt_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling report — per column: row count, nulls, exact
+    distinct count, and min/max rendered through drift-proof
+    representations (numerics as exact cent/int strings, dates as ISO
+    — never float formatting, which differs between the JVM and C).
+    The first thing an ETL engineer runs against a new source; CH's
+    ``DESCRIBE`` + per-column ``uniqExact``/``min``/``max`` rollup in
+    one pass.
+
+    Plan: ONE aggregate computes every column's metrics in a single
+    scan (count_distinct per column partial-aggregates per group-less
+    agg), then a 6-row literal unpivot — the long-form reshape touches
+    one row. At 100 TB: same single scan; swap exact distinct for
+    approx_count_distinct when the profile is advisory."""
+    o = load_table(spark, sf_dir, "orders")
+    tp_cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+
+    def null_count(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        null_count("o_orderkey").alias("null_key"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("min_key"),
+        F.max("o_orderkey").cast("string").alias("max_key"),
+        null_count("o_custkey").alias("null_cust"),
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("min_cust"),
+        F.max("o_custkey").cast("string").alias("max_cust"),
+        null_count("o_orderstatus").alias("null_st"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_st"),
+        F.min("o_orderstatus").alias("min_st"),
+        F.max("o_orderstatus").alias("max_st"),
+        null_count("o_totalprice").alias("null_tp"),
+        F.countDistinct(tp_cents).cast("bigint").alias("nd_tp"),
+        F.min(tp_cents).cast("string").alias("min_tp"),
+        F.max(tp_cents).cast("string").alias("max_tp"),
+        null_count("o_orderdate").alias("null_dt"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("nd_dt"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_dt"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_dt"),
+        null_count("o_orderpriority").alias("null_pr"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_pr"),
+        F.min("o_orderpriority").alias("min_pr"),
+        F.max("o_orderpriority").alias("max_pr"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"null_{tag}").alias("n_null"),
+                F.col(f"nd_{tag}").alias("n_distinct"),
+                F.col(f"min_{tag}").alias("min_repr"),
+                F.col(f"max_{tag}").alias("max_repr"),
+            )
+            for name, tag in [
+                ("o_orderkey", "key"),
+                ("o_custkey", "cust"),
+                ("o_orderstatus", "st"),
+                ("o_totalprice_cents", "tp"),
+                ("o_orderdate", "dt"),
+                ("o_orderpriority", "pr"),
+            ]
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
+    "rpt_fk_integrity",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orders-childless',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+)
+def rpt_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphaned children (lineitems
+    whose order vanished, orders whose customer vanished) and
+    childless parents (orders with no lines), as the data-quality
+    gate every warehouse load runs before publishing. The oracle
+    states it as NOT EXISTS; Spark plans each check as a LEFT ANTI
+    hash join (the decorrelated form) feeding a 1-row count, and the
+    three audits union into the long-form report.
+
+    Scale: anti joins shuffle on the FK being audited (their natural
+    key); the count aggregates are partial. At 100 TB this is the
+    same plan; AQE broadcasts the smaller side where it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def audit(name, child, parent, ck, pk):
+        """One fully-lazy audit row: anti-join orphan count × total —
+        no driver-side collect; the three rows union into one plan."""
+        orphans = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        total = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows")
+        )
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("relation"), "n_orphans", "n_child_rows"
+        )
+
+    return (
+        audit("lineitem->orders", li.select("l_orderkey"),
+              o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionByName(
+            audit("orders->customer", o.select("o_custkey"),
+                  c.select("c_custkey"), "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            audit("orders-childless", o.select("o_orderkey"),
+                  li.select("l_orderkey").distinct(), "o_orderkey",
+                  "l_orderkey")
+        )
+    )
+
+
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback (seconds)
+
+
+@query(
+    "rpt_attribution",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_tus
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    scored AS (
+      SELECT event_id, user_id, event_type, tus,
+             MIN(view_tus) OVER w AS first_touch_us,
+             MAX(view_tus) OVER w AS last_touch_us,
+             COUNT(view_tus) OVER w AS n_views_window
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN {ATTR_WINDOW_S * 1_000_000} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           first_touch_us, last_touch_us,
+           CAST(n_views_window AS BIGINT) AS n_views_window,
+           (tus - last_touch_us) // 1000000 AS last_touch_lag_s
+    FROM scored WHERE event_type = 'purchase'
+    """,
+)
+def rpt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution — for every purchase, the FIRST-touch and
+    LAST-touch view inside a {ATTR_WINDOW_S // 86400}-day lookback,
+    plus the view count and last-touch lag: the two standard
+    attribution models in one pass. Where join_asof finds only the
+    single nearest event, this is the windowed generalization: views
+    project into a nullable timestamp column and ONE µs-RANGE frame
+    (PARTITION BY user ORDER BY time RANGE N PRECEDING) computes
+    min/max/count of it at every purchase row — no view×purchase join,
+    no fan-out, one exchange on user_id. NULL first/last = organic
+    purchase (no view in window). At 100 TB this is the attribution
+    shape that avoids the classic exploding interval join."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ev = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias(
+            "view_tus"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-ATTR_WINDOW_S * 1_000_000, 0)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "tus",
+        F.min("view_tus").over(w).alias("first_touch_us"),
+        F.max("view_tus").over(w).alias("last_touch_us"),
+        F.count("view_tus").over(w).cast("bigint").alias("n_views_window"),
+    )
+    return scored.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "first_touch_us",
+        "last_touch_us",
+        "n_views_window",
+        F.expr("(tus - last_touch_us) div 1000000").alias("last_touch_lag_s"),
+    )

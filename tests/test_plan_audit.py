@@ -80,6 +80,9 @@ ALLOWED_NLJ = {
     # 1-row (max_avg, min_avg) bounds broadcast onto suppliers —
     # condition-free by design (joins_extra.py)
     "subq_any_all",
+    # three 1-row x 1-row (orphans x total) reshapes unioned into the
+    # long-form audit report (reports_behavior.py)
+    "rpt_fk_integrity",
 }
 
 MAX_HASH_SHUFFLES = 4

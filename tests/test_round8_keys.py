@@ -607,3 +607,59 @@ def test_bool_aggs_recompute(spark):
         assert r["any_above_400"] == any(v > 400.0 for v in vs)
         assert r["n_above_100"] == sum(1 for v in vs if v > 100.0)
         assert r["n"] == len(vs)
+
+
+def test_column_profile_reference(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    prof = {r["column_name"]: r for r in _q("rpt_column_profile")(spark, SF).collect()}
+    o = load_table(spark, SF, "orders")
+    n = o.count()
+    assert set(prof) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_cents",
+        "o_orderdate", "o_orderpriority",
+    }
+    for r in prof.values():
+        assert r["n_rows"] == n and r["n_null"] == 0
+        assert 1 <= r["n_distinct"] <= n
+        assert r["min_repr"] <= r["max_repr"] or r["n_distinct"] == 1
+    assert prof["o_orderkey"]["n_distinct"] == n  # primary key
+
+
+def test_fk_integrity_clean_fixture(spark):
+    rows = {r["relation"]: r for r in _q("rpt_fk_integrity")(spark, SF).collect()}
+    assert set(rows) == {"lineitem->orders", "orders->customer",
+                         "orders-childless"}
+    # the TPC-H-ish fixture is referentially intact
+    assert rows["lineitem->orders"]["n_orphans"] == 0
+    assert rows["orders->customer"]["n_orphans"] == 0
+    assert rows["orders-childless"]["n_orphans"] >= 0
+
+
+def test_attribution_reference(spark):
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import ATTR_WINDOW_S
+
+    ev = load_table(spark, SF, "events").filter(
+        "event_type IN ('view', 'purchase')"
+    ).collect()
+    views = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "view":
+            views[r["user_id"]].append(int(r["ts"].timestamp() * 1_000_000))
+    out = {r["event_id"]: r for r in _q("rpt_attribution")(spark, SF).collect()}
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    assert len(out) == len(purchases)
+    for p in purchases:
+        tus = int(p["ts"].timestamp() * 1_000_000)
+        in_win = [v for v in views[p["user_id"]]
+                  if tus - ATTR_WINDOW_S * 1_000_000 <= v <= tus]
+        r = out[p["event_id"]]
+        if in_win:
+            assert (r["first_touch_us"], r["last_touch_us"]) == (
+                min(in_win), max(in_win))
+            assert r["n_views_window"] == len(in_win)
+        else:
+            assert r["first_touch_us"] is None and r["n_views_window"] == 0
