@@ -365,6 +365,34 @@ ANNOTATIONS: dict[str, str] = {
         "second window; the correlation itself is a scalar projection "
         "assembling exact int64 moments."
     ),
+    "graph_triangle_count": (
+        "Degree-ordered triangle enumeration: every join is a hash "
+        "equi-join on int node keys (orientation joins, the wedge "
+        "self-join on the source node, the closing (a,b) probe) — no "
+        "CartesianProduct anywhere; the wedge join is bounded "
+        "O(m^1.5) by the orientation. The oriented edge set scans a "
+        "checkpoint (staged once for its three consumers)."
+    ),
+    "join_ip_cidr": (
+        "Longest-prefix match WITHOUT a range join: the probe side is "
+        "a map-side literal explode (one masked key per dictionary "
+        "prefix length), the dictionary is a BroadcastHashJoin, and "
+        "the winner is a WindowGroupLimit over ≤|lens| candidate rows "
+        "per probe. The fact side never shuffles."
+    ),
+    "join_lateral_topn": (
+        "Correlated LATERAL ORDER BY + LIMIT decorrelated by Catalyst "
+        "into WindowGroupLimit row_number ≤ K with a PARTIAL pass "
+        "before the exchange — each map task keeps at most K rows per "
+        "customer, so the shuffle carries O(customers·K), not all "
+        "orders."
+    ),
+    "rpt_attribution": (
+        "First/last-touch attribution as ONE µs-RANGE WindowExec "
+        "frame per user (min/max/count of the nullable view-time "
+        "column) — a single user_id exchange; no view×purchase "
+        "interval join, no row fan-out."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
