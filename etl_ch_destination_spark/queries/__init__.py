@@ -149,6 +149,7 @@ R10_NEW = [
     "win_streaks", "agg_bool_aggs", "agg_mode_exact",
     "date_us_precision", "ts_vwap", "str_char_ngrams",
     "rpt_column_profile", "rpt_fk_integrity", "rpt_attribution",
+    "sink_parquet_bloom", "rpt_event_transitions", "llm_dedup_substring",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

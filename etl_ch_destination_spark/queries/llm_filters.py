@@ -724,3 +724,90 @@ def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(wr) == 1).alias("is_kept"),
         )
     )
+
+
+SUBSTR_GRAM = 40   # char-shingle length (BigCode used 50-token spans)
+SUBSTR_STEP = 10   # shingle stride — overlap guarantees detection of
+                   # any shared run >= SUBSTR_GRAM + SUBSTR_STEP - 1
+
+
+@query(
+    "llm_dedup_substring",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, length(text) - {SUBSTR_GRAM - 2}, {SUBSTR_STEP}),
+               i -> md5(substr(text, CAST(i AS INT), {SUBSTR_GRAM})))))
+               AS h
+      FROM documents WHERE length(text) >= {SUBSTR_GRAM}
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+    FROM sh s LEFT JOIN dup d ON d.h = s.h
+    GROUP BY s.doc_id
+    """,
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level shared-substring detection — the practical
+    approximation of exact-substring dedup (the suffix-array
+    deduplication of Lee et al. 2022, public literature): strided
+    {SUBSTR_GRAM}-char shingles (stride {SUBSTR_STEP} — any copied run
+    of ≥ {SUBSTR_GRAM + SUBSTR_STEP - 1} chars necessarily contains a
+    whole shingle from both copies) hashed with md5; a shingle
+    appearing in ≥2 documents marks boilerplate/quotation overlap, and
+    each doc reports its shared-shingle fraction. Character-level
+    catches what word-level n-gram Jaccard misses (whitespace/markup
+    variants); the word-level axes live in llm_dedup_ngram_jaccard.
+
+    Plan: map-side strided substring hashing (an O(len/stride)
+    fan-out, ~1/10th of the char count), one (hash → distinct-doc
+    count) aggregate whose output is Zipf-small, joined back by hash
+    key — the same model-train/model-apply exchange-reuse shape as
+    the bigram LM keys. No all-pairs term anywhere."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SUBSTR_GRAM
+    )
+    starts = F.sequence(
+        F.lit(1), F.length("text") - (SUBSTR_GRAM - 1), F.lit(SUBSTR_STEP)
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    starts,
+                    lambda i: F.md5(F.col("text").substr(i, F.lit(SUBSTR_GRAM))),
+                )
+            )
+        ).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+        .withColumn("is_dup", F.lit(1))
+    )
+    shared = F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        sh.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "shared_frac"
+            ),
+        )
+    )

@@ -893,3 +893,54 @@ def rpt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_views_window",
         F.expr("(tus - last_touch_us) div 1000000").alias("last_touch_lag_s"),
     )
+
+
+@query(
+    "rpt_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS p_transition
+    FROM seq
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def rpt_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix — the first-order Markov model of
+    user flows (the data behind every Sankey / "where do users go
+    next" diagram; seq_next_node's aggregate generalization from
+    first-anchor rows to ALL transitions). One lead() pass over the
+    per-user (ts, event_id)-ordered stream, a (from, to) hash
+    aggregate, and per-from probabilities as one IEEE division of
+    exact counts over the ≤|types|² cell table.
+
+    One user_id exchange for the window; the aggregate and the tiny
+    per-from window run on cell-table-sized data."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cells = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("p_transition"),
+    )

@@ -1375,3 +1375,53 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("a").cast("bigint").alias("n_a"),
         F.sum("z").cast("bigint").alias("z_checksum"),
     )
+
+
+BLOOM_COL = "l_orderkey"
+BLOOM_PROBE_MOD = 5077  # probe keyset: a sparse deterministic subset
+
+
+@query(
+    "sink_parquet_bloom",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_qty_cents
+    FROM lineitem
+    WHERE l_orderkey % {BLOOM_PROBE_MOD} = 0
+    """,
+)
+def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM-FILTER sink — write lineitem with a bloom filter
+    on the point-lookup key (``parquet.bloom.filter.enabled#col``, the
+    storage-level analog of ClickHouse's bloom_filter skip index),
+    then run a sparse point-lookup back through the layout. Bloom
+    filters answer "definitely not in this row group" for high-
+    cardinality keys where min/max stats are useless (TPC-H orderkeys
+    span every row group) — at 100 TB this is the difference between
+    touching every row group and skipping almost all of them on a
+    point probe. The gate hash-matches the probe aggregate against the
+    oracle on the original table: the filtered layout lost nothing.
+
+    Plan: the write is one pass; the re-read pushes the probe
+    predicate into the scan (PushedFilters), where the reader consults
+    the bloom before decoding pages."""
+    path = _scratch(sf_dir, "sink_parquet_bloom")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    (
+        li.select("l_orderkey", qty_cents.alias("qty_cents"))
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{BLOOM_COL}", "true")
+        .option(f"parquet.bloom.filter.expected.ndv#{BLOOM_COL}", "200000")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_orderkey") % BLOOM_PROBE_MOD == 0
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.sum("qty_cents").cast("bigint").alias("sum_qty_cents"),
+    )

@@ -663,3 +663,104 @@ def test_attribution_reference(spark):
             assert r["n_views_window"] == len(in_win)
         else:
             assert r["first_touch_us"] is None and r["n_views_window"] == 0
+
+
+def test_parquet_bloom_filter_is_written_and_probe_matches(spark, tmp_path):
+    """The probe aggregate must equal the same aggregate on the source,
+    and the bloom option must actually reach the files: this pyarrow
+    can't surface the footer's bloom offset, so the evidence is the
+    size differential — the same frame written with and without the
+    option differs by the bloom blob (~kilobytes per row group),
+    while an unknown option would be silently ignored and produce
+    byte-similar files."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import BLOOM_PROBE_MOD
+
+    got = _q("sink_parquet_bloom")(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_orderkey") % BLOOM_PROBE_MOD == 0
+    )
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("no"),
+    ).collect()[0]
+    assert (got["n_rows"], got["n_orders"]) == (want["n"], want["no"])
+
+    import glob
+    import os
+
+    keys = spark.range(0, 20000).selectExpr("id AS k").coalesce(1)
+    p_plain = str(tmp_path / "plain")
+    p_bloom = str(tmp_path / "bloom")
+    keys.write.mode("overwrite").parquet(p_plain)
+    (
+        keys.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "20000")
+        .parquet(p_bloom)
+    )
+
+    def total(p):
+        return sum(os.path.getsize(f) for f in glob.glob(f"{p}/part-*.parquet"))
+
+    assert total(p_bloom) > total(p_plain) + 4096, (
+        total(p_bloom), total(p_plain),
+        "bloom option produced no filter blob",
+    )
+
+
+def test_event_transitions_probabilities(spark):
+    from collections import defaultdict
+
+    rows = _q("rpt_event_transitions")(spark, SF).collect()
+    by_from = defaultdict(float)
+    for r in rows:
+        assert r["n_transitions"] >= 1
+        by_from[r["from_type"]] += r["p_transition"]
+    assert by_from and all(abs(v - 1.0) < 1e-9 for v in by_from.values())
+
+
+def test_substring_dedup_detects_planted_copy(spark):
+    """Two synthetic docs sharing a long verbatim run must flag each
+    other; a unique doc must not."""
+    from etl_ch_destination_spark.queries.llm_filters import (
+        SUBSTR_GRAM,
+        SUBSTR_STEP,
+        llm_dedup_substring,
+    )
+
+    del llm_dedup_substring  # query fn reads from fixture; test the math
+    shared = "x" * 0  # build from distinct words to avoid accidental overlap
+    run = " ".join(f"tok{i}" for i in range(40))  # ~240 chars shared run
+    docs = [
+        (0, "alpha " * 30 + run),
+        (1, run + " omega " * 30),
+        (2, "unique words only " * 20),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # replicate the key's logic on the synthetic frame
+    starts = F.sequence(
+        F.lit(1), F.length("text") - (SUBSTR_GRAM - 1), F.lit(SUBSTR_STEP)
+    )
+    sh = df.filter(F.length("text") >= SUBSTR_GRAM).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    starts,
+                    lambda i: F.md5(F.col("text").substr(i, F.lit(SUBSTR_GRAM))),
+                )
+            )
+        ).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    hits = {
+        r["doc_id"]
+        for r in sh.join(dup.select("h"), "h").select("doc_id").distinct().collect()
+    }
+    assert hits == {0, 1}
+    del shared
