@@ -263,3 +263,39 @@ def test_repetition_stats_match_counter_reference(spark, docs):
         else:
             want_bg = 0.0
         assert abs(r.dup_bigram_frac - want_bg) < 1e-12
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_python_reference(spark, edges):
+    """Degree-ordered triangle enumeration equals brute-force triple
+    iteration on random small graphs (self-loops dropped, duplicate
+    edges collapsed — the canonicalization the operator defines)."""
+    from itertools import combinations
+
+    from etl_ch_destination_spark.queries.graph import triangle_counts
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+
+    if not canon:
+        return  # empty edge frame: nothing to build a DataFrame from
+    df = spark.createDataFrame(sorted(canon), "u long, v long")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == expected

@@ -334,6 +334,51 @@ def main() -> int:
             ).write.mode("overwrite").format("noop").save()
             cc_rounds_seen.append(stats["rounds"])
 
+        def substr_dedup():
+            # the llm_dedup_substring spine: strided char-shingle
+            # hashing -> duplicate-hash aggregate -> hash-key join-back
+            # (the round-8 char-level dedup axis). Both exchanges carry
+            # ~len/stride rows; replicate_docs keeps per-copy texts
+            # disjoint so shared-substring structure replicates and the
+            # slope is the pipeline's.
+            from etl_ch_destination_spark.queries.llm_filters import (
+                SUBSTR_GRAM,
+                SUBSTR_STEP,
+            )
+
+            dd = d.filter(F.length("text") >= SUBSTR_GRAM)
+            starts = F.sequence(
+                F.lit(1), F.length("text") - (SUBSTR_GRAM - 1),
+                F.lit(SUBSTR_STEP),
+            )
+            sh = dd.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            starts,
+                            lambda i: F.md5(
+                                F.col("text").substr(i, F.lit(SUBSTR_GRAM))
+                            ),
+                        )
+                    )
+                ).alias("h"),
+            )
+            dup = (
+                sh.groupBy("h")
+                .agg(F.countDistinct("doc_id").alias("nd"))
+                .filter(F.col("nd") >= 2)
+                .select("h")
+            )
+            (
+                sh.join(dup, "h", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+
         row: dict[str, float] = {"rows": li.count()}
         if want("q1"):
             row["q1"] = time_action(q1)
@@ -349,6 +394,8 @@ def main() -> int:
             row["ngram_novelty"] = time_action(ngram_novelty)
         if want("line_dedup"):
             row["line_dedup"] = time_action(line_dedup)
+        if want("substr_dedup"):
+            row["substr_dedup"] = time_action(substr_dedup)
         if want("bpe_vocab_rounds"):
             row["bpe_vocab_rounds"] = time_action(bpe_rounds)
         if want("cc"):
@@ -463,7 +510,7 @@ def main() -> int:
     # there, so they are exempt (recorded, not gated).
     GATED = (
         "q1", "join_agg", "neardup", "vocab_score", "ngram_novelty",
-        "line_dedup", "cc", "sim_exact", "sim_lsh",
+        "line_dedup", "substr_dedup", "cc", "sim_exact", "sim_lsh",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
