@@ -150,6 +150,8 @@ R10_NEW = [
     "date_us_precision", "ts_vwap", "str_char_ngrams",
     "rpt_column_profile", "rpt_fk_integrity", "rpt_attribution",
     "sink_parquet_bloom", "rpt_event_transitions", "llm_dedup_substring",
+    "rpt_rfm_segmentation", "rpt_table_diff", "gen_calendar_dim",
+    "str_slugify",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

@@ -944,3 +944,167 @@ def rpt_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_from).cast("double")
         ).alias("p_transition"),
     )
+
+
+RFM_ANCHOR = "2001-09-01"  # recency anchor just past the fixture's max date
+
+
+@query(
+    "rpt_rfm_segmentation",
+    f"""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       DATE '{RFM_ANCHOR}') AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS f_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS m_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days, f_orders, m_cents,
+           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+             || CAST(m_q AS VARCHAR) AS segment
+    FROM (
+      SELECT *,
+             NTILE(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
+             NTILE(4) OVER (ORDER BY f_orders DESC, o_custkey) AS f_q,
+             NTILE(4) OVER (ORDER BY m_cents DESC, o_custkey) AS m_q
+      FROM base
+    )
+    """,
+)
+def rpt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic CRM scoring: recency
+    (days since last order, quartile 1 = most recent), frequency, and
+    monetary value each quartiled with NTILE(4), concatenated into the
+    '111'…'444' segment code. Quartile assignment is deterministic
+    because every NTILE order carries the customer key as a final
+    tiebreaker (ntile over a non-total order can never hash-match).
+
+    Plan: one hash aggregate collapses orders to |customers| rows;
+    the three ntile windows run over that reduced frame (the
+    aggregate-first discipline — the unpartitioned windows see
+    customer cardinality, never order cardinality). Exact integer
+    metrics; no floats anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("bigint")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+        F.sum(cents).cast("bigint").alias("m_cents"),
+    )
+    r_q = F.ntile(4).over(Window.orderBy("r_days", "o_custkey"))
+    f_q = F.ntile(4).over(Window.orderBy(F.desc("f_orders"), "o_custkey"))
+    m_q = F.ntile(4).over(Window.orderBy(F.desc("m_cents"), "o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        r_q.cast("bigint").alias("r_q"),
+        f_q.cast("bigint").alias("f_q"),
+        m_q.cast("bigint").alias("m_q"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ),
+    )
+
+
+DIFF_DEL_MOD = 997    # v2 drops these keys ("removed")
+DIFF_CHG_MOD = 401    # v2 perturbs these totals ("changed")
+DIFF_ADD_MOD = 1009   # v2 adds clones under key+1e9 ("added")
+
+
+@query(
+    "rpt_table_diff",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' ||
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT) AS VARCHAR)) AS h
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' ||
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)
+                      + CASE WHEN o_orderkey % {DIFF_CHG_MOD} = 0
+                             THEN 1 ELSE 0 END AS VARCHAR)) AS h
+      FROM orders WHERE o_orderkey % {DIFF_DEL_MOD} != 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000,
+             md5(CAST(o_custkey AS VARCHAR) || '|' ||
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT) AS VARCHAR))
+      FROM orders WHERE o_orderkey % {DIFF_ADD_MOD} = 0
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.h != v2.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    GROUP BY status
+    """,
+)
+def rpt_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation — the added/removed/changed/unchanged
+    census between two versions of a table, THE verification query a
+    destination connector runs after a migration or backfill (and the
+    check behind every "did the CDC apply cleanly?" audit). Rows
+    compare by key + an md5 row fingerprint over drift-proof renders
+    (exact cents, never float formatting); the synthetic v2 derives
+    deterministically from v1 (drop mod-{DIFF_DEL_MOD} keys, perturb
+    mod-{DIFF_CHG_MOD} totals by one cent, clone mod-{DIFF_ADD_MOD}
+    rows under new keys) so both engines diff identical versions.
+
+    Plan: one FULL OUTER hash join on the key plus a 4-group
+    aggregate — at 100 TB the join shuffles both sides on the
+    primary key once; fingerprints collapse row width to 32 bytes
+    before the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+
+    def fp(cents_col):
+        return F.md5(
+            F.concat_ws(
+                "|", F.col("o_custkey").cast("string"), cents_col.cast("string")
+            )
+        )
+
+    v1 = o.select(F.col("o_orderkey").alias("k1"), fp(cents).alias("h1"))
+    changed_cents = cents + F.when(
+        F.col("o_orderkey") % DIFF_CHG_MOD == 0, 1
+    ).otherwise(0)
+    v2_kept = o.filter(F.col("o_orderkey") % DIFF_DEL_MOD != 0).select(
+        F.col("o_orderkey").alias("k2"), fp(changed_cents).alias("h2")
+    )
+    v2_added = o.filter(F.col("o_orderkey") % DIFF_ADD_MOD == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("k2"), fp(cents).alias("h2")
+    )
+    v2 = v2_kept.unionByName(v2_added)
+    joined = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    status = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )

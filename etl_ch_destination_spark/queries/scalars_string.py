@@ -459,3 +459,32 @@ def str_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "gram")
         .limit(CHAR_NGRAM_TOP)
     )
+
+
+@query(
+    "str_slugify",
+    """
+    SELECT p_partkey,
+           trim(BOTH '-' FROM regexp_replace(lower(p_name),
+                                             '[^a-z0-9]+', '-', 'g')) AS slug,
+           CAST(length(trim(BOTH '-' FROM regexp_replace(lower(p_name),
+                '[^a-z0-9]+', '-', 'g'))) AS BIGINT) AS slug_len
+    FROM part
+    """,
+)
+def str_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-slug normalization — lowercase, collapse every non-
+    alphanumeric run to a single '-', trim edge dashes: the id
+    canonicalization used for URLs, file names, and join keys against
+    scraped data. Pure regex codegen projection, zero shuffles; the
+    regex dialect is pinned identical on both engines (character
+    class + '+' quantifier only)."""
+    p = load_table(spark, sf_dir, "part")
+    slug = F.expr(
+        "trim(BOTH '-' FROM regexp_replace(lower(p_name), '[^a-z0-9]+', '-'))"
+    )
+    return p.select(
+        "p_partkey",
+        slug.alias("slug"),
+        F.length(slug).cast("bigint").alias("slug_len"),
+    )

@@ -944,3 +944,60 @@ def ts_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("raw_cents"),
         )
     )
+
+
+@query(
+    "gen_calendar_dim",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    )
+    SELECT d,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(CAST(strftime(d, '%Y') AS INT) AS BIGINT) AS yr,
+           CAST(CAST(strftime(d, '%m') AS INT) AS BIGINT) AS mon,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           d = date_trunc('month', d) AS is_month_start,
+           d = last_day(d) AS is_month_end,
+           CAST(date_part('day', last_day(d)) AS BIGINT) AS days_in_month,
+           isodow(d) >= 6 AS is_weekend
+    FROM spine
+    """,
+)
+def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generator — the warehouse utility table
+    (one row per day over the fact table's date span: ISO weekday,
+    year/month/quarter, month-start/end flags, days-in-month,
+    weekend flag) that date-logic joins against instead of
+    recomputing per row. Generated with sequence()/generate_series
+    from the fact bounds — a 1-row aggregate fans out to ~2400 days;
+    at any fact scale the dimension stays calendar-sized.
+
+    Every attribute is integer/date arithmetic shared by both
+    engines; weekday uses the ISO numbering (Monday=1) both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    iso_dow = F.expr("((dayofweek(d) + 5) % 7) + 1")  # Mon=1..Sun=7
+    return spine.select(
+        "d",
+        iso_dow.cast("bigint").alias("iso_dow"),
+        F.year("d").cast("bigint").alias("yr"),
+        F.month("d").cast("bigint").alias("mon"),
+        F.quarter("d").cast("bigint").alias("qtr"),
+        (F.col("d") == F.trunc("d", "month")).alias("is_month_start"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+        F.dayofmonth(F.last_day("d")).cast("bigint").alias("days_in_month"),
+        (iso_dow >= 6).alias("is_weekend"),
+    )

@@ -764,3 +764,72 @@ def test_substring_dedup_detects_planted_copy(spark):
     }
     assert hits == {0, 1}
     del shared
+
+
+def test_rfm_quartiles_are_balanced_and_segment_consistent(spark):
+    from collections import Counter
+
+    rows = _q("rpt_rfm_segmentation")(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    for dim in ("r_q", "f_q", "m_q"):
+        counts = Counter(r[dim] for r in rows)
+        assert set(counts) <= {1, 2, 3, 4}
+        # ntile balance: sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows:
+        assert r["segment"] == f"{r['r_q']}{r['f_q']}{r['m_q']}"
+    # monetary quartile 1 holds the highest spenders
+    q1_min = min(r["m_cents"] for r in rows if r["m_q"] == 1)
+    q4_max = max(r["m_cents"] for r in rows if r["m_q"] == 4)
+    assert q1_min >= q4_max
+
+
+def test_table_diff_counts_match_construction(spark):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        DIFF_ADD_MOD,
+        DIFF_CHG_MOD,
+        DIFF_DEL_MOD,
+    )
+
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, SF, "orders").select("o_orderkey").collect()
+    ]
+    want = {
+        "added": sum(1 for k in keys if k % DIFF_ADD_MOD == 0),
+        "removed": sum(1 for k in keys if k % DIFF_DEL_MOD == 0),
+        "changed": sum(
+            1 for k in keys if k % DIFF_DEL_MOD != 0 and k % DIFF_CHG_MOD == 0
+        ),
+    }
+    want["unchanged"] = len(keys) - want["removed"] - want["changed"]
+    got = {r["status"]: r["n_rows"] for r in _q("rpt_table_diff")(spark, SF).collect()}
+    for k, v in want.items():
+        assert got.get(k, 0) == v, (k, got, want)
+
+
+def test_calendar_dim_is_dense_and_consistent(spark):
+    from datetime import timedelta
+
+    rows = sorted(_q("gen_calendar_dim")(spark, SF).collect(), key=lambda r: r["d"])
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert b["d"] - a["d"] == timedelta(days=1)  # dense spine
+    for r in rows:
+        assert r["iso_dow"] == r["d"].isoweekday()
+        assert r["is_weekend"] == (r["d"].isoweekday() >= 6)
+        assert r["is_month_start"] == (r["d"].day == 1)
+        assert r["is_month_end"] == (r["d"].day == r["days_in_month"])
+        assert r["qtr"] == (r["d"].month - 1) // 3 + 1
+
+
+def test_slugify_properties(spark):
+    import re
+
+    rows = _q("str_slugify")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert re.fullmatch(r"[a-z0-9]+(-[a-z0-9]+)*", r["slug"]), r["slug"]
+        assert r["slug_len"] == len(r["slug"])
