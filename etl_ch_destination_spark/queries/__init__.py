@@ -152,6 +152,8 @@ R10_NEW = [
     "sink_parquet_bloom", "rpt_event_transitions", "llm_dedup_substring",
     "rpt_rfm_segmentation", "rpt_table_diff", "gen_calendar_dim",
     "str_slugify",
+    "udf_apply_in_pandas", "udf_map_in_pandas", "win_merge_intervals",
+    "win_reset_cumsum",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

@@ -165,3 +165,102 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ev.mapInArrow(buckets, "event_id long, value_bucket int, abs_value double")
+
+
+@query(
+    "udf_apply_in_pandas",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS group_n
+    FROM events
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInPandas`` — the whole-group Arrow transform
+    (each user's events arrive as ONE pandas DataFrame): per-user
+    chronological running cent totals + group size, i.e. custom
+    full-group logic that windows could also express — which is
+    exactly why the oracle CAN hash-check it (the window form is the
+    SQL spelling; the pandas form is the escape hatch for logic
+    windows cannot express, with identical integer results here).
+
+    Determinism: the group sorts itself by (ts, event_id) inside the
+    UDF and sums int64 cents sequentially — no float order
+    sensitivity. Scale: one user_id exchange; each group must fit a
+    worker's memory (the documented applyInPandas contract — for
+    unbounded groups use the window form instead)."""
+
+    def running(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "running_cents": pdf["cents"].cumsum().astype("int64"),
+                "group_n": len(pdf),
+            }
+        )
+        return out
+
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    base = e.select("user_id", "event_id", "ts", cents.alias("cents"))
+    return base.groupBy("user_id").applyInPandas(
+        running,
+        schema="user_id long, event_id long, running_cents long, group_n long",
+    )
+
+
+@query(
+    "udf_map_in_pandas",
+    """
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           CAST(user_id % 7 AS BIGINT) AS shard,
+           upper(event_type) AS event_type_uc
+    FROM events
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` — the Arrow batch-iterator transform (the same
+    primitive ops/multimodal.py builds on, here as its own §2.11
+    surface key): a generator receives pandas batches and yields
+    derived batches, never materializing the partition. The derivation
+    (exact cents via Decimal quantization matching the engine's
+    decimal(12,2) HALF_UP cast, shard id, uppercase tag) is
+    value-typed so the oracle hash-checks the full path.
+
+    Scale: batch size bounds worker memory
+    (spark.sql.execution.arrow.maxRecordsPerBatch); the iterator form
+    streams — a partition of any size flows through fixed-size Arrow
+    batches."""
+
+    def derive(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for pdf in batches:
+            cents = pdf["value"].map(
+                lambda v: int(
+                    (Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+                    * 100
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "cents": cents.astype("int64"),
+                    "shard": (pdf["user_id"] % 7).astype("int64"),
+                    "event_type_uc": pdf["event_type"].str.upper(),
+                }
+            )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "user_id", "event_type"
+    )
+    return e.mapInPandas(
+        derive,
+        schema="event_id long, cents long, shard long, event_type_uc string",
+    )

@@ -571,3 +571,184 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+IVAL_LEN_MIN = 60   # synthetic interval lengths (shared derivation
+IVAL_LEN_MOD = 600  # with agg_interval_length_sum): 60..659 s
+
+
+@query(
+    "win_merge_intervals",
+    f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + {IVAL_LEN_MIN}
+               + event_id % {IVAL_LEN_MOD} AS e,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY user_id
+                                  ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS span_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM islands
+    GROUP BY user_id, island
+    """,
+)
+def win_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals into their union spans — the
+    row-emitting companion of agg_interval_length_sum (which reports
+    only the total union length): each user's [start, end) intervals
+    collapse into maximal contiguous spans (span id, bounds, member
+    count). The classic sweep: an interval OPENS a new span iff its
+    start exceeds the running max end of all earlier intervals; the
+    running flag's prefix sum is the span id. Two window passes over
+    ONE user_id exchange (same partitioning, Catalyst chains them),
+    then a hash aggregate — all int64-exact seconds.
+
+    At 100 TB: per-user streaming frames, no interval self-join (the
+    naive overlap join is quadratic per user)."""
+    e = load_table(spark, sf_dir, "events")
+    s = F.expr("unix_micros(ts) div 1000000")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + IVAL_LEN_MIN + F.col("event_id") % IVAL_LEN_MOD).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_max = F.max("e").over(w_prev)
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(run_max.isNull() | (F.col("s") > run_max), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("is_new").over(w_run).alias("island")
+    )
+    return islands.groupBy(
+        "user_id", F.col("island").cast("bigint").alias("span_id")
+    ).agg(
+        F.min("s").cast("bigint").alias("span_start"),
+        F.max("e").cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )
+
+
+RESET_GAP_S = 1800  # session gap that resets the running sum
+
+
+@query(
+    "win_reset_cumsum",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS tsec,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - lag(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {RESET_GAP_S}
+                  OR lag(epoch_us(ts) // 1000000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, cents,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM seq
+    )
+    SELECT user_id, event_id, CAST(sess_id AS BIGINT) AS sess_id,
+           CAST(SUM(cents) OVER (PARTITION BY user_id, sess_id
+                                 ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_running_cents
+    FROM sess
+    """,
+)
+def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional running sum with RESETS — per-event cumulative
+    spend since the start of the current session (a >{RESET_GAP_S}-s
+    gap resets the accumulator): the canonical "cumsum that restarts"
+    pattern, which plain window cumsum cannot express without first
+    DERIVING the reset boundaries. Three chained windows over one
+    user_id exchange: gap flags (lag), session ids (prefix sum of
+    flags — win_sessionize's trick), then the running sum partitioned
+    by (user, session). All int64-exact cents and whole seconds."""
+    e = load_table(spark, sf_dir, "events")
+    tsec = F.expr("unix_micros(ts) div 1000000")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        tsec.alias("tsec"),
+        cents.alias("cents"),
+        F.lag(tsec).over(w).alias("prev_t"),
+    )
+    is_new = F.when(
+        F.col("prev_t").isNull() | (F.col("tsec") - F.col("prev_t") > RESET_GAP_S),
+        1,
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = seq.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.sum(is_new).over(w_run).cast("bigint").alias("sess_id"),
+    )
+    w_sess = (
+        Window.partitionBy("user_id", "sess_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sess.select(
+        "user_id",
+        "event_id",
+        "sess_id",
+        F.sum("cents").over(w_sess).cast("bigint").alias(
+            "session_running_cents"
+        ),
+    )

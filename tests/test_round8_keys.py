@@ -833,3 +833,68 @@ def test_slugify_properties(spark):
     for r in rows:
         assert re.fullmatch(r"[a-z0-9]+(-[a-z0-9]+)*", r["slug"]), r["slug"]
         assert r["slug_len"] == len(r["slug"])
+
+
+def test_apply_in_pandas_equals_window_form(spark):
+    got = {
+        (r["user_id"], r["event_id"]): (r["running_cents"], r["group_n"])
+        for r in _q("udf_apply_in_pandas")(spark, SF).collect()
+    }
+    from etl_ch_destination_spark.catalog import load_table
+
+    e = load_table(spark, SF, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["user_id"], r["event_id"]): (r["rc"], r["gn"])
+        for r in e.select(
+            "user_id",
+            "event_id",
+            F.sum(cents).over(w).cast("bigint").alias("rc"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .cast("bigint")
+            .alias("gn"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_merge_intervals_spans_are_disjoint_and_cover(spark):
+    from collections import defaultdict
+
+    rows = _q("win_merge_intervals")(spark, SF).collect()
+    by_user = defaultdict(list)
+    total_members = 0
+    for r in rows:
+        assert r["span_start"] < r["span_end"]
+        by_user[r["user_id"]].append((r["span_start"], r["span_end"]))
+        total_members += r["n_intervals"]
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, "merged spans must be disjoint with a gap"
+    from etl_ch_destination_spark.catalog import load_table
+
+    assert total_members == load_table(spark, SF, "events").count()
+
+
+def test_reset_cumsum_restarts_per_session(spark):
+    from collections import defaultdict
+
+    rows = _q("win_reset_cumsum")(spark, SF).collect()
+    by_sess = defaultdict(list)
+    for r in rows:
+        by_sess[(r["user_id"], r["sess_id"])].append(
+            (r["event_id"], r["session_running_cents"])
+        )
+    for evs in by_sess.values():
+        evs.sort()
+        # strictly increasing within a session (cents > 0 in fixture)
+        totals = [t for _, t in evs]
+        assert totals == sorted(totals)
+        assert totals[0] > 0
