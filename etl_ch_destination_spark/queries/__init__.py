@@ -154,6 +154,7 @@ R10_NEW = [
     "str_slugify",
     "udf_apply_in_pandas", "udf_map_in_pandas", "win_merge_intervals",
     "win_reset_cumsum",
+    "win_skyline_2d", "rpt_new_returning", "str_printf_int",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

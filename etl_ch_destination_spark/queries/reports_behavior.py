@@ -1108,3 +1108,51 @@ def rpt_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+@query(
+    "rpt_new_returning",
+    """
+    WITH m AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m')
+    ),
+    first_m AS (
+      SELECT o_custkey, MIN(ym) AS first_ym FROM m GROUP BY o_custkey
+    )
+    SELECT m.ym,
+           CAST(SUM(CASE WHEN m.ym = f.first_ym THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN m.ym != f.first_ym THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM m JOIN first_m f ON f.o_custkey = m.o_custkey
+    GROUP BY m.ym
+    """,
+)
+def rpt_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning customers per month — the growth-accounting
+    split every revenue dashboard leads with: a customer is NEW in
+    their first-ever active month and RETURNING in every later active
+    month. Plan: orders collapse to distinct (customer, month) rows
+    first (the aggregate-first discipline), the per-customer first
+    month is a MIN over that reduced frame reusing its exchange, and
+    the monthly split is one more hash aggregate. Integer counts
+    only."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).distinct()
+    w = Window.partitionBy("o_custkey")
+    flagged = m.select(
+        "ym", (F.col("ym") == F.min("ym").over(w)).alias("is_new")
+    )
+    return flagged.groupBy("ym").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returning"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+    )

@@ -488,3 +488,31 @@ def str_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         slug.alias("slug"),
         F.length(slug).cast("bigint").alias("slug_len"),
     )
+
+
+@query(
+    "str_printf_int",
+    """
+    SELECT p_partkey,
+           printf('%08d', p_partkey) AS key_padded,
+           printf('SKU-%x-%s', p_partkey, p_brand) AS sku,
+           printf('%d/%d', p_size, p_partkey % 10) AS ratio_repr
+    FROM part
+    """,
+)
+def str_printf_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting over INTEGER/STRING arguments only —
+    zero-padded ids, hex render, composite SKUs (Spark format_string /
+    java.util.Formatter vs DuckDB's C printf agree exactly on %d, %s,
+    %x, and zero-padding; FLOAT specifiers are deliberately excluded —
+    %f rounds HALF_UP in Java and half-even in C, the same cliff
+    str_readable_format documents). Map-side codegen projection."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%08d", "p_partkey").alias("key_padded"),
+        F.format_string("SKU-%x-%s", "p_partkey", "p_brand").alias("sku"),
+        F.format_string(
+            "%d/%d", "p_size", F.col("p_partkey") % 10
+        ).alias("ratio_repr"),
+    )

@@ -752,3 +752,60 @@ def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_running_cents"
         ),
     )
+
+
+@query(
+    "win_skyline_2d",
+    """
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    swept AS (
+      SELECT p_partkey, price_cents, size,
+             MAX(size) OVER (ORDER BY price_cents, size DESC, p_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_prev
+      FROM pts
+    )
+    SELECT p_partkey, price_cents, size
+    FROM swept
+    WHERE best_prev IS NULL OR size > best_prev
+    """,
+)
+def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) — parts not dominated on
+    (minimize price, maximize size): the multi-criteria shortlist
+    operator (Börzsönyi et al., ICDE 2001 — public literature). The
+    classic O(n log n) sweep as ONE window: order by (price asc, size
+    desc, partkey), keep a row iff its size beats the running max of
+    everything cheaper-or-equal seen before it. Equal (price, size)
+    duplicates collapse to the lowest partkey — the pinned
+    deterministic convention (a frontier with unordered ties cannot
+    hash-match). A nested-loop dominance join would be O(n²); the
+    sweep is sort + streaming frame.
+
+    Plan: one global sort exchange (range partitioning) feeding a
+    streaming unbounded-preceding MAX — at 100 TB the sort is the
+    same shape as any ORDER BY, and the frontier filter is map-side
+    after it."""
+    p = load_table(spark, sf_dir, "part")
+    price = (F.col("p_retailprice").cast("decimal(12,2)") * 100).cast("bigint")
+    pts = p.select(
+        "p_partkey",
+        price.alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w = (
+        Window.orderBy("price_cents", F.desc("size"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = pts.select(
+        "p_partkey", "price_cents", "size", F.max("size").over(w).alias("best_prev")
+    )
+    return swept.filter(
+        F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev"))
+    ).select("p_partkey", "price_cents", "size")

@@ -898,3 +898,55 @@ def test_reset_cumsum_restarts_per_session(spark):
         totals = [t for _, t in evs]
         assert totals == sorted(totals)
         assert totals[0] > 0
+
+
+def test_skyline_matches_brute_force_dominance(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    pts = [
+        (r["p_partkey"], int(round(r["p_retailprice"] * 100)), r["p_size"])
+        for r in load_table(spark, SF, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(a):
+        ka, pa, sa = a
+        for kb, pb, sb in pts:
+            if (pb, sb) == (pa, sa):
+                if kb < ka:  # duplicate collapses to lowest key
+                    return True
+                continue
+            if pb <= pa and sb >= sa:
+                return True
+        return False
+
+    want = {k for (k, p, s) in pts if not dominated((k, p, s))}
+    got = {r["p_partkey"] for r in _q("win_skyline_2d")(spark, SF).collect()}
+    assert got == want
+
+
+def test_new_returning_accounting(spark):
+    rows = sorted(_q("rpt_new_returning")(spark, SF).collect(), key=lambda r: r["ym"])
+    assert rows
+    # first month: everyone active is new
+    assert rows[0]["n_returning"] == 0
+    total_new = sum(r["n_new"] for r in rows)
+    from etl_ch_destination_spark.catalog import load_table
+
+    n_customers = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    # every customer is new exactly once
+    assert total_new == n_customers
+    for r in rows:
+        assert r["n_new"] + r["n_returning"] == r["n_active"]
+
+
+def test_printf_int_matches_python_format(spark):
+    rows = _q("str_printf_int")(spark, SF).collect()
+    for r in rows[:200]:
+        k = r["p_partkey"]
+        assert r["key_padded"] == f"{k:08d}"
+        assert r["sku"].startswith(f"SKU-{k:x}-")
+        assert r["ratio_repr"].endswith(f"/{k % 10}")
