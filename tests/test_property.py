@@ -299,3 +299,103 @@ def test_triangle_counts_match_python_reference(spark, edges):
         r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
     }
     assert got == expected
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(1, 15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_merge_intervals_sweep_matches_python(spark, ivals):
+    """The running-max-end island sweep (win_merge_intervals' core)
+    produces exactly the union spans a sequential Python merge does,
+    on random per-key interval sets with duplicates and containment."""
+    from pyspark.sql.window import Window as W
+
+    data = [
+        (k, s, s + ln, i) for i, (k, s, ln) in enumerate(ivals)
+    ]  # [start, end), unique id as tiebreak
+    df = spark.createDataFrame(data, "k int, s int, e int, id int")
+    w_prev = (
+        W.partitionBy("k").orderBy("s", "id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    run_max = F.max("e").over(w_prev)
+    marked = df.select(
+        "k",
+        "s",
+        "e",
+        "id",
+        F.when(run_max.isNull() | (F.col("s") > run_max), 1).otherwise(0).alias(
+            "nw"
+        ),
+    )
+    w_run = (
+        W.partitionBy("k").orderBy("s", "id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    got = {
+        (r["k"], r["ss"], r["ee"])
+        for r in marked.select(
+            "k", "s", "e", F.sum("nw").over(w_run).alias("island")
+        )
+        .groupBy("k", "island")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("ee"))
+        .collect()
+    }
+
+    expected = set()
+    by_k: dict[int, list] = {}
+    for k, s, e, _ in data:
+        by_k.setdefault(k, []).append((s, e))
+    for k, spans in by_k.items():
+        spans.sort()
+        cs, ce = spans[0]
+        for s, e in spans[1:]:
+            if s > ce:
+                expected.add((k, cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        expected.add((k, cs, ce))
+    assert got == expected
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_skyline_sweep_matches_brute_force(spark, pts):
+    """The one-window skyline sweep equals brute-force dominance
+    filtering on random 2-D points (minimize x, maximize y; duplicate
+    points collapse to the lowest id)."""
+    from pyspark.sql.window import Window as W
+
+    data = [(x, y, i) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(data, "x int, y int, id int")
+    w = W.orderBy("x", F.desc("y"), "id").rowsBetween(W.unboundedPreceding, -1)
+    swept = df.select("x", "y", "id", F.max("y").over(w).alias("best"))
+    got = {
+        r["id"]
+        for r in swept.filter(
+            F.col("best").isNull() | (F.col("y") > F.col("best"))
+        ).collect()
+    }
+
+    def dominated(x, y, i):
+        for xb, yb, ib in data:
+            if (xb, yb) == (x, y):
+                if ib < i:
+                    return True
+                continue
+            if xb <= x and yb >= y:
+                return True
+        return False
+
+    expected = {i for x, y, i in data if not dominated(x, y, i)}
+    assert got == expected
