@@ -155,6 +155,7 @@ R10_NEW = [
     "udf_apply_in_pandas", "udf_map_in_pandas", "win_merge_intervals",
     "win_reset_cumsum",
     "win_skyline_2d", "rpt_new_returning", "str_printf_int",
+    "date_add_business", "join_fuzzy_levenshtein", "json_nested_explode",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

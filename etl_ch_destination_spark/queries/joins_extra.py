@@ -725,3 +725,92 @@ def dict_get_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r_name") == "ASIA").alias("in_asia"),
         )
     )
+
+
+FUZZY_MAX_LEV = 2
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    f"""
+    WITH clean AS (
+      SELECT n_nationkey, n_name,
+             substr(n_name, 1, 1) AS blk_c, length(n_name) AS blk_l
+      FROM nation
+    ),
+    dirty AS (
+      SELECT n_nationkey AS dirty_key,
+             substr(n_name, 1, 2 + CAST(n_nationkey % 5 AS INT))
+               || substr(n_name, 4 + CAST(n_nationkey % 5 AS INT))
+               AS dirty_name
+      FROM nation
+    ),
+    blocked AS (
+      SELECT d.dirty_key, d.dirty_name, c.n_name AS matched_name,
+             levenshtein(d.dirty_name, c.n_name) AS lev
+      FROM dirty d
+      JOIN clean c
+        ON c.blk_c = substr(d.dirty_name, 1, 1)
+       AND abs(c.blk_l - length(d.dirty_name)) <= {FUZZY_MAX_LEV}
+      WHERE levenshtein(d.dirty_name, c.n_name) <= {FUZZY_MAX_LEV}
+    )
+    SELECT dirty_key, dirty_name, matched_name, CAST(lev AS BIGINT) AS lev
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_key
+                                   ORDER BY lev, matched_name) AS rk
+      FROM blocked
+    ) WHERE rk = 1
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension matching — join dirty strings (a char deleted at
+    a key-derived position) back to the clean dimension under edit
+    distance ≤ {FUZZY_MAX_LEV}, the dirty-master-data repair join. The
+    scale discipline: levenshtein NEVER runs all-pairs — candidates
+    come from BLOCKING (first-char equality + a ±{FUZZY_MAX_LEV}
+    length band, both necessary conditions for the distance bound
+    given deletions past position 1), so the quadratic distance only
+    evaluates on the blocked candidates; the winner per dirty row is a
+    bounded window (min distance, name tiebreak). The dim side
+    broadcasts at any fact scale.
+
+    Both engines implement plain Wagner-Fischer edit distance —
+    integer-valued, hash-exact."""
+    nat = load_table(spark, sf_dir, "nation")
+    clean = nat.select(
+        F.col("n_name").alias("clean_name"),
+        F.substring("n_name", 1, 1).alias("blk_c"),
+        F.length("n_name").alias("blk_l"),
+    )
+    # delete one char at key-derived position 3..7 (never position 1,
+    # preserving the first-char blocking invariant)
+    dirty = nat.select(
+        F.col("n_nationkey").alias("dirty_key"),
+        F.concat(
+            F.expr("substr(n_name, 1, 2 + cast(n_nationkey % 5 as int))"),
+            F.expr("substr(n_name, 4 + cast(n_nationkey % 5 as int))"),
+        ).alias("dirty_name"),
+    )
+    blocked = (
+        dirty.join(
+            F.broadcast(clean),
+            (F.col("blk_c") == F.substring("dirty_name", 1, 1))
+            & (
+                F.abs(F.col("blk_l") - F.length("dirty_name"))
+                <= FUZZY_MAX_LEV
+            ),
+        )
+        .withColumn("lev", F.levenshtein("dirty_name", "clean_name"))
+        .filter(F.col("lev") <= FUZZY_MAX_LEV)
+    )
+    w = Window.partitionBy("dirty_key").orderBy("lev", "clean_name")
+    return (
+        blocked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "dirty_key",
+            "dirty_name",
+            F.col("clean_name").alias("matched_name"),
+            F.col("lev").cast("bigint").alias("lev"),
+        )
+    )

@@ -581,3 +581,60 @@ def arr_cumsum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", cumsum.alias("cumsum"), diffs.alias("diffs"), total.alias("total")
     )
+
+
+@query(
+    "json_nested_explode",
+    """
+    WITH j AS (
+      SELECT doc_id,
+             ('{"id": ' || CAST(doc_id AS VARCHAR)
+              || ', "tags": ["t' || CAST(doc_id % 5 AS VARCHAR)
+              || '", "t' || CAST(doc_id % 7 AS VARCHAR)
+              || '"], "meta": {"n": ' || CAST(n_chars AS VARCHAR)
+              || '}}')::JSON AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(payload->'$.id' AS BIGINT) AS parsed_id,
+           CAST(payload->'$.meta.n' AS BIGINT) AS meta_n,
+           unnest(CAST(payload->'$.tags' AS VARCHAR[])) AS tag
+    FROM j
+    """,
+)
+def json_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON shredding — parse a document payload carrying a
+    scalar, a nested object, and an ARRAY, then explode the array to
+    rows: the from_json(schema) → explode pipeline every JSON-lake
+    ingest runs (CH's JSONExtract*/arrayJoin). The payload derives
+    deterministically from fixture columns so both engines shred the
+    IDENTICAL document; Spark parses with an explicit schema (never
+    inference — the engine-wide typed-ingest rule), DuckDB casts the
+    JSON pointers.
+
+    Map-side parse + explode, zero shuffles; at 100 TB from_json with
+    an explicit schema is whole-stage-codegen JSON shredding, and
+    unparseable rows surface as NULLs for a quarantine filter (the
+    scan_csv_badrows discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "tags": ["t'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('", "t'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"], "meta": {"n": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}}"),
+    )
+    schema = "id bigint, tags array<string>, meta struct<n: bigint>"
+    parsed = d.select(
+        "doc_id", F.from_json(payload, schema).alias("p")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.id").alias("parsed_id"),
+        F.col("p.meta.n").alias("meta_n"),
+        F.explode("p.tags").alias("tag"),
+    )

@@ -201,3 +201,64 @@ def date_us_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("millisecond", F.col("ts")).alias("ts_ms"),
         (tus % 1000000).alias("us_in_second"),
     )
+
+
+@query(
+    "date_add_business",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderkey % 15 + 1 AS BIGINT) AS n
+      FROM orders
+    ),
+    snapped AS (
+      SELECT o_orderkey, d, n,
+             CASE WHEN isodow(d) > 5
+                  THEN d + CAST((8 - isodow(d)) AS INT) ELSE d END AS d0
+      FROM base
+    )
+    SELECT o_orderkey, d AS start_date, n AS n_business_days,
+           d0 + CAST((n // 5) * 7 + (n % 5)
+                + CASE WHEN isodow(d0) + (n % 5) > 5 THEN 2 ELSE 0 END
+                AS INT) AS due_date,
+           CAST(isodow(d0 + CAST((n // 5) * 7 + (n % 5)
+                + CASE WHEN isodow(d0) + (n % 5) > 5 THEN 2 ELSE 0 END
+                AS INT)) AS BIGINT) AS due_iso_dow
+    FROM snapped
+    """,
+)
+def date_add_business(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day ARITHMETIC — add N working days to a date (the
+    due-date/SLA companion of date_business_days, which only COUNTS):
+    weekend starts snap forward to Monday, then the closed-form
+    n = 5q + r decomposition adds q calendar weeks plus r days plus a
+    2-day weekend hop when the remainder crosses Friday — pure integer
+    CASE arithmetic, no calendar iteration, identical on both engines
+    (ISO weekday on the Spark side is the ((dayofweek+5)%7)+1
+    identity). The emitted due-date ISO weekday proves the invariant
+    (always ≤ 5). Map-side projection, zero shuffles; a holiday
+    calendar would turn this into the gen_calendar_dim broadcast join
+    — the documented extension."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    n = (F.col("o_orderkey") % 15 + 1).cast("bigint")
+
+    def iso_dow(col):
+        return (F.dayofweek(col) + 5) % 7 + 1
+
+    d0 = F.when(iso_dow(d) > 5, F.date_add(d, (8 - iso_dow(d)).cast("int"))).otherwise(d)
+    base = o.select(
+        "o_orderkey", d.alias("start_date"), n.alias("n_business_days"),
+        d0.alias("d0"),
+    )
+    rem = F.col("n_business_days") % 5
+    hop = F.when(iso_dow(F.col("d0")) + rem > 5, 2).otherwise(0)
+    days = (F.expr("n_business_days div 5") * 7 + rem + hop).cast("int")
+    due = F.date_add(F.col("d0"), days)
+    return base.select(
+        "o_orderkey",
+        "start_date",
+        "n_business_days",
+        due.alias("due_date"),
+        iso_dow(due).cast("bigint").alias("due_iso_dow"),
+    )

@@ -950,3 +950,49 @@ def test_printf_int_matches_python_format(spark):
         assert r["key_padded"] == f"{k:08d}"
         assert r["sku"].startswith(f"SKU-{k:x}-")
         assert r["ratio_repr"].endswith(f"/{k % 10}")
+
+
+def test_add_business_days_python_reference(spark):
+    from datetime import timedelta
+
+    rows = _q("date_add_business")(spark, SF).collect()
+    assert rows
+    for r in rows[:500]:
+        d = r["start_date"]
+        # snap weekend starts to Monday, then walk day by day
+        while d.isoweekday() > 5:
+            d += timedelta(days=1)
+        n = r["n_business_days"]
+        while n > 0:
+            d += timedelta(days=1)
+            if d.isoweekday() <= 5:
+                n -= 1
+        assert r["due_date"] == d, (r["start_date"], r["n_business_days"])
+        assert r["due_iso_dow"] <= 5
+
+
+def test_fuzzy_levenshtein_recovers_every_nation(spark):
+    rows = _q("join_fuzzy_levenshtein")(spark, SF).collect()
+    # every dirty name (one deleted char) must match back, lev == 1,
+    # except where the deletion is a no-op tie resolved to lev 0
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 <= r["lev"] <= 1
+        # the match must reinsert exactly the deleted character
+        assert len(r["matched_name"]) - len(r["dirty_name"]) in (0, 1)
+
+
+def test_json_nested_explode_shreds_correctly(spark):
+    from collections import defaultdict
+
+    by_doc = defaultdict(set)
+    meta = {}
+    for r in _q("json_nested_explode")(spark, SF).collect():
+        assert r["parsed_id"] == r["doc_id"]
+        by_doc[r["doc_id"]].add(r["tag"])
+        meta[r["doc_id"]] = r["meta_n"]
+    assert by_doc
+    for doc_id, tags in by_doc.items():
+        want = {f"t{doc_id % 5}", f"t{doc_id % 7}"}
+        # duplicate tag values collapse in the set; membership is the gate
+        assert tags == want
