@@ -156,6 +156,7 @@ R10_NEW = [
     "win_reset_cumsum",
     "win_skyline_2d", "rpt_new_returning", "str_printf_int",
     "date_add_business", "join_fuzzy_levenshtein", "json_nested_explode",
+    "scan_csv_quoted", "sink_jsonl_gzip",
 ]
 
 # Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled

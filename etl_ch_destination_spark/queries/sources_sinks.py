@@ -1425,3 +1425,112 @@ def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
         F.sum("qty_cents").cast("bigint").alias("sum_qty_cents"),
     )
+
+
+CSVQ_N = 40  # staged tricky-CSV fixture rows
+
+
+@query(
+    "scan_csv_quoted",
+    f"""
+    SELECT doc_id,
+           'pre,' || substr(text, 1, 10) AS f_comma,
+           'say "' || substr(text, 1, 5) || '"' AS f_quote,
+           'line1
+' || substr(text, 1, 8) AS f_newline,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < {CSVQ_N}
+    """,
+)
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV hard cases — embedded COMMAS, escaped QUOTES, and
+    EMBEDDED NEWLINES inside quoted fields: the dirty-extract surface
+    where naive line-splitting silently corrupts rows. The fixture is
+    staged with Python's csv writer (QUOTE_MINIMAL + doubled quotes —
+    the RFC encoding), read back with Spark's csv source in
+    ``multiLine`` mode with explicit schema and escape='"'; the oracle
+    re-derives every field from the SOURCE columns, so a hash match
+    proves the parser recovered byte-identical field values through
+    the quoting layer.
+
+    At 100 TB the caveat is the documented one: multiLine CSV cannot
+    split inside files (records cross line boundaries), so parallelism
+    is per-file — ship many shards. Plain CSV stays splittable;
+    scan_csv_typed covers that path."""
+    import csv
+    import os
+
+    path = _scratch(sf_dir, "scan_csv_quoted")
+    for stale in os.listdir(path):
+        if stale.endswith(".csv"):
+            os.unlink(os.path.join(path, stale))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < CSVQ_N)
+        .select("doc_id", "text", "n_chars")
+    )
+    # bounded driver-side fixture staging ({CSVQ_N} rows)
+    with open(os.path.join(path, "tricky.csv"), "w", newline="") as f:
+        w = csv.writer(f)  # RFC 4180: minimal quoting, doubled quotes
+        w.writerow(["doc_id", "f_comma", "f_quote", "f_newline", "n_chars"])
+        for r in d.collect():
+            t = r["text"]
+            w.writerow(
+                [
+                    r["doc_id"],
+                    f"pre,{t[:10]}",
+                    f'say "{t[:5]}"',
+                    f"line1\n{t[:8]}",
+                    r["n_chars"],
+                ]
+            )
+    return (
+        spark.read.schema(
+            "doc_id bigint, f_comma string, f_quote string, "
+            "f_newline string, n_chars bigint"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+@query(
+    "sink_jsonl_gzip",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-codec sink round trip — JSONL written with GZIP
+    (``option("compression", "gzip")``), re-read typed, aggregated,
+    and hash-matched against the oracle on the ORIGINAL table: the
+    codec layer lost nothing. Codec choice is a first-order 100 TB
+    knob — gzip trades split-ability for ratio (one task per .gz
+    file; zstd/snappy-in-parquet stay splittable), which is exactly
+    why the export shards into many files. The µs timestamp format
+    rides along (the scan_jsonl lesson). Test pins that .gz files
+    were actually produced."""
+    path = _scratch(sf_dir, "sink_jsonl_gzip")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .option("timestampFormat", TS_FMT)
+        .option("compression", "gzip")
+        .json(path)
+    )
+    back = spark.read.schema(EVENTS).option("timestampFormat", TS_FMT).json(path)
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )

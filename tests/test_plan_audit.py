@@ -37,6 +37,11 @@ EFFECTFUL = {
     "scan_native_import",  # writes columnar wire blocks to scratch
     "job_matview_refresh",  # writes view-state versions to scratch
     "scan_binary_files",  # stages blob fixture files to scratch
+    "scan_text_lines",  # stages wrapped .txt fixture files to scratch
+    "scan_csv_quoted",  # stages the RFC-4180 tricky-CSV fixture
+    "sink_parquet_bloom",  # writes the bloom-indexed layout
+    "sink_zorder_layout",  # writes the z-clustered layout
+    "sink_jsonl_gzip",  # writes the gzip JSONL export
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

@@ -996,3 +996,42 @@ def test_json_nested_explode_shreds_correctly(spark):
         want = {f"t{doc_id % 5}", f"t{doc_id % 7}"}
         # duplicate tag values collapse in the set; membership is the gate
         assert tags == want
+
+
+def test_csv_quoted_fields_roundtrip_exactly(spark):
+    """Every tricky field (embedded comma, escaped quote, embedded
+    newline) must round-trip byte-identically through the RFC-4180
+    staging + multiLine read."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import CSVQ_N
+
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents")
+        .filter(f"doc_id < {CSVQ_N}")
+        .collect()
+    }
+    out = {r["doc_id"]: r for r in _q("scan_csv_quoted")(spark, SF).collect()}
+    assert set(out) == set(src)
+    for doc_id, t in src.items():
+        r = out[doc_id]
+        assert r["f_comma"] == f"pre,{t[:10]}"
+        assert r["f_quote"] == f'say "{t[:5]}"'
+        assert r["f_newline"] == f"line1\n{t[:8]}"
+        assert "\n" in r["f_newline"]
+
+
+def test_jsonl_gzip_actually_compresses(spark):
+    import glob
+
+    from etl_ch_destination_spark.queries.sources_sinks import _scratch
+
+    _q("sink_jsonl_gzip")(spark, SF).collect()
+    path = _scratch(SF, "sink_jsonl_gzip")
+    gz = glob.glob(f"{path}/part-*.json.gz")
+    assert gz, "gzip codec produced no .gz files"
+    import gzip
+
+    with gzip.open(gz[0], "rt") as f:
+        line = f.readline()
+    assert line.startswith("{") and "event_id" in line
