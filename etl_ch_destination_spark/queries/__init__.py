@@ -4,15 +4,13 @@ driver-window rotation via ``registry.promote``.
 
 THE ROTATION IS AN EXPLICIT KEY LIST, NOT IMPORT ORDER: the driver's
 correctness harness samples the FIRST 50 keys in ``queries()`` order
-each round. Rounds 1-7 drove 270 unique keys to driver-recorded
-green; the promote() call below front-loads the round-8 window: the
-round-8 tail (5 rows-only-by-design keys — a rows-only driver row is
-the strongest row those can ever earn), the 27 keys ADDED in round 7,
-and the keys ADDED in round 8 (R9_NEW) filling the window's spare
-slots — completing driver records for every key of the original
-302-key registry plus the first 18 round-8 additions.
-tests/test_inventory.py enforces window freshness mechanically from
-the recorded CORRECTNESS_r*.json files.
+each round. Rounds 1-8 drove 320 unique keys to driver-recorded
+green (307 hash + 13 rows-only-by-design) with zero failures; the
+promote() call below front-loads the round-9 window: R10_NEW — the
+37 late-round-8 keys that are the only ones with no driver
+CORRECTNESS row — plus R11_NEW (round-9 additions) filling the 13
+spare slots. tests/test_inventory.py enforces window freshness
+mechanically from the recorded CORRECTNESS_r*.json files.
 """
 
 from etl_ch_destination_spark import registry
@@ -159,8 +157,14 @@ R10_NEW = [
     "scan_csv_quoted", "sink_jsonl_gzip",
 ]
 
-# Round-8 rotation: R8_TAIL + R8_NEW (32 keys, the last never-sampled
-# keys of the 302 registry) occupy the front of the driver's 50-key
-# sample window; R9_NEW fills the remaining 18 slots.
-ROTATION = [*R8_TAIL, *R8_NEW, *R9_NEW, *R10_NEW, *R7_WINDOW, *R6_WINDOW]
+# Keys ADDED in round 9 — staged directly into the window's 13 spare
+# slots (50 - 37) so they earn driver rows the same round they land.
+R11_NEW: list[str] = []
+
+# Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys
+# with no driver CORRECTNESS row) occupy the front of the driver's
+# 50-key sample window; R11_NEW (round-9 additions) fills the
+# remaining 13 slots. Previously-sampled blocks pad the tail.
+ROTATION = [*R10_NEW, *R11_NEW, *R9_NEW, *R8_NEW, *R8_TAIL,
+            *R7_WINDOW, *R6_WINDOW]
 registry.promote(ROTATION)
