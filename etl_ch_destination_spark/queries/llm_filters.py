@@ -727,8 +727,15 @@ def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SUBSTR_GRAM = 40   # char-shingle length (BigCode used 50-token spans)
-SUBSTR_STEP = 10   # shingle stride — overlap guarantees detection of
-                   # any shared run >= SUBSTR_GRAM + SUBSTR_STEP - 1
+SUBSTR_STEP = 10   # shingle stride. NOTE both docs shingle on their own
+                   # position grid (starts 1, 11, 21, ...), so a shared
+                   # run yields a common shingle hash only when its
+                   # start offsets in the two docs are congruent mod
+                   # SUBSTR_STEP — phase-aligned copies (identical
+                   # prefixes / whole-doc duplicates / block-aligned
+                   # boilerplate). For a true length-based guarantee,
+                   # stride one side only (index every position of the
+                   # other) at ~STEP× the fan-out cost.
 
 
 @query(
@@ -760,9 +767,11 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-level shared-substring detection — the practical
     approximation of exact-substring dedup (the suffix-array
     deduplication of Lee et al. 2022, public literature): strided
-    {SUBSTR_GRAM}-char shingles (stride {SUBSTR_STEP} — any copied run
-    of ≥ {SUBSTR_GRAM + SUBSTR_STEP - 1} chars necessarily contains a
-    whole shingle from both copies) hashed with md5; a shingle
+    {SUBSTR_GRAM}-char shingles (stride {SUBSTR_STEP}; detection is
+    guaranteed only for phase-aligned copies — runs whose start
+    offsets in the two documents are congruent mod the stride, e.g.
+    identical prefixes or whole-doc duplicates — since both sides
+    shingle on their own position grid) hashed with md5; a shingle
     appearing in ≥2 documents marks boilerplate/quotation overlap, and
     each doc reports its shared-shingle fraction. Character-level
     catches what word-level n-gram Jaccard misses (whitespace/markup

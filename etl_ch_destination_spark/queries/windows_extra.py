@@ -677,8 +677,7 @@ RESET_GAP_S = 1800  # session gap that resets the running sum
     "win_reset_cumsum",
     f"""
     WITH seq AS (
-      SELECT user_id, event_id,
-             epoch_us(ts) // 1000000 AS tsec,
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
              CASE WHEN epoch_us(ts) // 1000000
                        - lag(epoch_us(ts) // 1000000)
@@ -692,7 +691,7 @@ RESET_GAP_S = 1800  # session gap that resets the running sum
     ),
     sess AS (
       SELECT user_id, event_id, cents,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM seq
     )
@@ -710,9 +709,12 @@ def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap resets the accumulator): the canonical "cumsum that restarts"
     pattern, which plain window cumsum cannot express without first
     DERIVING the reset boundaries. Three chained windows over one
-    user_id exchange: gap flags (lag), session ids (prefix sum of
+    user_id exchange — gap flags (lag), session ids (prefix sum of
     flags — win_sessionize's trick), then the running sum partitioned
-    by (user, session). All int64-exact cents and whole seconds."""
+    by (user, session) — all ordered by the SAME full-precision
+    (ts, event_id) key, so sub-second events sequence identically in
+    the flag and prefix-sum passes (ADVICE r8). Gap measured in whole
+    seconds; cents int64-exact."""
     e = load_table(spark, sf_dir, "events")
     tsec = F.expr("unix_micros(ts) div 1000000")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
@@ -720,6 +722,7 @@ def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "user_id",
         "event_id",
+        "ts",
         tsec.alias("tsec"),
         cents.alias("cents"),
         F.lag(tsec).over(w).alias("prev_t"),
@@ -730,7 +733,7 @@ def win_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("tsec", "event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = seq.select(
