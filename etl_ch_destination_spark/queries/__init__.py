@@ -159,7 +159,10 @@ R10_NEW = [
 
 # Keys ADDED in round 9 — staged directly into the window's 13 spare
 # slots (50 - 37) so they earn driver rows the same round they land.
-R11_NEW: list[str] = []
+R11_NEW: list[str] = [
+    "rpt_basket_pairs", "rpt_activity_heatmap", "rpt_abc_classification",
+    "win_bollinger_bands", "win_minmax_scaler", "ts_outlier_iqr",
+]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys
 # with no driver CORRECTNESS row) occupy the front of the driver's

@@ -1156,3 +1156,157 @@ def rpt_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_returning"),
         F.count(F.lit(1)).cast("bigint").alias("n_active"),
     )
+
+
+@query(
+    "rpt_basket_pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM ob GROUP BY b),
+    nk AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM ob),
+    pr AS (
+      SELECT a.b AS brand_a, c.b AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+      GROUP BY a.b, c.b
+    )
+    SELECT pr.brand_a, pr.brand_b, pr.n_pair,
+           na.n_b AS n_a, nc.n_b AS n_b, nk.n_baskets,
+           CAST(pr.n_pair AS DOUBLE) / nk.n_baskets AS support,
+           (CAST(pr.n_pair AS DOUBLE) * nk.n_baskets)
+             / (CAST(na.n_b AS DOUBLE) * nc.n_b) AS lift
+    FROM pr
+    JOIN nb na ON na.b = pr.brand_a
+    JOIN nb nc ON nc.b = pr.brand_b
+    CROSS JOIN nk
+    WHERE pr.n_pair >= 3
+    """,
+)
+def rpt_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs — brand co-occurrence within an
+    order with support and lift (Agrawal & Srikant's association-rule
+    measures, VLDB 1994 — public literature): baskets are orders, items
+    are part BRANDS (the deduped (order, brand) projection bounds the
+    per-basket pair expansion at C(brands_in_order, 2) ≤ C(7,2)), lift
+    is the exact rational n_pair·N / (n_a·n_b) in ONE double expression
+    (integer counts, no float accumulation). Pairs under support 3 are
+    pruned — the a-priori floor every basket miner applies before
+    emitting rules.
+
+    Plan: one broadcast join to the part dim for the brand, the deduped
+    (order, brand) projection STAGED once (three consumers — marginals,
+    basket count, pair join — read stored blocks instead of re-deriving
+    the dedup), one self-equi-join on the order key (its natural
+    layout), partial-agg pair counts (brand-pair cardinality is tiny),
+    and broadcast joins of the per-brand marginals back onto the pairs.
+    Nothing is collected; the only big shuffles are the dedup and the
+    self-join."""
+    from etl_ch_destination_spark.ops.staging import stage
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = stage(
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct(),
+        label="basket_ob",
+    )
+    nb = ob.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    nk = ob.agg(
+        F.countDistinct("o").cast("bigint").alias("n_baskets")
+    )
+    a, c = ob.alias("a"), ob.alias("c")
+    pr = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    na = nb.select(F.col("b").alias("brand_a"), F.col("n_b").alias("n_a"))
+    nc = nb.select(F.col("b").alias("brand_b"), F.col("n_b").alias("n_b"))
+    return (
+        pr.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nc), "brand_b")
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            (F.col("n_pair").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+            (
+                (F.col("n_pair").cast("double") * F.col("n_baskets"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "rpt_activity_heatmap",
+    """
+    WITH b AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hr,
+             user_id
+      FROM events
+    ),
+    cell AS (
+      SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM b GROUP BY dow, hr
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+           n_events, n_users,
+           CAST(n_events AS DOUBLE) / SUM(n_events) OVER () AS share,
+           CAST(RANK() OVER (PARTITION BY dow
+                             ORDER BY n_events DESC, hr) AS BIGINT)
+             AS rank_in_dow
+    FROM cell
+    """,
+)
+def rpt_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the traffic-seasonality
+    grid behind every ops dashboard: per (dow, hour) cell, event and
+    distinct-user counts, share of total traffic, and the cell's rank
+    within its day. Weekday is computed ARITHMETICALLY from the epoch
+    ((days + 4) mod 7; 1970-01-01 was a Thursday, so Sunday ≡ 0) —
+    engine weekday builtins disagree on origin (Spark dayofweek is
+    1=Sunday, DuckDB dayofweek is 0=Sunday), and the pure integer form
+    sidesteps the mapping entirely.
+
+    Plan: map-side epoch bucketing, one hash agg onto ≤168 cells, and
+    window passes over that constant-size frame — a single reduce at
+    any data scale; the distinct-user count is the only full-width
+    exchange."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hr"),
+        "user_id",
+    )
+    cell = b.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    w_all = Window.partitionBy()
+    w_dow = Window.partitionBy("dow").orderBy(F.desc("n_events"), F.asc("hr"))
+    return cell.select(
+        "dow",
+        "hr",
+        "n_events",
+        "n_users",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(w_all)).alias(
+            "share"
+        ),
+        F.rank().over(w_dow).cast("bigint").alias("rank_in_dow"),
+    )

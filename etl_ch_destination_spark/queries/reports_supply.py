@@ -386,3 +386,81 @@ def rpt_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_cents").cast("double") / F.lit(float(total))).alias("cum_share"),
         (100 * F.col("cum_cents") <= PARETO_PCT * F.lit(total)).alias("in_top80"),
     )
+
+
+@query(
+    "rpt_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT p_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, p_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER () AS total,
+             CAST(ROW_NUMBER() OVER (ORDER BY r DESC, p_partkey) AS BIGINT)
+               AS rk
+      FROM rev
+    )
+    SELECT p_partkey, rk,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                WHEN 20 * cum <= 19 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def rpt_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — Pareto-bucket every part by its
+    share of cumulative discounted revenue: class A while the running
+    total is within 80% of grand revenue, B within 95%, else C (the
+    80/15/5 convention of ABC analysis). The class boundaries are
+    decided in EXACT DECIMAL cross-multiplication (5·cum ≤ 4·total ⇔
+    cum/total ≤ 0.8) so a part sitting on a boundary classifies
+    identically in both engines — a float share would flip on ulps.
+
+    Plan: one partial-agg shuffle to per-part revenue, then a single
+    global sort (range exchange) carrying the running decimal sum —
+    the same shape as any ORDER BY + cumulative window. At 100 TB the
+    per-part frame is |parts| (millions, not billions) and the decimal
+    widths (38,2 headroom) absorb the grand total without overflow;
+    ties are broken by partkey so the frontier is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from etl_ch_destination_spark.queries._util import disc_price
+
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(disc_price()).alias("r")
+    )
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.orderBy(F.desc("r"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.desc("r"), F.asc("p_partkey"))
+    ranked = rev.select(
+        "p_partkey",
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("total"),
+        F.row_number().over(w_rk).cast("bigint").alias("rk"),
+    )
+    return ranked.select(
+        "p_partkey",
+        "rk",
+        F.col("r").cast("double").alias("revenue"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+        F.when(F.lit(5) * F.col("cum") <= F.lit(4) * F.col("total"), "A")
+        .when(F.lit(20) * F.col("cum") <= F.lit(19) * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -1001,3 +1001,145 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth(F.last_day("d")).cast("bigint").alias("days_in_month"),
         (iso_dow >= 6).alias("is_weekend"),
     )
+
+
+@query(
+    "ts_outlier_iqr",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+             ) AS rn
+      FROM events
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY event_type),
+    q AS (
+      SELECT n.event_type, n.n,
+             q1lo.cents * (4 - (n.n - 1) % 4)
+               + COALESCE(q1hi.cents, q1lo.cents) * ((n.n - 1) % 4) AS q1_num,
+             q3lo.cents * (4 - (3 * (n.n - 1)) % 4)
+               + COALESCE(q3hi.cents, q3lo.cents) * ((3 * (n.n - 1)) % 4)
+               AS q3_num
+      FROM n
+      JOIN v q1lo ON q1lo.event_type = n.event_type
+                 AND q1lo.rn = (n.n - 1) // 4 + 1
+      LEFT JOIN v q1hi ON q1hi.event_type = n.event_type
+                      AND q1hi.rn = (n.n - 1) // 4 + 2
+                      AND (n.n - 1) % 4 > 0
+      JOIN v q3lo ON q3lo.event_type = n.event_type
+                 AND q3lo.rn = (3 * (n.n - 1)) // 4 + 1
+      LEFT JOIN v q3hi ON q3hi.event_type = n.event_type
+                      AND q3hi.rn = (3 * (n.n - 1)) // 4 + 2
+                      AND (3 * (n.n - 1)) % 4 > 0
+    )
+    SELECT q.event_type, q.n,
+           CAST(q.q1_num AS DOUBLE) / 400.0 AS q1,
+           CAST(q.q3_num AS DOUBLE) / 400.0 AS q3,
+           CAST(q.q3_num - q.q1_num AS DOUBLE) / 400.0 AS iqr,
+           CAST(2 * q.q1_num - 3 * (q.q3_num - q.q1_num) AS DOUBLE) / 800.0
+             AS fence_lo,
+           CAST(2 * q.q3_num + 3 * (q.q3_num - q.q1_num) AS DOUBLE) / 800.0
+             AS fence_hi,
+           CAST(SUM(CASE WHEN 8 * v.cents <
+                              2 * q.q1_num - 3 * (q.q3_num - q.q1_num)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 8 * v.cents >
+                              2 * q.q3_num + 3 * (q.q3_num - q.q1_num)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM q JOIN v ON v.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1_num, q.q3_num
+    """,
+)
+def ts_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census — per event_type, exact interpolated
+    Q1/Q3 (the quantile_cont definition in PURE INTEGER arithmetic:
+    q·4 = lo·(4−rem) + hi·rem, the agg_quantile_interp_exact device)
+    and counts of points beyond the 1.5·IQR fences (Tukey's boxplot
+    rule, EDA 1977 — public literature). The fence test is cleared of
+    all division — 8·x < 2·Q1num − 3·(Q3num−Q1num) is int64-exact — so
+    a point ON a fence classifies identically in both engines; floats
+    appear only in the display columns (single divisions of exact
+    integers).
+
+    Plan: one per-group sort for the ranked spine (the cost any exact
+    quantile pays). The quartile rows are then harvested in ONE pass —
+    the tiny (group → probe-rank) frame broadcasts onto the spine and
+    a conditional MAX picks each probe row — instead of four rank-probe
+    joins; the census then broadcasts the per-group fence frame back
+    onto the (still event_type-partitioned) spine, so the whole key
+    costs the sort exchange plus one count agg. No collect, no
+    all-pairs, state O(|event_type|)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    v = e.select("event_type", cents.alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = v.select(
+        "event_type", "cents", F.row_number().over(w).alias("rn")
+    )
+    n = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    probes = n.select(
+        "event_type",
+        "n",
+        (F.expr("(n - 1) div 4") + 1).alias("q1_lo_rn"),
+        F.expr("(n - 1) % 4").alias("q1_rem"),
+        (F.expr("(3 * (n - 1)) div 4") + 1).alias("q3_lo_rn"),
+        F.expr("(3 * (n - 1)) % 4").alias("q3_rem"),
+    )
+
+    def pick(rn_col: str) -> F.Column:
+        return F.max(F.when(F.col("rn") == F.col(rn_col), F.col("cents")))
+
+    j = (
+        ranked.join(F.broadcast(probes), "event_type")
+        .groupBy("event_type", "n", "q1_rem", "q3_rem")
+        .agg(
+            pick("q1_lo_rn").alias("c1lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("q1_lo_rn") + 1, F.col("cents"))
+            ).alias("c1hi"),
+            pick("q3_lo_rn").alias("c3lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("q3_lo_rn") + 1, F.col("cents"))
+            ).alias("c3hi"),
+        )
+    )
+    q = j.select(
+        "event_type",
+        "n",
+        (
+            F.col("c1lo") * (F.lit(4) - F.col("q1_rem"))
+            + F.coalesce(F.col("c1hi"), F.col("c1lo")) * F.col("q1_rem")
+        ).alias("q1_num"),
+        (
+            F.col("c3lo") * (F.lit(4) - F.col("q3_rem"))
+            + F.coalesce(F.col("c3hi"), F.col("c3lo")) * F.col("q3_rem")
+        ).alias("q3_num"),
+    )
+    dq = F.col("q3_num") - F.col("q1_num")
+    lo_num = F.lit(2) * F.col("q1_num") - F.lit(3) * dq
+    hi_num = F.lit(2) * F.col("q3_num") + F.lit(3) * dq
+    cen = v.join(F.broadcast(q), "event_type")
+    return cen.groupBy("event_type", "n", "q1_num", "q3_num").agg(
+        F.sum(F.when(F.lit(8) * F.col("cents") < lo_num, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.sum(F.when(F.lit(8) * F.col("cents") > hi_num, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("q1_num").cast("double") / 400.0).alias("q1"),
+        (F.col("q3_num").cast("double") / 400.0).alias("q3"),
+        (dq.cast("double") / 400.0).alias("iqr"),
+        (lo_num.cast("double") / 800.0).alias("fence_lo"),
+        (hi_num.cast("double") / 800.0).alias("fence_hi"),
+        "n_low",
+        "n_high",
+    )

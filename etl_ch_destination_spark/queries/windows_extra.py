@@ -812,3 +812,174 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.filter(
         F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev"))
     ).select("p_partkey", "price_cents", "size")
+
+
+BOLL_WIN = 20  # Bollinger lookback (rows); bands at mean ± 2σ
+
+
+@query(
+    "win_bollinger_bands",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    fr AS (
+      SELECT user_id, event_id, cents,
+             SUM(cents) OVER w AS s,
+             SUM(cents * cents) OVER w AS ss,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN {BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, cents, n,
+           CAST(s AS DOUBLE) / n AS mid,
+           CAST(s AS DOUBLE) / n
+             + 2.0 * (sqrt(CAST(n * ss - s * s AS DOUBLE)) / n) AS upper_band,
+           CAST(s AS DOUBLE) / n
+             - 2.0 * (sqrt(CAST(n * ss - s * s AS DOUBLE)) / n) AS lower_band,
+           CASE WHEN n = {BOLL_WIN}
+                 AND CAST(cents AS DOUBLE) * n > CAST(s AS DOUBLE)
+                       + 2.0 * sqrt(CAST(n * ss - s * s AS DOUBLE))
+                THEN 1
+                WHEN n = {BOLL_WIN}
+                 AND CAST(cents AS DOUBLE) * n < CAST(s AS DOUBLE)
+                       - 2.0 * sqrt(CAST(n * ss - s * s AS DOUBLE))
+                THEN -1 ELSE 0 END AS breakout
+    FROM fr
+    """,
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands — rolling mean ± 2σ over a {BOLL_WIN}-row frame
+    per user, plus a breakout flag when the current value pierces a
+    band (Bollinger's volatility envelope; the moving-σ channel every
+    monitoring/trading stack draws). All frame sums are INT64-exact
+    (cents and cents²), so mean = s/n and σ = sqrt(n·ss − s²)/n are
+    single deterministic IEEE expressions of exact integers — a
+    float-accumulated rolling variance would drift between engines
+    (DuckDB evaluates window aggregates with segment trees, Spark
+    streams the frame; only integer state is association-proof). The
+    breakout test cross-multiplies by n before comparing so no
+    division enters the decision.
+
+    Plan: one user_id exchange, streaming ROWS frame (bounded state:
+    two int64 accumulators), map-side everything else — the same cost
+    envelope as any partitioned rolling window at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    v = e.select(
+        "user_id", "event_id", F.col("ts").alias("tus_src"),
+        cents.alias("cents"),
+    ).withColumn("tus", F.expr("unix_micros(tus_src)")).drop("tus_src")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(-(BOLL_WIN - 1), Window.currentRow)
+    )
+    fr = v.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n")
+    sig = F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+    cd = F.col("cents").cast("double")
+    return fr.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "n",
+        (sd / nd).alias("mid"),
+        (sd / nd + F.lit(2.0) * (sig / nd)).alias("upper_band"),
+        (sd / nd - F.lit(2.0) * (sig / nd)).alias("lower_band"),
+        F.when(
+            (F.col("n") == BOLL_WIN) & (cd * nd > sd + F.lit(2.0) * sig), 1
+        )
+        .when(
+            (F.col("n") == BOLL_WIN) & (cd * nd < sd - F.lit(2.0) * sig), -1
+        )
+        .otherwise(0)
+        .alias("breakout"),
+    )
+
+
+@query(
+    "win_minmax_scaler",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             MIN(cents) AS mn, MAX(cents) AS mx,
+             SUM(cents) AS s, SUM(cents * cents) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type, v.cents,
+           CASE WHEN st.mx > st.mn
+                THEN CAST(v.cents - st.mn AS DOUBLE) / (st.mx - st.mn)
+                ELSE 0.0 END AS minmax,
+           CASE WHEN st.n * st.ss > st.s * st.s
+                THEN (CAST(v.cents AS DOUBLE) * st.n - CAST(st.s AS DOUBLE))
+                     / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE))
+                ELSE 0.0 END AS zscore_sn
+    FROM v JOIN st ON st.event_type = v.event_type
+    """,
+)
+def win_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling — min-max normalization and a z-score
+    per event value within its event_type: the standard ML
+    preprocessing pair (scikit-learn's MinMaxScaler/StandardScaler
+    semantics) as pure relational ops. The z-score is emitted in the
+    cross-multiplied form (x·n − s)/sqrt(n·ss − s²) — algebraically
+    z·n/ ... a monotone rescaling of the classic (x−μ)/σ that never
+    divides by n early, so every float comes from ONE expression over
+    exact int64 sums. Constant groups scale to 0 by convention.
+
+    Plan: a grouped stats agg (map-side partials, |event_type| rows)
+    broadcast-joined back onto the stream — deliberately NOT a window
+    (an unbounded frame would sort the whole table; the agg+broadcast
+    join computes the same result with one cheap exchange and no
+    sort), the right shape at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    v = e.select("event_id", "event_type", cents.alias("cents"))
+    st = v.groupBy("event_type").agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    j = v.join(F.broadcast(st), "event_type")
+    var_num = (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return j.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("cents") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")),
+        )
+        .otherwise(0.0)
+        .alias("minmax"),
+        F.when(
+            var_num > 0,
+            (
+                F.col("cents").cast("double") * F.col("n")
+                - F.col("s").cast("double")
+            )
+            / F.sqrt(var_num.cast("double")),
+        )
+        .otherwise(0.0)
+        .alias("zscore_sn"),
+    )

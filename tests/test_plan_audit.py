@@ -88,6 +88,9 @@ ALLOWED_NLJ = {
     # three 1-row x 1-row (orphans x total) reshapes unioned into the
     # long-form audit report (reports_behavior.py)
     "rpt_fk_integrity",
+    # 1-row basket-count total broadcast onto the |brand-pair| frame,
+    # condition-free by design (reports_behavior.py)
+    "rpt_basket_pairs",
 }
 
 MAX_HASH_SHUFFLES = 4
@@ -141,6 +144,10 @@ SHUFFLE_ALLOWANCE = {
     "llm_bigram_kneser_ney": 6,
     "graph_degree_stats": 8,
     "graph_triangle_count": 13,
+    # staged (order, brand) dedup + self-join + pair agg + two brand
+    # marginals + exact basket count — each exchange structural
+    # (reports_behavior.py)
+    "rpt_basket_pairs": 7,
 }
 
 
