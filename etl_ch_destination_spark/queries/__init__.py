@@ -162,6 +162,8 @@ R10_NEW = [
 R11_NEW: list[str] = [
     "rpt_basket_pairs", "rpt_activity_heatmap", "rpt_abc_classification",
     "win_bollinger_bands", "win_minmax_scaler", "ts_outlier_iqr",
+    "agg_group_array_insert_at", "agg_categorical_woe",
+    "llm_feature_hashing", "llm_bm25_score", "llm_pmi_collocations",
 ]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys

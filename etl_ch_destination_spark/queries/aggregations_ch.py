@@ -2800,3 +2800,171 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_group_array_insert_at",
+    """
+    WITH e0 AS (
+      SELECT l_orderkey,
+             CAST(l_linenumber - 1 AS BIGINT) AS pos,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS val
+      FROM lineitem
+    ),
+    e AS (
+      SELECT l_orderkey, pos, MIN(val) AS val
+      FROM e0 GROUP BY l_orderkey, pos
+    ),
+    g AS (
+      SELECT l_orderkey,
+             CAST(MAX(pos) AS BIGINT) AS mx,
+             list(pos ORDER BY pos) AS poss,
+             list(val ORDER BY pos) AS vals
+      FROM e GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(mx + 1 AS BIGINT) AS size,
+           array_to_string(
+             list_transform(range(0, CAST(mx + 1 AS INT)),
+                            i -> CAST(COALESCE(
+                                   vals[list_position(poss, CAST(i AS BIGINT))],
+                                   CAST(0 AS BIGINT)) AS VARCHAR)),
+             ',') AS arr_csv
+    FROM g
+    """,
+)
+def agg_group_array_insert_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayInsertAt(default, size)(x, pos)`` — build
+    a per-group array by PLACING each value at the position another
+    column dictates, default-filling unseen slots (emitted as a csv
+    string — the driver's hasher rejects array cells): here each
+    order's quantity cents land at slot l_linenumber−1, gaps become 0, and a
+    DUPLICATED position resolves to MIN(value) — CH itself picks an
+    arbitrary winner there (non-deterministic by definition), so the
+    pinned minimum is this engine's deterministic strengthening (the
+    fixture does carry duplicate (order, linenumber) pairs).
+
+    Plan: a (group, pos) pre-agg collapses duplicates map-side, then
+    one hash agg per l_orderkey builds the (pos→val) map and a
+    map-side sequence/transform reshapes it into the dense array — no
+    window, no sort, two key-compatible exchanges; array length is
+    bounded by the group's max position (≤7 lines/order here), so
+    per-group state stays O(size) at any corpus scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            "l_orderkey",
+            (F.col("l_linenumber") - 1).cast("bigint").alias("pos"),
+            (F.col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("val"),
+        )
+        .groupBy("l_orderkey", "pos")
+        .agg(F.min("val").alias("val"))
+    )
+    g = e.groupBy("l_orderkey").agg(
+        F.max("pos").cast("bigint").alias("mx"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("pos", "val")))
+        ).alias("m"),
+    )
+    return g.select(
+        "l_orderkey",
+        (F.col("mx") + 1).cast("bigint").alias("size"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), F.col("mx")),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i), F.lit(0).cast("bigint")
+                ).cast("string"),
+            ),
+        ).alias("arr_csv"),
+    )
+
+
+@query(
+    "agg_categorical_woe",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS category,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_event,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_nonevent
+      FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+      SELECT category, n_event, n_nonevent,
+             CAST(SUM(n_event) OVER () AS BIGINT) AS t_event,
+             CAST(SUM(n_nonevent) OVER () AS BIGINT) AS t_nonevent
+      FROM g
+    )
+    SELECT category, n_event, n_nonevent,
+           CAST(n_event AS DOUBLE) / t_event AS dist_event,
+           CAST(n_nonevent AS DOUBLE) / t_nonevent AS dist_nonevent,
+           CASE WHEN n_nonevent > 0 AND n_event > 0
+                THEN (CAST(n_event AS DOUBLE) * CAST(t_nonevent AS DOUBLE))
+                     / (CAST(n_nonevent AS DOUBLE) * CAST(t_event AS DOUBLE))
+           END AS woe_odds,
+           CASE WHEN n_event + n_nonevent > 0
+                THEN ((CAST(n_event AS DOUBLE) / t_event)
+                      - (CAST(n_nonevent AS DOUBLE) / t_nonevent))
+                     * ((CAST(n_event AS DOUBLE) / t_event)
+                        - (CAST(n_nonevent AS DOUBLE) / t_nonevent))
+                     / ((CAST(n_event AS DOUBLE) / t_event)
+                        + (CAST(n_nonevent AS DOUBLE) / t_nonevent))
+           END AS tri_divergence
+    FROM t
+    """,
+)
+def agg_categorical_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence category profiling — the credit-scoring /
+    feature-engineering primitive: per category (order priority) vs a
+    binary outcome (order fulfilled, ``o_orderstatus = 'F'``), the
+    event/non-event distributions, the WoE ODDS RATIO
+    (n_e·T_ne)/(n_ne·T_e) — the exact rational whose log is classic
+    WoE; ln is monotone, so ranking/thresholding on the odds ratio is
+    equivalent and hash-exact where raw ln drifts ulps cross-engine
+    (the agg_entropy_gini finding) — and the triangular-discrimination
+    contribution (d_e−d_ne)²/(d_e+d_ne), an f-divergence that plays
+    Information Value's role as a pure rational. Every float is a
+    fixed-shape expression over exact int64 counts.
+
+    Plan: one hash agg onto |categories| rows, then window totals over
+    that constant-size frame — a single reduce at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    is_f = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    g = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(is_f).cast("bigint").alias("n_event"),
+        F.sum(1 - is_f).cast("bigint").alias("n_nonevent"),
+    )
+    w = Window.partitionBy()
+    t = g.select(
+        "category",
+        "n_event",
+        "n_nonevent",
+        F.sum("n_event").over(w).cast("bigint").alias("t_event"),
+        F.sum("n_nonevent").over(w).cast("bigint").alias("t_nonevent"),
+    )
+    de = F.col("n_event").cast("double") / F.col("t_event")
+    dne = F.col("n_nonevent").cast("double") / F.col("t_nonevent")
+    return t.select(
+        "category",
+        "n_event",
+        "n_nonevent",
+        de.alias("dist_event"),
+        dne.alias("dist_nonevent"),
+        F.when(
+            (F.col("n_nonevent") > 0) & (F.col("n_event") > 0),
+            (F.col("n_event").cast("double") * F.col("t_nonevent").cast("double"))
+            / (
+                F.col("n_nonevent").cast("double")
+                * F.col("t_event").cast("double")
+            ),
+        ).alias("woe_odds"),
+        F.when(
+            F.col("n_event") + F.col("n_nonevent") > 0,
+            (de - dne) * (de - dne) / (de + dne),
+        ).alias("tri_divergence"),
+    )

@@ -1408,3 +1408,210 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_per_token"),
         )
     )
+
+
+BM25_TERMS = ["join", "scan", "window", "vector", "stream"]
+BM25_TOPK = 10  # docs reported per query term
+
+
+@query(
+    "llm_bm25_score",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+             ((CAST(corpus.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                                  / (CAST(corpus.total_tokens AS DOUBLE)
+                                     / corpus.n_docs))))
+               AS bm25_r
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN corpus
+    )
+    SELECT term, doc_id, tf, df, dl, bm25_r, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY term ORDER BY bm25_r DESC, doc_id) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= {BM25_TOPK}
+    """,
+)
+def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson & Walker SIGIR 1994 — public
+    literature) for a fixed query-term set, top-{BM25_TOPK} documents
+    per term: the ranking function behind every lexical retrieval /
+    RAG-corpus indexing pipeline. k1 = 1.2, b = 0.75 (the canonical
+    defaults); the idf factor uses the RATIONAL surrogate
+    (N − df + 0.5)/(df + 0.5) — the argument of BM25's log, monotone in
+    it, so rankings are identical while staying hash-exact (ln drifts
+    ulps cross-engine; the agg_entropy_gini finding). Every float is
+    one fixed-shape expression over exact integer counts with pinned
+    parenthesization on both engines.
+
+    Plan: map-side term filter DURING the explode (only query terms
+    survive — the scan never materializes the full posting list), one
+    (doc, term) hash agg, a broadcast of the tiny df/corpus frames,
+    and a per-term top-k window over ≤ |terms|·|docs-with-term| rows.
+    At 100 TB this is the classic one-pass scatter-gather scorer —
+    no index build, no all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    from etl_ch_destination_spark.ops.staging import stage
+
+    tf = stage(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
+        label="bm25_tf",
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf_r = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / avgdl)
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id", "term", "tf", "df", "dl", (idf_r * sat).alias("bm25_r")
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25_r"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("term", "doc_id", "tf", "df", "dl", "bm25_r", "rk")
+    )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor
+PMI_TOPK = 50      # collocations reported
+
+
+@query(
+    "llm_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(
+               range(1, CAST(len(ws) AS INT)),
+               i -> struct_pack(x := ws[CAST(i AS INT)],
+                                y := ws[CAST(i AS INT) + 1]))) AS b
+      FROM toks WHERE len(ws) >= 2
+    ),
+    pair AS (
+      SELECT b.x AS x, b.y AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bg GROUP BY b.x, b.y
+    ),
+    tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM pair),
+    ux AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pair GROUP BY x),
+    uy AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pair GROUP BY y)
+    SELECT x, y, c_xy, c_x, c_y, lift, rk FROM (
+      SELECT pair.x, pair.y, pair.c_xy, ux.c_x, uy.c_y,
+             (CAST(pair.c_xy AS DOUBLE) * tot.n)
+               / (CAST(ux.c_x AS DOUBLE) * uy.c_y) AS lift,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY (CAST(pair.c_xy AS DOUBLE) * tot.n)
+                          / (CAST(ux.c_x AS DOUBLE) * uy.c_y) DESC,
+                        pair.x, pair.y) AS BIGINT) AS rk
+      FROM pair
+      JOIN ux ON ux.x = pair.x
+      JOIN uy ON uy.y = pair.y
+      CROSS JOIN tot
+      WHERE pair.c_xy >= {PMI_MIN_COUNT}
+    ) WHERE rk <= {PMI_TOPK}
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks, CL 1990 — public
+    literature): adjacent-token bigrams scored by pointwise mutual
+    information against the independence baseline — reported as the
+    exact LIFT ratio N·c(x,y) / (c(x)·c(y)), the argument of PMI's
+    log (monotone, hash-exact; ln itself drifts ulps cross-engine).
+    Bigrams below support {PMI_MIN_COUNT} are pruned (PMI's
+    low-frequency pathology), top {PMI_TOPK} reported. The marginals
+    are positional (first/second slot of the bigram), the convention
+    that makes the contingency table sum consistently.
+
+    Plan: map-side bigram explode (index-zip over the token array, no
+    self-join), one (x, y) hash agg — the Zipf-small bigram vocab —
+    then marginal aggs OVER THE PAIR TABLE (not the corpus: c(x) =
+    Σ_y c(x,y), so the heavy explode is consumed exactly once), two
+    broadcast marginal joins and a constant-size top-k sort. One big
+    exchange total at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("x"),
+                    F.element_at(F.col("ws"), i + 1).alias("y"),
+                ),
+            )
+        ).alias("b")
+    )
+    from etl_ch_destination_spark.ops.staging import stage
+
+    pair = stage(
+        bg.groupBy(F.col("b.x").alias("x"), F.col("b.y").alias("y")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_xy")
+        ),
+        label="pmi_pairs",
+    )
+    tot = pair.agg(F.sum("c_xy").cast("bigint").alias("n"))
+    ux = pair.groupBy("x").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    uy = pair.groupBy("y").agg(F.sum("c_xy").cast("bigint").alias("c_y"))
+    lift = (F.col("c_xy").cast("double") * F.col("n")) / (
+        F.col("c_x").cast("double") * F.col("c_y")
+    )
+    scored = (
+        pair.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "y", "c_xy", "c_x", "c_y", lift.alias("lift"))
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("x"), F.asc("y"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= PMI_TOPK)
+        .select("x", "y", "c_xy", "c_x", "c_y", "lift", "rk")
+    )

@@ -271,3 +271,70 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").alias("frame_bytes"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+FH_DIM = 64  # feature-hashing bucket count (power of two)
+
+
+@query(
+    "llm_feature_hashing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term || ':fh1'), 1, 7)) AS BIGINT)
+               % {FH_DIM} AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(term || ':fh1'), 8, 1))
+                            AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM h
+    GROUP BY doc_id, bucket
+    HAVING SUM(sgn) <> 0
+    """,
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. ICML
+    2009 — public literature): every token maps to one of {FH_DIM}
+    buckets via an md5-prefix hash, with a second hash bit supplying
+    the ±1 sign that makes the estimator unbiased; the per-document
+    sparse vector is the signed count per bucket (zero weights
+    dropped). This is the vocabulary-free featurizer for streaming /
+    adversarial corpora — no dictionary to build, no OOV, fixed width
+    regardless of vocabulary growth. md5 is the cross-engine uniform
+    hash (the sample_weighted_hash device), so both engines place
+    every token in the same signed bucket.
+
+    Plan: map-side explode + hash (zero lookups, no vocabulary
+    broadcast), ONE hash agg on (doc_id, bucket) with map-side
+    partials — the output is bounded by docs × {FH_DIM}, never by
+    vocabulary. The natural 100 TB featurizer: embarrassingly
+    parallel, one exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    salted = F.md5(F.concat(F.col("term"), F.lit(":fh1")))
+    h = tok.select(
+        "doc_id",
+        (F.conv(F.substring(salted, 1, 7), 16, 10).cast("bigint") % FH_DIM)
+        .alias("bucket"),
+        F.when(
+            F.conv(F.substring(salted, 8, 1), 16, 10).cast("bigint") % 2 == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .select("doc_id", "bucket", "weight")
+    )

@@ -91,6 +91,12 @@ ALLOWED_NLJ = {
     # 1-row basket-count total broadcast onto the |brand-pair| frame,
     # condition-free by design (reports_behavior.py)
     "rpt_basket_pairs",
+    # 1-row corpus (N, total_tokens) broadcast onto the scored
+    # postings frame (llm_corpus.py)
+    "llm_bm25_score",
+    # 1-row bigram grand total broadcast onto the |pairs| frame
+    # (llm_corpus.py)
+    "llm_pmi_collocations",
 }
 
 MAX_HASH_SHUFFLES = 4
