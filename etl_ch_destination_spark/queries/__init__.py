@@ -164,6 +164,7 @@ R11_NEW: list[str] = [
     "win_bollinger_bands", "win_minmax_scaler", "ts_outlier_iqr",
     "agg_group_array_insert_at", "agg_categorical_woe",
     "llm_feature_hashing", "llm_bm25_score", "llm_pmi_collocations",
+    "graph_pagerank", "sink_manifest_snapshot",
 ]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys

@@ -223,3 +223,90 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_log2_bucket")
     )
+
+
+PR_SCALE = 1_000_000  # rank fixed-point: parts-per-million
+PR_ITERS = 3          # unrolled power iterations (oracle mirrors each)
+
+
+@query(
+    "graph_pagerank",
+    f"""
+    WITH {_SQL_EDGES},
+    e2 AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    ed AS (SELECT e2.src, e2.dst, deg.d
+           FROM e2 JOIN deg ON deg.node = e2.src),
+    r1 AS (
+      SELECT dst AS node,
+             150000 + 85 * SUM({PR_SCALE} // d) // 100 AS rank
+      FROM ed GROUP BY dst
+    ),
+    r2 AS (
+      SELECT ed.dst AS node,
+             150000 + 85 * SUM(r1.rank // ed.d) // 100 AS rank
+      FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst
+    ),
+    r3 AS (
+      SELECT ed.dst AS node,
+             150000 + 85 * SUM(r2.rank // ed.d) // 100 AS rank
+      FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst
+    )
+    SELECT r3.node, CAST(r3.rank AS BIGINT) AS rank_ppm,
+           CAST(deg.d AS BIGINT) AS degree
+    FROM r3 JOIN deg ON deg.node = r3.node
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph ({PR_ITERS} power
+    iterations, damping 0.85 — Page et al. 1999, public literature) in
+    DETERMINISTIC FIXED-POINT arithmetic: ranks live as integer
+    parts-per-million, each node's outgoing contribution is
+    rank div degree (integer floor division) and the update is
+    0.15·SCALE + (85·Σcontrib) div 100 — every operation is exact
+    int64, so the result is independent of partial-aggregation order
+    and hash-matches the oracle's identical integer recurrence (a
+    float PageRank cannot: parallel double sums drift). Every node has
+    degree ≥ 1 by construction (it exists because an edge does), so
+    there is no dangling-mass term.
+
+    Plan: the degree-annotated directed edge list is STAGED once and
+    reused by all iterations; each iteration is one equi-join
+    (edges × ranks on src) plus one hash agg on dst — the textbook
+    O(|E|)-per-round message-passing shape. Iterations are a fixed
+    unrolled constant, lineage stays O(1) via the staging seam (the
+    ops/components.py discipline). At 100 TB: partition edges by src
+    once, and every round reuses that layout."""
+    e = _copurchase_edges(spark, sf_dir)
+    e2 = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = _degrees(e).select(
+        F.col("node").alias("src"), F.col("d").alias("d")
+    )
+    ed = stage(e2.join(deg, "src"), label="pagerank_edges")
+    rank = None
+    for _ in range(PR_ITERS):
+        if rank is None:
+            contrib = ed.select(
+                "dst", F.expr(f"{PR_SCALE} div d").alias("c")
+            )
+        else:
+            r_src = rank.select(
+                F.col("node").alias("src"), F.col("rank").alias("r_in")
+            )
+            contrib = ed.join(r_src, "src").select(
+                "dst", F.expr("r_in div d").alias("c")
+            )
+        rank = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(150000)
+                + F.expr("85 * sum(c) div 100")
+            ).alias("rank")
+        )
+    degn = _degrees(e)
+    return rank.join(degn, "node").select(
+        "node",
+        F.col("rank").cast("bigint").alias("rank_ppm"),
+        F.col("d").cast("bigint").alias("degree"),
+    )

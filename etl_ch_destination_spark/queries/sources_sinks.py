@@ -1534,3 +1534,79 @@ def sink_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum(cents).cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "sink_manifest_snapshot",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    WHERE user_id % 4 <> 2
+       OR CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) >= 500
+    GROUP BY event_type
+    """,
+)
+def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pointer snapshot isolation — the lakehouse table-format
+    commit model (the manifest/snapshot mechanism described in the
+    Delta Lake VLDB'20 and Iceberg public designs) reduced to its
+    Spark-visible core: commit 1 writes the table as four hash buckets
+    of parquet; commit 2 REWRITES bucket 2 (compacting away rows under
+    500 cents) and publishes a NEW manifest that points at commits
+    {{1: buckets 0,1,3}} ∪ {{2: bucket 2}} — the swap is one JSON
+    pointer write, readers of the old manifest never see a torn state,
+    and the replaced files are left in place for time travel until a
+    vacuum. The returned frame re-reads the table THROUGH the new
+    manifest (an explicit file list fed to the parquet reader) and
+    aggregates; the oracle expresses the expected post-commit state
+    directly over the source table, so the hash gate proves the
+    manifest read path lost and duplicated nothing.
+
+    Plan/scale: bucket rewrite touches only 1/4 of the data (the
+    partition-pruned overwrite every table format optimizes for);
+    the manifest keeps reads at file-list granularity — O(|files|)
+    driver work, no directory listing storms at 100 TB."""
+    import json
+
+    path = _scratch(sf_dir, "sink_manifest_snapshot")
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    bkt = (F.col("user_id") % 4).alias("bkt")
+    # commit 1: full table, four hash buckets
+    v1 = os.path.join(path, "commit1")
+    ev.withColumn("bkt", bkt).write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(v1)
+    # commit 2: rewrite bucket 2 only (compaction/retention rule)
+    v2 = os.path.join(path, "commit2")
+    (
+        ev.withColumn("bkt", bkt)
+        .filter((F.col("bkt") == 2) & (cents >= 500))
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(v2)
+    )
+    # publish: the new manifest points at live partition directories
+    manifest = {
+        "snapshot": 2,
+        "paths": [
+            os.path.join(v1, "bkt=0"),
+            os.path.join(v1, "bkt=1"),
+            os.path.join(v1, "bkt=3"),
+            os.path.join(v2, "bkt=2"),
+        ],
+    }
+    mpath = os.path.join(path, "manifest_v2.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    # read THROUGH the manifest: explicit file list, no directory scan
+    with open(mpath) as f:
+        live = json.load(f)["paths"]
+    back = spark.read.schema(EVENTS).parquet(*live)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )

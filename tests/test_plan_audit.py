@@ -150,6 +150,10 @@ SHUFFLE_ALLOWANCE = {
     "llm_bigram_kneser_ney": 6,
     "graph_degree_stats": 8,
     "graph_triangle_count": 13,
+    # 3 unrolled power iterations × (edges⋈ranks join + dst agg) over
+    # the staged degree-annotated edge list, plus the edge-derivation
+    # exchanges — each structural (queries/graph.py)
+    "graph_pagerank": 12,
     # staged (order, brand) dedup + self-join + pair agg + two brand
     # marginals + exact basket count — each exchange structural
     # (reports_behavior.py)
