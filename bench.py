@@ -99,6 +99,13 @@ BENCH_KEYS = [
     "graph_triangle_count",
     "rpt_filter_funnel",
     "llm_mattr_diversity",
+    # round-9 additions: iterative integer PageRank (3 staged
+    # message-passing rounds over the co-purchase edges), the staged
+    # basket self-join with broadcast marginals, and the bigram-explode
+    # PMI pipeline over the staged pair table
+    "graph_pagerank",
+    "rpt_basket_pairs",
+    "llm_pmi_collocations",
 ]
 
 N_RUNS = 5

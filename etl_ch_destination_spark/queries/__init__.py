@@ -167,10 +167,17 @@ R11_NEW: list[str] = [
     "graph_pagerank", "sink_manifest_snapshot",
 ]
 
+# Keys ADDED later in round 9 — the round-10 driver window (behind
+# R11_NEW's 13 in-window keys; promoted to the front next round).
+R12_NEW: list[str] = [
+    "agg_quantile_timing", "geo_point_in_polygon",
+    "win_cumulative_distinct", "set_union_by_name", "scan_dpp_join",
+]
+
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys
 # with no driver CORRECTNESS row) occupy the front of the driver's
 # 50-key sample window; R11_NEW (round-9 additions) fills the
 # remaining 13 slots. Previously-sampled blocks pad the tail.
-ROTATION = [*R10_NEW, *R11_NEW, *R9_NEW, *R8_NEW, *R8_TAIL,
+ROTATION = [*R10_NEW, *R11_NEW, *R12_NEW, *R9_NEW, *R8_NEW, *R8_TAIL,
             *R7_WINDOW, *R6_WINDOW]
 registry.promote(ROTATION)

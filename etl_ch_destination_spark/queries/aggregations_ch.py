@@ -2968,3 +2968,95 @@ def agg_categorical_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (de - dne) * (de - dne) / (de + dne),
         ).alias("tri_divergence"),
     )
+
+
+QT_QS = ((1, 2), (9, 10), (99, 100))  # quantileTiming levels: .5/.9/.99
+
+
+@query(
+    "agg_quantile_timing",
+    f"""
+    WITH ms AS (
+      SELECT event_type,
+             CAST(CASE
+               WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) < 1024
+                 THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) <= 30000
+                 THEN (CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 16)
+                      * 16
+               ELSE 30000 END AS BIGINT) AS b
+      FROM events
+    ),
+    h AS (
+      SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ms GROUP BY event_type, b
+    ),
+    cum AS (
+      SELECT event_type, b, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type, {", ".join(
+        "CAST(MIN(CASE WHEN cc * " + str(den) + " >= n * " + str(num)
+        + " THEN b END) AS BIGINT) AS q" + str(num) + "_" + str(den)
+        for num, den in QT_QS)}
+    FROM cum GROUP BY event_type
+    """,
+)
+def agg_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTiming`` — the latency-quantile aggregate
+    whose defining property (per the public docs) is DETERMINISM: the
+    value domain is bucketed (exact 1 ms resolution below 1024 ms,
+    16 ms buckets to 30 s, saturation at 30 000 ms) and the quantile
+    is read off the bucket histogram by rank, so the answer never
+    depends on processing order — the same property this engine needs
+    for its hash gate, making the pair a natural fit. Levels .5/.9/.99
+    via the nearest-rank rule cc·den ≥ n·num in pure int64
+    cross-multiplication (event cents stand in for milliseconds).
+
+    Plan: map-side bucketing, one (group, bucket) hash agg — the
+    histogram is ≤ 1024 + 1814 buckets per group BY CONSTRUCTION, the
+    whole point of the Timing variant — then a constant-size window
+    cumsum and conditional-min rank probes. At 100 TB the per-group
+    state is the fixed histogram, exactly like CH's implementation."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    b = (
+        F.when(cents < 1024, cents)
+        .when(cents <= 30000, F.expr(
+            "(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 16) * 16"
+        ))
+        .otherwise(F.lit(30000))
+        .cast("bigint")
+    )
+    h = (
+        e.select("event_type", b.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "b",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cc") * F.lit(den) >= F.col("n") * F.lit(num),
+                F.col("b"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"q{num}_{den}")
+        for num, den in QT_QS
+    ]
+    return cum.groupBy("event_type").agg(*aggs)

@@ -277,7 +277,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled constant, lineage stays O(1) via the staging seam (the
     ops/components.py discipline). At 100 TB: partition edges by src
     once, and every round reuses that layout."""
-    e = _copurchase_edges(spark, sf_dir)
+    return pagerank_ranks(_copurchase_edges(spark, sf_dir))
+
+
+def pagerank_ranks(e: DataFrame) -> DataFrame:
+    """graph_pagerank's integer recurrence over an arbitrary canonical
+    undirected edge frame ``(u, v)`` (u < v, distinct) so tests can pin
+    it on known graphs. Returns ``(node, rank_ppm, degree)``."""
     e2 = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))

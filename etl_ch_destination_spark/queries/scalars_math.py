@@ -204,3 +204,80 @@ def num_radix_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.col("event_id").cast("string"), 10, 8).alias("oct_str"),
         F.conv(F.hex("event_id"), 16, 10).cast("bigint").alias("hex_roundtrip"),
     )
+
+
+# Integer-vertex test polygon (non-convex pentagon) and the derived
+# deterministic point grid. The SQL fragment below is GENERATED from
+# these constants and shared verbatim by the Spark query and the
+# DuckDB oracle, so the two engines run the identical integer test.
+GEO_POLY = [(100, 100), (900, 150), (700, 500), (500, 350), (200, 600)]
+GEO_PX = "(c_custkey % 1000)"
+GEO_PY = "((c_custkey * 37 + 11) % 1000)"
+
+
+def _geo_crossing_terms() -> str:
+    """Even-odd ray-cast crossing count as exact int64 SQL: for each
+    polygon edge, the ray from (px, py) to x = +inf crosses iff the
+    edge spans py and the x-intersection lies right of px — the
+    comparison cross-multiplied by (y2 − y1), with the inequality
+    direction resolved PER EDGE at generation time (the sign of the
+    multiplier is a compile-time constant), so no division and no
+    floats ever enter."""
+    terms = []
+    n = len(GEO_POLY)
+    for i in range(n):
+        x1, y1 = GEO_POLY[i]
+        x2, y2 = GEO_POLY[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        op = "<" if y2 > y1 else ">"
+        terms.append(
+            f"(CASE WHEN (({y1} > {GEO_PY}) <> ({y2} > {GEO_PY}))"
+            f" AND ({GEO_PX} - {x1}) * {y2 - y1} {op}"
+            f" ({GEO_PY} - {y1}) * {x2 - x1}"
+            " THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+GEO_INSIDE_SQL = f"(({_geo_crossing_terms()}) % 2 = 1)"
+
+
+@query(
+    "geo_point_in_polygon",
+    f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {GEO_INSIDE_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inside,
+           CAST(SUM(CASE WHEN {GEO_INSIDE_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS inside_share
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``pointInPolygon`` — the geo-fence membership test —
+    in EXACT INTEGER arithmetic: customers project onto a
+    deterministic integer grid (px = key mod 1000, py an affine hash)
+    and the even-odd ray cast against a fixed non-convex pentagon is
+    evaluated with per-edge cross-multiplied comparisons (no division,
+    no floats; the inequality direction per edge is resolved at
+    generation time from the sign of y2 − y1). A float ray cast can
+    flip points near edges between engines; the integer form cannot.
+    The SAME generated SQL fragment runs on both engines.
+
+    Plan: pure map-side arithmetic (|polygon| CASE terms fused into
+    whole-stage codegen) + one small hash agg — embarrassingly
+    parallel at any scale; real geo pipelines swap the literal pentagon
+    for a broadcast polygon table and the same per-edge math."""
+    c = load_table(spark, sf_dir, "customer")
+    inside = F.expr(GEO_INSIDE_SQL)
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(inside, 1).otherwise(0)).cast("bigint").alias("n_inside"),
+        (
+            F.sum(F.when(inside, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("inside_share"),
+    )

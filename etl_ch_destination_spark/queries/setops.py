@@ -133,3 +133,43 @@ def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k", "tag")
     exc = a.exceptAll(b).select(F.lit("except_all").alias("op"), "k", "tag")
     return inter.unionAll(exc)
+
+
+@query(
+    "set_union_by_name",
+    """
+    WITH u AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority, NULL AS o_custkey
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderpriority
+    FROM u
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union — ``unionByName(allowMissingColumns=True)``
+    (DuckDB: ``UNION ALL BY NAME``): two projections with DIFFERENT
+    column sets union by column NAME, absent columns null-filled —
+    the schema-evolution-tolerant append every multi-source ingest
+    needs (positional UNION would silently misalign). One side carries
+    (custkey, totalprice), the other (orderpriority); each column
+    survives with nulls where its source lacked it.
+
+    Zero-shuffle: both branches are map-side projections and the union
+    is a partition concatenation — free at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )

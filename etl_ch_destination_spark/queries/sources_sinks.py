@@ -1610,3 +1610,60 @@ def sink_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(cents).cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "scan_dpp_join",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the star-join scan optimization that
+    matters most at 100 TB: the fact table is laid out partitioned by
+    the join key (l_returnflag), the dim side is a small parquet table
+    filtered at runtime (label = 'returned' → flag 'R'), and Catalyst
+    injects the dim's post-filter key set as a PARTITION FILTER on the
+    fact scan — only 1 of 3 partition directories is read even though
+    the pruning value is not a literal in the query
+    (spark.sql.optimizer.dynamicPartitionPruning, on by default; the
+    plan-shape test asserts the dynamicpruning expression is present).
+    The oracle states the post-pruning semantics directly.
+
+    Plan: dim scan → broadcast → DPP subquery reused as the fact
+    scan's partition filter → one hash agg. The fact scan I/O is
+    |selected partitions| / |partitions| of the table — the whole
+    point."""
+    root = _scratch(sf_dir, "scan_dpp_join")
+    fact_path = os.path.join(root, "fact")
+    dim_path = os.path.join(root, "dim")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(fact_path)
+    )
+    spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "flag string, label string",
+    ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "returned")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -938,11 +938,12 @@ def win_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature scaling — min-max normalization and a z-score
     per event value within its event_type: the standard ML
     preprocessing pair (scikit-learn's MinMaxScaler/StandardScaler
-    semantics) as pure relational ops. The z-score is emitted in the
-    cross-multiplied form (x·n − s)/sqrt(n·ss − s²) — algebraically
-    z·n/ ... a monotone rescaling of the classic (x−μ)/σ that never
-    divides by n early, so every float comes from ONE expression over
-    exact int64 sums. Constant groups scale to 0 by convention.
+    semantics) as pure relational ops. The z-score is computed in the
+    cross-multiplied form (x·n − s)/sqrt(n·ss − s²), which is
+    ALGEBRAICALLY IDENTICAL to (x−μ)/σ_pop (numerator = n·(x−μ),
+    denominator = n·σ_pop) but never divides by n early, so every
+    float comes from ONE expression over exact int64 sums. Constant
+    groups scale to 0 by convention.
 
     Plan: a grouped stats agg (map-side partials, |event_type| rows)
     broadcast-joined back onto the stream — deliberately NOT a window
@@ -982,4 +983,63 @@ def win_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0.0)
         .alias("zscore_sn"),
+    )
+
+
+@query(
+    "win_cumulative_distinct",
+    """
+    WITH seen AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+    FROM seen
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — "how many distinct event types has
+    this user touched as of each event": the cumulative-cardinality
+    window no SQL engine offers directly (DISTINCT is not allowed in
+    a running frame). The standard decomposition: flag each value's
+    FIRST occurrence per (user, value) with row_number, then
+    prefix-sum the flags over the user's full-precision (ts, event_id)
+    order — the same-order discipline win_reset_cumsum pins.
+
+    Plan: two windows over ONE user_id exchange (the (user, type)
+    partition is a subpartition of user, so Catalyst plans both passes
+    after a single hash exchange plus sorts) — O(1) per-row state, no
+    distinct-set materialization anywhere; at 100 TB this is the only
+    shape that survives (a per-row HashSet accumulator would hold the
+    full per-user cardinality in state)."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seen = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seen.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias(
+            "distinct_types_so_far"
+        ),
     )
