@@ -172,6 +172,8 @@ R11_NEW: list[str] = [
 R12_NEW: list[str] = [
     "agg_quantile_timing", "geo_point_in_polygon",
     "win_cumulative_distinct", "set_union_by_name", "scan_dpp_join",
+    "stream_outer_join_watermark", "agg_argmax_tuple",
+    "sink_dynamic_partition_overwrite", "llm_prompt_completion_split",
 ]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys

@@ -3060,3 +3060,60 @@ def agg_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         for num, den in QT_QS
     ]
     return cum.groupBy("event_type").agg(*aggs)
+
+
+@query(
+    "agg_argmax_tuple",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) DESC,
+                        l_orderkey DESC, l_linenumber DESC) AS rn
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           cents AS max_cents,
+           CAST(l_orderkey AS BIGINT) AS at_orderkey,
+           CAST(l_linenumber AS BIGINT) AS at_linenumber
+    FROM v WHERE rn = 1
+    """,
+)
+def agg_argmax_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMax(tuple(...), x)`` — the WHOLE payload tuple
+    of the row where x is maximal, per group: here the (orderkey,
+    linenumber) coordinates of each return flag's priciest line item.
+    Ties on the max value are resolved by the LARGEST (orderkey,
+    linenumber) — pinned by making the argmax a single lexicographic
+    ``MAX(struct(cents, orderkey, linenumber))``, which is what CH's
+    arbitrary-tie argMax cannot promise. One struct-max aggregate —
+    constant per-group state, map-side partials, one exchange (the
+    oracle spells the same convention as a rank-1 window, the
+    cross-engine-safe formulation).
+
+    agg_argmax covers the scalar form; this is the multi-payload
+    signature."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.max(
+            F.struct(
+                cents.alias("cents"),
+                F.col("l_orderkey").cast("bigint").alias("ok"),
+                F.col("l_linenumber").cast("bigint").alias("ln"),
+            )
+        ).alias("m")
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("m.cents").alias("max_cents"),
+        F.col("m.ok").alias("at_orderkey"),
+        F.col("m.ln").alias("at_linenumber"),
+    )

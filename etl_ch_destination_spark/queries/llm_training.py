@@ -779,3 +779,72 @@ def llm_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("sample_rate"),
         expected.cast("double").alias("expected_tokens"),
     )
+
+
+PCS_MIN_TOKENS = 12  # shortest doc that still yields a usable pair
+PCS_NUM, PCS_DEN = 3, 4  # prompt takes floor(3/4) of the tokens
+
+
+@query(
+    "llm_prompt_completion_split",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST((len(ws) * {PCS_NUM}) // {PCS_DEN} AS BIGINT) AS cut,
+             ws
+      FROM t WHERE len(ws) >= {PCS_MIN_TOKENS}
+    )
+    SELECT doc_id, source, n_tokens, cut AS prompt_tokens,
+           CAST(n_tokens - cut AS BIGINT) AS completion_tokens,
+           array_to_string(ws[1:CAST(cut AS INT)], ' ') AS prompt,
+           array_to_string(ws[CAST(cut + 1 AS INT):CAST(n_tokens AS INT)], ' ')
+             AS completion
+    FROM s
+    """,
+)
+def llm_prompt_completion_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt/completion pair synthesis — the continuation-objective
+    fine-tuning prep: each document splits at a DETERMINISTIC token
+    boundary (prompt = first ⌊3/4·n⌋ tokens, completion = the rest;
+    docs under {PCS_MIN_TOKENS} tokens are dropped as unusable), the
+    byte-exact inverse of sequence packing: prompt + ' ' + completion
+    reconstructs the original text, which the pytest gate asserts.
+    Integer-ratio cut — no float position can straddle a token
+    differently across engines.
+
+    Plan: pure map-side split/slice/join (higher-order array ops in
+    whole-stage codegen), zero shuffles — the embarrassing-parallel
+    shape a corpus transform must have at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    s = t.filter(F.size("ws") >= PCS_MIN_TOKENS).select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.expr(f"CAST(size(ws) * {PCS_NUM} div {PCS_DEN} AS BIGINT)").alias(
+            "cut"
+        ),
+        "ws",
+    )
+    return s.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("cut").alias("prompt_tokens"),
+        (F.col("n_tokens") - F.col("cut")).cast("bigint").alias(
+            "completion_tokens"
+        ),
+        F.array_join(F.slice("ws", 1, F.col("cut").cast("int")), " ").alias(
+            "prompt"
+        ),
+        F.array_join(
+            F.expr("slice(ws, CAST(cut + 1 AS INT), "
+                   "CAST(n_tokens - cut AS INT))"),
+            " ",
+        ).alias("completion"),
+    )

@@ -1667,3 +1667,66 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    """
+    WITH cur AS (
+      SELECT event_type, user_id, value FROM events
+      WHERE event_type <> (SELECT MIN(event_type) FROM events)
+      UNION ALL
+      SELECT event_type, user_id, value FROM events
+      WHERE event_type = (SELECT MIN(event_type) FROM events)
+        AND CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) >= 100
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM cur GROUP BY event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode = dynamic``) — the
+    partitioned-table maintenance primitive: an INSERT OVERWRITE whose
+    source touches ONE partition replaces exactly that partition's
+    directory and leaves every other partition's files untouched (the
+    STATIC default would truncate the whole table first). Here the
+    lexicographically-first event_type partition is rewritten with a
+    ≥ 100-cent retention rule; the re-read proves the other partitions
+    survived byte-for-byte and the rewritten one applied the rule —
+    the oracle states the expected post-overwrite table directly.
+
+    Plan/scale: the rewrite's I/O is |touched partitions|, not
+    |table| — at 100 TB this (or the manifest swap in
+    sink_manifest_snapshot) is the only affordable way to restate a
+    partition; the conf is set per-write via the writer option, not
+    globally."""
+    path = _scratch(sf_dir, "sink_dynamic_partition_overwrite")
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    base = ev.select("event_type", "user_id", "value")
+    (
+        base.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    first_type = ev.agg(F.min("event_type")).first()[0]
+    rewrite = base.filter(
+        (F.col("event_type") == first_type) & (cents >= 100)
+    )
+    (
+        rewrite.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )

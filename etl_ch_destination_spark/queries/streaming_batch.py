@@ -317,3 +317,34 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the changelog in multiple batches and asserts the merged state
     equals this batch form."""
     return pipeline.cdc_latest(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_outer_join_watermark",
+    """
+    SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join
+    (pipeline.interval_join_outer): views that found no same-user
+    purchase within the hour emit with NULL purchase columns — the
+    unconverted-impression report. The streaming form is only legal
+    BECAUSE of the watermark + time bound: state for a view row is
+    held exactly until the purchase watermark passes view_ts + 1h,
+    at which point "no match yet" becomes "no match ever" and the
+    null-extended row flushes (Spark's outer-join state semantics).
+    Batch equivalence asserted in tests/test_streaming.py on the
+    flushable region — tail views inside the final watermark horizon
+    correctly remain in state under availableNow replay."""
+    ev = load_table(spark, sf_dir, "events")
+    return pipeline.interval_join_outer(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -286,3 +286,42 @@ def merge_cdc_state(state: DataFrame | None, batch: DataFrame) -> DataFrame:
         .drop("rn", "n_updates")
         .withColumnRenamed("total_updates", "n_updates")
     )
+
+
+def interval_join_outer(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — interval_join's
+    attribution shape, but every view row survives: views with no
+    same-user purchase in the following hour emit with NULL purchase
+    columns. In the streaming form Spark holds a view row in state
+    until the purchase-side watermark passes view_ts + 1h, then emits
+    the unmatched row — the time bound is what makes outer
+    stream-stream joins legal at all (unbounded outer state cannot
+    know "no match yet" from "no match ever"). Batch frames compute
+    the same result directly; replay equivalence is asserted in
+    tests/test_streaming.py on the flushable region — views inside the
+    final watermark horizon (band + delay past the stream's max event
+    time) correctly remain in state, the semantics' honest tail."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return v.join(p, cond, "left_outer").select(
+        "view_id",
+        "user_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

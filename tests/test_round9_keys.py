@@ -503,3 +503,91 @@ def test_dpp_expression_in_plan(spark):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "dynamicpruning" in buf.getvalue().lower()
+
+
+# ---------- prompt/completion split ----------
+
+
+def test_prompt_completion_reconstructs_text(spark):
+    """prompt + ' ' + completion must equal the original text for
+    every emitted pair, and the cut sits at floor(3n/4)."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_training import (
+        PCS_DEN,
+        PCS_MIN_TOKENS,
+        PCS_NUM,
+    )
+
+    d = {r["doc_id"]: r["text"]
+         for r in load_table(spark, SF, "documents").collect()}
+    rows = _rows(spark, "llm_prompt_completion_split")
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r["doc_id"])
+        assert r["prompt"] + " " + r["completion"] == d[r["doc_id"]]
+        assert r["prompt_tokens"] == (r["n_tokens"] * PCS_NUM) // PCS_DEN
+        assert r["completion_tokens"] >= 1
+    # exactly the too-short docs are missing
+    for doc_id, text in d.items():
+        if doc_id not in seen:
+            assert len(text.split(" ")) < PCS_MIN_TOKENS
+
+
+# ---------- argMax tuple ----------
+
+
+def test_argmax_tuple_matches_sort(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("c"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .collect()
+    )
+    best: dict[str, tuple] = {}
+    for r in li:
+        t = (r["c"], r["l_orderkey"], r["l_linenumber"])
+        if r["l_returnflag"] not in best or t > best[r["l_returnflag"]]:
+            best[r["l_returnflag"]] = t
+    for r in _rows(spark, "agg_argmax_tuple"):
+        assert (
+            r["max_cents"], r["at_orderkey"], r["at_linenumber"]
+        ) == best[r["l_returnflag"]]
+
+
+# ---------- dynamic partition overwrite ----------
+
+
+def test_dynamic_overwrite_touches_one_partition(spark):
+    """After the key runs, untouched partitions still hold their
+    original row counts and the rewritten partition applied the
+    retention rule."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    rows = {r["event_type"]: r for r in _rows(
+        spark, "sink_dynamic_partition_overwrite")}
+    ev = load_table(spark, SF, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    truth = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(F.when(cents >= 100, 1).otherwise(0)).alias("n_kept"),
+        )
+        .collect()
+    }
+    first = min(truth)
+    for et, r in rows.items():
+        if et == first:
+            assert r["n"] == truth[et]["n_kept"] < truth[et]["n_all"]
+        else:
+            assert r["n"] == truth[et]["n_all"]

@@ -413,3 +413,46 @@ def test_cdc_upsert_foreachbatch_merge_converges_to_batch(spark, sf_dir):
     got = rows_set(spark.read.parquet(versions[-1]))
     want = rows_set(pipeline.cdc_latest(load_table(spark, sf_dir, "events")))
     assert got == want
+
+
+def test_stream_outer_interval_join_equals_batch(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: matched rows replay
+    exactly; unmatched views flush with NULL purchase columns once the
+    final watermark passes their horizon. Views inside the final
+    horizon (view_ts + 1h band + 2h watermark delay beyond the
+    stream's max event time) legitimately CANNOT flush — "no match
+    yet" is indistinguishable from "no match ever" for them — so the
+    equality is asserted on the flushable region and the replay must
+    emit nothing else."""
+    import datetime
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.streaming import pipeline
+    from etl_ch_destination_spark.streaming.replay import read_staged_stream
+
+    staged = _staged(spark, sf_dir, "ss_join_outer")
+    src = read_staged_stream(spark, staged)
+    views = src.filter(F.col("event_type") == "view").withWatermark("ts", "2 hours")
+    purchases = src.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    stream = pipeline.interval_join_outer(views, purchases)
+    _drain(_memory_query(stream, "t_ss_join_outer", "append"))
+    got = rows_set(spark.table("t_ss_join_outer"))
+    ev = load_table(spark, sf_dir, "events")
+    want_df = pipeline.interval_join_outer(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    want = rows_set(want_df)
+    assert got <= want and len(want) > 0
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    cut = max_ts - datetime.timedelta(hours=3)  # 1h band + 2h delay
+    flushable = rows_set(
+        want_df.filter(
+            F.col("purchase_id").isNotNull() | (F.col("view_ts") < F.lit(cut))
+        )
+    )
+    assert flushable <= got
+    # and the replay really exercised the outer path
+    assert want_df.filter(F.col("purchase_id").isNull()).count() > 0
