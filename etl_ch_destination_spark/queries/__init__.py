@@ -174,6 +174,8 @@ R12_NEW: list[str] = [
     "win_cumulative_distinct", "set_union_by_name", "scan_dpp_join",
     "stream_outer_join_watermark", "agg_argmax_tuple",
     "sink_dynamic_partition_overwrite", "llm_prompt_completion_split",
+    "str_normalize_nfc", "math_gcd_lcm", "llm_shard_assign",
+    "llm_interleave_sources", "scan_nested_pruning",
 ]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys

@@ -848,3 +848,123 @@ def llm_prompt_completion_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("completion"),
     )
+
+
+SHARD_N = 16  # training shards
+
+
+@query(
+    "llm_shard_assign",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard1'),
+                                  1, 7)) AS BIGINT) % {SHARD_N} AS shard
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE)
+             / (SELECT SUM(n_tokens) FROM a) AS token_share
+    FROM a GROUP BY shard
+    """,
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment — every distributed
+    data-loader's first requirement: doc → shard via an md5 uniform
+    hash (stable across reruns, partitionings and cluster sizes —
+    ``pmod(hash(...))`` is NOT stable across Spark versions, the
+    reason the md5 device is repo policy), plus the per-shard balance
+    report (doc count, token count, token share) that tells you
+    whether shard 7 will finish an epoch late. The pytest gate bounds
+    the max/min token-share imbalance.
+
+    Plan: map-side hash + one {SHARD_N}-row agg; the assignment column
+    itself costs nothing at any scale — it IS the write partition key
+    in a real export (sink_shard_balanced is the companion sink)."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard1"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % SHARD_N
+    )
+    a = d.select(
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    g = a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window as W
+
+    return g.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(W.partitionBy())
+        ).alias("token_share"),
+    )
+
+
+@query(
+    "llm_interleave_sources",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+               AS rank_in_source
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank_in_source, source, doc_id) - 1
+                AS BIGINT) AS interleave_pos
+    FROM r
+    """,
+)
+def llm_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source interleaving — the curriculum/mixing order a
+    multi-source training run feeds its loader: documents take a rank
+    WITHIN their source, then the global order cycles across sources
+    rank-by-rank (rank 0 of every source, then rank 1, ...), so no
+    source ever streaks — the deterministic alternative to shuffling
+    when the mixture ratio must hold over every prefix of the epoch.
+    Order is a pure function of (rank_in_source, source, doc_id) —
+    replayable bit-for-bit.
+
+    Plan: one per-source window (hash exchange on source) then one
+    global sort for the epoch order — the same range exchange any
+    global ORDER BY pays; at 100 TB emit interleave_pos and let the
+    writer sort within partitions instead (sortWithinPartitions over
+    range-partitioned pos), same layout without the single-sink
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    r = d.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w_src) - 1).cast("bigint").alias(
+            "rank_in_source"
+        ),
+    )
+    w_all = Window.orderBy("rank_in_source", "source", "doc_id")
+    return r.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        (F.row_number().over(w_all) - 1).cast("bigint").alias(
+            "interleave_pos"
+        ),
+    )

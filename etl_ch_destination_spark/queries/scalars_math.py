@@ -17,6 +17,7 @@ Scale notes: narrow projections, no shuffle, codegen end to end.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -280,4 +281,51 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(inside, 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("inside_share"),
+    )
+
+
+@query(
+    "math_gcd_lcm",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS BIGINT) AS BIGINT) AS a,
+           CAST(l_linenumber * 6 + 4 AS BIGINT) AS b,
+           CAST(gcd(CAST(l_quantity AS BIGINT), l_linenumber * 6 + 4)
+                AS BIGINT) AS g,
+           CAST(lcm(CAST(l_quantity AS BIGINT), l_linenumber * 6 + 4)
+                AS BIGINT) AS l
+    FROM lineitem
+    """,
+)
+def math_gcd_lcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``gcd`` / ``lcm`` — integer lattice arithmetic the
+    JVM engine has no builtin for: an Arrow-batched pandas UDF over
+    ``math.gcd`` supplies it (numpy's vectorized ``np.gcd`` under
+    pandas map — the vectorized-Python path at a legitimate gap in the
+    builtin surface; DuckDB has both natively, so the oracle is
+    builtin-vs-UDF). Operands are the quantity and an affine
+    linenumber spread so the gcd distribution is non-trivial;
+    lcm = a·b / gcd stays well inside int64 on this domain.
+
+    Plan: map-side UDF, zero shuffles — the Arrow transfer is the
+    cost, amortized per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def pd_gcd(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.gcd(a.to_numpy(), b.to_numpy()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.col("l_quantity").cast("bigint")
+    b = (F.col("l_linenumber") * 6 + 4).cast("bigint")
+    g = pd_gcd(a, b)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        a.alias("a"),
+        b.alias("b"),
+        g.alias("g"),
+        ((a * b) / g).cast("bigint").alias("l"),
     )

@@ -15,6 +15,7 @@ serialized with array_join (the driver's hasher takes scalars only).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -515,4 +516,68 @@ def str_printf_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string(
             "%d/%d", "p_size", F.col("p_partkey") % 10
         ).alias("ratio_repr"),
+    )
+
+
+@query(
+    "str_normalize_nfc",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'caf' || chr(101) || chr(769) || ' ' || text
+                  ELSE 'caf' || chr(233) || ' ' || text END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS len_nfc,
+           (s <> nfc_normalize(s)) AS changed,
+           md5(nfc_normalize(s)) AS nfc_md5
+    FROM raw
+    """,
+)
+def str_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (ClickHouse ``normalizeUTF8NFC``) —
+    the canonicalization every text dedup/search pipeline needs:
+    'é' as one codepoint (U+00E9) and as 'e' + COMBINING ACUTE
+    (U+0301) must hash identically. The fixture text is ASCII, so each
+    doc is prefixed with a DETERMINISTIC decomposed/precomposed "café"
+    (by doc_id parity); NFC collapses both spellings to the same
+    bytes — the md5 column proves it (even and odd docs sharing a text
+    get equal hashes), and `changed` marks exactly the decomposed
+    half. Spark has no built-in normalizer, so this is a REAL
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` — the
+    vectorized Python path at its legitimate use: semantics the JVM
+    engine lacks.
+
+    Plan: map-side UDF, zero shuffles; the Arrow batch transfer is the
+    only cost — the acceptable shape for a per-row text transform at
+    100 TB (never a row-at-a-time @udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = load_table(spark, sf_dir, "documents")
+    decomposed = "caf" + "e\u0301" + " "   # e + COMBINING ACUTE (U+0301)
+    precomposed = "caf" + "\u00e9" + " "   # single-codepoint e-acute
+    raw = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit(decomposed), F.col("text"))
+        )
+        .otherwise(F.concat(F.lit(precomposed), F.col("text")))
+        .alias("s"),
+    )
+    n = nfc(F.col("s"))
+    return raw.select(
+        "doc_id",
+        F.length("s").cast("bigint").alias("len_raw"),
+        F.length(n).cast("bigint").alias("len_nfc"),
+        (F.col("s") != n).alias("changed"),
+        F.md5(n).alias("nfc_md5"),
     )

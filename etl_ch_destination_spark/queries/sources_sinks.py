@@ -1730,3 +1730,62 @@ def sink_dynamic_partition_overwrite(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(cents).cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "scan_nested_pruning",
+    """
+    WITH n AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+    FROM n GROUP BY o_orderpriority
+    """,
+)
+def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning — the columnar win structs usually
+    forfeit: orders are written as a parquet of
+    ``struct<meta:struct<priority, status>, money:struct<price_cents,
+    custkey>>`` and read back touching ONLY ``meta.priority`` and
+    ``money.price_cents``; with
+    ``spark.sql.optimizer.nestedSchemaPruning.enabled`` (default on)
+    the scan's ReadSchema carries just those two LEAVES, not the whole
+    structs — asserted by the plan-shape test. At 100 TB a nested
+    event payload column is routinely 10× the queried leaves; pruning
+    is the difference between scanning the lake and scanning the
+    query.
+
+    The oracle states the flat equivalent over the source table."""
+    path = _scratch(sf_dir, "scan_nested_pruning")
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("meta"),
+        F.struct(
+            cents.alias("price_cents"),
+            F.col("o_custkey").alias("custkey"),
+        ).alias("money"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            F.col("meta.priority").alias("o_orderpriority"),
+            F.col("money.price_cents").alias("price_cents"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("price_cents").cast("bigint").alias("sum_cents"),
+        )
+    )

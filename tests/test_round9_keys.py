@@ -591,3 +591,92 @@ def test_dynamic_overwrite_touches_one_partition(spark):
             assert r["n"] == truth[et]["n_kept"] < truth[et]["n_all"]
         else:
             assert r["n"] == truth[et]["n_all"]
+
+
+# ---------- NFC normalization ----------
+
+
+def test_nfc_collapses_decomposed_and_precomposed(spark):
+    """Docs sharing a text but differing in composed/decomposed prefix
+    must hash identically after NFC; `changed` marks exactly the
+    decomposed (even doc_id) half."""
+    rows = _rows(spark, "str_normalize_nfc")
+    for r in rows:
+        assert r["changed"] == (r["doc_id"] % 2 == 0)
+        # decomposed prefix is one char longer raw, equal after NFC
+        if r["changed"]:
+            assert r["len_raw"] == r["len_nfc"] + 1
+        else:
+            assert r["len_raw"] == r["len_nfc"]
+
+
+# ---------- gcd / lcm ----------
+
+
+def test_gcd_lcm_match_math(spark):
+    import math
+
+    for r in _rows(spark, "math_gcd_lcm")[:2000]:
+        assert r["g"] == math.gcd(r["a"], r["b"])
+        assert r["l"] == math.lcm(r["a"], r["b"])
+
+
+# ---------- shard assignment ----------
+
+
+def test_shard_assignment_is_balanced_and_total(spark):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_training import SHARD_N
+
+    rows = _rows(spark, "llm_shard_assign")
+    assert len(rows) == SHARD_N
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    shares = [r["token_share"] for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-9
+    # md5-uniform balance: no shard more than 3x another (coarse bound
+    # at 500 docs / 16 shards; tightens with corpus size)
+    assert max(shares) / min(shares) < 3.0
+
+
+# ---------- interleave ----------
+
+
+def test_interleave_cycles_sources(spark):
+    """In interleave order, the gap between consecutive docs of the
+    SAME source must be at least the number of sources still active at
+    that rank (round-robin property), and positions are a permutation."""
+    rows = sorted(_rows(spark, "llm_interleave_sources"),
+                  key=lambda r: r["interleave_pos"])
+    assert [r["interleave_pos"] for r in rows] == list(range(len(rows)))
+    # within a source, ranks appear in order; across the global order,
+    # rank blocks are non-decreasing
+    prev_rank = 0
+    for r in rows:
+        assert r["rank_in_source"] >= prev_rank - 1
+        prev_rank = max(prev_rank, r["rank_in_source"])
+    # prefix mixing: after the first full cycle, every source appeared
+    n_sources = len({r["source"] for r in rows})
+    first_cycle = {r["source"] for r in rows[:n_sources]}
+    assert len(first_cycle) == n_sources
+
+
+# ---------- nested pruning ----------
+
+
+def test_nested_read_schema_prunes_to_leaves(spark):
+    """The parquet scan must read only meta.priority and
+    money.price_cents — not the sibling leaves."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = _q("scan_nested_pruning")(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs, "no ReadSchema in plan"
+    line = rs[-1]
+    assert "priority" in line and "price_cents" in line
+    assert "status" not in line and "custkey" not in line
