@@ -283,14 +283,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_ranks(e: DataFrame) -> DataFrame:
     """graph_pagerank's integer recurrence over an arbitrary canonical
     undirected edge frame ``(u, v)`` (u < v, distinct) so tests can pin
-    it on known graphs. Returns ``(node, rank_ppm, degree)``."""
+    it on known graphs. Returns ``(node, rank_ppm, degree)``.
+
+    The per-iteration edges⋈ranks join carries a SHUFFLE_HASH hint:
+    the rank frame is |nodes| and GROWS with the graph, so letting the
+    optimizer broadcast it works at fixture scale and then blows the
+    driver at 30× (the stress spine caught exactly that) — the hint
+    pins the scale-safe plan at every size."""
     e2 = e.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     deg = _degrees(e).select(
         F.col("node").alias("src"), F.col("d").alias("d")
     )
-    ed = stage(e2.join(deg, "src"), label="pagerank_edges")
+    ed = stage(e2.join(deg.hint("shuffle_hash"), "src"),
+               label="pagerank_edges")
     rank = None
     for _ in range(PR_ITERS):
         if rank is None:
@@ -301,7 +308,7 @@ def pagerank_ranks(e: DataFrame) -> DataFrame:
             r_src = rank.select(
                 F.col("node").alias("src"), F.col("rank").alias("r_in")
             )
-            contrib = ed.join(r_src, "src").select(
+            contrib = ed.join(r_src.hint("shuffle_hash"), "src").select(
                 "dst", F.expr("r_in div d").alias("c")
             )
         rank = contrib.groupBy(F.col("dst").alias("node")).agg(
@@ -311,7 +318,7 @@ def pagerank_ranks(e: DataFrame) -> DataFrame:
             ).alias("rank")
         )
     degn = _degrees(e)
-    return rank.join(degn, "node").select(
+    return rank.join(degn.hint("shuffle_hash"), "node").select(
         "node",
         F.col("rank").cast("bigint").alias("rank_ppm"),
         F.col("d").cast("bigint").alias("degree"),

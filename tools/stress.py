@@ -25,6 +25,7 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -55,7 +56,7 @@ def main() -> int:
         help=(
             "comma list of spine names to run (default: all). Names: "
             "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
-            "line_dedup,bpe_vocab_rounds,cc,sim — 'sim' covers the "
+            "line_dedup,bpe_vocab_rounds,cc,pagerank,sim — 'sim' covers the "
             "exact/LSH/IVF trio + recall gates"
         ),
     )
@@ -379,6 +380,45 @@ def main() -> int:
                 .save()
             )
 
+        def pagerank_spine():
+            # the graph_pagerank spine: disjoint graph copies (order
+            # AND part keys offset per copy, so nodes and edges both
+            # scale N x while degree structure stays fixture-real);
+            # measures the 3-iteration staged message-passing rounds
+            # end-to-end including edge derivation. The staging seam
+            # runs in DURABLE mode here: the replicated edge list
+            # outgrows executor storage at 30x (localCheckpoint OOMed —
+            # this spine caught it), which is precisely the
+            # spill-to-table path ops/staging.py prescribes for
+            # cluster-scale inputs.
+            from etl_ch_destination_spark.ops.staging import STAGING_DIR_CONF
+            from etl_ch_destination_spark.queries.graph import pagerank_ranks
+
+            spark.conf.set(
+                STAGING_DIR_CONF,
+                os.path.join(tempfile.gettempdir(), "stress_staging"),
+            )
+
+            lp = lig.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ).distinct()
+            a, b = lp.alias("a"), lp.alias("b")
+            e = (
+                a.join(
+                    b,
+                    (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")),
+                )
+                .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+                .distinct()
+            )
+            try:
+                pagerank_ranks(e).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            finally:
+                spark.conf.unset(STAGING_DIR_CONF)
+
         row: dict[str, float] = {"rows": li.count()}
         if want("q1"):
             row["q1"] = time_action(q1)
@@ -396,6 +436,9 @@ def main() -> int:
             row["line_dedup"] = time_action(line_dedup)
         if want("substr_dedup"):
             row["substr_dedup"] = time_action(substr_dedup)
+        if want("pagerank"):
+            lig = replicate(li0, n, ["l_orderkey", "l_partkey"])
+            row["pagerank"] = time_action(pagerank_spine)
         if want("bpe_vocab_rounds"):
             row["bpe_vocab_rounds"] = time_action(bpe_rounds)
         if want("cc"):
@@ -510,7 +553,8 @@ def main() -> int:
     # there, so they are exempt (recorded, not gated).
     GATED = (
         "q1", "join_agg", "neardup", "vocab_score", "ngram_novelty",
-        "line_dedup", "substr_dedup", "cc", "sim_exact", "sim_lsh",
+        "line_dedup", "substr_dedup", "cc", "pagerank", "sim_exact",
+        "sim_lsh",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
