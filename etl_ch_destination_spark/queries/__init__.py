@@ -176,6 +176,8 @@ R12_NEW: list[str] = [
     "sink_dynamic_partition_overwrite", "llm_prompt_completion_split",
     "str_normalize_nfc", "math_gcd_lcm", "llm_shard_assign",
     "llm_interleave_sources", "scan_nested_pruning",
+    "rpt_supplier_scorecard", "win_weighted_moving_avg",
+    "agg_uniq_combined",
 ]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys

@@ -3117,3 +3117,38 @@ def agg_argmax_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.ok").alias("at_orderkey"),
         F.col("m.ln").alias("at_linenumber"),
     )
+
+
+@query("agg_uniq_combined")
+def agg_uniq_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqCombined`` — the default approximate
+    distinct-count: Spark's ``approx_count_distinct`` (HyperLogLog++,
+    rsd 1%) plays the role, reported per event_type NEXT TO the exact
+    count and the relative error, so the report is self-auditing.
+    ROWS-ONLY BY DESIGN: HLL++ register layouts differ between engines
+    (Spark vs DuckDB produce different — both valid — estimates), so a
+    value-hash oracle is definitionally impossible; the pytest gate
+    bounds |approx − exact| / exact ≤ 0.05 for every group instead
+    (agg_approx_distinct covers the plain approx form; this key is the
+    CH-signature self-auditing report shape).
+
+    Plan: both aggregates share one exchange; HLL state is the
+    constant-size sketch that makes distinct counting affordable at
+    100 TB (exact countDistinct re-shuffles raw values — fine at
+    fixture scale, the sketch is the scale path)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).cast("bigint").alias(
+            "uniq_combined"
+        ),
+        F.countDistinct("user_id").cast("bigint").alias("uniq_exact"),
+    )
+    return g.select(
+        "event_type",
+        "uniq_combined",
+        "uniq_exact",
+        (
+            F.abs(F.col("uniq_combined") - F.col("uniq_exact")).cast("double")
+            / F.col("uniq_exact")
+        ).alias("rel_err"),
+    )

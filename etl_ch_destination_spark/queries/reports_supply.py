@@ -464,3 +464,102 @@ def rpt_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "rpt_supplier_scorecard",
+    """
+    WITH j AS (
+      SELECT l.l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               AS rev,
+             l.l_partkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    m AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_shipments,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             SUM(rev) AS rev,
+             CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_on_time,
+             CAST(SUM(lag_days) AS BIGINT) AS lag_sum
+      FROM j GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+           m.n_shipments, m.n_parts,
+           CAST(m.rev AS DOUBLE) AS revenue,
+           CAST(m.n_on_time AS DOUBLE) / m.n_shipments AS on_time_rate,
+           CAST(m.lag_sum AS DOUBLE) / m.n_shipments AS avg_ship_lag_days,
+           CAST(RANK() OVER (PARTITION BY n.n_name
+                             ORDER BY m.rev DESC, s.s_suppkey) AS BIGINT)
+             AS rank_in_nation
+    FROM m
+    JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def rpt_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard — the composed vendor-management report: per
+    supplier, shipment volume, distinct-part breadth, exact-decimal
+    discounted revenue, on-time rate (ship lag ≤ 30 days from order
+    date — the fixture has no commit date, the SURVEY §2.12 lateness
+    convention), mean ship lag, and revenue rank within the supplier's
+    nation. One fact-side shuffle (lineitem⋈orders on the order key),
+    one supplier-grain aggregate, then two broadcast dim joins and a
+    |suppliers|-sized window — the canonical wide-metrics scorecard
+    shape: every metric shares the single heavy exchange.
+
+    All ratios are single divisions of exact integers/decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from etl_ch_destination_spark.queries._util import disc_price
+
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        disc_price().alias("rev"),
+        "l_partkey",
+        lag.alias("lag_days"),
+    )
+    m = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipments"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.sum("rev").alias("rev"),
+        F.sum(F.when(F.col("lag_days") <= 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_on_time"),
+        F.sum("lag_days").cast("bigint").alias("lag_sum"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation").orderBy(F.desc("rev"), F.asc("s_suppkey"))
+    return (
+        m.join(F.broadcast(s), m.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_shipments",
+            "n_parts",
+            "rev",
+            (F.col("n_on_time").cast("double") / F.col("n_shipments")).alias(
+                "on_time_rate"
+            ),
+            (F.col("lag_sum").cast("double") / F.col("n_shipments")).alias(
+                "avg_ship_lag_days"
+            ),
+        )
+        .withColumn("rank_in_nation", F.rank().over(w).cast("bigint"))
+        .withColumn("revenue", F.col("rev").cast("double"))
+        .drop("rev")
+        .select(
+            "s_suppkey", "s_name", "nation", "n_shipments", "n_parts",
+            "revenue", "on_time_rate", "avg_ship_lag_days", "rank_in_nation",
+        )
+    )

@@ -1043,3 +1043,99 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types_so_far"
         ),
     )
+
+
+WMA_K = 8  # linear-weight lookback: weights 1..K, newest heaviest
+
+
+@query(
+    "win_weighted_moving_avg",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id, cents, rn,
+             SUM(cents) OVER w AS cs,
+             SUM(CAST(rn AS BIGINT) * cents) OVER w AS ws
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    l AS (
+      SELECT user_id, event_id, cents, rn, cs, ws,
+             COALESCE(LAG(cs, {WMA_K}) OVER
+               (PARTITION BY user_id ORDER BY rn), 0) AS cs_k,
+             COALESCE(LAG(ws, {WMA_K}) OVER
+               (PARTITION BY user_id ORDER BY rn), 0) AS ws_k
+      FROM c
+    )
+    SELECT user_id, event_id, cents,
+           CAST(LEAST(rn, {WMA_K}) AS BIGINT) AS m,
+           CAST((ws - ws_k)
+                - (rn - LEAST(rn, {WMA_K})) * (cs - cs_k) AS BIGINT)
+             AS wma_num,
+           CAST((ws - ws_k)
+                - (rn - LEAST(rn, {WMA_K})) * (cs - cs_k) AS DOUBLE)
+             / (CAST(LEAST(rn, {WMA_K}) AS DOUBLE)
+                * (LEAST(rn, {WMA_K}) + 1) / 2.0) AS wma
+    FROM l
+    """,
+)
+def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (the technical-analysis WMA:
+    weights 1..{WMA_K}, newest heaviest) — computed WITHOUT a
+    per-row weighted re-scan via the two-cumulative-sum identity:
+    with C = Σx and W = Σ rn·x (both plain prefix sums),
+    Σ_(last m rows) (i − base)·x_i = (W_t − W_(t−m)) − base·(C_t −
+    C_(t−m)), base = rn − m — so an O(K)-per-row frame becomes O(1)
+    per row in exact int64 (the numerator column is emitted for the
+    gate; the float is one division by the triangular number
+    m·(m+1)/2). Short prefixes weight 1..rn, the standard ramp-in.
+
+    Plan: one user_id exchange, three window passes over the same
+    sort (two prefix sums + one lag) — constant state per row; the
+    naive form re-reads K rows per row, this reads each row once at
+    any K."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w0 = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    v = e.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.row_number().over(w0).alias("rn"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "rn",
+        F.sum("cents").over(wf).alias("cs"),
+        F.sum(F.col("rn").cast("bigint") * F.col("cents")).over(wf).alias("ws"),
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("rn")
+    m = F.least(F.col("rn"), F.lit(WMA_K))
+    lag_cs = F.coalesce(F.lag("cs", WMA_K).over(w_rn), F.lit(0))
+    lag_ws = F.coalesce(F.lag("ws", WMA_K).over(w_rn), F.lit(0))
+    num = (F.col("ws") - lag_ws) - (F.col("rn") - m) * (F.col("cs") - lag_cs)
+    tri = m.cast("double") * (m + 1) / F.lit(2.0)
+    return c.select(
+        "user_id",
+        "event_id",
+        "cents",
+        m.cast("bigint").alias("m"),
+        num.cast("bigint").alias("wma_num"),
+        (num.cast("double") / tri).alias("wma"),
+    )

@@ -71,6 +71,7 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
         "llm_sim_topk_ann",
         "llm_sim_topk_ivf",
         "sink_clickhouse_jdbc",
+        "agg_uniq_combined",
     }
     # oracles never reference keys that don't exist
     assert set(oracles) <= set(queries)
@@ -81,7 +82,7 @@ ROWS_ONLY_BY_DESIGN = {
     "llm_bpe_learn", "llm_bpe_encode", "llm_compression_ratio",
     "agg_heavy_hitters_cms", "ts_downsample_lttb", "sample_fraction",
     "sample_stratified", "llm_sim_topk_ann", "llm_sim_topk_ivf",
-    "sink_clickhouse_jdbc",
+    "sink_clickhouse_jdbc", "agg_uniq_combined",
 }
 
 

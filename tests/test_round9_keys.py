@@ -680,3 +680,72 @@ def test_nested_read_schema_prunes_to_leaves(spark):
     line = rs[-1]
     assert "priority" in line and "price_cents" in line
     assert "status" not in line and "custkey" not in line
+
+
+# ---------- supplier scorecard ----------
+
+
+def test_scorecard_metrics_recompute(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    rows = _rows(spark, "rpt_supplier_scorecard")
+    assert rows
+    s_n = load_table(spark, SF, "supplier").count()
+    assert len(rows) <= s_n
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 <= r["on_time_rate"] <= 1.0
+        assert r["n_parts"] <= r["n_shipments"]
+        by_nation.setdefault(r["nation"], []).append(r)
+    for nation, rs in by_nation.items():
+        rs = sorted(rs, key=lambda r: r["rank_in_nation"])
+        assert [r["rank_in_nation"] for r in rs] == list(range(1, len(rs) + 1))
+        revs = [r["revenue"] for r in rs]
+        assert revs == sorted(revs, reverse=True)
+
+
+# ---------- weighted moving average ----------
+
+
+def test_wma_matches_naive_weighted_scan(spark):
+    """The two-cumsum identity must equal the naive per-row weighted
+    scan on the busiest user's ordered series."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.windows_extra import WMA_K
+
+    df = _q("win_weighted_moving_avg")(spark, SF)
+    uid = (
+        df.groupBy("user_id").count().orderBy(F.desc("count")).first()["user_id"]
+    )
+    got = {r["event_id"]: r for r in
+           df.filter(F.col("user_id") == uid).collect()}
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") == uid)
+        .select(
+            "event_id",
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("c"),
+            "ts",
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    seq = [r["c"] for r in ev]
+    for i, r in enumerate(ev):
+        m = min(i + 1, WMA_K)
+        frame = seq[i + 1 - m : i + 1]
+        num = sum((j + 1) * x for j, x in enumerate(frame))
+        g = got[r["event_id"]]
+        assert g["m"] == m and g["wma_num"] == num
+        assert g["wma"] == num / (m * (m + 1) / 2.0)
+
+
+# ---------- uniqCombined ----------
+
+
+def test_uniq_combined_error_bound(spark):
+    for r in _rows(spark, "agg_uniq_combined"):
+        assert r["rel_err"] <= 0.05, (r["event_type"], r["rel_err"])
+        assert r["rel_err"] == abs(
+            r["uniq_combined"] - r["uniq_exact"]
+        ) / r["uniq_exact"]
