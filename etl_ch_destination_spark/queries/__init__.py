@@ -178,6 +178,8 @@ R12_NEW: list[str] = [
     "llm_interleave_sources", "scan_nested_pruning",
     "rpt_supplier_scorecard", "win_weighted_moving_avg",
     "agg_uniq_combined",
+    "enc_aes_roundtrip", "ts_peak_detect", "rpt_cohort_ltv",
+    "rpt_join_skew_profile", "job_incremental_etl",
 ]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys

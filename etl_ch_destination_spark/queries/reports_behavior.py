@@ -1310,3 +1310,164 @@ def rpt_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w_dow).cast("bigint").alias("rank_in_dow"),
     )
+
+
+@query(
+    "rpt_cohort_ltv",
+    """
+    WITH act AS (
+      SELECT user_id,
+             CAST(EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts) - 1
+                  AS BIGINT) AS m,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, m, cents,
+             MIN(m) OVER (PARTITION BY user_id) AS cohort_m
+      FROM act
+    ),
+    cs AS (
+      SELECT cohort_m, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_users
+      FROM coh GROUP BY cohort_m
+    ),
+    cell AS (
+      SELECT cohort_m, CAST(m - cohort_m AS BIGINT) AS months_since,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM coh GROUP BY cohort_m, m
+    )
+    SELECT cell.cohort_m, cell.months_since, cell.rev_cents,
+           cs.cohort_users,
+           CAST(SUM(cell.rev_cents) OVER (
+             PARTITION BY cell.cohort_m ORDER BY cell.months_since
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+           CAST(SUM(cell.rev_cents) OVER (
+             PARTITION BY cell.cohort_m ORDER BY cell.months_since
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (cs.cohort_users * 100.0) AS ltv_per_user
+    FROM cell JOIN cs ON cs.cohort_m = cell.cohort_m
+    """,
+)
+def rpt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — the growth metric behind every payback
+    model: users bucket by first-activity MONTH (integer month index
+    y·12+m−1, the rpt_cohort_retention convention), and each cohort
+    accumulates revenue over months-since-acquisition; the running
+    per-user LTV is the decimal-exact cumulative cents divided once
+    by cohort size. rpt_cohort_retention counts the USERS surviving;
+    this key follows the MONEY — together they are the
+    retention/monetization pair.
+
+    Plan: one user window for the cohort tag (user exchange), STAGED
+    once for its two consumers (cohort sizes and the revenue grid), a
+    (cohort, month) hash agg, and a constant-size window over the
+    cohort×age grid — the heavy exchange is shared, the rest is
+    dashboard-sized."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    m = (F.year("ts") * 12 + F.month("ts") - 1).cast("bigint")
+    act = e.select("user_id", m.alias("m"), cents.alias("cents"))
+    w_u = Window.partitionBy("user_id")
+    from etl_ch_destination_spark.ops.staging import stage
+
+    coh = stage(
+        act.select(
+            "user_id", "m", "cents", F.min("m").over(w_u).alias("cohort_m")
+        ),
+        label="cohort_ltv_tagged",
+    )
+    cs = coh.groupBy("cohort_m").agg(
+        F.countDistinct("user_id").cast("bigint").alias("cohort_users")
+    )
+    cell = coh.groupBy(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).cast("bigint").alias(
+            "months_since"
+        )
+    ).agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    w_cum = (
+        Window.partitionBy("cohort_m")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev_cents").over(w_cum).cast("bigint")
+    j = cell.join(F.broadcast(cs), "cohort_m")
+    return j.select(
+        "cohort_m",
+        "months_since",
+        "rev_cents",
+        "cohort_users",
+        cum.alias("cum_rev_cents"),
+        (
+            cum.cast("double") / (F.col("cohort_users") * F.lit(100.0))
+        ).alias("ltv_per_user"),
+    )
+
+
+SKEW_TOPN = 10  # heaviest join keys reported
+
+
+@query(
+    "rpt_join_skew_profile",
+    f"""
+    WITH c AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    ),
+    top AS (
+      SELECT k, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS BIGINT) AS rk
+      FROM c
+    )
+    SELECT top.k AS heavy_key, top.cnt, top.rk,
+           st.n_keys, st.n_rows, st.max_cnt,
+           CAST(top.cnt AS DOUBLE) * st.n_keys / st.n_rows AS skew_factor,
+           CAST(top.cnt AS DOUBLE) / st.n_rows AS row_share
+    FROM top CROSS JOIN st
+    WHERE top.rk <= {SKEW_TOPN}
+    """,
+)
+def rpt_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic that DECIDES whether a
+    join needs salting (join_skew_salted is the cure; this is the
+    doctor): per candidate join key, the {SKEW_TOPN} heaviest keys
+    with their row share and skew factor cnt·|keys|/|rows| (1.0 =
+    perfectly uniform; AQE's skew-join threshold reasons about the
+    same ratio). Exact integer counts, two single-division doubles.
+
+    Plan: one key-grain hash agg (map-side partials), a 1-row stats
+    reduce broadcast onto the top-N — at 100 TB this is the cheapest
+    query you will ever run before the most expensive join you will
+    ever run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    st = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
+    top = c.select(
+        F.col("k").alias("heavy_key"),
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    ).filter(F.col("rk") <= SKEW_TOPN)
+    return top.crossJoin(F.broadcast(st)).select(
+        "heavy_key",
+        "cnt",
+        "rk",
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        (F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+            "skew_factor"
+        ),
+        (F.col("cnt").cast("double") / F.col("n_rows")).alias("row_share"),
+    )

@@ -213,3 +213,45 @@ def str_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(tri).cast("long"))
         .alias("n_char3_distinct"),
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte demo key (fixture-only)
+
+
+@query(
+    "enc_aes_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST((strlen(text) // 16 + 1) * 16 AS BIGINT) AS cipher_bytes,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
+def enc_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``encrypt``/``decrypt`` — column-level AES, the
+    at-rest-PII primitive: each document encrypts under AES-128-ECB
+    with PKCS padding (``aes_encrypt``; ECB chosen HERE because it is
+    deterministic — GCM salts a nonce per call, the right choice in
+    production and untestable by replay) and must decrypt back
+    byte-identically (``roundtrip_ok``). The ciphertext itself is
+    engine-private, so the gate checks the two things that ARE
+    engine-independent: the PKCS#7 length law cipher = (⌊n/16⌋+1)·16
+    (the oracle computes it arithmetically) and the round trip.
+
+    Plan: map-side JVM crypto intrinsics (Spark codegen calls the JCE
+    cipher per value, no Python anywhere), zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    enc = F.expr(
+        f"aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS')"
+    )
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS'),"
+        f" '{AES_KEY}', 'ECB', 'PKCS') AS STRING)"
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.octet_length(enc).cast("bigint").alias("cipher_bytes"),
+        (dec == F.col("text")).alias("roundtrip_ok"),
+    )

@@ -1789,3 +1789,77 @@ def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "job_incremental_etl",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def job_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bookmark-driven incremental ETL — the high-watermark pattern
+    every scheduled pipeline runs on: each run extracts ONLY rows with
+    ts beyond the stored bookmark, appends them, and advances the
+    bookmark. Simulated arrival: run 1 sees the first half of event
+    time, run 2 sees everything (and extracts only the new half), and
+    run 3 re-runs with nothing new — the bookmark makes it a ZERO-row
+    no-op, which is idempotence at the EXTRACT level
+    (sink_idempotent_batch handles the LOAD level; real pipelines need
+    both). The final re-read report must equal the one-shot batch
+    answer — the oracle states it over the source directly; the test
+    pins run 3's extracted-row count at 0.
+
+    Plan/scale: each increment's scan is bounded by the new data, not
+    the table (partition-pruned in a date-partitioned lake); the
+    bookmark is one JSON scalar — no state table to join."""
+    import json
+
+    root = _scratch(sf_dir, "job_incremental_etl")
+    data = os.path.join(root, "data")
+    bm_path = os.path.join(root, "bookmark.json")
+    if os.path.exists(data):
+        shutil.rmtree(data)
+    if os.path.exists(bm_path):
+        os.remove(bm_path)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    def run_increment(visible) -> int:
+        bm = None
+        if os.path.exists(bm_path):
+            with open(bm_path) as f:
+                bm = f.read().strip()
+        new = visible if bm is None else visible.filter(
+            F.col("ts") > F.lit(bm).cast("timestamp")
+        )
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(data)
+        top = visible.agg(F.max("ts")).first()[0]
+        if top is not None:
+            with open(bm_path, "w") as f:
+                f.write(top.isoformat(sep=" "))
+        return n
+
+    run_increment(ev.filter(F.col("ts") <= F.lit(mid)))
+    run_increment(ev)
+    n3 = run_increment(ev)
+    # run 3 must extract nothing; recorded for the pytest gate
+    with open(os.path.join(root, "run3_rows.json"), "w") as f:
+        json.dump({"run3_extracted": n3}, f)
+    back = spark.read.schema(EVENTS).parquet(data)
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return back.groupBy(
+        F.col("ts").cast("date").alias("event_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )

@@ -1143,3 +1143,83 @@ def ts_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_low",
         "n_high",
     )
+
+
+PEAK_HALF = 2  # strict-greater neighborhood half-width
+
+
+@query(
+    "ts_peak_detect",
+    f"""
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS tus,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY event_type
+    ),
+    nb AS (
+      SELECT v.event_type, v.event_id, v.cents, st.s, st.n,
+             LAG(cents, 1) OVER w AS l1, LAG(cents, 2) OVER w AS l2,
+             LEAD(cents, 1) OVER w AS r1, LEAD(cents, 2) OVER w AS r2
+      FROM v JOIN st ON st.event_type = v.event_type
+      WINDOW w AS (PARTITION BY v.event_type ORDER BY tus, event_id)
+    )
+    SELECT event_type, event_id, cents
+    FROM nb
+    WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+      AND r1 IS NOT NULL AND r2 IS NOT NULL
+      AND cents > l1 AND cents > l2 AND cents > r1 AND cents > r2
+      AND cents * n > s
+    """,
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection — the alerting primitive behind "flag the
+    spikes": a point is a peak iff it STRICTLY exceeds its
+    ±{PEAK_HALF} ordered neighbors (interior points only — edges have
+    no full neighborhood) AND sits above its series' mean, the
+    amplitude guard cross-multiplied (cents·n > s) so no division
+    enters the decision. Strict inequalities make plateaus peakless —
+    the pinned deterministic convention (a plateau's "peak" is
+    order-ambiguous).
+
+    Plan: one event_type exchange, one window pass (4 lag/lead reads
+    off one sort), the per-series stats broadcast onto the stream —
+    O(1) per-row state at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    v = e.select(
+        "event_type", "event_id",
+        F.expr("unix_micros(ts)").alias("tus"), cents.alias("cents"),
+    )
+    st = v.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    nb = v.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        "s",
+        "n",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", 2).over(w).alias("l2"),
+        F.lead("cents", 1).over(w).alias("r1"),
+        F.lead("cents", 2).over(w).alias("r2"),
+    )
+    c = F.col("cents")
+    return nb.filter(
+        F.col("l1").isNotNull()
+        & F.col("l2").isNotNull()
+        & F.col("r1").isNotNull()
+        & F.col("r2").isNotNull()
+        & (c > F.col("l1"))
+        & (c > F.col("l2"))
+        & (c > F.col("r1"))
+        & (c > F.col("r2"))
+        & (c * F.col("n") > F.col("s"))
+    ).select("event_type", "event_id", "cents")

@@ -94,6 +94,9 @@ ALLOWED_NLJ = {
     # 1-row corpus (N, total_tokens) broadcast onto the scored
     # postings frame (llm_corpus.py)
     "llm_bm25_score",
+    # 1-row (n_keys, n_rows, max) stats broadcast onto the top-N heavy
+    # keys, condition-free by design (reports_behavior.py)
+    "rpt_join_skew_profile",
     # 1-row bigram grand total broadcast onto the |pairs| frame
     # (llm_corpus.py)
     "llm_pmi_collocations",

@@ -749,3 +749,108 @@ def test_uniq_combined_error_bound(spark):
         assert r["rel_err"] == abs(
             r["uniq_combined"] - r["uniq_exact"]
         ) / r["uniq_exact"]
+
+
+# ---------- AES round trip ----------
+
+
+def test_aes_roundtrip_and_pkcs_length_law(spark):
+    rows = _rows(spark, "enc_aes_roundtrip")
+    assert rows and all(r["roundtrip_ok"] for r in rows)
+    for r in rows:
+        assert r["cipher_bytes"] == (r["n_bytes"] // 16 + 1) * 16
+
+
+# ---------- peak detection ----------
+
+
+def test_peaks_match_naive_scan(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_type",
+            "event_id",
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("c"),
+            "ts",
+        )
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    expect = set()
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        xs = [r["c"] for r in rs]
+        mean_num, n = sum(xs), len(xs)
+        for i in range(2, len(xs) - 2):
+            if (
+                xs[i] > xs[i - 1] and xs[i] > xs[i - 2]
+                and xs[i] > xs[i + 1] and xs[i] > xs[i + 2]
+                and xs[i] * n > mean_num
+            ):
+                expect.add(rs[i]["event_id"])
+    got = {r["event_id"] for r in _rows(spark, "ts_peak_detect")}
+    assert got == expect and expect
+
+
+# ---------- cohort LTV ----------
+
+
+def test_cohort_ltv_monotone_and_total(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    rows = _rows(spark, "rpt_cohort_ltv")
+    ev = load_table(spark, SF, "events")
+    total = ev.select(
+        F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+    ).first()[0]
+    assert sum(r["rev_cents"] for r in rows) == total
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_m"], []).append(r)
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["months_since"])
+        cum = 0
+        for r in rs:
+            cum += r["rev_cents"]
+            assert r["cum_rev_cents"] == cum
+            assert r["ltv_per_user"] == cum / (r["cohort_users"] * 100.0)
+
+
+# ---------- join-key skew profile ----------
+
+
+def test_skew_profile_recomputes(spark):
+    from etl_ch_destination_spark.catalog import load_table
+
+    rows = sorted(_rows(spark, "rpt_join_skew_profile"),
+                  key=lambda r: r["rk"])
+    li = load_table(spark, SF, "lineitem")
+    n_rows = li.count()
+    n_keys = li.select("l_orderkey").distinct().count()
+    assert rows[0]["cnt"] == rows[0]["max_cnt"]
+    prev = rows[0]["cnt"]
+    for r in rows:
+        assert (r["n_rows"], r["n_keys"]) == (n_rows, n_keys)
+        assert r["cnt"] <= prev
+        prev = r["cnt"]
+        assert r["skew_factor"] == r["cnt"] * n_keys / n_rows
+        assert r["row_share"] == r["cnt"] / n_rows
+
+
+# ---------- incremental ETL ----------
+
+
+def test_incremental_etl_run3_is_noop_and_complete(spark):
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+
+    df = _q("job_incremental_etl")(spark, SF)
+    got_n = df.agg(F.sum("n_events")).first()[0]
+    assert got_n == load_table(spark, SF, "events").count()
+    tag = os.path.basename(SF.rstrip("/"))
+    with open(os.path.join(
+            scratch_dir(f"job_incremental_etl/{tag}"), "run3_rows.json")) as f:
+        assert json.load(f)["run3_extracted"] == 0
