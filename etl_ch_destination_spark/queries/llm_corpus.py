@@ -1615,3 +1615,109 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PMI_TOPK)
         .select("x", "y", "c_xy", "c_x", "c_y", "lift", "rk")
     )
+
+
+@query(
+    "llm_dedup_url",
+    """
+    WITH raw AS (
+      SELECT doc_id, source,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://www.example.com/docs/'
+                 || CAST(doc_id // 4 AS VARCHAR)
+                 || '?utm_source=feed&utm_campaign=x'
+               WHEN 1 THEN 'HTTPS://EXAMPLE.COM/docs/'
+                 || CAST(doc_id // 4 AS VARCHAR) || '/'
+               WHEN 2 THEN 'http://example.com/docs/'
+                 || CAST(doc_id // 4 AS VARCHAR) || '#section-2'
+               ELSE 'https://example.com/docs/'
+                 || CAST(doc_id // 4 AS VARCHAR)
+                 || '?ref=tw&utm_medium=social'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, source, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '^https?://', ''),
+                     '^www\\.', ''),
+                   '#.*$', ''),
+                 '([?&])(utm_[a-z]+|ref)=[^&]*', '\\1', 'g'),
+               '[?&]+$|/$', '') AS cu
+      FROM raw
+    )
+    SELECT doc_id, source, url, cu AS canonical_url,
+           CAST(COUNT(*) OVER (PARTITION BY cu) AS BIGINT) AS group_size,
+           (ROW_NUMBER() OVER (PARTITION BY cu ORDER BY doc_id) = 1)
+             AS is_kept
+    FROM canon
+    """,
+)
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the CCNet/RefinedWeb first pass:
+    web-crawl URLs that differ only in scheme, case, ``www.``,
+    trailing slash, fragment, or tracking parameters
+    (utm_*/ref) are the SAME page and must collapse before any
+    content-level dedup runs. The fixture synthesizes four
+    deterministic messy variants per canonical page (doc_id mod 4
+    picks the corruption), the canonicalizer is a fixed
+    regexp_replace chain IDENTICAL on both engines (lowercase → strip
+    scheme → strip www → strip fragment → strip tracking params →
+    strip dangling ?/&/slash), and the dedup is the standard
+    group-size + keeper-rank window pair on the canonical key.
+
+    Plan: map-side regex codegen, ONE exchange on the canonical hash
+    serving both windows — the llm_dedup_normalized shape applied to
+    the URL axis. At 100 TB this runs before featurization and cuts
+    the crawl by the duplicate factor for free."""
+    d = load_table(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 4").cast("string")
+    variants = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://www.example.com/docs/"), page,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTPS://EXAMPLE.COM/docs/"), page, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("http://example.com/docs/"), page, F.lit("#section-2")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/docs/"), page,
+                F.lit("?ref=tw&utm_medium=social"),
+            )
+        )
+    )
+    raw = d.select("doc_id", "source", variants.alias("url"))
+    cu = F.lower(F.col("url"))
+    for pat, rep in (
+        ("^https?://", ""),
+        ("^www\\.", ""),
+        ("#.*$", ""),
+        ("([?&])(utm_[a-z]+|ref)=[^&]*", "$1"),
+        ("[?&]+$|/$", ""),
+    ):
+        cu = F.regexp_replace(cu, pat, rep)
+    canon = raw.select("doc_id", "source", "url", cu.alias("canonical_url"))
+    w_g = Window.partitionBy("canonical_url")
+    w_r = Window.partitionBy("canonical_url").orderBy("doc_id")
+    return canon.select(
+        "doc_id",
+        "source",
+        "url",
+        "canonical_url",
+        F.count(F.lit(1)).over(w_g).cast("bigint").alias("group_size"),
+        (F.row_number().over(w_r) == 1).alias("is_kept"),
+    )

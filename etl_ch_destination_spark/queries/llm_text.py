@@ -723,3 +723,81 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bytes").cast("double") / F.col("comp_bytes"))
         .alias("compression_ratio"),
     )
+
+
+@query(
+    "str_html_strip",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p class="main">' || text
+               || ' &amp; more &lt;stuff&gt; &quot;here&quot;&nbsp;'
+               || '</p><script>var x = 1;</script></body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                     '', 'gs'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&nbsp;', ' '),
+               ' +', ' ', 'g')) AS clean
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS len_html,
+           CAST(length(clean) AS BIGINT) AS len_clean,
+           md5(clean) AS clean_md5,
+           starts_with(clean, 'Doc ' || CAST(doc_id AS VARCHAR)) AS has_title
+    FROM stripped
+    """,
+)
+def str_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first transform of every
+    web-crawl text pipeline: drop <script>/<style> WITH their
+    contents (dotall non-greedy, the classic trap — stripping only
+    the tags leaks javascript into the corpus), flatten remaining
+    tags to spaces, decode the five core entities, collapse
+    whitespace. The fixture wraps each document in a deterministic
+    HTML shell (title, attributed <p>, entities, a script) so the
+    cleaner's every rule is exercised; the md5 digest hash-matches
+    the oracle running the IDENTICAL regex chain, and `has_title`
+    pins that element boundaries became word boundaries.
+
+    Plan: pure map-side regex codegen, zero shuffles — the
+    embarrassing-parallel shape; at 100 TB this fuses into the scan
+    stage of the corpus read."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p class=\"main\">"), F.col("text"),
+        F.lit(" &amp; more &lt;stuff&gt; &quot;here&quot;&nbsp;"),
+        F.lit("</p><script>var x = 1;</script></body></html>"),
+    )
+    clean = F.regexp_replace(
+        html,
+        "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>",
+        "",
+    )
+    clean = F.regexp_replace(clean, "<[^>]+>", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&nbsp;", " "),
+    ):
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, " +", " "))
+    return d.select(
+        "doc_id",
+        F.length(html).cast("bigint").alias("len_html"),
+        F.length(clean).cast("bigint").alias("len_clean"),
+        F.md5(clean).alias("clean_md5"),
+        clean.startswith(
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+        ).alias("has_title"),
+    )

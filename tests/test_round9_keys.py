@@ -854,3 +854,63 @@ def test_incremental_etl_run3_is_noop_and_complete(spark):
     with open(os.path.join(
             scratch_dir(f"job_incremental_etl/{tag}"), "run3_rows.json")) as f:
         assert json.load(f)["run3_extracted"] == 0
+
+
+# ---------- URL dedup ----------
+
+
+def test_url_dedup_groups_of_four(spark):
+    """Every canonical page has exactly its ≤4 messy variants, one
+    keeper per group (the lowest doc_id), and canonicalization
+    stripped scheme/www/fragment/tracking."""
+    rows = _rows(spark, "llm_dedup_url")
+    by_cu: dict[str, list] = {}
+    for r in rows:
+        cu = r["canonical_url"]
+        assert "://" not in cu and not cu.startswith("www.")
+        assert "#" not in cu and "utm_" not in cu and "ref=" not in cu
+        assert not cu.endswith("/") and not cu.endswith("?")
+        by_cu.setdefault(cu, []).append(r)
+    for cu, rs in by_cu.items():
+        assert len(rs) <= 4
+        assert all(r["group_size"] == len(rs) for r in rs)
+        keepers = [r for r in rs if r["is_kept"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == min(r["doc_id"] for r in rs)
+    # same page index + same source -> same group even across variants
+    full_groups = [rs for rs in by_cu.values() if len(rs) == 4]
+    assert full_groups, "no complete 4-variant group in fixture"
+
+
+# ---------- HTML strip ----------
+
+
+def test_html_strip_matches_python_reference(spark):
+    """The cleaned text equals an independent python implementation:
+    script dropped WITH contents, tags to spaces, entities decoded,
+    whitespace collapsed."""
+    import re
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    docs = {r["doc_id"]: r["text"]
+            for r in load_table(spark, SF, "documents").collect()}
+    rows = _rows(spark, "str_html_strip")
+    assert rows
+    for r in rows[:200]:
+        text = docs[r["doc_id"]]
+        html = (
+            f"<html><body><h1>Doc {r['doc_id']}</h1><p class=\"main\">{text}"
+            " &amp; more &lt;stuff&gt; &quot;here&quot;&nbsp;"
+            "</p><script>var x = 1;</script></body></html>"
+        )
+        clean = re.sub(r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>",
+                       "", html)
+        clean = re.sub(r"<[^>]+>", " ", clean)
+        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                        ("&quot;", '"'), ("&nbsp;", " ")):
+            clean = clean.replace(ent, ch)
+        clean = re.sub(r" +", " ", clean).strip()
+        assert r["len_clean"] == len(clean)
+        assert r["has_title"] and clean.startswith(f"Doc {r['doc_id']}")
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
