@@ -393,6 +393,43 @@ ANNOTATIONS: dict[str, str] = {
         "column) — a single user_id exchange; no view×purchase "
         "interval join, no row fan-out."
     ),
+    "graph_pagerank": (
+        "Three unrolled integer power iterations, each one "
+        "`ShuffledHashJoin` (the SHUFFLE_HASH hint — the |nodes| rank "
+        "frame GROWS with the graph, so letting AQE broadcast it OOMs "
+        "the driver at 30×; the stress spine caught it) plus one dst "
+        "hash aggregate over the STAGED degree-annotated edge list — "
+        "lineage stays O(1) in iterations, no exchange carries more "
+        "than edge-sized rows."
+    ),
+    "rpt_basket_pairs": (
+        "The deduped (order, brand) basket projection is STAGED once "
+        "and feeds three consumers (marginals, basket count, the "
+        "self-equi-join) as stored-block scans; the pair expansion is "
+        "bounded by C(brands_in_order, 2) and the only non-broadcast "
+        "joins key on the order id."
+    ),
+    "llm_pmi_collocations": (
+        "The bigram explode is consumed EXACTLY once: the (x, y) pair "
+        "table is staged, and the marginals aggregate over THAT "
+        "(c(x) = Σ_y c(x,y)) rather than re-exploding the corpus; "
+        "total/marginal frames broadcast back. One corpus-sized "
+        "exchange in the whole plan."
+    ),
+    "ts_outlier_iqr": (
+        "Exact interpolated quartiles without rank-probe joins: the "
+        "tiny per-group probe frame BROADCASTS onto the ranked spine "
+        "and a conditional MAX harvests all four probe rows in one "
+        "aggregate — the plan audit caught the 4-join draft at 6 "
+        "shuffles; this form is 3."
+    ),
+    "scan_dpp_join": (
+        "`dynamicpruningexpression` in the fact scan's "
+        "PartitionFilters (asserted in pytest): the dim filter's key "
+        "set prunes fact partition directories at RUNTIME — 1 of 3 "
+        "directories read; at 100 TB this is the star-join scan "
+        "optimization."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
