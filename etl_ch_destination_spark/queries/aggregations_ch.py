@@ -3017,7 +3017,9 @@ def agg_quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication (event cents stand in for milliseconds).
 
     Plan: map-side bucketing, one (group, bucket) hash agg — the
-    histogram is ≤ 1024 + 1814 buckets per group BY CONSTRUCTION, the
+    histogram is ≤ 1024 + 1812 buckets per group BY CONSTRUCTION
+    (exact cells below 1024, then (30000−1024)/16 + 1 coarse cells
+    and the saturation cell), the
     whole point of the Timing variant — then a constant-size window
     cumsum and conditional-min rank probes. At 100 TB the per-group
     state is the fixed histogram, exactly like CH's implementation."""
