@@ -820,3 +820,81 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_dedup_substring_exact",
+    f"""
+    WITH idx AS (
+      SELECT doc_id AS a,
+             unnest(list_distinct(list_transform(
+               range(1, CAST(length(text) - {SUBSTR_GRAM - 2} AS INT), 1),
+               i -> md5(substr(text, CAST(i AS INT), {SUBSTR_GRAM})))))
+               AS h
+      FROM documents
+      WHERE length(text) >= {SUBSTR_GRAM} AND doc_id % 2 = 0
+    ),
+    probe AS (
+      SELECT doc_id AS b,
+             unnest(list_distinct(list_transform(
+               range(1, CAST(length(text) - {SUBSTR_GRAM - 2} AS INT),
+                     {SUBSTR_STEP}),
+               i -> md5(substr(text, CAST(i AS INT), {SUBSTR_GRAM})))))
+               AS h
+      FROM documents
+      WHERE length(text) >= {SUBSTR_GRAM} AND doc_id % 2 = 1
+    )
+    SELECT idx.a, probe.b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM idx JOIN probe ON probe.h = idx.h
+    GROUP BY idx.a, probe.b
+    """,
+)
+def llm_dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition shared-substring detection with the TRUE length
+    guarantee llm_dedup_substring's symmetric striding lacks (the
+    ADVICE r8 finding): the INDEX side (even doc_ids — an old corpus)
+    shingles EVERY position, the PROBE side (odd doc_ids — the new
+    batch) strides by {SUBSTR_STEP}. Any shared run of
+    ≥ {SUBSTR_GRAM + SUBSTR_STEP - 1} chars now necessarily contains
+    some probe-grid shingle, and every {SUBSTR_GRAM}-char window of
+    the index side exists in the index — so detection no longer
+    depends on the two documents' phase alignment mod the stride.
+    Cost: the index side fans out ~STEP× more than the strided form —
+    the classic index-once/probe-cheap asymmetry (one-time cost
+    amortized over every future probe batch; Lee et al. 2022's
+    suffix-array dedup is the limit of the same idea).
+
+    Plan: both sides are map-side explodes; one hash equi-join on the
+    shingle digest + a (a, b) pair aggregate. Pair cardinality is
+    bounded by真 shared content, not by corpus size — disjoint texts
+    produce zero join rows. No all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SUBSTR_GRAM
+    )
+
+    def shingles(df, step: int, alias: str):
+        starts = F.sequence(
+            F.lit(1), F.length("text") - (SUBSTR_GRAM - 1), F.lit(step)
+        )
+        return df.select(
+            F.col("doc_id").alias(alias),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        starts,
+                        lambda i: F.md5(
+                            F.col("text").substr(i, F.lit(SUBSTR_GRAM))
+                        ),
+                    )
+                )
+            ).alias("h"),
+        )
+
+    idx = shingles(d.filter(F.col("doc_id") % 2 == 0), 1, "a")
+    probe = shingles(d.filter(F.col("doc_id") % 2 == 1), SUBSTR_STEP, "b")
+    return (
+        idx.join(probe, "h")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+    )

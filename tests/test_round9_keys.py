@@ -914,3 +914,43 @@ def test_html_strip_matches_python_reference(spark):
         assert r["len_clean"] == len(clean)
         assert r["has_title"] and clean.startswith(f"Doc {r['doc_id']}")
         assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+# ---------- exact-guarantee substring dedup ----------
+
+
+def test_substring_exact_phase_misaligned_copy_detected(spark, tmp_path):
+    """The index-every-position variant must catch a shared run whose
+    start offsets are NOT congruent mod the stride — the case the
+    symmetric strided form provably misses (ADVICE r8) — and stay
+    silent on disjoint texts."""
+    from etl_ch_destination_spark.queries.llm_filters import (
+        SUBSTR_GRAM,
+        SUBSTR_STEP,
+    )
+
+    run = "x".join(str(i) for i in range(60))  # > GRAM+STEP-1 chars, unique
+    filler_a = "a" * 30 + " alpha beta gamma " + "b" * 30
+    filler_b = "c" * 37 + " delta epsilon "  # 37: shifts run off-grid
+    rows = [
+        (0, filler_a + run, "en", "s", 1),          # even: index side
+        (1, filler_b + run, "en", "s", 1),          # odd: probe, misaligned
+        (2, "z" * 120, "en", "s", 1),               # even: disjoint
+        (3, "w" * 120, "en", "s", 1),               # odd: disjoint
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from etl_ch_destination_spark.registry import all_queries
+
+    got = all_queries()["llm_dedup_substring_exact"](spark, sf).collect()
+    pairs = {(r["a"], r["b"]): r["n_shared_shingles"] for r in got}
+    # offsets differ by |filler_a| - |filler_b| which is not ≡ 0 mod STEP
+    assert (len(filler_a) - len(filler_b)) % SUBSTR_STEP != 0
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0
+    assert (2, 3) not in pairs and (2, 1) not in pairs and (0, 3) not in pairs
