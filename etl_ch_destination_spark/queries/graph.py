@@ -323,3 +323,91 @@ def pagerank_ranks(e: DataFrame) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank_ppm"),
         F.col("d").cast("bigint").alias("degree"),
     )
+
+
+KCORE_K = 64      # core threshold: survivors need >= K surviving neighbors
+KCORE_ROUNDS = 8  # unrolled peeling rounds (fixed point asserted in pytest)
+
+
+def _kcore_sql() -> str:
+    """Unrolled k-core peeling oracle, generated from the same
+    constants the Spark loop uses: round i recomputes degrees over the
+    surviving edge set and keeps nodes with degree >= K."""
+    parts = [
+        f"WITH {_SQL_EDGES}, e0 AS MATERIALIZED (SELECT u, v FROM e)"
+    ]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge set three times (two degree-union arms + the peel join);
+    # un-materialized CTEs inline, so an 8-round unroll would expand to
+    # 3^8 scans of the base table (DuckDB ran out of file handles).
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e{i - 1}
+            UNION ALL SELECT v AS node FROM e{i - 1})
+      GROUP BY node
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+    e{i} AS MATERIALIZED (
+      SELECT p.u, p.v FROM e{i - 1} p
+      JOIN k{i} a ON a.node = p.u
+      JOIN k{i} b ON b.node = p.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS node FROM e{KCORE_ROUNDS}
+          UNION ALL SELECT v AS node FROM e{KCORE_ROUNDS})
+    GROUP BY node
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore", _kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = KCORE_K = 64 — sized to bite at every
+    fixture SF: each graph's bottom degree decile peels and cascades
+    to a fixed point within 2 rounds, leaving a non-trivial core) of
+    the part co-purchase
+    graph — the standard dense-subgraph extractor (Seidman 1983,
+    public literature; spam/boilerplate cluster mining in web-graph
+    curation): repeatedly delete nodes with fewer than k surviving
+    neighbors until stable. The k-core is UNIQUE, so the result is
+    order-independent; both engines run the IDENTICAL {KCORE_ROUNDS}
+    unrolled peeling rounds (the oracle is generated from the same
+    constants), and the pytest gate asserts the fixture reaches the
+    fixed point well inside that budget — so the answer is the true
+    core, not a truncation artifact.
+
+    Plan: per round, one degree aggregate over the surviving edges +
+    two semi-join-shaped keep filters; the edge frame is STAGED every
+    round (the ops/components.py lineage discipline — plan size stays
+    O(1) in rounds, superseded stages reclaimed by the pipeline at
+    cluster scale). Peeling is O(|E|) per round and the round count is
+    small in practice (cores shrink geometrically)."""
+    return kcore_subgraph(_copurchase_edges(spark, sf_dir))
+
+
+def kcore_subgraph(e: DataFrame) -> DataFrame:
+    """graph_kcore's peeling loop over an arbitrary canonical
+    undirected edge frame — exposed for known-graph tests. Returns the
+    surviving (node, core_degree) frame after KCORE_ROUNDS rounds."""
+    cur = stage(e, label="kcore_e0")
+    for i in range(KCORE_ROUNDS):
+        deg = _degrees(cur).filter(F.col("d") >= KCORE_K).select("node")
+        keep_u = deg.select(F.col("node").alias("u"))
+        keep_v = deg.select(F.col("node").alias("v"))
+        cur = stage(
+            cur.join(keep_u, "u", "left_semi").join(keep_v, "v", "left_semi"),
+            label=f"kcore_e{i + 1}",
+        )
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )

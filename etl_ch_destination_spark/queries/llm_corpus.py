@@ -1721,3 +1721,82 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_g).cast("bigint").alias("group_size"),
         (F.row_number().over(w_r) == 1).alias("is_kept"),
     )
+
+
+EVAL_TOPK = 10   # ranking depth
+EVAL_REL_TF = 3  # relevance label: term frequency >= this
+
+
+@query(
+    "llm_ranking_eval",
+    f"""
+    WITH tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+      GROUP BY term, doc_id
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc_id) AS BIGINT)
+               AS rk,
+             (tf >= {EVAL_REL_TF}) AS rel
+      FROM tf
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {EVAL_TOPK})
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_topk,
+           CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rel_topk,
+           CAST(MIN(CASE WHEN rel THEN rk END) AS BIGINT)
+             AS first_rel_rank,
+           CAST(1 AS DOUBLE) / MIN(CASE WHEN rel THEN rk END)
+             AS reciprocal_rank,
+           CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS precision_at_k
+    FROM top GROUP BY term
+    """,
+)
+def llm_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ranking evaluation — the MRR / precision@k harness a
+    RAG or search pipeline runs against its index: per query term, the
+    top-{EVAL_TOPK} documents by term frequency are scored against a
+    deterministic relevance label (tf ≥ {EVAL_REL_TF}), yielding
+    first-relevant rank, reciprocal rank, and precision@k. Metrics are
+    emitted PER QUERY (one row each) rather than macro-averaged —
+    cross-query float averaging is order-sensitive, per-query
+    reciprocals are single exact divisions; the reader averages
+    downstream at whatever grouping it wants (NDCG's log2 discounts
+    are the same one-division-per-rank shape if needed).
+
+    Plan: term-filtered explode (map-side), one (term, doc) agg, a
+    per-term top-k window over posting-sized partitions, and a
+    |terms|-row final agg."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = (
+        tf.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("rel", F.col("tf") >= EVAL_REL_TF)
+        .filter(F.col("rk") <= EVAL_TOPK)
+    )
+    first_rel = F.min(F.when(F.col("rel"), F.col("rk")))
+    return top.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_topk"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel_topk"),
+        first_rel.cast("bigint").alias("first_rel_rank"),
+        (F.lit(1.0) / first_rel).alias("reciprocal_rank"),
+        (
+            F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("precision_at_k"),
+    )

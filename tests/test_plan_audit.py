@@ -42,6 +42,7 @@ EFFECTFUL = {
     "sink_parquet_bloom",  # writes the bloom-indexed layout
     "sink_zorder_layout",  # writes the z-clustered layout
     "sink_jsonl_gzip",  # writes the gzip JSONL export
+    "graph_kcore",  # iterative peeling: jobs run during construction
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

@@ -954,3 +954,88 @@ def test_substring_exact_phase_misaligned_copy_detected(spark, tmp_path):
     assert (len(filler_a) - len(filler_b)) % SUBSTR_STEP != 0
     assert (0, 1) in pairs and pairs[(0, 1)] > 0
     assert (2, 3) not in pairs and (2, 1) not in pairs and (0, 3) not in pairs
+
+
+# ---------- ranking eval ----------
+
+
+def test_ranking_eval_recomputes_from_postings(spark):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        BM25_TERMS,
+        EVAL_REL_TF,
+        EVAL_TOPK,
+    )
+
+    docs = load_table(spark, SF, "documents").collect()
+    postings: dict[str, dict[int, int]] = {t: {} for t in BM25_TERMS}
+    for d in docs:
+        for w in d["text"].split(" "):
+            if w in postings:
+                postings[w][d["doc_id"]] = postings[w].get(d["doc_id"], 0) + 1
+    rows = {r["term"]: r for r in _rows(spark, "llm_ranking_eval")}
+    for term, tfs in postings.items():
+        top = sorted(tfs.items(), key=lambda kv: (-kv[1], kv[0]))[:EVAL_TOPK]
+        rel_ranks = [i + 1 for i, (_, tf) in enumerate(top)
+                     if tf >= EVAL_REL_TF]
+        r = rows[term]
+        assert r["n_topk"] == len(top)
+        assert r["n_rel_topk"] == len(rel_ranks)
+        if rel_ranks:
+            assert r["first_rel_rank"] == rel_ranks[0]
+            assert r["reciprocal_rank"] == 1.0 / rel_ranks[0]
+        else:
+            assert r["first_rel_rank"] is None
+        assert r["precision_at_k"] == len(rel_ranks) / len(top)
+
+
+# ---------- k-core ----------
+
+
+def test_kcore_known_graph_cascade(spark):
+    """Peeling must CASCADE: on a path attached to a clique (with
+    k = 2 semantics emulated by scaling), removing the path tip makes
+    the next node sub-threshold, and so on — only the clique survives.
+    Built at the module's real K by attaching K-regular gadgets."""
+    from etl_ch_destination_spark.queries.graph import (
+        KCORE_K,
+        kcore_subgraph,
+    )
+
+    # clique of K+1 nodes: every node has degree K -> all survive
+    clique = [(a, b) for a in range(KCORE_K + 1)
+              for b in range(a + 1, KCORE_K + 1)]
+    # a tail path hanging off node 0: tail nodes have degree <= 2 < K,
+    # so the whole tail peels (in cascading rounds), clique unaffected
+    base = KCORE_K + 1
+    tail = [(0, base), (base, base + 1), (base + 1, base + 2)]
+    e = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in clique + tail],
+        "u long, v long",
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore_subgraph(e).collect()}
+    assert set(got) == set(range(KCORE_K + 1))
+    assert all(d == KCORE_K for d in got.values())
+
+
+def test_kcore_fixture_is_fixed_point(spark):
+    """Running the peel again on the surviving subgraph must change
+    nothing (the unrolled round budget truly reached the k-core), and
+    every survivor's core degree is >= K."""
+    from etl_ch_destination_spark.queries.graph import (
+        KCORE_K,
+        _copurchase_edges,
+        kcore_subgraph,
+    )
+
+    e0 = _copurchase_edges(spark, SF).cache()
+    got = kcore_subgraph(e0)
+    rows = {r["node"]: r["core_degree"] for r in got.collect()}
+    assert rows and all(d >= KCORE_K for d in rows.values())
+    survivors = list(rows)
+    e1 = e0.filter(
+        F.col("u").isin(survivors) & F.col("v").isin(survivors)
+    )
+    again = {r["node"]: r["core_degree"]
+             for r in kcore_subgraph(e1).collect()}
+    assert again == rows
