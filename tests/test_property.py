@@ -399,3 +399,69 @@ def test_skyline_sweep_matches_brute_force(spark, pts):
 
     expected = {i for x, y, i in data if not dominated(x, y, i)}
     assert got == expected
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_integer_recurrence_matches_reference(spark, edges):
+    """On random small graphs the distributed fixed-point PageRank must
+    equal a sequential python implementation of the SAME integer
+    recurrence — any order-dependence in the distributed form would
+    diverge under hypothesis's shapes (stars, paths, multi-component
+    graphs, near-cliques)."""
+    from etl_ch_destination_spark.queries.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_ranks,
+    )
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges})
+    adj: dict[int, list[int]] = {}
+    for u, v in canon:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    deg = {k: len(vs) for k, vs in adj.items()}
+    rank = {k: PR_SCALE for k in adj}
+    for _ in range(PR_ITERS):
+        rank = {
+            k: 150000 + 85 * sum(rank[j] // deg[j] for j in adj[k]) // 100
+            for k in adj
+        }
+    e = spark.createDataFrame(canon, "u long, v long")
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_ranks(e).collect()}
+    assert got == rank
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=40)
+)
+@settings(**SETTINGS)
+def test_wma_two_cumsum_identity_on_random_series(spark, xs):
+    """The O(1)-per-row weighted-moving-average identity must equal the
+    naive per-row weighted scan on arbitrary integer series (ramp-in
+    prefixes, ties, zeros, constant runs)."""
+    from etl_ch_destination_spark.queries.windows_extra import WMA_K
+
+    # reproduce the identity directly: cs/ws prefix sums + lag-K
+    n = len(xs)
+    cs = [0] * (n + 1)
+    ws = [0] * (n + 1)
+    for i, x in enumerate(xs, start=1):
+        cs[i] = cs[i - 1] + x
+        ws[i] = ws[i - 1] + i * x
+    for t in range(1, n + 1):
+        m = min(t, WMA_K)
+        base = t - m
+        ident = (ws[t] - ws[base]) - base * (cs[t] - cs[base])
+        naive = sum((j + 1) * x for j, x in enumerate(xs[t - m : t]))
+        assert ident == naive
