@@ -338,3 +338,96 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("weight") != 0)
         .select("doc_id", "bucket", "weight")
     )
+
+
+AUDIO_BASE = 64   # samples per doc: AUDIO_BASE + doc_id % AUDIO_BASE
+AUDIO_WIN = 32    # frame-window width (samples)
+
+
+@query(
+    "llm_multimodal_audio",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST({AUDIO_BASE} + doc_id % {AUDIO_BASE} AS BIGINT) AS n
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST((n + {AUDIO_WIN - 1}) // {AUDIO_WIN}
+                               AS INT))) AS win
+      FROM p
+    )
+    SELECT doc_id, CAST(win AS INT) AS window_idx,
+           CAST(LEAST((win + 1) * {AUDIO_WIN}, n) - win * {AUDIO_WIN}
+                AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(
+             range(CAST(win * {AUDIO_WIN} AS INT),
+                   CAST(LEAST((win + 1) * {AUDIO_WIN}, n) AS INT)),
+             i -> ((doc_id * 31 + i * 17) % 2048 - 1024)
+                  * ((doc_id * 31 + i * 17) % 2048 - 1024)))
+             AS BIGINT) AS energy
+    FROM w
+    """,
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column feature extraction — the AUDIO axis of the
+    multimodal model (north-star "image/audio/video as opaque binary
+    columns"): each document synthesizes a deterministic PCM-16 WAV
+    payload (ops/audio.py — a from-scratch encoder of the public
+    RIFF/WAVE layout), and an Arrow-batched ``mapInPandas`` stage
+    decodes REAL bytes (header validation + int16 LE samples), frames
+    them into {AUDIO_WIN}-sample windows, and emits per-window int64
+    ENERGY (sum of squares — exact). The waveform is a closed form of
+    (doc_id, i), so the oracle recomputes every window energy without
+    bytes: a hash match proves the encode→decode→frame→aggregate
+    plumbing lost nothing — the same real-codec discipline as the
+    PPM/PVID image keys.
+
+    Plan: map-side synth + one mapInPandas scan, zero shuffles; the
+    feature frame is ≤ 4 windows/doc. At 100 TB payloads come from
+    binaryFile scans and the identical UDF signature applies."""
+    import pandas as pd
+
+    from etl_ch_destination_spark.ops.audio import (
+        wav_decode,
+        wav_encode,
+        waveform,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "payload": [
+                        wav_encode(
+                            waveform(int(i), AUDIO_BASE + int(i) % AUDIO_BASE)
+                        )
+                        for i in b["doc_id"]
+                    ],
+                }
+            )
+
+    audio = d.mapInPandas(synth, "doc_id long, payload binary")
+
+    def featurize(batches):
+        for b in batches:
+            out = {"doc_id": [], "window_idx": [], "n_samples": [],
+                   "energy": []}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                _, samples = wav_decode(bytes(payload))
+                for w in range((len(samples) + AUDIO_WIN - 1) // AUDIO_WIN):
+                    frame = samples[w * AUDIO_WIN : (w + 1) * AUDIO_WIN]
+                    out["doc_id"].append(int(doc_id))
+                    out["window_idx"].append(w)
+                    out["n_samples"].append(len(frame))
+                    out["energy"].append(sum(s * s for s in frame))
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        featurize,
+        "doc_id long, window_idx int, n_samples bigint, energy bigint",
+    )

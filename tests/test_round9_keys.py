@@ -1039,3 +1039,48 @@ def test_kcore_fixture_is_fixed_point(spark):
     again = {r["node"]: r["core_degree"]
              for r in kcore_subgraph(e1).collect()}
     assert again == rows
+
+
+# ---------- multimodal audio ----------
+
+
+def test_wav_codec_roundtrip_and_rejects_garbage():
+    import pytest
+
+    from etl_ch_destination_spark.ops.audio import (
+        wav_decode,
+        wav_encode,
+        waveform,
+    )
+
+    samples = waveform(7, 100)
+    rate, back = wav_decode(wav_encode(samples))
+    assert back == samples and rate == 16_000
+    assert min(samples) >= -1024 and max(samples) <= 1023
+    with pytest.raises(ValueError):
+        wav_decode(b"\x00" * 64)
+    # truncated header
+    with pytest.raises(Exception):
+        wav_decode(wav_encode(samples)[:20])
+
+
+def test_audio_energy_matches_python_reference(spark):
+    from etl_ch_destination_spark.queries.llm_vectors import (
+        AUDIO_BASE,
+        AUDIO_WIN,
+    )
+
+    rows = _rows(spark, "llm_multimodal_audio")
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, rs in list(by_doc.items())[:50]:
+        n = AUDIO_BASE + doc_id % AUDIO_BASE
+        samples = [((doc_id * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+        rs.sort(key=lambda r: r["window_idx"])
+        assert len(rs) == (n + AUDIO_WIN - 1) // AUDIO_WIN
+        for w, r in enumerate(rs):
+            frame = samples[w * AUDIO_WIN : (w + 1) * AUDIO_WIN]
+            assert r["n_samples"] == len(frame)
+            assert r["energy"] == sum(s * s for s in frame)
