@@ -182,6 +182,7 @@ R12_NEW: list[str] = [
     "rpt_join_skew_profile", "job_incremental_etl",
     "llm_dedup_url", "str_html_strip", "llm_dedup_substring_exact",
     "llm_ranking_eval", "graph_kcore", "llm_multimodal_audio",
+    "scan_csv_locale", "llm_audio_resample",
 ]
 
 # Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys

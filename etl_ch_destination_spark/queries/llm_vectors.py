@@ -431,3 +431,69 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         featurize,
         "doc_id long, window_idx int, n_samples bigint, energy bigint",
     )
+
+
+@query(
+    "llm_audio_resample",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST({AUDIO_BASE} + doc_id % {AUDIO_BASE} AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST((n + 1) // 2 AS BIGINT) AS n_out,
+           CAST(list_sum(list_transform(
+             range(0, CAST((n + 1) // 2 AS INT)),
+             k -> ((doc_id * 31 + (2 * k) * 17) % 2048 - 1024)
+                  * ((doc_id * 31 + (2 * k) * 17) % 2048 - 1024)))
+             AS BIGINT) AS energy_out
+    FROM p
+    """,
+)
+def llm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling (decimation by 2 — the audio analog of the
+    image `resize` the north star names): each document's PCM-16 WAV
+    payload is decoded, every second sample kept (16 kHz → 8 kHz), and
+    RE-ENCODED as a valid WAV at the new rate; the returned frame
+    reports input/output lengths and the decimated signal's int64
+    energy, which the oracle recomputes from the closed-form waveform
+    at even indices — a hash match proves decode→decimate→re-encode→
+    re-decode round-tripped every surviving sample exactly. (A
+    production resampler low-pass-filters before decimating;
+    decimation is the deterministic skeleton both engines can agree
+    on bit-for-bit.)
+
+    Plan: one Arrow-batched mapInPandas scan, zero shuffles."""
+    import pandas as pd
+
+    from etl_ch_destination_spark.ops.audio import (
+        wav_decode,
+        wav_encode,
+        waveform,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def resample(batches):
+        for b in batches:
+            out = {"doc_id": [], "n_in": [], "n_out": [], "energy_out": []}
+            for i in b["doc_id"]:
+                doc_id = int(i)
+                n = AUDIO_BASE + doc_id % AUDIO_BASE
+                payload = wav_encode(waveform(doc_id, n))
+                rate, samples = wav_decode(payload)
+                half = wav_encode(samples[::2], rate // 2)
+                rate2, back = wav_decode(half)
+                assert rate2 == rate // 2
+                out["doc_id"].append(doc_id)
+                out["n_in"].append(len(samples))
+                out["n_out"].append(len(back))
+                out["energy_out"].append(sum(s * s for s in back))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        resample,
+        "doc_id long, n_in bigint, n_out bigint, energy_out bigint",
+    )

@@ -1863,3 +1863,69 @@ def job_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(cents).cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "scan_csv_locale",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def scan_csv_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-formatted CSV ingest — the European export every real
+    pipeline eventually receives: semicolon delimiter, decimal COMMA,
+    thousands-dot ("1.234,56"). Spark's CSV reader has no decimal
+    locale option, so the money column lands as a STRING and is
+    normalized in-engine (strip thousands dots, comma → dot, cast to
+    exact decimal) — the round trip must reproduce the source table's
+    cents bit-for-bit, which the oracle states over the original
+    table. The export itself is generated with the same format
+    functions, so the test exercises BOTH directions of the locale
+    conversion.
+
+    Plan: the normalization is map-side regex/cast codegen fused into
+    the scan; no Python, no shuffle beyond the writer's."""
+    path = _scratch(sf_dir, "scan_csv_locale")
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    # write: format cents as "1.234,56" (dot thousands, comma decimal)
+    euros = (F.col("cents") / 100).cast("bigint")
+    frac = F.lpad((F.col("cents") % 100).cast("string"), 2, "0")
+    euro_grouped = F.regexp_replace(
+        F.format_number(F.col("euros"), 0), ",", "."
+    )
+    out = (
+        o.select("o_orderkey", cents.alias("cents"), "o_orderpriority")
+        .withColumn("euros", euros)
+        .select(
+            "o_orderkey",
+            F.concat(euro_grouped, F.lit(","), frac).alias("price_eu"),
+            "o_orderpriority",
+        )
+    )
+    (
+        out.write.mode("overwrite")
+        .option("sep", ";")
+        .option("header", "true")
+        .csv(path)
+    )
+    back = (
+        spark.read.option("sep", ";")
+        .option("header", "true")
+        .schema("o_orderkey long, price_eu string, o_orderpriority string")
+        .csv(path)
+    )
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.col("price_eu"), "\\.", ""), ",", "."
+    )
+    return back.select(
+        "o_orderkey",
+        (normalized.cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderpriority",
+    )

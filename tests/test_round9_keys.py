@@ -1084,3 +1084,47 @@ def test_audio_energy_matches_python_reference(spark):
             frame = samples[w * AUDIO_WIN : (w + 1) * AUDIO_WIN]
             assert r["n_samples"] == len(frame)
             assert r["energy"] == sum(s * s for s in frame)
+
+
+# ---------- locale CSV ----------
+
+
+def test_locale_csv_roundtrip_formats(spark):
+    """The written file really uses the European format (spot-check a
+    raw line) and the round trip reproduces every cent."""
+    import glob
+
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+
+    df = _q("scan_csv_locale")(spark, SF)
+    got = {r["o_orderkey"]: r["price_cents"] for r in df.collect()}
+    src = load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    ).collect()
+    assert got == {r["o_orderkey"]: r["c"] for r in src}
+    tag = os.path.basename(SF.rstrip("/"))
+    files = glob.glob(
+        os.path.join(scratch_dir(f"scan_csv_locale/{tag}"), "part-*.csv")
+    )
+    assert files
+    with open(files[0]) as f:
+        f.readline()  # header
+        line = f.readline()
+    assert ";" in line and "," in line.split(";")[1]
+
+
+# ---------- audio resample ----------
+
+
+def test_audio_resample_keeps_even_samples(spark):
+    from etl_ch_destination_spark.queries.llm_vectors import AUDIO_BASE
+
+    for r in _rows(spark, "llm_audio_resample")[:100]:
+        n = AUDIO_BASE + r["doc_id"] % AUDIO_BASE
+        even = [((r["doc_id"] * 31 + i * 17) % 2048) - 1024
+                for i in range(0, n, 2)]
+        assert r["n_in"] == n and r["n_out"] == len(even)
+        assert r["energy_out"] == sum(s * s for s in even)
