@@ -75,7 +75,18 @@ def wav_decode(payload: bytes) -> tuple[int, list[int]]:
         data_tag,
         data_len,
     ) = struct.unpack("<4sI4s4sIHHIIHH4sI", payload[:44])
-    if fmt != 1 or channels != 1 or bits != 16 or data_tag != b"data":
+    # fmt_size must be 16 for plain PCM — an extended fmt chunk (18-byte
+    # WAVE_FORMAT_EXTENSIBLE) shifts the data chunk, so every field read
+    # from the fixed 44-byte layout after it would be garbage; reject
+    # explicitly rather than relying on the downstream data_tag check
+    # (ADVICE r9).
+    if (
+        fmt_size != 16
+        or fmt != 1
+        or channels != 1
+        or bits != 16
+        or data_tag != b"data"
+    ):
         raise ValueError("unsupported WAV layout")
     n = data_len // 2
     return rate, list(struct.unpack(f"<{n}h", payload[44 : 44 + data_len]))

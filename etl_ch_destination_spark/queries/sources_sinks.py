@@ -1892,8 +1892,10 @@ def scan_csv_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "scan_csv_locale")
     o = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
-    # write: format cents as "1.234,56" (dot thousands, comma decimal)
-    euros = (F.col("cents") / 100).cast("bigint")
+    # write: format cents as "1.234,56" (dot thousands, comma decimal).
+    # Integer `div` — exact for any cents domain; `/` is double
+    # division, exact only below 2^53 (ADVICE r9).
+    euros = F.expr("cents div 100")
     frac = F.lpad((F.col("cents") % 100).cast("string"), 2, "0")
     euro_grouped = F.regexp_replace(
         F.format_number(F.col("euros"), 0), ",", "."

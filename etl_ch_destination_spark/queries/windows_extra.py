@@ -1112,6 +1112,14 @@ def win_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
         F.row_number().over(w0).alias("rn"),
     )
+    return wma_over(v)
+
+
+def wma_over(v: DataFrame) -> DataFrame:
+    """The two-cumsum WMA core over a (user_id, event_id, cents, rn)
+    frame — factored out so the hypothesis property test
+    (tests/test_property.py) can drive the SAME window expressions the
+    registered query plans, not a python re-derivation (ADVICE r9)."""
     wf = (
         Window.partitionBy("user_id")
         .orderBy("rn")

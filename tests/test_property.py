@@ -447,21 +447,26 @@ def test_pagerank_integer_recurrence_matches_reference(spark, edges):
 )
 @settings(**SETTINGS)
 def test_wma_two_cumsum_identity_on_random_series(spark, xs):
-    """The O(1)-per-row weighted-moving-average identity must equal the
-    naive per-row weighted scan on arbitrary integer series (ramp-in
-    prefixes, ties, zeros, constant runs)."""
-    from etl_ch_destination_spark.queries.windows_extra import WMA_K
+    """win_weighted_moving_avg's ACTUAL window expressions (via the
+    factored wma_over core) must equal the naive per-row weighted scan
+    on arbitrary integer series (ramp-in prefixes, ties, zeros,
+    constant runs) — the hypothesis series flows through a real
+    DataFrame so a regression in the Spark plan fails here, not only
+    at fixture scale (ADVICE r9)."""
+    from etl_ch_destination_spark.queries.windows_extra import (
+        WMA_K,
+        wma_over,
+    )
 
-    # reproduce the identity directly: cs/ws prefix sums + lag-K
-    n = len(xs)
-    cs = [0] * (n + 1)
-    ws = [0] * (n + 1)
-    for i, x in enumerate(xs, start=1):
-        cs[i] = cs[i - 1] + x
-        ws[i] = ws[i - 1] + i * x
-    for t in range(1, n + 1):
+    rows = [(1, i, x, i) for i, x in enumerate(xs, start=1)]
+    v = spark.createDataFrame(
+        rows, "user_id long, event_id long, cents long, rn long"
+    )
+    got = {
+        r["event_id"]: (r["m"], r["wma_num"])
+        for r in wma_over(v).collect()
+    }
+    for t in range(1, len(xs) + 1):
         m = min(t, WMA_K)
-        base = t - m
-        ident = (ws[t] - ws[base]) - base * (cs[t] - cs[base])
         naive = sum((j + 1) * x for j, x in enumerate(xs[t - m : t]))
-        assert ident == naive
+        assert got[t] == (m, naive)
