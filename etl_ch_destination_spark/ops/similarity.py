@@ -151,6 +151,105 @@ def ann_topk(
     )
 
 
+def semdedup_flags(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public literature): cluster the embedding space,
+    then flag near-identical pairs WITHIN each cluster only — the rung
+    between exact-hash dedup and MinHash that catches paraphrases
+    sharing no n-grams. Intra-cluster pairwise work is (n/K)² per
+    cluster instead of n² global; K grows with the corpus (K ∝
+    n/target_cluster_size in the paper), so per-cluster work stays
+    bounded at any scale.
+
+    Determinism (the hash-oracle device): instead of iterative KMeans
+    (float mean accumulation is partial-agg-order dependent →
+    cross-engine ulp drift can flip assignments), clusters are the
+    VORONOI CELLS of K deterministic seed vectors — the K lowest ids.
+    Assignment = argmax cosine over seeds (ties → lowest seed id);
+    every cosine is the repo's sequential double fold, so DuckDB
+    replays the exact assignment bit for bit. Zero-iteration KMeans
+    trades cluster quality for reproducibility; the planted-duplicate
+    recall gate in tests/test_llm.py shows true near-duplicates
+    (cos ≥ 0.99) still co-locate, which is the property SemDeDup needs.
+
+    Plan shape: seed collect is K rows (bounded dim, the ivf_topk
+    centroid precedent); assignment is a MAP-SIDE higher-order-function
+    argmax over K literal seed structs — no shuffle, no Python; the
+    only exchange is the intra-cluster self-equi-join on cluster_id.
+
+    Returns (vec_id, cluster_id, is_dup): is_dup = 1 iff a same-cluster
+    partner with a SMALLER id has cosine ≥ tau (keep-lowest-id rule).
+    """
+    seeds = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    choices = F.array(
+        *[
+            F.struct(
+                (
+                    dot(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
+                    )
+                    / (
+                        F.col("__n")
+                        * l2_norm(
+                            F.array(*[F.lit(float(x)) for x in row[vec_col]])
+                        )
+                    )
+                ).alias("cs"),
+                F.lit(-int(row[id_col])).cast("long").alias("negid"),
+            )
+            for row in seeds
+        ]
+    )
+    asg = base.withColumn(
+        "cluster_id", (-F.array_max(choices).getField("negid")).cast("bigint")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("cluster_id").alias("__ca"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("cluster_id").alias("__cb"),
+    )
+    dups = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= tau
+        )
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        asg.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("__dup"), F.lit(0)).cast("bigint").alias("is_dup"),
+        )
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,

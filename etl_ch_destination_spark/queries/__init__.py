@@ -187,7 +187,9 @@ R12_NEW: list[str] = [
 
 # Keys ADDED in round 10 — staged directly into the window's 20 spare
 # slots (50 - 30) so they earn driver rows the same round they land.
-R13_NEW: list[str] = []
+R13_NEW: list[str] = [
+    "llm_semdedup", "geo_haversine_join",
+]
 
 # Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys
 # with no driver CORRECTNESS row — every one judge-oracle-verified in

@@ -29,10 +29,17 @@ from etl_ch_destination_spark.ops.neardup import (
     near_duplicate_pairs,
     perm_params,
 )
-from etl_ch_destination_spark.ops.similarity import ann_topk, brute_force_topk, ivf_topk
+from etl_ch_destination_spark.ops.similarity import (
+    ann_topk,
+    brute_force_topk,
+    ivf_topk,
+    semdedup_flags,
+)
 from etl_ch_destination_spark.registry import query
 
 TOPK = 5
+SEMDEDUP_K = 8     # Voronoi cells at fixture scale; K ∝ n/cluster_size at 100 TB
+SEMDEDUP_TAU = 0.4  # intra-cluster duplicate threshold (≈ fixture top 0.5% pairs)
 
 
 @query(
@@ -91,6 +98,69 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     return ivf_topk(emb, queries, k=TOPK)
+
+
+@query(
+    "llm_semdedup",
+    f"""
+    WITH sn AS (
+      SELECT vec_id AS seed_id, embedding AS sv,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS snrm
+      FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    a AS (
+      SELECT n.vec_id, sn.seed_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(n.embedding[i] AS DOUBLE) * CAST(sn.sv[i] AS DOUBLE)))
+             / (n.nrm * sn.snrm) AS cs
+      FROM n, sn
+    ),
+    asg AS (
+      SELECT vec_id, seed_id AS cluster_id FROM a
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, seed_id) = 1
+    ),
+    m AS (
+      SELECT n.vec_id, n.embedding, n.nrm, asg.cluster_id
+      FROM n JOIN asg USING (vec_id)
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm) >= {SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_dup
+    FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (ops/similarity.semdedup_flags):
+    Voronoi-cell clustering around the {SEMDEDUP_K} lowest-id seed
+    vectors (deterministic zero-iteration KMeans — float-mean
+    iteration would be partial-agg-order dependent), then intra-cluster
+    cosine pairs ≥ {SEMDEDUP_TAU} flag duplicates (keep-lowest-id).
+    Bucketed by construction — (n/K)² work per cluster, never n²
+    global — which is what scales where llm_dedup_embedding's exact
+    blocked join cannot; the published recipe is Abbas et al. 2023.
+    Fully hash-oracled: assignment argmax and pair cosines are
+    sequential double folds DuckDB replays bit for bit; planted
+    near-duplicate recall is additionally gated in tests/test_llm.py.
+
+    Plan: map-side HOF argmax over K literal seeds (no exchange), one
+    cluster_id self-equi-join, one left join for the flag."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    return semdedup_flags(emb, n_clusters=SEMDEDUP_K, tau=SEMDEDUP_TAU)
 
 
 _NEARDUP_PERMS = ", ".join(

@@ -284,6 +284,140 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- geo_haversine_join: nearest-site assignment by great-circle ----
+#
+# Determinism device (the geo_point_in_polygon discipline, extended to
+# trig): libm sin/cos are ENGINE-PRIVATE in their last ulps (JVM
+# intrinsics vs DuckDB's C library), so the haversine is evaluated with
+# fixed-order TAYLOR POLYNOMIALS instead — rational arithmetic whose
+# +,-,*,sqrt are IEEE-754 correctly rounded and therefore bit-identical
+# across engines when the expression tree is identical. The fragments
+# below are generated once and used verbatim by the Spark query and the
+# DuckDB oracle. Domain is bounded by construction (|lat| ≤ 45°,
+# |lon| ≤ 60° → |x| ≤ 1.05 rad at every polynomial); max |error| vs
+# true sin/cos is ~4e-6 relative — far below any routing decision, and
+# IDENTICAL in both engines, so the join decision is exactly
+# reproducible. The final asin of the true great-circle formula is
+# monotone and omitted: emitted dist_m is the CHORD distance
+# 2R·sqrt(hav), which preserves the nearest-site ordering exactly.
+GEO_SITES = [
+    (
+        i,
+        (i * 1103515245 + 999331) % 90_000_001 - 45_000_000,
+        (i * 787766257 + 104729) % 120_000_001 - 60_000_000,
+    )
+    for i in range(25)
+]
+_GEO_LAT_P = "((c_custkey * 1103515245 + 12345) % 90000001 - 45000000)"
+_GEO_LON_P = "((c_custkey * 787766257 + 54321) % 120000001 - 60000000)"
+_RAD_SCALE = "1.7453292519943295e-08"  # repr(math.pi / 180e6), one multiply
+
+
+def _rad(u: str) -> str:
+    return f"(CAST({u} AS DOUBLE) * {_RAD_SCALE})"
+
+
+def _sinp(x: str) -> str:
+    """sin(x) ≈ x·(1 + x²·(−1/6 + x²·(1/120 + x²·(−1/5040)))) — Horner,
+    coefficients as shortest-repr doubles both parsers round-trip."""
+    x2 = f"(({x}) * ({x}))"
+    return (
+        f"(({x}) * (1.0 + {x2} * (-0.16666666666666666 + {x2} * "
+        f"(0.008333333333333333 + {x2} * -0.0001984126984126984))))"
+    )
+
+
+def _cosp(x: str) -> str:
+    x2 = f"(({x}) * ({x}))"
+    return (
+        f"(1.0 + {x2} * (-0.5 + {x2} * (0.041666666666666664 + {x2} * "
+        f"-0.001388888888888889)))"
+    )
+
+
+def _hav(x: str) -> str:
+    s = _sinp(f"(({x}) * 0.5)")
+    return f"({s} * {s})"
+
+
+_GEO_DIST = (
+    "(12742000.0 * sqrt("
+    + _hav("(phi_p - phi_s)")
+    + " + cosphi_p * cosphi_s * "
+    + _hav("(lam_p - lam_s)")
+    + "))"
+)
+_GEO_SITE_VALUES = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in GEO_SITES)
+
+
+@query(
+    "geo_haversine_join",
+    f"""
+    WITH p AS (
+      SELECT c_custkey,
+             {_rad(_GEO_LAT_P)} AS phi_p,
+             {_rad(_GEO_LON_P)} AS lam_p,
+             {_cosp(_rad(_GEO_LAT_P))} AS cosphi_p
+      FROM customer
+    ),
+    s AS (
+      SELECT site_id,
+             {_rad("s_lat_u")} AS phi_s,
+             {_rad("s_lon_u")} AS lam_s,
+             {_cosp(_rad("s_lat_u"))} AS cosphi_s
+      FROM (VALUES {_GEO_SITE_VALUES}) AS t(site_id, s_lat_u, s_lon_u)
+    ),
+    d AS (SELECT p.c_custkey, s.site_id, {_GEO_DIST} AS dist_m FROM p, s)
+    SELECT c_custkey, site_id, dist_m FROM d
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey
+                               ORDER BY dist_m, site_id) = 1
+    """,
+)
+def geo_haversine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment by great-circle distance — the geo join
+    behind store-allocation / geo-fencing / coverage workloads: every
+    customer (deterministic integer-microdegree coordinates derived
+    from its key) is assigned to the closest of 25 fixed sites.
+
+    Haversine with generated Taylor-polynomial trig (see the module
+    comment above GEO_SITES): the identical SQL fragments run on both
+    engines, so the emitted chord distance is bit-reproducible and the
+    argmin cannot flip cross-engine — the float-trig analogue of
+    geo_point_in_polygon's integer ray cast.
+
+    Plan: the site dimension is tiny → BROADCAST nested-loop over 25
+    bounded rows (the canonical small-dim geo join; a real site table
+    broadcasts the same way), distances fused map-side into codegen,
+    then ONE hash aggregate taking min(struct(dist, site)) per point —
+    partial aggregation collapses the 25× expansion map-side, so the
+    only exchange carries one row per point."""
+    c = load_table(spark, sf_dir, "customer")
+    sites = spark.createDataFrame(
+        GEO_SITES, "site_id int, s_lat_u long, s_lon_u long"
+    )
+    p = c.select(
+        "c_custkey",
+        F.expr(_rad(_GEO_LAT_P)).alias("phi_p"),
+        F.expr(_rad(_GEO_LON_P)).alias("lam_p"),
+        F.expr(_cosp(_rad(_GEO_LAT_P))).alias("cosphi_p"),
+    )
+    s = sites.select(
+        "site_id",
+        F.expr(_rad("s_lat_u")).alias("phi_s"),
+        F.expr(_rad("s_lon_u")).alias("lam_s"),
+        F.expr(_cosp(_rad("s_lat_u"))).alias("cosphi_s"),
+    )
+    scored = p.crossJoin(F.broadcast(s)).withColumn("dist_m", F.expr(_GEO_DIST))
+    best = scored.groupBy("c_custkey").agg(
+        F.min(F.struct("dist_m", "site_id")).alias("__m")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("__m.site_id").alias("site_id"),
+        F.col("__m.dist_m").alias("dist_m"),
+    )
+
+
 @query(
     "math_gcd_lcm",
     """

@@ -45,6 +45,45 @@ def test_exact_dedup_removes_planted_duplicates(spark, sf_dir):
     assert deduped.filter(F.col("doc_id") >= 10_000_000).count() == 0
 
 
+def test_semdedup_flags_planted_semantic_duplicates(spark, sf_dir):
+    """SemDeDup's load-bearing property: TRUE near-duplicates
+    (cos ≥ 0.99 — a tiny deterministic jitter of an original) must land
+    in the SAME Voronoi cell as their original and be flagged is_dup,
+    with the lowest-id copy kept. Also pins the keep-rule: no original
+    (low id) may be flagged because of its planted copy alone."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.similarity import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    originals = emb.orderBy("vec_id").limit(40)
+    # jitter each coordinate by +0.001·sin(vec_id + i): cos ≥ 0.999,
+    # deterministic, direction-varying (no exact ties)
+    jittered = originals.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + F.sin(F.col("vec_id").cast("double") + i.cast("double"))
+                * F.lit(0.001)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(jittered)
+    flags = {
+        r["vec_id"]: r["is_dup"]
+        for r in semdedup_flags(corpus, n_clusters=8, tau=0.95).collect()
+    }
+    planted = [r["vec_id"] + 10_000_000 for r in originals.collect()]
+    recall = sum(flags[p] for p in planted) / len(planted)
+    assert recall >= 0.95, f"semdedup planted recall {recall:.2f} < 0.95"
+    # the fixture's isotropic originals have no cos≥0.95 pairs among
+    # themselves — so every flagged vector must be a planted copy
+    # (keep-lowest-id: originals survive)
+    flagged = {v for v, d in flags.items() if d == 1}
+    assert flagged <= set(planted)
+
+
 def test_near_dedup_finds_planted_near_duplicates(spark, sf_dir):
     """Perturbed copies (one appended token) must collide in minhash
     bands with their originals at recall ≥ 0.9."""

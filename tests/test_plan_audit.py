@@ -58,6 +58,11 @@ EFFECTFUL = {
 # no-NLJ rule like everything else.)
 ALLOWED_NLJ = {
     "join_cross",
+    # 25-row fixed site dimension broadcast onto customer points — the
+    # canonical bounded small-dim geo join (queries/scalars_math.py
+    # geo_haversine_join); the 25× expansion collapses map-side in the
+    # partial min(struct) aggregate
+    "geo_haversine_join",
     "llm_sim_topk_exact",
     "rpt_idle_customers",
     "rpt_nation_inventory_value",

@@ -56,8 +56,8 @@ def main() -> int:
         help=(
             "comma list of spine names to run (default: all). Names: "
             "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
-            "line_dedup,bpe_vocab_rounds,cc,pagerank,sim — 'sim' covers the "
-            "exact/LSH/IVF trio + recall gates"
+            "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,sim — 'sim' "
+            "covers the exact/LSH/IVF trio + recall gates"
         ),
     )
     args = ap.parse_args()
@@ -419,6 +419,60 @@ def main() -> int:
             finally:
                 spark.conf.unset(STAGING_DIR_CONF)
 
+        def triangles_spine():
+            # the graph_triangle_count spine: disjoint co-purchase graph
+            # copies (order AND part keys offset per copy — nodes and
+            # edges both scale N× with fixture-real degree structure),
+            # so the measured slope isolates the degree-ordered
+            # enumeration's O(m^1.5) wedge bound (Suri & Vassilvitskii):
+            # an unoriented sum(d²) wedge join would blow the linearity
+            # gate well inside 10→30×. Durable staging for the edge +
+            # oriented tables — the same spill seam the pagerank spine
+            # proved necessary at 30× (localCheckpoint OOM).
+            #
+            # Partition sizing (this spine's own 30× catch): the wedge
+            # exchange carries ~1.2B rows at 30×; at the session's toy
+            # 32 shuffle partitions that is ~38M rows (~1 GB of sort
+            # state) PER TASK × 32 concurrent tasks — OOM on the shared
+            # 8g local heap, where the step-wise plan ran fine. The fix
+            # is the production one (partitions ∝ data, SCALE.md):
+            # raise AQE's initialPartitionNum so heavy exchanges split
+            # into heap-sized sorts while AQE coalescing keeps the small
+            # stages at few partitions.
+            from etl_ch_destination_spark.ops.staging import STAGING_DIR_CONF
+            from etl_ch_destination_spark.queries.graph import triangle_counts
+
+            spark.conf.set(
+                STAGING_DIR_CONF,
+                os.path.join(tempfile.gettempdir(), "stress_staging"),
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                "256",
+            )
+            lp = lig.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ).distinct()
+            a, b = lp.alias("a"), lp.alias("b")
+            e = (
+                a.join(
+                    b,
+                    (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")),
+                )
+                .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+                .distinct()
+            )
+            try:
+                triangle_counts(e).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            finally:
+                spark.conf.unset(STAGING_DIR_CONF)
+                spark.conf.unset(
+                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+                )
+
         row: dict[str, float] = {"rows": li.count()}
         if want("q1"):
             row["q1"] = time_action(q1)
@@ -436,9 +490,12 @@ def main() -> int:
             row["line_dedup"] = time_action(line_dedup)
         if want("substr_dedup"):
             row["substr_dedup"] = time_action(substr_dedup)
-        if want("pagerank"):
+        if want("pagerank") or want("triangles"):
             lig = replicate(li0, n, ["l_orderkey", "l_partkey"])
+        if want("pagerank"):
             row["pagerank"] = time_action(pagerank_spine)
+        if want("triangles"):
+            row["triangles"] = time_action(triangles_spine)
         if want("bpe_vocab_rounds"):
             row["bpe_vocab_rounds"] = time_action(bpe_rounds)
         if want("cc"):
@@ -553,8 +610,8 @@ def main() -> int:
     # there, so they are exempt (recorded, not gated).
     GATED = (
         "q1", "join_agg", "neardup", "vocab_score", "ngram_novelty",
-        "line_dedup", "substr_dedup", "cc", "pagerank", "sim_exact",
-        "sim_lsh",
+        "line_dedup", "substr_dedup", "cc", "pagerank", "triangles",
+        "sim_exact", "sim_lsh",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
