@@ -11,38 +11,88 @@ from contextlib import redirect_stdout
 
 # Callables with side effects or driver-side jobs during construction
 # (sinks write, streaming runs, rank collects bucket bounds, LSH fits)
-# — audited by their own dedicated tests instead.
+# — audited by their own dedicated tests instead. VERDICT r9 #6: the
+# mapping key → covering test is EXPLICIT (file, test-function name)
+# and mechanically enforced by test_effectful_exemptions_have_dedicated
+# _coverage below, so this list cannot silently grow an unaudited key.
 EFFECTFUL = {
-    "scan_csv_typed",
-    "scan_csv_badrows",
-    "scan_jsonl",
-    "sink_parquet_partitioned",
-    "sink_sorted_by_key",
-    "sink_idempotent_batch",
-    "sink_clickhouse_jdbc",
-    "sink_bucketed_join",
-    "stream_foreachbatch_sink",
-    "sort_multikey",
-    "llm_sim_topk_ann",
-    "llm_sim_topk_ivf",
-    "llm_dedup_near",
-    "llm_dedup_clusters",  # iterative CC: jobs run during construction
-    "llm_textrank_words",  # iterative PageRank: jobs run during construction
-    "job_batch_etl",  # end-to-end ETL: writes staged JSONL + sink
-    "job_corpus_curate",  # end-to-end curation: writes the split corpus
-    "scan_schema_evolution",  # writes v1/v2 batches to scratch
-    "scan_partition_pruned",  # writes the partitioned layout to scratch
-    "sink_merge_upsert",  # writes base + merged state to scratch
-    "scan_rowbinary_import",  # writes wire blocks to scratch
-    "scan_native_import",  # writes columnar wire blocks to scratch
-    "job_matview_refresh",  # writes view-state versions to scratch
-    "scan_binary_files",  # stages blob fixture files to scratch
-    "scan_text_lines",  # stages wrapped .txt fixture files to scratch
-    "scan_csv_quoted",  # stages the RFC-4180 tricky-CSV fixture
-    "sink_parquet_bloom",  # writes the bloom-indexed layout
-    "sink_zorder_layout",  # writes the z-clustered layout
-    "sink_jsonl_gzip",  # writes the gzip JSONL export
-    "graph_kcore",  # iterative peeling: jobs run during construction
+    "scan_csv_typed": (
+        "test_sources_scan.py", "test_csv_typed_roundtrip_matches_source"),
+    "scan_csv_badrows": (
+        "test_sources_scan.py", "test_csv_badrows_quarantines_malformed_rows"),
+    "scan_jsonl": (
+        "test_sources_scan.py", "test_jsonl_roundtrip_preserves_microseconds"),
+    "sink_parquet_partitioned": (
+        "test_sinks.py", "test_partitioned_sink_reread_prunes_partitions"),
+    "sink_sorted_by_key": (
+        "test_sinks.py", "test_sorted_sink_files_are_sorted_within"),
+    "sink_idempotent_batch": (
+        "test_sinks.py", "test_idempotent_batch_replay_collapses"),
+    "sink_clickhouse_jdbc": (
+        "test_sinks.py", "test_jdbc_writer_is_configured"),
+    "sink_bucketed_join": (
+        "test_sinks.py", "test_bucketed_join_eliminates_shuffles"),
+    "stream_foreachbatch_sink": (
+        "test_streaming.py", "test_foreachbatch_sink_idempotent_across_restart"),
+    # delegates the global sort to ops/rank.with_global_rank (bucketed,
+    # never a single-task window) — covered at the op level
+    "sort_multikey": (
+        "test_ops.py", "test_global_rank_matches_naive_enumeration"),
+    "llm_sim_topk_ann": ("test_llm.py", "test_ann_recall_vs_exact"),
+    "llm_sim_topk_ivf": ("test_llm.py", "test_ivf_full_probe_equals_brute_force"),
+    "llm_dedup_near": (
+        "test_llm.py", "test_near_dedup_finds_planted_near_duplicates"),
+    # iterative CC: jobs run during construction
+    "llm_dedup_clusters": (
+        "test_ops.py", "test_connected_components_vs_union_find"),
+    # iterative PageRank: jobs run during construction
+    "llm_textrank_words": (
+        "test_round7_keys.py", "test_textrank_mass_and_order"),
+    # end-to-end ETL: writes staged JSONL + sink
+    "job_batch_etl": ("test_sinks.py", "test_batch_etl_job_rerun_is_idempotent"),
+    # end-to-end curation: writes the split corpus
+    "job_corpus_curate": (
+        "test_llm_corpus.py", "test_corpus_curate_job_roundtrip"),
+    # writes v1/v2 batches to scratch
+    "scan_schema_evolution": (
+        "test_sinks.py", "test_schema_evolution_merges_additive_column"),
+    # writes the partitioned layout to scratch
+    "scan_partition_pruned": (
+        "test_relational_round4.py", "test_partition_pruning_reaches_the_scan"),
+    # writes base + merged state to scratch
+    "sink_merge_upsert": (
+        "test_relational_round4.py", "test_merge_upsert_state_algebra"),
+    # writes wire blocks to scratch
+    "scan_rowbinary_import": (
+        "test_rowbinary.py", "test_rowbinary_export_blocks_match_local_encoder"),
+    # writes columnar wire blocks to scratch
+    "scan_native_import": (
+        "test_relational_round4.py", "test_native_import_round_trips_embeddings"),
+    # writes view-state versions to scratch
+    "job_matview_refresh": (
+        "test_relational_round4.py",
+        "test_matview_refresh_equals_full_recompute_and_tracks_delta"),
+    # stages blob fixture files to scratch
+    "scan_binary_files": (
+        "test_round7_keys.py", "test_binary_files_scan_round_trips_bytes"),
+    # stages wrapped .txt fixture files to scratch
+    "scan_text_lines": (
+        "test_round8_keys.py", "test_scan_text_lines_reassembles_documents"),
+    # stages the RFC-4180 tricky-CSV fixture
+    "scan_csv_quoted": (
+        "test_round8_keys.py", "test_csv_quoted_fields_roundtrip_exactly"),
+    # writes the bloom-indexed layout
+    "sink_parquet_bloom": (
+        "test_round8_keys.py",
+        "test_parquet_bloom_filter_is_written_and_probe_matches"),
+    # writes the z-clustered layout
+    "sink_zorder_layout": (
+        "test_round8_keys.py", "test_zorder_files_have_disjoint_z_ranges"),
+    # writes the gzip JSONL export
+    "sink_jsonl_gzip": (
+        "test_round8_keys.py", "test_jsonl_gzip_actually_compresses"),
+    # iterative peeling: jobs run during construction
+    "graph_kcore": ("test_round9_keys.py", "test_kcore_known_graph_cascade"),
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its
@@ -168,6 +218,23 @@ SHUFFLE_ALLOWANCE = {
     # (reports_behavior.py)
     "rpt_basket_pairs": 7,
 }
+
+
+def test_effectful_exemptions_have_dedicated_coverage():
+    """Every plan-audit exemption must name a real test: the file
+    exists under tests/ and defines the named test function. A key
+    added to EFFECTFUL without writing its dedicated test fails here."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, (fname, test_name) in sorted(EFFECTFUL.items()):
+        path = os.path.join(here, fname)
+        assert os.path.exists(path), f"{key}: {fname} does not exist"
+        src = open(path, encoding="utf-8").read()
+        assert re.search(rf"^def {re.escape(test_name)}\(", src, re.M), (
+            f"{key}: {fname} has no test function {test_name}"
+        )
 
 
 def test_no_unplanned_cartesians_or_shuffle_explosions(spark, sf_dir):
