@@ -189,6 +189,8 @@ R12_NEW: list[str] = [
 # slots (50 - 30) so they earn driver rows the same round they land.
 R13_NEW: list[str] = [
     "llm_semdedup", "geo_haversine_join",
+    "geo_geohash_encode", "join_paste_positional", "scan_json_multiline",
+    "scan_xml_roundtrip", "llm_rouge_overlap", "llm_dpo_pairs",
 ]
 
 # Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys

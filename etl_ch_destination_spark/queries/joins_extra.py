@@ -814,3 +814,61 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lev").cast("bigint").alias("lev"),
         )
     )
+
+
+@query(
+    "join_paste_positional",
+    """
+    WITH a AS (
+      SELECT c_custkey AS cust_by_balance, c_acctbal,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos
+      FROM customer
+    ),
+    b AS (
+      SELECT o_custkey AS cust_by_orders, n_orders,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey) AS pos
+      FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey)
+    )
+    SELECT a.pos, a.cust_by_balance, a.c_acctbal, b.cust_by_orders, b.n_orders
+    FROM a JOIN b ON a.pos = b.pos
+    """,
+)
+def join_paste_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``PASTE JOIN`` — zip two result sets BY ROW POSITION
+    (no key): here the rank-rank pairing behind Q-Q-style analyses —
+    the i-th customer by account balance next to the i-th customer by
+    order count. Positions are well-defined because each side carries
+    an explicit TOTAL order (CH's PASTE JOIN likewise pastes the
+    subquery output orders).
+
+    Plan: each side's position comes from ops/rank.with_global_rank —
+    percentile-bucketed partitioned ranks + cumulative offsets, never a
+    single-task global window (the naive ROW_NUMBER() OVER (ORDER BY)
+    serializes the whole table through one partition at 100 TB); the
+    paste itself is a hash equi-join on pos."""
+    from etl_ch_destination_spark.ops.rank import with_global_rank
+
+    c = load_table(spark, sf_dir, "customer")
+    a = with_global_rank(
+        c.select(F.col("c_custkey").alias("cust_by_balance"), "c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("cust_by_balance")],
+        lead="c_acctbal",
+        descending=True,
+        name="pos",
+    )
+    ocnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust_by_orders"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    b = with_global_rank(
+        ocnt,
+        [F.desc("n_orders"), F.asc("cust_by_orders")],
+        lead="n_orders",
+        descending=True,
+        name="pos",
+    )
+    return a.join(b, "pos").select(
+        "pos", "cust_by_balance", "c_acctbal", "cust_by_orders", "n_orders"
+    )

@@ -968,3 +968,168 @@ def llm_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interleave_pos"
         ),
     )
+
+
+@query(
+    "llm_rouge_overlap",
+    """
+    WITH pairs AS (
+      SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    cu AS (
+      SELECT pair_id, w, CAST(COUNT(*) AS BIGINT) AS cc
+      FROM (SELECT pair_id, unnest(string_split(cand, ' ')) AS w FROM pairs)
+      GROUP BY pair_id, w
+    ),
+    ru AS (
+      SELECT pair_id, w, CAST(COUNT(*) AS BIGINT) AS rc
+      FROM (SELECT pair_id, unnest(string_split(ref, ' ')) AS w FROM pairs)
+      GROUP BY pair_id, w
+    ),
+    ov AS (
+      SELECT ru.pair_id,
+             CAST(SUM(LEAST(COALESCE(cu.cc, 0), ru.rc)) AS BIGINT) AS overlap1,
+             CAST(SUM(ru.rc) AS BIGINT) AS ref_total1
+      FROM ru LEFT JOIN cu ON cu.pair_id = ru.pair_id AND cu.w = ru.w
+      GROUP BY ru.pair_id
+    )
+    SELECT pair_id, overlap1, ref_total1,
+           CAST(overlap1 AS DOUBLE) / ref_total1 AS rouge1_recall
+    FROM ov
+    """,
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 recall — the n-gram-overlap eval metric every
+    summarization / generation pipeline computes between a candidate
+    and a reference text (Lin 2004, public): clipped unigram overlap
+    Σ min(count_cand(w), count_ref(w)) over reference total. Pairs are
+    deterministic (doc 2k candidate vs doc 2k+1 reference). Counts are
+    exact int64; the only float is the final single division — so the
+    metric hash-matches cross-engine (the per-query-row discipline of
+    llm_ranking_eval: never a cross-pair float average).
+
+    Plan: one explode → (pair, word) hash agg per side, one equi-join
+    on (pair, word), one final agg — all linear in token count; at
+    100 TB both sides shuffle on the same composite key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("cand")
+    )
+    ref = d.select((F.col("doc_id") - 1).alias("pair_id"),
+                   F.col("text").alias("ref"))
+    pairs = cand.join(ref, "pair_id")
+
+    def counts(col: str, out: str) -> DataFrame:
+        return (
+            pairs.select("pair_id", F.explode(F.split(F.col(col), " ")).alias("w"))
+            .groupBy("pair_id", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    cu, ru = counts("cand", "cc"), counts("ref", "rc")
+    ov = (
+        ru.join(cu, ["pair_id", "w"], "left")
+        .groupBy("pair_id")
+        .agg(
+            F.sum(F.least(F.coalesce(F.col("cc"), F.lit(0)), F.col("rc")))
+            .cast("bigint")
+            .alias("overlap1"),
+            F.sum("rc").cast("bigint").alias("ref_total1"),
+        )
+    )
+    return ov.select(
+        "pair_id",
+        "overlap1",
+        "ref_total1",
+        (F.col("overlap1").cast("double") / F.col("ref_total1")).alias(
+            "rouge1_recall"
+        ),
+    )
+
+
+@query(
+    "llm_dpo_pairs",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               * 1000000 + n_chars AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM scored
+    )
+    SELECT a.lang, a.rk AS pair_rank,
+           a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           a.score - b.score AS margin
+    FROM ranked a
+    JOIN ranked b ON b.lang = a.lang AND b.rk = a.rk + a.n // 2
+    WHERE a.rk <= a.n // 2
+    """,
+)
+def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training data
+    (Rafailov et al. 2023, public recipe): per language, documents rank
+    by a deterministic integer quality score (distinct-word count, then
+    length — both exact int64), and rank r pairs with rank r + n/2 —
+    chosen vs rejected with a positive margin by construction. The
+    halved pairing (top-half vs bottom-half) maximizes margin spread
+    without any float scoring.
+
+    Plan: one window rank per lang partition + a self-equi-join on
+    (lang, rank) — two exchanges on the same key, margin arithmetic
+    map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+            * 1_000_000
+            + F.col("n_chars")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    a = ranked.select(
+        "lang",
+        F.col("rk").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("score_a"),
+        F.col("n").alias("n"),
+    )
+    b = ranked.select(
+        F.col("lang").alias("lang_b"),
+        F.col("rk").alias("rk_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("score_b"),
+    )
+    half = F.floor(F.col("n") / 2)
+    return (
+        a.join(
+            b,
+            (F.col("lang_b") == F.col("lang"))
+            & (F.col("rk_b") == F.col("pair_rank") + half),
+        )
+        .filter(F.col("pair_rank") <= half)
+        .select(
+            "lang",
+            F.col("pair_rank").cast("long").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            (F.col("score_a") - F.col("score_b")).alias("margin"),
+        )
+    )

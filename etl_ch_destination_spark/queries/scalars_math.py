@@ -418,6 +418,79 @@ def geo_haversine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- geo_geohash_encode: ClickHouse geohashEncode in exact ints -----
+#
+# Geohash = alternate binary subdivision of lon (even interleave
+# positions) and lat (odd), 5 bits per base32 character. On integer
+# microdegrees every subdivision bit is EXACT integer arithmetic via
+# the identity  floor(x / b) mod 2 = [x mod 2b >= b]  — no division at
+# all, so no float and no engine-private `div` syntax (Spark spells
+# integer division `div`, DuckDB `//`; the mod form needs neither).
+# Bit i (0 = MSB) of an axis with normalized value n and range R:
+#   [(n * 2^(i+1)) mod 2R >= R]
+# n*2^30 ≤ 3.9e17 < 2^63 — all in-range int64. The generated fragment
+# is shared verbatim by both engines (the geo-family discipline).
+_GH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_CHARS = 12  # 60 bits: 30 lon + 30 lat — full geohash precision
+
+
+def _gh_bit(b: int) -> str:
+    """Interleave bit b (0-based): even → lon bit b/2, odd → lat bit
+    (b-1)/2, as a 0/1 integer SQL term over the point's microdegrees."""
+    i = b // 2
+    if b % 2 == 0:
+        n, r = f"({_GEO_LON_P} + 180000000)", 360_000_000
+    else:
+        n, r = f"({_GEO_LAT_P} + 90000000)", 180_000_000
+    return (
+        f"(CASE WHEN (({n}) * {1 << (i + 1)}) % {2 * r} >= {r} "
+        "THEN 1 ELSE 0 END)"
+    )
+
+
+def _gh_char(c: int) -> str:
+    val = " + ".join(f"{_gh_bit(5 * c + t)} * {1 << (4 - t)}" for t in range(5))
+    return f"substr('{_GH_BASE32}', ({val}) + 1, 1)"
+
+
+GEOHASH_SQL = "concat(" + ", ".join(_gh_char(c) for c in range(_GH_CHARS)) + ")"
+
+
+@query(
+    "geo_geohash_encode",
+    f"""
+    SELECT c_custkey,
+           {_GEO_LAT_P} AS lat_micro,
+           {_GEO_LON_P} AS lon_micro,
+           {GEOHASH_SQL} AS geohash,
+           substr({GEOHASH_SQL}, 1, 5) AS geohash5
+    FROM customer
+    """,
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``geohashEncode`` — the spatial bucketing key behind
+    geo GROUP BYs, proximity pre-filters, and map-tile aggregation:
+    every customer point (the geo-family integer-microdegree grid)
+    encodes to its 12-character geohash plus the 5-char coarse cell.
+
+    All 60 subdivision bits are exact int64 terms (see the module
+    comment above _GH_BASE32 — the mod-form of binary subdivision,
+    never a float), so both engines produce the identical string; the
+    pure-python reference replay is pinned in tests/test_scalars.py.
+
+    Plan: map-side string/int codegen only — zero shuffles, and the
+    geohash column is exactly what a real pipeline would then
+    partition or GROUP BY on (cells are lexicographic prefixes)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(_GEO_LAT_P).alias("lat_micro"),
+        F.expr(_GEO_LON_P).alias("lon_micro"),
+        F.expr(GEOHASH_SQL).alias("geohash"),
+        F.expr(f"substr({GEOHASH_SQL}, 1, 5)").alias("geohash5"),
+    )
+
+
 @query(
     "math_gcd_lcm",
     """

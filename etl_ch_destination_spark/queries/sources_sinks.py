@@ -1931,3 +1931,71 @@ def scan_csv_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         "o_orderpriority",
     )
+
+
+@query(
+    "scan_json_multiline",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line JSON ingest — the OTHER json shape next to scan_jsonl:
+    one pretty-printed JSON ARRAY per file (the export format of most
+    REST dumps and admin tools), read with ``multiLine=true`` and an
+    explicit schema. JSONL splits by line and parallelizes per block;
+    a multiLine file is one record stream per FILE — the docstring
+    caveat a 100 TB user must know: parallelism comes from many files,
+    never from within one (which is why the pipeline re-lands it as
+    parquet immediately). The staged array is built driver-side from
+    the 25-row bounded dimension (documented bounded collect).
+    """
+    import json
+
+    path = _scratch(sf_dir, "scan_json_multiline")
+    n = load_table(spark, sf_dir, "nation")
+    rows = [
+        {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"],
+         "n_regionkey": r["n_regionkey"]}
+        for r in n.orderBy("n_nationkey").collect()
+    ]
+    with open(os.path.join(path, "nation.json"), "w", encoding="utf-8") as f:
+        json.dump(rows, f, indent=2)
+    return (
+        spark.read.schema(NATION)
+        .option("multiLine", True)
+        .json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "scan_xml_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source — Spark 4's built-in XML datasource (rowTag record
+    splitting), the enterprise-feed format a destination connector
+    still meets daily: write nation as an XML document, read it back
+    typed. Attribute vs element mapping, schema-first (never
+    inference).
+
+    DuckDB has no XML reader, so the oracle states the round-trip
+    CONTRACT over the source table (plain nation projection) — the
+    comparison is still a full value-hash of the round-tripped rows."""
+    path = _scratch(sf_dir, "scan_xml_roundtrip")
+    n = load_table(spark, sf_dir, "nation")
+    (
+        n.select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "nation")
+        .option("rootTag", "nations")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(NATION)
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

@@ -93,6 +93,17 @@ EFFECTFUL = {
         "test_round8_keys.py", "test_jsonl_gzip_actually_compresses"),
     # iterative peeling: jobs run during construction
     "graph_kcore": ("test_round9_keys.py", "test_kcore_known_graph_cascade"),
+    # delegates positions to ops/rank.with_global_rank (percentile
+    # probe runs a job during construction, like sort_multikey)
+    "join_paste_positional": (
+        "test_round10_keys.py", "test_paste_join_matches_python_zip"),
+    # stages the JSON-array file (bounded 25-row dim collect)
+    "scan_json_multiline": (
+        "test_round10_keys.py", "test_json_multiline_roundtrip_matches_source"),
+    # writes the XML document to scratch
+    "scan_xml_roundtrip": (
+        "test_round10_keys.py",
+        "test_xml_roundtrip_matches_source_and_is_schema_first"),
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

@@ -1,0 +1,161 @@
+"""Round-10 key gates: geohash python-reference replay, PASTE-join
+pairing replay, multiLine-JSON / XML round trips, ROUGE clipped-overlap
+replay, DPO pairing invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _q(key, spark, sf_dir):
+    from etl_ch_destination_spark.registry import all_queries
+
+    return all_queries()[key](spark, sf_dir)
+
+
+def _ref_geohash(lat_micro: int, lon_micro: int, n_chars: int = 12) -> str:
+    """Independent bisection geohash (the classic interval-halving
+    algorithm) in EXACT rational arithmetic: cell midpoints are dyadic
+    rationals of the range, so Fraction keeps every deep-level
+    comparison exact (an integer `(lo+hi)//2` floor-drifts past ~20
+    bits; float midpoints drift similarly)."""
+    from fractions import Fraction as Fr
+
+    base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = Fr(-90_000_000), Fr(90_000_000)
+    lon_lo, lon_hi = Fr(-180_000_000), Fr(180_000_000)
+    out, bits, val, even = [], 0, 0, True
+    while len(out) < n_chars:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon_micro >= mid:
+                val, lon_lo = val * 2 + 1, mid
+            else:
+                val, lon_hi = val * 2, mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat_micro >= mid:
+                val, lat_lo = val * 2 + 1, mid
+            else:
+                val, lat_hi = val * 2, mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(base32[val])
+            bits, val = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_integer_bisection_reference(spark, sf_dir):
+    """The generated mod-form subdivision must equal the classic
+    bisection geohash on every fixture point (independent algorithm:
+    interval halving vs modular bit extraction)."""
+    rows = _q("geo_geohash_encode", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["geohash"] == _ref_geohash(r["lat_micro"], r["lon_micro"]), (
+            r["c_custkey"], r["lat_micro"], r["lon_micro"], r["geohash"]
+        )
+        assert r["geohash5"] == r["geohash"][:5]
+
+
+def test_geohash_prefix_property_on_known_neighbors(spark):
+    """Two points in the same small cell share a long prefix; antipodal
+    points diverge at character 1 — the property geo GROUP BYs rely on."""
+    a = _ref_geohash(48_858_000, 2_294_000)     # Eiffel tower, ~µdeg
+    b = _ref_geohash(48_858_100, 2_294_100)     # 15 m away
+    c = _ref_geohash(-33_856_800, 151_215_300)  # Sydney
+    assert a[:7] == b[:7]
+    assert a[0] != c[0]
+
+
+def test_paste_join_matches_python_zip(spark, sf_dir):
+    """join_paste_positional must equal the python zip of the two
+    independently sorted sides (the PASTE JOIN contract), with dense
+    1..n positions bounded by the shorter side."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {
+        r["pos"]: (r["cust_by_balance"], r["cust_by_orders"])
+        for r in _q("join_paste_positional", spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    by_bal = [r["c_custkey"] for r in sorted(
+        cust, key=lambda r: (-r["c_acctbal"], r["c_custkey"]))]
+    ocnt = Counter(
+        r["o_custkey"]
+        for r in load_table(spark, sf_dir, "orders").select("o_custkey").collect()
+    )
+    by_ord = [k for k, _ in sorted(ocnt.items(), key=lambda kv: (-kv[1], kv[0]))]
+    n = min(len(by_bal), len(by_ord))
+    assert sorted(got) == list(range(1, n + 1))
+    for pos in range(1, n + 1):
+        assert got[pos] == (by_bal[pos - 1], by_ord[pos - 1]), pos
+
+
+def test_json_multiline_roundtrip_matches_source(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    back = _q("scan_json_multiline", spark, sf_dir)
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_xml_roundtrip_matches_source_and_is_schema_first(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+
+    back = _q("scan_xml_roundtrip", spark, sf_dir)
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    assert back.schema == src.schema  # explicit schema, never inference
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_rouge_overlap_matches_counter_replay(spark, sf_dir):
+    """Clipped unigram overlap must equal the collections.Counter
+    replay (the textbook ROUGE-1 definition) on every pair."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    }
+    rows = _q("llm_rouge_overlap", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        cand = Counter(docs[r["pair_id"]].split(" "))
+        ref = Counter(docs[r["pair_id"] + 1].split(" "))
+        overlap = sum(min(cand[w], c) for w, c in ref.items())
+        total = sum(ref.values())
+        assert (r["overlap1"], r["ref_total1"]) == (overlap, total), r["pair_id"]
+        assert 0.0 <= r["rouge1_recall"] <= 1.0
+
+
+def test_dpo_pairs_margins_nonnegative_and_cover_half(spark, sf_dir):
+    """Every chosen score >= rejected score (rank r vs r + n/2 under a
+    total desc order), pairs per lang = floor(n/2), and no document is
+    chosen and rejected at once."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    rows = _q("llm_dpo_pairs", spark, sf_dir).collect()
+    assert rows
+    assert all(r["margin"] >= 0 for r in rows)
+    chosen = {r["chosen_id"] for r in rows}
+    rejected = {r["rejected_id"] for r in rows}
+    assert not (chosen & rejected)
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pairs_by_lang = Counter(r["lang"] for r in rows)
+    for lang, n in n_by_lang.items():
+        assert pairs_by_lang[lang] == n // 2, (lang, n)

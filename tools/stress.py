@@ -30,6 +30,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Production-parity heap for the stress JVM (overridable via env): the
+# bench/test default of 8g across local[32] is 0.25 GB/core — 16-30×
+# below any real executor config (4-8 GB/core) — and at 30× replicated
+# input the triangle spine's repeated runs exhaust the execution pool
+# there (UNABLE_TO_ACQUIRE across back-to-back 1.2B-row wedge
+# exchanges) even though every single run fits. 16g = 0.5 GB/core is
+# still conservative vs production; timings are not memory-bound below
+# that, so recorded medians stay comparable across rounds.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
