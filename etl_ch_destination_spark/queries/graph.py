@@ -411,3 +411,93 @@ def kcore_subgraph(e: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
+
+
+BFS_SOURCE_MOD = 97  # sources = graph nodes with node % 97 == 0
+BFS_ROUNDS = 4       # unrolled frontier rounds → distances 0..4
+
+
+def _bfs_sql() -> str:
+    """Unrolled multi-source BFS oracle, generated from the same
+    constants as the Spark loop: round i extends every reached node's
+    distance to its neighbors (+1) and keeps the per-node MIN —
+    min-combining is order-independent, so the unrolled relational
+    form equals level-synchronous BFS exactly. MATERIALIZED for the
+    kcore reason (each ti is read twice; inlined CTEs would compound
+    to 2^R scans)."""
+    parts = [
+        f"""WITH {_SQL_EDGES},
+    adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ),
+    t0 AS MATERIALIZED (
+      SELECT node, CAST(0 AS BIGINT) AS dist
+      FROM deg WHERE node % {BFS_SOURCE_MOD} = 0
+    )"""
+    ]
+    for i in range(1, BFS_ROUNDS + 1):
+        parts.append(
+            f""",
+    t{i} AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM t{i - 1}
+        UNION ALL
+        SELECT a.dst AS node, t.dist + 1 AS dist
+        FROM t{i - 1} t JOIN adj a ON a.src = t.node
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(f"\n    SELECT node, dist FROM t{BFS_ROUNDS}")
+    return "".join(parts)
+
+
+@query("graph_bfs_distance", _bfs_sql())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the part co-purchase graph —
+    "how many co-purchase hops from the nearest seed part" (the
+    reachability / influence-radius primitive behind recommendation
+    spread and contamination-blast-radius queries). Sources are the
+    graph nodes ≡ 0 (mod {BFS_SOURCE_MOD}); {BFS_ROUNDS} unrolled
+    level-synchronous rounds; unreached nodes are absent (their
+    distance exceeds the budget, stated rather than faked as NULL).
+
+    Determinism: the per-round combine is MIN over int64 distances —
+    associative, commutative, partial-agg-order independent — so the
+    distributed form equals sequential BFS exactly (the
+    pagerank-integer discipline, without even needing fixed-point).
+
+    Plan: per round one equi-join (reached ⋈ adjacency on the source
+    node) + one min-combine hash agg; the reached frame is STAGED per
+    round (ops/components.py lineage discipline — O(1) plan size in
+    rounds, superseded rounds reclaimable at cluster scale). Frontier
+    work is bounded by |E| per round; at 100 TB this is the textbook
+    Pregel-as-joins shape, all JVM-side."""
+    return bfs_distances(_copurchase_edges(spark, sf_dir))
+
+
+def bfs_distances(e: DataFrame) -> DataFrame:
+    """graph_bfs_distance's round loop over an arbitrary canonical
+    undirected edge frame — exposed for known-graph tests."""
+    e = stage(e, eager=False, label="bfs_edges")
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    adj = stage(adj, eager=False, label="bfs_adj")
+    dist = (
+        _degrees(e)
+        .filter(F.col("node") % BFS_SOURCE_MOD == 0)
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    dist = stage(dist, eager=False, label="bfs_t0")
+    for i in range(1, BFS_ROUNDS + 1):
+        prop = dist.join(adj, dist["node"] == adj["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = stage(
+            dist.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist")),
+            eager=False,
+            label=f"bfs_t{i}",
+        )
+    return dist

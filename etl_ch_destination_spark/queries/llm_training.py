@@ -1133,3 +1133,70 @@ def llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_a") - F.col("score_b")).alias("margin"),
         )
     )
+
+
+@query(
+    "llm_curriculum_order",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents
+    ),
+    phased AS (
+      SELECT doc_id, lang, n_chars, rk,
+             CAST((CASE WHEN (rk - 1) * 4 >= n THEN 1 ELSE 0 END)
+                + (CASE WHEN (rk - 1) * 4 >= 2 * n THEN 1 ELSE 0 END)
+                + (CASE WHEN (rk - 1) * 4 >= 3 * n THEN 1 ELSE 0 END)
+               AS BIGINT) AS phase
+      FROM ranked
+    )
+    SELECT doc_id, lang, phase,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang, phase
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id)
+                AS BIGINT) AS pos_in_phase
+    FROM phased
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule construction (Bengio et al. 2009, public
+    recipe): per language, documents rank by an integer difficulty
+    proxy (length — short first), split into 4 curriculum phases, and
+    are SHUFFLED within each phase by a stable md5 order — ordered
+    epochs across phases, decorrelated batches within one. The phase
+    boundary is decided in cross-multiplied integers ((rk−1)·4 vs
+    k·n — the rpt_abc_classification device), so quartile edges can
+    never drift cross-engine.
+
+    Plan: two window passes over one lang exchange (rank + count
+    reuse the partition; the phase shuffle re-sorts within (lang,
+    phase), a subpartition), all int/string codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    r4 = (F.col("rk") - 1) * 4
+    phase = (
+        F.when(r4 >= F.col("n"), 1).otherwise(0)
+        + F.when(r4 >= 2 * F.col("n"), 1).otherwise(0)
+        + F.when(r4 >= 3 * F.col("n"), 1).otherwise(0)
+    ).cast("bigint")
+    phased = ranked.select("doc_id", "lang", phase.alias("phase"))
+    wp = Window.partitionBy("lang", "phase").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return phased.select(
+        "doc_id",
+        "lang",
+        "phase",
+        F.row_number().over(wp).cast("bigint").alias("pos_in_phase"),
+    )

@@ -159,3 +159,65 @@ def test_dpo_pairs_margins_nonnegative_and_cover_half(spark, sf_dir):
     pairs_by_lang = Counter(r["lang"] for r in rows)
     for lang, n in n_by_lang.items():
         assert pairs_by_lang[lang] == n // 2, (lang, n)
+
+
+def test_bfs_known_path_graph_distances(spark):
+    """On the path 0-1-2-...-9 with single source 0, BFS must return
+    dist(i) = i for i <= BFS_ROUNDS and omit the tail beyond the round
+    budget (never fake an unreached distance)."""
+    from etl_ch_destination_spark.queries.graph import BFS_ROUNDS, bfs_distances
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "u long, v long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(e).collect()}
+    assert got == {i: i for i in range(BFS_ROUNDS + 1)}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    """Two sources (0 and 97) on a path 0-1-...-97: every node's
+    distance is the MIN over seeds — node 96 is 1 hop from seed 97,
+    not 96 hops from seed 0."""
+    from etl_ch_destination_spark.queries.graph import BFS_ROUNDS, bfs_distances
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(97)], "u long, v long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(e).collect()}
+    for node, dist in got.items():
+        assert dist == min(node, 97 - node)
+    assert got[96] == 1 and got[0] == 0 and got[97] == 0
+    assert max(got.values()) <= BFS_ROUNDS
+
+
+def test_curriculum_phases_are_quartiles_and_difficulty_monotone(spark, sf_dir):
+    """Phase sizes per lang differ by at most 1 (exact integer
+    quartiles) and max difficulty of phase p never exceeds min
+    difficulty of phase p+1 (the curriculum invariant)."""
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    diff = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars").collect()
+    }
+    rows = _q("llm_curriculum_order", spark, sf_dir).collect()
+    by_lang_phase = defaultdict(list)
+    for r in rows:
+        by_lang_phase[(r["lang"], r["phase"])].append(diff[r["doc_id"]])
+    langs = {lang for lang, _ in by_lang_phase}
+    for lang in langs:
+        sizes = [len(by_lang_phase.get((lang, p), [])) for p in range(4)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for p in range(3):
+            assert max(by_lang_phase[(lang, p)]) <= min(
+                by_lang_phase[(lang, p + 1)]
+            ), (lang, p)
+    # pos_in_phase is dense 1..|phase|
+    pos = defaultdict(list)
+    for r in rows:
+        pos[(r["lang"], r["phase"])].append(r["pos_in_phase"])
+    for key, ps in pos.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), key
