@@ -106,6 +106,13 @@ BENCH_KEYS = [
     "graph_pagerank",
     "rpt_basket_pairs",
     "llm_pmi_collocations",
+    # round-10 additions: SemDeDup (map-side Voronoi assignment +
+    # intra-cluster cosine self-join), multi-source BFS (4 staged
+    # frontier rounds), ROUGE clipped-overlap (double explode →
+    # composite-key join → per-pair agg)
+    "llm_semdedup",
+    "graph_bfs_distance",
+    "llm_rouge_overlap",
 ]
 
 N_RUNS = 5
