@@ -470,3 +470,47 @@ def test_wma_two_cumsum_identity_on_random_series(spark, xs):
         m = min(t, WMA_K)
         naive = sum((j + 1) * x for j, x in enumerate(xs[t - m : t]))
         assert got[t] == (m, naive)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_bfs_matches_sequential_reference_on_random_graphs(spark, edges):
+    """On random small graphs the staged relational BFS must equal a
+    sequential python BFS from the same seed rule (node % 97 == 0 →
+    seed 0 here), truncated at the same round budget — hypothesis
+    shapes cover disconnected components, cycles, and hub fans. Graphs
+    without node 0 have no seed and must return an EMPTY frame (never
+    an invented distance)."""
+    from collections import deque
+
+    from etl_ch_destination_spark.queries.graph import BFS_ROUNDS, bfs_distances
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges})
+    adj: dict[int, list[int]] = {}
+    for u, v in canon:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    expected: dict[int, int] = {}
+    if 0 in adj:
+        expected[0] = 0
+        q = deque([0])
+        while q:
+            n = q.popleft()
+            if expected[n] == BFS_ROUNDS:
+                continue
+            for m in adj[n]:
+                if m not in expected:
+                    expected[m] = expected[n] + 1
+                    q.append(m)
+    e = spark.createDataFrame(canon, "u long, v long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e).collect()}
+    assert got == expected
