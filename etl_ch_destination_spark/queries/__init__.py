@@ -192,6 +192,7 @@ R13_NEW: list[str] = [
     "geo_geohash_encode", "join_paste_positional", "scan_json_multiline",
     "scan_xml_roundtrip", "llm_rouge_overlap", "llm_dpo_pairs",
     "graph_bfs_distance", "llm_curriculum_order",
+    "llm_hard_negatives", "agg_proportions_ztest",
 ]
 
 # Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys

@@ -3154,3 +3154,90 @@ def agg_uniq_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("uniq_exact")
         ).alias("rel_err"),
     )
+
+
+PZT_GROUP_X = "1-URGENT"
+PZT_GROUP_Y = "5-LOW"
+
+
+@query(
+    "agg_proportions_ztest",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS succ
+      FROM orders
+      WHERE o_orderpriority IN ('{PZT_GROUP_X}', '{PZT_GROUP_Y}')
+      GROUP BY o_orderpriority
+    )
+    SELECT CAST(x.n AS BIGINT) AS n_x, CAST(y.n AS BIGINT) AS n_y,
+           CAST(x.succ AS BIGINT) AS s_x, CAST(y.succ AS BIGINT) AS s_y,
+           x.succ / x.n AS p_x,
+           y.succ / y.n AS p_y,
+           ((x.succ / x.n) - (y.succ / y.n))
+             / sqrt(((x.succ + y.succ) / (x.n + y.n))
+                    * (1.0 - (x.succ + y.succ) / (x.n + y.n))
+                    * (1.0 / x.n + 1.0 / y.n)) AS z_stat,
+           ((x.succ / x.n) - (y.succ / y.n))
+             - {MZT_Z95} * sqrt((x.succ / x.n) * (1.0 - x.succ / x.n) / x.n
+                    + (y.succ / y.n) * (1.0 - y.succ / y.n) / y.n) AS ci_lo,
+           ((x.succ / x.n) - (y.succ / y.n))
+             + {MZT_Z95} * sqrt((x.succ / x.n) * (1.0 - x.succ / x.n) / x.n
+                    + (y.succ / y.n) * (1.0 - y.succ / y.n) / y.n) AS ci_hi
+    FROM (SELECT * FROM s WHERE o_orderpriority = '{PZT_GROUP_X}') x,
+         (SELECT * FROM s WHERE o_orderpriority = '{PZT_GROUP_Y}') y
+    """,
+)
+def agg_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``proportionsZTest(sx, sy, nx, ny)`` — the two-sample
+    proportion z test behind every conversion-rate A/B readout: do
+    URGENT and LOW orders finalize ('F') at the same rate? Counts stay
+    exact int64 through the aggregate; the statistic is one shared IEEE
+    expression tree (+,-,*,/ and sqrt — all correctly rounded, the
+    agg_meanztest recipe), with the POOLED variance in the z
+    denominator and the UNPOOLED one in the CI, matching the CH
+    implementation's convention. The p-value needs erf (engine-private
+    transcendental) so the z statistic is the contract — CH users apply
+    their own threshold, here the pinned 1.96 CI does it.
+
+    Plan: ONE conditional aggregate over the scan + a 1×1-row
+    reshape — the cost is the scan itself."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(PZT_GROUP_X, PZT_GROUP_Y)
+    )
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("double")
+        .alias("succ"),
+    )
+    x = s.filter(F.col("o_orderpriority") == PZT_GROUP_X).select(
+        F.col("n").alias("nx"), F.col("succ").alias("sx")
+    )
+    y = s.filter(F.col("o_orderpriority") == PZT_GROUP_Y).select(
+        F.col("n").alias("ny"), F.col("succ").alias("sy")
+    )
+    j = x.crossJoin(F.broadcast(y))
+    px = F.col("sx") / F.col("nx")
+    py = F.col("sy") / F.col("ny")
+    pp = (F.col("sx") + F.col("sy")) / (F.col("nx") + F.col("ny"))
+    se_pool = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("nx") + F.lit(1.0) / F.col("ny"))
+    )
+    se_ci = F.sqrt(
+        px * (F.lit(1.0) - px) / F.col("nx")
+        + py * (F.lit(1.0) - py) / F.col("ny")
+    )
+    return j.select(
+        F.col("nx").cast("bigint").alias("n_x"),
+        F.col("ny").cast("bigint").alias("n_y"),
+        F.col("sx").cast("bigint").alias("s_x"),
+        F.col("sy").cast("bigint").alias("s_y"),
+        px.alias("p_x"),
+        py.alias("p_y"),
+        ((px - py) / se_pool).alias("z_stat"),
+        ((px - py) - F.lit(MZT_Z95) * se_ci).alias("ci_lo"),
+        ((px - py) + F.lit(MZT_Z95) * se_ci).alias("ci_hi"),
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table, parallelize_scan
 from etl_ch_destination_spark.ops.multimodal import (
@@ -32,7 +33,9 @@ from etl_ch_destination_spark.ops.neardup import (
 from etl_ch_destination_spark.ops.similarity import (
     ann_topk,
     brute_force_topk,
+    dot,
     ivf_topk,
+    l2_norm,
     semdedup_flags,
 )
 from etl_ch_destination_spark.registry import query
@@ -566,4 +569,76 @@ def llm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         resample,
         "doc_id long, n_in bigint, n_out bigint, energy_out bigint",
+    )
+
+
+@query(
+    "llm_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding AS qv
+               FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT q.query_id, q.query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+               ) AS cos_sim
+      FROM q, embeddings c
+      WHERE c.label <> q.query_label
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, negative_id) = 1
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the
+    DPR/contrastive recipe, Karpukhin et al. 2020, public): for each
+    query vector, the single most similar candidate with a DIFFERENT
+    label — the "closest impostor" whose gradient teaches the model the
+    class boundary. Random negatives are trivially separable; the
+    hardest one is the training signal.
+
+    Same exact-cosine machinery as llm_sim_topk_exact (broadcast query
+    side, sequential double folds matching DuckDB bit-for-bit) plus the
+    label-mismatch predicate fused into the scoring stage — candidates
+    never shuffle; the top-1 window carries |q| × |c| scored rows
+    through one query_id exchange. At 100 TB the scale path swaps the
+    scan for the IVF/LSH candidate generators and keeps this ranking
+    stage unchanged."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("negative_label") != F.col("query_label"))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label", "cos_sim"
+        )
     )

@@ -125,6 +125,10 @@ ALLOWED_NLJ = {
     # partial min(struct) aggregate
     "geo_haversine_join",
     "llm_sim_topk_exact",
+    # broadcast query side × streamed candidates with the label-mismatch
+    # predicate fused (non-equi by definition) — the llm_sim_topk_exact
+    # scan pattern (queries/llm_vectors.py llm_hard_negatives)
+    "llm_hard_negatives",
     "rpt_idle_customers",
     "rpt_nation_inventory_value",
     # corpus-total N (1 row) broadcast onto the per-doc frame,
@@ -147,6 +151,7 @@ ALLOWED_NLJ = {
     # 1-row × 1-row reshape of the two group summaries into the final
     # statistic row — the welch/student shape (aggregations_ch.py)
     "agg_meanztest",
+    "agg_proportions_ztest",
     # |groups| × 3-row quantile-spec literal dim (aggregations_ch.py)
     "agg_quantile_interp_exact",
     # 1-row (max_avg, min_avg) bounds broadcast onto suppliers —

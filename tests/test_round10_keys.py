@@ -221,3 +221,49 @@ def test_curriculum_phases_are_quartiles_and_difficulty_monotone(spark, sf_dir):
         pos[(r["lang"], r["phase"])].append(r["pos_in_phase"])
     for key, ps in pos.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), key
+
+
+def test_hard_negatives_are_argmax_over_mismatched_labels(spark, sf_dir):
+    """Each mined negative must (a) carry a different label than its
+    query and (b) be the true cosine argmax over ALL mismatched-label
+    candidates — verified against a numpy replay."""
+    import numpy as np
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    emb = {
+        r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float64))
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = _q("llm_hard_negatives", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["negative_label"] != r["query_label"]
+        ql, qv = emb[r["query_id"]]
+        qn = np.sqrt(qv @ qv)
+        best = max(
+            (
+                ((cv @ qv) / (qn * np.sqrt(cv @ cv)), -cid)
+                for cid, (cl, cv) in emb.items()
+                if cl != ql
+            ),
+        )
+        assert -best[1] == r["negative_id"], (r["query_id"], best)
+        assert abs(best[0] - r["cos_sim"]) < 1e-9
+
+
+def test_proportions_ztest_matches_python_replay(spark, sf_dir):
+    """The z statistic and CI must equal the pooled/unpooled formulas
+    recomputed in python from the exact counts the row itself carries."""
+    import math
+
+    (r,) = _q("agg_proportions_ztest", spark, sf_dir).collect()
+    nx, ny, sx, sy = r["n_x"], r["n_y"], r["s_x"], r["s_y"]
+    px, py = sx / nx, sy / ny
+    pp = (sx + sy) / (nx + ny)
+    z = (px - py) / math.sqrt(pp * (1 - pp) * (1 / nx + 1 / ny))
+    se = math.sqrt(px * (1 - px) / nx + py * (1 - py) / ny)
+    assert abs(r["z_stat"] - z) < 1e-12
+    assert abs(r["ci_lo"] - ((px - py) - 1.959963984540054 * se)) < 1e-12
+    assert abs(r["ci_hi"] - ((px - py) + 1.959963984540054 * se)) < 1e-12
+    assert r["ci_lo"] <= r["p_x"] - r["p_y"] <= r["ci_hi"]
