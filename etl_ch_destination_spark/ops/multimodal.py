@@ -260,3 +260,48 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+DHASH_W, DHASH_H = 9, 8  # 9x8 gray grid -> 8x8 = 64 horizontal-gradient bits
+
+
+def image_dhash(images: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint of real binary
+    images — the standard 64-bit image near-dup key (public recipe:
+    downscale to a 9×8 gray grid, emit one bit per horizontal gradient
+    sign). Identical images always collide; small re-encodes/resizes
+    usually do; unrelated images almost never do — which is exactly the
+    grouping key an image-dedup pass buckets on.
+
+    Determinism contract (the resize_nearest discipline): the
+    downsample is nearest-neighbor with sx = x·w // W floor math, gray
+    is the exact integer channel sum r+g+b (never a float luma), and
+    the comparison is strict > — every step integer, so the DuckDB
+    oracle replays the hash from the synthesized pixel stream
+    bit-for-bit. The hash is emitted as a 64-char '0'/'1' string
+    (portable across engines; no sign traps at bit 63).
+
+    Arrow-batched mapInPandas, linear scan, no shuffle in this stage.
+    """
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def one(content: bytes) -> str:
+            w, h, pixels = ppm_decode(bytes(content))
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+            sy = (np.arange(DHASH_H, dtype=np.int64) * h) // DHASH_H
+            sx = (np.arange(DHASH_W, dtype=np.int64) * w) // DHASH_W
+            gray = arr[sy][:, sx].astype(np.int64).sum(axis=2)  # 8x9 ints
+            bits = gray[:, 1:] > gray[:, :-1]                   # 8x8 bools
+            return "".join("1" if b else "0" for b in bits.reshape(-1))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "phash": pdf["content"].map(one)}
+            )
+
+    return images.select(id_col, "content").mapInPandas(
+        hash_batch, "doc_id long, phash string"
+    )

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from etl_ch_destination_spark.catalog import load_table, parallelize_scan
 from etl_ch_destination_spark.ops.multimodal import (
     extract_features,
+    image_dhash,
     resize_image,
     sample_frames,
     synthesize_binary,
@@ -641,4 +642,75 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "query_label", "negative_id", "negative_label", "cos_sim"
         )
+    )
+
+
+@query(
+    "llm_image_dedup_phash",
+    """
+    WITH src AS (
+      SELECT doc_id, text, length(text) AS L,
+             16 + length(text) % 17 AS w,
+             16 + length(text) % 13 AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    grid AS (
+      SELECT doc_id,
+             list_transform(range(0, 72), p ->
+               ascii(substr(text, CAST(1 + (((((p // 9) * h) // 8) * w
+                       + (((p % 9) * w) // 9)) * 3 + 0) % L AS BIGINT), 1))
+             + ascii(substr(text, CAST(1 + (((((p // 9) * h) // 8) * w
+                       + (((p % 9) * w) // 9)) * 3 + 1) % L AS BIGINT), 1))
+             + ascii(substr(text, CAST(1 + (((((p // 9) * h) // 8) * w
+                       + (((p % 9) * w) // 9)) * 3 + 2) % L AS BIGINT), 1))
+             ) AS g
+      FROM src
+    ),
+    hashed AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, 64), b ->
+               CASE WHEN g[(b // 8) * 9 + (b % 8) + 2]
+                       > g[(b // 8) * 9 + (b % 8) + 1]
+                    THEN '1' ELSE '0' END), '') AS phash
+      FROM grid
+    )
+    SELECT doc_id, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY phash
+                                             ORDER BY doc_id) > 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM hashed
+    """,
+)
+def llm_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via dHash perceptual fingerprints
+    (ops/multimodal.image_dhash) — the IMAGE analogue of the text
+    MinHash family: real binary PPM payloads decode for real in an
+    Arrow-batched stage, downsample to a 9×8 integer gray grid, emit 64
+    gradient-sign bits, and duplicates group on the hash (keep-lowest-id
+    flag + cluster size). The DuckDB oracle replays the ENTIRE pixel
+    path (synthesize → nearest-neighbor downsample → channel-sum gray →
+    gradient bits) with closed-form integer index math — the
+    llm_multimodal_resize discipline, so the perceptual hash itself is
+    value-checked, not just row counts. Re-encoded/identical images
+    collide by construction; the planted-variant recall test lives in
+    tests/test_llm.py.
+
+    Plan: linear mapInPandas (no shuffle) → one phash exchange for the
+    window pair; at 100 TB the phash column is exactly the
+    bucket/partition key an image-dedup pipeline writes by."""
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0),
+        spark,
+    )
+    hashed = image_dhash(synthesize_image(d))
+    w = Window.partitionBy("phash")
+    wr = Window.partitionBy("phash").orderBy("doc_id")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        F.when(F.row_number().over(wr) > 1, 1).otherwise(0).cast("bigint").alias(
+            "is_dup"
+        ),
     )

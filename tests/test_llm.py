@@ -579,3 +579,29 @@ def test_compression_ratio_matches_zlib_replay(spark, sf_dir):
     planted = "a" * 2000
     planted_ratio = 2000 / len(zlib.compress(planted.encode(), ZLIB_LEVEL))
     assert planted_ratio > 2 * median  # repetitive text stands out
+
+
+def test_image_phash_collides_for_duplicates_not_for_distinct(spark, sf_dir):
+    """dHash contract: byte-identical images collide (planted copies
+    flagged is_dup with the lowest id kept); the fixture's distinct
+    texts produce a spread of hashes (not one degenerate bucket); and
+    the hash is a 64-char bitstring."""
+    from etl_ch_destination_spark.ops.multimodal import image_dhash, synthesize_image
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text").filter(
+        F.length("text") > 0
+    )
+    planted = docs.orderBy("doc_id").limit(10).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    hashed = image_dhash(synthesize_image(corpus))
+    rows = hashed.collect()
+    by_id = {r["doc_id"]: r["phash"] for r in rows}
+    assert all(len(p) == 64 and set(p) <= {"0", "1"} for p in by_id.values())
+    # planted copies collide with their originals
+    for orig in sorted(by_id)[:10]:
+        if orig + 10_000_000 in by_id:
+            assert by_id[orig] == by_id[orig + 10_000_000]
+    # hashes spread: distinct texts should not funnel into one bucket
+    assert len(set(by_id.values())) > len(by_id) // 4
