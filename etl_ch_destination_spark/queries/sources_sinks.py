@@ -1999,3 +1999,41 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query(
+    "scan_csv_multichar_delim",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM orders
+    """,
+)
+def scan_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-character-delimiter CSV ingest ("::" — the legacy-dump
+    separator chosen to survive embedded commas without quoting):
+    Spark's CSV reader takes multi-char ``sep`` since 3.0; the export
+    is written through the same separator, so both directions are
+    exercised and the cents column must round-trip bit-for-bit against
+    the source table (the scan_csv_locale contract).
+
+    Plan: writer shuffle only; the read-back parse is map-side codegen
+    fused into the scan."""
+    path = _scratch(sf_dir, "scan_csv_multichar_delim")
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    (
+        o.select("o_orderkey", "o_orderpriority", cents.alias("price_cents"))
+        .write.mode("overwrite")
+        .option("sep", "::")
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        spark.read.option("sep", "::")
+        .option("header", "true")
+        .schema("o_orderkey long, o_orderpriority string, price_cents long")
+        .csv(path)
+        .select("o_orderkey", "o_orderpriority", "price_cents")
+    )

@@ -104,6 +104,10 @@ EFFECTFUL = {
     "scan_xml_roundtrip": (
         "test_round10_keys.py",
         "test_xml_roundtrip_matches_source_and_is_schema_first"),
+    # writes the ::-separated export to scratch
+    "scan_csv_multichar_delim": (
+        "test_round10_keys.py",
+        "test_multichar_delim_roundtrip_and_embedded_commas"),
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

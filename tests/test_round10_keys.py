@@ -267,3 +267,32 @@ def test_proportions_ztest_matches_python_replay(spark, sf_dir):
     assert abs(r["ci_lo"] - ((px - py) - 1.959963984540054 * se)) < 1e-12
     assert abs(r["ci_hi"] - ((px - py) + 1.959963984540054 * se)) < 1e-12
     assert r["ci_lo"] <= r["p_x"] - r["p_y"] <= r["ci_hi"]
+
+
+def test_multichar_delim_roundtrip_and_embedded_commas(spark, sf_dir):
+    """The '::'-separated round trip must reproduce the source exactly,
+    and a value CONTAINING commas must survive without quoting (the
+    reason the legacy separator exists)."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    back = _q("scan_csv_multichar_delim", spark, sf_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # embedded commas survive a :: round trip unquoted
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "mc")
+    df = spark.createDataFrame([(1, "a,b,c"), (2, "x,,y")], "k long, v string")
+    df.write.option("sep", "::").option("header", True).csv(path)
+    got = (
+        spark.read.option("sep", "::").option("header", True)
+        .schema("k long, v string").csv(path).collect()
+    )
+    assert sorted(map(tuple, got)) == [(1, "a,b,c"), (2, "x,,y")]
