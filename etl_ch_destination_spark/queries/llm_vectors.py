@@ -461,6 +461,13 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: map-side synth + one mapInPandas scan, zero shuffles; the
     feature frame is ≤ 4 windows/doc. At 100 TB payloads come from
     binaryFile scans and the identical UDF signature applies."""
+    return _audio_window_energies(spark, sf_dir)
+
+
+def _audio_window_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared encode→decode→frame→energy stage for the audio keys
+    (llm_multimodal_audio emits it raw; llm_audio_vad_segments builds
+    segments on top)."""
     import pandas as pd
 
     from etl_ch_destination_spark.ops.audio import (
@@ -713,4 +720,93 @@ def llm_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.row_number().over(wr) > 1, 1).otherwise(0).cast("bigint").alias(
             "is_dup"
         ),
+    )
+
+
+VAD_THRESH = 350_000  # per-sample mean-square activity threshold
+
+
+@query(
+    "llm_audio_vad_segments",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST({AUDIO_BASE} + doc_id % {AUDIO_BASE} AS BIGINT) AS n
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, n,
+             unnest(range(0, CAST((n + {AUDIO_WIN - 1}) // {AUDIO_WIN}
+                               AS INT))) AS win
+      FROM p
+    ),
+    e AS (
+      SELECT doc_id, CAST(win AS INT) AS window_idx,
+             CAST(LEAST((win + 1) * {AUDIO_WIN}, n) - win * {AUDIO_WIN}
+                  AS BIGINT) AS n_samples,
+             CAST(list_sum(list_transform(
+               range(CAST(win * {AUDIO_WIN} AS INT),
+                     CAST(LEAST((win + 1) * {AUDIO_WIN}, n) AS INT)),
+               i -> ((doc_id * 31 + i * 17) % 2048 - 1024)
+                    * ((doc_id * 31 + i * 17) % 2048 - 1024)))
+               AS BIGINT) AS energy
+      FROM w
+    ),
+    act AS (
+      SELECT doc_id, window_idx, n_samples, energy
+      FROM e WHERE energy >= {VAD_THRESH} * n_samples
+    ),
+    isl AS (
+      SELECT doc_id, window_idx, n_samples, energy,
+             window_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY window_idx) AS grp
+      FROM act
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY MIN(window_idx))
+                AS BIGINT) AS seg_idx,
+           CAST(MIN(window_idx) AS INT) AS win_start,
+           CAST(MAX(window_idx) AS INT) AS win_end,
+           CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+           CAST(SUM(energy) AS BIGINT) AS energy
+    FROM isl
+    GROUP BY doc_id, grp
+    """,
+)
+def llm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segmentation — the silence-strip
+    pass every ASR/speech-training pipeline runs before chunking audio:
+    windows whose mean-square energy clears the activity threshold
+    (cross-multiplied integers: energy ≥ THRESH·n_samples, never a
+    float mean) merge into maximal contiguous SEGMENTS via the
+    gaps-and-islands device (window_idx − row_number is constant within
+    a run — the win_streaks discipline), emitting per-segment bounds,
+    sample counts, and total energy. Built on the same real
+    RIFF/WAVE decode stage as llm_multimodal_audio, so the oracle
+    replays the whole pipeline from the closed-form waveform.
+
+    Plan: the energy stage is a zero-shuffle mapInPandas scan; islands
+    take two window passes over ONE doc_id exchange + the final
+    per-(doc, island) hash agg."""
+    e = _audio_window_energies(spark, sf_dir)
+    act = e.filter(F.col("energy") >= F.lit(VAD_THRESH) * F.col("n_samples"))
+    w = Window.partitionBy("doc_id").orderBy("window_idx")
+    isl = act.withColumn(
+        "grp", F.col("window_idx") - F.row_number().over(w)
+    )
+    seg = isl.groupBy("doc_id", "grp").agg(
+        F.min("window_idx").alias("win_start"),
+        F.max("window_idx").alias("win_end"),
+        F.sum("n_samples").cast("bigint").alias("n_samples"),
+        F.sum("energy").cast("bigint").alias("energy"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("win_start")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(ws).cast("bigint").alias("seg_idx"),
+        F.col("win_start").cast("int").alias("win_start"),
+        F.col("win_end").cast("int").alias("win_end"),
+        "n_samples",
+        "energy",
     )

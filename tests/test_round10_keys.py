@@ -296,3 +296,45 @@ def test_multichar_delim_roundtrip_and_embedded_commas(spark, sf_dir):
         .schema("k long, v string").csv(path).collect()
     )
     assert sorted(map(tuple, got)) == [(1, "a,b,c"), (2, "x,,y")]
+
+
+def test_vad_segments_are_maximal_contiguous_active_runs(spark, sf_dir):
+    """Segments must exactly tile the active windows: within a segment
+    every window is active and contiguous; the windows just outside
+    each segment are inactive or absent (maximality); per-doc seg_idx
+    is dense from 1."""
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.queries.llm_vectors import VAD_THRESH
+
+    energies = defaultdict(dict)
+    for r in _q("llm_multimodal_audio", spark, sf_dir).collect():
+        energies[r["doc_id"]][r["window_idx"]] = (r["energy"], r["n_samples"])
+    segs = defaultdict(list)
+    for r in _q("llm_audio_vad_segments", spark, sf_dir).collect():
+        segs[r["doc_id"]].append(r)
+    assert segs
+
+    def active(doc, w):
+        if w not in energies[doc]:
+            return False
+        e, n = energies[doc][w]
+        return e >= VAD_THRESH * n
+
+    for doc, rows in segs.items():
+        rows.sort(key=lambda r: r["win_start"])
+        assert [r["seg_idx"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            for w in range(r["win_start"], r["win_end"] + 1):
+                assert active(doc, w), (doc, w)
+            assert not active(doc, r["win_start"] - 1)
+            assert not active(doc, r["win_end"] + 1)
+            assert r["energy"] == sum(
+                energies[doc][w][0] for w in range(r["win_start"], r["win_end"] + 1)
+            )
+    # every active window is covered by some segment
+    for doc, ws in energies.items():
+        covered = {
+            w for r in segs.get(doc, []) for w in range(r["win_start"], r["win_end"] + 1)
+        }
+        assert {w for w in ws if active(doc, w)} == covered, doc
