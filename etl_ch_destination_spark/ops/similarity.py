@@ -151,6 +151,11 @@ def ann_topk(
     )
 
 
+# HOF-literal argmax up to this K; beyond it the broadcast-join + max
+# aggregate regime (identical semantics, codegen-safe at K ∝ n).
+SEMDEDUP_HOF_MAX_K = 32
+
+
 def semdedup_flags(
     emb: DataFrame,
     n_clusters: int = 8,
@@ -179,45 +184,92 @@ def semdedup_flags(
     recall gate in tests/test_llm.py shows true near-duplicates
     (cos ≥ 0.99) still co-locate, which is the property SemDeDup needs.
 
-    Plan shape: seed collect is K rows (bounded dim, the ivf_topk
-    centroid precedent); assignment is a MAP-SIDE higher-order-function
-    argmax over K literal seed structs — no shuffle, no Python; the
-    only exchange is the intra-cluster self-equi-join on cluster_id.
+    Plan shape, two regimes on the same argmax semantics:
+    - K ≤ 32 (fixture scale): seed collect is K rows (the ivf_topk
+      centroid precedent); assignment is a MAP-SIDE
+      higher-order-function argmax over K literal seed structs — no
+      shuffle, no Python; the only exchange is the intra-cluster
+      self-equi-join on cluster_id.
+    - K > 32 (cluster scale, K ∝ n): literal expressions would blow
+      codegen, so the seeds become a BROADCAST frame and the argmax a
+      max(struct(cs, −seed)) hash aggregate on vec_id — the n×K
+      expansion collapses MAP-SIDE in the partial aggregate, so the
+      exchange still carries one row per vector. Both regimes compute
+      the identical (cs, tie) maximum, so results are regime-invariant
+      (pytest-pinned in tests/test_llm.py).
 
     Returns (vec_id, cluster_id, is_dup): is_dup = 1 iff a same-cluster
     partner with a SMALLER id has cosine ≥ tau (keep-lowest-id rule).
     """
-    seeds = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
-    )
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
-    choices = F.array(
-        *[
+    if n_clusters <= SEMDEDUP_HOF_MAX_K:
+        seeds = (
+            emb.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_clusters)
+            .collect()
+        )
+        choices = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(
+                            F.col("__v"),
+                            F.array(*[F.lit(float(x)) for x in row[vec_col]]),
+                        )
+                        / (
+                            F.col("__n")
+                            * l2_norm(
+                                F.array(*[F.lit(float(x)) for x in row[vec_col]])
+                            )
+                        )
+                    ).alias("cs"),
+                    F.lit(-int(row[id_col])).cast("long").alias("negid"),
+                )
+                for row in seeds
+            ]
+        )
+        asg = base.withColumn(
+            "cluster_id",
+            (-F.array_max(choices).getField("negid")).cast("bigint"),
+        )
+    else:
+        seed_df = (
+            emb.select(
+                F.col(id_col).alias("__sid"),
+                F.col(vec_col).alias("__sv"),
+                l2_norm(F.col(vec_col)).alias("__sn"),
+            )
+            .orderBy("__sid")
+            .limit(n_clusters)
+        )
+        scored = base.join(F.broadcast(seed_df)).select(
+            "vec_id",
+            "__v",
+            "__n",
             F.struct(
                 (
-                    dot(
-                        F.col("__v"),
-                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
-                    )
-                    / (
-                        F.col("__n")
-                        * l2_norm(
-                            F.array(*[F.lit(float(x)) for x in row[vec_col]])
-                        )
-                    )
+                    dot(F.col("__v"), F.col("__sv"))
+                    / (F.col("__n") * F.col("__sn"))
                 ).alias("cs"),
-                F.lit(-int(row[id_col])).cast("long").alias("negid"),
-            )
-            for row in seeds
-        ]
-    )
-    asg = base.withColumn(
-        "cluster_id", (-F.array_max(choices).getField("negid")).cast("bigint")
-    )
+                (-F.col("__sid")).cast("long").alias("negid"),
+            ).alias("__choice"),
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max("__choice").alias("__best"),
+            F.first("__v").alias("__v"),
+            F.first("__n").alias("__n"),
+        )
+        asg = best.select(
+            "vec_id",
+            "__v",
+            "__n",
+            (-F.col("__best.negid")).cast("bigint").alias("cluster_id"),
+        )
     a = asg.select(
         F.col("vec_id").alias("__ida"),
         F.col("__v").alias("__va"),

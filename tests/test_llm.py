@@ -605,3 +605,26 @@ def test_image_phash_collides_for_duplicates_not_for_distinct(spark, sf_dir):
             assert by_id[orig] == by_id[orig + 10_000_000]
     # hashes spread: distinct texts should not funnel into one bucket
     assert len(set(by_id.values())) > len(by_id) // 4
+
+
+def test_semdedup_join_regime_equals_hof_regime(spark, sf_dir):
+    """The broadcast-join + max(struct) assignment (K > HOF_MAX_K, the
+    cluster-scale regime) must produce the IDENTICAL (cluster, is_dup)
+    frame as the literal-HOF argmax at the same K — regime choice is a
+    plan decision, never a semantics one."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hof = sorted(
+        map(tuple, similarity.semdedup_flags(emb, n_clusters=8).collect())
+    )
+    old = similarity.SEMDEDUP_HOF_MAX_K
+    similarity.SEMDEDUP_HOF_MAX_K = 0  # force the join regime
+    try:
+        joined = sorted(
+            map(tuple, similarity.semdedup_flags(emb, n_clusters=8).collect())
+        )
+    finally:
+        similarity.SEMDEDUP_HOF_MAX_K = old
+    assert hof == joined

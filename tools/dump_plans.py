@@ -430,6 +430,32 @@ ANNOTATIONS: dict[str, str] = {
         "directories read; at 100 TB this is the star-join scan "
         "optimization."
     ),
+    "llm_semdedup": (
+        "SemDeDup: the Voronoi assignment is MAP-SIDE (HOF argmax over "
+        "K literal seeds — zero exchanges before the cluster self-join); "
+        "the only shuffles are the cluster_id equi-join and the dup-flag "
+        "left join. Never an all-pairs plan: pairwise work is bounded "
+        "per cluster."
+    ),
+    "geo_haversine_join": (
+        "`BroadcastNestedLoopJoin` over the BOUNDED 25-row site dim "
+        "(the canonical small-dim geo join), distances fused into "
+        "map-side codegen, then ONE partial-agg min(struct) hash "
+        "aggregate — the 25x expansion collapses map-side, so the "
+        "exchange carries one row per point."
+    ),
+    "graph_bfs_distance": (
+        "Pregel-as-joins: per round one equi-join (frontier x adjacency) "
+        "+ one MIN-combine hash aggregate with map-side partials; the "
+        "frontier is staged per round so the static plan stays O(1) in "
+        "rounds (lineage truncation)."
+    ),
+    "llm_image_dedup_phash": (
+        "Perceptual-hash dedup: the decode+hash stage is a linear "
+        "Arrow-batched `mapInPandas` scan with NO shuffle; the only "
+        "exchange is the phash window pair (cluster size + keep rank) — "
+        "at 100 TB phash is the partition key the dedup write buckets by."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -66,8 +66,8 @@ def main() -> int:
         help=(
             "comma list of spine names to run (default: all). Names: "
             "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
-            "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,sim — 'sim' "
-            "covers the exact/LSH/IVF trio + recall gates"
+            "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,semdedup,"
+            "sim — 'sim' covers the exact/LSH/IVF trio + recall gates"
         ),
     )
     args = ap.parse_args()
@@ -500,6 +500,26 @@ def main() -> int:
             row["line_dedup"] = time_action(line_dedup)
         if want("substr_dedup"):
             row["substr_dedup"] = time_action(substr_dedup)
+        def semdedup_spine():
+            # SemDeDup with K ∝ n (8 per 1× copy): per-cluster size
+            # stays constant, so the intra-cluster pair stage is LINEAR
+            # in rows; the Voronoi assignment is O(n·K) — the published
+            # recipe's own assignment cost (flat KMeans/Voronoi) — and
+            # crosses into the broadcast-join + max(struct) regime
+            # above K=32, exercising the cluster-scale code path the
+            # fixture key (K=8, HOF literals) never reaches.
+            from etl_ch_destination_spark.ops.similarity import semdedup_flags
+
+            semdedup_flags(corpus_sd, n_clusters=8 * n, tau=0.4).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        if want("semdedup"):
+            corpus_sd = replicate_vecs(emb0, n).persist()
+            corpus_sd.count()
+            row["semdedup"] = time_action(semdedup_spine)
+            corpus_sd.unpersist(blocking=False)
+
         if want("pagerank") or want("triangles"):
             lig = replicate(li0, n, ["l_orderkey", "l_partkey"])
         if want("pagerank"):
