@@ -641,7 +641,7 @@ def main() -> int:
     GATED = (
         "q1", "join_agg", "neardup", "vocab_score", "ngram_novelty",
         "line_dedup", "substr_dedup", "cc", "pagerank", "triangles",
-        "sim_exact", "sim_lsh",
+        "semdedup", "sim_exact", "sim_lsh",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
