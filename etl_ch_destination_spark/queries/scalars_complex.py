@@ -638,3 +638,51 @@ def json_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.meta.n").alias("meta_n"),
         F.explode("p.tags").alias("tag"),
     )
+
+
+@query(
+    "json_variant_type",
+    """
+    SELECT event_id,
+           user_id AS uid,
+           event_type AS etype,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+           CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day
+    FROM events
+    """,
+)
+def json_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT ingestion — Spark 4's open-schema type,
+    the engine-native analogue of ClickHouse's JSON object column:
+    each event renders to a JSON document, parses into a VARIANT
+    (binary-encoded, shredded access — not string re-parsing per
+    field), and typed paths extract back out via try_variant_get.
+    The oracle states the round-trip CONTRACT (extraction loses
+    nothing) directly over the source columns; money rides as integer
+    cents so no float ever transits JSON text.
+
+    Plan: pure map-side codegen (to_json → parse_json → variant_get
+    fused into one stage) — zero shuffles; at 100 TB VARIANT columns
+    land in parquet with shredded statistics, which is why this beats
+    get_json_object string probing (full re-parse per access)."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("etype"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.struct(F.date_format("ts", "yyyy-MM-dd").alias("day")).alias(
+                "meta"
+            ),
+        )
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.uid", "bigint").alias("uid"),
+        F.try_variant_get("v", "$.etype", "string").alias("etype"),
+        F.try_variant_get("v", "$.cents", "bigint").alias("cents"),
+        F.try_variant_get("v", "$.meta.day", "string").alias("day"),
+    )

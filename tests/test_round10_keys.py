@@ -338,3 +338,31 @@ def test_vad_segments_are_maximal_contiguous_active_runs(spark, sf_dir):
             w for r in segs.get(doc, []) for w in range(r["win_start"], r["win_end"] + 1)
         }
         assert {w for w in ws if active(doc, w)} == covered, doc
+
+
+def test_variant_extraction_is_typed_and_total(spark, sf_dir):
+    """VARIANT round trip: every extracted field matches the source
+    column exactly (no nulls introduced — try_variant_get degrades to
+    NULL on type mismatch, so totality proves the paths and types are
+    right), and a wrong-typed probe DOES yield NULL."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    got = {r["event_id"]: r for r in _q("json_variant_type", spark, sf_dir).collect()}
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    for r in src.collect():
+        g = got[r["event_id"]]
+        assert (g["uid"], g["etype"], g["cents"], g["day"]) == (
+            r["user_id"], r["event_type"], r["cents"], r["day"]
+        )
+    probe = spark.range(1).select(
+        F.try_variant_get(
+            F.parse_json(F.lit('{"a": "not-a-number"}')), "$.a", "bigint"
+        ).alias("x")
+    )
+    assert probe.collect()[0]["x"] is None
