@@ -3241,3 +3241,86 @@ def agg_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((px - py) - F.lit(MZT_Z95) * se_ci).alias("ci_lo"),
         ((px - py) + F.lit(MZT_Z95) * se_ci).alias("ci_hi"),
     )
+
+
+@query(
+    "agg_group_array_intersect",
+    """
+    WITH day_types AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type
+      FROM events GROUP BY 1, 2, 3
+    ),
+    days AS (
+      SELECT user_id, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM day_types GROUP BY user_id
+    ),
+    everyday AS (
+      SELECT dt.user_id, dt.event_type
+      FROM day_types dt
+      GROUP BY dt.user_id, dt.event_type
+      HAVING COUNT(DISTINCT dt.day) = (SELECT n_days FROM days d
+                                       WHERE d.user_id = dt.user_id)
+    )
+    SELECT d.user_id, d.n_days,
+           COALESCE(e.n_common, 0) AS n_common,
+           COALESCE(e.common_csv, '') AS common_csv
+    FROM days d
+    LEFT JOIN (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             array_to_string(list_sort(list(event_type)), ',') AS common_csv
+      FROM everyday GROUP BY user_id
+    ) e ON e.user_id = d.user_id
+    """,
+)
+def agg_group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayIntersect`` — the intersection of array
+    values across a group's rows: here "which event types did this user
+    touch on EVERY active day" (the habitual-behavior signal). The
+    set-intersection aggregate decomposes relationally — distinct
+    (user, day, type) triples, then types whose distinct-day count
+    equals the user's day count — so no executor ever materializes a
+    per-group set accumulator (the CH state object); emitted as the
+    sorted CSV device (the agg_collect hasher lesson).
+
+    Plan: one (user, day, type) dedup aggregate feeding two
+    hash-reaggregations on its own subkeys — three exchanges, all
+    bounded by distinct-triple cardinality, map-side partials
+    throughout."""
+    e = load_table(spark, sf_dir, "events")
+    day_types = (
+        e.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day", "event_type")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    days = day_types.groupBy("user_id").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    per_type = day_types.groupBy("user_id", "event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_type_days")
+    )
+    everyday = per_type.join(days, "user_id").filter(
+        F.col("n_type_days") == F.col("n_days")
+    )
+    common = everyday.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias(
+            "common_csv"
+        ),
+    )
+    return (
+        days.join(common, "user_id", "left")
+        .select(
+            "user_id",
+            "n_days",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("bigint")).alias(
+                "n_common"
+            ),
+            F.coalesce(F.col("common_csv"), F.lit("")).alias("common_csv"),
+        )
+    )

@@ -366,3 +366,29 @@ def test_variant_extraction_is_typed_and_total(spark, sf_dir):
         ).alias("x")
     )
     assert probe.collect()[0]["x"] is None
+
+
+def test_group_array_intersect_matches_set_replay(spark, sf_dir):
+    """The relational decomposition must equal the literal python set
+    intersection of per-day type sets for every user."""
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    per_user_day = defaultdict(lambda: defaultdict(set))
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "event_type")
+        .collect()
+    ):
+        per_user_day[r["user_id"]][r["day"]].add(r["event_type"])
+    rows = {r["user_id"]: r for r in
+            _q("agg_group_array_intersect", spark, sf_dir).collect()}
+    assert set(rows) == set(per_user_day)
+    for uid, days in per_user_day.items():
+        common = set.intersection(*days.values())
+        r = rows[uid]
+        assert r["n_days"] == len(days)
+        assert r["n_common"] == len(common)
+        assert r["common_csv"] == ",".join(sorted(common))
