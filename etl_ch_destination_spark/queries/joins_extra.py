@@ -872,3 +872,74 @@ def join_paste_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "pos").select(
         "pos", "cust_by_balance", "c_acctbal", "cust_by_orders", "n_orders"
     )
+
+
+@query(
+    "dict_get_composite",
+    """
+    WITH dict AS (
+      SELECT n.n_nationkey AS k_nation, r.r_name AS k_region,
+             n.n_name || '/' || r.r_name AS label
+      FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT c.c_custkey,
+           CAST(c.c_nationkey AS INT) AS k_nation,
+           c.c_mktsegment AS seg,
+           COALESCE(d.label, 'UNKNOWN') AS label,
+           CAST(CASE WHEN d.label IS NOT NULL THEN 1 ELSE 0 END AS BOOLEAN)
+             AS dict_has
+    FROM customer c
+    LEFT JOIN dict d
+      ON d.k_nation = c.c_nationkey
+     AND d.k_region = CASE WHEN c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+                           THEN 'AMERICA' ELSE 'ASIA' END
+    """,
+)
+def dict_get_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH COMPLEX_KEY dictionaries — ``dictGet('d', 'attr',
+    tuple(k1, k2))``: the dictionary key is a TUPLE, here
+    (nationkey, region name). The lookup map is driver-built keyed on
+    a canonical composite encoding (int·'\\x1f'·string — the unit
+    separator cannot occur in region names) and baked into codegen as
+    a literal map: zero join, zero shuffle, exactly how complex-key
+    dictGet executes in CH. Misses (nation not in the probed region)
+    prove the OrDefault path. The oracle states the same semantics
+    relationally (LEFT JOIN on both key parts + COALESCE).
+
+    At 100 TB: same cliff as dict_get_lookup — a composite dictionary
+    too big for a literal map degrades to a broadcast join on the
+    composite key."""
+    from itertools import chain
+
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rows = (
+        nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .select("n_nationkey", "r_name", "n_name")
+        .collect()
+    )
+    SEP = "\x1f"
+    mapping = F.create_map(
+        *chain.from_iterable(
+            (
+                F.lit(f"{int(r.n_nationkey)}{SEP}{r.r_name}"),
+                F.lit(f"{r.n_name}/{r.r_name}"),
+            )
+            for r in rows
+        )
+    )
+    probe_region = F.when(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY"), F.lit("AMERICA")
+    ).otherwise(F.lit("ASIA"))
+    key = F.concat(
+        F.col("c_nationkey").cast("string"), F.lit(SEP), probe_region
+    )
+    looked = mapping[key]
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("k_nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.coalesce(looked, F.lit("UNKNOWN")).alias("label"),
+        looked.isNotNull().alias("dict_has"),
+    )

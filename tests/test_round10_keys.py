@@ -392,3 +392,42 @@ def test_group_array_intersect_matches_set_replay(spark, sf_dir):
         assert r["n_days"] == len(days)
         assert r["n_common"] == len(common)
         assert r["common_csv"] == ",".join(sorted(common))
+
+
+def test_dict_get_composite_is_joinless_and_matches_join_replay(spark, sf_dir):
+    """The composite-key dictGet must plan WITHOUT any join operator
+    (literal-map codegen — the CH execution model) and equal the
+    relational LEFT-JOIN replay; misses take the default."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    df = _q("dict_get_composite", spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("extended")
+    phys = buf.getvalue().split("== Physical Plan ==")[-1]
+    assert "Join" not in phys, phys
+    nat = {
+        (r["n_nationkey"], r["r_name"]): f'{r["n_name"]}/{r["r_name"]}'
+        for r in load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "r_name", "n_name")
+        .collect()
+    }
+    rows = df.collect()
+    assert rows
+    hits = 0
+    for r in rows:
+        region = "AMERICA" if r["seg"] in ("BUILDING", "MACHINERY") else "ASIA"
+        want = nat.get((r["k_nation"], region))
+        if want is None:
+            assert (r["label"], r["dict_has"]) == ("UNKNOWN", False)
+        else:
+            assert (r["label"], r["dict_has"]) == (want, True)
+            hits += 1
+    assert 0 < hits < len(rows)  # both paths exercised
