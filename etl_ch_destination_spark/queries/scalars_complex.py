@@ -686,3 +686,49 @@ def json_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.cents", "bigint").alias("cents"),
         F.try_variant_get("v", "$.meta.day", "string").alias("day"),
     )
+
+
+@query(
+    "arr_topk_partial",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qs) AS INT) AS n_items,
+           array_to_string(list_transform(
+             list_slice(list_reverse_sort(qs), 1, 3),
+             x -> CAST(x AS VARCHAR)), ',') AS top3_csv,
+           CAST(list_sum(list_slice(list_reverse_sort(qs), 1, 3)) AS BIGINT)
+             AS top3_sum
+    FROM per_order
+    """,
+)
+def arr_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayPartialSort`` / top-k-of-array — the per-row
+    partial sort that answers "the 3 largest line quantities of each
+    order" WITHOUT ranking the whole array relationally: collect the
+    order's quantities once, then slice the descending sort — all
+    inside one row, no extra shuffle beyond the collect aggregate.
+    Descending slice is emitted as the sorted-CSV device plus an exact
+    int64 top-3 sum (collect_list order doesn't matter — the sort
+    inside the row canonicalizes before slicing).
+
+    Plan: one l_orderkey hash aggregate, then pure HOF codegen —
+    at 100 TB the array stays bounded by lines-per-order (≤7 in
+    TPC-H), so per-row memory is constant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.col("l_quantity").cast("bigint")).alias("qs")
+    )
+    top3 = F.slice(F.sort_array(F.col("qs"), asc=False), 1, 3)
+    return per_order.select(
+        "l_orderkey",
+        F.size("qs").alias("n_items"),
+        F.array_join(top3.cast("array<string>"), ",").alias("top3_csv"),
+        F.aggregate(
+            top3, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("top3_sum"),
+    )

@@ -431,3 +431,29 @@ def test_dict_get_composite_is_joinless_and_matches_join_replay(spark, sf_dir):
             assert (r["label"], r["dict_has"]) == (want, True)
             hits += 1
     assert 0 < hits < len(rows)  # both paths exercised
+
+
+def test_arr_topk_partial_matches_heapq_replay(spark, sf_dir):
+    """Per-order top-3 must equal heapq.nlargest over the raw line
+    quantities, independent of collect order."""
+    import heapq
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    per = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_quantity").cast("bigint").alias("q"))
+        .collect()
+    ):
+        per[r["l_orderkey"]].append(r["q"])
+    rows = {r["l_orderkey"]: r for r in
+            _q("arr_topk_partial", spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for k, qs in per.items():
+        top = heapq.nlargest(3, qs)
+        r = rows[k]
+        assert r["n_items"] == len(qs)
+        assert r["top3_csv"] == ",".join(map(str, top))
+        assert r["top3_sum"] == sum(top)
