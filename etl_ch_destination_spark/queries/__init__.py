@@ -196,7 +196,7 @@ R13_NEW: list[str] = [
     "llm_image_dedup_phash", "scan_csv_multichar_delim",
     "llm_audio_vad_segments", "json_variant_type",
     "agg_group_array_intersect", "dict_get_composite",
-    "arr_topk_partial",
+    "arr_topk_partial", "llm_stopword_strip",
 ]
 
 # Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys

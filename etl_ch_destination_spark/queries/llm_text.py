@@ -801,3 +801,45 @@ def str_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
         ).alias("has_title"),
     )
+
+
+STRIP_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STRIP_SQL_SET = ", ".join(f"'{w}'" for w in STRIP_STOPWORDS)
+
+
+@query(
+    "llm_stopword_strip",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(words)
+                - len(list_filter(words, x -> x NOT IN ({_STRIP_SQL_SET})))
+                AS BIGINT) AS n_removed,
+           array_to_string(
+             list_filter(words, x -> x NOT IN ({_STRIP_SQL_SET})), ' ')
+             AS stripped_text
+    FROM w
+    """,
+)
+def llm_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal — the normalization transform feeding keyword
+    indexes, TF-IDF variants, and shingle-based dedup (llm_quality_score
+    measures the ratio; this emits the CLEANED text): tokens in the
+    pinned function-word set drop, order and spacing of the survivors
+    preserved exactly (the stripped text is value-hashed, not just
+    counted).
+
+    Plan: pure HOF codegen (split → filter → join), zero shuffles —
+    the embarrassingly-parallel map every corpus pass starts with."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    kept = F.filter(words, lambda x: ~x.isin(*STRIP_STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        (F.size(words) - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("stripped_text"),
+    )

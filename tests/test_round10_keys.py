@@ -457,3 +457,20 @@ def test_arr_topk_partial_matches_heapq_replay(spark, sf_dir):
         assert r["n_items"] == len(qs)
         assert r["top3_csv"] == ",".join(map(str, top))
         assert r["top3_sum"] == sum(top)
+
+
+def test_stopword_strip_matches_python_filter(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_text import STRIP_STOPWORDS
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    }
+    for r in _q("llm_stopword_strip", spark, sf_dir).collect():
+        words = docs[r["doc_id"]].split(" ")
+        kept = [w for w in words if w not in STRIP_STOPWORDS]
+        assert r["n_words"] == len(words)
+        assert r["n_removed"] == len(words) - len(kept)
+        assert r["stripped_text"] == " ".join(kept)
