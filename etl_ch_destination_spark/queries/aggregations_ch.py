@@ -3283,12 +3283,16 @@ def agg_group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group set accumulator (the CH state object); emitted as the
     sorted CSV device (the agg_collect hasher lesson).
 
-    Plan: one (user, day, type) dedup aggregate feeding two
-    hash-reaggregations on its own subkeys — three exchanges, all
-    bounded by distinct-triple cardinality, map-side partials
-    throughout."""
+    Plan: TWO exchanges total — the (user, day, type) dedup aggregate,
+    then one user_id exchange that all three window passes share
+    ((user, day) / (user) / (user, type) are subpartitions, so
+    Catalyst plans sorts, not re-shuffles) AND the final per-user
+    aggregate reuses outright (its distribution is already satisfied —
+    no exchange). The first draft of this key re-derived the triple
+    frame per branch and joined the branches back: 7 static shuffles;
+    the plan audit caught it."""
     e = load_table(spark, sf_dir, "events")
-    day_types = (
+    triples = (
         e.select(
             "user_id",
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -3298,29 +3302,46 @@ def agg_group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit(1).alias("__one"))
         .drop("__one")
     )
-    days = day_types.groupBy("user_id").agg(
-        F.countDistinct("day").cast("bigint").alias("n_days")
-    )
-    per_type = day_types.groupBy("user_id", "event_type").agg(
-        F.countDistinct("day").cast("bigint").alias("n_type_days")
-    )
-    everyday = per_type.join(days, "user_id").filter(
-        F.col("n_type_days") == F.col("n_days")
-    )
-    common = everyday.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_common"),
-        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias(
-            "common_csv"
+    # ONE explicit user_id exchange: every window below partitions on a
+    # user-prefixed key, and HashPartitioning(user) satisfies all of
+    # them — without this, Catalyst plans a separate exchange per
+    # window spec ((u,day), (u,type), (u)).
+    triples = triples.repartition("user_id")
+    w_day = Window.partitionBy("user_id", "day").orderBy("event_type")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("day")
+    w_user = Window.partitionBy("user_id")
+    w_ut = Window.partitionBy("user_id", "event_type")
+    marked = triples.select(
+        "user_id",
+        "event_type",
+        F.when(F.row_number().over(w_day) == 1, 1).otherwise(0).alias(
+            "__first_of_day"
         ),
+        F.when(F.row_number().over(w_type) == 1, 1).otherwise(0).alias(
+            "__first_of_type"
+        ),
+        F.count(F.lit(1)).over(w_ut).cast("bigint").alias("__n_type_days"),
+    ).withColumn(
+        "__n_days",
+        F.sum("__first_of_day").over(w_user).cast("bigint"),
     )
-    return (
-        days.join(common, "user_id", "left")
-        .select(
-            "user_id",
-            "n_days",
-            F.coalesce(F.col("n_common"), F.lit(0).cast("bigint")).alias(
-                "n_common"
-            ),
-            F.coalesce(F.col("common_csv"), F.lit("")).alias("common_csv"),
+    is_common = F.col("__n_type_days") == F.col("__n_days")
+    return marked.groupBy("user_id").agg(
+        F.max("__n_days").alias("n_days"),
+        F.sum(
+            F.when(is_common & (F.col("__first_of_type") == 1), 1).otherwise(0)
         )
+        .cast("bigint")
+        .alias("n_common"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        is_common & (F.col("__first_of_type") == 1),
+                        F.col("event_type"),
+                    )
+                )
+            ),
+            ",",
+        ).alias("common_csv"),
     )
