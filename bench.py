@@ -288,11 +288,18 @@ def main() -> int:
         "metric": "suite_wall_sec",
         "value": suite,
         "unit": "sec",
-        "queries": timings,
+        # stdout carries 2-decimal timings (10 ms granularity — plenty
+        # for per-key baseline comparison); the 3-decimal medians and
+        # p95s live in the sidecar. At 56 keys the 3-decimal line
+        # outgrew the old 1500-char self-check.
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_dir,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1500, f"bench stdout line too long: {len(line)}"
+    # The driver's tail capture is 2,000 chars and this line is the
+    # LAST thing printed, so the hard bound is a complete line within
+    # the final 2,000 chars; 1,950 keeps newline margin.
+    assert len(line) <= 1950, f"bench stdout line too long: {len(line)}"
     print(line)
     spark.stop()
     return 0
