@@ -199,11 +199,18 @@ R13_NEW: list[str] = [
     "arr_topk_partial", "llm_stopword_strip",
 ]
 
+# Keys ADDED late in round 10 — the round-11 driver window (behind
+# R13_NEW's in-window keys; promoted to the front next round).
+R14_NEW: list[str] = [
+    "graph_jaccard_linkpred", "rpt_order_cycle_time",
+]
+
 # Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys
 # with no driver CORRECTNESS row — every one judge-oracle-verified in
 # VERDICT r9) occupies the front of the driver's 50-key sample window;
-# R13_NEW (round-10 additions) fills the remaining 20 slots.
-# Previously-sampled blocks pad the tail.
-ROTATION = [*R12_NEW, *R13_NEW, *R11_NEW, *R10_NEW, *R9_NEW, *R8_NEW,
-            *R8_TAIL, *R7_WINDOW, *R6_WINDOW]
+# R13_NEW (round-10 additions) fills the remaining 20 slots. R14_NEW
+# (late round-10 additions) sits immediately behind for the round-11
+# rotation. Previously-sampled blocks pad the tail.
+ROTATION = [*R12_NEW, *R13_NEW, *R14_NEW, *R11_NEW, *R10_NEW, *R9_NEW,
+            *R8_NEW, *R8_TAIL, *R7_WINDOW, *R6_WINDOW]
 registry.promote(ROTATION)

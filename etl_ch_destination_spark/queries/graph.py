@@ -501,3 +501,108 @@ def bfs_distances(e: DataFrame) -> DataFrame:
             label=f"bfs_t{i}",
         )
     return dist
+
+
+LP_CENTER_CAP = 64   # common-neighbor centers capped at this degree
+LP_MIN_CN = 2        # candidate pairs need >= 2 common neighbors
+LP_TOP = 200         # report size
+
+
+def _linkpred_sql() -> str:
+    return f"""
+    WITH {_SQL_EDGES},
+    adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ),
+    centers AS MATERIALIZED (
+      SELECT a.src AS center, a.dst AS leaf
+      FROM adj a JOIN deg d ON d.node = a.src AND d.d <= {LP_CENTER_CAP}
+    ),
+    cn AS (
+      SELECT x.leaf AS a, y.leaf AS b,
+             CAST(COUNT(*) AS BIGINT) AS common_n
+      FROM centers x JOIN centers y
+        ON x.center = y.center AND x.leaf < y.leaf
+      GROUP BY x.leaf, y.leaf
+      HAVING COUNT(*) >= {LP_MIN_CN}
+    ),
+    nonedge AS (
+      SELECT cn.a, cn.b, cn.common_n
+      FROM cn ANTI JOIN e ON e.u = cn.a AND e.v = cn.b
+    )
+    SELECT a, b, common_n,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(common_n AS DOUBLE) / (da.d + db.d - common_n) AS jaccard
+    FROM nonedge
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    ORDER BY common_n DESC, a, b
+    LIMIT {LP_TOP}
+    """
+
+
+@query("graph_jaccard_linkpred", _linkpred_sql())
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor / Jaccard scoring
+    (Liben-Nowell & Kleinberg 2003, public literature) on the part
+    co-purchase graph: the top {LP_TOP} NON-edges ranked by shared
+    neighborhood — "parts that should co-sell but don't yet", the
+    recommendation-candidate primitive.
+
+    Scale discipline: common-neighbor enumeration goes through CENTER
+    nodes, and a hub center contributes deg² candidate pairs — so
+    centers are capped at degree ≤ {LP_CENTER_CAP} (the
+    document-frequency-cap device from llm_dedup_ngram_jaccard; hubs
+    connect everything and carry no signal, exactly like boilerplate
+    shingles). The Jaccard denominator uses FULL degrees, so the score
+    is the standard cn/(|Γa|+|Γb|−cn) over capped-center common
+    neighbors — deterministic, and the ONE float division sits on
+    exact int64 counts. Existing edges are removed by an anti-join.
+
+    Plan: adjacency + degree derive from the staged edge set; the
+    candidate join is an equi-join on the center key with bounded
+    fan-out (cap²); then one (a, b) hash agg, one anti-join, two
+    degree joins, and a bounded top-{LP_TOP}."""
+    e = stage(_copurchase_edges(spark, sf_dir), eager=False, label="lp_edges")
+    deg = _degrees(e)
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    small = deg.filter(F.col("d") <= LP_CENTER_CAP).select(
+        F.col("node").alias("center")
+    )
+    centers = adj.join(small, adj["src"] == small["center"]).select(
+        "center", F.col("dst").alias("leaf")
+    )
+    x, y = centers.alias("x"), centers.alias("y")
+    cn = (
+        x.join(
+            y,
+            (F.col("x.center") == F.col("y.center"))
+            & (F.col("x.leaf") < F.col("y.leaf")),
+        )
+        .groupBy(F.col("x.leaf").alias("a"), F.col("y.leaf").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_n"))
+        .filter(F.col("common_n") >= LP_MIN_CN)
+    )
+    nonedge = cn.join(
+        e, (cn["a"] == e["u"]) & (cn["b"] == e["v"]), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("__na"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("__nb"), F.col("d").alias("deg_b"))
+    scored = (
+        nonedge.join(da, F.col("a") == F.col("__na"))
+        .join(db, F.col("b") == F.col("__nb"))
+        .select(
+            "a",
+            "b",
+            "common_n",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_n").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_n"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("common_n"), "a", "b").limit(LP_TOP)

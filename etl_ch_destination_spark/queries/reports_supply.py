@@ -563,3 +563,62 @@ def rpt_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue", "on_time_rate", "avg_ship_lag_days", "rank_in_nation",
         )
     )
+
+
+CYCLE_LATE_DAYS = 800  # "late" threshold for the share column
+
+
+@query(
+    "rpt_order_cycle_time",
+    f"""
+    WITH cyc AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             datediff('day', o.o_orderdate, MAX(l.l_shipdate)) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(SUM(days) AS DOUBLE) / COUNT(*) AS avg_days,
+           CAST(SUM(CASE WHEN days > {CYCLE_LATE_DAYS} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS late_share
+    FROM cyc
+    GROUP BY o_orderpriority
+    """,
+)
+def rpt_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment cycle time by priority — the
+    supply-chain SLA readout (does URGENT actually ship faster?): per
+    order the span from order date to its LAST line shipment, then
+    per-priority count/min/max/mean and the share beyond the
+    {CYCLE_LATE_DAYS}-day late threshold. Day spans are exact integers
+    (datediff); the only floats are two final divisions on exact int64
+    sums — the repo ratio discipline.
+
+    Plan: the fact⋈fact join shuffles once on l_orderkey (its natural
+    key), the per-order MAX collapses lines map-side first via partial
+    aggregation, and the per-priority rollup is a 5-group hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cyc = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "o_orderdate").alias("days"),
+        )
+    )
+    return cyc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        (F.sum("days").cast("double") / F.count(F.lit(1))).alias("avg_days"),
+        (
+            F.sum(F.when(F.col("days") > CYCLE_LATE_DAYS, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("late_share"),
+    )

@@ -165,12 +165,13 @@ def test_next_rotation_windows_are_prestaged():
         R11_NEW,
         R12_NEW,
         R13_NEW,
+        R14_NEW,
         ROTATION,
     )
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
     planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW, *R9_NEW,
-               *R10_NEW, *R11_NEW, *R12_NEW, *R13_NEW]
+               *R10_NEW, *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW]
     assert len(set(planned)) == len(planned), "rotation blocks overlap"
     assert set(planned) == set(ROTATION) <= set(all_queries())
     assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
@@ -184,14 +185,15 @@ def test_next_rotation_windows_are_prestaged():
     if sampled_all:
         fresh = {k for k in all_queries() if k not in sampled_all}
         unplanned = fresh - set([*R8_TAIL, *R8_NEW, *R9_NEW, *R10_NEW,
-                                 *R11_NEW, *R12_NEW, *R13_NEW])
+                                 *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW])
         assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
 
     oracles = all_oracles()
     assert set(R8_TAIL) <= ROWS_ONLY_BY_DESIGN
     # every round-7/8/9 addition carries a full hash oracle unless
     # rows-only by design
-    for batch in (R8_NEW, R9_NEW, R10_NEW, R11_NEW, R12_NEW, R13_NEW):
+    for batch in (R8_NEW, R9_NEW, R10_NEW, R11_NEW, R12_NEW, R13_NEW,
+                  R14_NEW):
         not_oracled = [k for k in batch
                        if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
         assert not not_oracled, not_oracled

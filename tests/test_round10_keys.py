@@ -474,3 +474,76 @@ def test_stopword_strip_matches_python_filter(spark, sf_dir):
         assert r["n_words"] == len(words)
         assert r["n_removed"] == len(words) - len(kept)
         assert r["stripped_text"] == " ".join(kept)
+
+
+def test_linkpred_scores_match_networkless_replay(spark, sf_dir):
+    """Jaccard link-prediction must equal a python replay of the exact
+    documented semantics (capped-center common neighbors, full-degree
+    denominator, non-edges only) on the fixture graph."""
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.queries.graph import (
+        LP_CENTER_CAP,
+        LP_MIN_CN,
+        _copurchase_edges,
+        graph_jaccard_linkpred,
+    )
+
+    edges = {(r["u"], r["v"]) for r in
+             _copurchase_edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    cn = defaultdict(int)
+    for center, leaves in adj.items():
+        if len(leaves) > LP_CENTER_CAP:
+            continue
+        ls = sorted(leaves)
+        for i, a in enumerate(ls):
+            for b in ls[i + 1:]:
+                cn[(a, b)] += 1
+    expected = {}
+    for (a, b), c in cn.items():
+        if c >= LP_MIN_CN and (a, b) not in edges:
+            expected[(a, b)] = (c, len(adj[a]), len(adj[b]))
+    got = graph_jaccard_linkpred(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        c, da, db = expected[(r["a"], r["b"])]
+        assert (r["common_n"], r["deg_a"], r["deg_b"]) == (c, da, db)
+        assert abs(r["jaccard"] - c / (da + db - c)) < 1e-12
+    # the report is the TOP of the expected set under the same order
+    order = sorted(expected.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    want_top = [k for k, _ in order[: len(got)]]
+    assert [(r["a"], r["b"]) for r in got] == sorted(
+        want_top, key=lambda ab: (-expected[ab][0], ab)
+    )
+
+
+def test_order_cycle_time_matches_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    ship = defaultdict(lambda: None)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey").agg(F.max("l_shipdate").alias("m")).collect()
+    ):
+        ship[r["l_orderkey"]] = r["m"]
+    per_prio = defaultdict(list)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        m = ship[r["o_orderkey"]]
+        if m is not None:
+            per_prio[r["o_orderpriority"]].append(
+                (m.date() - r["o_orderdate"].date()).days
+            )
+    got = {r["o_orderpriority"]: r for r in
+           _q("rpt_order_cycle_time", spark, sf_dir).collect()}
+    assert set(got) == set(per_prio)
+    for prio, days in per_prio.items():
+        r = got[prio]
+        assert r["n_orders"] == len(days)
+        assert (r["min_days"], r["max_days"]) == (min(days), max(days))
+        assert abs(r["avg_days"] - sum(days) / len(days)) < 1e-9

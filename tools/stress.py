@@ -456,9 +456,13 @@ def main() -> int:
                 STAGING_DIR_CONF,
                 os.path.join(tempfile.gettempdir(), "stress_staging"),
             )
+            # partitions ∝ data (the production rule, SCALE.md): the
+            # wedge exchange carries ~41M rows per 1× copy, so scale
+            # the split count with the factor to keep per-task sort
+            # state heap-sized; AQE coalesces the small stages back.
             spark.conf.set(
                 "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                "256",
+                str(max(256, 32 * n)),
             )
             lp = lig.select(
                 F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
