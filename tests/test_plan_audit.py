@@ -229,6 +229,14 @@ SHUFFLE_ALLOWANCE = {
     "llm_bigram_kneser_ney": 6,
     "graph_degree_stats": 8,
     "graph_triangle_count": 13,
+    #   graph_jaccard_linkpred — same co-purchase edge-build cost as the
+    #     other graph keys (3-4 exchanges) + degree agg, the capped
+    #     center equi-join, the (a,b) candidate agg, the anti-join
+    #     against existing edges, and two degree joins: every exchange
+    #     carries edge- or candidate-bounded rows on node keys; fan-out
+    #     is bounded by the center cap (the df-cap device), never a
+    #     cartesian. Static count 10; 11 gives one headroom.
+    "graph_jaccard_linkpred": 11,
     # 3 unrolled power iterations × (edges⋈ranks join + dst agg) over
     # the staged degree-annotated edge list, plus the edge-derivation
     # exchanges — each structural (queries/graph.py)
