@@ -615,6 +615,17 @@ def main() -> int:
 
         results[str(n)] = row
         spark.catalog.clearCache()
+        # Reclaim the factor's durable staging tables: standalone
+        # stage() calls (pagerank/triangle/BFS seams) write one parquet
+        # table each under stress_staging and nothing deletes them —
+        # a 1/10/30/100 sweep otherwise accumulates tens of GB and the
+        # 100× factor's shuffle then hits ENOSPC (observed round 10).
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), "stress_staging"),
+            ignore_errors=True,
+        )
 
     print(json.dumps(results))
     rc = 0
