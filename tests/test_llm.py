@@ -628,3 +628,43 @@ def test_semdedup_join_regime_equals_hof_regime(spark, sf_dir):
     finally:
         similarity.SEMDEDUP_HOF_MAX_K = old
     assert hof == joined
+
+
+def test_semdedup_hierarchical_regime_still_colocates_planted_dups(spark, sf_dir):
+    """The two-level (hierarchical) assignment regime used at K ∝ n
+    cluster scale must still co-locate true near-duplicates (the only
+    property SemDeDup needs from the clustering) — planted cos≥0.999
+    copies flagged at recall ≥ 0.95, originals never flagged."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    originals = emb.orderBy("vec_id").limit(30)
+    jittered = originals.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + F.sin(F.col("vec_id").cast("double") + i.cast("double"))
+                * F.lit(0.001)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(jittered)
+    old = similarity.SEMDEDUP_FLAT_MAX_K
+    similarity.SEMDEDUP_FLAT_MAX_K = 32  # force hierarchical at K=64
+    try:
+        flags = {
+            r["vec_id"]: r["is_dup"]
+            for r in similarity.semdedup_flags(
+                corpus, n_clusters=64, tau=0.95
+            ).collect()
+        }
+    finally:
+        similarity.SEMDEDUP_FLAT_MAX_K = old
+    planted = [r["vec_id"] + 10_000_000 for r in originals.collect()]
+    recall = sum(flags[p] for p in planted) / len(planted)
+    assert recall >= 0.95, f"hierarchical planted recall {recall:.2f} < 0.95"
+    flagged = {v for v, d in flags.items() if d == 1}
+    assert flagged <= set(planted)
