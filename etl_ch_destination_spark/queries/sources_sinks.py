@@ -2037,3 +2037,109 @@ def scan_csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .select("o_orderkey", "o_orderpriority", "price_cents")
     )
+
+
+@query(
+    "scan_fixed_width",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width-record ingest — the mainframe/COBOL export shape
+    (no delimiters; columns live at byte offsets): nation renders to
+    4+25+4-char records, reads back as text lines, and typed columns
+    slice out by substring positions with trailing-pad trim. The
+    round trip must reproduce the table exactly (names with spaces
+    inside survive because only TRAILING pad is trimmed).
+
+    Plan: text scan + map-side substring/cast codegen — fixed-width
+    parse is embarrassingly parallel (every record is the same
+    length, so even a raw byte-split can't straddle records)."""
+    path = _scratch(sf_dir, "scan_fixed_width")
+    n = load_table(spark, sf_dir, "nation")
+    rec = F.concat(
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+        F.rpad(F.col("n_name"), 25, " "),
+        F.lpad(F.col("n_regionkey").cast("string"), 4, "0"),
+    )
+    n.select(rec.alias("value")).coalesce(1).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.select(
+        F.substring("value", 1, 4).cast("int").alias("n_nationkey"),
+        F.rtrim(F.substring("value", 5, 25)).alias("n_name"),
+        F.substring("value", 30, 4).cast("int").alias("n_regionkey"),
+    )
+
+
+@query(
+    "scan_clf_log_parse",
+    """
+    SELECT event_id,
+           'host-' || CAST(user_id % 50 AS VARCHAR) AS host,
+           upper(substr(event_type, 1, 4)) AS method,
+           '/p/' || CAST(event_id % 1000 AS VARCHAR) AS path,
+           CAST(200 + (event_id % 3) * 100 AS BIGINT) AS status,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS bytes,
+           FALSE AS is_bad
+    FROM events WHERE event_id >= 0
+    UNION ALL
+    SELECT -1, NULL, NULL, NULL, NULL, NULL, TRUE
+    """,
+)
+def scan_clf_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-log ingest (Common Log Format) — the web-server feed
+    every analytics destination receives: events render to CLF lines
+    (host ident authuser [ts] "METHOD path HTTP/1.1" status bytes),
+    plus one planted garbage line; the reader is a text scan + ONE
+    regexp parse with non-matching lines quarantined as is_bad rows
+    (the scan_csv_badrows contract: bad rows are data). Every parsed
+    field must round-trip exactly — the oracle recomputes them from
+    the source columns.
+
+    Plan: text scan + map-side regexp_extract codegen; one planted bad
+    row proves the quarantine path without killing the load."""
+    path = _scratch(sf_dir, "scan_clf_log_parse")
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") >= 0)
+    line = F.concat(
+        F.lit("host-"), (F.col("user_id") % 50).cast("string"),
+        F.lit(" - - [01/Jan/2024:00:00:00 +0000] \""),
+        F.upper(F.substring("event_type", 1, 4)),
+        F.lit(" /p/"), (F.col("event_id") % 1000).cast("string"),
+        F.lit(" HTTP/1.1\" "),
+        (200 + (F.col("event_id") % 3) * 100).cast("string"),
+        F.lit(" "),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        .cast("string"),
+        F.lit(" #"), F.col("event_id").cast("string"),
+    )
+    out = e.select(line.alias("value"))
+    bad = spark.createDataFrame(
+        [("GARBAGE not a log line",)], "value string"
+    )
+    out.unionByName(bad).coalesce(4).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    rx = (
+        r'^(host-\d+) - - \[[^\]]+\] "([A-Z]+) (\S+) HTTP/1\.1" '
+        r"(\d+) (\d+) #(-?\d+)$"
+    )
+    parsed = back.select(
+        F.regexp_extract("value", rx, 1).alias("host"),
+        F.regexp_extract("value", rx, 2).alias("method"),
+        F.regexp_extract("value", rx, 3).alias("path"),
+        F.regexp_extract("value", rx, 4).alias("status_s"),
+        F.regexp_extract("value", rx, 5).alias("bytes_s"),
+        F.regexp_extract("value", rx, 6).alias("eid_s"),
+    )
+    ok = F.col("eid_s") != ""
+    return parsed.select(
+        F.when(ok, F.col("eid_s").cast("bigint")).otherwise(-1).alias(
+            "event_id"
+        ),
+        F.when(ok, F.col("host")).alias("host"),
+        F.when(ok, F.col("method")).alias("method"),
+        F.when(ok, F.col("path")).alias("path"),
+        F.when(ok, F.col("status_s").cast("bigint")).alias("status"),
+        F.when(ok, F.col("bytes_s").cast("bigint")).alias("bytes"),
+        (~ok).alias("is_bad"),
+    )

@@ -108,6 +108,12 @@ EFFECTFUL = {
     "scan_csv_multichar_delim": (
         "test_round10_keys.py",
         "test_multichar_delim_roundtrip_and_embedded_commas"),
+    # writes the fixed-width text export to scratch
+    "scan_fixed_width": (
+        "test_round10_keys.py", "test_fixed_width_roundtrip_trims_only_pad"),
+    # writes the CLF log lines (incl. the planted bad line) to scratch
+    "scan_clf_log_parse": (
+        "test_round10_keys.py", "test_clf_parse_quarantines_garbage_line"),
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

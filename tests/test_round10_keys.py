@@ -547,3 +547,58 @@ def test_order_cycle_time_matches_python_replay(spark, sf_dir):
         assert r["n_orders"] == len(days)
         assert (r["min_days"], r["max_days"]) == (min(days), max(days))
         assert abs(r["avg_days"] - sum(days) / len(days)) < 1e-9
+
+
+def test_fixed_width_roundtrip_trims_only_pad(spark, sf_dir):
+    """Fixed-width round trip reproduces nation exactly; interior
+    spaces in names survive (only TRAILING pad is trimmed)."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    back = _q("scan_fixed_width", spark, sf_dir)
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # interior spaces survive the pad-trim (planted record, since the
+    # fixture's synthetic nation names carry none)
+    import os
+    import tempfile
+
+    p = os.path.join(tempfile.mkdtemp(), "fw")
+    spark.createDataFrame(
+        [("0007NEW ZEALAND AOTEAROA     0003",)], "value string"
+    ).write.text(p)
+    r = (
+        spark.read.text(p)
+        .select(
+            F.substring("value", 1, 4).cast("int").alias("k"),
+            F.rtrim(F.substring("value", 5, 25)).alias("name"),
+            F.substring("value", 30, 4).cast("int").alias("rk"),
+        )
+        .collect()[0]
+    )
+    assert (r["k"], r["name"], r["rk"]) == (7, "NEW ZEALAND AOTEAROA", 3)
+
+
+def test_clf_parse_quarantines_garbage_line(spark, sf_dir):
+    """Exactly one is_bad row (the planted garbage line) with null
+    fields; every good row's fields reassemble from source columns."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    rows = _q("scan_clf_log_parse", spark, sf_dir).collect()
+    bad = [r for r in rows if r["is_bad"]]
+    assert len(bad) == 1
+    assert bad[0]["host"] is None and bad[0]["status"] is None
+    src = {
+        r["event_id"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") >= 0).collect()
+    }
+    good = [r for r in rows if not r["is_bad"]]
+    assert len(good) == len(src)
+    for r in good[:200]:
+        s = src[r["event_id"]]
+        assert r["host"] == f"host-{s['user_id'] % 50}"
+        assert r["method"] == s["event_type"][:4].upper()
+        assert r["path"] == f"/p/{r['event_id'] % 1000}"
+        assert r["status"] == 200 + (r["event_id"] % 3) * 100
