@@ -203,7 +203,7 @@ R13_NEW: list[str] = [
 # R13_NEW's in-window keys; promoted to the front next round).
 R14_NEW: list[str] = [
     "graph_jaccard_linkpred", "rpt_order_cycle_time",
-    "scan_fixed_width", "scan_clf_log_parse",
+    "scan_fixed_width", "scan_clf_log_parse", "str_extract_all_groups",
 ]
 
 # Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys

@@ -581,3 +581,46 @@ def str_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") != n).alias("changed"),
         F.md5(n).alias("nfc_md5"),
     )
+
+
+@query(
+    "str_extract_all_groups",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b([a-z]{2,})(er|ing)\b', 0))
+                AS BIGINT) AS n_matches,
+           COALESCE(array_to_string(
+             regexp_extract_all(text, '\b([a-z]{2,})(er|ing)\b', 1), ','), '')
+             AS stems_csv,
+           COALESCE(array_to_string(
+             regexp_extract_all(text, '\b([a-z]{2,})(er|ing)\b', 2), ','), '')
+             AS suffixes_csv
+    FROM documents
+    """,
+)
+def str_extract_all_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``extractAllGroups(Horizontal)`` — pull EVERY match
+    of a capture-group regex out of free text (the
+    entity-extraction primitive — here "<stem>er|ing" morphology),
+    one column per group, order preserved. Spark's
+    ``regexp_extract_all(col, pat, g)`` maps 1:1 to DuckDB's
+    ``regexp_extract_all`` with the same RE2-class pattern, so the
+    extracted sequences hash-match exactly (csv-joined; found along
+    the way: DuckDB's array_to_string of an EMPTY list is NULL where
+    Spark's array_join is '' — the oracle COALESCEs).
+
+    Plan: pure map-side regex codegen, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b([a-z]{2,})(er|ing)\b"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(pat), F.lit(1)), ","
+        ).alias("stems_csv"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(pat), F.lit(2)), ","
+        ).alias("suffixes_csv"),
+    )

@@ -602,3 +602,23 @@ def test_clf_parse_quarantines_garbage_line(spark, sf_dir):
         assert r["method"] == s["event_type"][:4].upper()
         assert r["path"] == f"/p/{r['event_id'] % 1000}"
         assert r["status"] == 200 + (r["event_id"] % 3) * 100
+
+
+def test_extract_all_groups_matches_re_replay(spark, sf_dir):
+    import re
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    }
+    pat = re.compile(r"\b([a-z]{2,})(er|ing)\b")
+    rows = _q("str_extract_all_groups", spark, sf_dir).collect()
+    assert any(r["n_matches"] > 0 for r in rows)  # pattern bites
+    for r in rows:
+        ms = pat.findall(docs[r["doc_id"]])
+        assert r["n_matches"] == len(ms)
+        assert r["stems_csv"] == ",".join(m[0] for m in ms)
+        assert r["suffixes_csv"] == ",".join(m[1] for m in ms)
