@@ -206,12 +206,82 @@ R14_NEW: list[str] = [
     "scan_fixed_width", "scan_clf_log_parse", "str_extract_all_groups",
 ]
 
-# Round-10 rotation: R12_NEW (the 30 late-round-9 keys, the only keys
-# with no driver CORRECTNESS row — every one judge-oracle-verified in
-# VERDICT r9) occupies the front of the driver's 50-key sample window;
-# R13_NEW (round-10 additions) fills the remaining 20 slots. R14_NEW
-# (late round-10 additions) sits immediately behind for the round-11
-# rotation. Previously-sampled blocks pad the tail.
-ROTATION = [*R12_NEW, *R13_NEW, *R14_NEW, *R11_NEW, *R10_NEW, *R9_NEW,
-            *R8_NEW, *R8_TAIL, *R7_WINDOW, *R6_WINDOW]
+# The round whose rotation is currently applied. CORRECTNESS files
+# recorded at or after this round cover THIS window by construction;
+# freshness/staleness derivations use only earlier (completed) rounds.
+ROTATION_ROUND = 11
+
+# Keys ADDED in round 11 — staged at the very front of the window so
+# they earn driver rows the same round they land.
+R15_NEW: list[str] = [
+]
+
+# Round-11 regression cohort (VERDICT r10 #2): with every registry key
+# now driver-sampled at least once, the window's spare slots carry a
+# DETERMINISTIC rotating re-sample of the STALEST already-sampled keys
+# — sort by (latest round with a driver CORRECTNESS row ASCENDING,
+# md5(key)) and take 45. Keys last checked in r1 have had ten rounds
+# of refactors since, guarded only by builder-side sweeps; this gets
+# every key a fresh driver row every ~8 rounds. GENERATED by
+# ``python tools/rotation.py --slots 45`` and re-derived/asserted by
+# tests/test_inventory.py::test_regression_cohort_is_derived.
+R11_REGRESSION: list[str] = [
+    "cast_types",  # last driver row: r1
+    "case_when",  # last driver row: r1
+    "filter_between_in",  # last driver row: r1
+    "set_union_all",  # last driver row: r1
+    "filter_compare",  # last driver row: r1
+    "derive_column",  # last driver row: r1
+    "filter_null_logic",  # last driver row: r1
+    "project_rename",  # last driver row: r1
+    "null_funcs",  # last driver row: r1
+    "set_except",  # last driver row: r1
+    "distinct_rows",  # last driver row: r1
+    "dedup_by_key_latest",  # last driver row: r1
+    "sample_fraction",  # last driver row: r1 (rows-only by design)
+    "topk_global",  # last driver row: r1
+    "set_union_distinct",  # last driver row: r1
+    "sort_multikey",  # last driver row: r1
+    "filter_like_regex",  # last driver row: r1
+    "set_intersect",  # last driver row: r1
+    "llm_dedup_exact",  # last driver row: r2
+    "llm_tfidf_terms",  # last driver row: r2
+    "agg_summing_merge",  # last driver row: r3
+    "join_asof_nearest",  # last driver row: r3
+    "agg_collapsing_merge",  # last driver row: r3
+    "agg_topk_freq",  # last driver row: r3
+    "join_anti",  # last driver row: r3
+    "llm_text_stats",  # last driver row: r3
+    "agg_quantile_state",  # last driver row: r3
+    "agg_count_distinct",  # last driver row: r3
+    "agg_distinct_windowed",  # last driver row: r3
+    "llm_dedup_ngram_jaccard",  # last driver row: r3
+    "agg_unpivot",  # last driver row: r3
+    "agg_grouping_sets",  # last driver row: r3
+    "join_skew_salted",  # last driver row: r3
+    "join_semi",  # last driver row: r3
+    "llm_token_count",  # last driver row: r3
+    "agg_having",  # last driver row: r3
+    "agg_argmax",  # last driver row: r3
+    "agg_sequence_match",  # last driver row: r3
+    "llm_fingerprint_rolling",  # last driver row: r3
+    "agg_sum_map",  # last driver row: r3
+    "join_asof_forward",  # last driver row: r3
+    "agg_state_merge",  # last driver row: r3
+    "agg_retention",  # last driver row: r3
+    "agg_cube",  # last driver row: r3
+    "agg_global",  # last driver row: r3
+]
+
+# Round-11 rotation (VERDICT r10 #1+#2): R15_NEW (round-11 additions)
+# and R14_NEW (the 5 late-round-10 keys — the only keys with no driver
+# CORRECTNESS row, each judge-verified via driver_sim in VERDICT r10)
+# occupy the front of the driver's 50-key sample window; the
+# regression cohort fills the remaining slots (new keys displace
+# cohort tail keys automatically — the window is the first 50).
+# Previously-sampled blocks pad the tail in their historical order.
+_front = [*R15_NEW, *R14_NEW, *R11_REGRESSION]
+_hist = [*R12_NEW, *R13_NEW, *R11_NEW, *R10_NEW, *R9_NEW,
+         *R8_NEW, *R8_TAIL, *R7_WINDOW, *R6_WINDOW]
+ROTATION = [*_front, *[k for k in _hist if k not in set(_front)]]
 registry.promote(ROTATION)

@@ -89,17 +89,24 @@ ROWS_ONLY_BY_DESIGN = {
 def _driver_sampled(exclude_latest: bool) -> set[str]:
     """Keys with a recorded driver row across CORRECTNESS_r*.json.
 
-    ``exclude_latest`` drops the single highest-numbered round file:
-    the driver records a round's results AFTER the rotation for that
-    round landed, so the latest file always covers the current window
-    by construction (ADVICE r5 — recording results must not break the
-    suite before the NEXT rotation commit lands). Any older file
-    covering the window means a rotation was actually forgotten.
+    ``exclude_latest`` drops every file recorded at or after the
+    CURRENT rotation round (``queries.ROTATION_ROUND``): the driver
+    records a round's results AFTER the rotation for that round
+    landed, so those files always cover the current window by
+    construction (ADVICE r5 — recording results must not break the
+    suite before the NEXT rotation commit lands). Files from earlier
+    rounds are completed history — since round 11 the window
+    deliberately re-samples the stalest of them (VERDICT r10 #2), so
+    they must count as sampled, which the old drop-the-single-latest
+    heuristic got wrong between the rotation commit and the driver's
+    first recording of the new round.
     """
     import glob
     import json
     import os
     import re
+
+    from etl_ch_destination_spark.queries import ROTATION_ROUND
 
     rounds: list[tuple[int, str]] = []
     for path in glob.glob("CORRECTNESS_r*.json"):
@@ -108,8 +115,8 @@ def _driver_sampled(exclude_latest: bool) -> set[str]:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rounds.append((int(m.group(1)) if m else -1, path))
     rounds.sort()
-    if exclude_latest and rounds:
-        rounds = rounds[:-1]
+    if exclude_latest:
+        rounds = [(n, p) for n, p in rounds if n < ROTATION_ROUND]
     sampled: set[str] = set()
     for _, path in rounds:
         with open(path) as f:
@@ -165,13 +172,16 @@ def test_next_rotation_windows_are_prestaged():
         R11_NEW,
         R12_NEW,
         R13_NEW,
+        R11_REGRESSION,
         R14_NEW,
+        R15_NEW,
         ROTATION,
     )
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
     planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW, *R9_NEW,
-               *R10_NEW, *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW]
+               *R10_NEW, *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
+               *R15_NEW, *R11_REGRESSION]
     assert len(set(planned)) == len(planned), "rotation blocks overlap"
     assert set(planned) == set(ROTATION) <= set(all_queries())
     assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
@@ -185,7 +195,8 @@ def test_next_rotation_windows_are_prestaged():
     if sampled_all:
         fresh = {k for k in all_queries() if k not in sampled_all}
         unplanned = fresh - set([*R8_TAIL, *R8_NEW, *R9_NEW, *R10_NEW,
-                                 *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW])
+                                 *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
+                                 *R15_NEW])
         assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
 
     oracles = all_oracles()
@@ -193,7 +204,37 @@ def test_next_rotation_windows_are_prestaged():
     # every round-7/8/9 addition carries a full hash oracle unless
     # rows-only by design
     for batch in (R8_NEW, R9_NEW, R10_NEW, R11_NEW, R12_NEW, R13_NEW,
-                  R14_NEW):
+                  R14_NEW, R15_NEW):
         not_oracled = [k for k in batch
                        if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
         assert not not_oracled, not_oracled
+
+
+def test_regression_cohort_is_derived():
+    """VERDICT r10 #2: the window's spare slots carry a deterministic
+    rotating regression sample of the stalest already-sampled keys.
+    The pasted R11_REGRESSION block must equal what tools/rotation.py
+    derives from the recorded CORRECTNESS files present at rotation
+    time (r01..r10) — the cohort is generated, not hand-picked."""
+    import os
+
+    from etl_ch_destination_spark.queries import R11_REGRESSION
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(repo, "CORRECTNESS_r10.json")):
+        return  # driver-recorded files exist only in the driver checkout
+    import sys
+
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from rotation import driver_rows, regression_cohort
+
+    # Derive from rounds 1..10 only: later rounds' files land AFTER
+    # this rotation and must not retroactively change it.
+    latest = {k: r for k, r in driver_rows(repo).items() if r <= 10}
+    import hashlib
+
+    pool = sorted(latest, key=lambda k: (latest[k],
+                                         hashlib.md5(k.encode()).hexdigest()))
+    assert R11_REGRESSION == pool[:45]
+    # sanity: the full derivation helper agrees when only r01..r10 exist
+    assert set(R11_REGRESSION) <= set(regression_cohort(repo, 10_000, set()))
