@@ -106,6 +106,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--keys", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write/merge a machine-readable per-key result map into this "
+        "file (VERDICT r10 #3): {sf_name: {key: {status, spark_rows, "
+        "oracle_rows, secs, problems}}}. Re-runs at other SFs merge into "
+        "the same artifact.",
+    )
     args = ap.parse_args()
 
     queries = all_queries()
@@ -114,6 +122,19 @@ def main() -> int:
 
     spark = get_spark("parity-check")
     con = duck_connection(args.sf)
+
+    import json as _json
+
+    report: dict[str, dict] = {}
+
+    def record(key, status, t0, s_rows=None, o_rows=None, problems=None):
+        report[key] = {
+            "status": status,  # pass | rows-only | fail
+            "spark_rows": s_rows,
+            "oracle_rows": o_rows,
+            "secs": round(time.time() - t0, 2),
+            "problems": problems or [],
+        }
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
@@ -127,6 +148,7 @@ def main() -> int:
             print(f"FAIL {key}: spark query raised\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(key)
+            record(key, "fail", t0, problems=["spark query raised"])
             continue
         if key in oracles:
             from pyspark.sql.types import ArrayType, MapType, StructType
@@ -144,12 +166,16 @@ def main() -> int:
                 )
                 n_fail += 1
                 failures.append(key)
+                record(key, "fail", t0, s_rows=len(spark_rows),
+                       problems=[f"complex-typed columns {complex_cols}"])
                 continue
         if key not in oracles:
             print(f"rows-only {key}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             if len(spark_rows) == 0:
                 print(f"  WARNING {key}: 0 rows")
+            record(key, "rows-only", t0, s_rows=len(spark_rows),
+                   problems=["0 rows"] if not spark_rows else [])
             continue
         try:
             res = con.execute(oracles[key])
@@ -159,6 +185,8 @@ def main() -> int:
             print(f"FAIL {key}: oracle SQL raised\n{traceback.format_exc()}")
             n_fail += 1
             failures.append(key)
+            record(key, "fail", t0, s_rows=len(spark_rows),
+                   problems=["oracle SQL raised"])
             continue
         problems = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         if problems:
@@ -167,13 +195,38 @@ def main() -> int:
                 print(f"  {p}")
             n_fail += 1
             failures.append(key)
+            record(key, "fail", t0, s_rows=len(spark_rows),
+                   o_rows=len(duck_rows), problems=problems)
         else:
             print(f"PASS {key}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
+            record(key, "pass", t0, s_rows=len(spark_rows),
+                   o_rows=len(duck_rows))
 
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail of {len(keys)}")
     if failures:
         print("failing keys:", ",".join(failures))
+
+    if args.json:
+        sf_name = os.path.basename(args.sf.rstrip("/"))
+        merged: dict[str, dict] = {}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                merged = _json.load(f)
+        per_sf = merged.setdefault(sf_name, {})
+        per_sf.update(report)
+        merged["_meta"] = {
+            **merged.get("_meta", {}),
+            sf_name: {
+                "keys": len(report),
+                "pass": n_pass,
+                "rows_only": n_rows_only,
+                "fail": n_fail,
+            },
+        }
+        with open(args.json, "w") as f:
+            _json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json} [{sf_name}]")
     return 1 if n_fail else 0
 
 
