@@ -214,6 +214,7 @@ ROTATION_ROUND = 11
 # Keys ADDED in round 11 — staged at the very front of the window so
 # they earn driver rows the same round they land.
 R15_NEW: list[str] = [
+    "graph_triangle_approx",
 ]
 
 # Round-11 regression cohort (VERDICT r10 #2): with every registry key

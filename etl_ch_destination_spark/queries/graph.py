@@ -188,6 +188,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRI_SAMPLE_DEN = 4        # DOULION keep-probability p = 1/TRI_SAMPLE_DEN
+_TRI_U28 = 268435456      # 2^28 — md5-prefix uniform denominator
+
+
+def doulion_sampled_edges(e: DataFrame, den: int = TRI_SAMPLE_DEN) -> DataFrame:
+    """DOULION edge sparsifier: keep each edge with probability 1/den,
+    decided by md5-prefix hash thresholding (the sample_weighted_hash
+    recipe) — deterministic per edge, independent of partitioning and
+    rerun, and replayable verbatim by the DuckDB oracle."""
+    u28 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                    F.lit(":tri1"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return e.filter(u28 * den < _TRI_U28)
+
+
+@query(
+    "graph_triangle_approx",
+    f"""
+    WITH {_SQL_EDGES},
+    es AS MATERIALIZED (
+      SELECT u, v FROM e
+      WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || ':' ||
+                                     CAST(v AS VARCHAR) || ':tri1'),
+                                 1, 7)) AS BIGINT)
+            * {TRI_SAMPLE_DEN} < {_TRI_U28}
+    ),
+    degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+             FROM (SELECT u AS node FROM es UNION ALL SELECT v FROM es)
+             GROUP BY node),
+    o AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND es.u < es.v)
+                  THEN es.u ELSE es.v END AS s,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND es.u < es.v)
+                  THEN es.v ELSE es.u END AS t,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND es.u < es.v)
+                  THEN dv.d ELSE du.d END AS dt
+      FROM es
+      JOIN degs du ON du.node = es.u
+      JOIN degs dv ON dv.node = es.v
+    ),
+    w AS (
+      SELECT o1.s AS s, o1.t AS a, o2.t AS b
+      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      WHERE (o1.dt < o2.dt) OR (o1.dt = o2.dt AND o1.t < o2.t)
+    ),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM w JOIN o ON o.s = w.a AND o.t = w.b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM es) AS sampled_edges,
+           t AS sampled_triangles,
+           CAST(t * {TRI_SAMPLE_DEN ** 3} AS BIGINT) AS est_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate GLOBAL triangle count via DOULION edge sparsification
+    (Tsourakakis, Kang, Miller & Faloutsos, KDD 2009, public
+    literature) — the declared scale path next to the exact
+    graph_triangle_count (VERDICT r10 #5): keep each edge with
+    probability p, count triangles exactly on the sparsified graph,
+    scale by 1/p³ (an unbiased estimator; relative std ≈
+    sqrt((1/p³−1)/T) ≈ 1.2% at sf0.01's T=413,718 with p=1/4).
+
+    The coin flips are md5-prefix hash thresholds, NOT rng — the draw
+    is a deterministic pure function of the edge, so the estimate
+    replays bit-for-bit across engines and the key carries a full
+    hash oracle (the estimator itself is integer: count × 4³).
+    tests/test_graph.py additionally gates the estimate within ±20%
+    of the exact count at two SFs.
+
+    Scale: the exact path's wedge exchange is O(m^1.5) and becomes
+    disk-bound at 100× (stated in BASELINE.md); sampling at p scales
+    that exchange by ~p^1.5 (8× fewer wedge candidates at p=1/4,
+    64× at p=1/16 — p is the knob) while the sparsification itself is
+    a zero-shuffle map-side filter composed into the edge build.
+    """
+    es = stage(
+        doulion_sampled_edges(_copurchase_edges(spark, sf_dir)),
+        eager=False,
+        label="tri-sampled-edges",
+    )
+    edges_row = es.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_edges"),
+        F.lit(1).alias("__k"),
+    )
+    # each triangle contributes exactly 3 corners to the per-node
+    # counts, so div 3 is exact integer arithmetic
+    tri_row = triangle_counts(es).agg(
+        F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0))
+        .cast("bigint")
+        .alias("sampled_triangles"),
+        F.lit(1).alias("__k"),
+    )
+    return edges_row.join(tri_row, "__k").select(
+        "sampled_edges",
+        "sampled_triangles",
+        (F.col("sampled_triangles") * TRI_SAMPLE_DEN**3)
+        .cast("bigint")
+        .alias("est_triangles"),
+    )
+
+
 @query(
     "graph_degree_stats",
     f"""
@@ -413,18 +527,21 @@ def kcore_subgraph(e: DataFrame) -> DataFrame:
     )
 
 
-BFS_SOURCE_MOD = 97  # sources = graph nodes with node % 97 == 0
-BFS_ROUNDS = 4       # unrolled frontier rounds → distances 0..4
+BFS_SOURCE_MOD = 97   # sources = graph nodes with node % 97 == 0
+BFS_MAX_ROUNDS = 12   # convergence-loop safety cap (VERDICT r10 #6)
 
 
 def _bfs_sql() -> str:
-    """Unrolled multi-source BFS oracle, generated from the same
-    constants as the Spark loop: round i extends every reached node's
+    """Multi-source BFS oracle unrolled to the SAME safety cap as the
+    Spark convergence loop: round i extends every reached node's
     distance to its neighbors (+1) and keeps the per-node MIN —
     min-combining is order-independent, so the unrolled relational
-    form equals level-synchronous BFS exactly. MATERIALIZED for the
-    kcore reason (each ti is read twice; inlined CTEs would compound
-    to 2^R scans)."""
+    form equals level-synchronous BFS exactly. Rounds past the
+    fixpoint are identities (t_i = t_{{i-1}}), so the cap-unrolled
+    oracle equals the convergence-terminated Spark result EXACTLY
+    regardless of when Spark stops: both compute t_cap, Spark just
+    skips the no-op rounds. MATERIALIZED for the kcore reason (each
+    ti is read twice; inlined CTEs would compound to 2^R scans)."""
     parts = [
         f"""WITH {_SQL_EDGES},
     adj AS MATERIALIZED (
@@ -435,7 +552,7 @@ def _bfs_sql() -> str:
       FROM deg WHERE node % {BFS_SOURCE_MOD} = 0
     )"""
     ]
-    for i in range(1, BFS_ROUNDS + 1):
+    for i in range(1, BFS_MAX_ROUNDS + 1):
         parts.append(
             f""",
     t{i} AS MATERIALIZED (
@@ -447,7 +564,7 @@ def _bfs_sql() -> str:
       ) GROUP BY node
     )"""
         )
-    parts.append(f"\n    SELECT node, dist FROM t{BFS_ROUNDS}")
+    parts.append(f"\n    SELECT node, dist FROM t{BFS_MAX_ROUNDS}")
     return "".join(parts)
 
 
@@ -457,27 +574,54 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how many co-purchase hops from the nearest seed part" (the
     reachability / influence-radius primitive behind recommendation
     spread and contamination-blast-radius queries). Sources are the
-    graph nodes ≡ 0 (mod {BFS_SOURCE_MOD}); {BFS_ROUNDS} unrolled
-    level-synchronous rounds; unreached nodes are absent (their
-    distance exceeds the budget, stated rather than faked as NULL).
+    graph nodes ≡ 0 (mod {BFS_SOURCE_MOD}).
+
+    CONVERGENCE-TERMINATED (VERDICT r10 #6): rounds run until no
+    node's distance improves — detected by a monotone (reached-count,
+    sum-of-dists) pair collected as ONE driver row per round (count
+    only grows, dists only shrink, so the pair is stationary iff the
+    round was a fixpoint) — with a {BFS_MAX_ROUNDS}-round safety cap.
+    A fixed unroll silently under-reaches once graph diameter grows
+    past the budget at scale; the loop instead pays exactly
+    diameter+1 rounds (3 at sf0.001-0.1, measured) wherever the
+    diameter lands. Unreached nodes are absent (their distance
+    exceeds the cap, stated rather than faked as NULL).
 
     Determinism: the per-round combine is MIN over int64 distances —
     associative, commutative, partial-agg-order independent — so the
-    distributed form equals sequential BFS exactly (the
-    pagerank-integer discipline, without even needing fixed-point).
+    distributed form equals sequential BFS exactly, and the
+    cap-unrolled oracle equals the early-stopped loop exactly
+    (post-fixpoint rounds are identities).
 
     Plan: per round one equi-join (reached ⋈ adjacency on the source
     node) + one min-combine hash agg; the reached frame is STAGED per
     round (ops/components.py lineage discipline — O(1) plan size in
     rounds, superseded rounds reclaimable at cluster scale). Frontier
     work is bounded by |E| per round; at 100 TB this is the textbook
-    Pregel-as-joins shape, all JVM-side."""
+    Pregel-as-joins shape, all JVM-side; the 1-row convergence probe
+    per round is the same device as ops/components.py's CC counter."""
     return bfs_distances(_copurchase_edges(spark, sf_dir))
 
 
-def bfs_distances(e: DataFrame) -> DataFrame:
-    """graph_bfs_distance's round loop over an arbitrary canonical
-    undirected edge frame — exposed for known-graph tests."""
+def bfs_distances(e: DataFrame, max_rounds: int = BFS_MAX_ROUNDS) -> DataFrame:
+    """graph_bfs_distance's convergence loop over an arbitrary
+    canonical undirected edge frame — exposed for known-graph tests.
+    See ``bfs_distances_with_rounds`` for the round counter."""
+    return bfs_distances_with_rounds(e, max_rounds)[0]
+
+
+def bfs_distances_with_rounds(
+    e: DataFrame, max_rounds: int = BFS_MAX_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Level-synchronous multi-source BFS run to FIXPOINT (or the
+    ``max_rounds`` safety cap). Returns ``(distances, rounds_run)``
+    where ``rounds_run`` counts executed propagation rounds including
+    the final no-change round that proved convergence.
+
+    The convergence probe collects one (count, sum) row per round:
+    per-node distances are monotone non-increasing and the reached
+    set monotone growing under min-combine, so (COUNT(*), SUM(dist))
+    is stationary between rounds iff the distance map is."""
     e = stage(e, eager=False, label="bfs_edges")
     adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
@@ -489,7 +633,16 @@ def bfs_distances(e: DataFrame) -> DataFrame:
         .select("node", F.lit(0).cast("bigint").alias("dist"))
     )
     dist = stage(dist, eager=False, label="bfs_t0")
-    for i in range(1, BFS_ROUNDS + 1):
+
+    def probe(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        return (row["n"] or 0, row["s"] or 0)
+
+    prev = probe(dist)
+    rounds = 0
+    for i in range(1, max_rounds + 1):
         prop = dist.join(adj, dist["node"] == adj["src"]).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
@@ -500,7 +653,12 @@ def bfs_distances(e: DataFrame) -> DataFrame:
             eager=False,
             label=f"bfs_t{i}",
         )
-    return dist
+        rounds = i
+        cur = probe(dist)
+        if cur == prev:
+            break
+        prev = cur
+    return dist, rounds
 
 
 LP_CENTER_CAP = 64   # common-neighbor centers capped at this degree

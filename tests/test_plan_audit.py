@@ -182,6 +182,10 @@ ALLOWED_NLJ = {
     # 1-row bigram grand total broadcast onto the |pairs| frame
     # (llm_corpus.py)
     "llm_pmi_collocations",
+    # 1-row sampled-edge count × 1-row sampled-triangle total reshape
+    # into the single estimate row — the welch/meanztest shape
+    # (queries/graph.py graph_triangle_approx)
+    "graph_triangle_approx",
 }
 
 MAX_HASH_SHUFFLES = 4
@@ -243,6 +247,11 @@ SHUFFLE_ALLOWANCE = {
     #     is bounded by the center cap (the df-cap device), never a
     #     cartesian. Static count 10; 11 gives one headroom.
     "graph_jaccard_linkpred": 11,
+    #   graph_triangle_approx — the DOULION sampler is a zero-shuffle
+    #     map-side filter fused into the (staged) edge build, so the
+    #     static count is the edge build (3) + degree agg + corner agg
+    #     + the final 1-row reshape: 6 measured; 7 gives one headroom.
+    "graph_triangle_approx": 7,
     # 3 unrolled power iterations × (edges⋈ranks join + dst agg) over
     # the staged degree-annotated edge list, plus the edge-derivation
     # exchanges — each structural (queries/graph.py)

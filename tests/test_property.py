@@ -484,15 +484,20 @@ def test_wma_two_cumsum_identity_on_random_series(spark, xs):
 )
 @settings(**SETTINGS)
 def test_bfs_matches_sequential_reference_on_random_graphs(spark, edges):
-    """On random small graphs the staged relational BFS must equal a
-    sequential python BFS from the same seed rule (node % 97 == 0 →
-    seed 0 here), truncated at the same round budget — hypothesis
-    shapes cover disconnected components, cycles, and hub fans. Graphs
-    without node 0 have no seed and must return an EMPTY frame (never
-    an invented distance)."""
+    """On random small graphs the convergence-terminated relational BFS
+    must reach the FULL fixpoint of a sequential python BFS from the
+    same seed rule (node % 97 == 0 → seed 0 here) — no truncation:
+    node ids ≤ 12 bound the diameter well under BFS_MAX_ROUNDS, so the
+    loop must stop at convergence, before the cap (VERDICT r10 #6).
+    Hypothesis shapes cover disconnected components, cycles, and hub
+    fans. Graphs without node 0 have no seed and must return an EMPTY
+    frame (never an invented distance)."""
     from collections import deque
 
-    from etl_ch_destination_spark.queries.graph import BFS_ROUNDS, bfs_distances
+    from etl_ch_destination_spark.queries.graph import (
+        BFS_MAX_ROUNDS,
+        bfs_distances_with_rounds,
+    )
 
     canon = sorted({(min(u, v), max(u, v)) for u, v in edges})
     adj: dict[int, list[int]] = {}
@@ -505,12 +510,16 @@ def test_bfs_matches_sequential_reference_on_random_graphs(spark, edges):
         q = deque([0])
         while q:
             n = q.popleft()
-            if expected[n] == BFS_ROUNDS:
-                continue
             for m in adj[n]:
                 if m not in expected:
                     expected[m] = expected[n] + 1
                     q.append(m)
     e = spark.createDataFrame(canon, "u long, v long")
-    got = {r["node"]: r["dist"] for r in bfs_distances(e).collect()}
+    # generous cap: node ids ≤ 12 bound eccentricity at 12, so the loop
+    # must STOP ITSELF (converged) well before 64 — budget exhaustion
+    # would be a convergence-detection bug, not a deep graph
+    dist, rounds = bfs_distances_with_rounds(e, max_rounds=64)
+    got = {r["node"]: r["dist"] for r in dist.collect()}
     assert got == expected
+    assert rounds < 64  # converged, not budget-exhausted
+    assert rounds <= BFS_MAX_ROUNDS + 2  # and promptly: ecc+1 ≤ 14

@@ -162,32 +162,49 @@ def test_dpo_pairs_margins_nonnegative_and_cover_half(spark, sf_dir):
 
 
 def test_bfs_known_path_graph_distances(spark):
-    """On the path 0-1-2-...-9 with single source 0, BFS must return
-    dist(i) = i for i <= BFS_ROUNDS and omit the tail beyond the round
-    budget (never fake an unreached distance)."""
-    from etl_ch_destination_spark.queries.graph import BFS_ROUNDS, bfs_distances
+    """On the path 0-1-2-...-9 with single source 0, the
+    convergence-terminated BFS reaches the WHOLE path (diameter 9 <
+    BFS_MAX_ROUNDS) and stops itself right after the last improvement
+    — exactly ecc+1 = 10 rounds, not the cap."""
+    from etl_ch_destination_spark.queries.graph import (
+        BFS_MAX_ROUNDS,
+        bfs_distances_with_rounds,
+    )
 
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "u long, v long"
     )
-    got = {r["node"]: r["dist"] for r in bfs_distances(e).collect()}
-    assert got == {i: i for i in range(BFS_ROUNDS + 1)}
+    dist, rounds = bfs_distances_with_rounds(e)
+    got = {r["node"]: r["dist"] for r in dist.collect()}
+    assert got == {i: i for i in range(10)}
+    assert rounds == 10 < BFS_MAX_ROUNDS
 
 
 def test_bfs_multi_source_takes_nearest_seed(spark):
     """Two sources (0 and 97) on a path 0-1-...-97: every node's
     distance is the MIN over seeds — node 96 is 1 hop from seed 97,
-    not 96 hops from seed 0."""
-    from etl_ch_destination_spark.queries.graph import BFS_ROUNDS, bfs_distances
+    not 96 hops from seed 0. Eccentricity from the nearest seed is 48
+    > BFS_MAX_ROUNDS, so the safety cap binds: nodes farther than the
+    cap are OMITTED (never faked), and rounds == cap (budget
+    exhausted, stated by the counter)."""
+    from etl_ch_destination_spark.queries.graph import (
+        BFS_MAX_ROUNDS,
+        bfs_distances_with_rounds,
+    )
 
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(97)], "u long, v long"
     )
-    got = {r["node"]: r["dist"] for r in bfs_distances(e).collect()}
-    for node, dist in got.items():
-        assert dist == min(node, 97 - node)
+    dist, rounds = bfs_distances_with_rounds(e)
+    got = {r["node"]: r["dist"] for r in dist.collect()}
+    expected = {
+        n: min(n, 97 - n)
+        for n in range(98)
+        if min(n, 97 - n) <= BFS_MAX_ROUNDS
+    }
+    assert got == expected
     assert got[96] == 1 and got[0] == 0 and got[97] == 0
-    assert max(got.values()) <= BFS_ROUNDS
+    assert rounds == BFS_MAX_ROUNDS
 
 
 def test_curriculum_phases_are_quartiles_and_difficulty_monotone(spark, sf_dir):
