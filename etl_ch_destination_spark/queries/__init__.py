@@ -215,6 +215,7 @@ ROTATION_ROUND = 11
 # they earn driver rows the same round they land.
 R15_NEW: list[str] = [
     "graph_triangle_approx",
+    "llm_sim_topk_ivfpq",
 ]
 
 # Round-11 regression cohort (VERDICT r10 #2): with every registry key

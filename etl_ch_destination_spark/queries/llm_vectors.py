@@ -36,6 +36,7 @@ from etl_ch_destination_spark.ops.similarity import (
     brute_force_topk,
     dot,
     ivf_topk,
+    ivfpq_topk,
     l2_norm,
     semdedup_flags,
 )
@@ -102,6 +103,21 @@ def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     return ivf_topk(emb, queries, k=TOPK)
+
+
+@query("llm_sim_topk_ivfpq")  # approximate — rows-only; recall gate in tests/test_llm.py
+def llm_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-PQ (ops/similarity.ivfpq_topk): coarse
+    inverted lists + product-quantized residual codes + ADC lookup
+    scoring + exact shortlist re-rank — the billion-vector rung of the
+    ANN ladder between llm_sim_topk_ivf and llm_sim_topk_exact
+    (Jégou et al., PAMI 2011). Rows-only in the driver gate
+    (quantization is lossy by construction); recall ≥ 0.8 vs the exact
+    path is the pytest gate, and reported cos_sim values are exact
+    (only the candidate set is approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ivfpq_topk(emb, queries, k=TOPK)
 
 
 @query(

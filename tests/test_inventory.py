@@ -70,6 +70,7 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
         "sample_stratified",
         "llm_sim_topk_ann",
         "llm_sim_topk_ivf",
+        "llm_sim_topk_ivfpq",
         "sink_clickhouse_jdbc",
         "agg_uniq_combined",
     }
@@ -82,7 +83,7 @@ ROWS_ONLY_BY_DESIGN = {
     "llm_bpe_learn", "llm_bpe_encode", "llm_compression_ratio",
     "agg_heavy_hitters_cms", "ts_downsample_lttb", "sample_fraction",
     "sample_stratified", "llm_sim_topk_ann", "llm_sim_topk_ivf",
-    "sink_clickhouse_jdbc", "agg_uniq_combined",
+    "llm_sim_topk_ivfpq", "sink_clickhouse_jdbc", "agg_uniq_combined",
 }
 
 

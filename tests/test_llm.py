@@ -328,6 +328,70 @@ def test_ivf_pruned_probe_has_recall_floor(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
 
 
+def test_ivfpq_recall_floor_and_exact_rerank(spark, sf_dir):
+    """IVF-PQ (VERDICT r10 #7) at the default 64-bit code config must
+    reach recall ≥ 0.8 vs exact search (measured 0.884 at sf0.01), and
+    every reported cos_sim must be BIT-IDENTICAL to the exact path's
+    value for that pair — the re-rank stage scores original vectors
+    through the same fold, so only the candidate set is approximate."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact_rows = brute_force_topk(emb, queries, k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    got = ivfpq_topk(emb, queries, k=5).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.3f} < 0.8"
+    # per-query shape: exactly k ranked rows 1..k
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # exact re-rank: overlapping pairs carry the exact cos_sim bits
+    exact_sim = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+                 for r in exact_rows}
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert r["cos_sim"].hex() == exact_sim[key].hex()
+
+
+def test_pq_primitives_roundtrip_and_adc_identity():
+    """ops/pq unit gates: encode() picks the argmin codeword;
+    adc_scores() over a LUT equals the directly-computed distance to
+    the chosen codewords; training on centroid-separated data recovers
+    the cluster structure (reconstruction beats a single-codeword
+    quantizer)."""
+    import numpy as np
+
+    from etl_ch_destination_spark.ops import pq
+
+    rs = np.random.RandomState(7)
+    centers = rs.randn(4, 16) * 5.0
+    x = np.vstack([c + 0.05 * rs.randn(50, 16) for c in centers])
+    books = pq.train_codebooks(x, m_sub=4, ks=4, seed=3)
+    codes = pq.encode(x, books)
+    assert codes.shape == (200, 4) and codes.min() >= 0 and codes.max() < 4
+    # ADC identity: lut-sum == explicit squared distance to codewords
+    q = rs.randn(16)
+    lut = pq.adc_lut(q, books)
+    scores = pq.adc_scores(codes, lut)
+    recon = np.concatenate(
+        [books[m][codes[:, m]] for m in range(4)], axis=1
+    )
+    direct = ((recon - q[None, :]) ** 2).sum(axis=1)
+    assert np.allclose(scores, direct, rtol=0, atol=1e-9)
+    # quantization error far below the inter-center scale
+    err = np.sqrt(((recon - x) ** 2).sum(axis=1)).mean()
+    assert err < 1.0, err
+
+
 def test_quality_score_ratios_are_bounded(spark, sf_dir):
     """Ratios are true fractions and the keep flag is consistent with
     its documented thresholds."""

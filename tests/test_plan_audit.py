@@ -186,6 +186,11 @@ ALLOWED_NLJ = {
     # into the single estimate row — the welch/meanztest shape
     # (queries/graph.py graph_triangle_approx)
     "graph_triangle_approx",
+    # broadcast n_clusters-row centroid dim × query side (the coarse
+    # ranking needs every (query, centroid) distance — bounded by the
+    # cluster count, the llm_sim_topk_exact scan pattern), plus the
+    # 1-sided broadcast probe join (ops/similarity.py ivfpq_topk)
+    "llm_sim_topk_ivfpq",
 }
 
 MAX_HASH_SHUFFLES = 4
