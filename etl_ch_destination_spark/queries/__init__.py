@@ -216,6 +216,11 @@ ROTATION_ROUND = 11
 R15_NEW: list[str] = [
     "graph_triangle_approx",
     "llm_sim_topk_ivfpq",
+    "graph_connected_components",
+    "graph_clustering_coeff",
+    "llm_vocab_growth",
+    "llm_zipf_slope",
+    "scan_parquet_footer_stats",
 ]
 
 # Round-11 regression cohort (VERDICT r10 #2): with every registry key

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.ops.components import connected_components
 from etl_ch_destination_spark.ops.staging import stage
 from etl_ch_destination_spark.registry import query
 
@@ -764,3 +765,148 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("common_n"), "a", "b").limit(LP_TOP)
+
+
+CC_ORACLE_ROUNDS = 12  # min-label flooding unroll cap for the oracle
+
+
+def _cc_label_sql(rounds: int = CC_ORACLE_ROUNDS) -> str:
+    """Min-label-flooding oracle for connected components, unrolled to
+    ``rounds`` hops: round i takes every node's min over its own label
+    and its neighbors' labels. The component label (= the component's
+    minimum node id) is a pure function of the graph, so once the
+    flood reaches fixpoint further rounds are identities — the
+    cap-unrolled form equals the true labels whenever the cap covers
+    the graph's eccentricity from each component minimum.
+    tests/test_round11_keys.py proves the cap is PAST fixpoint on the
+    fixture (rounds-1 ≡ rounds), so the oracle is the true labeling,
+    not a truncation artifact. MATERIALIZED for the kcore reason."""
+    parts = [
+        f"""WITH {_SQL_EDGES},
+    adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ),
+    t0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    t{i} AS MATERIALIZED (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM t{i - 1}
+        UNION ALL
+        SELECT a.dst AS node, t.lbl FROM t{i - 1} t JOIN adj a ON a.src = t.node
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT node, CAST(lbl AS BIGINT) AS component FROM t{rounds}"
+    )
+    return "".join(parts)
+
+
+@query("graph_connected_components", _cc_label_sql())
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph: every node
+    labeled with the MINIMUM node id of its component — the canonical,
+    partition-independent component id (the same contract
+    ops/components.py serves for dedup clustering, here exposed as a
+    first-class graph key over the relational edge set).
+
+    Spark side runs alternating/fused large-star–small-star
+    (Kiveris et al., SoCC 2014, public literature): O(log n) rounds of
+    two grouped shuffles each, converging to component minima
+    REGARDLESS of graph diameter — the device that makes CC safe on
+    chain-shaped graphs where min-label flooding would pay diameter
+    rounds. The oracle floods min labels for {CC_ORACLE_ROUNDS} hops —
+    a different algorithm arriving at the same unique labeling (both
+    compute the component minimum), which is exactly what makes the
+    label hash-comparable across engines; the pytest cap gate proves
+    the flood reaches fixpoint inside the unroll on every fixture SF.
+
+    Plan: per star round one groupBy(node).min + a re-join over the
+    staged edge set (lineage truncated per round); convergence is a
+    fingerprint counter, no row data driver-side. At 100 TB this is
+    the published MapReduce-CC shape — round count log in the largest
+    component, per-round cost two exchanges of the edge list."""
+    return connected_components(
+        _copurchase_edges(spark, sf_dir), src="u", dst="v"
+    ).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+@query(
+    "graph_clustering_coeff",
+    f"""
+    WITH {_SQL_EDGES},
+    o AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN dv.d ELSE du.d END AS dt
+      FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    w AS (
+      SELECT o1.s AS s, o1.t AS a, o2.t AS b
+      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      WHERE (o1.dt < o2.dt) OR (o1.dt = o2.dt AND o1.t < o2.t)
+    ),
+    tri AS (SELECT w.s, w.a, w.b FROM w JOIN o ON o.s = w.a AND o.t = w.b),
+    corners AS (SELECT unnest([s, a, b]) AS node FROM tri),
+    cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node)
+    SELECT deg.node AS part_key,
+           deg.d AS degree,
+           CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(cnt.n_triangles, 0) AS DOUBLE)
+             / (deg.d * (deg.d - 1)) AS clustering
+    FROM deg LEFT JOIN cnt ON cnt.node = deg.node
+    WHERE deg.d >= 2
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998, public
+    literature) per node of the part co-purchase graph:
+    c(v) = 2·T(v) / (d(v)·(d(v)−1)) for every node with degree ≥ 2,
+    where T(v) is the node's triangle participation — the standard
+    community-density / recommendation-neighborhood-cohesion signal
+    next to the raw triangle counts.
+
+    Determinism: T and d are exact int64 (the degree-ordered
+    enumeration of graph_triangle_count); the ONE float operation is
+    the final IEEE division of 2T by d(d−1) — both int64-exact and far
+    below 2^53, so both engines compute the identical double and the
+    key carries a full hash oracle. Nodes outside any triangle get
+    c = 0 via the left join (absent, not faked, from triangle_counts).
+
+    Plan: the edge set is staged ONCE and feeds both the degree
+    aggregate and the triangle enumeration (the O(m^1.5) wedge bound —
+    see graph_triangle_count's scale story); the coefficient is a
+    broadcast-or-shuffle left join of two node-keyed aggregates.
+    Nothing here adds exchange cost beyond the triangle spine the
+    stress harness already gates at 1/10/30×."""
+    e = stage(
+        _copurchase_edges(spark, sf_dir), eager=False, label="clcoef-edges"
+    )
+    deg = _degrees(e)
+    tri = triangle_counts(e).select("node", "n_triangles")
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("degree"),
+            nt.cast("bigint").alias("n_triangles"),
+            (
+                (nt * 2).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1)))
+            ).alias("clustering"),
+        )
+    )

@@ -1800,3 +1800,194 @@ def llm_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("precision_at_k"),
     )
+
+
+# llm_vocab_growth: corpus-prefix granularity (docs per bucket)
+VG_BUCKET_DOCS = 50
+# llm_zipf_slope: fit over the top-R vocabulary ranks
+ZIPF_TOP_R = 256
+
+
+@query(
+    "llm_vocab_growth",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE length(text) > 0
+    ),
+    tok AS (
+      SELECT CAST(doc_id // {VG_BUCKET_DOCS} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM w GROUP BY 1
+    ),
+    fd AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+    nv AS (
+      SELECT CAST(first_doc // {VG_BUCKET_DOCS} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM fd GROUP BY 1
+    )
+    SELECT t.bucket,
+           CAST((t.bucket + 1) * {VG_BUCKET_DOCS} AS BIGINT) AS prefix_docs,
+           CAST(SUM(t.n) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(v.n, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+             AS cum_vocab
+    FROM tok t LEFT JOIN nv v ON v.bucket = t.bucket
+    """,
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law, public literature) curve of the
+    corpus: cumulative distinct-word count and cumulative token count
+    at every {VG_BUCKET_DOCS}-document prefix — the standard corpus
+    diagnostic for "is new data still adding new vocabulary" (dataset
+    saturation / dedup-effectiveness signal in training-data
+    curation).
+
+    All-integer (token counts, first-occurrence doc ids, cumulative
+    sums), so the key carries a full hash oracle. A word's
+    contribution to the curve is its FIRST document (min doc_id) —
+    order-independent and exact.
+
+    Plan: one explode + two hash aggregates (tokens per bucket, first
+    doc per word → new-vocab per bucket), a small left join on the
+    bucket key, and a cumulative window over the bucket spine. The
+    window is a single partition BY CONSTRUCTION bounded at
+    n_docs/{VG_BUCKET_DOCS} rows (the bucket granularity is the knob:
+    at 100 TB raise it so the spine stays thousands of rows — the
+    heavy lifting is in the two aggregates, which shuffle on
+    word/bucket keys and combine map-side)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tok = (
+        w.groupBy(
+            F.expr(f"doc_id div {VG_BUCKET_DOCS}")
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    nv = (
+        w.groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            F.expr(f"first_doc div {VG_BUCKET_DOCS}")
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumnRenamed("n", "n_new")
+    )
+    spine = tok.join(nv, "bucket", "left")
+    cum = Window.orderBy("bucket").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.select(
+        "bucket",
+        ((F.col("bucket") + 1) * VG_BUCKET_DOCS)
+        .cast("bigint")
+        .alias("prefix_docs"),
+        F.sum("n").over(cum).cast("bigint").alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+        .over(cum)
+        .cast("bigint")
+        .alias("cum_vocab"),
+    )
+
+
+@query(
+    "llm_zipf_slope",
+    f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE length(text) > 0
+    ),
+    vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY word
+    ),
+    top AS (SELECT word, f FROM vocab ORDER BY f DESC, word
+            LIMIT {ZIPF_TOP_R}),
+    rk AS (
+      SELECT f,
+             CAST(ROW_NUMBER() OVER (ORDER BY f DESC, word) AS BIGINT) AS r
+      FROM top
+    ),
+    pts AS (
+      SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+             CAST(length(bin(f)) - 1 AS BIGINT) AS y
+      FROM rk
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_terms, sx, sy, sxy, sxx,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx) AS zipf_slope
+    FROM s
+    """,
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope of the corpus word-frequency distribution
+    (Zipf 1949, public literature): least-squares slope of
+    floor(log2 freq) against floor(log2 rank) over the top
+    {ZIPF_TOP_R} vocabulary terms — the classic "is this corpus
+    natural-language-shaped" diagnostic (a healthy corpus fits slope
+    ≈ −1; boilerplate-heavy or template-generated corpora flatten it).
+
+    Determinism: ranks are total-ordered by (freq DESC, word), both
+    log2s are the repo-wide whole-bit identity (binary-string length −
+    1 — exact integer, never float log), and the regression reduces to
+    five int64 sums with ONE closed-form IEEE division at the end —
+    full hash oracle.
+
+    Plan: one explode + vocabulary hash aggregate (map-side combined),
+    a global top-{ZIPF_TOP_R} (TakeOrdered — never a full sort), and a
+    {ZIPF_TOP_R}-row bounded window + 1-row reduction. At 100 TB the
+    only heavy stage is the vocabulary aggregate, which shuffles on
+    the word key."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    top = vocab.orderBy(F.desc("f"), "word").limit(ZIPF_TOP_R)
+    rk = top.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), "word"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    pts = rk.select(
+        (F.length(F.conv(F.col("r"), 10, 2)) - 1).cast("bigint").alias("x"),
+        (F.length(F.conv(F.col("f"), 10, 2)) - 1).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )

@@ -2143,3 +2143,83 @@ def scan_clf_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("bytes_s").cast("bigint")).alias("bytes"),
         (~ok).alias("is_bad"),
     )
+
+
+# scan_parquet_footer_stats: integer columns whose footer stats we read
+FOOTER_STATS_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+
+@query(
+    "scan_parquet_footer_stats",
+    f"""
+    SELECT column_name, n_values, n_nulls, min_v, max_v FROM (
+      SELECT 'l_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+             CAST(MIN(l_orderkey) AS BIGINT) AS min_v,
+             CAST(MAX(l_orderkey) AS BIGINT) AS max_v FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+             CAST(MIN(l_partkey) AS BIGINT),
+             CAST(MAX(l_partkey) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT),
+             CAST(MIN(l_suppkey) AS BIGINT),
+             CAST(MAX(l_suppkey) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+             CAST(MIN(l_linenumber) AS BIGINT),
+             CAST(MAX(l_linenumber) AS BIGINT) FROM lineitem
+    )
+    """,
+)
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer statistics surfaced as a queryable table — the
+    metadata CH's `system.parts` min/max indices and Spark's own
+    row-group pruning run on. Per integer column: total value count,
+    null count, and the min/max AGGREGATED ACROSS ROW GROUPS from the
+    footer alone (min of row-group mins, max of maxs, sums of counts)
+    — so the shape is row-group-layout independent and the oracle can
+    verify it against a full data scan: footer says = data says, the
+    exact invariant that makes stats-based scan pruning SOUND. A
+    footer/data mismatch here is the bug class that silently drops
+    rows from pruned scans at 100 TB.
+
+    The footer read is driver-side and O(columns × row groups) bytes
+    (pyarrow reads ONLY the footer — no data pages); the verifying
+    scan lives in the oracle. At cluster scale the same footer walk
+    fans out over the file manifest with one task per file; the
+    fixture is one file, read where the plan is built."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata
+    acc: dict[str, list[int]] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if name not in FOOTER_STATS_COLS:
+                continue
+            st = col.statistics
+            cur = acc.get(name)
+            if cur is None:
+                acc[name] = [col.num_values, st.null_count, st.min, st.max]
+            else:
+                cur[0] += col.num_values
+                cur[1] += st.null_count
+                cur[2] = min(cur[2], st.min)
+                cur[3] = max(cur[3], st.max)
+    # parquet ColumnMetaData.num_values counts NULL slots too, so it is
+    # the row count directly (the oracle's COUNT(*))
+    rows = [
+        (name, int(v[0]), int(v[1]), int(v[2]), int(v[3]))
+        for name, v in acc.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, n_values bigint, n_nulls bigint, "
+        "min_v bigint, max_v bigint",
+    )

@@ -114,6 +114,10 @@ EFFECTFUL = {
     # writes the CLF log lines (incl. the planted bad line) to scratch
     "scan_clf_log_parse": (
         "test_round10_keys.py", "test_clf_parse_quarantines_garbage_line"),
+    # iterative CC: star rounds + fingerprint probes run during
+    # construction (same loop llm_dedup_clusters exempts)
+    "graph_connected_components": (
+        "test_round11_keys.py", "test_cc_key_matches_union_find"),
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its
@@ -257,6 +261,11 @@ SHUFFLE_ALLOWANCE = {
     #     static count is the edge build (3) + degree agg + corner agg
     #     + the final 1-row reshape: 6 measured; 7 gives one headroom.
     "graph_triangle_approx": 7,
+    #   graph_clustering_coeff — degree agg + the triangle spine's
+    #     orient/wedge/corner exchanges over the STAGED edge set + the
+    #     final deg⋈tri node join: static count 7 post-staging (the
+    #     edge build itself sits behind the stage seam); 8 headroom.
+    "graph_clustering_coeff": 8,
     # 3 unrolled power iterations × (edges⋈ranks join + dst agg) over
     # the staged degree-annotated edge list, plus the edge-derivation
     # exchanges — each structural (queries/graph.py)

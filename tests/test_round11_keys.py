@@ -49,3 +49,194 @@ def test_triangle_approx_sampler_rate_and_determinism(spark, sf_dir):
     assert s1 == s2
     expect = n_edges / TRI_SAMPLE_DEN
     assert 0.65 * expect <= len(s1) <= 1.35 * expect, (len(s1), expect)
+
+
+def _known_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u bigint, v bigint")
+
+
+def test_cc_key_matches_union_find(spark, sf_dir):
+    """graph_connected_components: the star-contraction labels equal a
+    sequential union-find over the collected edge set (bounded collect
+    — TEST ONLY), with every label the component's minimum node id."""
+    from etl_ch_destination_spark.queries.graph import (
+        _copurchase_edges,
+        graph_connected_components,
+    )
+
+    edges = [(r["u"], r["v"]) for r in
+             _copurchase_edges(spark, sf_dir).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expect = {}
+    for node in parent:
+        expect[node] = find(node)
+    got = {r["node"]: r["component"]
+           for r in graph_connected_components(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_cc_oracle_cap_is_past_fixpoint(sf_dir):
+    """The min-label-flooding oracle's unroll cap must be PAST the
+    fixture fixpoint: rounds-1 and rounds yield identical labelings,
+    so the shipped oracle is the true component labeling rather than a
+    truncation artifact."""
+    import duckdb
+
+    from etl_ch_destination_spark.queries.graph import (
+        CC_ORACLE_ROUNDS,
+        _cc_label_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    a = sorted(con.execute(_cc_label_sql(CC_ORACLE_ROUNDS - 1)).fetchall())
+    b = sorted(con.execute(_cc_label_sql(CC_ORACLE_ROUNDS)).fetchall())
+    assert a == b
+
+
+def test_clustering_coeff_known_graph(spark):
+    """Triangle {1,2,3} plus pendant edge 3-4: c(1)=c(2)=1 (their whole
+    neighborhood is connected), c(3)=1/3 (one of three possible pairs),
+    node 4 (degree 1) excluded by the d>=2 contract."""
+    from etl_ch_destination_spark.ops.staging import stage
+    from etl_ch_destination_spark.queries.graph import (
+        _degrees,
+        triangle_counts,
+    )
+
+    e = stage(
+        _known_edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)]),
+        eager=False, label="clcoef-test",
+    )
+    deg = _degrees(e)
+    tri = triangle_counts(e).select("node", "n_triangles")
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0))
+    got = {
+        r["part_key"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("degree"),
+            nt.cast("bigint").alias("n_triangles"),
+            ((nt * 2).cast("double")
+             / (F.col("d") * (F.col("d") - F.lit(1)))).alias("clustering"),
+        )
+        .collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 1.0 / 3.0),
+    }
+
+
+def test_clustering_coeff_key_bounds_and_zero_rows(spark, sf_dir):
+    """Key-level invariants at fixture scale: every coefficient is in
+    [0, 1], triangle-free nodes carry an explicit 0, and the row set
+    is exactly the degree>=2 node set."""
+    from etl_ch_destination_spark.queries.graph import (
+        _copurchase_edges,
+        _degrees,
+        graph_clustering_coeff,
+    )
+
+    rows = graph_clustering_coeff(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["clustering"] <= 1.0
+        assert r["degree"] >= 2
+        if r["n_triangles"] == 0:
+            assert r["clustering"] == 0.0
+    n_deg2 = (
+        _degrees(_copurchase_edges(spark, sf_dir))
+        .filter(F.col("d") >= 2)
+        .count()
+    )
+    assert len(rows) == n_deg2
+
+
+def test_vocab_growth_monotone_and_totals(spark, sf_dir):
+    """Heaps curve invariants: both cumulative series are strictly
+    positive and non-decreasing in bucket order; the final point
+    equals the corpus totals (all tokens, full distinct vocabulary)."""
+    from etl_ch_destination_spark.queries.llm_corpus import llm_vocab_growth
+
+    rows = sorted(
+        llm_vocab_growth(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    assert rows
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_tokens"] >= prev["cum_tokens"] > 0
+        assert cur["cum_vocab"] >= prev["cum_vocab"] > 0
+        assert cur["prefix_docs"] > prev["prefix_docs"]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    )
+    assert rows[-1]["cum_tokens"] == docs.count()
+    assert rows[-1]["cum_vocab"] == docs.select("word").distinct().count()
+
+
+def test_zipf_slope_is_negative_and_sums_consistent(spark, sf_dir):
+    """A natural-ish frequency distribution must fit a negative dyadic
+    slope; n_terms is the (top-capped) vocabulary size and the five
+    integer sums satisfy the Cauchy-Schwarz guard (positive variance
+    denominator)."""
+    from etl_ch_destination_spark.queries.llm_corpus import (
+        ZIPF_TOP_R,
+        llm_zipf_slope,
+    )
+
+    row = llm_zipf_slope(spark, sf_dir).collect()[0]
+    vocab = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .count()
+    )
+    assert row["n_terms"] == min(ZIPF_TOP_R, vocab)
+    assert row["n_terms"] * row["sxx"] - row["sx"] * row["sx"] > 0
+    assert row["zipf_slope"] < 0.0
+
+
+def test_footer_stats_match_full_scan(spark, sf_dir):
+    """The footer-derived stats must equal a full data scan — the
+    soundness invariant stats-based pruning rests on."""
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        FOOTER_STATS_COLS,
+        scan_parquet_footer_stats,
+    )
+
+    got = {
+        r["column_name"]: (
+            r["n_values"], r["n_nulls"], r["min_v"], r["max_v"]
+        )
+        for r in scan_parquet_footer_stats(spark, sf_dir).collect()
+    }
+    assert set(got) == set(FOOTER_STATS_COLS)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for col in FOOTER_STATS_COLS:
+        exp = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(col).isNull().cast("long")).alias("nulls"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        ).collect()[0]
+        assert got[col] == (exp["n"], exp["nulls"], exp["lo"], exp["hi"]), col
