@@ -221,6 +221,7 @@ R15_NEW: list[str] = [
     "llm_vocab_growth",
     "llm_zipf_slope",
     "scan_parquet_footer_stats",
+    "str_soundex",
 ]
 
 # Round-11 regression cohort (VERDICT r10 #2): with every registry key

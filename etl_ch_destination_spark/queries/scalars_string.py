@@ -624,3 +624,96 @@ def str_extract_all_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("text", F.lit(pat), F.lit(2)), ","
         ).alias("suffixes_csv"),
     )
+
+
+# str_soundex: American Soundex letter→digit code table
+_SDX_FROM = "BFPVCGJKQSXZDTLMNRAEIOUY"
+_SDX_TO = "111122222222334556000000"
+
+
+@query(
+    "str_soundex",
+    f"""
+    WITH w AS (
+      SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+      FROM part
+    ),
+    s AS (
+      SELECT p_partkey, word,
+             upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS su
+      FROM w WHERE word <> ''
+    ),
+    c AS (
+      SELECT p_partkey, word,
+             substr(su, 1, 1) AS head,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           translate(regexp_replace(su, '[HW]', '', 'g'),
+                                     '{_SDX_FROM}', '{_SDX_TO}'),
+                           '0+', '0', 'g'),
+                         '1+', '1', 'g'),
+                       '2+', '2', 'g'),
+                     '3+', '3', 'g'),
+                   '4+', '4', 'g'),
+                 '5+', '5', 'g'),
+               '6+', '6', 'g') AS coll
+      FROM s
+    )
+    SELECT p_partkey, word,
+           head || substr(
+             replace(CASE WHEN head IN ('H', 'W') THEN coll
+                          ELSE substr(coll, 2) END, '0', '') || '000',
+             1, 3) AS soundex
+    FROM c
+    """,
+)
+def str_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex phonetic code (NARA standard / Knuth TAOCP v3,
+    public; ClickHouse ``soundex``) of every word of every part name —
+    the classic fuzzy-name-matching key for entity resolution.
+
+    Both engines run the IDENTICAL regex pipeline, chosen so every
+    step exists in BOTH dialects (RE2 has no pattern backreferences,
+    so the adjacent-duplicate collapse is seven per-digit ``d+ → d``
+    replaces instead of ``(\\d)\\1+``): strip non-letters, uppercase,
+    delete the transparent H/W (same-code letters separated by h/w
+    code ONCE — the rule that makes Ashcraft A261 not A226), translate
+    the code table with vowels as '0' separators (same-code letters
+    separated by vowels code TWICE), collapse runs, drop the head's
+    own code unless the head was H/W (deleted above — dropping would
+    eat the second letter's code: Wright must stay W623), strip the
+    vowel zeros, pad to head + 3 digits.
+
+    Plan: explode + pure map-side string codegen, zero shuffles, only
+    (p_partkey, p_name) read from the scan."""
+    p = load_table(spark, sf_dir, "part")
+    w = p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    su = F.upper(F.regexp_replace("word", "[^A-Za-z]", ""))
+    head = F.substring(su, 1, 1)
+    coll = F.translate(
+        F.regexp_replace(su, "[HW]", ""), _SDX_FROM, _SDX_TO
+    )
+    for d in "0123456":
+        coll = F.regexp_replace(coll, f"{d}+", d)
+    # stage the collapsed code through a projection so the seven-replace
+    # chain is computed once, not re-expanded per consumer expression
+    w = w.withColumn("__head", head).withColumn("__coll", coll)
+    body = F.when(
+        F.col("__head").isin("H", "W"), F.col("__coll")
+    ).otherwise(F.substring(F.col("__coll"), 2, 1000000))
+    digits = F.regexp_replace(body, "0", "")
+    return w.select(
+        "p_partkey",
+        "word",
+        F.concat(
+            F.col("__head"),
+            F.substring(F.concat(digits, F.lit("000")), 1, 3),
+        ).alias("soundex"),
+    )

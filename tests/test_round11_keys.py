@@ -240,3 +240,56 @@ def test_footer_stats_match_full_scan(spark, sf_dir):
             F.max(col).alias("hi"),
         ).collect()[0]
         assert got[col] == (exp["n"], exp["nulls"], exp["lo"], exp["hi"]), col
+
+
+def test_soundex_known_vectors(spark):
+    """The twelve canonical American-Soundex vectors (NARA standard
+    examples incl. the h/w-transparency and head-H/W edge cases:
+    Ashcraft=A261, Wright=W623, Honeyman=H555)."""
+    from etl_ch_destination_spark.queries.scalars_string import (
+        _SDX_FROM,
+        _SDX_TO,
+    )
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Wright": "W623", "White": "W300",
+        "Whitney": "W350", "Jackson": "J250", "a": "A000",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "word string")
+    su = F.upper(F.regexp_replace("word", "[^A-Za-z]", ""))
+    head = F.substring(su, 1, 1)
+    coll = F.translate(F.regexp_replace(su, "[HW]", ""), _SDX_FROM, _SDX_TO)
+    for d in "0123456":
+        coll = F.regexp_replace(coll, f"{d}+", d)
+    df = df.withColumn("__head", head).withColumn("__coll", coll)
+    body = F.when(F.col("__head").isin("H", "W"), F.col("__coll")).otherwise(
+        F.substring(F.col("__coll"), 2, 1000000)
+    )
+    got = {
+        r["word"]: r["sdx"]
+        for r in df.select(
+            "word",
+            F.concat(
+                F.col("__head"),
+                F.substring(
+                    F.concat(F.regexp_replace(body, "0", ""), F.lit("000")),
+                    1, 3,
+                ),
+            ).alias("sdx"),
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_soundex_key_shape(spark, sf_dir):
+    """Key-level: every part-name word gets a head letter + 3 digits."""
+    import re
+
+    from etl_ch_destination_spark.queries.scalars_string import str_soundex
+
+    rows = str_soundex(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert re.fullmatch(r"[A-Z][0-9]{3}", r["soundex"]), r
