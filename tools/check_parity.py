@@ -215,13 +215,18 @@ def main() -> int:
                 merged = _json.load(f)
         per_sf = merged.setdefault(sf_name, {})
         per_sf.update(report)
+        # _meta summarizes the MERGED per-key map, not just this run —
+        # otherwise a later single-key --keys merge would clobber the
+        # full-sweep totals for its SF
         merged["_meta"] = {
             **merged.get("_meta", {}),
             sf_name: {
-                "keys": len(report),
-                "pass": n_pass,
-                "rows_only": n_rows_only,
-                "fail": n_fail,
+                "keys": len(per_sf),
+                "pass": sum(r["status"] == "pass" for r in per_sf.values()),
+                "rows_only": sum(
+                    r["status"] == "rows-only" for r in per_sf.values()
+                ),
+                "fail": sum(r["status"] == "fail" for r in per_sf.values()),
             },
         }
         with open(args.json, "w") as f:
