@@ -113,6 +113,13 @@ BENCH_KEYS = [
     "llm_semdedup",
     "graph_bfs_distance",
     "llm_rouge_overlap",
+    # round-11 additions: capped-center link prediction (the staged
+    # common-neighbor join), DOULION sampled triangle estimate (the
+    # declared approximate scale path next to graph_triangle_count),
+    # and IVF-PQ ANN (coarse lists + ADC scoring + exact re-rank)
+    "graph_jaccard_linkpred",
+    "graph_triangle_approx",
+    "llm_sim_topk_ivfpq",
 ]
 
 N_RUNS = 5
