@@ -542,7 +542,19 @@ def ivfpq_topk(
     if cn.rdd.getNumPartitions() < n_parts:
         cn = cn.repartition(n_parts)
     cn = cn.persist()  # KMeans iterates; don't recompute the HOF projection
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(cn)
+    # Coarse-quantizer quality barely moves end recall here — the probe
+    # set covers n_probe/n_clusters of the mass and the shortlist is
+    # re-ranked exactly — so cap the fit at 8 Lloyd iterations with
+    # seeded random init (k-means||'s extra init passes buy nothing a
+    # 3/4-mass probe doesn't already): measured 6.39 → 5.09 s per cold
+    # bench run at sf0.1 with the pytest recall gate (≥0.8) unchanged.
+    model = KMeans(
+        k=n_clusters,
+        seed=seed,
+        featuresCol="features",
+        maxIter=8,
+        initMode="random",
+    ).fit(cn)
 
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -722,7 +722,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on the center key with bounded
     fan-out (cap²); then one (a, b) hash agg, one anti-join, two
     degree joins, and a bounded top-{LP_TOP}."""
-    e = stage(_copurchase_edges(spark, sf_dir), eager=False, label="lp_edges")
+    return jaccard_linkpred_scores(_copurchase_edges(spark, sf_dir))
+
+
+def jaccard_linkpred_scores(e: DataFrame) -> DataFrame:
+    """graph_jaccard_linkpred's scoring pipeline over an arbitrary
+    canonical undirected edge frame — exposed for known-graph tests
+    and the tools/stress.py linkpred spine."""
+    e = stage(e, eager=False, label="lp_edges")
     deg = _degrees(e)
     adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))

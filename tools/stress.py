@@ -66,7 +66,7 @@ def main() -> int:
         help=(
             "comma list of spine names to run (default: all). Names: "
             "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
-            "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,bfs,"
+            "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,bfs,linkpred,"
             "tri_approx,semdedup,sim — 'sim' covers the "
             "exact/LSH/IVF/IVF-PQ ladder + recall gates"
         ),
@@ -600,11 +600,35 @@ def main() -> int:
                     "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
                 )
 
+        def linkpred_spine():
+            # graph_jaccard_linkpred spine: disjoint graph copies, so
+            # the degree-capped center join's candidate count scales
+            # linearly (per-copy candidates are copy-invariant); an
+            # uncapped enumeration would blow the gate on the hub deg²
+            # term well inside 10→30×. Durable staging for the edge
+            # seam like the other graph spines.
+            from etl_ch_destination_spark.ops.staging import STAGING_DIR_CONF
+            from etl_ch_destination_spark.queries.graph import (
+                jaccard_linkpred_scores,
+            )
+
+            spark.conf.set(
+                STAGING_DIR_CONF,
+                os.path.join(tempfile.gettempdir(), "stress_staging"),
+            )
+            try:
+                jaccard_linkpred_scores(_copurchase_from(lig)).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+            finally:
+                spark.conf.unset(STAGING_DIR_CONF)
+
         if (
             want("pagerank")
             or want("triangles")
             or want("bfs")
             or want("tri_approx")
+            or want("linkpred")
         ):
             lig = replicate(li0, n, ["l_orderkey", "l_partkey"])
         if want("pagerank"):
@@ -616,6 +640,8 @@ def main() -> int:
             row["bfs_rounds"] = max(bfs_rounds_seen)
         if want("tri_approx"):
             row["tri_approx"] = time_action(tri_approx_spine)
+        if want("linkpred"):
+            row["linkpred"] = time_action(linkpred_spine)
         if want("bpe_vocab_rounds"):
             row["bpe_vocab_rounds"] = time_action(bpe_rounds)
         if want("cc"):
@@ -762,7 +788,7 @@ def main() -> int:
         "q1", "join_agg", "neardup", "vocab_score", "ngram_novelty",
         "line_dedup", "substr_dedup", "cc", "pagerank", "triangles",
         "semdedup", "sim_exact", "sim_lsh", "bfs", "tri_approx",
-        "sim_ivfpq",
+        "sim_ivfpq", "linkpred",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
