@@ -222,6 +222,7 @@ R15_NEW: list[str] = [
     "llm_zipf_slope",
     "scan_parquet_footer_stats",
     "str_soundex",
+    "date_week_modes",
 ]
 
 # Round-11 regression cohort (VERDICT r10 #2): with every registry key

@@ -262,3 +262,73 @@ def date_add_business(spark: SparkSession, sf_dir: str) -> DataFrame:
         due.alias("due_date"),
         iso_dow(due).cast("bigint").alias("due_iso_dow"),
     )
+
+
+@query(
+    "date_week_modes",
+    """
+    WITH c AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             datediff('day', DATE '1970-01-01',
+                      CAST(date_trunc('year', o_orderdate) AS DATE)) AS d1,
+             datediff('day', CAST(date_trunc('year', o_orderdate) AS DATE),
+                      CAST(o_orderdate AS DATE)) + 1 AS doy
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(od AS TIMESTAMP) AS order_date,
+           CAST(CASE WHEN doy < 1 + ((7 - ((d1 + 4) % 7)) % 7) THEN 0
+                     ELSE (doy - (1 + ((7 - ((d1 + 4) % 7)) % 7))) // 7 + 1
+                END AS BIGINT) AS week_mode0,
+           CAST(CASE WHEN (7 - ((d1 + 3) % 7)) >= 4
+                     THEN (doy - 1 + ((d1 + 3) % 7)) // 7 + 1
+                     ELSE (doy - 1 + ((d1 + 3) % 7)) // 7
+                END AS BIGINT) AS week_mode1,
+           CAST(weekofyear(od) AS BIGINT) AS iso_week,
+           CAST(isoyear(od) AS BIGINT) AS iso_year
+    FROM c
+    """,
+)
+def date_week_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``toWeek(date, mode)`` parity over order dates — the
+    three week numberings CH reporting actually uses:
+    mode 0 (weeks start Sunday, range 0-53, week 1 = the week of the
+    year's first Sunday — days before it are week 0), mode 1 (weeks
+    start Monday, 0-53, week 1 = the first week with ≥4 days in the
+    year), and mode 3 = ISO 8601 week + ISO week-year (the only one
+    with an engine built-in on BOTH sides; weekofyear is ISO in Spark
+    and DuckDB alike).
+
+    Modes 0/1 are derived from FIRST PRINCIPLES with identical integer
+    arithmetic on both engines — days-since-epoch anchors every
+    day-of-week computation ((d+4)%7 = Sunday-based dow, (d+3)%7 =
+    Monday-based; 1970-01-01 was a Thursday), sidestepping the
+    engines' conflicting dayofweek conventions (the module-docstring
+    dialect pin). Verified against the MySQL WEEK() semantics CH
+    documents: 1995-01-01 (Sunday) → m0=1/m1=0, 1997-01-01 (Wednesday)
+    → m0=0/m1=1, 1995-12-31 → m0=53/m1=52, 2000-02-29 → 9/9.
+
+    Plan: pure map-side date codegen over the (o_orderkey,
+    o_orderdate) projection — no shuffle, column-pruned scan."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    jan1 = F.trunc(od, "year")
+    d1 = F.datediff(jan1, F.lit("1970-01-01"))
+    doy = F.datediff(od, jan1) + 1
+    first_sunday = F.lit(1) + (7 - ((d1 + 4) % 7)) % 7
+    jd_mon = (d1 + 3) % 7
+    w0 = F.when(doy < first_sunday, F.lit(0)).otherwise(
+        F.floor((doy - first_sunday) / 7) + 1
+    )
+    w1_base = F.floor((doy - 1 + jd_mon) / 7)
+    w1 = F.when(F.lit(7) - jd_mon >= 4, w1_base + 1).otherwise(w1_base)
+    return o.select(
+        "o_orderkey",
+        od.cast("timestamp").alias("order_date"),
+        w0.cast("bigint").alias("week_mode0"),
+        w1.cast("bigint").alias("week_mode1"),
+        F.weekofyear(od).cast("bigint").alias("iso_week"),
+        F.expr("extract(YEAROFWEEK FROM to_date(o_orderdate))")
+        .cast("bigint")
+        .alias("iso_year"),
+    )

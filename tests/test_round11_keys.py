@@ -293,3 +293,40 @@ def test_soundex_key_shape(spark, sf_dir):
     assert rows
     for r in rows:
         assert re.fullmatch(r"[A-Z][0-9]{3}", r["soundex"]), r
+
+
+def test_week_modes_known_dates(spark):
+    """MySQL-WEEK()-documented vectors for modes 0/1 (the semantics CH
+    toWeek documents) plus ISO week/year on the year-boundary date."""
+    from etl_ch_destination_spark.queries.scalars_date import (
+        date_week_modes,
+    )
+
+    import datetime as dt
+    import os
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(1995, 1, 1)),   # Sunday    -> m0=1, m1=0, iso 52/1994
+        (2, dt.datetime(1995, 1, 2)),   # Monday    -> m0=1, m1=1
+        (3, dt.datetime(1995, 12, 31)), # Sunday    -> m0=53, m1=52
+        (4, dt.datetime(1997, 1, 1)),   # Wednesday -> m0=0, m1=1, iso 1/1997
+        (5, dt.datetime(2000, 2, 29)),  # leap      -> m0=9, m1=9
+    ]
+    tmp = tempfile.mkdtemp(prefix="weekmodes")
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    got = {
+        r["o_orderkey"]: (
+            r["week_mode0"], r["week_mode1"], r["iso_week"], r["iso_year"]
+        )
+        for r in date_week_modes(spark, tmp).collect()
+    }
+    assert got == {
+        1: (1, 0, 52, 1994),
+        2: (1, 1, 1, 1995),
+        3: (53, 52, 52, 1995),
+        4: (0, 1, 1, 1997),
+        5: (9, 9, 9, 2000),
+    }
