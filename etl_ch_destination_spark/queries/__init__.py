@@ -223,6 +223,7 @@ R15_NEW: list[str] = [
     "scan_parquet_footer_stats",
     "str_soundex",
     "date_week_modes",
+    "agg_anova_oneway",
 ]
 
 # Round-11 regression cohort (VERDICT r10 #2): with every registry key

@@ -3345,3 +3345,142 @@ def agg_group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("common_csv"),
     )
+
+
+# agg_anova_oneway: the fixed event-type domain, in the pinned
+# association order every float sum below uses on BOTH engines
+ANOVA_GROUPS = ("click", "error", "purchase", "signup", "view")
+
+
+def _anova_sql() -> str:
+    """One-way ANOVA oracle generated from ANOVA_GROUPS: per-group
+    exact moment sums (cents through DECIMAL(19,0), hugeint hi/lo
+    split — the welch/skew recipe), pivoted to NAMED scalars so every
+    cross-group float sum is a FIXED left-associated expression —
+    k-group SUM() over doubles would be aggregation-order-dependent
+    and hash-unstable."""
+    conds = [
+        (
+            g,
+            f"CAST(COUNT(*) FILTER (WHERE event_type = '{g}') AS DOUBLE)",
+            f"CAST(CAST(SUM(x) FILTER (WHERE event_type = '{g}')"
+            " AS HUGEINT) AS DOUBLE)",
+            f"CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0)))"
+            f" FILTER (WHERE event_type = '{g}') AS HUGEINT)"
+            " // 4294967296 AS BIGINT) AS DOUBLE) * 4294967296.0"
+            f" + CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0)))"
+            f" FILTER (WHERE event_type = '{g}') AS HUGEINT)"
+            " % 4294967296 AS BIGINT) AS DOUBLE)",
+        )
+        for g in ANOVA_GROUPS
+    ]
+    sel = ",\n               ".join(
+        f"{n} AS n_{g},\n               {s1} AS s1_{g},\n"
+        f"               {s2} AS s2_{g}"
+        for g, n, s1, s2 in conds
+    )
+    n_tot = " + ".join(f"n_{g}" for g in ANOVA_GROUPS)
+    grand = " + ".join(f"s1_{g}" for g in ANOVA_GROUPS)
+    tsum = " + ".join(f"(s1_{g} * s1_{g} / n_{g})" for g in ANOVA_GROUPS)
+    s2sum = " + ".join(f"s2_{g}" for g in ANOVA_GROUPS)
+    k = len(ANOVA_GROUPS)
+    return f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(9,0)) AS x
+        FROM events
+    ),
+    s AS (
+        SELECT {sel}
+        FROM q
+    ),
+    m AS (
+        SELECT ({n_tot}) AS n_total, ({grand}) AS grand,
+               ({tsum}) AS tsum, ({s2sum}) AS s2sum
+        FROM s
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(n_total AS BIGINT) AS n_total,
+           tsum - grand * grand / n_total AS ss_between,
+           s2sum - tsum AS ss_within,
+           ((tsum - grand * grand / n_total) / {k - 1}.0)
+             / ((s2sum - tsum) / (n_total - {k})) AS f_stat
+    FROM m
+    """
+
+
+@query("agg_anova_oneway", _anova_sql())
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic (Fisher, public literature; the
+    k-group generalization completing the two-sample stats family:
+    student/welch t, mann-whitney, meanztest) across the five event
+    populations: does mean event value differ by type?
+
+    Determinism contract: per-group moment sums are EXACT integers
+    (cents; squares staged through DECIMAL(19,0); hugeint hi/lo split
+    — the welch/skew recipe), and every cross-group reduction is over
+    NAMED per-group scalars in one pinned left-associated order on
+    both engines — a k-group float SUM() would be aggregation-order-
+    dependent. SSB = Σ s1_j²/n_j − G²/N and SSW = Σ s2_j − Σ s1_j²/n_j
+    then share one IEEE expression tree, so the statistic (and both
+    sums of squares) hash-match bit-for-bit. The p-value is
+    deliberately NOT emitted (incomplete beta — no reproducible
+    rounding on either engine); the statistic + dofs are the
+    deterministic core, same policy as the t-test keys.
+
+    Plan: ONE partial+final hash aggregate over the scan (15
+    conditional sums fold map-side like any other agg) + a 1-row
+    reshape — the cost is the scan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(9,0)")
+    q = ev.select("event_type", x.alias("x"))
+    x2 = (F.col("x") * F.col("x")).cast("decimal(19,0)")
+    q = q.select("event_type", "x", x2.alias("x2"))
+
+    def grp(g: str):
+        c = F.col("event_type") == g
+        return [
+            F.count(F.when(c, F.lit(1))).cast("double").alias(f"n_{g}"),
+            F.sum(F.when(c, F.col("x"))).alias(f"r1_{g}"),
+            F.sum(F.when(c, F.col("x2"))).alias(f"r2_{g}"),
+        ]
+
+    aggs = [a for g in ANOVA_GROUPS for a in grp(g)]
+    s = q.agg(*aggs)
+
+    def hilo(c: str):
+        hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({c} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = s.select(
+        *[F.col(f"n_{g}") for g in ANOVA_GROUPS],
+        *[hilo(f"r1_{g}").alias(f"s1_{g}") for g in ANOVA_GROUPS],
+        *[hilo(f"r2_{g}").alias(f"s2_{g}") for g in ANOVA_GROUPS],
+    )
+
+    def chain(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    n_total = chain([F.col(f"n_{g}") for g in ANOVA_GROUPS])
+    grand = chain([F.col(f"s1_{g}") for g in ANOVA_GROUPS])
+    tsum = chain(
+        [F.col(f"s1_{g}") * F.col(f"s1_{g}") / F.col(f"n_{g}")
+         for g in ANOVA_GROUPS]
+    )
+    s2sum = chain([F.col(f"s2_{g}") for g in ANOVA_GROUPS])
+    k = len(ANOVA_GROUPS)
+    ssb = tsum - grand * grand / n_total
+    ssw = s2sum - tsum
+    return s.select(
+        F.lit(k).cast("bigint").alias("k"),
+        n_total.cast("bigint").alias("n_total"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / F.lit(float(k - 1))) / (ssw / (n_total - k))).alias(
+            "f_stat"
+        ),
+    )

@@ -330,3 +330,42 @@ def test_week_modes_known_dates(spark):
         4: (0, 1, 1, 1997),
         5: (9, 9, 9, 2000),
     }
+
+
+def test_anova_oneway_matches_numpy_reference(spark, sf_dir):
+    """The ANOVA F statistic must match a float64 numpy re-derivation
+    from the same exact cents to ~1e-12 relative (the engines share
+    one pinned expression tree; numpy associates differently, hence a
+    tolerance rather than hex), with the classic identities: SSB ≥ 0,
+    SSW > 0, and SSB + SSW = total sum of squares."""
+    import numpy as np
+
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        ANOVA_GROUPS,
+        agg_anova_oneway,
+    )
+
+    row = agg_anova_oneway(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    groups = {
+        g: np.array(
+            [r["cents"] for r in ev.filter(F.col("event_type") == g).collect()],
+            dtype=np.float64,
+        )
+        for g in ANOVA_GROUPS
+    }
+    allv = np.concatenate(list(groups.values()))
+    n, k = len(allv), len(groups)
+    ssb = sum(len(v) * (v.mean() - allv.mean()) ** 2 for v in groups.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n_total"] == n
+    assert row["ss_between"] >= 0 and row["ss_within"] > 0
+    assert abs(row["f_stat"] - f_ref) <= 1e-9 * max(1.0, abs(f_ref))
+    total = ((allv - allv.mean()) ** 2).sum()
+    assert abs((row["ss_between"] + row["ss_within"]) - total) <= 1e-6 * total
