@@ -224,6 +224,7 @@ R15_NEW: list[str] = [
     "str_soundex",
     "date_week_modes",
     "agg_anova_oneway",
+    "agg_kruskal_wallis",
 ]
 
 # Round-11 regression cohort (VERDICT r10 #2): with every registry key

@@ -3484,3 +3484,163 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
     )
+
+
+def _kruskal_sql() -> str:
+    """Kruskal-Wallis oracle generated from ANOVA_GROUPS: tie-averaged
+    ranks doubled to stay integer on the bounded VALUE spine (the
+    mannwhitney device), per-group doubled rank sums pivoted to NAMED
+    scalars, hugeint hi/lo splits on every sum wider than 2^53, and
+    one pinned left-associated float expression tree for H and the
+    tie correction."""
+    hilo = (
+        "CAST(CAST(CAST({v} AS HUGEINT) // 4294967296 AS BIGINT) AS DOUBLE)"
+        " * 4294967296.0"
+        " + CAST(CAST(CAST({v} AS HUGEINT) % 4294967296 AS BIGINT) AS DOUBLE)"
+    )
+    # per-group n and rank sums both reduce over the value-level g⋈spine
+    nsel = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN g.event_type = '{g}' THEN g.m ELSE 0 END)"
+        f" AS DOUBLE) AS n_{g},\n               "
+        + hilo.format(
+            v=f"COALESCE(SUM(CASE WHEN g.event_type = '{g}' THEN"
+            f" g.m * (2 * sp.below + sp.mv + 1) END), 0)"
+        )
+        + f" AS r2_{g}"
+        for g in ANOVA_GROUPS
+    )
+    n_tot = " + ".join(f"n_{g}" for g in ANOVA_GROUPS)
+    tsum = " + ".join(
+        f"((r2_{g} / 2) * (r2_{g} / 2) / n_{g})" for g in ANOVA_GROUPS
+    )
+    k = len(ANOVA_GROUPS)
+    tie_d = hilo.format(v="(SELECT SUM(CAST(mv AS HUGEINT) * mv * mv - mv)"
+                          " FROM vals)")
+    return f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    g AS (
+        SELECT x, event_type, COUNT(*) AS m FROM q GROUP BY x, event_type
+    ),
+    vals AS (
+        SELECT x, CAST(SUM(m) AS BIGINT) AS mv FROM g GROUP BY x
+    ),
+    spine AS (
+        SELECT x, mv,
+               SUM(mv) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - mv AS below
+        FROM vals
+    ),
+    s AS (
+        SELECT {nsel},
+               {tie_d} AS tie_sum
+        FROM g JOIN spine sp ON g.x = sp.x
+    ),
+    m AS (
+        SELECT ({n_tot}) AS nd, ({tsum}) AS tsum, tie_sum FROM s
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(nd AS BIGINT) AS n_total,
+           12.0 / (nd * (nd + 1)) * tsum - 3 * (nd + 1) AS h_stat,
+           1 - tie_sum / (nd * nd * nd - nd) AS tie_correction,
+           (12.0 / (nd * (nd + 1)) * tsum - 3 * (nd + 1))
+             / (1 - tie_sum / (nd * nd * nd - nd)) AS h_corrected
+    FROM m
+    """
+
+
+@query("agg_kruskal_wallis", _kruskal_sql())
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952, public
+    literature) across the five event populations — the rank-based
+    (distribution-free) sibling of agg_anova_oneway, with the standard
+    tie correction C = 1 − Σ(t³−t)/(N³−N).
+
+    Determinism contract, layer by layer: tie-averaged ranks doubled
+    to stay INTEGER on the bounded value spine (the agg_mannwhitney_u
+    device — the spine is the cents domain, ≤49k rows at any data
+    size, so no row-level global window exists in the plan); per-group
+    doubled rank sums and the tie sum are exact integers summed
+    through hugeint/decimal(38,0); every exact-but-wide sum crosses to
+    float via the SAME hi/lo 2^32 split on both engines; and all
+    cross-group reductions are pinned left-associated expressions over
+    NAMED per-group scalars (the agg_anova_oneway rule). H, C, and
+    H/C hash-match bit-for-bit. No chi-square p-value (no reproducible
+    incomplete-gamma rounding) — same policy as every stats key.
+
+    Plan: two value-keyed aggregates + the bounded-spine window + one
+    equi-join + a 1-row reshape; the row count never touches an
+    ordered window."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    q = ev.select("event_type", x.alias("x"))
+    g = q.groupBy("x", "event_type").agg(F.count(F.lit(1)).alias("m"))
+    vals = g.groupBy("x").agg(F.sum("m").cast("bigint").alias("mv"))
+    w_spine = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    spine = vals.select(
+        "x", "mv", (F.sum("mv").over(w_spine) - F.col("mv")).alias("below")
+    )
+    joined = g.join(spine, "x")
+    r2 = F.col("m") * (2 * F.col("below") + F.col("mv") + 1)
+
+    def hilo_col(c):
+        hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({c} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    aggs = []
+    for gname in ANOVA_GROUPS:
+        cond = F.col("event_type") == gname
+        aggs.append(
+            F.sum(F.when(cond, F.col("m")).otherwise(0))
+            .cast("double")
+            .alias(f"n_{gname}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, r2)), F.lit(0))
+            .cast("bigint")
+            .alias(f"r2i_{gname}")
+        )
+    s = joined.agg(*aggs)
+    tie = vals.agg(
+        F.sum(
+            (F.col("mv").cast("decimal(38,0)") * F.col("mv") * F.col("mv")
+             - F.col("mv")).cast("decimal(38,0)")
+        ).alias("tie_i")
+    )
+    s = s.crossJoin(tie)  # 1 row x 1 row
+    s = s.select(
+        *[F.col(f"n_{gname}") for gname in ANOVA_GROUPS],
+        *[hilo_col(f"r2i_{gname}").alias(f"r2_{gname}")
+          for gname in ANOVA_GROUPS],
+        hilo_col("tie_i").alias("tie_sum"),
+    )
+
+    def chain(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    nd = chain([F.col(f"n_{gname}") for gname in ANOVA_GROUPS])
+    tsum = chain(
+        [
+            (F.col(f"r2_{gname}") / 2) * (F.col(f"r2_{gname}") / 2)
+            / F.col(f"n_{gname}")
+            for gname in ANOVA_GROUPS
+        ]
+    )
+    k = len(ANOVA_GROUPS)
+    h = F.lit(12.0) / (nd * (nd + 1)) * tsum - 3 * (nd + 1)
+    c = F.lit(1) - F.col("tie_sum") / (nd * nd * nd - nd)
+    return s.select(
+        F.lit(k).cast("bigint").alias("k"),
+        nd.cast("bigint").alias("n_total"),
+        h.alias("h_stat"),
+        c.alias("tie_correction"),
+        (h / c).alias("h_corrected"),
+    )

@@ -369,3 +369,54 @@ def test_anova_oneway_matches_numpy_reference(spark, sf_dir):
     assert abs(row["f_stat"] - f_ref) <= 1e-9 * max(1.0, abs(f_ref))
     total = ((allv - allv.mean()) ** 2).sum()
     assert abs((row["ss_between"] + row["ss_within"]) - total) <= 1e-6 * total
+
+
+def test_kruskal_wallis_matches_scipy_style_reference(spark, sf_dir):
+    """H (tie-corrected) must match a from-scratch float64 rank-based
+    re-derivation (average ranks over the pooled sample) to ~1e-9
+    relative, with 0 < C <= 1 and H >= 0."""
+    import numpy as np
+
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        ANOVA_GROUPS,
+        agg_kruskal_wallis,
+    )
+
+    row = agg_kruskal_wallis(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    data = [(r["event_type"], r["cents"]) for r in ev.collect()]
+    allv = np.array([c for _, c in data], dtype=np.float64)
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n = len(allv)
+    # ranks is row-aligned (the tie loop wrote through `order`)
+    by_g: dict[str, list[float]] = {}
+    for idx, (g, _) in enumerate(data):
+        by_g.setdefault(g, []).append(ranks[idx])
+    h = 12.0 / (n * (n + 1)) * sum(
+        (np.sum(v)) ** 2 / len(v) for v in map(np.array, by_g.values())
+    ) - 3 * (n + 1)
+    _, counts = np.unique(allv, return_counts=True)
+    c = 1 - np.sum(counts.astype(np.float64) ** 3 - counts) / (
+        float(n) ** 3 - n
+    )
+    assert set(by_g) == set(ANOVA_GROUPS)
+    assert row["k"] == len(ANOVA_GROUPS) and row["n_total"] == n
+    assert 0 < row["tie_correction"] <= 1
+    assert row["h_stat"] >= 0
+    assert abs(row["tie_correction"] - c) <= 1e-9
+    ref = h / c
+    assert abs(row["h_corrected"] - ref) <= 1e-9 * max(1.0, abs(ref))
