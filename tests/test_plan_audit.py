@@ -195,6 +195,10 @@ ALLOWED_NLJ = {
     # cluster count, the llm_sim_topk_exact scan pattern), plus the
     # 1-sided broadcast probe join (ops/similarity.py ivfpq_topk)
     "llm_sim_topk_ivfpq",
+    # 1-row group-moments row × 1-row tie-sum row reshaped into the
+    # single statistic row — the welch/meanztest shape
+    # (aggregations_ch.py agg_kruskal_wallis)
+    "agg_kruskal_wallis",
 }
 
 MAX_HASH_SHUFFLES = 4
@@ -266,6 +270,12 @@ SHUFFLE_ALLOWANCE = {
     #     final deg⋈tri node join: static count 7 post-staging (the
     #     edge build itself sits behind the stage seam); 8 headroom.
     "graph_clustering_coeff": 8,
+    #   agg_kruskal_wallis — (x, group) count agg + value-spine agg +
+    #     the bounded-spine cumulative window + the g⋈spine equi-join
+    #     + the final moments agg: 5 structural exchanges, every one
+    #     on the ≤49k-row cents spine or its per-group split; 6 gives
+    #     one headroom.
+    "agg_kruskal_wallis": 6,
     # 3 unrolled power iterations × (edges⋈ranks join + dst agg) over
     # the staged degree-annotated edge list, plus the edge-derivation
     # exchanges — each structural (queries/graph.py)
