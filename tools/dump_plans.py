@@ -456,6 +456,40 @@ ANNOTATIONS: dict[str, str] = {
         "exchange is the phash window pair (cluster size + keep rank) — "
         "at 100 TB phash is the partition key the dedup write buckets by."
     ),
+    "graph_triangle_approx": (
+        "DOULION: the p=1/4 md5-threshold sparsifier is a zero-shuffle "
+        "map-side Filter fused into the staged edge build — the wedge "
+        "exchange downstream carries ~p^1.5 of the exact key's rows; "
+        "the estimate reshape is a 1-row x 1-row join."
+    ),
+    "graph_connected_components": (
+        "Star-contraction CC: the final frame is a staged (lineage-"
+        "truncated) labeling — per star round two grouped exchanges of "
+        "the edge list ran during construction, O(log n) rounds, "
+        "convergence probed by fingerprint counters (no row data "
+        "driver-side)."
+    ),
+    "graph_clustering_coeff": (
+        "The triangle spine's exchanges (degree agg, orient joins, "
+        "wedge self-join, corner agg) over the STAGED-once edge set, "
+        "plus one node-keyed left join — no new heavy shape beyond the "
+        "gated triangle evidence; the coefficient division is map-side "
+        "codegen."
+    ),
+    "graph_jaccard_linkpred": (
+        "Degree-capped (<=64) centers bound the common-neighbor "
+        "candidate join at cap^2 per center — the equi-join on the "
+        "center key never sees a hub's full neighborhood; then one "
+        "(a,b) hash agg, an anti-join against existing edges, two "
+        "degree joins, and a bounded top-200 TakeOrdered."
+    ),
+    "agg_kruskal_wallis": (
+        "No row-level global window: ranks reduce to the <=49k-row "
+        "cents value spine (per-(value,group) counts, cumulative "
+        "window over the DISTINCT-value spine, one value-keyed "
+        "equi-join); the 1-row x 1-row moments-x-tie reshape is the "
+        "welch shape."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
