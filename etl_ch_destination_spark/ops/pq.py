@@ -39,6 +39,11 @@ def train_codebooks(
     init (without replacement when n >= ks); empty cells keep their
     previous centroid (the standard Lloyd convention).
     """
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError(
+            "empty PQ training set — the candidate frame produced no "
+            "training residuals (all rows filtered upstream?)"
+        )
     n, d = x.shape
     if d % m_sub:
         raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")

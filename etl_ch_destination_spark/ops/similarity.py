@@ -582,6 +582,13 @@ def ivfpq_topk(
         ],
         dtype=np.float64,
     )
+    # the training sample was the last construction-time job needing the
+    # cache (KMeans fit + the TopK collect above); post-train consumers
+    # (encode, exact re-rank) read cn once each, lazily — release the
+    # cached corpus projection so repeated calls don't accumulate
+    # MEMORY_AND_DISK blocks for the session lifetime (the ivf_topk
+    # post-fit discipline)
+    cn.unpersist(blocking=False)
     books = pq.train_codebooks(train, m_sub=m_sub, ks=ks, seed=seed)
     books_b = spark.sparkContext.broadcast(books)
 

@@ -72,17 +72,20 @@ def _degrees(e: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(e: DataFrame) -> DataFrame:
+def triangle_counts(e: DataFrame, stage_input: bool = True) -> DataFrame:
     """Per-node triangle participation over a canonical undirected edge
     frame ``(u, v)`` with u < v, distinct — the degree-ordered
     enumeration described in graph_triangle_count's docstring, exposed
     on an arbitrary edge set so tests can pin it on known graphs.
     Returns ``(node, d, n_triangles)``; nodes in no triangle are
-    absent."""
+    absent. Callers that already staged ``e`` pass
+    ``stage_input=False`` — re-staging an already-checkpointed frame
+    is a wasted write+read cycle of the full edge list."""
     # the edge frame feeds the degree aggregate AND the orientation
     # join — materialize it once instead of rebuilding the co-purchase
     # self-join per consumer
-    e = stage(e, eager=False, label="tri-edges")
+    if stage_input:
+        e = stage(e, eager=False, label="tri-edges")
     deg = _degrees(e)
     du, dv = deg.alias("du"), deg.alias("dv")
     ed = (
@@ -282,13 +285,14 @@ def graph_triangle_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
         label="tri-sampled-edges",
     )
+    tri_counts = triangle_counts(es, stage_input=False)
     edges_row = es.agg(
         F.count(F.lit(1)).cast("bigint").alias("sampled_edges"),
         F.lit(1).alias("__k"),
     )
     # each triangle contributes exactly 3 corners to the per-node
     # counts, so div 3 is exact integer arithmetic
-    tri_row = triangle_counts(es).agg(
+    tri_row = tri_counts.agg(
         F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0))
         .cast("bigint")
         .alias("sampled_triangles"),
@@ -902,7 +906,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges(spark, sf_dir), eager=False, label="clcoef-edges"
     )
     deg = _degrees(e)
-    tri = triangle_counts(e).select("node", "n_triangles")
+    tri = triangle_counts(e, stage_input=False).select("node", "n_triangles")
     nt = F.coalesce(F.col("n_triangles"), F.lit(0))
     return (
         deg.filter(F.col("d") >= 2)

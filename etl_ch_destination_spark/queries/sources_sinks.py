@@ -2204,6 +2204,12 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if name not in FOOTER_STATS_COLS:
                 continue
             st = col.statistics
+            if st is None:
+                raise ValueError(
+                    f"{name} row group {rg_i} carries no column "
+                    "statistics — footer-stats derivation requires a "
+                    "stats-writing parquet writer (stated, not faked)"
+                )
             cur = acc.get(name)
             if cur is None:
                 acc[name] = [col.num_values, st.null_count, st.min, st.max]

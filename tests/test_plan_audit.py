@@ -118,6 +118,10 @@ EFFECTFUL = {
     # construction (same loop llm_dedup_clusters exempts)
     "graph_connected_components": (
         "test_round11_keys.py", "test_cc_key_matches_union_find"),
+    # convergence-terminated BFS: per-round 1-row probes run during
+    # construction (the CC counter device) — same exemption rationale
+    "graph_bfs_distance": (
+        "test_round10_keys.py", "test_bfs_known_path_graph_distances"),
 }
 
 # Bounded-by-construction nested-loop joins, each documented in its

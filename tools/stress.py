@@ -410,23 +410,10 @@ def main() -> int:
                 os.path.join(tempfile.gettempdir(), "stress_staging"),
             )
 
-            lp = lig.select(
-                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-            ).distinct()
-            a, b = lp.alias("a"), lp.alias("b")
-            e = (
-                a.join(
-                    b,
-                    (F.col("a.o") == F.col("b.o"))
-                    & (F.col("a.p") < F.col("b.p")),
-                )
-                .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-                .distinct()
-            )
             try:
-                pagerank_ranks(e).write.mode("overwrite").format(
-                    "noop"
-                ).save()
+                pagerank_ranks(_copurchase_from(lig)).write.mode(
+                    "overwrite"
+                ).format("noop").save()
             finally:
                 spark.conf.unset(STAGING_DIR_CONF)
 
@@ -465,23 +452,10 @@ def main() -> int:
                 "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 str(max(256, 32 * n)),
             )
-            lp = lig.select(
-                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-            ).distinct()
-            a, b = lp.alias("a"), lp.alias("b")
-            e = (
-                a.join(
-                    b,
-                    (F.col("a.o") == F.col("b.o"))
-                    & (F.col("a.p") < F.col("b.p")),
-                )
-                .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-                .distinct()
-            )
             try:
-                triangle_counts(e).write.mode("overwrite").format(
-                    "noop"
-                ).save()
+                triangle_counts(_copurchase_from(lig)).write.mode(
+                    "overwrite"
+                ).format("noop").save()
             finally:
                 spark.conf.unset(STAGING_DIR_CONF)
                 spark.conf.unset(
