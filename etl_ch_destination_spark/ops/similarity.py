@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_ch_destination_spark.ops.staging import stage
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in DOUBLE (deterministic cross-engine)."""
@@ -541,7 +543,19 @@ def ivfpq_topk(
     ).withColumn("features", array_to_vector(F.col("__cu")))
     if cn.rdd.getNumPartitions() < n_parts:
         cn = cn.repartition(n_parts)
-    cn = cn.persist()  # KMeans iterates; don't recompute the HOF projection
+    # Materialize the norm/unit/vector projection ONCE and let every
+    # consumer — the iterating KMeans fit, the bounded training
+    # collect, the encode map, and the exact re-rank join — read the
+    # stored blocks (BENCH r11 drift: the r11 post-train unpersist
+    # traded the cache for TWO lazy recomputes of this chain, 5.09 →
+    # 6.73 s at sf0.1). stage() is a localCheckpoint locally — blocks
+    # are GC'd with the frame, so repeated calls don't accumulate
+    # session-lifetime storage the way the pre-r11 persist did — and a
+    # durable parquet staging table under spark.etl_ch.staging.dir at
+    # cluster scale, where caching a 100 TB corpus projection in
+    # executor memory is impossible but a one-write staging table is
+    # the standard IVF-PQ build layout.
+    cn = stage(cn, label="ivfpq-corpus")
     # Coarse-quantizer quality barely moves end recall here — the probe
     # set covers n_probe/n_clusters of the mass and the shortlist is
     # re-ranked exactly — so cap the fit at 8 Lloyd iterations with
@@ -582,13 +596,6 @@ def ivfpq_topk(
         ],
         dtype=np.float64,
     )
-    # the training sample was the last construction-time job needing the
-    # cache (KMeans fit + the TopK collect above); post-train consumers
-    # (encode, exact re-rank) read cn once each, lazily — release the
-    # cached corpus projection so repeated calls don't accumulate
-    # MEMORY_AND_DISK blocks for the session lifetime (the ivf_topk
-    # post-fit discipline)
-    cn.unpersist(blocking=False)
     books = pq.train_codebooks(train, m_sub=m_sub, ks=ks, seed=seed)
     books_b = spark.sparkContext.broadcast(books)
 

@@ -209,7 +209,7 @@ R14_NEW: list[str] = [
 # The round whose rotation is currently applied. CORRECTNESS files
 # recorded at or after this round cover THIS window by construction;
 # freshness/staleness derivations use only earlier (completed) rounds.
-ROTATION_ROUND = 11
+ROTATION_ROUND = 12
 
 # Keys ADDED in round 11 — staged at the very front of the window so
 # they earn driver rows the same round they land.
@@ -284,15 +284,79 @@ R11_REGRESSION: list[str] = [
     "agg_global",  # last driver row: r3
 ]
 
-# Round-11 rotation (VERDICT r10 #1+#2): R15_NEW (round-11 additions)
-# and R14_NEW (the 5 late-round-10 keys — the only keys with no driver
-# CORRECTNESS row, each judge-verified via driver_sim in VERDICT r10)
-# occupy the front of the driver's 50-key sample window; the
-# regression cohort fills the remaining slots (new keys displace
-# cohort tail keys automatically — the window is the first 50).
-# Previously-sampled blocks pad the tail in their historical order.
-_front = [*R15_NEW, *R14_NEW, *R11_REGRESSION]
-_hist = [*R12_NEW, *R13_NEW, *R11_NEW, *R10_NEW, *R9_NEW,
-         *R8_NEW, *R8_TAIL, *R7_WINDOW, *R6_WINDOW]
+# Keys ADDED in round 12 — staged at the very front of the window so
+# they earn driver rows the same round they land (they displace the
+# regression-cohort tail automatically; the window is the first 50).
+R16_NEW: list[str] = [
+]
+
+# Round-12 regression cohort (VERDICT r11 #1+#2): derived from the
+# COMPLETED rounds r01..r11 only — ``tools/rotation.py --max-round 11
+# --slots 50`` — so the later-landing CORRECTNESS_r12.json cannot
+# retroactively change it (driver_rows filters the FILE list by round
+# before taking the per-key max). Re-derived and asserted byte-for-byte
+# by tests/test_inventory.py::test_regression_cohort_is_derived.
+R12_REGRESSION: list[str] = [
+    "llm_token_count",  # last driver row: r3
+    "agg_having",  # last driver row: r3
+    "agg_argmax",  # last driver row: r3
+    "agg_sequence_match",  # last driver row: r3
+    "llm_fingerprint_rolling",  # last driver row: r3
+    "agg_sum_map",  # last driver row: r3
+    "join_asof_forward",  # last driver row: r3
+    "agg_state_merge",  # last driver row: r3
+    "agg_retention",  # last driver row: r3
+    "agg_cube",  # last driver row: r3
+    "agg_global",  # last driver row: r3
+    "join_left_right_full",  # last driver row: r3
+    "join_cross",  # last driver row: r3
+    "agg_histogram",  # last driver row: r3
+    "join_asof",  # last driver row: r3
+    "agg_mad_robust",  # last driver row: r3
+    "join_inner_equi",  # last driver row: r3
+    "agg_sketch_state",  # last driver row: r3 (rows-only by design)
+    "llm_lang_id",  # last driver row: r3
+    "agg_rollup",  # last driver row: r3
+    "agg_window_funnel",  # last driver row: r3
+    "agg_groupby_multi",  # last driver row: r3
+    "agg_approx_distinct",  # last driver row: r3 (rows-only by design)
+    "agg_quantiles",  # last driver row: r3
+    "join_theta_range",  # last driver row: r3
+    "llm_lang_filter_quality",  # last driver row: r3
+    "agg_weighted_median",  # last driver row: r3
+    "agg_count_if_any",  # last driver row: r3
+    "join_broadcast_dim",  # last driver row: r3
+    "agg_collect",  # last driver row: r3
+    "agg_pivot",  # last driver row: r3
+    "agg_stats",  # last driver row: r3
+    "agg_corr_exact",  # last driver row: r3
+    "llm_dedup_embedding",  # last driver row: r3
+    "llm_dedup_simhash",  # last driver row: r3
+    "llm_dedup_clusters",  # last driver row: r3
+    "str_regex",  # last driver row: r4
+    "json_extract_props",  # last driver row: r4
+    "rpt_promo_revenue_share",  # last driver row: r4
+    "hash_funcs",  # last driver row: r4
+    "rpt_min_cost_supplier",  # last driver row: r4
+    "rpt_shipping_priority",  # last driver row: r4
+    "arr_construct",  # last driver row: r4
+    "rpt_order_priority_check",  # last driver row: r4
+    "date_trunc_bucket",  # last driver row: r4
+    "rpt_nation_trade_flow",  # last driver row: r4
+    "map_funcs",  # last driver row: r4
+    "rpt_customer_order_distribution",  # last driver row: r4
+    "win_running_rows",  # last driver row: r4
+    "rpt_market_share",  # last driver row: r4
+]
+
+# Round-12 rotation (VERDICT r11 #2): the R15_NEW/R14_NEW keys all
+# earned r11 driver rows and rotate out; the next-stalest cohort
+# (derived from completed rounds r01..r11) fills the 50-key window,
+# behind any R16_NEW additions. Previously-sampled blocks pad the
+# tail in their historical order.
+_front = [*R16_NEW, *R12_REGRESSION]
+_hist = [*R15_NEW, *R14_NEW, *R11_REGRESSION, *R12_NEW, *R13_NEW,
+         *R11_NEW, *R10_NEW, *R9_NEW, *R8_NEW, *R8_TAIL, *R7_WINDOW,
+         *R6_WINDOW]
 ROTATION = [*_front, *[k for k in _hist if k not in set(_front)]]
 registry.promote(ROTATION)

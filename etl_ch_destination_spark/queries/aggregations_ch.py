@@ -3381,9 +3381,16 @@ def _anova_sql() -> str:
     )
     n_tot = " + ".join(f"n_{g}" for g in ANOVA_GROUPS)
     grand = " + ".join(f"s1_{g}" for g in ANOVA_GROUPS)
-    tsum = " + ".join(f"(s1_{g} * s1_{g} / n_{g})" for g in ANOVA_GROUPS)
+    tsum = " + ".join(
+        f"(s1_{g} * s1_{g} / NULLIF(n_{g}, 0))" for g in ANOVA_GROUPS
+    )
     s2sum = " + ".join(f"s2_{g}" for g in ANOVA_GROUPS)
     k = len(ANOVA_GROUPS)
+    # NULLIF on every denominator (ADVICE r11): an empty group, an
+    # empty table, or zero within-group variance must yield NULL on
+    # BOTH engines — unguarded, ANSI Spark throws DIVIDE_BY_ZERO while
+    # DuckDB quietly returns NULL, so the degenerate inputs the fixture
+    # never exercises would crash one engine and hash-diverge the other.
     return f"""
     WITH q AS (
         SELECT event_type,
@@ -3401,10 +3408,10 @@ def _anova_sql() -> str:
     )
     SELECT CAST({k} AS BIGINT) AS k,
            CAST(n_total AS BIGINT) AS n_total,
-           tsum - grand * grand / n_total AS ss_between,
+           tsum - grand * grand / NULLIF(n_total, 0) AS ss_between,
            s2sum - tsum AS ss_within,
-           ((tsum - grand * grand / n_total) / {k - 1}.0)
-             / ((s2sum - tsum) / (n_total - {k})) AS f_stat
+           ((tsum - grand * grand / NULLIF(n_total, 0)) / {k - 1}.0)
+             / NULLIF((s2sum - tsum) / NULLIF(n_total - {k}, 0), 0) AS f_stat
     FROM m
     """
 
@@ -3426,7 +3433,11 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums of squares) hash-match bit-for-bit. The p-value is
     deliberately NOT emitted (incomplete beta — no reproducible
     rounding on either engine); the statistic + dofs are the
-    deterministic core, same policy as the t-test keys.
+    deterministic core, same policy as the t-test keys. Degenerate
+    inputs (empty group, empty table, zero within-group variance)
+    yield NULL identically on both engines — every denominator is
+    NULLIF-guarded, so ANSI Spark cannot throw DIVIDE_BY_ZERO where
+    DuckDB would quietly emit NULL (ADVICE r11).
 
     Plan: ONE partial+final hash aggregate over the scan (15
     conditional sums fold map-side like any other agg) + a 1-row
@@ -3465,22 +3476,29 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + p
         return out
 
+    # nz() mirrors the oracle's NULLIF on every denominator (ADVICE
+    # r11): empty group / empty table / zero within-variance → NULL on
+    # both engines instead of an ANSI DIVIDE_BY_ZERO here and a quiet
+    # NULL there.
+    def nz(c):
+        return F.nullif(c, F.lit(0.0))
+
     n_total = chain([F.col(f"n_{g}") for g in ANOVA_GROUPS])
     grand = chain([F.col(f"s1_{g}") for g in ANOVA_GROUPS])
     tsum = chain(
-        [F.col(f"s1_{g}") * F.col(f"s1_{g}") / F.col(f"n_{g}")
+        [F.col(f"s1_{g}") * F.col(f"s1_{g}") / nz(F.col(f"n_{g}"))
          for g in ANOVA_GROUPS]
     )
     s2sum = chain([F.col(f"s2_{g}") for g in ANOVA_GROUPS])
     k = len(ANOVA_GROUPS)
-    ssb = tsum - grand * grand / n_total
+    ssb = tsum - grand * grand / nz(n_total)
     ssw = s2sum - tsum
     return s.select(
         F.lit(k).cast("bigint").alias("k"),
         n_total.cast("bigint").alias("n_total"),
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
-        ((ssb / F.lit(float(k - 1))) / (ssw / (n_total - k))).alias(
+        ((ssb / F.lit(float(k - 1))) / nz(ssw / nz(n_total - k))).alias(
             "f_stat"
         ),
     )
@@ -3504,14 +3522,18 @@ def _kruskal_sql() -> str:
         f" AS DOUBLE) AS n_{g},\n               "
         + hilo.format(
             v=f"COALESCE(SUM(CASE WHEN g.event_type = '{g}' THEN"
-            f" g.m * (2 * sp.below + sp.mv + 1) END), 0)"
+            f" CAST(g.m AS HUGEINT) * (2 * sp.below + sp.mv + 1) END), 0)"
         )
         + f" AS r2_{g}"
         for g in ANOVA_GROUPS
     )
     n_tot = " + ".join(f"n_{g}" for g in ANOVA_GROUPS)
+    # NULLIF on every denominator (ADVICE r11): degenerate inputs
+    # (empty group / n<=1 / all-ties) → NULL on both engines instead of
+    # an ANSI DIVIDE_BY_ZERO on the Spark side.
     tsum = " + ".join(
-        f"((r2_{g} / 2) * (r2_{g} / 2) / n_{g})" for g in ANOVA_GROUPS
+        f"((r2_{g} / 2) * (r2_{g} / 2) / NULLIF(n_{g}, 0))"
+        for g in ANOVA_GROUPS
     )
     k = len(ANOVA_GROUPS)
     tie_d = hilo.format(v="(SELECT SUM(CAST(mv AS HUGEINT) * mv * mv - mv)"
@@ -3545,10 +3567,11 @@ def _kruskal_sql() -> str:
     )
     SELECT CAST({k} AS BIGINT) AS k,
            CAST(nd AS BIGINT) AS n_total,
-           12.0 / (nd * (nd + 1)) * tsum - 3 * (nd + 1) AS h_stat,
-           1 - tie_sum / (nd * nd * nd - nd) AS tie_correction,
-           (12.0 / (nd * (nd + 1)) * tsum - 3 * (nd + 1))
-             / (1 - tie_sum / (nd * nd * nd - nd)) AS h_corrected
+           12.0 / NULLIF(nd * (nd + 1), 0) * tsum - 3 * (nd + 1) AS h_stat,
+           1 - tie_sum / NULLIF(nd * nd * nd - nd, 0) AS tie_correction,
+           (12.0 / NULLIF(nd * (nd + 1), 0) * tsum - 3 * (nd + 1))
+             / NULLIF(1 - tie_sum / NULLIF(nd * nd * nd - nd, 0), 0)
+             AS h_corrected
     FROM m
     """
 
@@ -3571,6 +3594,9 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     NAMED per-group scalars (the agg_anova_oneway rule). H, C, and
     H/C hash-match bit-for-bit. No chi-square p-value (no reproducible
     incomplete-gamma rounding) — same policy as every stats key.
+    Degenerate inputs (empty group, n<=1, all values tied ⇒ C=0)
+    yield NULL identically on both engines via NULLIF-guarded
+    denominators (ADVICE r11).
 
     Plan: two value-keyed aggregates + the bounded-spine window + one
     equi-join + a 1-row reshape; the row count never touches an
@@ -3585,7 +3611,14 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", "mv", (F.sum("mv").over(w_spine) - F.col("mv")).alias("below")
     )
     joined = g.join(spine, "x")
-    r2 = F.col("m") * (2 * F.col("below") + F.col("mv") + 1)
+    # per-row doubled rank contribution WIDENED to decimal(38,0) before
+    # the multiply/sum (ADVICE r11): the doubled rank sum is ~N(N+1),
+    # which wraps int64 past N ≈ 3e9 rows — inside the 100 TB regime —
+    # while decimal(38,0) holds to 1e38 (the oracle side accumulates
+    # through HUGEINT the same way).
+    r2 = F.col("m").cast("decimal(38,0)") * (
+        2 * F.col("below") + F.col("mv") + 1
+    )
 
     def hilo_col(c):
         hi = F.expr(f"CAST({c} div 4294967296 AS BIGINT)").cast("double")
@@ -3602,7 +3635,7 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs.append(
             F.coalesce(F.sum(F.when(cond, r2)), F.lit(0))
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias(f"r2i_{gname}")
         )
     s = joined.agg(*aggs)
@@ -3626,21 +3659,27 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + p
         return out
 
+    # nz() mirrors the oracle's NULLIF guards (ADVICE r11): degenerate
+    # inputs (empty group / n<=1 / all-ties ⇒ C=0) → NULL on both
+    # engines instead of an ANSI DIVIDE_BY_ZERO here.
+    def nz(col):
+        return F.nullif(col, F.lit(0.0))
+
     nd = chain([F.col(f"n_{gname}") for gname in ANOVA_GROUPS])
     tsum = chain(
         [
             (F.col(f"r2_{gname}") / 2) * (F.col(f"r2_{gname}") / 2)
-            / F.col(f"n_{gname}")
+            / nz(F.col(f"n_{gname}"))
             for gname in ANOVA_GROUPS
         ]
     )
     k = len(ANOVA_GROUPS)
-    h = F.lit(12.0) / (nd * (nd + 1)) * tsum - 3 * (nd + 1)
-    c = F.lit(1) - F.col("tie_sum") / (nd * nd * nd - nd)
+    h = F.lit(12.0) / nz(nd * (nd + 1)) * tsum - 3 * (nd + 1)
+    c = F.lit(1) - F.col("tie_sum") / nz(nd * nd * nd - nd)
     return s.select(
         F.lit(k).cast("bigint").alias("k"),
         nd.cast("bigint").alias("n_total"),
         h.alias("h_stat"),
         c.alias("tie_correction"),
-        (h / c).alias("h_corrected"),
+        (h / nz(c)).alias("h_corrected"),
     )

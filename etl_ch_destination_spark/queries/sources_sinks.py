@@ -2194,6 +2194,12 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is one file, read where the plan is built."""
     import pyarrow.parquet as pq
 
+    # Single local file by construction: the driver's fixture layout is
+    # one lineitem.parquet per sf dir. The partitioned/remote layouts
+    # catalog.py tolerates would need the manifest fan-out described
+    # above (one footer read per file) — this key deliberately reads
+    # the fixture layout and fails loudly on anything else rather than
+    # silently reporting one shard's stats as the table's.
     md = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata
     acc: dict[str, list[int]] = {}
     for rg_i in range(md.num_row_groups):
@@ -2204,10 +2210,15 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if name not in FOOTER_STATS_COLS:
                 continue
             st = col.statistics
-            if st is None:
+            # a writer can also emit a Statistics object with
+            # has_min_max/null_count unset, which would surface as
+            # None values below — same "stated, not faked" failure as
+            # a missing stats block (ADVICE r11)
+            if st is None or not st.has_min_max or st.null_count is None:
                 raise ValueError(
-                    f"{name} row group {rg_i} carries no column "
-                    "statistics — footer-stats derivation requires a "
+                    f"{name} row group {rg_i} carries no usable column "
+                    "statistics (missing stats block, min/max, or null "
+                    "count) — footer-stats derivation requires a "
                     "stats-writing parquet writer (stated, not faked)"
                 )
             cur = acc.get(name)

@@ -174,17 +174,22 @@ def test_next_rotation_windows_are_prestaged():
         R12_NEW,
         R13_NEW,
         R11_REGRESSION,
+        R12_REGRESSION,
         R14_NEW,
         R15_NEW,
+        R16_NEW,
         ROTATION,
     )
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
     planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW, *R9_NEW,
                *R10_NEW, *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
-               *R15_NEW, *R11_REGRESSION]
+               *R15_NEW, *R16_NEW]
     assert len(set(planned)) == len(planned), "rotation blocks overlap"
-    assert set(planned) == set(ROTATION) <= set(all_queries())
+    # regression cohorts legitimately re-sample keys from earlier
+    # blocks; the union of new-key blocks + cohorts is the rotation
+    planned_all = set(planned) | set(R11_REGRESSION) | set(R12_REGRESSION)
+    assert planned_all == set(ROTATION) <= set(all_queries())
     assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
     # round 8's never-sampled core must fit the driver's 50-key sample
     assert len(R8_TAIL) + len(R8_NEW) <= 50
@@ -212,14 +217,21 @@ def test_next_rotation_windows_are_prestaged():
 
 
 def test_regression_cohort_is_derived():
-    """VERDICT r10 #2: the window's spare slots carry a deterministic
-    rotating regression sample of the stalest already-sampled keys.
-    The pasted R11_REGRESSION block must equal what tools/rotation.py
-    derives from the recorded CORRECTNESS files present at rotation
-    time (r01..r10) — the cohort is generated, not hand-picked."""
+    """VERDICT r10 #2 + r11 #1: the window's spare slots carry a
+    deterministic rotating regression sample of the stalest
+    already-sampled keys. Each round's pasted cohort block must equal
+    what tools/rotation.py derives from the CORRECTNESS files of the
+    rounds COMPLETED at rotation time (rounds <= R-1) — generated,
+    not hand-picked, and immune to later rounds' files landing
+    (driver_rows caps the FILE list by round before the per-key max,
+    so a key re-sampled in round R keeps its r<=R-1 row in the
+    derivation instead of vanishing)."""
     import os
 
-    from etl_ch_destination_spark.queries import R11_REGRESSION
+    from etl_ch_destination_spark.queries import (
+        R11_REGRESSION,
+        R12_REGRESSION,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not os.path.exists(os.path.join(repo, "CORRECTNESS_r10.json")):
@@ -227,15 +239,53 @@ def test_regression_cohort_is_derived():
     import sys
 
     sys.path.insert(0, os.path.join(repo, "tools"))
+    from rotation import regression_cohort
+
+    for cohort, completed_round, slots in (
+        (R11_REGRESSION, 10, 45),
+        (R12_REGRESSION, 11, 50),
+    ):
+        derived = regression_cohort(repo, slots, exclude=set(),
+                                    max_round=completed_round)
+        assert cohort == derived, (
+            f"cohort rotated at round {completed_round + 1} diverges from "
+            f"tools/rotation.py --max-round {completed_round}"
+        )
+
+
+def test_regression_cohort_immune_to_future_rounds(tmp_path):
+    """The exact failure mode of VERDICT r11 #1, simulated: copy the
+    recorded CORRECTNESS files into a scratch repo, add a FUTURE
+    round's file re-sampling every key, and assert the round-capped
+    derivation is byte-identical — the moment the driver records the
+    current round, the pasted cohorts must not shift."""
+    import glob
+    import json
+    import os
+    import shutil
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        return  # driver-recorded files exist only in the driver checkout
+
+    sys.path.insert(0, os.path.join(repo, "tools"))
     from rotation import driver_rows, regression_cohort
 
-    # Derive from rounds 1..10 only: later rounds' files land AFTER
-    # this rotation and must not retroactively change it.
-    latest = {k: r for k, r in driver_rows(repo).items() if r <= 10}
-    import hashlib
+    scratch = tmp_path / "repo"
+    scratch.mkdir()
+    for f in files:
+        shutil.copy(f, scratch / os.path.basename(f))
 
-    pool = sorted(latest, key=lambda k: (latest[k],
-                                         hashlib.md5(k.encode()).hexdigest()))
-    assert R11_REGRESSION == pool[:45]
-    # sanity: the full derivation helper agrees when only r01..r10 exist
-    assert set(R11_REGRESSION) <= set(regression_cohort(repo, 10_000, set()))
+    before_rows = driver_rows(str(scratch), max_round=11)
+    before = regression_cohort(str(scratch), 50, set(), max_round=11)
+
+    # a future driver round re-samples EVERY previously seen key
+    every_key = {k: {"rows": True} for k in before_rows}
+    (scratch / "CORRECTNESS_r99.json").write_text(json.dumps(every_key))
+
+    assert driver_rows(str(scratch), max_round=11) == before_rows
+    assert regression_cohort(str(scratch), 50, set(), max_round=11) == before
+    # and the uncapped view does see the new round
+    assert max(driver_rows(str(scratch)).values()) == 99

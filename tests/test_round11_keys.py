@@ -420,3 +420,93 @@ def test_kruskal_wallis_matches_scipy_style_reference(spark, sf_dir):
     assert abs(row["tie_correction"] - c) <= 1e-9
     ref = h / c
     assert abs(row["h_corrected"] - ref) <= 1e-9 * max(1.0, abs(ref))
+
+
+def _degenerate_events_dir(rows):
+    # single FILE like the driver fixture (catalog.load_table sniffs
+    # the events footer with the single-file layout)
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="degenerate_events")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
+    return tmp
+
+
+def _oracle_rows(key, sf_dir):
+    import os
+
+    import duckdb
+
+    from etl_ch_destination_spark.registry import all_oracles
+
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "events.parquet")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    out = con.execute(all_oracles()["agg_" + key]).fetchall()
+    con.close()
+    return out
+
+
+def test_stats_keys_degenerate_inputs_null_on_both_engines(spark):
+    """ADVICE r11: empty groups / all-tied values are exactly the
+    inputs the fixture never exercises — unguarded, ANSI Spark throws
+    DIVIDE_BY_ZERO while DuckDB quietly emits NULL. With the NULLIF
+    guards both engines must return the SAME row, NULLs included."""
+    import datetime as dt
+
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        agg_anova_oneway,
+        agg_kruskal_wallis,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    # Case 1: only two of the five groups present (empty groups), all
+    # values IDENTICAL (zero within-variance, C = 0).
+    tied = _degenerate_events_dir(
+        [
+            (1, t0, 1, "click", 5.0, "{}"),
+            (2, t0, 2, "click", 5.0, "{}"),
+            (3, t0, 3, "view", 5.0, "{}"),
+        ],
+    )
+    for key, fn in (("anova_oneway", agg_anova_oneway),
+                    ("kruskal_wallis", agg_kruskal_wallis)):
+        got = [tuple(r) for r in fn(spark, tied).collect()]
+        want = _oracle_rows(key, tied)
+        assert got == want, (key, got, want)
+        # the degenerate statistic itself must be NULL, not Inf/NaN
+        assert got[0][-1] is None, (key, got)
+
+    # Case 2: all five groups present, all values tied — isolates the
+    # C=0 tie-correction path with every per-group term well-defined.
+    all_groups_tied = _degenerate_events_dir(
+        [
+            (i, t0, i, g, 7.0, "{}")
+            for i, g in enumerate(
+                ["click", "error", "purchase", "signup", "view"] * 2
+            )
+        ],
+    )
+    got = [tuple(r) for r in agg_kruskal_wallis(spark, all_groups_tied).collect()]
+    want = _oracle_rows("kruskal_wallis", all_groups_tied)
+    assert got == want, (got, want)
+    row = got[0]
+    assert row[3] == 0.0   # tie_correction C = 0 when every value ties
+    assert row[4] is None  # h_corrected = H/0 -> NULL on both engines
