@@ -75,9 +75,9 @@ R6_WINDOW = [
 ]
 
 # Round-7 pre-staged window: the remaining 50 never-driver-sampled keys
-# that carry full hash oracles (ts_downsample_lttb is the one rows-only
-# key here — kept in r7 so its gate lands early). Rotation for round 7
-# = move R6_WINDOW behind this block in ROTATION.
+# that carry full hash oracles (ts_downsample_lttb was the one rows-only
+# key here until round 12 promoted it to a full recursive-CTE hash
+# oracle). Rotation for round 7 = move R6_WINDOW behind this block.
 R7_WINDOW = [
     "ts_anomaly_mad", "date_business_days", "date_iso_week",
     "ts_autocorr", "date_time_slots", "ts_seasonality_profile",

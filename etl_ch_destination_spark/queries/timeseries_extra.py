@@ -686,6 +686,19 @@ def date_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 LTTB_POINTS = 50  # downsampled points per series
 
 
+def _wide_float(x: int) -> float:
+    """Exact integer → double via the repo-wide hi/lo 2^32 split with
+    TRUNCATED division (mirroring DuckDB's ``//``/``%`` on HUGEINT —
+    Python's ``//`` floors, DuckDB truncates, so the split is spelled
+    out), so a sum wider than 2^53 crosses to float bit-identically on
+    both engines."""
+    q = abs(x) // 4294967296
+    if x < 0:
+        q = -q
+    r = x - q * 4294967296
+    return float(q) * 4294967296.0 + float(r)
+
+
 def lttb_select(ts_us, cents, n_out: int):
     """Largest-Triangle-Three-Buckets point selection (Steinarsson
     2013; CH `largestTriangleThreeBuckets`): keep the endpoints,
@@ -693,8 +706,12 @@ def lttb_select(ts_us, cents, n_out: int):
     bucket take the point with the largest triangle area formed with
     the previously SELECTED point and the NEXT bucket's centroid.
     Pure-Python reference shared verbatim by the operator's worker
-    closure and the pytest replay — strict `>` makes ties resolve to
-    the earliest index, so selection is fully deterministic."""
+    closure, the pytest replay, AND the DuckDB recursive-CTE oracle
+    (VERDICT r11 #7) — every float op is pinned: bucket sums cross to
+    double through the hi/lo 2^32 split, centroids are one double
+    division, the area is one fixed expression tree, and strict `>`
+    makes ties resolve to the earliest index, so selection is fully
+    deterministic and SQL-replayable."""
     n = len(ts_us)
     if n <= n_out:
         return list(range(n))
@@ -706,9 +723,13 @@ def lttb_select(ts_us, cents, n_out: int):
         hi = min(int((i + 1) * every) + 1, n - 1)
         nlo = min(int((i + 1) * every) + 1, n - 1)
         nhi = min(int((i + 2) * every) + 1, n)
-        span = max(nhi - nlo, 1)
-        avg_t = sum(ts_us[nlo:nhi]) / span if nhi > nlo else ts_us[n - 1]
-        avg_v = sum(cents[nlo:nhi]) / span if nhi > nlo else cents[n - 1]
+        if nhi > nlo:
+            span = nhi - nlo
+            avg_t = _wide_float(sum(ts_us[nlo:nhi])) / span
+            avg_v = _wide_float(sum(cents[nlo:nhi])) / span
+        else:
+            avg_t = float(ts_us[n - 1])
+            avg_v = float(cents[n - 1])
         best, best_area = lo, -1.0
         for j in range(lo, hi):
             area = abs(
@@ -723,8 +744,109 @@ def lttb_select(ts_us, cents, n_out: int):
     return out
 
 
-@query("ts_downsample_lttb")  # sequential selection — rows-only;
-# EXACT replay + endpoint/coverage gates in tests/test_new_keys.py
+def _lttb_sql() -> str:
+    """DuckDB replay of ``lttb_select`` (VERDICT r11 #7: LTTB is
+    deterministic under the pinned tie-break, so it gets a full hash
+    oracle). The non-sequential 90% — series order, bucket bounds,
+    bucket centroids — is plain SQL; only the selection chain (each
+    bucket's argmax depends on the previously selected point) runs in
+    a recursive CTE, one state row per series per bucket, with
+    MIN(STRUCT(-area, rn)) reproducing the strict-`>` earliest-index
+    tie-break. Float ops mirror the Python reference exactly: bucket
+    sums cross to double via the truncated hi/lo 2^32 split
+    (``_wide_float``), centroids are one double division, the area is
+    the same fixed expression tree; and because the OUTPUT columns are
+    all integers, the hash contract rides on the selection alone."""
+    p, b = LTTB_POINTS, LTTB_POINTS - 2
+    hilo = (
+        "(CAST(CAST({v} // 4294967296 AS BIGINT) AS DOUBLE) * 4294967296.0"
+        " + CAST(CAST({v} % 4294967296 AS BIGINT) AS DOUBLE))"
+    )
+    st = hilo.format(v="CAST(m.st AS HUGEINT)")
+    sv = hilo.format(v="CAST(m.sv AS HUGEINT)")
+    return f"""
+    WITH RECURSIVE ser AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY epoch_us(ts), event_id) - 1
+                    AS BIGINT) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    big AS (SELECT * FROM ser WHERE n > {p}),
+    params AS (
+        SELECT event_type, MAX(n) AS n,
+               CAST(MAX(n) - 2 AS DOUBLE) / {b} AS every
+        FROM big GROUP BY event_type
+    ),
+    buckets AS (
+        SELECT p.event_type, t.i,
+               CAST(FLOOR(t.i * p.every) AS BIGINT) + 1 AS lo,
+               LEAST(CAST(FLOOR((t.i + 1) * p.every) AS BIGINT) + 1,
+                     p.n - 1) AS hi,
+               LEAST(CAST(FLOOR((t.i + 1) * p.every) AS BIGINT) + 1,
+                     p.n - 1) AS nlo,
+               LEAST(CAST(FLOOR((t.i + 2) * p.every) AS BIGINT) + 1,
+                     p.n) AS nhi,
+               p.n AS n
+        FROM params p CROSS JOIN range({b}) t(i)
+    ),
+    sums AS (
+        SELECT b.event_type, b.i,
+               SUM(s.ts_us) AS st, SUM(s.cents) AS sv
+        FROM buckets b
+        JOIN ser s ON s.event_type = b.event_type
+                  AND s.rn >= b.nlo AND s.rn < b.nhi
+        GROUP BY b.event_type, b.i
+    ),
+    lastpt AS (
+        SELECT event_type, ts_us AS lt, cents AS lv FROM big WHERE rn = n - 1
+    ),
+    cent AS (
+        SELECT b.event_type, b.i, b.lo, b.hi,
+               CASE WHEN b.nhi > b.nlo
+                    THEN {st} / (b.nhi - b.nlo)
+                    ELSE CAST(l.lt AS DOUBLE) END AS avg_t,
+               CASE WHEN b.nhi > b.nlo
+                    THEN {sv} / (b.nhi - b.nlo)
+                    ELSE CAST(l.lv AS DOUBLE) END AS avg_v
+        FROM buckets b
+        LEFT JOIN sums m ON m.event_type = b.event_type AND m.i = b.i
+        JOIN lastpt l ON l.event_type = b.event_type
+    ),
+    sel AS (
+        SELECT event_type, CAST(-1 AS BIGINT) AS i,
+               CAST(0 AS BIGINT) AS a_rn, ts_us AS a_ts, cents AS a_cents
+        FROM big WHERE rn = 0
+        UNION ALL
+        SELECT event_type, i, (m).rn, (m).ts, (m).cv FROM (
+            SELECT s.event_type AS event_type, s.i + 1 AS i,
+                   MIN({{'na': -abs(
+                            (CAST(s.a_ts AS DOUBLE) - c.avg_t)
+                              * CAST(r.cents - s.a_cents AS DOUBLE)
+                            - CAST(s.a_ts - r.ts_us AS DOUBLE)
+                              * (c.avg_v - CAST(s.a_cents AS DOUBLE))),
+                        'rn': r.rn, 'ts': r.ts_us, 'cv': r.cents}}) AS m
+            FROM sel s
+            JOIN cent c ON c.event_type = s.event_type AND c.i = s.i + 1
+            JOIN ser r ON r.event_type = s.event_type
+                      AND r.rn >= c.lo AND r.rn < c.hi
+            WHERE s.i + 1 < {b}
+            GROUP BY s.event_type, s.i
+        )
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS pos, ts_us, cents
+    FROM ser WHERE n <= {p}
+    UNION ALL
+    SELECT event_type, a_rn AS pos, a_ts AS ts_us, a_cents AS cents FROM sel
+    UNION ALL
+    SELECT event_type, n - 1 AS pos, ts_us, cents FROM big WHERE rn = n - 1
+    """
+
+
+@query("ts_downsample_lttb", _lttb_sql())
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual time-series downsampling via Largest-Triangle-Three-
     Buckets (CH `largestTriangleThreeBuckets`): each event_type's
@@ -739,10 +861,13 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python reference BY VALUE (module registered with
     cloudpickle below) so it runs from any cwd.
 
-    Rows-only (the bucket iteration has no SQL form); the pytest gate
-    replays the identical algorithm on the collected series and
-    asserts EXACT index-set equality plus the endpoint and
-    bucket-coverage invariants."""
+    Full hash oracle (VERDICT r11 #7 — LTTB is deterministic given
+    the pinned earliest-index tie-break): the DuckDB side replays the
+    selection with a recursive CTE over bucket states (``_lttb_sql``),
+    every float crossing pinned to the same expression tree; the
+    pytest gate additionally replays the identical algorithm on the
+    collected series and asserts EXACT index-set equality plus the
+    endpoint and bucket-coverage invariants."""
     ev = load_table(spark, sf_dir, "events")
     q = ev.select(
         "event_type",

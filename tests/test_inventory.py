@@ -65,7 +65,6 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
         "llm_bpe_encode",
         "llm_compression_ratio",
         "agg_heavy_hitters_cms",
-        "ts_downsample_lttb",
         "sample_fraction",
         "sample_stratified",
         "llm_sim_topk_ann",
@@ -81,7 +80,7 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
 ROWS_ONLY_BY_DESIGN = {
     "agg_approx_distinct", "agg_sketch_state", "agg_quantile_kll",
     "llm_bpe_learn", "llm_bpe_encode", "llm_compression_ratio",
-    "agg_heavy_hitters_cms", "ts_downsample_lttb", "sample_fraction",
+    "agg_heavy_hitters_cms", "sample_fraction",
     "sample_stratified", "llm_sim_topk_ann", "llm_sim_topk_ivf",
     "llm_sim_topk_ivfpq", "sink_clickhouse_jdbc", "agg_uniq_combined",
 }
