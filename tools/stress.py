@@ -67,8 +67,9 @@ def main() -> int:
             "comma list of spine names to run (default: all). Names: "
             "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
             "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,bfs,linkpred,"
-            "tri_approx,semdedup,sim — 'sim' covers the "
-            "exact/LSH/IVF/IVF-PQ ladder + recall gates"
+            "tri_approx,semdedup,sim,streaming — 'sim' covers the "
+            "exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' the "
+            "foreachBatch ingest + session-window state spine"
         ),
     )
     args = ap.parse_args()
@@ -714,6 +715,122 @@ def main() -> int:
             )
             corpus.unpersist(blocking=False)
 
+        if want("streaming"):
+            # --- streaming spine (VERDICT r11 #6): §2.9 was the one
+            # family with no 1×/10×/30× row. Replay events replicated
+            # with DISJOINT user/event spaces (sessions and state rows
+            # scale exactly N× by construction) through the two
+            # stateful shapes: the foreachBatch batched-insert ingest
+            # (throughput) and the session_window aggregation (state
+            # store). The staged replay keeps the FILE count constant
+            # across factors, so every factor pays the same number of
+            # micro-batches with N× bigger batches — state cadence
+            # fixed, state size the scaled variable, exactly a Kafka
+            # topic carrying N× the traffic into the same trigger
+            # schedule.
+            import shutil as _sh
+
+            from etl_ch_destination_spark.catalog import scratch_dir
+            from etl_ch_destination_spark.streaming import pipeline as spipe
+            from etl_ch_destination_spark.streaming.replay import (
+                read_staged_stream,
+            )
+
+            N_SLICES = 6
+            ev0 = parallelize_scan(load_table(spark, SF_DIR, "events"), spark)
+            if n == 1:
+                evr = ev0
+            else:
+                evr = ev0.withColumn(
+                    "__copy", F.explode(F.sequence(F.lit(1), F.lit(n)))
+                ).select(
+                    (F.col("event_id")
+                     + F.col("__copy").cast("long") * 100_000_000)
+                    .alias("event_id"),
+                    "ts",
+                    (F.col("user_id")
+                     + F.col("__copy").cast("long") * 10_000_000)
+                    .alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            # time-RANGE slicing (parallel — no global window): slice
+            # bounds come from the 1× table, identical for every copy.
+            b = ev0.agg(
+                F.min(F.unix_micros("ts")).alias("lo"),
+                F.max(F.unix_micros("ts")).alias("hi"),
+            ).collect()[0]
+            span = max(b["hi"] - b["lo"] + 1, 1)
+            slice_col = F.least(
+                F.floor(
+                    (F.unix_micros("ts") - F.lit(b["lo"]))
+                    * F.lit(N_SLICES) / F.lit(span)
+                ),
+                F.lit(N_SLICES - 1),
+            ).cast("int")
+            staged = scratch_dir(f"stress_stream/{n}x")
+            _sh.rmtree(staged, ignore_errors=True)
+            sliced = evr.withColumn("__slice", slice_col)
+            for i in range(N_SLICES):
+                (
+                    sliced.filter(F.col("__slice") == i)
+                    .drop("__slice")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(staged)
+                )
+
+            def run_fbatch():
+                out = scratch_dir(f"stress_stream/{n}x_sink")
+                ck = scratch_dir(f"stress_stream/{n}x_ckpt")
+                _sh.rmtree(out, ignore_errors=True)
+                _sh.rmtree(ck, ignore_errors=True)
+                q = spipe.foreach_batch_load(
+                    read_staged_stream(spark, staged), out, ck
+                )
+                q.awaitTermination()
+
+            def run_session():
+                ck = scratch_dir(f"stress_stream/{n}x_ckpt2")
+                _sh.rmtree(ck, ignore_errors=True)
+                q = (
+                    spipe.session_gap(read_staged_stream(spark, staged))
+                    .writeStream.format("noop")
+                    .outputMode("complete")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return q
+
+            n_events = evr.count()
+            t_fb = time_action(run_fbatch)
+            run_session()  # warm-up
+            t_ss_runs, state_rows = [], 0
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                q = run_session()
+                t_ss_runs.append(time.monotonic() - t0)
+                prog = q.lastProgress
+                if prog and prog.get("stateOperators"):
+                    state_rows = max(
+                        state_rows, prog["stateOperators"][0]["numRowsTotal"]
+                    )
+            row.update(
+                {
+                    "stream_events": n_events,
+                    "stream_fbatch": round(statistics.median([t_fb]), 3),
+                    "stream_session": round(statistics.median(t_ss_runs), 3),
+                    "stream_fbatch_evps": round(t_fb and n_events / t_fb),
+                    "stream_state_rows": state_rows,
+                }
+            )
+            _sh.rmtree(staged, ignore_errors=True)
+            _sh.rmtree(scratch_dir(f"stress_stream/{n}x_sink"),
+                       ignore_errors=True)
+
         results[str(n)] = row
         spark.catalog.clearCache()
         # Reclaim the factor's durable staging tables: standalone
@@ -762,7 +879,7 @@ def main() -> int:
         "q1", "join_agg", "neardup", "vocab_score", "ngram_novelty",
         "line_dedup", "substr_dedup", "cc", "pagerank", "triangles",
         "semdedup", "sim_exact", "sim_lsh", "bfs", "tri_approx",
-        "sim_ivfpq", "linkpred",
+        "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
@@ -789,6 +906,36 @@ def main() -> int:
             print(
                 f"FAIL cc_rounds grew {r1} -> {r2} between {f1}x and {f2}x "
                 "(log-round claim violated)",
+                file=sys.stderr,
+            )
+            rc = 1
+    # streaming state-store gate (VERDICT r11 #6): disjoint user spaces
+    # scale session state EXACTLY N×; a deviation means the state store
+    # is either leaking (never evicting merged sessions) or dropping
+    # state. And ingest throughput must not collapse: events/s at the
+    # top factor holds ≥1/3 of the smaller factor's (the linearity
+    # gate's slack, expressed in the spine's native unit).
+    if len(factors) >= 2 and "stream_state_rows" in results[str(max(factors))]:
+        f1, f2 = sorted(factors)[-2:]
+        rows_ratio = f2 / f1
+        s1 = results[str(f1)].get("stream_state_rows")
+        s2 = results[str(f2)].get("stream_state_rows")
+        if s1 and s2 and not (
+            0.8 * rows_ratio <= s2 / s1 <= 1.2 * rows_ratio
+        ):
+            print(
+                f"FAIL stream state rows grew {s1} -> {s2} between {f1}x "
+                f"and {f2}x (expected ~{rows_ratio:.0f}x: disjoint user "
+                "spaces scale session state exactly with rows)",
+                file=sys.stderr,
+            )
+            rc = 1
+        e1 = results[str(f1)].get("stream_fbatch_evps")
+        e2 = results[str(f2)].get("stream_fbatch_evps")
+        if e1 and e2 and e2 < e1 / 3:
+            print(
+                f"FAIL stream ingest collapsed: {e1} ev/s at {f1}x -> "
+                f"{e2} ev/s at {f2}x (floor: 1/3)",
                 file=sys.stderr,
             )
             rc = 1
