@@ -174,6 +174,20 @@ def main() -> int:
         [k for k in args.keys.split(",") if k] if args.keys else BENCH_KEYS
     )
 
+    # Pre-flight idle check (round-12 protocol lesson): a bench run
+    # started seconds after a heavy job ends still reads 20-30% hot —
+    # the 1-minute load average is the tell (observed: ivfpq 6.84 s at
+    # load 6 vs 5.42/5.60 once load < 2). Recorded in the sidecar so a
+    # flagged row is never mistaken for a plan regression; stderr warns
+    # but doesn't abort (the driver's own runs land where they land).
+    load1 = os.getloadavg()[0]
+    if not args.contended and load1 > 2.0:
+        print(
+            f"WARN bench started at load1={load1:.1f} (>2): timings will "
+            "read hot; re-run after the host drains for idle-pair rows",
+            file=sys.stderr,
+        )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
@@ -276,6 +290,7 @@ def main() -> int:
             ),
             "os_cpus": os.cpu_count(),
             "contended_load_procs": args.contended,
+            "load1_at_start": round(load1, 2),
         },
     }
     # full detail (p95s, config) to the sidecar — NOT stdout; the

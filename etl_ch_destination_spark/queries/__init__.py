@@ -288,6 +288,7 @@ R11_REGRESSION: list[str] = [
 # they earn driver rows the same round they land (they displace the
 # regression-cohort tail automatically; the window is the first 50).
 R16_NEW: list[str] = [
+    "win_drawdown",
 ]
 
 # Round-12 regression cohort (VERDICT r11 #1+#2): derived from the

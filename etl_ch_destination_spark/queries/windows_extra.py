@@ -1147,3 +1147,79 @@ def wma_over(v: DataFrame) -> DataFrame:
         num.cast("bigint").alias("wma_num"),
         (num.cast("double") / tri).alias("wma"),
     )
+
+
+@query(
+    "win_drawdown",
+    """
+    WITH daily AS (
+      SELECT n_name AS nation, o_orderdate AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    wd AS (
+      SELECT nation, day, rev_cents,
+             MAX(rev_cents) OVER (PARTITION BY nation ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS peak_cents
+      FROM daily
+    )
+    SELECT nation, day, rev_cents, peak_cents,
+           CAST(CAST(peak_cents - rev_cents AS HUGEINT) * 10000
+                // peak_cents AS BIGINT) AS drawdown_bp
+    FROM wd
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of each nation's daily revenue series —
+    the monitoring/finance shape (how far below its historical daily
+    peak is today's revenue, in basis points): peak = running MAX over
+    the date order, drawdown_bp = (peak − rev)·10⁴ ÷ peak. Entirely
+    integer (cents; the ·10⁴ product widened through decimal(38,0)/
+    HUGEINT so a 100 TB-scale daily total cannot wrap int64 before the
+    divide; truncating integer division on both engines) — hash-exact
+    with no float policy needed, and peak ≥ rev > 0 makes the divide
+    total.
+
+    Plan: fact→dim equi-joins (nation broadcast; customer a keyed
+    shuffle AQE sizes), ONE hash aggregate to nation×day grain —
+    ~25·|days| rows regardless of fact size — then a running-max
+    window over those tiny partitions: the window never sees fact-
+    table cardinality, which is what makes the shape safe at scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wd = daily.withColumn("peak_cents", F.max("rev_cents").over(w))
+    bp = F.expr(
+        "CAST((CAST(peak_cents - rev_cents AS DECIMAL(38,0)) * 10000)"
+        " div peak_cents AS BIGINT)"
+    )
+    return wd.select(
+        "nation", "day", "rev_cents", "peak_cents", bp.alias("drawdown_bp")
+    )

@@ -201,7 +201,7 @@ def test_next_rotation_windows_are_prestaged():
         fresh = {k for k in all_queries() if k not in sampled_all}
         unplanned = fresh - set([*R8_TAIL, *R8_NEW, *R9_NEW, *R10_NEW,
                                  *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
-                                 *R15_NEW])
+                                 *R15_NEW, *R16_NEW])
         assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
 
     oracles = all_oracles()
