@@ -289,6 +289,7 @@ R11_REGRESSION: list[str] = [
 # regression-cohort tail automatically; the window is the first 50).
 R16_NEW: list[str] = [
     "win_drawdown",
+    "ts_sma_crossover",
 ]
 
 # Round-12 regression cohort (VERDICT r11 #1+#2): derived from the

@@ -1348,3 +1348,133 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (c > F.col("r2"))
         & (c * F.col("n") > F.col("s"))
     ).select("event_type", "event_id", "cents")
+
+
+SMA_SHORT, SMA_LONG = 20, 50
+
+
+@query(
+    "ts_sma_crossover",
+    f"""
+    WITH daily AS (
+      SELECT n_name AS nation, o_orderdate AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT nation, day,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(SUM(rev_cents) OVER (PARTITION BY nation ORDER BY day
+                   ROWS BETWEEN {SMA_SHORT - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s_short,
+             CAST(SUM(rev_cents) OVER (PARTITION BY nation ORDER BY day
+                   ROWS BETWEEN {SMA_LONG - 1} PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s_long
+      FROM daily
+      WINDOW w AS (PARTITION BY nation ORDER BY day)
+    ),
+    full_win AS (
+      SELECT nation, day, s_short, s_long,
+             CASE WHEN CAST(s_short AS HUGEINT) * {SMA_LONG}
+                       - CAST(s_long AS HUGEINT) * {SMA_SHORT} > 0 THEN 1
+                  WHEN CAST(s_short AS HUGEINT) * {SMA_LONG}
+                       - CAST(s_long AS HUGEINT) * {SMA_SHORT} < 0 THEN -1
+                  ELSE 0 END AS sgn
+      FROM sums WHERE rn >= {SMA_LONG}
+    ),
+    flagged AS (
+      SELECT nation, day, s_short AS s_short_cents, s_long AS s_long_cents,
+             sgn,
+             LAG(sgn) OVER (PARTITION BY nation ORDER BY day) AS prev_sgn
+      FROM full_win
+    )
+    SELECT nation, day, s_short_cents, s_long_cents,
+           CASE WHEN sgn > prev_sgn THEN 'golden' ELSE 'death' END AS signal
+    FROM flagged
+    WHERE prev_sgn IS NOT NULL AND sgn <> prev_sgn
+    """,
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection (the golden/death-cross
+    signal of every monitoring and trading dashboard) on each
+    nation's daily revenue series: emit the days where the
+    {SMA_SHORT}-day SMA crosses the {SMA_LONG}-day SMA, labeled by
+    direction. Hash-exact with NO float anywhere: SMAs are never
+    divided out — the comparison cross-multiplies the rolling sums
+    (s_short·{SMA_LONG} vs s_long·{SMA_SHORT}), widened through
+    decimal(38,0)/HUGEINT so a 100 TB-scale daily total cannot wrap
+    before the sign test; only full-{SMA_LONG}-row windows emit, and
+    the crossover is a sign CHANGE against the previous full-window
+    row (lag computed after the full-window filter on both engines).
+
+    Plan: same fact→dim join + nation×day hash aggregate as
+    win_drawdown (~25·days rows), then three window passes over the
+    same tiny per-nation sort (two ROWS-frame prefix-style sums + one
+    lag) — the window never sees fact cardinality."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("day")
+    sums = daily.select(
+        "nation",
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev_cents")
+        .over(w.rowsBetween(-(SMA_SHORT - 1), 0))
+        .cast("bigint")
+        .alias("s_short"),
+        F.sum("rev_cents")
+        .over(w.rowsBetween(-(SMA_LONG - 1), 0))
+        .cast("bigint")
+        .alias("s_long"),
+    )
+    d = F.col("s_short").cast("decimal(38,0)") * SMA_LONG - F.col(
+        "s_long"
+    ).cast("decimal(38,0)") * SMA_SHORT
+    full_win = sums.filter(F.col("rn") >= SMA_LONG).select(
+        "nation",
+        "day",
+        "s_short",
+        "s_long",
+        F.when(d > 0, 1).when(d < 0, -1).otherwise(0).alias("sgn"),
+    )
+    flagged = full_win.select(
+        "nation",
+        "day",
+        F.col("s_short").alias("s_short_cents"),
+        F.col("s_long").alias("s_long_cents"),
+        "sgn",
+        F.lag("sgn").over(w).alias("prev_sgn"),
+    )
+    return flagged.filter(
+        F.col("prev_sgn").isNotNull() & (F.col("sgn") != F.col("prev_sgn"))
+    ).select(
+        "nation",
+        "day",
+        "s_short_cents",
+        "s_long_cents",
+        F.when(F.col("sgn") > F.col("prev_sgn"), F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("signal"),
+    )

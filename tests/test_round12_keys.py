@@ -31,3 +31,70 @@ def test_win_drawdown_invariants_and_replay(spark, sf_dir):
     # grain: one row per (nation, day)
     keys = [(r["nation"], r["day"]) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_ts_sma_crossover_sign_replay(spark, sf_dir):
+    """Replay the crossover definition sequentially per nation on the
+    collected daily series: only sign CHANGES between consecutive
+    full-window rows emit, labeled by direction, and the emitted
+    rolling sums equal the replayed ones."""
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        SMA_LONG,
+        SMA_SHORT,
+        ts_sma_crossover,
+    )
+
+    got = {
+        (r["nation"], r["day"]): (
+            r["s_short_cents"], r["s_long_cents"], r["signal"]
+        )
+        for r in ts_sma_crossover(spark, sf_dir).collect()
+    }
+    o = load_table_daily(spark, sf_dir)
+    expect = {}
+    for nation, series in o.items():
+        series.sort(key=lambda t: t[0])
+        revs = [v for _, v in series]
+        prev_sgn = None
+        for i in range(len(revs)):
+            if i + 1 < SMA_LONG:
+                continue
+            s_s = sum(revs[max(0, i - SMA_SHORT + 1): i + 1])
+            s_l = sum(revs[i - SMA_LONG + 1: i + 1])
+            diff = s_s * SMA_LONG - s_l * SMA_SHORT
+            sgn = 1 if diff > 0 else (-1 if diff < 0 else 0)
+            if prev_sgn is not None and sgn != prev_sgn:
+                expect[(nation, series[i][0])] = (
+                    s_s, s_l, "golden" if sgn > prev_sgn else "death"
+                )
+            prev_sgn = sgn
+    assert got == expect
+    assert got  # the fixture produces real crossovers
+
+
+def load_table_daily(spark, sf_dir):
+    """nation -> [(day, rev_cents)] — the shared daily aggregate both
+    round-12 keys window over, re-derived independently for replay."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("o_orderdate").alias("day"))
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+        .collect()
+    )
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r["nation"], []).append((r["day"], r["rev"]))
+    return out

@@ -490,6 +490,22 @@ ANNOTATIONS: dict[str, str] = {
         "equi-join); the 1-row x 1-row moments-x-tie reshape is the "
         "welch shape."
     ),
+    "win_drawdown": (
+        "The running-max window runs on the nation-by-day AGGREGATE "
+        "(~25 x days rows), never on fact cardinality: one hash "
+        "aggregate after the fact->dim equi-joins (nation "
+        "BroadcastHashJoin; customer a keyed shuffle), then the "
+        "window exchange carries only the aggregate. Drawdown math "
+        "is integer end-to-end (decimal(38,0) widening before the "
+        "x1e4 product)."
+    ),
+    "ts_sma_crossover": (
+        "Same fact->dim + nation-by-day aggregate spine as "
+        "win_drawdown; then three window passes over ONE tiny "
+        "per-nation sort (two ROWS-frame sums + lag) — no float "
+        "anywhere: SMA comparison is cross-multiplied rolling sums "
+        "widened through decimal(38,0)."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
