@@ -70,3 +70,16 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+def nz(col: Column) -> Column:
+    """NULL-if-zero denominator guard (ADVICE r11, generalized round
+    12): Spark 4 runs ANSI mode, where double division by zero THROWS
+    DIVIDE_BY_ZERO while DuckDB quietly returns NULL — so every stats
+    denominator that a degenerate input (empty group, n=1, zero
+    variance, all-ties) can drive to zero is wrapped in nullif on the
+    Spark side and NULLIF(...) in the oracle SQL: both engines emit
+    NULL for the out-of-distribution statistic instead of one crashing
+    and the other hash-diverging. Passes nonzero values through
+    bit-unchanged, so fixture hashes are unaffected."""
+    return F.nullif(col, F.lit(0.0))

@@ -24,6 +24,7 @@ from etl_ch_destination_spark.queries._util import (
     disc_price,
     dsum,
     money,
+    nz,
     rate,
     sql_davg,
     sql_dsum,
@@ -805,7 +806,8 @@ def agg_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+             AS corr_qty_price
     FROM s
     """,
 )
@@ -839,7 +841,9 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).cast("double").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    corr = (n * F.col("sxy") - sx * sy) / (
+    # nz: NULL on both engines when an axis is constant in a group
+    # (ANSI throw otherwise) — see queries/_util.nz
+    corr = (n * F.col("sxy") - sx * sy) / nz(
         F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     )
     return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))

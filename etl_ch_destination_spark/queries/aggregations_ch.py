@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.queries._util import nz
 from etl_ch_destination_spark.registry import query
 
 UNIQ_UPTO_N = 50   # uniqUpTo cap: exact below, N+1 sentinel above
@@ -178,9 +179,9 @@ def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+             / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0) AS slope,
            (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                  / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0)) * sx)
              / (100.0 * CAST(n AS DOUBLE)) AS intercept
     FROM s
     """,
@@ -221,7 +222,9 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nd = F.col("n").cast("double")
-    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    # nz: NULL slope on both engines when var(x)=0 in a group (ANSI
+    # throw otherwise) — see queries/_util.nz
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / nz(
         nd * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return s.select(
@@ -371,7 +374,8 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS avg_w_price,
+             / NULLIF(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 0)
+             AS avg_w_price,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag
@@ -388,7 +392,8 @@ def agg_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast("bigint")
     wsum = F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * qty)
     return li.groupBy("l_returnflag").agg(
-        (wsum.cast("double") / F.sum(qty).cast("double")).alias("avg_w_price"),
+        # nz: NULL on both engines at zero total weight
+        (wsum.cast("double") / nz(F.sum(qty).cast("double"))).alias("avg_w_price"),
         F.sum(qty).cast("bigint").alias("total_weight"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -587,8 +592,8 @@ def agg_top_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT b) AS INT) AS n_cols_dim,
            CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
            sqrt(CAST(SUM(term_e6) AS DOUBLE) / 1000000.0
-                / (CAST(MAX(n) AS DOUBLE)
-                   * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1)))
+                / NULLIF(CAST(MAX(n) AS DOUBLE)
+                   * (LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1), 0))
              AS cramers_v
     FROM cells
     """,
@@ -635,7 +640,9 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(
             F.sum("term_e6").cast("double")
             / 1000000.0
-            / (
+            # nz: NULL V on both engines for a single-category variable
+            # (ANSI throw otherwise) — see queries/_util.nz
+            / nz(
                 F.max("n").cast("double")
                 * (F.least(F.countDistinct("a"), F.countDistinct("b")) - 1)
             )
@@ -1004,13 +1011,13 @@ def agg_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(n AS BIGINT) AS n,
            (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-             / ((s2 / n - (s1 / n) * (s1 / n))
-                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skew_pop,
+             / NULLIF((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n)), 0) AS skew_pop,
            (s4 / n - 4 * (s1 / n) * (s3 / n)
               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-             / ((s2 / n - (s1 / n) * (s1 / n))
-                * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurt_excess
+             / NULLIF((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n)), 0) - 3 AS kurt_excess
     FROM s
     """,
 )
@@ -1079,10 +1086,11 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     m = s1 / n
     m2 = s2 / n - m * m
-    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / (m2 * F.sqrt(m2))
+    # nz: NULL on both engines at zero variance (ANSI throw otherwise)
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / nz(m2 * F.sqrt(m2))
     kurt = (
         s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
-    ) / (m2 * m2) - 3
+    ) / nz(m2 * m2) - 3
     return s.select(
         "event_type",
         n.cast("bigint").alias("n"),
@@ -1207,7 +1215,7 @@ def agg_group_array_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
              AS spearman_rho
     FROM s
     """,
@@ -1271,7 +1279,9 @@ def agg_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         hilo("t5").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    rho = (n * F.col("sxy") - sx * sy) / (
+    # nz: NULL on both engines when an axis is constant in a group
+    # (ANSI throw otherwise) — see queries/_util.nz
+    rho = (n * F.col("sxy") - sx * sy) / nz(
         F.sqrt(n * F.col("sxx") - sx * sx)
         * F.sqrt(n * F.col("syy") - sy * sy)
     )
@@ -1297,7 +1307,8 @@ IF_CENTS_CUT = 10_000  # "big ticket" threshold: value > 100.00
            CAST(COALESCE(SUM(cents) FILTER (WHERE cents > {IF_CENTS_CUT}), 0)
                 AS BIGINT) AS sum_big,
            CAST(SUM(cents) FILTER (WHERE cents > {IF_CENTS_CUT}) AS DOUBLE)
-             / COUNT(*) FILTER (WHERE cents > {IF_CENTS_CUT}) AS avg_big,
+             / NULLIF(COUNT(*) FILTER (WHERE cents > {IF_CENTS_CUT}), 0)
+             AS avg_big,
            MIN(cents) FILTER (WHERE cents > {IF_CENTS_CUT}) AS min_big,
            MAX(cents) FILTER (WHERE cents > {IF_CENTS_CUT}) AS max_big,
            CAST(COUNT(DISTINCT user_id) FILTER (WHERE cents > {IF_CENTS_CUT})
@@ -1329,8 +1340,10 @@ def agg_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_big"),
         (
+            # nz: NULL avgIf on both engines for an empty condition
+            # group (ANSI throw otherwise)
             F.sum(cond(F.col("cents"))).cast("double")
-            / F.count(cond(F.lit(1)))
+            / nz(F.count(cond(F.lit(1))).cast("double"))
         ).alias("avg_big"),
         F.min(cond(F.col("cents"))).alias("min_big"),
         F.max(cond(F.col("cents"))).alias("max_big"),
@@ -1374,8 +1387,10 @@ TT_GROUP_B = "view"
     SELECT '{TT_GROUP_A}_vs_{TT_GROUP_B}' AS pair,
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            (sa1 / na - sb1 / nb)
-             / sqrt((sa2 / na - (sa1 / na) * (sa1 / na)) / (na - 1)
-                    + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / (nb - 1))
+             / NULLIF(sqrt(
+                 (sa2 / na - (sa1 / na) * (sa1 / na)) / NULLIF(na - 1, 0)
+                 + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / NULLIF(nb - 1, 0)),
+               0)
              AS welch_t
     FROM w
     """,
@@ -1424,9 +1439,13 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = a.crossJoin(b)  # 1 row × 1 row
     na, nb = F.col("na"), F.col("nb")
     sa1, sa2, sb1, sb2 = (F.col(c) for c in ("sa1", "sa2", "sb1", "sb2"))
-    t = (sa1 / na - sb1 / nb) / F.sqrt(
-        (sa2 / na - (sa1 / na) * (sa1 / na)) / (na - 1)
-        + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / (nb - 1)
+    # nz: NULL (both engines) instead of an ANSI throw at n=1 or zero
+    # within-group variance — see queries/_util.nz
+    t = (sa1 / na - sb1 / nb) / nz(
+        F.sqrt(
+            (sa2 / na - (sa1 / na) * (sa1 / na)) / nz(na - 1)
+            + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / nz(nb - 1)
+        )
     )
     return w.select(
         F.lit(f"{TT_GROUP_A}_vs_{TT_GROUP_B}").alias("pair"),
@@ -1471,7 +1490,8 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT '{TT_GROUP_A}_vs_{TT_GROUP_B}' AS pair, na, nb,
            ra2 AS rank_sum_x2,
            ra2 - na * (na + 1) AS u_x2,
-           CAST(ra2 - na * (na + 1) AS DOUBLE) / (2 * na * nb) AS auc
+           CAST(ra2 - na * (na + 1) AS DOUBLE)
+             / NULLIF(CAST(2 * na * nb AS DOUBLE), 0) AS auc
     FROM s
     """,
 )
@@ -1522,7 +1542,10 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         F.col("ra2").alias("rank_sum_x2"),
         u2.alias("u_x2"),
-        (u2.cast("double") / (2 * F.col("na") * F.col("nb"))).alias("auc"),
+        # nz: NULL on both engines when a group is empty (ANSI throw
+        # otherwise) — see queries/_util.nz
+        (u2.cast("double")
+         / nz((2 * F.col("na") * F.col("nb")).cast("double"))).alias("auc"),
     )
 
 
@@ -1609,7 +1632,7 @@ def agg_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            (n * sxy - sx * sy) / (n * n) AS covar_pop,
-           (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp
+           (n * sxy - sx * sy) / NULLIF(n * (n - 1), 0) AS covar_samp
     FROM s
     """,
 )
@@ -1655,7 +1678,9 @@ def agg_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         n.cast("bigint").alias("n"),
         ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
-        ((n * sxy - sx * sy) / (n * (n - 1))).alias("covar_samp"),
+        # nz: NULL covar_samp at n=1 on both engines (ANSI throw
+        # otherwise) — see queries/_util.nz
+        ((n * sxy - sx * sy) / nz(n * (n - 1))).alias("covar_samp"),
     )
 
 
@@ -1748,8 +1773,9 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            CAST(na + nb - 2 AS BIGINT) AS dof,
            (sa1 / na - sb1 / nb)
-             / sqrt((((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
-                     / (na + nb - 2.0)) * (1.0 / na + 1.0 / nb))
+             / NULLIF(sqrt(
+                 (((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
+                  / NULLIF(na + nb - 2.0, 0)) * (1.0 / na + 1.0 / nb)), 0)
              AS student_t
     FROM w
     """,
@@ -1798,10 +1824,14 @@ def agg_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = a.crossJoin(b)  # 1 row × 1 row
     na, nb = F.col("na"), F.col("nb")
     sa1, sa2, sb1, sb2 = (F.col(c) for c in ("sa1", "sa2", "sb1", "sb2"))
-    t = (sa1 / na - sb1 / nb) / F.sqrt(
-        (((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
-         / (na + nb - F.lit(2.0)))
-        * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    # nz: NULL (both engines) instead of an ANSI throw at n_a=n_b=1 or
+    # zero pooled variance — see queries/_util.nz
+    t = (sa1 / na - sb1 / nb) / nz(
+        F.sqrt(
+            (((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
+             / nz(na + nb - F.lit(2.0)))
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        )
     )
     return w.select(
         F.lit(f"{TT_GROUP_A}_vs_{TT_GROUP_B}").alias("pair"),
@@ -1845,7 +1875,8 @@ def agg_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(nb) AS BIGINT) AS n_b,
            CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
            CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
-             / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks_d
+             / NULLIF(CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE), 0)
+             AS ks_d
     FROM spine
     """,
 )
@@ -1892,8 +1923,10 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("bigint").alias("n_b"),
         F.max(d).cast("bigint").alias("d_num"),
         (
+            # nz: NULL D on both engines when a group is empty
+            # (ANSI throw otherwise) — see queries/_util.nz
             F.max(d).cast("double")
-            / (F.max("na").cast("double") * F.max("nb").cast("double"))
+            / nz(F.max("na").cast("double") * F.max("nb").cast("double"))
         ).alias("ks_d"),
     ).select(
         F.lit(f"{TT_GROUP_A}_vs_{TT_GROUP_B}").alias("pair"),
@@ -1930,13 +1963,13 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
              AS corr_qty_price,
            (n * sxz - sx * sz)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz))
+             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz), 0)
              AS corr_qty_disc,
            (n * syz - sy * sz)
-             / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz))
+             / NULLIF(sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz), 0)
              AS corr_price_disc
     FROM s
     """,
@@ -1975,7 +2008,9 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
 
     def corr(sa, sb, sab, saa, sbb):
-        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / (
+        # nz: NULL on both engines for a constant axis (ANSI throw
+        # otherwise) — see queries/_util.nz
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / nz(
             F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
             * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
         )
@@ -2176,8 +2211,8 @@ def agg_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(o_ab * (length(format('{:b}', n // r_a)) - 1))
                 - SUM(o_ab * (length(format('{:b}', c_b // o_ab)) - 1))
                 AS DOUBLE)
-             / CAST(SUM(o_ab * (length(format('{:b}', n // r_a)) - 1))
-                AS DOUBLE) AS theils_u_bits
+             / NULLIF(CAST(SUM(o_ab * (length(format('{:b}', n // r_a))
+                              - 1)) AS DOUBLE), 0) AS theils_u_bits
     FROM tot
     """,
 )
@@ -2221,7 +2256,9 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n"),
         sx.alias("sx_bits"),
         sxy.alias("sxy_bits"),
-        ((sx - sxy).cast("double") / sx.cast("double")).alias(
+        # nz: NULL U on both engines when H(X)=0 — single category,
+        # zero bit-entropy denominator (ANSI throw otherwise)
+        ((sx - sxy).cast("double") / nz(sx.cast("double"))).alias(
             "theils_u_bits"
         ),
     )
@@ -2261,13 +2298,16 @@ def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(
              GREATEST(0.0,
                CAST(chi2_e6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
-               - CAST((r - 1) * (c - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE))
-             / (LEAST(
+               - CAST((r - 1) * (c - 1) AS DOUBLE)
+                 / NULLIF(CAST(n - 1 AS DOUBLE), 0))
+             / NULLIF(LEAST(
                   CAST(r AS DOUBLE)
-                  - CAST((r - 1) * (r - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE),
+                  - CAST((r - 1) * (r - 1) AS DOUBLE)
+                    / NULLIF(CAST(n - 1 AS DOUBLE), 0),
                   CAST(c AS DOUBLE)
-                  - CAST((c - 1) * (c - 1) AS DOUBLE) / CAST(n - 1 AS DOUBLE))
-                - 1.0)
+                  - CAST((c - 1) * (c - 1) AS DOUBLE)
+                    / NULLIF(CAST(n - 1 AS DOUBLE), 0))
+                - 1.0, 0)
            ) AS cramers_v_bc
     FROM s
     """,
@@ -2311,20 +2351,23 @@ def agg_cramers_v_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_d = F.col("n").cast("double")
     phi2 = F.col("chi2_e6").cast("double") / 1000000.0 / n_d
+    # nz on every (n-1) and on the shrunk-dim denominator: NULL on
+    # both engines at n=1 or a single-category variable (ANSI throw
+    # otherwise) — see queries/_util.nz
     corr = (
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("double")
-        / (F.col("n") - 1).cast("double")
+        / nz((F.col("n") - 1).cast("double"))
     )
     r_sh = F.col("r").cast("double") - (
         ((F.col("r") - 1) * (F.col("r") - 1)).cast("double")
-        / (F.col("n") - 1).cast("double")
+        / nz((F.col("n") - 1).cast("double"))
     )
     c_sh = F.col("c").cast("double") - (
         ((F.col("c") - 1) * (F.col("c") - 1)).cast("double")
-        / (F.col("n") - 1).cast("double")
+        / nz((F.col("n") - 1).cast("double"))
     )
     v = F.sqrt(
-        F.greatest(F.lit(0.0), phi2 - corr) / (F.least(r_sh, c_sh) - 1.0)
+        F.greatest(F.lit(0.0), phi2 - corr) / nz(F.least(r_sh, c_sh) - 1.0)
     )
     return s.select("n", "r", "c", "chi2_e6", v.alias("cramers_v_bc"))
 
@@ -2901,19 +2944,23 @@ def agg_group_array_insert_at(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT category, n_event, n_nonevent,
-           CAST(n_event AS DOUBLE) / t_event AS dist_event,
-           CAST(n_nonevent AS DOUBLE) / t_nonevent AS dist_nonevent,
+           CAST(n_event AS DOUBLE) / NULLIF(t_event, 0) AS dist_event,
+           CAST(n_nonevent AS DOUBLE) / NULLIF(t_nonevent, 0)
+             AS dist_nonevent,
            CASE WHEN n_nonevent > 0 AND n_event > 0
                 THEN (CAST(n_event AS DOUBLE) * CAST(t_nonevent AS DOUBLE))
-                     / (CAST(n_nonevent AS DOUBLE) * CAST(t_event AS DOUBLE))
+                     / NULLIF(CAST(n_nonevent AS DOUBLE)
+                              * CAST(t_event AS DOUBLE), 0)
            END AS woe_odds,
            CASE WHEN n_event + n_nonevent > 0
-                THEN ((CAST(n_event AS DOUBLE) / t_event)
-                      - (CAST(n_nonevent AS DOUBLE) / t_nonevent))
-                     * ((CAST(n_event AS DOUBLE) / t_event)
-                        - (CAST(n_nonevent AS DOUBLE) / t_nonevent))
-                     / ((CAST(n_event AS DOUBLE) / t_event)
-                        + (CAST(n_nonevent AS DOUBLE) / t_nonevent))
+                THEN ((CAST(n_event AS DOUBLE) / NULLIF(t_event, 0))
+                      - (CAST(n_nonevent AS DOUBLE) / NULLIF(t_nonevent, 0)))
+                     * ((CAST(n_event AS DOUBLE) / NULLIF(t_event, 0))
+                        - (CAST(n_nonevent AS DOUBLE)
+                           / NULLIF(t_nonevent, 0)))
+                     / NULLIF((CAST(n_event AS DOUBLE) / NULLIF(t_event, 0))
+                        + (CAST(n_nonevent AS DOUBLE)
+                           / NULLIF(t_nonevent, 0)), 0)
            END AS tri_divergence
     FROM t
     """,
@@ -2947,8 +2994,11 @@ def agg_categorical_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_event").over(w).cast("bigint").alias("t_event"),
         F.sum("n_nonevent").over(w).cast("bigint").alias("t_nonevent"),
     )
-    de = F.col("n_event").cast("double") / F.col("t_event")
-    dne = F.col("n_nonevent").cast("double") / F.col("t_nonevent")
+    # nz: NULL on both engines when a class is globally absent
+    # (ANSI throw otherwise) — see queries/_util.nz
+    de = F.col("n_event").cast("double") / nz(F.col("t_event").cast("double"))
+    dne = (F.col("n_nonevent").cast("double")
+           / nz(F.col("t_nonevent").cast("double")))
     return t.select(
         "category",
         "n_event",
@@ -2958,14 +3008,14 @@ def agg_categorical_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.col("n_nonevent") > 0) & (F.col("n_event") > 0),
             (F.col("n_event").cast("double") * F.col("t_nonevent").cast("double"))
-            / (
+            / nz(
                 F.col("n_nonevent").cast("double")
                 * F.col("t_event").cast("double")
             ),
         ).alias("woe_odds"),
         F.when(
             F.col("n_event") + F.col("n_nonevent") > 0,
-            (de - dne) * (de - dne) / (de + dne),
+            (de - dne) * (de - dne) / nz(de + dne),
         ).alias("tri_divergence"),
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.queries._util import nz
 from etl_ch_destination_spark.registry import query
 
 
@@ -463,9 +464,11 @@ def filter_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation, region, rev_cents,
            CAST(rev_cents AS DOUBLE)
-             / CAST(SUM(rev_cents) OVER () AS DOUBLE) AS pct_of_total,
+             / NULLIF(CAST(SUM(rev_cents) OVER () AS DOUBLE), 0)
+             AS pct_of_total,
            CAST(rev_cents AS DOUBLE)
-             / CAST(SUM(rev_cents) OVER (PARTITION BY region) AS DOUBLE)
+             / NULLIF(CAST(SUM(rev_cents) OVER (PARTITION BY region)
+                           AS DOUBLE), 0)
              AS pct_of_region,
            CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC, nation)
                 AS BIGINT) AS rk
@@ -506,11 +509,12 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         (
             F.col("rev_cents").cast("double")
-            / F.sum("rev_cents").over(w_all).cast("double")
+            # nz: NULL on both engines at zero total — see _util.nz
+            / nz(F.sum("rev_cents").over(w_all).cast("double"))
         ).alias("pct_of_total"),
         (
             F.col("rev_cents").cast("double")
-            / F.sum("rev_cents").over(w_reg).cast("double")
+            / nz(F.sum("rev_cents").over(w_reg).cast("double"))
         ).alias("pct_of_region"),
         F.row_number().over(w_rk).cast("bigint").alias("rk"),
     )

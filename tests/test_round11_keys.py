@@ -510,3 +510,33 @@ def test_stats_keys_degenerate_inputs_null_on_both_engines(spark):
     row = got[0]
     assert row[3] == 0.0   # tie_correction C = 0 when every value ties
     assert row[4] is None  # h_corrected = H/0 -> NULL on both engines
+
+
+def test_two_sample_keys_degenerate_inputs_null_on_both_engines(spark):
+    """Round-12 generalization of the ADVICE r11 guard pass: the
+    two-sample stats keys (welch/student t, KS) on a fixture with
+    zero within-group variance (all values tied per group) must emit
+    the SAME row on both engines — NULL statistic, no ANSI
+    DIVIDE_BY_ZERO. Groups are purchase/view (the TT_GROUP pair)."""
+    import datetime as dt
+
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        agg_student_ttest,
+        agg_welch_ttest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    tied = _degenerate_events_dir(
+        [
+            (1, t0, 1, "purchase", 3.0, "{}"),
+            (2, t0, 2, "purchase", 3.0, "{}"),
+            (3, t0, 3, "view", 9.0, "{}"),
+            (4, t0, 4, "view", 9.0, "{}"),
+        ]
+    )
+    for key, fn in (("welch_ttest", agg_welch_ttest),
+                    ("student_ttest", agg_student_ttest)):
+        got = [tuple(r) for r in fn(spark, tied).collect()]
+        want = _oracle_rows(key, tied)
+        assert got == want, (key, got, want)
+        assert got[0][-1] is None, (key, got)  # statistic NULL, not Inf
