@@ -599,3 +599,81 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fps", F.lit(0).cast("long"), lambda a, b: a.bitwiseXOR(b)
         ).alias("fp_xor"),
     )
+
+
+BLOOM_M = 1 << 20  # bit-space size of the SQL-native Bloom filter
+BLOOM_K = 3        # hash positions per item
+
+
+@query(
+    "llm_dedup_bloom_prefilter",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(string_split(lower(trim(text)),
+                  ' '), 1, 8), ' ')) AS th
+      FROM documents
+    ),
+    idx AS (SELECT DISTINCT th FROM h WHERE doc_id % 2 = 0),
+    probe AS (SELECT doc_id, th FROM h WHERE doc_id % 2 = 1)
+    SELECT p.doc_id, p.th AS text_hash
+    FROM probe p
+    WHERE p.th IN (SELECT th FROM idx)
+    """,
+)
+def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-prefiltered cross-corpus dedup — the standard
+    100 TB pattern for "which new documents already exist in the
+    indexed corpus" (keyed here by the normalized 8-word opening —
+    the llm_dedup_prefix candidate semantics, which the fixture's
+    template-generated corpus actually collides on) when the index
+    side is too big to broadcast raw
+    and a full shuffle join is the cost ceiling. The Bloom filter is
+    expressed in PURE DataFrame ops (Spark's BloomFilterAggregate is
+    an internal expression, not a SQL-registered routine): each index
+    hash sets k={BLOOM_K} positions in an m={BLOOM_M}-bit space
+    (xxhash64 seeded per position — the standard k-hash construction);
+    the DISTINCT set-bit table is bounded by min(k·n, m) rows — the
+    materialized bitmap — and broadcasts; a probe row is a candidate
+    only if ALL k of its positions are set (join on position, count
+    == k): exactly Bloom membership, false positives included. The
+    exact semi-join then re-checks the survivors, so the OUTPUT is
+    exact (hash-oracled against a plain IN-subquery) and the filter
+    is pure plan optimization — the probe-side shuffle into the exact
+    join carries ~the duplicate volume + fpp·|probe| instead of the
+    corpus volume (cf. the parquet-footer variant in
+    sink_parquet_bloom; this is the aggregate/probe form)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.lower(F.trim("text")), " "), 1, 8)
+            )
+        ).alias("th"),
+    )
+    idx = d.filter(F.col("doc_id") % 2 == 0).select("th").distinct()
+    probe = d.filter(F.col("doc_id") % 2 == 1)
+
+    def positions(col):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_M))
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    set_bits = (
+        idx.select(F.explode(positions(F.col("th"))).alias("pos")).distinct()
+    )
+    cand = (
+        probe.select("doc_id", "th", F.explode(positions(F.col("th"))).alias("pos"))
+        .join(F.broadcast(set_bits), "pos")
+        .groupBy("doc_id", "th")
+        .agg(F.count_distinct("pos").alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+        .select("doc_id", "th")
+    )
+    # exact re-check: Bloom false positives die here; output is exact
+    return cand.join(idx, "th", "left_semi").select(
+        "doc_id", F.col("th").alias("text_hash")
+    )

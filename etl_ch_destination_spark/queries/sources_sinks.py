@@ -2240,3 +2240,49 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, n_values bigint, n_nulls bigint, "
         "min_v bigint, max_v bigint",
     )
+
+
+@query(
+    "scan_virtual_columns",
+    """
+    SELECT 'documents.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_row_index_distinct
+    FROM documents
+    """,
+)
+def scan_virtual_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance virtual columns — the ClickHouse `_file` /
+    `_path` / row-number surface every MergeTree and file-engine table
+    exposes, mapped to Spark's `_metadata` hidden struct: per source
+    FILE, the row count, the doc_id range, and the count of DISTINCT
+    `_metadata.row_index` values (which must equal the row count — a
+    duplicate row_index would mean the scan double-read a split, the
+    lineage bug this column family exists to catch at 100 TB).
+
+    The Spark side DERIVES file_name from `_metadata.file_name` in the
+    scan (the virtual column is exercised in the plan, not faked); the
+    oracle pins the fixture's known single-file layout, so a layout
+    change fails the hash gate loudly rather than silently shifting
+    provenance. At cluster scale the same query groups by
+    `_metadata.file_path` across thousands of files — one row per
+    file, the ingestion-manifest audit shape."""
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.count_distinct("row_index")
+            .cast("bigint")
+            .alias("n_row_index_distinct"),
+        )
+    )

@@ -280,6 +280,13 @@ SHUFFLE_ALLOWANCE = {
     #     on the ≤49k-row cents spine or its per-group split; 6 gives
     #     one headroom.
     "agg_kruskal_wallis": 6,
+    #   llm_dedup_bloom_prefilter — index-hash distinct + the set-bit
+    #     distinct (bounded by the 2^20-bit space) + the k-hit
+    #     group-by + the exact semi-join's two sides: 5 structural
+    #     exchanges, and the whole point is that the two biggest ones
+    #     carry the bounded bitmap / prefiltered survivors, never the
+    #     corpus; 6 gives one headroom.
+    "llm_dedup_bloom_prefilter": 6,
     # 3 unrolled power iterations × (edges⋈ranks join + dst agg) over
     # the staged degree-annotated edge list, plus the edge-derivation
     # exchanges — each structural (queries/graph.py)

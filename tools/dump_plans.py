@@ -506,6 +506,18 @@ ANNOTATIONS: dict[str, str] = {
         "anywhere: SMA comparison is cross-multiplied rolling sums "
         "widened through decimal(38,0)."
     ),
+    "llm_dedup_bloom_prefilter": (
+        "The set-bit table (bounded by the 2^20-bit space) is "
+        "BROADCAST to the probe side — the Bloom membership test is a "
+        "BroadcastHashJoin on position + a k-hit count, never a "
+        "corpus-sized shuffle; only the prefiltered survivors reach "
+        "the exact semi-join."
+    ),
+    "scan_virtual_columns": (
+        "_metadata.file_name/row_index resolved INSIDE the parquet "
+        "scan node (constant metadata columns, no extra pass); one "
+        "hash aggregate per file group."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
