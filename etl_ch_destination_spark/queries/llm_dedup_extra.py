@@ -665,12 +665,22 @@ def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_bits = (
         idx.select(F.explode(positions(F.col("th"))).alias("pos")).distinct()
     )
+    # membership = every DISTINCT position of the item is set: two of
+    # an item's k hashes can collide onto one position (guaranteed in
+    # small bit-spaces, ~1e-5 per item even at 2^20), so requiring k
+    # distinct hits would FALSE-NEGATIVE exactly those items — caught
+    # by the forced-saturation gate in tests/test_round12_keys.py
+    probe_pos = probe.select(
+        "doc_id",
+        "th",
+        F.size(F.array_distinct(positions(F.col("th")))).alias("np"),
+        F.explode(F.array_distinct(positions(F.col("th")))).alias("pos"),
+    )
     cand = (
-        probe.select("doc_id", "th", F.explode(positions(F.col("th"))).alias("pos"))
-        .join(F.broadcast(set_bits), "pos")
-        .groupBy("doc_id", "th")
-        .agg(F.count_distinct("pos").alias("k_hit"))
-        .filter(F.col("k_hit") == BLOOM_K)
+        probe_pos.join(F.broadcast(set_bits), "pos")
+        .groupBy("doc_id", "th", "np")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == F.col("np"))
         .select("doc_id", "th")
     )
     # exact re-check: Bloom false positives die here; output is exact

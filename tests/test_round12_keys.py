@@ -157,3 +157,111 @@ def test_scan_virtual_columns_provenance(spark, sf_dir):
     assert (r["n_rows"], r["min_doc_id"], r["max_doc_id"]) == (
         d["n"], d["lo"], d["hi"]
     )
+
+
+def test_lttb_oracle_all_ties_and_exact_boundary(spark):
+    """Adversarial gate for the round-12 LTTB hash-oracle promotion:
+    on an ALL-CONSTANT series every triangle area is 0, so the
+    selection is decided purely by the earliest-index tie-break — the
+    recursive-CTE oracle must reproduce the Python/Spark chain
+    exactly. Also pins the n = LTTB_POINTS + 1 boundary (smallest
+    series that triggers bucketing) and an n <= LTTB_POINTS series
+    (pass-through branch). Spark rows == DuckDB oracle rows on the
+    synthetic fixture, bit-for-bit."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        LTTB_POINTS,
+        ts_downsample_lttb,
+    )
+    from etl_ch_destination_spark.registry import all_oracles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # series A: 4x LTTB_POINTS rows, ALL values identical (tie-break only)
+    for i in range(4 * LTTB_POINTS):
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 1, "click", 5.0))
+        eid += 1
+    # series B: boundary n = LTTB_POINTS + 1, sawtooth values
+    for i in range(LTTB_POINTS + 1):
+        rows.append(
+            (eid, t0 + dt.timedelta(seconds=i), 2, "view",
+             float(1 + (i * 7) % 13))
+        )
+        eid += 1
+    # series C: n <= LTTB_POINTS (pass-through)
+    for i in range(7):
+        rows.append((eid, t0 + dt.timedelta(seconds=i), 3, "error",
+                     float(i)))
+        eid += 1
+
+    tmp = tempfile.mkdtemp(prefix="lttb_adversarial")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
+
+    got = sorted(
+        tuple(r) for r in ts_downsample_lttb(spark, tmp).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(tmp, 'events.parquet')}')"
+    )
+    want = sorted(con.execute(all_oracles()["ts_downsample_lttb"]).fetchall())
+    con.close()
+    assert got == want
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r[0], []).append(r)
+    assert len(by_type["click"]) == LTTB_POINTS   # downsampled
+    assert len(by_type["view"]) == LTTB_POINTS    # boundary bucketing
+    assert len(by_type["error"]) == 7             # pass-through
+    # all-ties: endpoints kept, interior = each bucket's FIRST index
+    click_pos = sorted(p for _, p, _, _ in by_type["click"])
+    assert click_pos[0] == 0 and click_pos[-1] == 4 * LTTB_POINTS - 1
+
+
+def test_bloom_prefilter_exact_under_forced_false_positives(spark, sf_dir, monkeypatch):
+    """The key's central claim is that Bloom false positives NEVER
+    reach the output (the exact semi-join removes them). Force a
+    saturated filter — an 8-bit space makes nearly every probe a
+    Bloom candidate — and assert the output is still exactly the true
+    match set."""
+    import etl_ch_destination_spark.queries.llm_dedup_extra as mod
+
+    monkeypatch.setattr(mod, "BLOOM_M", 8)
+    monkeypatch.setattr(mod, "BLOOM_K", 2)
+    got = {(r["doc_id"], r["text_hash"])
+           for r in mod.llm_dedup_bloom_prefilter(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.lower(F.trim("text")), " "), 1, 8)
+                )
+            ).alias("th"),
+        )
+        .collect()
+    )
+    idx = {r["th"] for r in docs if r["doc_id"] % 2 == 0}
+    expect = {(r["doc_id"], r["th"]) for r in docs
+              if r["doc_id"] % 2 == 1 and r["th"] in idx}
+    assert got == expect
