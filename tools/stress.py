@@ -67,7 +67,7 @@ def main() -> int:
             "comma list of spine names to run (default: all). Names: "
             "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
             "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,bfs,linkpred,"
-            "tri_approx,semdedup,sim,streaming — 'sim' covers the "
+            "tri_approx,semdedup,sim,streaming,asof — 'sim' covers the "
             "exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' the "
             "foreachBatch ingest + session-window state spine"
         ),
@@ -154,6 +154,25 @@ def main() -> int:
                 ),
                 " ",
             ).alias("text"),
+        )
+
+    def replicate_events(ev0, n: int):
+        """N× events with DISJOINT user/event id spaces per copy —
+        sessions, asof-match groups, and state rows all scale exactly
+        N× by construction (shared by the streaming and asof spines)."""
+        if n == 1:
+            return ev0
+        return ev0.withColumn(
+            "__copy", F.explode(F.sequence(F.lit(1), F.lit(n)))
+        ).select(
+            (F.col("event_id") + F.col("__copy").cast("long") * 100_000_000)
+            .alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("__copy").cast("long") * 10_000_000)
+            .alias("user_id"),
+            "event_type",
+            "value",
+            "props",
         )
 
     def time_action(fn) -> float:
@@ -715,6 +734,37 @@ def main() -> int:
             )
             corpus.unpersist(blocking=False)
 
+        if want("asof"):
+            # --- ASOF-join spine: the union+window merge idiom
+            # (ops/asof.py) end-to-end at 1×/10×/30× — the §2.3 custom
+            # operator family's stress row. Disjoint user spaces make
+            # the per-key sorted-window state copy-invariant: wall must
+            # scale ~linearly in rows (one keyed exchange + one
+            # per-user sorted pass; the merge-join cost model, never a
+            # range-join blowup).
+            from etl_ch_destination_spark.ops.asof import asof_join
+            from etl_ch_destination_spark.ops.dedup import latest_by_key
+
+            ev0a = parallelize_scan(load_table(spark, SF_DIR, "events"), spark)
+            eva = replicate_events(ev0a, n)
+            views = eva.filter(F.col("event_type") == "view").select(
+                "event_id", "user_id", "ts", "value"
+            )
+            purch = latest_by_key(
+                eva.filter(F.col("event_type") == "purchase").select(
+                    "event_id", "user_id", "ts", "value"
+                ),
+                ["user_id", "ts"],
+                [F.desc("event_id")],
+            ).select("user_id", "ts", "value")
+
+            def asof_run():
+                asof_join(
+                    views, purch, keys=["user_id"], ts="ts", how="left"
+                ).write.mode("overwrite").format("noop").save()
+
+            row["asof"] = time_action(asof_run)
+
         if want("streaming"):
             # --- streaming spine (VERDICT r11 #6): §2.9 was the one
             # family with no 1×/10×/30× row. Replay events replicated
@@ -738,23 +788,7 @@ def main() -> int:
 
             N_SLICES = 6
             ev0 = parallelize_scan(load_table(spark, SF_DIR, "events"), spark)
-            if n == 1:
-                evr = ev0
-            else:
-                evr = ev0.withColumn(
-                    "__copy", F.explode(F.sequence(F.lit(1), F.lit(n)))
-                ).select(
-                    (F.col("event_id")
-                     + F.col("__copy").cast("long") * 100_000_000)
-                    .alias("event_id"),
-                    "ts",
-                    (F.col("user_id")
-                     + F.col("__copy").cast("long") * 10_000_000)
-                    .alias("user_id"),
-                    "event_type",
-                    "value",
-                    "props",
-                )
+            evr = replicate_events(ev0, n)
             # time-RANGE slicing (parallel — no global window): slice
             # bounds come from the 1× table, identical for every copy.
             b = ev0.agg(
@@ -880,6 +914,7 @@ def main() -> int:
         "line_dedup", "substr_dedup", "cc", "pagerank", "triangles",
         "semdedup", "sim_exact", "sim_lsh", "bfs", "tri_approx",
         "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
+        "asof",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
