@@ -515,8 +515,12 @@ def ivfpq_topk(
     probed-list access pattern an IVF-PQ serving layout has, with
     per-group work |list|·m_sub lookups, never d-dim FLOPs; the only
     d-dim exact math is |queries|·refine·k re-rank rows. Deterministic
-    under the pinned seed (rows-only driver key; recall gate in
-    tests/test_llm.py).
+    under the pinned seed AND a fixed input partitioning — Spark ML
+    KMeans' random init samples per partition, so a different staging
+    mode (localCheckpoint vs durable parquet) can legitimately yield
+    different coarse lists; the mode-independent contract is the
+    recall gate, held in BOTH modes (rows-only driver key; gates in
+    tests/test_llm.py and tests/test_round12_keys.py).
 
     Returns (query_id, neighbor_id, cos_sim, rank).
     """

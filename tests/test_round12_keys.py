@@ -265,3 +265,51 @@ def test_bloom_prefilter_exact_under_forced_false_positives(spark, sf_dir, monke
     expect = {(r["doc_id"], r["th"]) for r in docs
               if r["doc_id"] % 2 == 1 and r["th"] in idx}
     assert got == expect
+
+
+def test_ivfpq_works_under_durable_staging(spark, sf_dir):
+    """The round-12 ivfpq staging claim, exercised in DURABLE mode:
+    with spark.etl_ch.staging.dir set, the staged corpus projection
+    (which carries an ml VectorUDT column) must round-trip through the
+    parquet staging table and still hold the key's recall gate.
+    NOTE the modes are not expected to produce identical top-k: the
+    parquet round-trip changes partitioning, and Spark ML KMeans
+    random init is partitioning-dependent, so the (valid) coarse
+    lists differ — recall vs exact is the mode-independent contract,
+    same floor as the fixture gate."""
+    import os
+    import tempfile
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.ops.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from etl_ch_destination_spark.ops.staging import STAGING_DIR_CONF
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(emb, q, 5))
+    root = tempfile.mkdtemp(prefix="ivfpq_durable")
+    spark.conf.set(STAGING_DIR_CONF, os.path.join(root, "staging"))
+    try:
+        durable = topk_sets(ivfpq_topk(emb, q, 5))
+        # the staging table actually materialized (durable mode ran)
+        staged = os.listdir(os.path.join(root, "staging"))
+        assert any(p.startswith("ivfpq-corpus") for p in staged), staged
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)
+    assert sum(len(v) for v in durable.values()) == 40
+    recall = sum(
+        len(exact[k] & durable.get(k, set())) / len(exact[k]) for k in exact
+    ) / len(exact)
+    assert recall >= 0.8, recall
