@@ -83,3 +83,18 @@ def nz(col: Column) -> Column:
     and the other hash-diverging. Passes nonzero values through
     bit-unchanged, so fixture hashes are unaffected."""
     return F.nullif(col, F.lit(0.0))
+
+
+def pos(col: Column) -> Column:
+    """Clamp a variance-like sqrt argument at zero on both engines
+    (round-12 probe): when moment sums cross 2^53, the double-space
+    n·Σx² − (Σx)² can round to a TINY NEGATIVE even though the exact
+    value is ≥ 0 (Cauchy-Schwarz) — and the engines then diverge
+    catastrophically: Spark sqrt(-ε) = NaN, DuckDB sqrt(-ε) THROWS
+    "Out of Range". greatest(0.0, x) is value-transparent for x ≥ 0,
+    maps −ε (and NULL — both engines agree greatest(0.0, NULL) = 0.0,
+    which the downstream nz() turns back into NULL) to 0.0, and is
+    mirrored as GREATEST(0.0, ...) in the oracle SQL. Keys whose
+    variance numerators stay in exact integer/decimal space need no
+    clamp — exact arithmetic cannot dip below zero."""
+    return F.greatest(F.lit(0.0), col)

@@ -25,6 +25,7 @@ from etl_ch_destination_spark.queries._util import (
     dsum,
     money,
     nz,
+    pos,
     rate,
     sql_davg,
     sql_dsum,
@@ -806,7 +807,8 @@ def agg_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
-             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+             / NULLIF(sqrt(GREATEST(0.0, n * sxx - sx * sx))
+                      * sqrt(GREATEST(0.0, n * syy - sy * sy)), 0)
              AS corr_qty_price
     FROM s
     """,
@@ -844,7 +846,8 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nz: NULL on both engines when an axis is constant in a group
     # (ANSI throw otherwise) — see queries/_util.nz
     corr = (n * F.col("sxy") - sx * sy) / nz(
-        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+        F.sqrt(pos(n * F.col("sxx") - sx * sx))
+        * F.sqrt(pos(n * F.col("syy") - sy * sy))
     )
     return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
-from etl_ch_destination_spark.queries._util import nz
+from etl_ch_destination_spark.queries._util import nz, pos
 from etl_ch_destination_spark.registry import query
 
 UNIQ_UPTO_N = 50   # uniqUpTo cap: exact below, N+1 sentinel above
@@ -1012,7 +1012,8 @@ def agg_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n,
            (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
              / NULLIF((s2 / n - (s1 / n) * (s1 / n))
-                * sqrt(s2 / n - (s1 / n) * (s1 / n)), 0) AS skew_pop,
+                * sqrt(GREATEST(0.0, s2 / n - (s1 / n) * (s1 / n))), 0)
+             AS skew_pop,
            (s4 / n - 4 * (s1 / n) * (s3 / n)
               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
@@ -1087,7 +1088,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = s1 / n
     m2 = s2 / n - m * m
     # nz: NULL on both engines at zero variance (ANSI throw otherwise)
-    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / nz(m2 * F.sqrt(m2))
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / nz(
+        m2 * F.sqrt(pos(m2))
+    )
     kurt = (
         s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
     ) / nz(m2 * m2) - 3
@@ -1215,7 +1218,8 @@ def agg_group_array_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
            (n * sxy - sx * sy)
-             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+             / NULLIF(sqrt(GREATEST(0.0, n * sxx - sx * sx))
+                      * sqrt(GREATEST(0.0, n * syy - sy * sy)), 0)
              AS spearman_rho
     FROM s
     """,
@@ -1282,8 +1286,8 @@ def agg_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nz: NULL on both engines when an axis is constant in a group
     # (ANSI throw otherwise) — see queries/_util.nz
     rho = (n * F.col("sxy") - sx * sy) / nz(
-        F.sqrt(n * F.col("sxx") - sx * sx)
-        * F.sqrt(n * F.col("syy") - sy * sy)
+        F.sqrt(pos(n * F.col("sxx") - sx * sx))
+        * F.sqrt(pos(n * F.col("syy") - sy * sy))
     )
     return s.select(
         "l_returnflag", n.cast("bigint").alias("n"), rho.alias("spearman_rho")
@@ -1387,9 +1391,9 @@ TT_GROUP_B = "view"
     SELECT '{TT_GROUP_A}_vs_{TT_GROUP_B}' AS pair,
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            (sa1 / na - sb1 / nb)
-             / NULLIF(sqrt(
+             / NULLIF(sqrt(GREATEST(0.0,
                  (sa2 / na - (sa1 / na) * (sa1 / na)) / NULLIF(na - 1, 0)
-                 + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / NULLIF(nb - 1, 0)),
+                 + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / NULLIF(nb - 1, 0))),
                0)
              AS welch_t
     FROM w
@@ -1443,8 +1447,10 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-group variance — see queries/_util.nz
     t = (sa1 / na - sb1 / nb) / nz(
         F.sqrt(
-            (sa2 / na - (sa1 / na) * (sa1 / na)) / nz(na - 1)
-            + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / nz(nb - 1)
+            pos(
+                (sa2 / na - (sa1 / na) * (sa1 / na)) / nz(na - 1)
+                + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / nz(nb - 1)
+            )
         )
     )
     return w.select(
@@ -1773,9 +1779,9 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            CAST(na + nb - 2 AS BIGINT) AS dof,
            (sa1 / na - sb1 / nb)
-             / NULLIF(sqrt(
+             / NULLIF(sqrt(GREATEST(0.0,
                  (((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
-                  / NULLIF(na + nb - 2.0, 0)) * (1.0 / na + 1.0 / nb)), 0)
+                  / NULLIF(na + nb - 2.0, 0)) * (1.0 / na + 1.0 / nb))), 0)
              AS student_t
     FROM w
     """,
@@ -1828,9 +1834,11 @@ def agg_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero pooled variance — see queries/_util.nz
     t = (sa1 / na - sb1 / nb) / nz(
         F.sqrt(
-            (((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
-             / nz(na + nb - F.lit(2.0)))
-            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            pos(
+                (((sa2 - (sa1 / na) * sa1) + (sb2 - (sb1 / nb) * sb1))
+                 / nz(na + nb - F.lit(2.0)))
+                * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            )
         )
     )
     return w.select(
@@ -1963,13 +1971,16 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
-             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+             / NULLIF(sqrt(GREATEST(0.0, n * sxx - sx * sx))
+                      * sqrt(GREATEST(0.0, n * syy - sy * sy)), 0)
              AS corr_qty_price,
            (n * sxz - sx * sz)
-             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz), 0)
+             / NULLIF(sqrt(GREATEST(0.0, n * sxx - sx * sx))
+                      * sqrt(GREATEST(0.0, n * szz - sz * sz)), 0)
              AS corr_qty_disc,
            (n * syz - sy * sz)
-             / NULLIF(sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz), 0)
+             / NULLIF(sqrt(GREATEST(0.0, n * syy - sy * sy))
+                      * sqrt(GREATEST(0.0, n * szz - sz * sz)), 0)
              AS corr_price_disc
     FROM s
     """,
@@ -2011,8 +2022,8 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nz: NULL on both engines for a constant axis (ANSI throw
         # otherwise) — see queries/_util.nz
         return (n * F.col(sab) - F.col(sa) * F.col(sb)) / nz(
-            F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
-            * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
+            F.sqrt(pos(n * F.col(saa) - F.col(sa) * F.col(sa)))
+            * F.sqrt(pos(n * F.col(sbb) - F.col(sb) * F.col(sb)))
         )
 
     return s.select(

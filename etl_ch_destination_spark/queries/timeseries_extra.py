@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.queries._util import nz, pos
 from etl_ch_destination_spark.registry import query
 
 EMA_WIN = 16  # lookback; weights 2^0 .. 2^15 (newest highest)
@@ -342,10 +343,12 @@ def date_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
            (CAST(n AS DOUBLE) * CAST(dxy AS DOUBLE)
               - CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(dxx AS DOUBLE)
-                     - CAST(dx AS DOUBLE) * CAST(dx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(dyy AS DOUBLE)
-                       - CAST(dy AS DOUBLE) * CAST(dy AS DOUBLE))) AS r1
+             / NULLIF(sqrt(GREATEST(0.0,
+                        CAST(n AS DOUBLE) * CAST(dxx AS DOUBLE)
+                        - CAST(dx AS DOUBLE) * CAST(dx AS DOUBLE)))
+                * sqrt(GREATEST(0.0,
+                        CAST(n AS DOUBLE) * CAST(dyy AS DOUBLE)
+                        - CAST(dy AS DOUBLE) * CAST(dy AS DOUBLE))), 0) AS r1
     FROM s
     WHERE n * dxx - dx * dx <> 0 AND n * dyy - dy * dy <> 0
     """,
@@ -388,9 +391,15 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     dx, dy, dxy, dxx, dyy = (F.col(c) for c in ("dx", "dy", "dxy", "dxx", "dyy"))
     nd = n.cast("double")
-    r1 = (nd * dxy.cast("double") - dx.cast("double") * dy.cast("double")) / (
-        F.sqrt(nd * dxx.cast("double") - dx.cast("double") * dx.cast("double"))
-        * F.sqrt(nd * dyy.cast("double") - dy.cast("double") * dy.cast("double"))
+    # pos/nz (round-12 sqrt clamp): the exact-decimal WHERE filter
+    # guarantees true variance > 0, but THIS expression re-derives it
+    # in doubles, which can round to -eps past 2^53 — Spark sqrt(-eps)
+    # is NaN where DuckDB THROWS; see queries/_util.pos
+    r1 = (nd * dxy.cast("double") - dx.cast("double") * dy.cast("double")) / nz(
+        F.sqrt(pos(nd * dxx.cast("double")
+                   - dx.cast("double") * dx.cast("double")))
+        * F.sqrt(pos(nd * dyy.cast("double")
+                     - dy.cast("double") * dy.cast("double")))
     )
     return (
         s.filter((n * dxx - dx * dx != 0) & (n * dyy - dy * dy != 0))

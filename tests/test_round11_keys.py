@@ -540,3 +540,37 @@ def test_two_sample_keys_degenerate_inputs_null_on_both_engines(spark):
         want = _oracle_rows(key, tied)
         assert got == want, (key, got, want)
         assert got[0][-1] is None, (key, got)  # statistic NULL, not Inf
+
+
+def test_two_sample_keys_negative_rounded_variance_clamped(spark):
+    """Round-12 sqrt-clamp proof on a CONSTRUCTED failure: three
+    identical huge values (777129422 cents each) make the
+    double-space variance term sa2/na − (sa1/na)² round to −128.0
+    even though the exact variance is 0 — unclamped, Spark returns
+    NaN while DuckDB sqrt() THROWS 'Out of Range'. With the
+    GREATEST(0, ·) clamp both engines emit the SAME row: a NULL
+    statistic."""
+    import datetime as dt
+
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        agg_student_ttest,
+        agg_welch_ttest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # cents = 777129422 (inside the keys' DECIMAL(9,0) domain); three
+    # identical values round the hi/lo-split variance term to -128.0
+    big = 7771294.22
+    rows = []
+    for i in range(3):
+        rows.append((i, t0, i, "purchase", big, "{}"))
+    for i in range(3, 6):
+        rows.append((i, t0, i, "view", 7.0, "{}"))
+    d = _degenerate_events_dir(rows)
+    for key, fn in (("welch_ttest", agg_welch_ttest),
+                    ("student_ttest", agg_student_ttest)):
+        got = [tuple(r) for r in fn(spark, d).collect()]
+        want = _oracle_rows(key, d)
+        assert got == want, (key, got, want)
+        stat = got[0][-1]
+        assert stat is None or stat == stat, (key, got)  # never NaN
