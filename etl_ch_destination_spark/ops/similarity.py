@@ -558,7 +558,14 @@ def ivfpq_topk(
     # durable parquet staging table under spark.etl_ch.staging.dir at
     # cluster scale, where caching a 100 TB corpus projection in
     # executor memory is impossible but a one-write staging table is
-    # the standard IVF-PQ build layout.
+    # the standard IVF-PQ build layout. Durable-mode hygiene: the
+    # table is TERMINAL for the returned lazy frame (the re-rank join
+    # reads it at action time), so it is deliberately NOT deleted here
+    # — per StagingPipeline semantics, terminal tables fall to the
+    # job's teardown or a staging-dir TTL policy; each ivfpq_topk call
+    # in durable mode leaves exactly one uuid-suffixed corpus-
+    # projection table behind (ADVICE r12), so long-running sessions
+    # must run under a TTL'd staging dir.
     cn = stage(cn, label="ivfpq-corpus")
     # Coarse-quantizer quality barely moves end recall here — the probe
     # set covers n_probe/n_clusters of the mass and the shortlist is

@@ -631,8 +631,9 @@ def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a full shuffle join is the cost ceiling. The Bloom filter is
     expressed in PURE DataFrame ops (Spark's BloomFilterAggregate is
     an internal expression, not a SQL-registered routine): each index
-    hash sets k={BLOOM_K} positions in an m={BLOOM_M}-bit space
-    (xxhash64 seeded per position — the standard k-hash construction);
+    hash sets k = BLOOM_K = 3 positions in an m = BLOOM_M = 2^20-bit
+    space (xxhash64 seeded per position — the standard k-hash
+    construction);
     the DISTINCT set-bit table is bounded by min(k·n, m) rows — the
     materialized bitmap — and broadcasts; a probe row is a candidate
     only if ALL k of its positions are set (join on position, count

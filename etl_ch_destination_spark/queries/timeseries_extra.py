@@ -1410,13 +1410,13 @@ SMA_SHORT, SMA_LONG = 20, 50
 def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving-average crossover detection (the golden/death-cross
     signal of every monitoring and trading dashboard) on each
-    nation's daily revenue series: emit the days where the
-    {SMA_SHORT}-day SMA crosses the {SMA_LONG}-day SMA, labeled by
-    direction. Hash-exact with NO float anywhere: SMAs are never
-    divided out — the comparison cross-multiplies the rolling sums
-    (s_short·{SMA_LONG} vs s_long·{SMA_SHORT}), widened through
+    nation's daily revenue series: emit the days where the short
+    (SMA_SHORT = 20-day) SMA crosses the long (SMA_LONG = 50-day)
+    SMA, labeled by direction. Hash-exact with NO float anywhere:
+    SMAs are never divided out — the comparison cross-multiplies the
+    rolling sums (s_short·50 vs s_long·20), widened through
     decimal(38,0)/HUGEINT so a 100 TB-scale daily total cannot wrap
-    before the sign test; only full-{SMA_LONG}-row windows emit, and
+    before the sign test; only full-50-row windows emit, and
     the crossover is a sign CHANGE against the previous full-window
     row (lag computed after the full-window filter on both engines).
 

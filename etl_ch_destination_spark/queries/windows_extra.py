@@ -1174,7 +1174,7 @@ def wma_over(v: DataFrame) -> DataFrame:
     )
     SELECT nation, day, rev_cents, peak_cents,
            CAST(CAST(peak_cents - rev_cents AS HUGEINT) * 10000
-                // peak_cents AS BIGINT) AS drawdown_bp
+                // NULLIF(peak_cents, 0) AS BIGINT) AS drawdown_bp
     FROM wd
     """,
 )
@@ -1186,8 +1186,11 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (cents; the ·10⁴ product widened through decimal(38,0)/
     HUGEINT so a 100 TB-scale daily total cannot wrap int64 before the
     divide; truncating integer division on both engines) — hash-exact
-    with no float policy needed, and peak ≥ rev > 0 makes the divide
-    total.
+    with no float policy needed. peak ≥ rev > 0 on TPC-H, but the
+    denominator is still NULLIF-guarded on BOTH engines (an all-zero
+    revenue day would otherwise throw DIVIDE_BY_ZERO under ANSI Spark
+    while DuckDB's `//` returns NULL — the engine-divergence class the
+    repo-wide nz()/NULLIF convention exists to eliminate).
 
     Plan: fact→dim equi-joins (nation broadcast; customer a keyed
     shuffle AQE sizes), ONE hash aggregate to nation×day grain —
@@ -1222,7 +1225,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = daily.withColumn("peak_cents", F.max("rev_cents").over(w))
     bp = F.expr(
         "CAST((CAST(peak_cents - rev_cents AS DECIMAL(38,0)) * 10000)"
-        " div peak_cents AS BIGINT)"
+        " div NULLIF(peak_cents, 0) AS BIGINT)"
     )
     return wd.select(
         "nation", "day", "rev_cents", "peak_cents", bp.alias("drawdown_bp")
