@@ -68,6 +68,9 @@ EFFECTFUL = {
     # writes columnar wire blocks to scratch
     "scan_native_import": (
         "test_relational_round4.py", "test_native_import_round_trips_embeddings"),
+    # writes Avro container files to scratch
+    "scan_avro_import": (
+        "test_round13_keys.py", "test_scan_avro_import_roundtrip_vs_source"),
     # writes view-state versions to scratch
     "job_matview_refresh": (
         "test_relational_round4.py",

@@ -518,6 +518,28 @@ ANNOTATIONS: dict[str, str] = {
         "scan node (constant metadata columns, no extra pass); one "
         "hash aggregate per file group."
     ),
+    "agg_quantile_tdigest": (
+        "Per-shard digest build = ONE window sort over group x shard "
+        "partitions + a hash aggregate collapsing to <= delta "
+        "centroids per (group, shard); every exchange after the build "
+        "carries centroid rows (|groups| x |shards| x delta, "
+        "kilobytes), never raw data — the CH quantileTDigestState/"
+        "Merge rollup shape. The estimator is window functions over "
+        "<= delta rows per group."
+    ),
+    "scan_avro_import": (
+        "Encode and decode are both Arrow-batched mapInPandas over "
+        "independent container files — zero exchanges in either leg "
+        "beyond the parquet scan of the staged blocks; the Python "
+        "work is the wire protocol itself (per-row byte encoding is "
+        "inherent at the egress/ingress boundary, not a hot-path UDF)."
+    ),
+    "geo_h3_hexgrid": (
+        "Cell assignment is pure int64 map-side codegen (no float, no "
+        "trig, no join); ONE partial+final hash aggregate keyed by "
+        "(hq, hr) — the exchange carries cell rows bounded by the "
+        "grid, not points."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
