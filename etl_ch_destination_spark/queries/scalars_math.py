@@ -687,3 +687,108 @@ def geo_h3_hexgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acct_cents",
         )
     )
+
+
+# The six hex neighbors in doubled axial coordinates: E/W same-lattice
+# (±2, 0) and the four cross-lattice diagonals (±1, ±1) — the
+# same-lattice vertical pair (0, ±2) is SECOND ring (center distance H
+# ≈ W√3 > W), pinned by the ring-sweep test in tests/test_round13_keys.
+HEX_NEIGHBOR_OFFSETS = [(2, 0), (-2, 0), (1, 1), (-1, 1), (1, -1), (-1, -1)]
+_HEX_OFFSET_VALUES = ", ".join(f"({dq}, {dr})" for dq, dr in HEX_NEIGHBOR_OFFSETS)
+
+
+@query(
+    "geo_h3_kring_smooth",
+    f"""
+    WITH cells AS (
+      SELECT cell.hq AS hq, cell.hr AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT {_HEX_CELL_DUCK} AS cell FROM customer)
+      GROUP BY 1, 2
+    ),
+    ring AS (
+      SELECT c.hq + o.dq AS hq, c.hr + o.dr AS hr, c.n
+      FROM cells c, (VALUES {_HEX_OFFSET_VALUES}) AS o(dq, dr)
+    )
+    SELECT c.hq, c.hr, c.n,
+           COALESCE(r.neigh_n, 0) AS neigh_n,
+           COALESCE(r.n_neighbors, 0) AS n_neighbors,
+           CAST(c.n + COALESCE(r.neigh_n, 0) AS DOUBLE)
+             / (1 + COALESCE(r.n_neighbors, 0)) AS smooth_n
+    FROM cells c
+    LEFT JOIN (
+      SELECT hq, hr, CAST(SUM(n) AS BIGINT) AS neigh_n,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      FROM ring GROUP BY 1, 2
+    ) r ON r.hq = c.hq AND r.hr = c.hr
+    """,
+)
+def geo_h3_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring neighborhood smoothing over the hex grid — the
+    ClickHouse ``h3kRing``-then-rollup pattern and the reason spatial
+    pipelines prefer hexes (every neighbor is equidistant, so a 1-ring
+    mean is an unbiased local density): each populated cell's count is
+    averaged with its ≤ 6 populated hex neighbors (smooth_n =
+    (n + Σ neighbor n) / (1 + #populated neighbors)).
+
+    Neighbor lookup in doubled axial coordinates is a PURE OFFSET
+    equi-join — scatter each cell to its six (dq, dr) offsets
+    (HEX_NEIGHBOR_OFFSETS, the ±2/±1±1 ring pinned by the round-13
+    tessellation test) and hash-join back on (hq, hr); no geometry at
+    query time, which is exactly why pipelines bucket FIRST. Integer
+    counts throughout; the one double division is identical on both
+    engines.
+
+    Plan/scale: cells (bounded by the grid) aggregate first — the 6×
+    scatter happens on CELL rows, never points, and is an EXPLODE of a
+    literal offset array (a projection — no nested-loop join node);
+    the final LEFT self-join is an equi-hash-join between two
+    cell-cardinality sides. At 100 TB the point→cell aggregate
+    dominates and everything after is grid-bounded — the h3 rollup
+    contract."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.select(F.expr(_HEX_CELL_SPARK).alias("cell"))
+        .groupBy(
+            F.col("cell.hq").alias("hq"), F.col("cell.hr").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # the 6-offset scatter is an EXPLODE of a literal array — a pure
+    # projection, no join node (a broadcast cross join would plan a
+    # BroadcastNestedLoopJoin for the same 6× expansion)
+    offset_arr = F.array(
+        *[
+            F.struct(
+                F.lit(dq).cast("long").alias("dq"),
+                F.lit(dr).cast("long").alias("dr"),
+            )
+            for dq, dr in HEX_NEIGHBOR_OFFSETS
+        ]
+    )
+    ring = (
+        cells.select("hq", "hr", "n", F.explode(offset_arr).alias("o"))
+        .select(
+            (F.col("hq") + F.col("o.dq")).alias("hq"),
+            (F.col("hr") + F.col("o.dr")).alias("hr"),
+            "n",
+        )
+        .groupBy("hq", "hr")
+        .agg(
+            F.sum("n").cast("bigint").alias("neigh_n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        )
+    )
+    out = cells.join(ring, ["hq", "hr"], "left")
+    neigh_n = F.coalesce(F.col("neigh_n"), F.lit(0))
+    n_nb = F.coalesce(F.col("n_neighbors"), F.lit(0))
+    return out.select(
+        "hq",
+        "hr",
+        "n",
+        neigh_n.alias("neigh_n"),
+        n_nb.alias("n_neighbors"),
+        (
+            (F.col("n") + neigh_n).cast("double") / (F.lit(1) + n_nb)
+        ).alias("smooth_n"),
+    )

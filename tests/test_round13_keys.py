@@ -453,3 +453,42 @@ def test_hexgrid_assignment_is_nearest_center():
                 for ox, oy in ((0, 0), (w // 2, h // 2)):
                     cand = (x - (i * w + ox)) ** 2 + (y - (j * h + oy)) ** 2
                     assert dbest <= cand, (x, y, hq, hr, i, j, ox, oy)
+
+
+def test_hexgrid_kring_smooth_replay(spark, sf_dir):
+    """smooth_n equals the python replay: per populated cell, the mean
+    of its own count and its populated hex neighbors' counts."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.scalars_math import (
+        HEX_NEIGHBOR_OFFSETS,
+        geo_h3_kring_smooth,
+    )
+
+    got = {
+        (r["hq"], r["hr"]): (r["n"], r["neigh_n"], r["n_neighbors"], r["smooth_n"])
+        for r in geo_h3_kring_smooth(spark, sf_dir).collect()
+    }
+    keys = [
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    cells: dict[tuple, int] = {}
+    for k in keys:
+        lat = (k * 1103515245 + 12345) % 90000001 - 45000000
+        lon = (k * 787766257 + 54321) % 120000001 - 60000000
+        c = _hex_cell(lon + 180000000, lat + 90000000)
+        cells[c] = cells.get(c, 0) + 1
+    assert set(got) == set(cells)
+    for (hq, hr), n in cells.items():
+        nb = [
+            cells[(hq + dq, hr + dr)]
+            for dq, dr in HEX_NEIGHBOR_OFFSETS
+            if (hq + dq, hr + dr) in cells
+        ]
+        gn, gneigh, gk, gsm = got[(hq, hr)]
+        assert gn == n
+        assert gneigh == sum(nb)
+        assert gk == len(nb)
+        assert gsm == (n + sum(nb)) / (1 + len(nb))
+    # the fixture actually exercises neighbors
+    assert any(v[2] > 0 for v in got.values())

@@ -540,6 +540,14 @@ ANNOTATIONS: dict[str, str] = {
         "(hq, hr) — the exchange carries cell rows bounded by the "
         "grid, not points."
     ),
+    "geo_h3_kring_smooth": (
+        "Points collapse to cells FIRST; the 6-offset neighbor "
+        "scatter is an explode over CELL rows (a projection — no "
+        "nested-loop join node), and the ring rollup + LEFT self-join "
+        "are grid-bounded hash exchanges. The h3kRing smoothing "
+        "contract with zero point-cardinality work after the first "
+        "aggregate."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
