@@ -2383,3 +2383,100 @@ def scan_avro_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_orderkey bigint, o_orderstatus string, price_cents bigint,"
         " ts_us bigint, note string",
     )
+
+
+@query(
+    "scan_avro_evolution",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents,
+           CAST(0.0 AS DOUBLE) AS discount_pct
+    FROM orders
+    """,
+)
+def scan_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCHEMA RESOLUTION as a source — the evolution contract
+    (spec §Schema Resolution) that makes Avro the Kafka default:
+    producers upgrade the writer schema, consumers keep reading under
+    their own reader schema. Orders are encoded under the v1 WRITER
+    schema (o_orderkey long, o_orderstatus string, o_year int,
+    o_totalprice decimal-bytes), then decoded under a v2 READER schema
+    that exercises every resolution rule the module supports
+    (sink/avro.resolve_record): o_orderstatus is WRITER-ONLY (decoded
+    and discarded), o_year is PROMOTED int→long, discount_pct is
+    READER-ONLY and takes its declared default 0.0, and field match is
+    by NAME across the reordered layouts. Unresolvable pairs and
+    missing defaults raise (tests/test_round13_keys.py).
+
+    The hash oracle compares the resolved rows against the relational
+    source — proving the v1 bytes surface exactly the v2 view a
+    consumer expects. Same distributed shape as scan_avro_import:
+    Arrow-batched encode/decode over independent container files."""
+    from etl_ch_destination_spark.sink.avro import (
+        avro_blocks,
+        avro_schema,
+        decode_container_resolved,
+    )
+
+    path = _scratch(sf_dir, "scan_avro_evolution")
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_orderstatus"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(12,2)"),
+    )
+    writer = avro_schema(src.schema)
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_year", "type": "long"},  # promoted int -> long
+            {
+                "name": "o_totalprice",
+                "type": ["null", {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 12,
+                    "scale": 2,
+                }],
+            },
+            {"name": "discount_pct", "type": "double", "default": 0.0},
+        ],
+    }
+    avro_blocks(
+        src, rows_per_file=8192, objects_per_block=2048, codec="deflate"
+    ).write.mode("overwrite").parquet(path)
+    files = spark.read.parquet(path)
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "o_orderkey": [],
+                "o_year": [],
+                "price_cents": [],
+                "discount_pct": [],
+            }
+            for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                rows = decode_container_resolved(bytes(payload), reader, writer)
+                if len(rows) != int(n):
+                    raise ValueError(
+                        f"container row-count drift: {len(rows)} != {n}"
+                    )
+                for k, y, p, disc in rows:
+                    out["o_orderkey"].append(k)
+                    out["o_year"].append(y)
+                    out["price_cents"].append(int(p.scaleb(2)))
+                    out["discount_pct"].append(disc)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        decode_partition,
+        schema="o_orderkey bigint, o_year bigint, price_cents bigint,"
+        " discount_pct double",
+    )

@@ -272,6 +272,142 @@ def decode_record(schema: dict, buf: bytes, pos: int) -> tuple[tuple, int]:
 
 
 # --------------------------------------------------------------------
+# schema resolution (spec §Schema Resolution): read data written with
+# the WRITER schema under a different READER schema — the evolution
+# contract every Avro consumer relies on when producers upgrade.
+# Supported subset (all flat records here): field match by name;
+# writer-only fields are decoded and DISCARDED; reader-only fields
+# take the reader's declared "default" (a missing default raises, per
+# spec); int→long/float→double promotions; ["null", T] unions on
+# either side.
+# --------------------------------------------------------------------
+
+_PROMOTIONS = {("int", "long"), ("int", "double"), ("long", "double"),
+               ("float", "double")}
+
+
+def _resolvable(wt, rt) -> bool:
+    if wt == rt:
+        return True
+    if isinstance(wt, str) and isinstance(rt, str):
+        return (wt, rt) in _PROMOTIONS
+    return False
+
+
+def resolve_record(
+    writer: dict, reader: dict, buf: bytes, pos: int
+) -> tuple[tuple, int]:
+    """Decode one record written as ``writer`` into the ``reader``
+    field layout (reader field order), applying the spec's resolution
+    rules. Raises on an unresolvable field-type pair or on a
+    reader-only field with no default."""
+    raw = {}
+    for f in writer["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            branch, pos = read_zigzag(buf, pos)
+            if branch == 0:
+                raw[f["name"]] = (None, "null")
+                continue
+            if branch != 1:
+                raise ValueError(f"bad union branch {branch} in {f['name']}")
+            t = t[1]
+        v, pos = _decode_primitive(t, buf, pos)
+        raw[f["name"]] = (v, t)
+    vals = []
+    for f in reader["fields"]:
+        rt = f["type"]
+        r_nullable = isinstance(rt, list)
+        r_base = rt[1] if r_nullable else rt
+        if f["name"] in raw:
+            v, wt = raw[f["name"]]
+            if v is None:
+                if not r_nullable:
+                    raise ValueError(
+                        f"null written into non-nullable reader field "
+                        f"{f['name']}"
+                    )
+                vals.append(None)
+                continue
+            if not _resolvable(wt, r_base):
+                raise ValueError(
+                    f"unresolvable type for {f['name']}: "
+                    f"writer {wt} -> reader {r_base}"
+                )
+            if r_base == "double" and isinstance(v, int):
+                v = float(v)
+            if r_base == "long" and isinstance(v, int):
+                v = int(v)
+            vals.append(v)
+        else:
+            if "default" not in f:
+                raise ValueError(
+                    f"reader-only field {f['name']} has no default"
+                )
+            vals.append(f["default"])
+    return tuple(vals), pos
+
+
+def decode_container_resolved(
+    payload: bytes, reader_schema: dict, expected_writer: dict | None = None
+):
+    """decode_container under schema resolution: parse blocks with the
+    file's embedded WRITER schema, emit rows in the READER layout.
+    Same validation surface (magic, codec, sync markers, exact block
+    consumption)."""
+    if payload[:4] != AVRO_MAGIC:
+        raise ValueError("bad Avro magic")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = read_zigzag(payload, pos)
+        if count == 0:
+            break
+        if count < 0:
+            count, pos = -count, read_zigzag(payload, pos)[1]
+        for _ in range(count):
+            n, pos = read_zigzag(payload, pos)
+            k = payload[pos : pos + n].decode()
+            pos += n
+            n, pos = read_zigzag(payload, pos)
+            meta[k] = payload[pos : pos + n]
+            pos += n
+    writer = json.loads(meta["avro.schema"])
+    if expected_writer is not None and writer != expected_writer:
+        raise ValueError(f"writer schema mismatch: {writer} != {expected_writer}")
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec}")
+    sync = payload[pos : pos + 16]
+    pos += 16
+    if len(sync) != 16:
+        raise ValueError("truncated header sync marker")
+    rows: list[tuple] = []
+    while pos < len(payload):
+        count, pos = read_zigzag(payload, pos)
+        size, pos = read_zigzag(payload, pos)
+        if count < 0 or size < 0 or pos + size > len(payload):
+            raise ValueError("bad block framing")
+        data = payload[pos : pos + size]
+        pos += size
+        if codec == "deflate":
+            d = zlib.decompressobj(-15)
+            data = d.decompress(data) + d.flush()
+            if d.unused_data:
+                raise ValueError("trailing compressed bytes in block")
+        p = 0
+        for _ in range(count):
+            row, p = resolve_record(writer, reader_schema, data, p)
+            rows.append(row)
+        if p != len(data):
+            raise ValueError(f"trailing bytes in block: {len(data) - p}")
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+    return rows
+
+
+# --------------------------------------------------------------------
 # container file encode/decode
 # --------------------------------------------------------------------
 

@@ -71,6 +71,9 @@ EFFECTFUL = {
     # writes Avro container files to scratch
     "scan_avro_import": (
         "test_round13_keys.py", "test_scan_avro_import_roundtrip_vs_source"),
+    # writes v1-writer-schema Avro files to scratch
+    "scan_avro_evolution": (
+        "test_round13_keys.py", "test_scan_avro_evolution_resolves_v1_to_v2"),
     # writes view-state versions to scratch
     "job_matview_refresh": (
         "test_relational_round4.py",

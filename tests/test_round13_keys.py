@@ -492,3 +492,91 @@ def test_hexgrid_kring_smooth_replay(spark, sf_dir):
         assert gsm == (n + sum(nb)) / (1 + len(nb))
     # the fixture actually exercises neighbors
     assert any(v[2] > 0 for v in got.values())
+
+
+# ------------------------------------------------------------------
+# Avro schema resolution
+# ------------------------------------------------------------------
+
+
+def test_avro_resolution_rules():
+    """Spec §Schema Resolution, unit level: name match across
+    reordered layouts, writer-only discard, reader-only default,
+    int→long / int→double promotion, missing default raises,
+    unresolvable pair raises."""
+    from etl_ch_destination_spark.sink.avro import (
+        encode_record,
+        resolve_record,
+    )
+
+    writer = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "gone", "type": "string"},
+            {"name": "b", "type": ["null", "long"]},
+        ],
+    }
+    payload = encode_record(writer, (7, "drop-me", 99))
+
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "b", "type": ["null", "long"]},   # reordered
+            {"name": "a", "type": "long"},             # int -> long
+            {"name": "c", "type": "double", "default": 1.5},  # reader-only
+        ],
+    }
+    row, pos = resolve_record(writer, reader, payload, 0)
+    assert row == (99, 7, 1.5)
+    assert pos == len(payload)
+
+    no_default = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "c", "type": "double"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        resolve_record(writer, no_default, payload, 0)
+
+    bad_type = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "gone", "type": "long"}],  # string -> long
+    }
+    with pytest.raises(ValueError, match="unresolvable"):
+        resolve_record(writer, bad_type, payload, 0)
+
+    # int -> double promotion
+    as_double = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "a", "type": "double"}],
+    }
+    row, _ = resolve_record(writer, as_double, payload, 0)
+    assert row == (7.0,) and isinstance(row[0], float)
+
+
+def test_scan_avro_evolution_resolves_v1_to_v2(spark, sf_dir):
+    """The distributed key: v1-written container files surface the v2
+    reader view — promoted o_year, defaulted discount_pct, discarded
+    o_orderstatus — exactly matching the relational source."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_avro_evolution,
+    )
+
+    got = {
+        r["o_orderkey"]: (r["o_year"], r["price_cents"], r["discount_pct"])
+        for r in scan_avro_evolution(spark, sf_dir).collect()
+    }
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    expect = {
+        r["o_orderkey"]: (r["y"], r["pc"], 0.0) for r in src.collect()
+    }
+    assert got == expect

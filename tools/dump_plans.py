@@ -540,6 +540,12 @@ ANNOTATIONS: dict[str, str] = {
         "(hq, hr) — the exchange carries cell rows bounded by the "
         "grid, not points."
     ),
+    "scan_avro_evolution": (
+        "Same block-parallel mapInPandas shape as scan_avro_import; "
+        "the resolution work (writer-only discard, int->long "
+        "promotion, reader default) happens per record inside the "
+        "Arrow batch — no extra plan nodes, no exchange."
+    ),
     "geo_h3_kring_smooth": (
         "Points collapse to cells FIRST; the 6-offset neighbor "
         "scatter is an explode over CELL rows (a projection — no "
