@@ -120,6 +120,14 @@ BENCH_KEYS = [
     "graph_jaccard_linkpred",
     "graph_triangle_approx",
     "llm_sim_topk_ivfpq",
+    # round-13 additions: the deterministic t-digest (group x shard
+    # window build + centroid-only exchanges), the int64 hex-grid
+    # rollup (map-side codegen + one grid-bounded agg), and the Avro
+    # container round trip (the suite's Python-wire-format
+    # representative: Arrow-batched encode -> parquet stage -> decode)
+    "agg_quantile_tdigest",
+    "geo_h3_hexgrid",
+    "scan_avro_import",
 ]
 
 N_RUNS = 5
