@@ -786,6 +786,24 @@ def main() -> int:
                 read_staged_stream,
             )
 
+            # Scale WITHIN-batch parallelism with batch size (the r10
+            # triangle-spine "partitions ∝ data" rule, applied to the
+            # replay read): maxFilesPerTrigger=1 makes each micro-batch
+            # one staged file, and at 300× that file is ~51 MB — under
+            # the default 128 MB maxPartitionBytes, so the WHOLE 5M-row
+            # batch ran as ONE task end-to-end (scan→stamp→sink write
+            # has no exchange) and fbatch collapsed super-linearly
+            # (12.8 → 92 s for 3× rows, caught by the gate in the
+            # first r13 run). 8 MB splits a factor-N batch into ~N×
+            # size/8MB tasks: 30× stays 1 task (r12 rows unchanged),
+            # 100× → ~3, 300× → ~7 — micro-batch COUNT still constant,
+            # exactly a Kafka consumer whose partition count follows
+            # topic volume.
+            _prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024)
+            )
+
             N_SLICES = 6
             ev0 = parallelize_scan(load_table(spark, SF_DIR, "events"), spark)
             evr = replicate_events(ev0, n)
@@ -864,6 +882,7 @@ def main() -> int:
             _sh.rmtree(staged, ignore_errors=True)
             _sh.rmtree(scratch_dir(f"stress_stream/{n}x_sink"),
                        ignore_errors=True)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", _prev_mpb)
 
         results[str(n)] = row
         spark.catalog.clearCache()
