@@ -67,9 +67,10 @@ def main() -> int:
             "comma list of spine names to run (default: all). Names: "
             "q1,join_agg,topk_global,neardup,vocab_score,ngram_novelty,"
             "line_dedup,bpe_vocab_rounds,cc,pagerank,triangles,bfs,linkpred,"
-            "tri_approx,semdedup,sim,streaming,asof — 'sim' covers the "
-            "exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' the "
-            "foreachBatch ingest + session-window state spine"
+            "tri_approx,semdedup,sim,streaming,asof,tdigest — 'sim' covers "
+            "the exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' "
+            "the foreachBatch ingest + session-window state spine; "
+            "'tdigest' the centroid-sketch build at fixed vs scaled shards"
         ),
     )
     args = ap.parse_args()
@@ -884,6 +885,71 @@ def main() -> int:
                        ignore_errors=True)
             spark.conf.set("spark.sql.files.maxPartitionBytes", _prev_mpb)
 
+        if want("tdigest"):
+            # --- t-digest build spine (round 13): the
+            # agg_quantile_tdigest per-shard digest build — the ONE
+            # scale question the key leaves open is shard sizing. At
+            # the fixture's FIXED 8 shards, per-(grp, shard) window
+            # partitions grow ∝ rows (24 partitions total — the memory
+            # wall the docstring warns about); with shards ∝ factor
+            # (the production rule: shard count follows cluster/data),
+            # partition size stays constant and the build should track
+            # rows linearly. Both are measured; the scaled form is
+            # linearity-GATED, and the centroid bound |grp|×|shards|×δ
+            # is asserted exactly (a sketch whose state grows with ROWS
+            # is not a sketch).
+            from pyspark.sql.window import Window as W
+
+            li_t = replicate(li0, n, ["l_orderkey"])
+            TD_DELTA, TD_BASE_SHARDS = 128, 8
+
+            def td_state(shards: int):
+                src = li_t.select(
+                    F.col("l_returnflag").alias("grp"),
+                    (F.col("l_orderkey") % shards).alias("shard"),
+                    (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+                    .cast("bigint")
+                    .alias("cents"),
+                )
+                w_rank = W.partitionBy("grp", "shard").orderBy("cents")
+                return (
+                    src.select(
+                        "grp",
+                        "shard",
+                        "cents",
+                        F.row_number().over(w_rank).alias("rn"),
+                        F.count(F.lit(1))
+                        .over(W.partitionBy("grp", "shard"))
+                        .alias("n"),
+                    )
+                    .withColumn(
+                        "bucket",
+                        F.expr(
+                            f"CAST(({TD_DELTA} * (2 * rn - 1)) "
+                            f"div (2 * n) AS BIGINT)"
+                        ),
+                    )
+                    .groupBy("grp", "shard", "bucket")
+                    .agg(
+                        F.sum("cents").alias("s"),
+                        F.count(F.lit(1)).alias("w"),
+                    )
+                )
+
+            def td_run(shards: int):
+                def run():
+                    td_state(shards).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+
+                return run
+
+            scaled = TD_BASE_SHARDS * n
+            row["tdigest_fixed8"] = time_action(td_run(TD_BASE_SHARDS))
+            row["tdigest"] = time_action(td_run(scaled))
+            row["tdigest_centroids"] = td_state(scaled).count()
+            row["tdigest_centroid_bound"] = 3 * scaled * TD_DELTA
+
         results[str(n)] = row
         spark.catalog.clearCache()
         # Reclaim the factor's durable staging tables: standalone
@@ -933,7 +999,7 @@ def main() -> int:
         "line_dedup", "substr_dedup", "cc", "pagerank", "triangles",
         "semdedup", "sim_exact", "sim_lsh", "bfs", "tri_approx",
         "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
-        "asof",
+        "asof", "tdigest",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
@@ -990,6 +1056,19 @@ def main() -> int:
             print(
                 f"FAIL stream ingest collapsed: {e1} ev/s at {f1}x -> "
                 f"{e2} ev/s at {f2}x (floor: 1/3)",
+                file=sys.stderr,
+            )
+            rc = 1
+    # t-digest state-bound gate (round 13): the sketch's state must
+    # stay ≤ |groups| × |shards| × δ AT EVERY factor — state growing
+    # with rows instead of shards would mean the bucket rule leaks.
+    for f in factors:
+        c = results[str(f)].get("tdigest_centroids")
+        bound = results[str(f)].get("tdigest_centroid_bound")
+        if c is not None and bound is not None and c > bound:
+            print(
+                f"FAIL tdigest centroids {c} > bound {bound} at {f}x "
+                "(sketch state must scale with shards, never rows)",
                 file=sys.stderr,
             )
             rc = 1
