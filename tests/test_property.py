@@ -523,3 +523,112 @@ def test_bfs_matches_sequential_reference_on_random_graphs(spark, edges):
     assert got == expected
     assert rounds < 64  # converged, not budget-exhausted
     assert rounds <= BFS_MAX_ROUNDS + 2  # and promptly: ecc+1 ≤ 14
+
+
+# --- Avro container fuzz (round 13): the hand-rolled byte format must
+# round-trip ARBITRARY values — unicode, emoji, huge
+# longs, negative decimals, microsecond-edge timestamps, None in every
+# nullable slot — under both codecs. Pure python (no Spark job per
+# example), so examples are cheap and the count can be high.
+
+import datetime as _dt
+import decimal as _decimal
+
+_avro_longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_avro_strings = st.text(max_size=40)
+_avro_decimals = st.decimals(
+    min_value=-(10**10), max_value=10**10, places=2, allow_nan=False,
+    allow_infinity=False,
+)
+_avro_ts = st.datetimes(
+    min_value=_dt.datetime(1, 1, 1),
+    max_value=_dt.datetime(9999, 12, 31, 23, 59, 59),
+).map(lambda d: d.replace(microsecond=(d.second * 7919) % 1000000))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            _avro_longs,
+            st.one_of(st.none(), _avro_strings),
+            _avro_decimals,
+            _avro_ts,
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+    per_block=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=150, deadline=None)
+def test_avro_container_roundtrip_fuzz(rows, codec, per_block):
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from etl_ch_destination_spark.sink.avro import (
+        avro_schema,
+        decode_container,
+        encode_container,
+    )
+
+    schema = avro_schema(
+        StructType(
+            [
+                StructField("k", LongType(), False),
+                StructField("s", StringType(), True),
+                StructField("d", DecimalType(14, 2), False),
+                StructField("t", TimestampType(), False),
+            ]
+        )
+    )
+    payload = encode_container(
+        schema, rows, codec=codec, objects_per_block=per_block
+    )
+    back = decode_container(payload, schema)
+    assert back == [tuple(r) for r in rows]
+
+
+@given(
+    vals=st.lists(st.tuples(_avro_longs, st.one_of(st.none(), _avro_strings)),
+                  min_size=0, max_size=20),
+)
+@settings(max_examples=80, deadline=None)
+def test_avro_resolution_fuzz_promotion_and_default(vals):
+    """Resolution fuzz: writer (int-ish long, nullable string) read
+    under a reader that promotes, drops, reorders, and defaults."""
+    from etl_ch_destination_spark.sink.avro import (
+        decode_container,
+        decode_container_resolved,
+        encode_container,
+    )
+
+    writer = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "s", "type": ["null", "string"]},  # reordered
+            {"name": "a", "type": "double"},            # promoted
+            {"name": "extra", "type": "long", "default": -1},
+        ],
+    }
+    payload = encode_container(writer, vals, codec="deflate",
+                               objects_per_block=3)
+    # unresolved decode is the identity…
+    assert decode_container(payload, writer) == [tuple(v) for v in vals]
+    # …and the resolved decode applies the rules row-for-row
+    got = decode_container_resolved(payload, reader, writer)
+    assert got == [(s, float(a), -1) for a, s in vals]
