@@ -1120,7 +1120,14 @@ def agg_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = (
         r.withColumn(
             "bucket",
-            F.expr(f"CAST(({TD_DELTA} * (2 * rn - 1)) div (2 * n) AS BIGINT)"),
+            F.expr(
+                # rn is IntegerType (row_number): widen BEFORE the
+                # multiply or the product overflows int32 at ~8.39M
+                # rows per (grp, shard) — ANSI Spark would throw where
+                # the BIGINT-native DuckDB oracle succeeds
+                f"CAST(({TD_DELTA} * (2 * CAST(rn AS BIGINT) - 1))"
+                f" div (2 * n) AS BIGINT)"
+            ),
         )
         .groupBy("grp", "shard", "bucket")
         .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("w"))

@@ -1292,6 +1292,10 @@ def _bpe_apply_merge(sym_col, left: str, right: str):
 # just-merged token can never re-match l because l||r is strictly
 # longer — the same argument as _bpe_apply_merge). Single-symbol words
 # ride along as (l, NULL) rows, pushed last in the argmax order.
+# Corpus preconditions (pinned by tests/test_round13_keys.py::
+# test_bpe_oracle_corpus_preconditions): no word contains U+001F (the
+# fold separator) and no non-BMP characters (engine char-split
+# semantics could diverge on surrogates).
 _BPE_RECURSION_SQL = f"""
 WITH RECURSIVE vocab0 AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms

@@ -107,13 +107,21 @@ def zigzag(n: int) -> bytes:
 
 
 def read_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
-    """Decode zigzag varint at ``pos``; returns (value, next_pos)."""
+    """Decode zigzag varint at ``pos``; returns (value, next_pos).
+
+    Rejects encodings longer than 10 bytes AND a 10th byte carrying
+    anything beyond bit 0: shift 63 holds the last valid long bit, so
+    a 10th byte of e.g. 0x7F would silently accumulate u > 2^64 and
+    decode to a value outside Avro's long range — fail loudly instead
+    (the encoder's zigzag() rejects such values symmetrically)."""
     shift = u = 0
     while True:
         if pos >= len(buf):
             raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
+        if shift == 63 and b & 0xFE:
+            raise ValueError("varint out of long range")
         u |= (b & 0x7F) << shift
         if not b & 0x80:
             return (u >> 1) ^ -(u & 1), pos
@@ -354,57 +362,13 @@ def decode_container_resolved(
     """decode_container under schema resolution: parse blocks with the
     file's embedded WRITER schema, emit rows in the READER layout.
     Same validation surface (magic, codec, sync markers, exact block
-    consumption)."""
-    if payload[:4] != AVRO_MAGIC:
-        raise ValueError("bad Avro magic")
-    pos = 4
-    meta: dict[str, bytes] = {}
-    while True:
-        count, pos = read_zigzag(payload, pos)
-        if count == 0:
-            break
-        if count < 0:
-            count, pos = -count, read_zigzag(payload, pos)[1]
-        for _ in range(count):
-            n, pos = read_zigzag(payload, pos)
-            k = payload[pos : pos + n].decode()
-            pos += n
-            n, pos = read_zigzag(payload, pos)
-            meta[k] = payload[pos : pos + n]
-            pos += n
-    writer = json.loads(meta["avro.schema"])
-    if expected_writer is not None and writer != expected_writer:
-        raise ValueError(f"writer schema mismatch: {writer} != {expected_writer}")
-    codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"unsupported codec {codec}")
-    sync = payload[pos : pos + 16]
-    pos += 16
-    if len(sync) != 16:
-        raise ValueError("truncated header sync marker")
-    rows: list[tuple] = []
-    while pos < len(payload):
-        count, pos = read_zigzag(payload, pos)
-        size, pos = read_zigzag(payload, pos)
-        if count < 0 or size < 0 or pos + size > len(payload):
-            raise ValueError("bad block framing")
-        data = payload[pos : pos + size]
-        pos += size
-        if codec == "deflate":
-            d = zlib.decompressobj(-15)
-            data = d.decompress(data) + d.flush()
-            if d.unused_data:
-                raise ValueError("trailing compressed bytes in block")
-        p = 0
-        for _ in range(count):
-            row, p = resolve_record(writer, reader_schema, data, p)
-            rows.append(row)
-        if p != len(data):
-            raise ValueError(f"trailing bytes in block: {len(data) - p}")
-        if payload[pos : pos + 16] != sync:
-            raise ValueError("sync marker mismatch")
-        pos += 16
-    return rows
+    consumption) — one shared walker, so a framing fix can never drift
+    between the plain and resolved decoders."""
+
+    def resolve_one(writer: dict, data: bytes, p: int):
+        return resolve_record(writer, reader_schema, data, p)
+
+    return _walk_container(payload, expected_writer, resolve_one)
 
 
 # --------------------------------------------------------------------
@@ -443,10 +407,21 @@ def encode_container(
     return bytes(out)
 
 
-def decode_container(payload: bytes, expected_schema: dict | None = None):
-    """Parse a container file back into rows, validating everything:
-    magic, embedded writer schema vs ``expected_schema`` (when given),
-    codec, every block's sync marker, and exact block consumption."""
+def _read_sized(payload: bytes, pos: int, what: str) -> tuple[bytes, int]:
+    """A length-prefixed byte run with BOUNDS CHECKS: a negative length
+    would rewind ``pos`` (a crafted metadata map could loop the parser
+    forever), an oversized one would silently slice short — both raise."""
+    n, pos = read_zigzag(payload, pos)
+    if n < 0 or pos + n > len(payload):
+        raise ValueError(f"bad {what} length {n}")
+    return payload[pos : pos + n], pos + n
+
+
+def _walk_container(payload, expected_writer, decode_one):
+    """The shared container walk: validate magic / metadata / codec /
+    every block's sync marker / exact block consumption, and hand each
+    record to ``decode_one(writer_schema, block_bytes, offset)``. Both
+    public decoders are thin wrappers — keep all framing logic HERE."""
     if payload[:4] != AVRO_MAGIC:
         raise ValueError("bad Avro magic")
     pos = 4
@@ -455,19 +430,16 @@ def decode_container(payload: bytes, expected_schema: dict | None = None):
         count, pos = read_zigzag(payload, pos)
         if count == 0:
             break
-        if count < 0:  # negative block count carries a byte size next
+        if count < 0:  # negative map-block count carries a byte size next
             count, pos = -count, read_zigzag(payload, pos)[1]
         for _ in range(count):
-            n, pos = read_zigzag(payload, pos)
-            k = payload[pos : pos + n].decode()
-            pos += n
-            n, pos = read_zigzag(payload, pos)
-            meta[k] = payload[pos : pos + n]
-            pos += n
-    schema = json.loads(meta["avro.schema"])
-    if expected_schema is not None and schema != expected_schema:
+            kb, pos = _read_sized(payload, pos, "metadata key")
+            vb, pos = _read_sized(payload, pos, "metadata value")
+            meta[kb.decode()] = vb
+    writer = json.loads(meta["avro.schema"])
+    if expected_writer is not None and writer != expected_writer:
         raise ValueError(
-            f"writer schema mismatch: {schema} != {expected_schema}"
+            f"writer schema mismatch: {writer} != {expected_writer}"
         )
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
@@ -491,7 +463,7 @@ def decode_container(payload: bytes, expected_schema: dict | None = None):
                 raise ValueError("trailing compressed bytes in block")
         p = 0
         for _ in range(count):
-            row, p = decode_record(schema, data, p)
+            row, p = decode_one(writer, data, p)
             rows.append(row)
         if p != len(data):
             raise ValueError(f"trailing bytes in block: {len(data) - p}")
@@ -499,6 +471,17 @@ def decode_container(payload: bytes, expected_schema: dict | None = None):
             raise ValueError("sync marker mismatch")
         pos += 16
     return rows
+
+
+def decode_container(payload: bytes, expected_schema: dict | None = None):
+    """Parse a container file back into rows, validating everything:
+    magic, embedded writer schema vs ``expected_schema`` (when given),
+    codec, every block's sync marker, and exact block consumption."""
+
+    def decode_one(writer: dict, data: bytes, p: int):
+        return decode_record(writer, data, p)
+
+    return _walk_container(payload, expected_schema, decode_one)
 
 
 def avro_blocks(

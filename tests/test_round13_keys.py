@@ -187,7 +187,10 @@ def test_tdigest_state_is_mergeable_and_bounded(spark, sf_dir):
         )
         .withColumn(
             "bucket",
-            F.expr(f"CAST(({TD_DELTA} * (2 * rn - 1)) div (2 * n) AS BIGINT)"),
+            F.expr(
+                f"CAST(({TD_DELTA} * (2 * CAST(rn AS BIGINT) - 1))"
+                f" div (2 * n) AS BIGINT)"
+            ),
         )
         .groupBy("grp", "shard", "bucket")
         .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("w"))
@@ -580,3 +583,67 @@ def test_scan_avro_evolution_resolves_v1_to_v2(spark, sf_dir):
         r["o_orderkey"]: (r["y"], r["pc"], 0.0) for r in src.collect()
     }
     assert got == expect
+
+
+def test_avro_crafted_framing_raises():
+    """The review-hardened framing guards: a negative metadata length
+    must raise (it used to rewind the parser — a crafted container
+    could loop it forever), and a 10-byte varint carrying bits beyond
+    the long range must raise instead of silently decoding wrong."""
+    from etl_ch_destination_spark.sink.avro import (
+        AVRO_MAGIC,
+        avro_schema,
+        decode_container,
+        encode_container,
+        read_zigzag,
+        zigzag,
+    )
+
+    # varint: 10th byte with any bit above bit 0 is out of long range
+    evil = bytes([0xFF] * 9 + [0x7F])
+    with pytest.raises(ValueError, match="out of long range"):
+        read_zigzag(evil, 0)
+    # the full long range itself still round-trips
+    for v in (-(2**63), 2**63 - 1, 0, -1):
+        assert read_zigzag(zigzag(v), 0)[0] == v
+
+    # container whose metadata map declares a NEGATIVE key length
+    crafted = AVRO_MAGIC + zigzag(1) + zigzag(-9)
+    with pytest.raises(ValueError, match="metadata key length"):
+        decode_container(crafted, None)
+    # ...and an oversized value length (silent short-slice before)
+    crafted = (
+        AVRO_MAGIC + zigzag(1) + zigzag(3) + b"abc" + zigzag(10**6)
+    )
+    with pytest.raises(ValueError, match="metadata value length"):
+        decode_container(crafted, None)
+
+    # sanity: the hardened walker still decodes a real file (both
+    # public decoders share it now)
+    schema = avro_schema(_tiny_schema())
+    rows = _tiny_rows()
+    payload = encode_container(schema, rows, codec="deflate")
+    assert decode_container(payload, schema) == rows
+
+
+def test_bpe_oracle_corpus_preconditions(spark, sf_dir):
+    """The recursive-CTE BPE oracle's two stated preconditions on the
+    corpus, pinned: no word contains U+001F (the fold's token
+    separator — a word containing it would merge across token
+    boundaries on the DuckDB side only), and no non-BMP characters
+    (Java's split-by-empty-regex and DuckDB's string_split(w, '')
+    could disagree on surrogate handling). If a future fixture regen
+    violates either, THIS fails before the driver gate mismatches."""
+    from etl_ch_destination_spark.catalog import load_table
+
+    bad = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            F.col("w").contains("\x1f")
+            | F.col("w").rlike("[^\\x00-\\uFFFF]")
+        )
+        .limit(1)
+        .count()
+    )
+    assert bad == 0

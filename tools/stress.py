@@ -804,86 +804,93 @@ def main() -> int:
             spark.conf.set(
                 "spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024)
             )
+            # restored in the finally below — an exception mid-spine
+            # must not leak the 8 MB override into later spines/factors
+            # (it would silently skew their timings)
 
-            N_SLICES = 6
-            ev0 = parallelize_scan(load_table(spark, SF_DIR, "events"), spark)
-            evr = replicate_events(ev0, n)
-            # time-RANGE slicing (parallel — no global window): slice
-            # bounds come from the 1× table, identical for every copy.
-            b = ev0.agg(
-                F.min(F.unix_micros("ts")).alias("lo"),
-                F.max(F.unix_micros("ts")).alias("hi"),
-            ).collect()[0]
-            span = max(b["hi"] - b["lo"] + 1, 1)
-            slice_col = F.least(
-                F.floor(
-                    (F.unix_micros("ts") - F.lit(b["lo"]))
-                    * F.lit(N_SLICES) / F.lit(span)
-                ),
-                F.lit(N_SLICES - 1),
-            ).cast("int")
-            staged = scratch_dir(f"stress_stream/{n}x")
-            _sh.rmtree(staged, ignore_errors=True)
-            sliced = evr.withColumn("__slice", slice_col)
-            for i in range(N_SLICES):
-                (
-                    sliced.filter(F.col("__slice") == i)
-                    .drop("__slice")
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(staged)
-                )
-
-            def run_fbatch():
-                out = scratch_dir(f"stress_stream/{n}x_sink")
-                ck = scratch_dir(f"stress_stream/{n}x_ckpt")
-                _sh.rmtree(out, ignore_errors=True)
-                _sh.rmtree(ck, ignore_errors=True)
-                q = spipe.foreach_batch_load(
-                    read_staged_stream(spark, staged), out, ck
-                )
-                q.awaitTermination()
-
-            def run_session():
-                ck = scratch_dir(f"stress_stream/{n}x_ckpt2")
-                _sh.rmtree(ck, ignore_errors=True)
-                q = (
-                    spipe.session_gap(read_staged_stream(spark, staged))
-                    .writeStream.format("noop")
-                    .outputMode("complete")
-                    .option("checkpointLocation", ck)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-                return q
-
-            n_events = evr.count()
-            t_fb = time_action(run_fbatch)
-            run_session()  # warm-up
-            t_ss_runs, state_rows = [], 0
-            for _ in range(args.runs):
-                t0 = time.monotonic()
-                q = run_session()
-                t_ss_runs.append(time.monotonic() - t0)
-                prog = q.lastProgress
-                if prog and prog.get("stateOperators"):
-                    state_rows = max(
-                        state_rows, prog["stateOperators"][0]["numRowsTotal"]
+            try:
+                N_SLICES = 6
+                ev0 = parallelize_scan(load_table(spark, SF_DIR, "events"), spark)
+                evr = replicate_events(ev0, n)
+                # time-RANGE slicing (parallel — no global window): slice
+                # bounds come from the 1× table, identical for every copy.
+                b = ev0.agg(
+                    F.min(F.unix_micros("ts")).alias("lo"),
+                    F.max(F.unix_micros("ts")).alias("hi"),
+                ).collect()[0]
+                span = max(b["hi"] - b["lo"] + 1, 1)
+                slice_col = F.least(
+                    F.floor(
+                        (F.unix_micros("ts") - F.lit(b["lo"]))
+                        * F.lit(N_SLICES) / F.lit(span)
+                    ),
+                    F.lit(N_SLICES - 1),
+                ).cast("int")
+                staged = scratch_dir(f"stress_stream/{n}x")
+                _sh.rmtree(staged, ignore_errors=True)
+                sliced = evr.withColumn("__slice", slice_col)
+                for i in range(N_SLICES):
+                    (
+                        sliced.filter(F.col("__slice") == i)
+                        .drop("__slice")
+                        .coalesce(1)
+                        .write.mode("append")
+                        .parquet(staged)
                     )
-            row.update(
-                {
-                    "stream_events": n_events,
-                    "stream_fbatch": round(statistics.median([t_fb]), 3),
-                    "stream_session": round(statistics.median(t_ss_runs), 3),
-                    "stream_fbatch_evps": round(t_fb and n_events / t_fb),
-                    "stream_state_rows": state_rows,
-                }
-            )
-            _sh.rmtree(staged, ignore_errors=True)
-            _sh.rmtree(scratch_dir(f"stress_stream/{n}x_sink"),
-                       ignore_errors=True)
-            spark.conf.set("spark.sql.files.maxPartitionBytes", _prev_mpb)
+
+                def run_fbatch():
+                    out = scratch_dir(f"stress_stream/{n}x_sink")
+                    ck = scratch_dir(f"stress_stream/{n}x_ckpt")
+                    _sh.rmtree(out, ignore_errors=True)
+                    _sh.rmtree(ck, ignore_errors=True)
+                    q = spipe.foreach_batch_load(
+                        read_staged_stream(spark, staged), out, ck
+                    )
+                    q.awaitTermination()
+
+                def run_session():
+                    ck = scratch_dir(f"stress_stream/{n}x_ckpt2")
+                    _sh.rmtree(ck, ignore_errors=True)
+                    q = (
+                        spipe.session_gap(read_staged_stream(spark, staged))
+                        .writeStream.format("noop")
+                        .outputMode("complete")
+                        .option("checkpointLocation", ck)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+                    return q
+
+                n_events = evr.count()
+                t_fb = time_action(run_fbatch)
+                run_session()  # warm-up
+                t_ss_runs, state_rows = [], 0
+                for _ in range(args.runs):
+                    t0 = time.monotonic()
+                    q = run_session()
+                    t_ss_runs.append(time.monotonic() - t0)
+                    prog = q.lastProgress
+                    if prog and prog.get("stateOperators"):
+                        state_rows = max(
+                            state_rows, prog["stateOperators"][0]["numRowsTotal"]
+                        )
+                row.update(
+                    {
+                        "stream_events": n_events,
+                        "stream_fbatch": round(statistics.median([t_fb]), 3),
+                        "stream_session": round(statistics.median(t_ss_runs), 3),
+                        "stream_fbatch_evps": round(t_fb and n_events / t_fb),
+                        "stream_state_rows": state_rows,
+                    }
+                )
+                _sh.rmtree(staged, ignore_errors=True)
+                _sh.rmtree(scratch_dir(f"stress_stream/{n}x_sink"),
+                           ignore_errors=True)
+            finally:
+                spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", _prev_mpb
+                )
 
         if want("tdigest"):
             # --- t-digest build spine (round 13): the
@@ -925,7 +932,8 @@ def main() -> int:
                     .withColumn(
                         "bucket",
                         F.expr(
-                            f"CAST(({TD_DELTA} * (2 * rn - 1)) "
+                            f"CAST(({TD_DELTA} * "
+                            f"(2 * CAST(rn AS BIGINT) - 1)) "
                             f"div (2 * n) AS BIGINT)"
                         ),
                     )
