@@ -1132,8 +1132,22 @@ def agg_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "shard", "bucket")
         .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("w"))
     )
+    return td_merge_quantiles(state, ["shard", "bucket"]).withColumnRenamed(
+        "grp", "l_returnflag"
+    )
+
+
+def td_merge_quantiles(state: DataFrame, tie_cols: list[str]) -> DataFrame:
+    """The pinned t-digest MERGE + ESTIMATE over a centroid state table
+    ``(grp, *tie_cols, s, w)`` — the single source of the policy, used
+    by both the batch key above (tie = shard, bucket) and the streaming
+    state key (tie = batch tag, bucket): weighted points sorted by mean
+    with ``tie_cols`` as the deterministic tiebreak, re-clustered by k0
+    on cumulative weight, midpoint interpolation clamped at the
+    outermost centroids. Returns (grp, n, p50, p90, p99); the cents →
+    unit division by 100 happens here."""
     mean = F.col("s").cast("double") / F.col("w")
-    w_cum = Window.partitionBy("grp").orderBy(mean, "shard", "bucket")
+    w_cum = Window.partitionBy("grp").orderBy(mean, *tie_cols)
     ordered = state.select(
         "grp",
         "s",
@@ -1183,4 +1197,4 @@ def agg_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias(f"p{tag}")
         )
-    return seg.groupBy(F.col("grp").alias("l_returnflag")).agg(*aggs)
+    return seg.groupBy("grp").agg(*aggs)

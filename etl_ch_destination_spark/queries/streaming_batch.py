@@ -348,3 +348,166 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+def _td_stream_oracle() -> str:
+    from etl_ch_destination_spark.queries.aggregations import (
+        TD_DELTA,
+        _td_pred_est,
+    )
+
+    sel = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN {_td_pred_est(q)[0]} THEN {_td_pred_est(q)[1]} END)"
+        f" / 100.0 AS DOUBLE) AS p{tag}"
+        for tag, q in (("50", "0.50"), ("90", "0.90"), ("99", "0.99"))
+    )
+    return f"""
+    WITH sliced AS (
+      SELECT event_type AS grp, event_id,
+             NTILE(6) OVER (ORDER BY ts, event_id) AS slice,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    tagged AS (  -- per-slice batch tag = the slice's min event id
+      SELECT grp, cents,
+             MIN(event_id) OVER (PARTITION BY slice) AS btag
+      FROM sliced
+    ),
+    r AS (
+      SELECT grp, btag, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp, btag ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp, btag) AS n
+      FROM tagged
+    ),
+    state AS (  -- one digest per (group, micro-batch)
+      SELECT grp, btag,
+             CAST(({TD_DELTA} * (2 * rn - 1)) // (2 * n) AS BIGINT) AS bucket,
+             SUM(cents) AS s, COUNT(*) AS w
+      FROM r GROUP BY 1, 2, 3
+    ),
+    ordered AS (
+      SELECT grp, s, w,
+             SUM(w) OVER (PARTITION BY grp
+                          ORDER BY CAST(s AS DOUBLE) / w, btag, bucket) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS total
+      FROM state
+    ),
+    merged AS (
+      SELECT grp,
+             CAST(({TD_DELTA} * (2 * cum - w)) // (2 * total) AS BIGINT)
+               AS mbucket,
+             SUM(s) AS s, SUM(w) AS w, MAX(total) AS total
+      FROM ordered GROUP BY 1, 2
+    ),
+    posn AS (
+      SELECT grp, mbucket, total, CAST(s AS DOUBLE) / w AS mean,
+             CAST(SUM(w) OVER (PARTITION BY grp ORDER BY mbucket) AS DOUBLE)
+               - CAST(w AS DOUBLE) / 2 AS m
+      FROM merged
+    ),
+    seg AS (
+      SELECT grp, total, mean, m,
+             LEAD(mean) OVER (PARTITION BY grp ORDER BY mbucket) AS mean2,
+             LEAD(m) OVER (PARTITION BY grp ORDER BY mbucket) AS m2,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mbucket) AS ci
+      FROM posn
+    )
+    SELECT grp AS event_type,
+           CAST(MAX(total) AS BIGINT) AS n,
+           {sel}
+    FROM seg GROUP BY grp
+    """
+
+
+@query("stream_tdigest_state", _td_stream_oracle())
+def stream_tdigest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming QUANTILE-SKETCH state maintenance, actually streamed —
+    the ClickHouse materialized-view ``quantileTDigestState`` idiom on
+    Structured Streaming: events replay as an availableNow stream (one
+    staged time-slice file per micro-batch), each micro-batch builds
+    its own ≤ δ-centroid t-digest per event_type inside foreachBatch
+    and APPENDS the centroids to a parquet state table; after the
+    stream drains, ONE flat pinned merge (agg_quantile_tdigest's
+    td_merge_quantiles — the single source of the policy) rolls the
+    per-batch states up to p50/p90/p99.
+
+    The state design is what makes this fully HASH-ORACLED despite
+    being a real streaming query: per-batch digests are appended RAW
+    (never re-merged incrementally), so the state table is a set —
+    arrival ORDER of micro-batches cannot matter — and the final merge
+    is deterministic given the batch tagging. Each batch is tagged by
+    its MIN(event_id) (a pure function of the data, reproducible in
+    SQL via the same NTILE slice assignment stage_replay uses), so the
+    DuckDB oracle replays slice→digest→flat-merge exactly. A hash
+    match simultaneously proves no event was lost or duplicated across
+    micro-batches (n = Σw must equal the table count) — the
+    exactly-once property, checked value-for-value.
+
+    State bound: ≤ |event_types| × |batches| × δ centroid rows —
+    kilobytes regardless of stream volume; a real deployment
+    compacts closed batches with the SAME merge (closure under the
+    pinned policy), exactly like the CH AggregatingMergeTree rollup.
+
+    Plan/scale: per-batch build is a window over that batch only;
+    the state table write is an append of centroid rows; the final
+    merge shuffles centroids, never events."""
+    import os
+
+    from etl_ch_destination_spark.queries.aggregations import (
+        TD_DELTA,
+        td_merge_quantiles,
+    )
+    from etl_ch_destination_spark.streaming.replay import (
+        read_staged_stream,
+        stage_replay,
+    )
+    from pyspark.sql.window import Window
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = stage_replay(spark, sf_dir, n_slices=6, tag=f"tdigest_{tag}")
+    state_dir = scratch_dir(f"stream_tdigest_state/{tag}/state")
+    ckpt = scratch_dir(f"stream_tdigest_state/{tag}/ckpt")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def build_state(batch_df: DataFrame, epoch_id: int) -> None:
+        src = batch_df.select(
+            F.col("event_type").alias("grp"),
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        ).withColumn("btag", F.min("event_id").over(Window.partitionBy()))
+        w_rank = Window.partitionBy("grp").orderBy("cents")
+        (
+            src.select(
+                "grp",
+                "btag",
+                "cents",
+                F.row_number().over(w_rank).alias("rn"),
+                F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+            )
+            .withColumn(
+                "bucket",
+                F.expr(
+                    f"CAST(({TD_DELTA} * (2 * CAST(rn AS BIGINT) - 1))"
+                    f" div (2 * n) AS BIGINT)"
+                ),
+            )
+            .groupBy("grp", "btag", "bucket")
+            .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("w"))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    q = (
+        read_staged_stream(spark, staged)
+        .writeStream.foreachBatch(build_state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = spark.read.parquet(state_dir)
+    return td_merge_quantiles(state, ["btag", "bucket"]).withColumnRenamed(
+        "grp", "event_type"
+    )

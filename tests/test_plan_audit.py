@@ -74,6 +74,9 @@ EFFECTFUL = {
     # writes v1-writer-schema Avro files to scratch
     "scan_avro_evolution": (
         "test_round13_keys.py", "test_scan_avro_evolution_resolves_v1_to_v2"),
+    # runs a REAL streaming query + state-table appends during construction
+    "stream_tdigest_state": (
+        "test_round13_keys.py", "test_stream_tdigest_state_vs_batch"),
     # writes view-state versions to scratch
     "job_matview_refresh": (
         "test_relational_round4.py",

@@ -647,3 +647,74 @@ def test_bpe_oracle_corpus_preconditions(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_tdigest_state_vs_batch(spark, sf_dir):
+    """The real streaming run (foreachBatch state appends) equals the
+    pure-batch replay of the same pinned pipeline BIT FOR BIT, the
+    state table is sketch-bounded (≤ |types|×|batches|×δ), and n
+    equals the exact event count (exactly-once evidence)."""
+    from etl_ch_destination_spark.catalog import load_table, scratch_dir
+    from etl_ch_destination_spark.queries.aggregations import (
+        TD_DELTA,
+        td_merge_quantiles,
+    )
+    from etl_ch_destination_spark.queries.streaming_batch import (
+        stream_tdigest_state,
+    )
+    from pyspark.sql.window import Window
+
+    got = {
+        r["event_type"]: (r["n"], r["p50"], r["p90"], r["p99"])
+        for r in stream_tdigest_state(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    assert sum(v[0] for v in got.values()) == n_events
+
+    # pure-batch replay: same slice assignment, same per-slice build,
+    # same flat merge
+    sliced = ev.select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.ntile(6).over(Window.orderBy("ts", "event_id")).alias("slice"),
+    ).withColumn("btag", F.min("event_id").over(Window.partitionBy("slice")))
+    w_rank = Window.partitionBy("grp", "btag").orderBy("cents")
+    state = (
+        sliced.select(
+            "grp",
+            "btag",
+            "cents",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("grp", "btag"))
+            .alias("n"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(({TD_DELTA} * (2 * CAST(rn AS BIGINT) - 1))"
+                f" div (2 * n) AS BIGINT)"
+            ),
+        )
+        .groupBy("grp", "btag", "bucket")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("w"))
+    )
+    expect = {
+        r["grp"]: (r["n"], r["p50"], r["p90"], r["p99"])
+        for r in td_merge_quantiles(state, ["btag", "bucket"]).collect()
+    }
+    assert got == expect
+
+    # the persisted state table is sketch-bounded
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    st = spark.read.parquet(scratch_dir(f"stream_tdigest_state/{tag}/state"))
+    n_types = ev.select("event_type").distinct().count()
+    assert st.count() <= n_types * 6 * TD_DELTA
+    # and per (group, batch) digests respect the centroid cap
+    sizes = st.groupBy("grp", "btag").count().collect()
+    assert sizes and all(r["count"] <= TD_DELTA for r in sizes)

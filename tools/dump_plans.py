@@ -546,6 +546,13 @@ ANNOTATIONS: dict[str, str] = {
         "promotion, reader default) happens per record inside the "
         "Arrow batch — no extra plan nodes, no exchange."
     ),
+    "stream_tdigest_state": (
+        "A REAL streaming query: per micro-batch, the digest build is "
+        "a window over that batch only and the state write appends "
+        "<= delta centroid rows per (type, batch); the final merge "
+        "shuffles centroids, never events. The captured plan is the "
+        "post-stream rollup over the state table."
+    ),
     "geo_h3_kring_smooth": (
         "Points collapse to cells FIRST; the 6-offset neighbor "
         "scatter is an explode over CELL rows (a projection — no "
