@@ -258,7 +258,16 @@ def _decode_primitive(t, buf: bytes, pos: int):
     if t == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if t == "boolean":
-        return buf[pos] == 1, pos + 1
+        # Spec: a boolean is exactly one byte, 0 or 1. Anything else is
+        # corruption and must fail loudly (module convention), not be
+        # silently coerced to False; likewise EOF is a ValueError, not
+        # a bare IndexError.
+        if pos >= len(buf):
+            raise ValueError("truncated boolean")
+        b = buf[pos]
+        if b not in (0, 1):
+            raise ValueError(f"bad boolean byte {b:#04x}")
+        return b == 1, pos + 1
     raise NotImplementedError(f"Avro type {t}")
 
 
