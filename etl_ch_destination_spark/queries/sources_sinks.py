@@ -2480,3 +2480,121 @@ def scan_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_orderkey bigint, o_year bigint, price_cents bigint,"
         " discount_pct double",
     )
+
+
+@query(
+    "scan_protobuf_import",
+    """
+    SELECT c_custkey,
+           c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS bal_cents,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE c_mktsegment END AS segment,
+           c_mktsegment = 'AUTOMOBILE' AS is_auto,
+           CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer
+    """,
+)
+def scan_protobuf_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire format as a SOURCE — the gRPC-ecosystem binary
+    format (VERDICT r13 #3), completing the hand-rolled byte-format
+    family next to scan_rowbinary_import / scan_native_import /
+    scan_avro_import: customers are encoded into real length-delimited
+    protobuf streams (sink/protobuf.protobuf_blocks — base-128
+    varints, zigzag sint64, tag/wire-type framing, length-delimited
+    strings, little-endian fixed64/fixed32, per the public
+    protobuf.dev Encoding spec), persisted to scratch, read back, and
+    decoded distributed by sink/protobuf.decode_stream — which
+    validates every frame: lengths may not overrun, each message must
+    consume its slice exactly, known fields must arrive with the
+    schema's wire type, deprecated group wire types raise, and the
+    per-file row count is pinned (framing drift raises instead of
+    silently truncating).
+
+    Presence semantics are exercised on purpose — the two spots naive
+    protobuf codecs get wrong: ``segment`` is an EXPLICIT-presence
+    (proto3 ``optional``) field, NULL by construction for every 7th
+    customer (absent on the wire → NULL back); the remaining fields
+    are IMPLICIT presence, so default values (nationkey 0, is_auto
+    false, zero balances) are OMITTED from the wire and restored on
+    decode. ``bal_cents`` rides sint64 so the corpus's negative
+    balances exercise zigzag; ``c_nationkey`` rides fixed32 and
+    ``bal`` fixed64 so all four wire types appear.
+
+    The hash oracle compares decoded values against the source table
+    relationally: a match proves encode→store→decode is the identity
+    over every value, presence branch, zigzag sign and varint
+    boundary in the corpus. Plan: encode and decode are both
+    Arrow-batched Python over independent stream files —
+    embarrassingly parallel at any scale; a JVM spark-protobuf jar is
+    the drop-in production fast path."""
+    from etl_ch_destination_spark.sink.protobuf import (
+        decode_stream,
+        pb_schema,
+        protobuf_blocks,
+    )
+
+    path = _scratch(sf_dir, "scan_protobuf_import")
+    c = load_table(spark, sf_dir, "customer")
+    src = c.select(
+        F.col("c_custkey").cast("long"),
+        F.col("c_name"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        F.col("c_nationkey").cast("long"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_auto"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    schema = pb_schema(
+        [
+            (1, "c_custkey", "int64", False),
+            (2, "c_name", "string", False),
+            (3, "bal_cents", "sint64", False),
+            (4, "c_nationkey", "fixed32", False),
+            (5, "segment", "string", True),
+            (6, "is_auto", "bool", False),
+            (7, "bal", "double", False),
+        ]
+    )
+    protobuf_blocks(src, schema, rows_per_file=8192).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    files = spark.read.parquet(path)
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "c_custkey": [],
+                "c_name": [],
+                "bal_cents": [],
+                "c_nationkey": [],
+                "segment": [],
+                "is_auto": [],
+                "bal": [],
+            }
+            for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                rows = decode_stream(schema, bytes(payload), expected_rows=int(n))
+                for k, name, cents, nat, seg, auto, bal in rows:
+                    out["c_custkey"].append(k)
+                    out["c_name"].append(name)
+                    out["bal_cents"].append(cents)
+                    out["c_nationkey"].append(nat)
+                    out["segment"].append(seg)
+                    out["is_auto"].append(auto)
+                    out["bal"].append(bal)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        decode_partition,
+        schema="c_custkey bigint, c_name string, bal_cents bigint,"
+        " c_nationkey bigint, segment string, is_auto boolean, bal double",
+    )

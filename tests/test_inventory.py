@@ -174,21 +174,24 @@ def test_next_rotation_windows_are_prestaged():
         R12_REGRESSION,
         R13_REGRESSION,
         R14_NEW,
+        R14_REGRESSION,
         R15_NEW,
         R16_NEW,
         R17_NEW,
+        R18_NEW,
         ROTATION,
     )
     from etl_ch_destination_spark.registry import all_oracles, all_queries
 
     planned = [*R6_WINDOW, *R7_WINDOW, *R8_TAIL, *R8_NEW, *R9_NEW,
                *R10_NEW, *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
-               *R15_NEW, *R16_NEW, *R17_NEW]
+               *R15_NEW, *R16_NEW, *R17_NEW, *R18_NEW]
     assert len(set(planned)) == len(planned), "rotation blocks overlap"
     # regression cohorts legitimately re-sample keys from earlier
     # blocks; the union of new-key blocks + cohorts is the rotation
     planned_all = (set(planned) | set(R11_REGRESSION)
-                   | set(R12_REGRESSION) | set(R13_REGRESSION))
+                   | set(R12_REGRESSION) | set(R13_REGRESSION)
+                   | set(R14_REGRESSION))
     assert planned_all == set(ROTATION) <= set(all_queries())
     assert len(R6_WINDOW) == 50 and len(R7_WINDOW) == 50
     # round 8's never-sampled core must fit the driver's 50-key sample
@@ -202,7 +205,7 @@ def test_next_rotation_windows_are_prestaged():
         fresh = {k for k in all_queries() if k not in sampled_all}
         unplanned = fresh - set([*R8_TAIL, *R8_NEW, *R9_NEW, *R10_NEW,
                                  *R11_NEW, *R12_NEW, *R13_NEW, *R14_NEW,
-                                 *R15_NEW, *R16_NEW, *R17_NEW])
+                                 *R15_NEW, *R16_NEW, *R17_NEW, *R18_NEW])
         assert not unplanned, f"fresh keys missing from the rotation plan: {unplanned}"
 
     oracles = all_oracles()
@@ -213,7 +216,7 @@ def test_next_rotation_windows_are_prestaged():
     # every round-7/8/9 addition carries a full hash oracle unless
     # rows-only by design
     for batch in (R8_NEW, R9_NEW, R10_NEW, R11_NEW, R12_NEW, R13_NEW,
-                  R14_NEW, R15_NEW, R16_NEW, R17_NEW):
+                  R14_NEW, R15_NEW, R16_NEW, R17_NEW, R18_NEW):
         not_oracled = [k for k in batch
                        if k not in oracles and k not in ROWS_ONLY_BY_DESIGN]
         assert not not_oracled, not_oracled
@@ -235,6 +238,7 @@ def test_regression_cohort_is_derived():
         R11_REGRESSION,
         R12_REGRESSION,
         R13_REGRESSION,
+        R14_REGRESSION,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -249,6 +253,7 @@ def test_regression_cohort_is_derived():
         (R11_REGRESSION, 10, 45),
         (R12_REGRESSION, 11, 50),
         (R13_REGRESSION, 12, 50),
+        (R14_REGRESSION, 13, 50),
     ):
         derived = regression_cohort(repo, slots, exclude=set(),
                                     max_round=completed_round)

@@ -1,0 +1,259 @@
+"""Round-14 key gates: protobuf wire-format round trip, Delta-style
+transaction-log scan, window-funnel modes, and the ADVICE r13 Avro
+boolean hardening."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# sink/protobuf.py codec gates
+# ------------------------------------------------------------------
+
+
+def _pb_schema():
+    from etl_ch_destination_spark.sink.protobuf import pb_schema
+
+    return pb_schema(
+        [
+            (1, "k", "int64", False),
+            (2, "name", "string", False),
+            (3, "sk", "sint64", False),
+            (4, "f32", "fixed32", False),
+            (5, "opt", "string", True),
+            (6, "flag", "bool", False),
+            (7, "d", "double", False),
+        ]
+    )
+
+
+def test_protobuf_golden_bytes():
+    """Pin the wire bytes of a known message against hand-computed
+    spec encoding (protobuf.dev §Encoding) — tag = (num<<3)|wt,
+    base-128 varints, zigzag, little-endian fixed."""
+    from etl_ch_destination_spark.sink.protobuf import encode_message
+
+    schema = _pb_schema()
+    got = encode_message(schema, (150, "ab", -2, 7, "x", True, 1.0))
+    expected = (
+        b"\x08\x96\x01"  # field 1 varint: 150 -> 0x96 0x01
+        b"\x12\x02ab"  # field 2 LEN 2 "ab"
+        b"\x18\x03"  # field 3 sint64: zigzag(-2) = 3
+        b"\x25\x07\x00\x00\x00"  # field 4 I32: 7 LE
+        b"\x2a\x01x"  # field 5 LEN 1 "x"
+        b"\x30\x01"  # field 6 varint bool true
+        b"\x39\x00\x00\x00\x00\x00\x00\xf0\x3f"  # field 7 I64: 1.0 LE
+    )
+    assert got == expected
+
+
+def test_protobuf_proto3_presence_semantics():
+    """Implicit-presence defaults are omitted from the wire and
+    restored on decode; explicit-presence fields serialize even
+    defaults and decode to NULL when absent."""
+    from etl_ch_destination_spark.sink.protobuf import (
+        decode_message,
+        encode_message,
+    )
+
+    schema = _pb_schema()
+    # every implicit field at its default, explicit field set to ""
+    msg = encode_message(schema, (0, "", 0, 0, "", False, 0.0))
+    # only the explicit field is on the wire: tag 0x2a, len 0
+    assert msg == b"\x2a\x00"
+    assert decode_message(schema, msg) == (0, "", 0, 0, "", False, 0.0)
+    # explicit field absent -> NULL; implicit absents -> defaults
+    assert decode_message(schema, b"") == (0, "", 0, 0, None, False, 0.0)
+    # None in the EXPLICIT field is legal (absent on the wire)…
+    assert decode_message(
+        schema, encode_message(schema, (1, "a", 1, 1, None, True, 1.0))
+    ) == (1, "a", 1, 1, None, True, 1.0)
+    # …but None in an implicit-presence field is a caller bug
+    with pytest.raises(ValueError, match="implicit-presence"):
+        encode_message(schema, (None, "a", 1, 1, "s", True, 1.0))
+
+
+def test_protobuf_roundtrip_edge_values():
+    from etl_ch_destination_spark.sink.protobuf import (
+        decode_message,
+        encode_message,
+    )
+
+    schema = _pb_schema()
+    for row in [
+        (-(1 << 63), "", -(1 << 63), 0, None, False, -0.5),
+        ((1 << 63) - 1, "héllo", (1 << 63) - 1, (1 << 32) - 1, "", True, 2.5),
+        (-1, "é中", -1, 1, "segment", False, float("inf")),
+    ]:
+        assert decode_message(schema, encode_message(schema, row)) == row
+
+
+def test_protobuf_unknown_fields_skipped():
+    """Forward compatibility: tags the reader doesn't know are skipped
+    by wire type — every wire type, including one past the known
+    range."""
+    from etl_ch_destination_spark.sink.protobuf import (
+        decode_message,
+        encode_message,
+        pb_schema,
+        write_uvarint,
+    )
+
+    writer = pb_schema(
+        [
+            (1, "k", "int64", False),
+            (9, "extra_v", "int64", False),
+            (10, "extra_s", "string", False),
+            (11, "extra_d", "double", False),
+            (12, "extra_f", "fixed32", False),
+        ]
+    )
+    reader = pb_schema([(1, "k", "int64", False)])
+    msg = encode_message(writer, (42, 7, "zz", 1.5, 3))
+    assert decode_message(reader, msg) == (42,)
+    # unknown field first on the wire (spec: order-free)
+    msg2 = write_uvarint((99 << 3) | 0) + write_uvarint(5) + msg
+    assert decode_message(reader, msg2) == (42,)
+
+
+def test_protobuf_last_one_wins():
+    """Non-repeated scalars: the last occurrence on the wire wins."""
+    from etl_ch_destination_spark.sink.protobuf import (
+        decode_message,
+        pb_schema,
+        write_uvarint,
+    )
+
+    reader = pb_schema([(1, "k", "int64", False)])
+    msg = (
+        write_uvarint(1 << 3) + write_uvarint(5)
+        + write_uvarint(1 << 3) + write_uvarint(9)
+    )
+    assert decode_message(reader, msg) == (9,)
+
+
+def test_protobuf_malformed_inputs_raise():
+    """Every corruption class fails loudly: truncated varint, length
+    overrun, wire-type mismatch for a KNOWN field, deprecated group
+    wire types, oversized varints, bad booleans, stream framing
+    drift."""
+    from etl_ch_destination_spark.sink.protobuf import (
+        decode_message,
+        decode_stream,
+        encode_message,
+        encode_stream,
+        pb_schema,
+        write_uvarint,
+    )
+
+    schema = _pb_schema()
+    with pytest.raises(ValueError, match="truncated varint"):
+        decode_message(schema, b"\x08\x96")  # continuation bit, EOF
+    with pytest.raises(ValueError, match="overruns"):
+        decode_message(schema, b"\x12\x05ab")  # LEN 5, 2 bytes left
+    with pytest.raises(ValueError, match="contradicts"):
+        decode_message(schema, b"\x0a\x01x")  # field 1 is int64, wire LEN
+    with pytest.raises(ValueError, match="group wire types"):
+        decode_message(schema, bytes([1 << 3 | 3]))
+    with pytest.raises(ValueError, match="group wire types"):
+        decode_message(schema, bytes([1 << 3 | 4]))
+    with pytest.raises(ValueError, match="field number 0"):
+        decode_message(schema, b"\x00\x01")
+    with pytest.raises(ValueError, match="exceeds 64 bits|longer than"):
+        decode_message(schema, b"\x08" + b"\xff" * 10)
+    with pytest.raises(ValueError, match="bad boolean"):
+        decode_message(schema, b"\x30\x02")
+    # unknown wire type 6/7 on an unknown field also raises
+    with pytest.raises(ValueError, match="bad wire type"):
+        decode_message(schema, write_uvarint((99 << 3) | 6))
+    # stream framing: truncated message, count drift
+    rows = [(1, "a", -1, 2, None, True, 0.5), (2, "b", 3, 0, "s", False, 0.0)]
+    payload = encode_stream(schema, rows)
+    assert decode_stream(schema, payload, expected_rows=2) == rows
+    with pytest.raises(ValueError, match="overruns stream"):
+        decode_stream(schema, payload[:-3])
+    with pytest.raises(ValueError, match="row-count drift"):
+        decode_stream(schema, payload, expected_rows=3)
+    # trailing garbage after the final message boundary
+    with pytest.raises(ValueError):
+        decode_stream(schema, payload + b"\x05ab")
+    # schema validation
+    with pytest.raises(ValueError, match="duplicate field number"):
+        pb_schema([(1, "a", "int64", False), (1, "b", "string", False)])
+    with pytest.raises(ValueError, match="bad field number"):
+        pb_schema([(19001, "a", "int64", False)])
+    with pytest.raises(ValueError, match="unsupported kind"):
+        pb_schema([(1, "a", "uint128", False)])
+    with pytest.raises(ValueError, match="arity"):
+        encode_message(schema, (1, "a"))
+    _ = write_uvarint  # referenced above; keep linters quiet
+
+
+def test_scan_protobuf_import_roundtrip_vs_source(spark, sf_dir):
+    """The full distributed key equals the relational source exactly,
+    including the explicit-presence NULL pattern and zigzag on
+    negative balances."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_protobuf_import,
+    )
+
+    got = {
+        r["c_custkey"]: (
+            r["c_name"],
+            r["bal_cents"],
+            r["c_nationkey"],
+            r["segment"],
+            r["is_auto"],
+            r["bal"],
+        )
+        for r in scan_protobuf_import(spark, sf_dir).collect()
+    }
+    src = {
+        r["c_custkey"]: (
+            r["c_name"],
+            r["bal_cents"],
+            r["c_nationkey"],
+            r["segment"],
+            r["is_auto"],
+            r["bal"],
+        )
+        for r in load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("bal_cents"),
+            F.col("c_nationkey").cast("long"),
+            F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_auto"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        )
+        .collect()
+    }
+    assert got == src
+    # negatives actually exercised zigzag; nulls exercised presence
+    assert any(v[1] < 0 for v in src.values())
+    assert any(v[3] is None for v in src.values())
+
+
+# ------------------------------------------------------------------
+# ADVICE r13: avro boolean decode hardening
+# ------------------------------------------------------------------
+
+
+def test_avro_boolean_decode_is_strict():
+    from etl_ch_destination_spark.sink.avro import _decode_primitive
+
+    assert _decode_primitive("boolean", b"\x00", 0) == (False, 1)
+    assert _decode_primitive("boolean", b"\x01", 0) == (True, 1)
+    with pytest.raises(ValueError, match="bad boolean byte"):
+        _decode_primitive("boolean", b"\x02", 0)
+    with pytest.raises(ValueError, match="truncated boolean"):
+        _decode_primitive("boolean", b"", 0)
