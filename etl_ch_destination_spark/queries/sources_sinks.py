@@ -2598,3 +2598,233 @@ def scan_protobuf_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_custkey bigint, c_name string, bal_cents bigint,"
         " c_nationkey bigint, segment string, is_auto boolean, bal double",
     )
+
+
+# scan_table_log: Delta-style transaction-log layout knobs
+TLOG_SLICES = 8          # contiguous o_orderkey-range data files at v0
+TLOG_REMOVED = (3, 4)    # slices rewritten (F-status rows deleted) at v1
+TLOG_PIN_VERSION = 1     # snapshot version the query reads
+
+
+@query(
+    "scan_table_log",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({TLOG_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    ),
+    k AS (SELECT (4 * MAX(o_orderkey)) // 10 AS kmax FROM sliced),
+    snapshot AS (
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice NOT IN {TLOG_REMOVED!r}
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice IN {TLOG_REMOVED!r} AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents
+    FROM snapshot WHERE o_orderkey <= (SELECT kmax FROM k)
+    """,
+)
+def scan_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style TRANSACTION-LOG table scan (VERDICT r13 #4) — the
+    lakehouse metadata layer under every Delta/Iceberg table: data
+    lives as immutable parquet files, a JSON action log
+    (``%020d.json`` commits of metaData/add/remove actions, one JSON
+    object per line, file-level min/max stats carried as the embedded
+    ``stats`` JSON string exactly like Delta) defines which files ARE
+    the table at each version, and readers reconstruct a pinned
+    snapshot by replaying the log — never by listing the directory.
+
+    Staged here: v0 commits {TLOG_SLICES} contiguous
+    o_orderkey-range files (NTILE slices, each with min/max/numRecords
+    stats); v1 is an UPDATE rewrite — it REMOVES slices
+    {TLOG_REMOVED} and adds one compacted file holding those rows
+    minus the deleted ``o_orderstatus = 'F'`` rows. The query pins
+    version {TLOG_PIN_VERSION}, replays add/remove actions
+    RELATIONALLY (latest action per path ≤ pinned version via a
+    window; survivors are the adds), then prunes files whose
+    ``minValues.o_orderkey`` exceeds the predicate bound BEFORE any
+    data I/O — the stats-based file skipping that makes a 100 TB
+    lake table answer a key-range query by reading a handful of
+    files. tests assert the pruned files never appear in
+    ``inputFiles()`` and that version 0 reconstructs the pre-delete
+    snapshot.
+
+    The hash oracle replays slicing → rewrite → predicate in pure SQL
+    against the source table: a match proves the log reconstruction,
+    the stats-driven pruning, and the data files TOGETHER surface
+    exactly the pinned snapshot — pruning soundness checked by value,
+    not by plan shape alone.
+
+    Scale: the log replay touches only the manifest (|files| rows —
+    kilobytes at any data scale; Delta itself replays the log
+    driver-side); the collected survivor list is the bounded file
+    manifest, never data. Data I/O after pruning is a plain
+    multi-path parquet scan with the predicate pushed down into the
+    surviving files' row groups. The NTILE staging window is
+    fixture-layout machinery, not the read path (production writers
+    range-partition by key instead)."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    root = _scratch(sf_dir, "scan_table_log")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_table_log")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sliced = o.withColumn(
+        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+    )
+    sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
+
+    # file-level stats for the add actions (the bounded manifest)
+    stats = {
+        r["slice"]: (r["n"], r["min_k"], r["max_k"])
+        for r in sliced.groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_k"),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        .collect()
+    }
+
+    def _add(path: str, n: int, lo: int, hi: int) -> str:
+        return _json.dumps(
+            {
+                "add": {
+                    "path": path,
+                    "dataChange": True,
+                    "stats": _json.dumps(
+                        {
+                            "numRecords": int(n),
+                            "minValues": {"o_orderkey": int(lo)},
+                            "maxValues": {"o_orderkey": int(hi)},
+                        }
+                    ),
+                }
+            }
+        )
+
+    # v0: metaData + one add per slice file
+    v0 = [_json.dumps({"metaData": {"id": "scan-table-log-fixture"}})]
+    for s in range(1, TLOG_SLICES + 1):
+        n, lo, hi = stats[s]
+        v0.append(_add(f"slice={s}", n, lo, hi))
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as f:
+        f.write("\n".join(v0) + "\n")
+
+    # v1: UPDATE rewrite — remove the TLOG_REMOVED slices, add one
+    # compacted file holding their non-'F' rows
+    rewrite = sliced.filter(
+        F.col("slice").isin(*TLOG_REMOVED) & (F.col("o_orderstatus") != "F")
+    ).drop("slice")
+    rw_dir = os.path.join(data_dir, "rewrite=1")
+    rewrite.write.mode("overwrite").parquet(rw_dir)
+    rw = rewrite.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_k"),
+        F.max("o_orderkey").alias("max_k"),
+    ).collect()[0]
+    v1 = [
+        _json.dumps({"remove": {"path": f"slice={s}", "dataChange": True}})
+        for s in TLOG_REMOVED
+    ]
+    v1.append(_add("rewrite=1", rw["n"], rw["min_k"], rw["max_k"]))
+    with open(os.path.join(log_dir, "%020d.json" % 1), "w") as f:
+        f.write("\n".join(v1) + "\n")
+
+    # ---- reader side: replay the log, prune, scan ----
+    snap = table_log_snapshot(spark, log_dir, TLOG_PIN_VERSION)
+
+    kmax = o.agg((4 * F.max("o_orderkey")).alias("m")).collect()[0]["m"] // 10
+    # stats-based file skipping: a file whose min exceeds the bound
+    # cannot contain a matching row (pruning SOUNDNESS is what the
+    # oracle hash then re-proves by value)
+    live = [
+        (a["path"], a["min_k"])
+        for a in snap.collect()
+    ]
+    surviving = [p for p, lo in live if lo <= kmax]
+    scan = spark.read.parquet(*[os.path.join(data_dir, p) for p in surviving])
+    return scan.filter(F.col("o_orderkey") <= F.lit(kmax)).select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )
+
+
+def table_log_snapshot(
+    spark: SparkSession, log_dir: str, version: int
+) -> DataFrame:
+    """Replay a Delta-style action log RELATIONALLY up to ``version``:
+    parse each commit file's add/remove lines, take the latest action
+    per path (version DESC; within one commit an add supersedes a
+    remove, per Delta's commit-atomicity), and keep the adds. Returns
+    one row per live file: path, numRecords, min_k, max_k.
+
+    The whole computation is over the manifest (|files| rows), never
+    data — the same scale shape as Delta's own log replay."""
+    from pyspark.sql.window import Window
+
+    actions = (
+        spark.read.text(log_dir)
+        .withColumn(
+            "version",
+            F.regexp_extract(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"^(\d+)\.json$",
+                1,
+            ).cast("long"),
+        )
+        .withColumn("j", F.from_json(
+            "value",
+            "add struct<path:string,dataChange:boolean,stats:string>,"
+            "remove struct<path:string,dataChange:boolean>",
+        ))
+        .filter(F.col("version") <= version)
+    )
+    adds = actions.filter(F.col("j.add.path").isNotNull()).select(
+        F.col("j.add.path").alias("path"),
+        "version",
+        F.lit(1).alias("is_add"),
+        F.from_json(
+            "j.add.stats",
+            "numRecords bigint, minValues struct<o_orderkey:bigint>,"
+            " maxValues struct<o_orderkey:bigint>",
+        ).alias("st"),
+    )
+    removes = actions.filter(F.col("j.remove.path").isNotNull()).select(
+        F.col("j.remove.path").alias("path"),
+        "version",
+        F.lit(0).alias("is_add"),
+        F.lit(None).cast(
+            "struct<numRecords:bigint,minValues:struct<o_orderkey:bigint>,"
+            "maxValues:struct<o_orderkey:bigint>>"
+        ).alias("st"),
+    )
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(), F.col("is_add").desc()
+    )
+    return (
+        adds.unionByName(removes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("is_add") == 1))
+        .select(
+            "path",
+            F.col("st.numRecords").alias("numRecords"),
+            F.col("st.minValues.o_orderkey").alias("min_k"),
+            F.col("st.maxValues.o_orderkey").alias("max_k"),
+        )
+    )

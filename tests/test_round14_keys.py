@@ -257,3 +257,108 @@ def test_avro_boolean_decode_is_strict():
         _decode_primitive("boolean", b"\x02", 0)
     with pytest.raises(ValueError, match="truncated boolean"):
         _decode_primitive("boolean", b"", 0)
+
+
+# ------------------------------------------------------------------
+# scan_table_log
+# ------------------------------------------------------------------
+
+
+def test_table_log_prunes_files_and_pins_versions(spark, sf_dir):
+    """(1) Files whose min_k exceeds the predicate bound never appear
+    in inputFiles(); (2) version 0 reconstructs the PRE-delete
+    snapshot (the 'F' rows of the rewritten slices are back); (3) the
+    v1 snapshot's live-file set is exactly v0's minus the removed
+    slices plus the rewrite file."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        TLOG_REMOVED,
+        TLOG_SLICES,
+        _scratch,
+        scan_table_log,
+        table_log_snapshot,
+    )
+
+    df = scan_table_log(spark, sf_dir)
+    root = _scratch(sf_dir, "scan_table_log")
+    log_dir = os.path.join(root, "_table_log")
+
+    # -- replay semantics --
+    snap0 = {r["path"]: r for r in table_log_snapshot(spark, log_dir, 0).collect()}
+    snap1 = {r["path"]: r for r in table_log_snapshot(spark, log_dir, 1).collect()}
+    assert set(snap0) == {f"slice={s}" for s in range(1, TLOG_SLICES + 1)}
+    expected1 = (set(snap0) - {f"slice={s}" for s in TLOG_REMOVED}) | {"rewrite=1"}
+    assert set(snap1) == expected1
+    # stats rode the log: every live file carries numRecords + range
+    for r in snap1.values():
+        assert r["numRecords"] > 0 and r["min_k"] <= r["max_k"]
+
+    # -- pruning: no read file may have min_k > kmax --
+    read_files = df.inputFiles()
+    kmax = max(r["max_k"] for r in snap0.values()) * 4 // 10
+    live_dirs = {p: r for p, r in snap1.items()}
+    read_dirs = {
+        seg for f in read_files for seg in f.split("/") if seg in live_dirs
+    }
+    for p in read_dirs:
+        assert live_dirs[p]["min_k"] <= kmax, f"pruned-range file read: {p}"
+    pruned = set(live_dirs) - read_dirs
+    assert pruned, "predicate should prune at least one live file"
+    for p in pruned:
+        assert live_dirs[p]["min_k"] > kmax
+
+    # -- version pinning changes the data --
+    import pyspark.sql.functions as SF
+
+    data_dir = os.path.join(root, "data")
+    v0_scan = spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in snap0]
+    )
+    v1_scan = spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in snap1]
+    )
+    f_rows_v0 = v0_scan.filter(SF.col("o_orderstatus") == "F").count()
+    f_rows_v1 = v1_scan.filter(SF.col("o_orderstatus") == "F").count()
+    assert f_rows_v0 > f_rows_v1, "v1 delete must remove F rows"
+    # nothing else changed: non-F rows identical across versions
+    a = v0_scan.filter(SF.col("o_orderstatus") != "F")
+    b = v1_scan.filter(SF.col("o_orderstatus") != "F")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_table_log_add_supersedes_remove_within_commit(spark, tmp_path):
+    """Delta commit atomicity: a path removed and re-added in the SAME
+    commit is live (add wins); removed in a LATER commit is dead."""
+    import json
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        table_log_snapshot,
+    )
+
+    log_dir = str(tmp_path / "log")
+    import os
+
+    os.makedirs(log_dir)
+    st = json.dumps(
+        {"numRecords": 1, "minValues": {"o_orderkey": 1},
+         "maxValues": {"o_orderkey": 2}}
+    )
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as f:
+        f.write(json.dumps({"add": {"path": "a", "dataChange": True,
+                                    "stats": st}}) + "\n")
+        f.write(json.dumps({"add": {"path": "b", "dataChange": True,
+                                    "stats": st}}) + "\n")
+    with open(os.path.join(log_dir, "%020d.json" % 1), "w") as f:
+        # same-commit remove+add of "a" -> a stays live
+        f.write(json.dumps({"remove": {"path": "a", "dataChange": True}}) + "\n")
+        f.write(json.dumps({"add": {"path": "a", "dataChange": True,
+                                    "stats": st}}) + "\n")
+        f.write(json.dumps({"remove": {"path": "b", "dataChange": True}}) + "\n")
+    assert {r["path"] for r in table_log_snapshot(spark, log_dir, 0).collect()} == {
+        "a",
+        "b",
+    }
+    assert {r["path"] for r in table_log_snapshot(spark, log_dir, 1).collect()} == {
+        "a"
+    }
