@@ -246,3 +246,238 @@ def agg_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("funnel_level", F.lit(0)).alias("funnel_level"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "agg_window_funnel_dedup",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, ts AS t1 FROM e WHERE event_type = 'view'),
+    c12 AS (
+      SELECT s1.user_id, t1, MIN(s2.ts) AS t2
+      FROM s1 JOIN e s2 ON s1.user_id = s2.user_id
+        AND s2.event_type = 'click'
+        AND s2.ts > t1 AND s2.ts <= t1 + INTERVAL 24 HOUR
+      GROUP BY 1, 2
+    ),
+    c12v AS (
+      SELECT c12.* FROM c12
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e v WHERE v.user_id = c12.user_id
+          AND v.event_type = 'view' AND v.ts > c12.t1 AND v.ts < c12.t2)
+    ),
+    c123 AS (
+      SELECT c12v.user_id, t1, t2, MIN(s3.ts) AS t3
+      FROM c12v JOIN e s3 ON c12v.user_id = s3.user_id
+        AND s3.event_type = 'purchase'
+        AND s3.ts > t2 AND s3.ts <= t1 + INTERVAL 24 HOUR
+      GROUP BY 1, 2, 3
+    ),
+    c123v AS (
+      SELECT c123.* FROM c123
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e x WHERE x.user_id = c123.user_id
+          AND x.event_type IN ('view', 'click')
+          AND x.ts > c123.t2 AND x.ts < c123.t3)
+    ),
+    lvl AS (
+      SELECT user_id, MAX(l) AS funnel_level FROM (
+        SELECT user_id, 1 AS l FROM s1
+        UNION ALL SELECT user_id, 2 FROM c12v
+        UNION ALL SELECT user_id, 3 FROM c123v
+      ) GROUP BY 1
+    )
+    SELECT COALESCE(funnel_level, 0) AS funnel_level, COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN lvl USING (user_id)
+    GROUP BY 1
+    """,
+)
+def agg_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`windowFunnel(strict_deduplication)` (VERDICT r13 #5) — the CH
+    mode between base and strict_order: steps may interleave with
+    NON-funnel noise and with not-yet-matched steps, but an event
+    matching an ALREADY-MATCHED condition strictly between two chain
+    events interrupts the chain. Pinned greedy semantics (CH walks
+    the stream in time order): each view anchors a chain; the chain
+    takes the FIRST click in (t1, t1+24h] — dead if another view lands
+    strictly between t1 and that click — then the FIRST purchase in
+    (t2, t1+24h] — dead if a view OR click lands strictly between t2
+    and it (both conditions are matched by then; a purchase between
+    does not interrupt, condition 3 is not yet matched). A user's
+    level is the max over anchors; users with no funnel events count
+    at level 0. Verified against a brute-force per-user replay in
+    tests/test_round14_keys.py. The window is pinned at 24h (not the
+    base key's 6h) because interrupts must actually FIRE to test the
+    mode: at 6h the sf0.001 fixture kills zero chains; at 24h the
+    interrupt path changes 3/14/149 user levels at sf0.001/0.01/0.1.
+
+    Plan: the base exists-chain joins plus two LEFT ANTI range joins
+    for the interrupt checks — all equi on user_id (SMJ/SHJ with the
+    range as the join residual), no cartesian anywhere; per-user
+    state stays bounded exactly like agg_window_funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type").isin(*FUNNEL_TYPES)).select(
+        "user_id", "event_type", "ts"
+    )
+    win = F.expr("INTERVAL 24 HOURS")
+    s1 = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    s2 = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("tc")
+    )
+    s3 = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u3"), F.col("ts").alias("tp")
+    )
+    c12 = (
+        s1.join(
+            s2,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("tc") > F.col("t1"))
+            & (F.col("tc") <= F.col("t1") + win),
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    vint = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uv"), F.col("ts").alias("tv")
+    )
+    c12v = c12.join(
+        vint,
+        (F.col("user_id") == F.col("uv"))
+        & (F.col("tv") > F.col("t1"))
+        & (F.col("tv") < F.col("t2")),
+        "left_anti",
+    )
+    c123 = (
+        c12v.join(
+            s3,
+            (F.col("user_id") == F.col("u3"))
+            & (F.col("tp") > F.col("t2"))
+            & (F.col("tp") <= F.col("t1") + win),
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("tp").alias("t3"))
+    )
+    vcint = e.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(F.col("user_id").alias("ux"), F.col("ts").alias("tx"))
+    c123v = c123.join(
+        vcint,
+        (F.col("user_id") == F.col("ux"))
+        & (F.col("tx") > F.col("t2"))
+        & (F.col("tx") < F.col("t3")),
+        "left_anti",
+    )
+    lvls = (
+        s1.select("user_id", F.lit(1).alias("l"))
+        .unionByName(c12v.select("user_id", F.lit(2).alias("l")))
+        .unionByName(c123v.select("user_id", F.lit(3).alias("l")))
+        .groupBy("user_id")
+        .agg(F.max("l").alias("funnel_level"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(lvls, "user_id", "left")
+        .groupBy(F.coalesce("funnel_level", F.lit(0)).alias("funnel_level"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "agg_window_funnel_increase",
+    """
+    WITH h AS (
+      SELECT user_id, event_type, date_trunc('hour', ts) AS th FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    h1 AS (SELECT user_id, th AS t1 FROM h WHERE event_type = 'view'),
+    i12 AS (
+      SELECT h1.user_id, t1, MIN(h2.th) AS t2
+      FROM h1 JOIN h h2 ON h1.user_id = h2.user_id
+        AND h2.event_type = 'click'
+        AND h2.th > t1 AND h2.th <= t1 + INTERVAL 6 HOUR
+      GROUP BY 1, 2
+    ),
+    lvl AS (
+      SELECT user_id, MAX(l) AS funnel_level FROM (
+        SELECT user_id, 1 AS l FROM h1
+        UNION ALL SELECT user_id, 2 FROM i12
+        UNION ALL SELECT i12.user_id, 3 FROM i12
+          JOIN h h3 ON i12.user_id = h3.user_id
+          AND h3.event_type = 'purchase'
+          AND h3.th > t2 AND h3.th <= t1 + INTERVAL 6 HOUR
+      ) GROUP BY 1
+    )
+    SELECT COALESCE(funnel_level, 0) AS funnel_level, COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN lvl USING (user_id)
+    GROUP BY 1
+    """,
+)
+def agg_window_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`windowFunnel(strict_increase)` (VERDICT r13 #5): chain steps
+    must carry STRICTLY increasing timestamps. The mode exists for
+    coarse clocks — second/minute/hour-resolution event times where
+    ties are common and the base funnel would chain same-tick events
+    — so this key pins event time to ``date_trunc('hour', ts)``
+    (the fixture carries 12/106/1040 cross-type same-hour tie groups
+    at sf0.001/0.01/0.1; raw µs timestamps have zero ties and would
+    make the mode vacuous). Semantics: exists-chain like
+    agg_window_funnel with ``>`` on the truncated time — a chain
+    needing a tie to advance does not; greedy MIN(t2) is complete
+    (the earliest click maximizes the remaining window, same argument
+    as the base key). Verified against a brute-force per-user replay
+    in tests/test_round14_keys.py.
+
+    Plan: identical join shape to agg_window_funnel — two equi-joins
+    on user_id with range residuals, one level rollup; the hour
+    truncation folds into the scan projection."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 6 HOURS")
+    h = ev.filter(F.col("event_type").isin(*FUNNEL_TYPES)).select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("th")
+    )
+    h1 = h.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("th").alias("t1")
+    )
+    h2 = h.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("th").alias("tc")
+    )
+    h3 = h.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u3"), F.col("th").alias("tp")
+    )
+    i12 = (
+        h1.join(
+            h2,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("tc") > F.col("t1"))
+            & (F.col("tc") <= F.col("t1") + win),
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    i123 = i12.join(
+        h3,
+        (F.col("user_id") == F.col("u3"))
+        & (F.col("tp") > F.col("t2"))
+        & (F.col("tp") <= F.col("t1") + win),
+        "left_semi",
+    )
+    lvls = (
+        h1.select("user_id", F.lit(1).alias("l"))
+        .unionByName(i12.select("user_id", F.lit(2).alias("l")))
+        .unionByName(i123.select("user_id", F.lit(3).alias("l")))
+        .groupBy("user_id")
+        .agg(F.max("l").alias("funnel_level"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(lvls, "user_id", "left")
+        .groupBy(F.coalesce("funnel_level", F.lit(0)).alias("funnel_level"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

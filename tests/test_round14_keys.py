@@ -362,3 +362,145 @@ def test_table_log_add_supersedes_remove_within_commit(spark, tmp_path):
     assert {r["path"] for r in table_log_snapshot(spark, log_dir, 1).collect()} == {
         "a"
     }
+
+
+# ------------------------------------------------------------------
+# agg_window_funnel_dedup / agg_window_funnel_increase
+# ------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _brute_dedup_level(rows, window):
+    """Reference windowFunnel(strict_deduplication): try every view
+    anchor; greedy chain walk over the user's FUNNEL events in time
+    order; an event matching an already-matched condition strictly
+    between chain steps interrupts that anchor's chain."""
+    rows = sorted([r for r in rows if r[1] in _FUNNEL_STEPS])
+    best = 0
+    for i, (t0, ty) in enumerate(rows):
+        if ty != _FUNNEL_STEPS[0]:
+            continue
+        level, prev_t, deadline = 1, t0, t0 + window
+        for t, typ in rows[i + 1 :]:
+            if t > deadline:
+                break
+            if level < len(_FUNNEL_STEPS) and typ == _FUNNEL_STEPS[level] and t > prev_t:
+                level, prev_t = level + 1, t
+            elif typ in _FUNNEL_STEPS[:level] and t > prev_t:
+                break  # matched condition repeats -> interrupt
+        best = max(best, level)
+    return best
+
+
+def _brute_increase_level(rows, window):
+    """Reference windowFunnel(strict_increase) over hour-truncated
+    event times: greedy chain, strictly increasing step times; events
+    matching non-step conditions never interrupt."""
+    rows = sorted([r for r in rows if r[1] in _FUNNEL_STEPS])
+    best = 0
+    for i, (t0, ty) in enumerate(rows):
+        if ty != _FUNNEL_STEPS[0]:
+            continue
+        level, prev_t, deadline = 1, t0, t0 + window
+        for t, typ in rows[i + 1 :]:
+            if t > deadline:
+                break
+            if level < len(_FUNNEL_STEPS) and typ == _FUNNEL_STEPS[level] and t > prev_t:
+                level, prev_t = level + 1, t
+        best = max(best, level)
+    return best
+
+
+def test_funnel_modes_match_brute_force_per_user(spark, sf_dir):
+    from datetime import timedelta
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.behavior import (
+        agg_window_funnel_dedup,
+        agg_window_funnel_increase,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user_raw: dict[int, list] = {}
+    per_user_hour: dict[int, list] = {}
+    for r in ev.select(
+        "user_id", "ts", F.date_trunc("hour", "ts").alias("th"), "event_type"
+    ).collect():
+        per_user_raw.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+        per_user_hour.setdefault(r["user_id"], []).append((r["th"], r["event_type"]))
+
+    # dedup: raw ts, 24h window
+    want = {}
+    for uid, rows in per_user_raw.items():
+        want.setdefault(_brute_dedup_level(rows, timedelta(hours=24)), 0)
+        want[_brute_dedup_level(rows, timedelta(hours=24))] += 1
+    got = {
+        r["funnel_level"]: r["n_users"]
+        for r in agg_window_funnel_dedup(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v}
+
+    # increase: hour-truncated ts, 6h window, strict >
+    want = {}
+    for uid, rows in per_user_hour.items():
+        lvl = _brute_increase_level(rows, timedelta(hours=6))
+        want[lvl] = want.get(lvl, 0) + 1
+    got = {
+        r["funnel_level"]: r["n_users"]
+        for r in agg_window_funnel_increase(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v}
+
+
+def test_funnel_dedup_interrupt_actually_fires(spark):
+    """A hand-built stream where the interrupt is the difference:
+    view(0) click(1h) view(2h) purchase(3h) — base reaches 3, dedup
+    stops at 2 (the second view lands between click and purchase)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "view"),
+        (1, dt.datetime(2024, 1, 1, 1), "click"),
+        (1, dt.datetime(2024, 1, 1, 2), "view"),
+        (1, dt.datetime(2024, 1, 1, 3), "purchase"),
+        # user 2: clean chain, reaches 3 under dedup too
+        (2, dt.datetime(2024, 1, 1, 0), "view"),
+        (2, dt.datetime(2024, 1, 1, 1), "click"),
+        (2, dt.datetime(2024, 1, 1, 2), "purchase"),
+        # user 3: duplicate CLICK between click and purchase interrupts
+        (3, dt.datetime(2024, 1, 1, 0), "view"),
+        (3, dt.datetime(2024, 1, 1, 1), "click"),
+        (3, dt.datetime(2024, 1, 1, 2), "click"),
+        (3, dt.datetime(2024, 1, 1, 3), "purchase"),
+    ]
+    from datetime import timedelta
+
+    for uid, want in ((1, 2), (2, 3), (3, 2)):
+        got = _brute_dedup_level(
+            [(t, ty) for u, t, ty in rows if u == uid], timedelta(hours=24)
+        )
+        assert got == want, (uid, got, want)
+    # user 1 under the NON-dedup base walk reaches 3
+    u1 = [(t, ty) for u, t, ty in rows if u == 1]
+    assert _brute_increase_level(u1, timedelta(hours=24)) == 3
+
+
+def test_funnel_increase_needs_strictly_later_hours():
+    """Same-hour view+click chains under base-with-ties but NOT under
+    strict_increase."""
+    import datetime as dt
+    from datetime import timedelta
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0), "view"),
+        (dt.datetime(2024, 1, 1, 0), "click"),   # same hour -> tie
+        (dt.datetime(2024, 1, 1, 1), "purchase"),
+    ]
+    assert _brute_increase_level(rows, timedelta(hours=6)) == 1
+    rows2 = [
+        (dt.datetime(2024, 1, 1, 0), "view"),
+        (dt.datetime(2024, 1, 1, 1), "click"),
+        (dt.datetime(2024, 1, 1, 2), "purchase"),
+    ]
+    assert _brute_increase_level(rows2, timedelta(hours=6)) == 3
