@@ -259,6 +259,16 @@ MAX_HASH_SHUFFLES = 4
 #     static plan under audit is the pre-stage construction count.
 SHUFFLE_ALLOWANCE = {
     "agg_window_funnel": 6,
+    #   agg_window_funnel_dedup — the base exists-chain joins plus the
+    #     two LEFT ANTI interrupt joins, all equi on user_id with the
+    #     time range as the join residual; every exchange carries the
+    #     per-user funnel-event slice or the anchor frame (bounded by
+    #     |views|). Static count 5; 6 gives one headroom.
+    "agg_window_funnel_dedup": 6,
+    #   agg_window_funnel_increase — identical join shape to the base
+    #     funnel on hour-truncated times: two step equi-joins + level
+    #     rollup + distinct-users + final count. Static 5; 6 headroom.
+    "agg_window_funnel_increase": 6,
     "rpt_dedup_audit": 6,
     "rpt_active_users": 5,
     "rpt_brand_affinity": 9,
