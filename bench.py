@@ -128,6 +128,12 @@ BENCH_KEYS = [
     "agg_quantile_tdigest",
     "geo_h3_hexgrid",
     "scan_avro_import",
+    # round-14 additions (VERDICT r13 #2): the two r13 keys registered
+    # without bench rows — the k-ring explode-scatter smooth over the
+    # hex grid, and the streamed t-digest state rollup (availableNow
+    # micro-batches + epoch-partitioned state + flat centroid merge)
+    "geo_h3_kring_smooth",
+    "stream_tdigest_state",
 ]
 
 N_RUNS = 5

@@ -70,7 +70,8 @@ def main() -> int:
             "tri_approx,semdedup,sim,streaming,asof,tdigest — 'sim' covers "
             "the exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' "
             "the foreachBatch ingest + session-window state spine; "
-            "'tdigest' the centroid-sketch build at fixed vs scaled shards"
+            "'tdigest' the centroid-sketch build at fixed vs scaled shards; "
+            "'avro' the container-file encode→store→decode codec path"
         ),
     )
     args = ap.parse_args()
@@ -958,6 +959,72 @@ def main() -> int:
             row["tdigest_centroids"] = td_state(scaled).count()
             row["tdigest_centroid_bound"] = 3 * scaled * TD_DELTA
 
+        if want("avro"):
+            # --- Avro codec spine (round 14, VERDICT r13 #2): the
+            # suite's slowest bench key (scan_avro_import, 8.86 s at
+            # sf0.1) claims "embarrassingly parallel — scales with
+            # file count"; this measures it instead of asserting it.
+            # Distributed encode (one DEFLATE container file per
+            # 8192-row slice via mapInPandas) → parquet store →
+            # block-parallel VALIDATING decode (full value decode +
+            # schema/sync/consumption checks). Both stages are pure
+            # per-file Python with no exchange anywhere, so wall-clock
+            # must track rows linearly on fixed cores; a super-linear
+            # slope here would mean hidden driver-side or single-task
+            # work in the codec path.
+            from etl_ch_destination_spark.sink.avro import (
+                avro_blocks,
+                avro_schema,
+                decode_container,
+            )
+
+            o_av = replicate(o0, n, ["o_orderkey"])
+            src_av = o_av.select(
+                F.col("o_orderkey").cast("long"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(12,2)"),
+                F.col("o_orderdate").cast("timestamp"),
+                F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+                .otherwise(F.substring("o_orderpriority", 1, 10))
+                .alias("note"),
+            )
+            expected_av = avro_schema(src_av.schema)
+            av_path = os.path.join(
+                tempfile.gettempdir(), "stress_staging", f"avro_{n}x"
+            )
+
+            def avro_encode():
+                avro_blocks(
+                    src_av,
+                    rows_per_file=8192,
+                    objects_per_block=2048,
+                    codec="deflate",
+                ).write.mode("overwrite").parquet(av_path)
+
+            row["avro_encode"] = time_action(avro_encode)
+            files_av = spark.read.parquet(av_path)
+
+            def _avro_dec(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    counts = []
+                    for payload, cnt in zip(
+                        pdf["payload"], pdf["block_rows"]
+                    ):
+                        rows_ = decode_container(bytes(payload), expected_av)
+                        if len(rows_) != int(cnt):
+                            raise ValueError("container row-count drift")
+                        counts.append(len(rows_))
+                    yield pd.DataFrame({"n": counts})
+
+            def avro_decode():
+                files_av.mapInPandas(
+                    _avro_dec, schema="n bigint"
+                ).write.mode("overwrite").format("noop").save()
+
+            row["avro_decode"] = time_action(avro_decode)
+
         results[str(n)] = row
         spark.catalog.clearCache()
         # Reclaim the factor's durable staging tables: standalone
@@ -1007,7 +1074,7 @@ def main() -> int:
         "line_dedup", "substr_dedup", "cc", "pagerank", "triangles",
         "semdedup", "sim_exact", "sim_lsh", "bfs", "tri_approx",
         "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
-        "asof", "tdigest",
+        "asof", "tdigest", "avro_encode", "avro_decode",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
