@@ -2667,85 +2667,10 @@ def scan_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving files' row groups. The NTILE staging window is
     fixture-layout machinery, not the read path (production writers
     range-partition by key instead)."""
-    import json as _json
-
-    from pyspark.sql.window import Window
-
-    root = _scratch(sf_dir, "scan_table_log")
-    data_dir = os.path.join(root, "data")
-    log_dir = os.path.join(root, "_table_log")
-    shutil.rmtree(data_dir, ignore_errors=True)
-    shutil.rmtree(log_dir, ignore_errors=True)
-    os.makedirs(log_dir)
-
+    data_dir, log_dir = stage_table_log(spark, sf_dir, "scan_table_log")
     o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("long"),
-        "o_orderstatus",
-        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("long")
-        .alias("price_cents"),
+        F.col("o_orderkey").cast("long")
     )
-    sliced = o.withColumn(
-        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
-    )
-    sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
-
-    # file-level stats for the add actions (the bounded manifest)
-    stats = {
-        r["slice"]: (r["n"], r["min_k"], r["max_k"])
-        for r in sliced.groupBy("slice")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_orderkey").alias("min_k"),
-            F.max("o_orderkey").alias("max_k"),
-        )
-        .collect()
-    }
-
-    def _add(path: str, n: int, lo: int, hi: int) -> str:
-        return _json.dumps(
-            {
-                "add": {
-                    "path": path,
-                    "dataChange": True,
-                    "stats": _json.dumps(
-                        {
-                            "numRecords": int(n),
-                            "minValues": {"o_orderkey": int(lo)},
-                            "maxValues": {"o_orderkey": int(hi)},
-                        }
-                    ),
-                }
-            }
-        )
-
-    # v0: metaData + one add per slice file
-    v0 = [_json.dumps({"metaData": {"id": "scan-table-log-fixture"}})]
-    for s in range(1, TLOG_SLICES + 1):
-        n, lo, hi = stats[s]
-        v0.append(_add(f"slice={s}", n, lo, hi))
-    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as f:
-        f.write("\n".join(v0) + "\n")
-
-    # v1: UPDATE rewrite — remove the TLOG_REMOVED slices, add one
-    # compacted file holding their non-'F' rows
-    rewrite = sliced.filter(
-        F.col("slice").isin(*TLOG_REMOVED) & (F.col("o_orderstatus") != "F")
-    ).drop("slice")
-    rw_dir = os.path.join(data_dir, "rewrite=1")
-    rewrite.write.mode("overwrite").parquet(rw_dir)
-    rw = rewrite.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("o_orderkey").alias("min_k"),
-        F.max("o_orderkey").alias("max_k"),
-    ).collect()[0]
-    v1 = [
-        _json.dumps({"remove": {"path": f"slice={s}", "dataChange": True}})
-        for s in TLOG_REMOVED
-    ]
-    v1.append(_add("rewrite=1", rw["n"], rw["min_k"], rw["max_k"]))
-    with open(os.path.join(log_dir, "%020d.json" % 1), "w") as f:
-        f.write("\n".join(v1) + "\n")
 
     # ---- reader side: replay the log, prune, scan ----
     snap = table_log_snapshot(spark, log_dir, TLOG_PIN_VERSION)
@@ -2828,3 +2753,285 @@ def table_log_snapshot(
             F.col("st.maxValues.o_orderkey").alias("max_k"),
         )
     )
+
+
+def stage_table_log(spark: SparkSession, sf_dir: str, key: str):
+    """Stage the Delta-style fixture layout shared by the table-log
+    keys: orders sliced into {TLOG_SLICES} contiguous o_orderkey-range
+    parquet files + a two-commit JSON action log (v0 = metaData + adds
+    with embedded min/max/numRecords stats; v1 = UPDATE rewrite that
+    removes the TLOG_REMOVED slices and adds one compacted file with
+    the 'F'-status rows deleted). Each caller keys its own scratch
+    subdir so concurrently-run keys never share state. Returns
+    (data_dir, log_dir)."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    root = _scratch(sf_dir, key)
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_table_log")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sliced = o.withColumn(
+        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+    )
+    sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
+
+    # file-level stats for the add actions (the bounded manifest)
+    stats = {
+        r["slice"]: (r["n"], r["min_k"], r["max_k"])
+        for r in sliced.groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_k"),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        .collect()
+    }
+
+    def _add(path: str, n: int, lo: int, hi: int) -> str:
+        return _json.dumps(
+            {
+                "add": {
+                    "path": path,
+                    "dataChange": True,
+                    "stats": _json.dumps(
+                        {
+                            "numRecords": int(n),
+                            "minValues": {"o_orderkey": int(lo)},
+                            "maxValues": {"o_orderkey": int(hi)},
+                        }
+                    ),
+                }
+            }
+        )
+
+    # v0: metaData + one add per slice file
+    v0 = [_json.dumps({"metaData": {"id": "scan-table-log-fixture"}})]
+    for s in range(1, TLOG_SLICES + 1):
+        n, lo, hi = stats[s]
+        v0.append(_add(f"slice={s}", n, lo, hi))
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as f:
+        f.write("\n".join(v0) + "\n")
+
+    # v1: UPDATE rewrite — remove the TLOG_REMOVED slices, add one
+    # compacted file holding their non-'F' rows
+    rewrite = sliced.filter(
+        F.col("slice").isin(*TLOG_REMOVED) & (F.col("o_orderstatus") != "F")
+    ).drop("slice")
+    rw_dir = os.path.join(data_dir, "rewrite=1")
+    rewrite.write.mode("overwrite").parquet(rw_dir)
+    rw = rewrite.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_k"),
+        F.max("o_orderkey").alias("max_k"),
+    ).collect()[0]
+    v1 = [
+        _json.dumps({"remove": {"path": f"slice={s}", "dataChange": True}})
+        for s in TLOG_REMOVED
+    ]
+    v1.append(_add("rewrite=1", rw["n"], rw["min_k"], rw["max_k"]))
+    with open(os.path.join(log_dir, "%020d.json" % 1), "w") as f:
+        f.write("\n".join(v1) + "\n")
+    return data_dir, log_dir
+
+
+@query(
+    "scan_table_log_travel",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({TLOG_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents
+    FROM sliced
+    WHERE slice IN {TLOG_REMOVED!r} AND o_orderstatus = 'F'
+    """,
+)
+def scan_table_log_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the transaction log — the version DIFF every
+    Delta/Iceberg user runs after an UPDATE ("what did that commit
+    delete?"): reconstruct snapshots v0 and v1 from the SAME action
+    log scan_table_log stages, compute removed = live(v0) − live(v1)
+    and added = live(v1) − live(v0) from the MANIFEST alone, then
+    diff the data relationally: rows in the removed files EXCEPT ALL
+    rows in the added files = exactly the rows the commit deleted.
+    Nothing outside the touched files is ever read — the diff's I/O
+    is bounded by the commit's own footprint, not the table size,
+    which is what makes version diffs tractable on a 100 TB table.
+
+    The hash oracle derives the same deleted set straight from the
+    relational definition of the staged layout (the 'F'-status rows
+    of the rewritten slices) — a match proves log replay at BOTH
+    versions, the manifest diff, and exceptAll agree by value.
+
+    Plan: two manifest replays (|files| rows each), one parquet scan
+    of the removed files, one of the added file, and a hash
+    EXCEPT ALL on the full row — no full-table scan node anywhere."""
+    data_dir, log_dir = stage_table_log(spark, sf_dir, "scan_table_log_travel")
+
+    live0 = {r["path"] for r in table_log_snapshot(spark, log_dir, 0).collect()}
+    live1 = {r["path"] for r in table_log_snapshot(spark, log_dir, 1).collect()}
+    removed = sorted(live0 - live1)
+    added = sorted(live1 - live0)
+    before = spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in removed]
+    ).select("o_orderkey", "o_orderstatus", "price_cents")
+    after = spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in added]
+    ).select("o_orderkey", "o_orderstatus", "price_cents")
+    return before.exceptAll(after)
+
+
+@query(
+    "scan_protobuf_evolution",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS bal_cents,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    )
+    SELECT 'fwd' AS direction, c_custkey, bal_cents, segment,
+           CAST(NULL AS VARCHAR) AS priority,
+           CAST(NULL AS DOUBLE) AS score
+    FROM base
+    UNION ALL
+    SELECT 'bwd', c_custkey, bal_cents, segment,
+           CAST(NULL AS VARCHAR), CAST(0.0 AS DOUBLE)
+    FROM base
+    """,
+)
+def scan_protobuf_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf SCHEMA EVOLUTION as a source — both directions of the
+    contract that lets producers and consumers upgrade independently
+    (protobuf.dev: unknown fields are skipped; absent fields decode
+    to defaults or, with explicit presence, to null):
+
+    - ``fwd`` (old reader, new writer): customers encoded under a v2
+      WRITER schema carrying two EXTRA fields (9: priority string,
+      10: score double), decoded under the v1 READER — the decoder
+      must skip the unknown tags by wire type and surface exactly the
+      v1 view.
+    - ``bwd`` (new reader, old writer): the same rows encoded under
+      the v1 WRITER, decoded under the v2 READER — ``priority``
+      (explicit presence) comes back NULL, ``score`` (implicit)
+      comes back 0.0, the proto3 absent-field semantics.
+
+    The hash oracle pins both by value against the relational source
+    — including that the skipped v2 values NEVER leak into the fwd
+    view and that the bwd defaults are exactly NULL / 0.0. Same
+    distributed shape as scan_protobuf_import: Arrow-batched
+    encode/decode over independent length-delimited stream files, no
+    exchange anywhere."""
+    from etl_ch_destination_spark.sink.protobuf import (
+        decode_stream,
+        pb_schema,
+        protobuf_blocks,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("long"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    v1_fields = [
+        (1, "c_custkey", "int64", False),
+        (3, "bal_cents", "sint64", False),
+        (5, "segment", "string", True),
+    ]
+    v2_fields = v1_fields + [
+        (9, "priority", "string", True),
+        (10, "score", "double", False),
+    ]
+    v1 = pb_schema(v1_fields)
+    v2 = pb_schema(v2_fields)
+    v2_reader = pb_schema(
+        v1_fields + [(9, "priority", "string", True), (10, "score", "double", False)]
+    )
+
+    # stage v2-written bytes (extra values derived from real data so
+    # the skip path sees realistic variety)
+    src_v2 = base.select(
+        "c_custkey",
+        "bal_cents",
+        "segment",
+        F.upper(F.substring(F.coalesce("segment", F.lit("none")), 1, 3)).alias(
+            "priority"
+        ),
+        (F.col("bal_cents") / 100.0).alias("score"),
+    )
+    p2 = _scratch(sf_dir, "scan_protobuf_evolution_v2")
+    protobuf_blocks(src_v2, v2, rows_per_file=8192).write.mode(
+        "overwrite"
+    ).parquet(p2)
+    # stage v1-written bytes
+    p1 = _scratch(sf_dir, "scan_protobuf_evolution_v1")
+    protobuf_blocks(base, v1, rows_per_file=8192).write.mode(
+        "overwrite"
+    ).parquet(p1)
+
+    out_schema = (
+        "direction string, c_custkey bigint, bal_cents bigint,"
+        " segment string, priority string, score double"
+    )
+
+    def make_decoder(reader, tag, pad_v1):
+        def decode_partition(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {
+                    "direction": [],
+                    "c_custkey": [],
+                    "bal_cents": [],
+                    "segment": [],
+                    "priority": [],
+                    "score": [],
+                }
+                for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                    rows = decode_stream(
+                        reader, bytes(payload), expected_rows=int(n)
+                    )
+                    for row in rows:
+                        out["direction"].append(tag)
+                        out["c_custkey"].append(row[0])
+                        out["bal_cents"].append(row[1])
+                        out["segment"].append(row[2])
+                        if pad_v1:
+                            out["priority"].append(None)
+                            out["score"].append(None)
+                        else:
+                            out["priority"].append(row[3])
+                            out["score"].append(row[4])
+                yield pd.DataFrame(out)
+
+        return decode_partition
+
+    fwd = spark.read.parquet(p2).mapInPandas(
+        make_decoder(v1, "fwd", pad_v1=True), schema=out_schema
+    )
+    bwd = spark.read.parquet(p1).mapInPandas(
+        make_decoder(v2_reader, "bwd", pad_v1=False), schema=out_schema
+    )
+    return fwd.unionByName(bwd)

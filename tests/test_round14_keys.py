@@ -504,3 +504,55 @@ def test_funnel_increase_needs_strictly_later_hours():
         (dt.datetime(2024, 1, 1, 2), "purchase"),
     ]
     assert _brute_increase_level(rows2, timedelta(hours=6)) == 3
+
+
+def test_table_log_travel_diff_is_the_deleted_rows(spark, sf_dir):
+    """The version diff equals an independently-computed v0-scan
+    EXCEPT v1-scan over full snapshots (the expensive definition the
+    key's bounded form must match)."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_table_log_travel,
+        table_log_snapshot,
+        _scratch,
+    )
+
+    got = scan_table_log_travel(spark, sf_dir)
+    root = _scratch(sf_dir, "scan_table_log_travel")
+    data_dir, log_dir = os.path.join(root, "data"), os.path.join(root, "_table_log")
+    snap0 = [r["path"] for r in table_log_snapshot(spark, log_dir, 0).collect()]
+    snap1 = [r["path"] for r in table_log_snapshot(spark, log_dir, 1).collect()]
+    cols = ["o_orderkey", "o_orderstatus", "price_cents"]
+    full0 = spark.read.parquet(*[os.path.join(data_dir, p) for p in snap0]).select(cols)
+    full1 = spark.read.parquet(*[os.path.join(data_dir, p) for p in snap1]).select(cols)
+    want = full0.exceptAll(full1)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # and every diffed row is an 'F' row (the v1 delete predicate)
+    assert got.filter(F.col("o_orderstatus") != "F").count() == 0
+    assert got.count() > 0
+
+
+def test_protobuf_evolution_views(spark, sf_dir):
+    """fwd: skipped v2 values never leak (v1 view identical to a
+    v1-written decode); bwd: absent fields come back NULL (explicit)
+    / 0.0 (implicit) for EVERY row."""
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_protobuf_evolution,
+    )
+
+    df = scan_protobuf_evolution(spark, sf_dir)
+    fwd = df.filter(F.col("direction") == "fwd")
+    bwd = df.filter(F.col("direction") == "bwd")
+    n = fwd.count()
+    assert n == bwd.count() and n > 0
+    assert fwd.filter(
+        F.col("priority").isNotNull() | F.col("score").isNotNull()
+    ).count() == 0
+    assert bwd.filter(
+        F.col("priority").isNotNull() | (F.col("score") != 0.0)
+    ).count() == 0
+    # the shared v1 columns agree across directions row-for-row
+    a = fwd.select("c_custkey", "bal_cents", "segment")
+    b = bwd.select("c_custkey", "bal_cents", "segment")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

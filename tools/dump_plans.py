@@ -561,6 +561,40 @@ ANNOTATIONS: dict[str, str] = {
         "contract with zero point-cardinality work after the first "
         "aggregate."
     ),
+    "scan_protobuf_import": (
+        "Round-14 wire-format key: both halves are mapInPandas over "
+        "independent length-delimited stream files — the plan shows "
+        "scan → ArrowEvalPython-style Python stages with NO exchange "
+        "anywhere; file count is the parallelism unit, exactly the "
+        "scan_avro_import shape. A JVM spark-protobuf jar is the "
+        "drop-in production fast path for the same plan position."
+    ),
+    "scan_table_log": (
+        "Delta-style log scan: the action-log replay touches only "
+        "manifest rows (a text scan of the commit files + one window "
+        "over |files| rows — kilobytes at any scale), file pruning "
+        "happens BEFORE data I/O (pruned files never appear in the "
+        "parquet scan's file list — asserted via inputFiles() in "
+        "tests), and the data read is a plain multi-path parquet scan "
+        "with the key predicate pushed into the surviving files' row "
+        "groups (PushedFilters)."
+    ),
+    "agg_window_funnel_dedup": (
+        "strict_deduplication funnel: the base exists-chain equi-joins "
+        "on user_id plus two LEFT ANTI joins for the interrupt checks "
+        "— every join is SMJ/SHJ keyed on user_id with the time range "
+        "as the join residual (no BroadcastNestedLoopJoin/Cartesian "
+        "node), exchanges carry the per-user funnel-event slice, and "
+        "the level rollup is two tiny aggregates. 5 hash exchanges "
+        "total (allowance-pinned in test_plan_audit)."
+    ),
+    "agg_window_funnel_increase": (
+        "strict_increase funnel over hour-truncated event times: the "
+        "truncation folds into the scan projection, then the exact "
+        "base-funnel join shape — two user_id equi-joins with range "
+        "residuals, a semi-join for level 3, one level rollup. "
+        "Coarse-clock tie handling costs nothing at plan level."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
