@@ -481,3 +481,146 @@ def agg_window_funnel_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("funnel_level", F.lit(0)).alias("funnel_level"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "agg_sequence_next_node",
+    """
+    WITH fe AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS f1,
+             MAX(CASE WHEN rn = 2 THEN event_type END) AS f2,
+             MAX(CASE WHEN rn = 3 THEN event_type END) AS f3,
+             MAX(CASE WHEN rnd = 1 THEN event_type END) AS l1,
+             MAX(CASE WHEN rnd = 2 THEN event_type END) AS l2,
+             MAX(CASE WHEN rnd = 3 THEN event_type END) AS l3
+      FROM fe GROUP BY user_id
+    )
+    SELECT direction, next_node, COUNT(*) AS n_users FROM (
+      SELECT 'forward_head' AS direction,
+             CASE WHEN f1 = 'view' AND f2 = 'click' THEN f3 END AS next_node
+      FROM per_user
+      UNION ALL
+      SELECT 'backward_tail',
+             CASE WHEN l1 = 'purchase' AND l2 = 'click' THEN l3 END
+      FROM per_user
+    ) GROUP BY 1, 2
+    """,
+)
+def agg_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode`` — "what happens AFTER the
+    funnel": per user, if the chain matches at the stream's head
+    (forward/head mode: first event 'view', second 'click'), return
+    the THIRD event's type — the node users flow to next; NULL when
+    the chain doesn't match or the stream ends. The backward/tail
+    mode mirrors it from the stream's end (last event 'purchase'
+    preceded by 'click' → the event before those). Rolled up to
+    (direction, next_node) → user counts, NULL buckets included —
+    the flow-analysis shape CH users feed into Sankey charts.
+
+    Ordering is pinned by (ts, event_id) both ways, so both engines
+    see identical head/tail triples. Plan: ONE shuffle on user_id
+    shared by both row_number specs (same partition key), a per-user
+    conditional aggregate collapsing to 6 columns, then a stack +
+    tiny count agg — per-user state is 6 strings regardless of
+    history length, the bounded-state form of the CH aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w_fwd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_bwd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    fe = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_fwd).alias("rn"),
+        F.row_number().over(w_bwd).alias("rnd"),
+    ).filter((F.col("rn") <= 3) | (F.col("rnd") <= 3))
+    per_user = fe.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col(col) == i, F.col("event_type"))).alias(f"{pre}{i}")
+            for col, pre in (("rn", "f"), ("rnd", "l"))
+            for i in (1, 2, 3)
+        ]
+    )
+    fwd = per_user.select(
+        F.lit("forward_head").alias("direction"),
+        F.when(
+            (F.col("f1") == "view") & (F.col("f2") == "click"), F.col("f3")
+        ).alias("next_node"),
+    )
+    bwd = per_user.select(
+        F.lit("backward_tail").alias("direction"),
+        F.when(
+            (F.col("l1") == "purchase") & (F.col("l2") == "click"), F.col("l3")
+        ).alias("next_node"),
+    )
+    return (
+        fwd.unionByName(bwd)
+        .groupBy("direction", "next_node")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "agg_sequence_match_time",
+    """
+    SELECT matched, COUNT(*) AS n_users FROM (
+      SELECT u.user_id,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events s
+               JOIN events p ON s.user_id = p.user_id
+               WHERE s.user_id = u.user_id
+                 AND s.event_type = 'signup' AND p.event_type = 'purchase'
+                 AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+             ) THEN 1 ELSE 0 END AS matched
+      FROM (SELECT DISTINCT user_id FROM events) u
+    ) GROUP BY 1
+    """,
+)
+def agg_sequence_match_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)')(ts, signup,
+    purchase)`` — the TIME-CONDITIONED pattern: a signup followed by a
+    purchase within one hour (any events may interleave; only the
+    step pair carries the time bound). Per user matched/unmatched,
+    rolled up to counts. Where the unconditioned agg_sequence_match
+    collapses to a min/max comparison, the time bound genuinely needs
+    the pair search — expressed as ONE semi-join between the signup
+    and purchase slices (equi on user_id, the bound as the join
+    residual) instead of a per-user event-list fold.
+
+    Plan: two filtered scans → user_id-keyed semi-join → distinct
+    users left-join → one tiny count agg; per-user state is bounded
+    by the type slices, never the history."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("st")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pt")
+    )
+    hit = (
+        s.join(
+            p,
+            (F.col("su") == F.col("pu"))
+            & (F.col("pt") > F.col("st"))
+            & (F.col("pt") <= F.col("st") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .select(F.col("su").alias("user_id"))
+        .distinct()
+        .withColumn("matched", F.lit(1))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(hit, "user_id", "left")
+        .groupBy(F.coalesce("matched", F.lit(0)).alias("matched"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -556,3 +556,74 @@ def test_protobuf_evolution_views(spark, sf_dir):
     a = fwd.select("c_custkey", "bal_cents", "segment")
     b = bwd.select("c_custkey", "bal_cents", "segment")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ------------------------------------------------------------------
+# agg_sequence_next_node / agg_sequence_match_time
+# ------------------------------------------------------------------
+
+
+def test_sequence_next_node_matches_brute_force(spark, sf_dir):
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.behavior import (
+        agg_sequence_next_node,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user: dict[int, list] = {}
+    for r in ev.select("user_id", "ts", "event_id", "event_type").collect():
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    want: dict[tuple, int] = {}
+    for rows in per_user.values():
+        rows.sort()
+        types = [t for _, _, t in rows]
+        fwd = (
+            types[2] if len(types) >= 3 else None
+        ) if len(types) >= 2 and types[0] == "view" and types[1] == "click" else None
+        rtypes = types[::-1]
+        bwd = (
+            rtypes[2] if len(rtypes) >= 3 else None
+        ) if len(rtypes) >= 2 and rtypes[0] == "purchase" and rtypes[1] == "click" else None
+        want[("forward_head", fwd)] = want.get(("forward_head", fwd), 0) + 1
+        want[("backward_tail", bwd)] = want.get(("backward_tail", bwd), 0) + 1
+    got = {
+        (r["direction"], r["next_node"]): r["n_users"]
+        for r in agg_sequence_next_node(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sequence_match_time_matches_brute_force(spark, sf_dir):
+    from datetime import timedelta
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.behavior import (
+        agg_sequence_match_time,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user: dict[int, list] = {}
+    for r in ev.select("user_id", "ts", "event_type").collect():
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    want = {0: 0, 1: 0}
+    hour = timedelta(hours=1)
+    for rows in per_user.values():
+        signups = [t for t, ty in rows if ty == "signup"]
+        purchases = [t for t, ty in rows if ty == "purchase"]
+        hit = any(s < p <= s + hour for s in signups for p in purchases)
+        want[int(hit)] += 1
+    got = {
+        r["matched"]: r["n_users"]
+        for r in agg_sequence_match_time(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v}
+    # the time bound must BITE: plain ordered match counts more users
+    from etl_ch_destination_spark.queries.behavior import agg_sequence_match
+
+    plain = {
+        r["matched"]: r["n_users"]
+        for r in agg_sequence_match(spark, sf_dir).collect()
+    }
+    assert plain.get(1, 0) > got.get(1, 0)
