@@ -3035,3 +3035,182 @@ def scan_protobuf_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_decoder(v2_reader, "bwd", pad_v1=False), schema=out_schema
     )
     return fwd.unionByName(bwd)
+
+
+TLOG_CKPT_REMOVED_V2 = 6  # slice dropped by the v2 commit (partition delete)
+
+
+@query(
+    "scan_table_log_checkpoint",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({TLOG_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    ),
+    snapshot AS (
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice NOT IN {TLOG_REMOVED!r}
+        AND slice <> {TLOG_CKPT_REMOVED_V2}
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice IN {TLOG_REMOVED!r} AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+    FROM snapshot GROUP BY 1
+    """,
+)
+def scan_table_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECKPOINT read path — how production readers actually
+    open a table with a long history: instead of replaying every JSON
+    commit since version 0, read ``_last_checkpoint`` (a pointer
+    file), load the checkpoint PARQUET (the flattened live-file state
+    at that version — manifest rows, not data), and replay only the
+    JSON commits AFTER it. Staged here: the scan_table_log layout
+    (v0 adds, v1 UPDATE rewrite) + a checkpoint parquet written at
+    v1 + a v2 commit that DELETES one whole file (a partition drop,
+    the cheapest Delta delete). The reader resolves the snapshot from
+    checkpoint+tail — the full-log replay never runs (the v0/v1 JSON
+    could be archived away, which is the point: open cost is
+    O(checkpoint + tail), not O(history)). tests assert
+    checkpoint+tail reconstructs the identical live set to a full
+    replay and that the pointer file is respected.
+
+    The hash oracle aggregates the v2 snapshot relationally
+    (per-status order counts + exact cents sums): a match proves the
+    checkpoint write, the pointer, the tail replay, and the final
+    data scan agree by value.
+
+    Scale: checkpoint is |files| manifest rows in parquet (Delta's
+    own format choice — columnar manifest scans for million-file
+    tables); the tail is one tiny JSON commit; data I/O is a plain
+    multi-path parquet scan of the live files."""
+    import json as _json
+
+    data_dir, log_dir = stage_table_log(
+        spark, sf_dir, "scan_table_log_checkpoint"
+    )
+
+    # ---- checkpoint at v1: flattened live-file state, parquet ----
+    ckpt_df = table_log_snapshot(spark, log_dir, 1)
+    ckpt_path = os.path.join(log_dir, "%020d.checkpoint.parquet" % 1)
+    ckpt_df.coalesce(1).write.mode("overwrite").parquet(ckpt_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        f.write(_json.dumps({"version": 1}))
+
+    # ---- v2 commit: drop one whole file (partition delete) ----
+    with open(os.path.join(log_dir, "%020d.json" % 2), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "remove": {
+                        "path": f"slice={TLOG_CKPT_REMOVED_V2}",
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    live = table_log_snapshot_from_checkpoint(spark, log_dir, 2)
+    paths = [r["path"] for r in live.collect()]
+    scan = spark.read.parquet(*[os.path.join(data_dir, p) for p in paths])
+    return scan.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+def table_log_snapshot_from_checkpoint(
+    spark: SparkSession, log_dir: str, version: int
+) -> DataFrame:
+    """Resolve the live-file set at ``version`` via the checkpoint
+    path: read ``_last_checkpoint`` → load the checkpoint parquet
+    (live adds at checkpoint version) → replay only the JSON commits
+    in (ckpt_version, version]. Never touches commits at or before
+    the checkpoint — the O(tail) open that makes long-history tables
+    cheap. Same output shape as table_log_snapshot."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        ckpt_version = int(_json.loads(f.read())["version"])
+    if version < ckpt_version:
+        raise ValueError(
+            f"pinned version {version} predates checkpoint {ckpt_version}; "
+            "use table_log_snapshot (full replay) for pre-checkpoint reads"
+        )
+    ckpt = spark.read.parquet(
+        os.path.join(log_dir, "%020d.checkpoint.parquet" % ckpt_version)
+    ).select(
+        "path",
+        F.lit(ckpt_version).cast("long").alias("version"),
+        F.lit(1).alias("is_add"),
+        F.struct(
+            F.col("numRecords"),
+            F.struct(F.col("min_k").alias("o_orderkey")).alias("minValues"),
+            F.struct(F.col("max_k").alias("o_orderkey")).alias("maxValues"),
+        ).alias("st"),
+    )
+    tail = (
+        spark.read.text(log_dir)
+        .withColumn(
+            "fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .withColumn(
+            "version",
+            F.regexp_extract("fname", r"^(\d+)\.json$", 1).cast("long"),
+        )
+        .filter(
+            (F.col("version") > ckpt_version) & (F.col("version") <= version)
+        )
+        .withColumn(
+            "j",
+            F.from_json(
+                "value",
+                "add struct<path:string,dataChange:boolean,stats:string>,"
+                "remove struct<path:string,dataChange:boolean>",
+            ),
+        )
+    )
+    adds = tail.filter(F.col("j.add.path").isNotNull()).select(
+        F.col("j.add.path").alias("path"),
+        "version",
+        F.lit(1).alias("is_add"),
+        F.from_json(
+            "j.add.stats",
+            "numRecords bigint, minValues struct<o_orderkey:bigint>,"
+            " maxValues struct<o_orderkey:bigint>",
+        ).alias("st"),
+    )
+    removes = tail.filter(F.col("j.remove.path").isNotNull()).select(
+        F.col("j.remove.path").alias("path"),
+        "version",
+        F.lit(0).alias("is_add"),
+        F.lit(None)
+        .cast(
+            "struct<numRecords:bigint,minValues:struct<o_orderkey:bigint>,"
+            "maxValues:struct<o_orderkey:bigint>>"
+        )
+        .alias("st"),
+    )
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(), F.col("is_add").desc()
+    )
+    return (
+        ckpt.unionByName(adds)
+        .unionByName(removes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("is_add") == 1))
+        .select(
+            "path",
+            F.col("st.numRecords").alias("numRecords"),
+            F.col("st.minValues.o_orderkey").alias("min_k"),
+            F.col("st.maxValues.o_orderkey").alias("max_k"),
+        )
+    )

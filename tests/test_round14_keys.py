@@ -627,3 +627,35 @@ def test_sequence_match_time_matches_brute_force(spark, sf_dir):
         for r in agg_sequence_match(spark, sf_dir).collect()
     }
     assert plain.get(1, 0) > got.get(1, 0)
+
+
+def test_table_log_checkpoint_equals_full_replay(spark, sf_dir):
+    """checkpoint + tail replay reconstructs the IDENTICAL live-file
+    set a full v0..v2 JSON replay produces, the pointer file is
+    respected, and pre-checkpoint reads fail loudly."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        TLOG_CKPT_REMOVED_V2,
+        _scratch,
+        scan_table_log_checkpoint,
+        table_log_snapshot,
+        table_log_snapshot_from_checkpoint,
+    )
+
+    scan_table_log_checkpoint(spark, sf_dir).collect()  # stage
+    root = _scratch(sf_dir, "scan_table_log_checkpoint")
+    log_dir = os.path.join(root, "_table_log")
+
+    full = {
+        r["path"]: (r["numRecords"], r["min_k"], r["max_k"])
+        for r in table_log_snapshot(spark, log_dir, 2).collect()
+    }
+    via_ckpt = {
+        r["path"]: (r["numRecords"], r["min_k"], r["max_k"])
+        for r in table_log_snapshot_from_checkpoint(spark, log_dir, 2).collect()
+    }
+    assert full == via_ckpt and full
+    assert f"slice={TLOG_CKPT_REMOVED_V2}" not in via_ckpt
+    with pytest.raises(ValueError, match="predates checkpoint"):
+        table_log_snapshot_from_checkpoint(spark, log_dir, 0)
