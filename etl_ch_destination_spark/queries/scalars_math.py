@@ -792,3 +792,132 @@ def geo_h3_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") + neigh_n).cast("double") / (F.lit(1) + n_nb)
         ).alias("smooth_n"),
     )
+
+
+# geo_h3_polyfill: the pinned coverage bbox (true microdegrees) and
+# the doubled-coordinate enumeration bounds that contain it. Centers:
+# cx = hq·(W/2) − 180e6, cy = hr·(H/2) − 90e6 (uniform across both
+# lattices in doubled coordinates).
+POLY_LON_LO, POLY_LON_HI = -10_000_000, 10_000_000
+POLY_LAT_LO, POLY_LAT_HI = -10_000_000, 10_000_000
+_POLY_HQ_LO = (POLY_LON_LO + 180_000_000) // (HEX_W // 2)       # 340
+_POLY_HQ_HI = -(-(POLY_LON_HI + 180_000_000) // (HEX_W // 2))   # 380
+_POLY_HR_LO = (POLY_LAT_LO + 90_000_000) // (HEX_H // 2)        # 92
+_POLY_HR_HI = -(-(POLY_LAT_HI + 90_000_000) // (HEX_H // 2))    # 116
+
+
+@query(
+    "geo_h3_polyfill",
+    f"""
+    WITH grid AS (
+      SELECT CAST(g1.hq AS BIGINT) AS hq, CAST(g2.hr AS BIGINT) AS hr
+      FROM generate_series({_POLY_HQ_LO}, {_POLY_HQ_HI}) g1(hq)
+      CROSS JOIN generate_series({_POLY_HR_LO}, {_POLY_HR_HI}) g2(hr)
+      WHERE (g1.hq + g2.hr) % 2 = 0
+        AND g1.hq * {HEX_W // 2} - 180000000
+              BETWEEN {POLY_LON_LO} AND {POLY_LON_HI}
+        AND g2.hr * {HEX_H // 2} - 90000000
+              BETWEEN {POLY_LAT_LO} AND {POLY_LAT_HI}
+    ),
+    counts AS (
+      SELECT CAST(cell.hq AS BIGINT) AS hq, CAST(cell.hr AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(acct_cents) AS BIGINT) AS acct_cents
+      FROM (
+        SELECT {_HEX_CELL_DUCK} AS cell,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS acct_cents
+        FROM customer
+      )
+      GROUP BY 1, 2
+    )
+    SELECT grid.hq, grid.hr,
+           CAST(grid.hq * {HEX_W // 2} - 180000000 AS BIGINT) AS cell_cx,
+           CAST(grid.hr * {HEX_H // 2} - 90000000 AS BIGINT) AS cell_cy,
+           COALESCE(counts.n, 0) AS n,
+           COALESCE(counts.acct_cents, 0) AS acct_cents
+    FROM grid LEFT JOIN counts ON grid.hq = counts.hq AND grid.hr = counts.hr
+    """,
+)
+def geo_h3_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → cell-set enumeration — the ClickHouse
+    ``polygonToCells`` / H3 ``polyfill`` primitive that completes the
+    geo family's READ side: geo_h3_hexgrid buckets POINTS into cells;
+    this enumerates every hex cell whose CENTER falls inside a pinned
+    bbox (±10° around the origin) INDEPENDENT of the data, then LEFT
+    joins the per-cell customer rollup so empty cells surface with
+    n = 0 — the coverage-map shape (dashboards need the holes, not
+    just the populated cells; an IN-list of polyfilled cells is also
+    how spatial predicates push into cell-partitioned tables).
+
+    Enumeration is exact integer: doubled coordinates (hq, hr) ride a
+    bounded integer lattice walk (two chained explodes of literal
+    sequences — generators, not a join node), same-parity pairs are
+    the valid cells (lattice A even/even, B odd/odd), and the
+    center-in-bbox test is the same cx/cy integer formula the grid
+    keys pin. No float, no trig — byte-identical cell sets on both
+    engines by construction.
+
+    Plan/scale: the grid side is O(bbox area / cell area) rows
+    (hundreds here) built from one literal row — broadcast-sized by
+    construction; the counts side is the usual point→cell aggregate.
+    The LEFT join is a broadcast hash join of two cell-cardinality
+    sides; points are touched exactly once. At 100 TB the polyfill
+    list is what you'd broadcast against a cell-bucketed fact table —
+    this IS that plan."""
+    c = load_table(spark, sf_dir, "customer")
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(_POLY_HQ_LO), F.lit(_POLY_HQ_HI))
+            ).alias("hq")
+        )
+        .select(
+            "hq",
+            F.explode(
+                F.sequence(F.lit(_POLY_HR_LO), F.lit(_POLY_HR_HI))
+            ).alias("hr"),
+        )
+        .select(
+            F.col("hq").cast("bigint").alias("hq"),
+            F.col("hr").cast("bigint").alias("hr"),
+        )
+        .filter(
+            ((F.col("hq") + F.col("hr")) % 2 == 0)
+            & (F.col("hq") * (HEX_W // 2) - 180_000_000).between(
+                POLY_LON_LO, POLY_LON_HI
+            )
+            & (F.col("hr") * (HEX_H // 2) - 90_000_000).between(
+                POLY_LAT_LO, POLY_LAT_HI
+            )
+        )
+    )
+    counts = (
+        c.select(
+            F.expr(_HEX_CELL_SPARK).alias("cell"),
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("acct_cents"),
+        )
+        .groupBy(
+            F.col("cell.hq").cast("bigint").alias("hq"),
+            F.col("cell.hr").cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("acct_cents").cast("bigint").alias("acct_cents"),
+        )
+    )
+    return grid.join(counts, ["hq", "hr"], "left").select(
+        "hq",
+        "hr",
+        (F.col("hq") * (HEX_W // 2) - 180_000_000)
+        .cast("bigint")
+        .alias("cell_cx"),
+        (F.col("hr") * (HEX_H // 2) - 90_000_000)
+        .cast("bigint")
+        .alias("cell_cy"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("acct_cents", F.lit(0)).cast("bigint").alias("acct_cents"),
+    )

@@ -659,3 +659,52 @@ def test_table_log_checkpoint_equals_full_replay(spark, sf_dir):
     assert f"slice={TLOG_CKPT_REMOVED_V2}" not in via_ckpt
     with pytest.raises(ValueError, match="predates checkpoint"):
         table_log_snapshot_from_checkpoint(spark, log_dir, 0)
+
+
+# ------------------------------------------------------------------
+# geo_h3_polyfill
+# ------------------------------------------------------------------
+
+
+def test_polyfill_enumeration_matches_pure_python(spark, sf_dir):
+    """The cell set is exactly the brute-force integer enumeration of
+    same-parity doubled coordinates with centers inside the bbox;
+    counts agree with geo_h3_hexgrid on the populated cells and empty
+    cells surface with n = 0."""
+    from etl_ch_destination_spark.queries.scalars_math import (
+        HEX_H,
+        HEX_W,
+        POLY_LAT_HI,
+        POLY_LAT_LO,
+        POLY_LON_HI,
+        POLY_LON_LO,
+        _POLY_HQ_HI,
+        _POLY_HQ_LO,
+        _POLY_HR_HI,
+        _POLY_HR_LO,
+        geo_h3_hexgrid,
+        geo_h3_polyfill,
+    )
+
+    want = set()
+    for hq in range(_POLY_HQ_LO, _POLY_HQ_HI + 1):
+        for hr in range(_POLY_HR_LO, _POLY_HR_HI + 1):
+            if (hq + hr) % 2:
+                continue
+            cx = hq * (HEX_W // 2) - 180_000_000
+            cy = hr * (HEX_H // 2) - 90_000_000
+            if POLY_LON_LO <= cx <= POLY_LON_HI and POLY_LAT_LO <= cy <= POLY_LAT_HI:
+                want.add((hq, hr))
+    rows = geo_h3_polyfill(spark, sf_dir).collect()
+    got = {(r["hq"], r["hr"]): (r["n"], r["acct_cents"]) for r in rows}
+    assert set(got) == want
+    assert any(n == 0 for n, _ in got.values()), "coverage must include holes"
+    grid_counts = {
+        (r["hq"], r["hr"]): (r["n"], r["acct_cents"])
+        for r in geo_h3_hexgrid(spark, sf_dir).collect()
+    }
+    for cell, (n, cents) in got.items():
+        if n:
+            assert grid_counts[cell] == (n, cents)
+        else:
+            assert cell not in grid_counts
