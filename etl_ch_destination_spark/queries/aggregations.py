@@ -1137,38 +1137,54 @@ def agg_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def td_merge_quantiles(state: DataFrame, tie_cols: list[str]) -> DataFrame:
-    """The pinned t-digest MERGE + ESTIMATE over a centroid state table
-    ``(grp, *tie_cols, s, w)`` — the single source of the policy, used
-    by both the batch key above (tie = shard, bucket) and the streaming
-    state key (tie = batch tag, bucket): weighted points sorted by mean
-    with ``tie_cols`` as the deterministic tiebreak, re-clustered by k0
-    on cumulative weight, midpoint interpolation clamped at the
-    outermost centroids. Returns (grp, n, p50, p90, p99); the cents →
-    unit division by 100 happens here."""
+def td_merge_state(
+    state: DataFrame, tie_cols: list[str], part_cols: list[str] | None = None
+) -> DataFrame:
+    """The pinned t-digest MERGE as a state→state step over a centroid
+    table ``(grp, *part_cols, *tie_cols, s, w)``: weighted points
+    sorted by mean with ``tie_cols`` as the deterministic tiebreak,
+    re-clustered by k0 on cumulative weight within each
+    (grp, *part_cols) partition. Returns (grp, *part_cols, mbucket,
+    s, w, total) — ≤ TD_DELTA rows per partition, the closure under
+    merging that makes digests COMPACTABLE (stream_tdigest_compact
+    merges closed micro-batches with exactly this step)."""
+    part_cols = part_cols or []
     mean = F.col("s").cast("double") / F.col("w")
-    w_cum = Window.partitionBy("grp").orderBy(mean, *tie_cols)
+    w_cum = Window.partitionBy("grp", *part_cols).orderBy(mean, *tie_cols)
     ordered = state.select(
         "grp",
+        *part_cols,
         "s",
         "w",
         F.sum("w").over(w_cum).alias("cum"),
-        F.sum("w").over(Window.partitionBy("grp")).alias("total"),
+        F.sum("w").over(Window.partitionBy("grp", *part_cols)).alias("total"),
     )
-    merged = (
+    return (
         ordered.withColumn(
             "mbucket",
             F.expr(
                 f"CAST(({TD_DELTA} * (2 * cum - w)) div (2 * total) AS BIGINT)"
             ),
         )
-        .groupBy("grp", "mbucket")
+        .groupBy("grp", *part_cols, "mbucket")
         .agg(
             F.sum("s").alias("s"),
             F.sum("w").alias("w"),
             F.max("total").alias("total"),
         )
     )
+
+
+def td_merge_quantiles(state: DataFrame, tie_cols: list[str]) -> DataFrame:
+    """The pinned t-digest MERGE + ESTIMATE over a centroid state table
+    ``(grp, *tie_cols, s, w)`` — the single source of the policy, used
+    by both the batch key above (tie = shard, bucket) and the streaming
+    state key (tie = batch tag, bucket): weighted points sorted by mean
+    with ``tie_cols`` as the deterministic tiebreak, re-clustered by k0
+    on cumulative weight (td_merge_state), midpoint interpolation
+    clamped at the outermost centroids. Returns (grp, n, p50, p90,
+    p99); the cents → unit division by 100 happens here."""
+    merged = td_merge_state(state, tie_cols)
     w_ord = Window.partitionBy("grp").orderBy("mbucket")
     posn = merged.select(
         "grp",

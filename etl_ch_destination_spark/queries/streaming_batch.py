@@ -463,12 +463,27 @@ def stream_tdigest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: per-batch build is a window over that batch only;
     the state table write is an append of centroid rows; the final
     merge shuffles centroids, never events."""
-    import os
-
     from etl_ch_destination_spark.queries.aggregations import (
-        TD_DELTA,
         td_merge_quantiles,
     )
+
+    state = build_tdigest_stream_state(spark, sf_dir, "stream_tdigest_state")
+    return td_merge_quantiles(state, ["btag", "bucket"]).withColumnRenamed(
+        "grp", "event_type"
+    )
+
+
+def build_tdigest_stream_state(
+    spark: SparkSession, sf_dir: str, key: str
+) -> DataFrame:
+    """Run the availableNow micro-batch replay and return the raw
+    per-batch centroid state ``(grp, btag, bucket, s, w)`` — the
+    staging shared by stream_tdigest_state (flat merge) and
+    stream_tdigest_compact (hierarchical compaction). Each caller
+    keys its own scratch/checkpoint dirs."""
+    import os
+
+    from etl_ch_destination_spark.queries.aggregations import TD_DELTA
     from etl_ch_destination_spark.streaming.replay import (
         read_staged_stream,
         stage_replay,
@@ -477,8 +492,8 @@ def stream_tdigest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     staged = stage_replay(spark, sf_dir, n_slices=6, tag=f"tdigest_{tag}")
-    state_dir = scratch_dir(f"stream_tdigest_state/{tag}/state")
-    ckpt = scratch_dir(f"stream_tdigest_state/{tag}/ckpt")
+    state_dir = scratch_dir(f"{key}/{tag}/state")
+    ckpt = scratch_dir(f"{key}/{tag}/ckpt")
     shutil.rmtree(state_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -530,7 +545,193 @@ def stream_tdigest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Partition discovery surfaces the epoch stamp; the merge must not
     # see it (state is keyed by the DATA tag btag, not the epoch).
-    state = spark.read.parquet(state_dir).drop("epoch")
-    return td_merge_quantiles(state, ["btag", "bucket"]).withColumnRenamed(
-        "grp", "event_type"
+    return spark.read.parquet(state_dir).drop("epoch")
+
+
+def _td_compact_oracle() -> str:
+    from etl_ch_destination_spark.queries.aggregations import (
+        TD_DELTA,
+        _td_pred_est,
+    )
+
+    sel = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN {_td_pred_est(q)[0]} THEN {_td_pred_est(q)[1]} END)"
+        f" / 100.0 AS DOUBLE) AS p{tag}"
+        for tag, q in (("50", "0.50"), ("90", "0.90"), ("99", "0.99"))
+    )
+    return f"""
+    WITH sliced AS (
+      SELECT event_type AS grp, event_id,
+             NTILE(6) OVER (ORDER BY ts, event_id) AS slice,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    tagged AS (
+      SELECT grp, cents,
+             MIN(event_id) OVER (PARTITION BY slice) AS btag
+      FROM sliced
+    ),
+    r AS (
+      SELECT grp, btag, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp, btag ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp, btag) AS n
+      FROM tagged
+    ),
+    state AS (
+      SELECT grp, btag,
+             CAST(({TD_DELTA} * (2 * rn - 1)) // (2 * n) AS BIGINT) AS bucket,
+             SUM(cents) AS s, COUNT(*) AS w
+      FROM r GROUP BY 1, 2, 3
+    ),
+    halves AS (
+      SELECT btag, DENSE_RANK() OVER (ORDER BY btag) AS brk,
+             COUNT(*) OVER () AS nb
+      FROM (SELECT DISTINCT btag FROM state)
+    ),
+    staged AS (
+      SELECT st.grp, st.btag, st.bucket, st.s, st.w,
+             CASE WHEN h.brk <= (h.nb + 1) // 2 THEN 0 ELSE 1 END AS stage
+      FROM state st JOIN halves h USING (btag)
+    ),
+    o1 AS (  -- level-1 merge: compact each closed half into one digest
+      SELECT grp, stage, s, w,
+             SUM(w) OVER (PARTITION BY grp, stage
+                          ORDER BY CAST(s AS DOUBLE) / w, btag, bucket)
+               AS cum,
+             SUM(w) OVER (PARTITION BY grp, stage) AS total
+      FROM staged
+    ),
+    c1 AS (
+      SELECT grp, stage,
+             CAST(({TD_DELTA} * (2 * cum - w)) // (2 * total) AS BIGINT)
+               AS mbucket,
+             SUM(s) AS s, SUM(w) AS w
+      FROM o1 GROUP BY 1, 2, 3
+    ),
+    o2 AS (  -- level-2 merge: the two compacted digests
+      SELECT grp, s, w,
+             SUM(w) OVER (PARTITION BY grp
+                          ORDER BY CAST(s AS DOUBLE) / w, stage, mbucket)
+               AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS total
+      FROM c1
+    ),
+    m2 AS (
+      SELECT grp,
+             CAST(({TD_DELTA} * (2 * cum - w)) // (2 * total) AS BIGINT)
+               AS mbucket,
+             SUM(s) AS s, SUM(w) AS w, MAX(total) AS total
+      FROM o2 GROUP BY 1, 2
+    ),
+    posn AS (
+      SELECT grp, mbucket, total, CAST(s AS DOUBLE) / w AS mean,
+             CAST(SUM(w) OVER (PARTITION BY grp ORDER BY mbucket) AS DOUBLE)
+               - CAST(w AS DOUBLE) / 2 AS m
+      FROM m2
+    ),
+    seg AS (
+      SELECT grp, total, mean, m,
+             LEAD(mean) OVER (PARTITION BY grp ORDER BY mbucket) AS mean2,
+             LEAD(m) OVER (PARTITION BY grp ORDER BY mbucket) AS m2,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mbucket) AS ci
+      FROM posn
+    ),
+    est AS (
+      SELECT grp AS event_type,
+             CAST(MAX(total) AS BIGINT) AS n,
+             {sel}
+      FROM seg GROUP BY grp
+    ),
+    rawc AS (
+      SELECT grp AS event_type, CAST(COUNT(*) AS BIGINT) AS state_rows_raw
+      FROM state GROUP BY 1
+    ),
+    compc AS (
+      SELECT grp AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS state_rows_compacted
+      FROM c1 GROUP BY 1
+    )
+    SELECT est.event_type, est.n,
+           rawc.state_rows_raw, compc.state_rows_compacted,
+           est.p50, est.p90, est.p99
+    FROM est JOIN rawc USING (event_type) JOIN compc USING (event_type)
+    """
+
+
+@query("stream_tdigest_compact", _td_compact_oracle())
+def stream_tdigest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE COMPACTION for the streamed quantile sketch — the step
+    that makes stream_tdigest_state sustainable over an INFINITE
+    stream: raw state grows one digest per micro-batch forever, so a
+    real deployment periodically merges CLOSED batches with the same
+    pinned policy (CH's AggregatingMergeTree background merge). This
+    key runs that maintenance deterministically: the drained batches
+    split into two halves by batch-tag order (the pinned "closed
+    segment" boundary), each half COMPACTS to one ≤ δ-centroid digest
+    per group via td_merge_state — the state→state form of the merge,
+    closure under the policy — and the final estimate runs over the
+    two compacted digests. Output carries the state-row counts BEFORE
+    and AFTER compaction next to n/p50/p90/p99, so the hash oracle
+    pins the compaction RATIO by value, not just the estimates.
+
+    Hierarchical merge is NOT the flat merge — re-clustering happens
+    within each half first, so centroids (and estimates, within the
+    rank-error bound) genuinely differ from stream_tdigest_state's
+    single-pass merge; the DuckDB oracle replays both levels exactly.
+    A pytest gate holds the two-level estimates to the same true-rank
+    error bound as the direct build — accuracy survives compaction.
+
+    Plan/scale: everything after the micro-batch build touches only
+    centroid rows (≤ |groups|×|batches|×δ in, ≤ 2×|groups|×δ out);
+    the half-ranking window runs over |batches| distinct tags — 6
+    rows here, a bounded manifest at any stream length (a deployment
+    compacts a bounded window of closed segments per run)."""
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.queries.aggregations import (
+        td_merge_quantiles,
+        td_merge_state,
+    )
+
+    state = build_tdigest_stream_state(
+        spark, sf_dir, "stream_tdigest_compact"
+    )
+    # closed-segment boundary: batches ranked by tag, first half vs rest
+    # (|batches| rows — a bounded manifest; the global window is 6 rows)
+    btags = state.select("btag").distinct()
+    ranked = btags.select(
+        "btag",
+        F.row_number().over(Window.orderBy("btag")).alias("brk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    staged = state.join(F.broadcast(ranked), "btag").withColumn(
+        "stage",
+        F.when(
+            F.col("brk") <= (F.col("nb") + 1).cast("bigint") / 2, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint"),
+    )
+    compacted = td_merge_state(
+        staged, ["btag", "bucket"], part_cols=["stage"]
+    ).select("grp", "stage", "mbucket", "s", "w")
+    est = td_merge_quantiles(compacted, ["stage", "mbucket"])
+    rawc = state.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("state_rows_raw")
+    )
+    compc = compacted.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("state_rows_compacted")
+    )
+    return (
+        est.join(rawc, "grp")
+        .join(compc, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "n",
+            "state_rows_raw",
+            "state_rows_compacted",
+            "p50",
+            "p90",
+            "p99",
+        )
     )

@@ -77,6 +77,11 @@ EFFECTFUL = {
     # runs a REAL streaming query + state-table appends during construction
     "stream_tdigest_state": (
         "test_round13_keys.py", "test_stream_tdigest_state_vs_batch"),
+    # same streaming replay + epoch-partitioned state writes, then the
+    # two-level compaction merge
+    "stream_tdigest_compact": (
+        "test_round14_keys.py",
+        "test_stream_tdigest_compact_accuracy_and_bounds"),
     # writes view-state versions to scratch
     "job_matview_refresh": (
         "test_relational_round4.py",
