@@ -548,10 +548,19 @@ ANNOTATIONS: dict[str, str] = {
     ),
     "stream_tdigest_state": (
         "A REAL streaming query: per micro-batch, the digest build is "
-        "a window over that batch only and the state write appends "
-        "<= delta centroid rows per (type, batch); the final merge "
-        "shuffles centroids, never events. The captured plan is the "
-        "post-stream rollup over the state table."
+        "a window over that batch only and the state write overwrites "
+        "its own epoch=<id> partition with <= delta centroid rows per "
+        "(type, batch) — idempotent under checkpoint replay; the "
+        "final merge shuffles centroids, never events. The captured "
+        "plan is the post-stream rollup over the state table."
+    ),
+    "stream_tdigest_compact": (
+        "State maintenance over the same replay: both merge levels "
+        "and the estimate touch ONLY centroid rows (<= groups × "
+        "batches × delta in, <= 2 × groups × delta out); the "
+        "half-ranking window runs over |batches| distinct tags — a "
+        "bounded manifest, 6 rows here. The captured plan is the "
+        "compaction + estimate over the state table."
     ),
     "geo_h3_kring_smooth": (
         "Points collapse to cells FIRST; the 6-offset neighbor "
@@ -594,6 +603,49 @@ ANNOTATIONS: dict[str, str] = {
         "base-funnel join shape — two user_id equi-joins with range "
         "residuals, a semi-join for level 3, one level rollup. "
         "Coarse-clock tie handling costs nothing at plan level."
+    ),
+    "scan_protobuf_evolution": (
+        "Both evolution directions are mapInPandas over independent "
+        "stream files (fwd: v1 reader skipping unknown v2 tags; bwd: "
+        "v2 reader defaulting absent fields) unioned — still no "
+        "exchange anywhere; the union is plan-level concatenation of "
+        "two embarrassingly-parallel scans."
+    ),
+    "scan_table_log_travel": (
+        "Version diff: two manifest replays (|files| rows each), then "
+        "parquet scans of ONLY the removed and added files feeding a "
+        "hash EXCEPT ALL — I/O bounded by the commit's own footprint; "
+        "no full-table scan node appears for a diff regardless of "
+        "table size."
+    ),
+    "scan_table_log_checkpoint": (
+        "Checkpoint read path: the snapshot resolves from the "
+        "checkpoint PARQUET (columnar manifest rows) + a text scan of "
+        "only the tail commits — the v0/v1 JSON never enters the "
+        "plan; data I/O is a plain multi-path parquet scan of the "
+        "live files with partial aggregation before the exchange."
+    ),
+    "agg_sequence_next_node": (
+        "One exchange on user_id shared by BOTH row_number specs "
+        "(forward and reverse order over the same partition key), an "
+        "early rn<=3 OR rnd<=3 filter so the per-user aggregate sees "
+        "at most 6 rows per user, then a 6-column conditional agg + "
+        "tiny count rollup — bounded per-user state at any history "
+        "length."
+    ),
+    "agg_sequence_match_time": (
+        "The time-bounded pattern as ONE LeftSemi join keyed on "
+        "user_id with the (t1, t1+1h] bound as the join residual — "
+        "no per-user event fold, no cartesian; then distinct-users "
+        "left join + single count aggregate."
+    ),
+    "geo_h3_polyfill": (
+        "Grid enumeration is two chained explodes of literal "
+        "sequences from one row (generators — no join node), the "
+        "bbox/parity filter is constant-folded integer math, and the "
+        "coverage join is a broadcast hash join between two "
+        "cell-cardinality sides; points are scanned exactly once "
+        "into the cell aggregate."
     ),
 }
 
