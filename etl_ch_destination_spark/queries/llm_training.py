@@ -1200,3 +1200,95 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         F.row_number().over(wp).cast("bigint").alias("pos_in_phase"),
     )
+
+
+PACK_CAP = 2048  # context-window capacity (whitespace tokens)
+
+
+@query(
+    "llm_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST({_SQL_WS_N} AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS t0
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(t0 // {PACK_CAP} AS BIGINT) AS chunk_id,
+           CAST(t0 % {PACK_CAP} AS BIGINT) AS offset_in_chunk,
+           CASE WHEN n_tokens > 0
+                THEN (t0 + n_tokens - 1) // {PACK_CAP} > t0 // {PACK_CAP}
+                ELSE FALSE END AS spans_chunks
+    FROM c
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for LLM pretraining — the concat-then-chunk
+    layout every production pipeline computes before writing training
+    shards: documents concatenate in pinned doc_id order and the
+    token stream is cut into {PACK_CAP}-token context windows; per
+    document this yields the chunk it starts in, its offset inside
+    that chunk, and whether it straddles a chunk boundary (the rows a
+    loss-masking or best-fit repacking stage then acts on).
+
+    The interesting part at 100 TB is the GLOBAL RUNNING OFFSET — a
+    prefix sum over a total order, which naive formulations compute
+    with an unpartitioned window (every row through ONE task). This
+    key runs the scalable two-phase form instead: range-repartition
+    by doc_id (range partition i holds smaller ids than i+1 by the
+    RangePartitioner contract), per-partition cumulative sums via a
+    partition-local window, then per-partition TOTALS (one row per
+    partition — a bounded manifest) get their own tiny cumulative
+    window and broadcast-join back as offsets. The exchange volume of
+    the offset pass is |partitions| rows regardless of data size;
+    the answer is partitioning-invariant (prefix sums are
+    associative), which the DuckDB oracle — a plain single-window
+    cumsum — re-proves value-for-value.
+
+    Token definition is the shared whitespace-with-empties-dropped
+    convention (_ws_tokens / _SQL_WS_N); all arithmetic is int64 with
+    floor-division on non-negative operands (truncation ≡ floor on
+    both engines)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_ws_tokens()).cast("bigint").alias("n_tokens")
+    )
+    ranged = d.repartitionByRange(32, "doc_id").withColumn(
+        "part", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("part").orderBy("doc_id")
+    local = ranged.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    totals = local.groupBy("part").agg(
+        F.sum("n_tokens").alias("part_total")
+    )
+    # |partitions| rows — the bounded manifest; the global window here
+    # costs nothing and never sees data rows
+    w_parts = Window.orderBy("part").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "part",
+        F.coalesce(F.sum("part_total").over(w_parts), F.lit(0)).alias(
+            "part_offset"
+        ),
+    )
+    packed = local.join(F.broadcast(offsets), "part").withColumn(
+        "t0", F.col("part_offset") + F.col("local_cum") - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"t0 div {PACK_CAP}").alias("chunk_id"),
+        (F.col("t0") % PACK_CAP).alias("offset_in_chunk"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(t0 + n_tokens - 1) div {PACK_CAP}")
+            > F.expr(f"t0 div {PACK_CAP}"),
+        )
+        .otherwise(F.lit(False))
+        .alias("spans_chunks"),
+    )

@@ -779,3 +779,50 @@ def test_stream_tdigest_compact_differs_from_flat_merge():
         "two-level merge coincides with flat merge everywhere — "
         "compaction path is not being exercised"
     )
+
+
+# ------------------------------------------------------------------
+# llm_pack_sequences
+# ------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_serial_replay(spark, sf_dir):
+    """The two-phase distributed prefix sum equals a serial
+    concat-then-chunk replay document-for-document, and the packing
+    invariants hold: offsets stay inside the chunk, chunk ids are
+    monotone in doc order, and a doc spans iff its token span crosses
+    a capacity boundary."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.llm_training import (
+        PACK_CAP,
+        _ws_tokens,
+        llm_pack_sequences,
+    )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["chunk_id"],
+            r["offset_in_chunk"],
+            r["spans_chunks"],
+        )
+        for r in llm_pack_sequences(spark, sf_dir).collect()
+    }
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_ws_tokens()).cast("bigint").alias("n"))
+        .collect()
+    }
+    t0 = 0
+    prev_chunk = -1
+    for doc_id in sorted(toks):
+        n = toks[doc_id]
+        chunk, off = t0 // PACK_CAP, t0 % PACK_CAP
+        spans = n > 0 and (t0 + n - 1) // PACK_CAP > chunk
+        assert got[doc_id] == (n, chunk, off, spans), doc_id
+        assert 0 <= off < PACK_CAP
+        assert chunk >= prev_chunk
+        prev_chunk = chunk
+        t0 += n
+    assert any(v[3] for v in got.values()), "some doc must straddle a boundary"
