@@ -647,6 +647,14 @@ ANNOTATIONS: dict[str, str] = {
         "cell-cardinality sides; points are scanned exactly once "
         "into the cell aggregate."
     ),
+    "llm_pack_sequences": (
+        "The global prefix sum runs TWO-PHASE: range repartition, "
+        "partition-local cumulative window, then the per-partition "
+        "totals (|partitions| rows) take the only global window and "
+        "broadcast back — no data row passes a SinglePartition "
+        "exchange; the naive formulation would funnel the corpus "
+        "through one task."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
