@@ -2970,9 +2970,6 @@ def scan_protobuf_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     v1 = pb_schema(v1_fields)
     v2 = pb_schema(v2_fields)
-    v2_reader = pb_schema(
-        v1_fields + [(9, "priority", "string", True), (10, "score", "double", False)]
-    )
 
     # stage v2-written bytes (extra values derived from real data so
     # the skip path sees realistic variety)
@@ -3036,7 +3033,7 @@ def scan_protobuf_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_decoder(v1, "fwd", pad_v1=True), schema=out_schema
     )
     bwd = spark.read.parquet(p1).mapInPandas(
-        make_decoder(v2_reader, "bwd", pad_v1=False), schema=out_schema
+        make_decoder(v2, "bwd", pad_v1=False), schema=out_schema
     )
     return fwd.unionByName(bwd)
 
