@@ -134,6 +134,11 @@ BENCH_KEYS = [
     # micro-batches + epoch-partitioned state + flat centroid merge)
     "geo_h3_kring_smooth",
     "stream_tdigest_state",
+    # round-14 new-key representatives: the protobuf wire codec round
+    # trip and the Delta-checkpoint snapshot read (staging + manifest
+    # replay + pruned data scan)
+    "scan_protobuf_import",
+    "scan_table_log_checkpoint",
 ]
 
 N_RUNS = 5

@@ -71,7 +71,7 @@ def main() -> int:
             "the exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' "
             "the foreachBatch ingest + session-window state spine; "
             "'tdigest' the centroid-sketch build at fixed vs scaled shards; "
-            "'avro' the container-file encode→store→decode codec path"
+            "'avro'/'protobuf' the wire-codec encode→store→decode paths"
         ),
     )
     args = ap.parse_args()
@@ -1025,6 +1025,78 @@ def main() -> int:
 
             row["avro_decode"] = time_action(avro_decode)
 
+        if want("protobuf"):
+            # --- Protobuf codec spine (round 14): same question as the
+            # avro spine for the round-14 wire format — encode (one
+            # length-delimited stream file per 8192-row slice via
+            # mapInPandas) → parquet store → validating decode, both
+            # pure per-file Python with no exchange; wall-clock must
+            # track rows linearly on fixed cores.
+            from etl_ch_destination_spark.sink.protobuf import (
+                decode_stream,
+                pb_schema,
+                protobuf_blocks,
+            )
+
+            c0 = parallelize_scan(load_table(spark, SF_DIR, "customer"), spark)
+            c_pb = replicate(c0, n, ["c_custkey"])
+            src_pb = c_pb.select(
+                F.col("c_custkey").cast("long"),
+                F.col("c_name"),
+                (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+                .cast("long")
+                .alias("bal_cents"),
+                F.col("c_nationkey").cast("long"),
+                F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+                .otherwise(F.col("c_mktsegment"))
+                .alias("segment"),
+                (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_auto"),
+                F.col("c_acctbal").cast("double").alias("bal"),
+            )
+            pb_sch = pb_schema(
+                [
+                    (1, "c_custkey", "int64", False),
+                    (2, "c_name", "string", False),
+                    (3, "bal_cents", "sint64", False),
+                    (4, "c_nationkey", "fixed32", False),
+                    (5, "segment", "string", True),
+                    (6, "is_auto", "bool", False),
+                    (7, "bal", "double", False),
+                ]
+            )
+            pb_path = os.path.join(
+                tempfile.gettempdir(), "stress_staging", f"protobuf_{n}x"
+            )
+
+            def pb_encode():
+                protobuf_blocks(
+                    src_pb, pb_sch, rows_per_file=8192
+                ).write.mode("overwrite").parquet(pb_path)
+
+            row["protobuf_encode"] = time_action(pb_encode)
+            files_pb = spark.read.parquet(pb_path)
+
+            def _pb_dec(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    counts = []
+                    for payload, cnt in zip(
+                        pdf["payload"], pdf["block_rows"]
+                    ):
+                        rows_ = decode_stream(
+                            pb_sch, bytes(payload), expected_rows=int(cnt)
+                        )
+                        counts.append(len(rows_))
+                    yield pd.DataFrame({"n": counts})
+
+            def pb_decode():
+                files_pb.mapInPandas(
+                    _pb_dec, schema="n bigint"
+                ).write.mode("overwrite").format("noop").save()
+
+            row["protobuf_decode"] = time_action(pb_decode)
+
         results[str(n)] = row
         spark.catalog.clearCache()
         # Reclaim the factor's durable staging tables: standalone
@@ -1075,6 +1147,7 @@ def main() -> int:
         "semdedup", "sim_exact", "sim_lsh", "bfs", "tri_approx",
         "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
         "asof", "tdigest", "avro_encode", "avro_decode",
+        "protobuf_encode", "protobuf_decode",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
