@@ -3215,3 +3215,165 @@ def table_log_snapshot_from_checkpoint(
             F.col("st.maxValues.o_orderkey").alias("max_k"),
         )
     )
+
+
+@query(
+    "scan_iceberg_manifest",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({TLOG_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    ),
+    k AS (SELECT (4 * MAX(o_orderkey)) // 10 AS kmax FROM sliced)
+    SELECT o_orderkey, o_orderstatus, price_cents
+    FROM sliced WHERE o_orderkey <= (SELECT kmax FROM k)
+    """,
+)
+def scan_iceberg_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style TWO-LEVEL MANIFEST CHAIN scan — the other
+    lakehouse metadata design next to the Delta log family
+    (scan_table_log/_travel/_checkpoint): instead of replaying a
+    commit log, a snapshot points at a MANIFEST LIST whose entries
+    carry per-manifest AGGREGATE key ranges, each manifest (Iceberg
+    stores both levels as AVRO — dogfooded here through sink/avro's
+    container codec, so manifest corruption fails loudly through the
+    same validating decode the data path uses) lists data files with
+    per-file stats. Pruning is hierarchical, the property that makes
+    million-file tables plannable: a key-range predicate first skips
+    WHOLE MANIFESTS by aggregate range — without ever opening them —
+    then skips files within the surviving manifests, and only then
+    touches data. Staged: {TLOG_SLICES} key-range data files, two
+    manifests of {TLOG_SLICES // 2} files each, one manifest list;
+    the 40%-of-max-key predicate prunes the upper manifest at LEVEL
+    ONE (its aggregate min exceeds the bound — asserted in tests,
+    along with file-level pruning via inputFiles()).
+
+    The hash oracle replays slicing + predicate relationally — a
+    match proves the chain walk, both pruning levels, and the data
+    scan surface exactly the predicate's rows.
+
+    Scale: manifest-list and manifest reads are driver-side bounded
+    metadata (|manifests| and |files| rows — exactly where Iceberg's
+    own planner reads them); at 100 TB with ~10^6 files the level-1
+    skip is the difference between reading ~10^3 manifest entries
+    and ~10^6 file entries before any data I/O."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.sink.avro import (
+        decode_container,
+        encode_container,
+    )
+
+    root = _scratch(sf_dir, "scan_iceberg_manifest")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(meta_dir, ignore_errors=True)
+    os.makedirs(meta_dir)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sliced = o.withColumn(
+        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+    )
+    sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
+    stats = {
+        r["slice"]: (r["n"], r["min_k"], r["max_k"])
+        for r in sliced.groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_k"),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        .collect()
+    }
+
+    # ---- write the chain: 2 manifests (avro) + 1 manifest list ----
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "min_k", "type": "long"},
+            {"name": "max_k", "type": "long"},
+        ],
+    }
+    list_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "min_k", "type": "long"},
+            {"name": "max_k", "type": "long"},
+        ],
+    }
+    half = TLOG_SLICES // 2
+    list_rows = []
+    for m_i, slices in enumerate((range(1, half + 1),
+                                  range(half + 1, TLOG_SLICES + 1))):
+        rows = [
+            (f"slice={s}", int(stats[s][0]), int(stats[s][1]), int(stats[s][2]))
+            for s in slices
+        ]
+        mpath = os.path.join(meta_dir, f"manifest-{m_i}.avro")
+        with open(mpath, "wb") as f:
+            f.write(encode_container(entry_schema, rows, codec="deflate"))
+        list_rows.append(
+            (f"manifest-{m_i}.avro",
+             min(r[2] for r in rows), max(r[3] for r in rows))
+        )
+    with open(os.path.join(meta_dir, "manifest-list.avro"), "wb") as f:
+        f.write(encode_container(list_schema, list_rows, codec="deflate"))
+    with open(os.path.join(meta_dir, "snapshot.json"), "w") as f:
+        f.write(_json.dumps({"manifest_list": "manifest-list.avro"}))
+
+    # ---- reader: walk the chain with hierarchical pruning ----
+    kmax = o.agg((4 * F.max("o_orderkey")).alias("m")).collect()[0]["m"] // 10
+    files = iceberg_plan_files(meta_dir, kmax)
+    scan = spark.read.parquet(
+        *[os.path.join(data_dir, p) for p, *_ in files]
+    )
+    return scan.filter(F.col("o_orderkey") <= F.lit(kmax)).select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )
+
+
+def iceberg_plan_files(meta_dir: str, kmax: int) -> list[tuple]:
+    """Walk snapshot → manifest list → manifests with HIERARCHICAL
+    pruning for the predicate ``o_orderkey <= kmax``: a manifest whose
+    aggregate min exceeds the bound is skipped WITHOUT being opened
+    (level 1); within opened manifests, files whose min exceeds the
+    bound are skipped (level 2). Returns the surviving
+    (path, record_count, min_k, max_k) entries. Driver-side bounded
+    metadata, like Iceberg's own planner; every byte read passes the
+    validating Avro decode."""
+    import json as _json
+
+    from etl_ch_destination_spark.sink.avro import decode_container
+
+    with open(os.path.join(meta_dir, "snapshot.json")) as f:
+        snap = _json.loads(f.read())
+    with open(os.path.join(meta_dir, snap["manifest_list"]), "rb") as f:
+        manifests = decode_container(f.read())
+    survivors: list[tuple] = []
+    for mpath, mmin, _mmax in manifests:
+        if mmin > kmax:
+            continue  # level-1 skip: never opened
+        with open(os.path.join(meta_dir, mpath), "rb") as f:
+            entries = decode_container(f.read())
+        for path, n, fmin, fmax in entries:
+            if fmin > kmax:
+                continue  # level-2 skip
+            survivors.append((path, n, fmin, fmax))
+    return survivors

@@ -826,3 +826,72 @@ def test_pack_sequences_matches_serial_replay(spark, sf_dir):
         prev_chunk = chunk
         t0 += n
     assert any(v[3] for v in got.values()), "some doc must straddle a boundary"
+
+
+# ------------------------------------------------------------------
+# scan_iceberg_manifest
+# ------------------------------------------------------------------
+
+
+def test_iceberg_manifest_prunes_hierarchically(spark, sf_dir):
+    """(1) The pruned manifest is NEVER OPENED: corrupting its bytes
+    after staging does not affect planning (the planner's level-1
+    skip is by aggregate range from the manifest list alone); a file
+    inside the surviving manifest, by contrast, is read through the
+    validating Avro decode, so corrupting THAT raises. (2) The data
+    scan touches only level-2 survivors. (3) The chain walk agrees
+    with the staged stats."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        _scratch,
+        iceberg_plan_files,
+        scan_iceberg_manifest,
+    )
+
+    df = scan_iceberg_manifest(spark, sf_dir)
+    root = _scratch(sf_dir, "scan_iceberg_manifest")
+    meta_dir = os.path.join(root, "metadata")
+
+    from etl_ch_destination_spark.sink.avro import decode_container
+
+    with open(os.path.join(meta_dir, "manifest-list.avro"), "rb") as f:
+        mlist = decode_container(f.read())
+    assert len(mlist) == 2
+    kmax = max(m[2] for m in mlist) * 4 // 10
+    # the upper manifest's aggregate min exceeds the bound
+    upper = [m for m in mlist if m[1] > kmax]
+    assert len(upper) == 1, "staging must make level-1 pruning non-vacuous"
+
+    survivors = iceberg_plan_files(meta_dir, kmax)
+    assert survivors and all(fmin <= kmax for _, _, fmin, _ in survivors)
+
+    # corrupt the PRUNED manifest -> planning still succeeds (never
+    # opened); corrupt a SURVIVING one -> the validating decode raises
+    pruned_path = os.path.join(meta_dir, upper[0][0])
+    orig = open(pruned_path, "rb").read()
+    try:
+        with open(pruned_path, "wb") as f:
+            f.write(b"garbage" + orig[7:])
+        assert iceberg_plan_files(meta_dir, kmax) == survivors
+    finally:
+        with open(pruned_path, "wb") as f:
+            f.write(orig)
+    opened = [m for m in mlist if m[1] <= kmax][0][0]
+    opened_path = os.path.join(meta_dir, opened)
+    orig2 = open(opened_path, "rb").read()
+    try:
+        with open(opened_path, "wb") as f:
+            f.write(b"garbage" + orig2[7:])
+        with pytest.raises(ValueError):
+            iceberg_plan_files(meta_dir, kmax)
+    finally:
+        with open(opened_path, "wb") as f:
+            f.write(orig2)
+
+    # data-file pruning: every read file belongs to a survivor dir
+    surviving_dirs = {p for p, *_ in survivors}
+    for f_ in df.inputFiles():
+        assert any(f"/{d}/" in f_ for d in surviving_dirs), f_
+    all_slices = {f"slice={s}" for s in range(1, 9)}
+    assert surviving_dirs < all_slices, "some data file must be pruned"
