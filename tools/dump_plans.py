@@ -647,6 +647,13 @@ ANNOTATIONS: dict[str, str] = {
         "cell-cardinality sides; points are scanned exactly once "
         "into the cell aggregate."
     ),
+    "scan_iceberg_manifest": (
+        "Two-level manifest-chain scan: the snapshot walk and both "
+        "pruning levels happen over driver-side bounded metadata "
+        "(Avro manifest rows — never data); the captured plan is a "
+        "plain multi-path parquet scan of ONLY the level-2 survivors "
+        "with the key predicate pushed into their row groups."
+    ),
     "llm_pack_sequences": (
         "The global prefix sum runs TWO-PHASE: range repartition, "
         "partition-local cumulative window, then the per-partition "
