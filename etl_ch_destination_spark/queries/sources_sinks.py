@@ -3377,3 +3377,109 @@ def iceberg_plan_files(meta_dir: str, kmax: int) -> list[tuple]:
                 continue  # level-2 skip
             survivors.append((path, n, fmin, fmax))
     return survivors
+
+
+@query(
+    "scan_table_log_dv",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({TLOG_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    ),
+    snapshot AS (
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice NOT IN {TLOG_REMOVED!r}
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice IN {TLOG_REMOVED!r} AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+    FROM snapshot GROUP BY 1
+    """,
+)
+def scan_table_log_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS over the transaction log — the modern Delta
+    delete path: instead of rewriting a file to drop rows (the
+    scan_table_log v1 UPDATE), the commit re-adds the SAME physical
+    file with a deletion-vector sidecar naming the dead ROW POSITIONS;
+    readers apply the DV at scan time. Deletes become O(deleted rows)
+    metadata instead of O(file) rewrites — the only tractable delete
+    on a 100 TB table with small mutation rates.
+
+    Staged: the scan_table_log layout, but v1 attaches a DV to each
+    of the {TLOG_REMOVED} slices marking their 'F'-status rows
+    (positions derived from the ACTUAL staged files via
+    ``_metadata.row_index``, so the sidecar is correct under any
+    writer row order). Read path: log replay → files WITH a DV scan
+    with ``_metadata.row_index`` and LEFT ANTI join the position
+    sidecar on (file, position); files without a DV scan clean. The
+    anti-join is keyed on (path, row_index) — positions, never
+    values: the reader proves the deletes without knowing WHY rows
+    died, exactly the DV contract.
+
+    The hash oracle aggregates the post-DV snapshot relationally
+    (per-status counts + exact cents sums): a match proves the
+    position capture, the sidecar round trip, and the scan-time
+    anti-join drop exactly the deleted rows — and nothing else.
+
+    Scale: the DV sidecar carries one (path, position) row per
+    deleted row — shuffled against only the DV'd files' scan; clean
+    files never join. At real scale the sidecar is a compressed
+    bitmap per file (Delta uses roaring bitmaps); the relational
+    anti-join here is the same plan with the bitmap exploded."""
+    data_dir, log_dir = stage_table_log(spark, sf_dir, "scan_table_log_dv")
+
+    # ---- v1 (DV form): positions of 'F' rows in the target slices,
+    # captured from the actual staged files ----
+    dv_dir = os.path.join(os.path.dirname(data_dir), "_dv")
+    shutil.rmtree(dv_dir, ignore_errors=True)
+    targets = [f"slice={s}" for s in TLOG_REMOVED]
+    # Position key = the FULL file path (not the slice directory): a
+    # slice written as several part files would otherwise alias
+    # positions across files and the anti-join would kill innocents.
+    dv = (
+        spark.read.parquet(*[os.path.join(data_dir, p) for p in targets])
+        .select(
+            F.col("_metadata.file_path").alias("path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderstatus",
+        )
+        .filter(F.col("o_orderstatus") == "F")
+        .select("path", "pos")
+    )
+    dv.write.mode("overwrite").parquet(dv_dir)
+
+    # ---- reader: clean files + DV'd files with the position anti-join
+    live = [
+        f"slice={s}" for s in range(1, TLOG_SLICES + 1)
+    ]  # v1 re-adds the DV'd files; nothing is removed in the DV form
+    clean = [p for p in live if p not in targets]
+    clean_scan = spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in clean]
+    ).select("o_orderkey", "o_orderstatus", "price_cents")
+    dv_scan = (
+        spark.read.parquet(*[os.path.join(data_dir, p) for p in targets])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "price_cents",
+            F.col("_metadata.file_path").alias("path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .join(
+            spark.read.parquet(dv_dir),
+            ["path", "pos"],
+            "left_anti",
+        )
+        .select("o_orderkey", "o_orderstatus", "price_cents")
+    )
+    snapshot = clean_scan.unionByName(dv_scan)
+    return snapshot.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").cast("bigint").alias("sum_cents"),
+    )

@@ -895,3 +895,60 @@ def test_iceberg_manifest_prunes_hierarchically(spark, sf_dir):
         assert any(f"/{d}/" in f_ for d in surviving_dirs), f_
     all_slices = {f"slice={s}" for s in range(1, 9)}
     assert surviving_dirs < all_slices, "some data file must be pruned"
+
+
+def test_table_log_dv_drops_exactly_the_dv_positions(spark, sf_dir):
+    """The DV path equals the rewrite path value-for-value (two
+    mechanically different deletes, same snapshot), the sidecar's
+    position count equals the deleted-row count, and positions are
+    keyed by FULL file path (no cross-file aliasing)."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        TLOG_REMOVED,
+        _scratch,
+        scan_table_log_dv,
+    )
+
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["sum_cents"])
+        for r in scan_table_log_dv(spark, sf_dir).collect()
+    }
+    root = _scratch(sf_dir, "scan_table_log_dv")
+    data_dir = os.path.join(root, "data")
+    dv = spark.read.parquet(os.path.join(root, "_dv"))
+    # sidecar size == number of F rows in the targeted slices
+    targets = [os.path.join(data_dir, f"slice={s}") for s in TLOG_REMOVED]
+    f_rows = (
+        spark.read.parquet(*targets)
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert dv.count() == f_rows > 0
+    # keyed by full path, unique positions per file
+    assert dv.select("path", "pos").distinct().count() == f_rows
+    assert dv.filter(~F.col("path").contains("slice=")).count() == 0
+    # value equivalence with the rewrite form: recompute the rewrite
+    # snapshot aggregate relationally from the staged files
+    all_slices = [
+        os.path.join(data_dir, f"slice={s}") for s in range(1, 9)
+    ]
+    rewrite = (
+        spark.read.parquet(*all_slices)
+        .withColumn(
+            "dead",
+            (F.col("o_orderstatus") == "F")
+            & F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2)
+            .isin(*[f"slice={s}" for s in TLOG_REMOVED]),
+        )
+        .filter(~F.col("dead"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_cents").cast("bigint").alias("c"),
+        )
+    )
+    want = {r["o_orderstatus"]: (r["n"], r["c"]) for r in rewrite.collect()}
+    assert got == want
+    # F rows survive overall (only the targeted slices' F rows died)
+    assert got.get("F", (0, 0))[0] > 0
