@@ -1471,3 +1471,164 @@ def rpt_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("cnt").cast("double") / F.col("n_rows")).alias("row_share"),
     )
+
+
+# time-to-convert quantile specs: median and p90 as exact fractions
+TTC_QS = [(1, 2), (9, 10)]
+
+
+@query(
+    "rpt_time_to_convert",
+    f"""
+    WITH tv AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tv.tv
+      GROUP BY 1
+    ),
+    lat AS (
+      SELECT c.c_mktsegment AS segment,
+             epoch_us(tp.tp) - epoch_us(tv.tv) AS lat_us
+      FROM tv JOIN tp ON tv.user_id = tp.user_id
+      JOIN customer c ON tv.user_id = c.c_custkey
+    ),
+    v AS (
+      SELECT segment, lat_us,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY lat_us) AS rn
+      FROM lat
+    ),
+    n AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_conv
+          FROM v GROUP BY segment),
+    qs AS (
+      SELECT n.segment, n.n_conv, q.num, q.den,
+             ((n.n_conv - 1) * q.num) // q.den AS idx0,
+             ((n.n_conv - 1) * q.num) % q.den AS rem
+      FROM n CROSS JOIN (VALUES {", ".join(f"({a}, {b})" for a, b in TTC_QS)})
+        AS q(num, den)
+    )
+    SELECT qs.segment, CAST(qs.num AS BIGINT) AS q_num,
+           CAST(qs.den AS BIGINT) AS q_den, qs.n_conv,
+           CAST(lo.lat_us * (qs.den - qs.rem)
+                + COALESCE(hi.lat_us, lo.lat_us) * qs.rem AS BIGINT)
+             AS val_num_us,
+           CAST(lo.lat_us * (qs.den - qs.rem)
+                + COALESCE(hi.lat_us, lo.lat_us) * qs.rem AS DOUBLE)
+             / (CAST(qs.den AS DOUBLE) * 1e6) AS quantile_seconds
+    FROM qs
+    JOIN v lo ON lo.segment = qs.segment AND lo.rn = qs.idx0 + 1
+    LEFT JOIN v hi ON hi.segment = qs.segment AND hi.rn = qs.idx0 + 2
+      AND qs.rem > 0
+    """,
+)
+def rpt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION-LATENCY distribution — the report product teams run
+    right after the funnel: for every converted user (first 'view',
+    then the first 'purchase' strictly after it), the view→purchase
+    latency, rolled up per customer market segment to exact
+    median / p90 latency seconds plus converted-user counts. The
+    funnel keys count WHO converts; this measures HOW FAST.
+
+    Latencies are integer MICROSECONDS end to end and the quantiles
+    ride the exact integer-interpolation machinery
+    (agg_quantile_interp_exact's identity: position (n−1)·num =
+    den·idx0 + rem; value·den = lo·(den−rem) + hi·rem) — no float
+    until the final display division, so the hash oracle pins the
+    distribution bit-for-bit, exact numerator emitted alongside.
+
+    Plan: two user-keyed aggregates (first view, first qualifying
+    purchase via one range-residual equi-join), a broadcast segment
+    join, ONE per-segment sort window over CONVERTED USERS (bounded
+    by users, not events), and two sparse rank-probe joins that pick
+    one ranked row per (segment, q). At 100 TB the event scans
+    dominate; everything after the per-user collapse is
+    user-cardinality or smaller."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pt"))
+        .join(
+            tv,
+            (F.col("pu") == F.col("user_id")) & (F.col("pt") > F.col("tv")),
+        )
+        .groupBy("pu")
+        .agg(F.min("pt").alias("tp"))
+    )
+    lat = (
+        tv.join(tp, tv.user_id == tp.pu)
+        .join(
+            F.broadcast(
+                c.select(
+                    F.col("c_custkey").alias("user_id"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            "user_id",
+        )
+        .select(
+            "segment",
+            (F.unix_micros("tp") - F.unix_micros("tv")).alias("lat_us"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("lat_us")
+    v = lat.select("segment", "lat_us", F.row_number().over(w).alias("rn"))
+    n = v.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conv")
+    )
+    q = spark.createDataFrame(TTC_QS, "num long, den long")
+    qs = (
+        n.crossJoin(F.broadcast(q))
+        .withColumn("idx0", F.expr("((n_conv - 1) * num) div den"))
+        .withColumn("rem", F.expr("((n_conv - 1) * num) % den"))
+    )
+    lo = v.select(
+        F.col("segment").alias("ls"),
+        F.col("rn").alias("lrn"),
+        F.col("lat_us").alias("lo_us"),
+    )
+    hi = v.select(
+        F.col("segment").alias("hs"),
+        F.col("rn").alias("hrn"),
+        F.col("lat_us").alias("hi_us"),
+    )
+    joined = (
+        qs.join(
+            lo,
+            (F.col("segment") == F.col("ls"))
+            & (F.col("lrn") == F.col("idx0") + 1),
+        )
+        .join(
+            hi,
+            (F.col("segment") == F.col("hs"))
+            & (F.col("hrn") == F.col("idx0") + 2)
+            & (F.col("rem") > 0),
+            "left",
+        )
+        .withColumn(
+            "val_num_us",
+            (
+                F.col("lo_us") * (F.col("den") - F.col("rem"))
+                + F.coalesce("hi_us", "lo_us") * F.col("rem")
+            ).cast("bigint"),
+        )
+    )
+    return joined.select(
+        "segment",
+        F.col("num").cast("bigint").alias("q_num"),
+        F.col("den").cast("bigint").alias("q_den"),
+        "n_conv",
+        "val_num_us",
+        (
+            F.col("val_num_us").cast("double")
+            / (F.col("den").cast("double") * 1e6)
+        ).alias("quantile_seconds"),
+    )

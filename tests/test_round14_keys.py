@@ -952,3 +952,47 @@ def test_table_log_dv_drops_exactly_the_dv_positions(spark, sf_dir):
     assert got == want
     # F rows survive overall (only the targeted slices' F rows died)
     assert got.get("F", (0, 0))[0] > 0
+
+
+def test_time_to_convert_matches_brute_force(spark, sf_dir):
+    """Latency quantiles equal a per-user python replay with exact
+    integer interpolation."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        TTC_QS,
+        rpt_time_to_convert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    per_user: dict[int, list] = {}
+    for r in ev.select("user_id", "ts", "event_type").collect():
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    lats: dict[str, list[int]] = {}
+    for uid, rows in per_user.items():
+        views = [t for t, ty in rows if ty == "view"]
+        if not views or uid not in seg:
+            continue
+        tv = min(views)
+        purchases = [t for t, ty in rows if ty == "purchase" and t > tv]
+        if not purchases:
+            continue
+        lat_us = int((min(purchases) - tv).total_seconds() * 1_000_000)
+        lats.setdefault(seg[uid], []).append(lat_us)
+    want = {}
+    for s, xs in lats.items():
+        xs.sort()
+        n = len(xs)
+        for num, den in TTC_QS:
+            idx0, rem = divmod((n - 1) * num, den)
+            lo = xs[idx0]
+            hi = xs[idx0 + 1] if rem > 0 and idx0 + 1 < n else lo
+            want[(s, num, den)] = (n, lo * (den - rem) + hi * rem)
+    got = {
+        (r["segment"], r["q_num"], r["q_den"]): (r["n_conv"], r["val_num_us"])
+        for r in rpt_time_to_convert(spark, sf_dir).collect()
+    }
+    assert got == want and got
