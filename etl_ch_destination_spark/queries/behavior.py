@@ -524,7 +524,11 @@ def agg_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode mirrors it from the stream's end (last event 'purchase'
     preceded by 'click' → the event before those). Rolled up to
     (direction, next_node) → user counts, NULL buckets included —
-    the flow-analysis shape CH users feed into Sankey charts.
+    the flow-analysis shape CH users feed into Sankey charts. (The
+    per-user row form — next event after the first base-event anchor,
+    no chain precondition — is the separate seq_next_node key in
+    reports_behavior.py; this one requires the 2-step chain MATCH and
+    adds the tail-anchored direction.)
 
     Ordering is pinned by (ts, event_id) both ways, so both engines
     see identical head/tail triples. Plan: ONE shuffle on user_id

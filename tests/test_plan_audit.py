@@ -186,6 +186,10 @@ ALLOWED_NLJ = {
     "agg_proportions_ztest",
     # |groups| × 3-row quantile-spec literal dim (aggregations_ch.py)
     "agg_quantile_interp_exact",
+    # |segments| × 2-row quantile-spec literal dim — the same
+    # interp-exact reshape over converted-user latencies
+    # (reports_behavior.py rpt_time_to_convert)
+    "rpt_time_to_convert",
     # 1-row (max_avg, min_avg) bounds broadcast onto suppliers —
     # condition-free by design (joins_extra.py)
     "subq_any_all",
@@ -274,6 +278,13 @@ SHUFFLE_ALLOWANCE = {
     #     funnel on hour-truncated times: two step equi-joins + level
     #     rollup + distinct-users + final count. Static 5; 6 headroom.
     "agg_window_funnel_increase": 6,
+    #   rpt_time_to_convert — two user-keyed event aggregates + the
+    #     qualifying-purchase range-residual equi-join + per-segment
+    #     sort window + count + the two sparse rank-probe joins: every
+    #     exchange after the per-user collapse carries user-or-smaller
+    #     cardinality; the probe joins each move |segments|×|qs| rows.
+    #     Static count 12; 13 gives one headroom.
+    "rpt_time_to_convert": 13,
     "rpt_dedup_audit": 6,
     "rpt_active_users": 5,
     "rpt_brand_affinity": 9,

@@ -654,6 +654,21 @@ ANNOTATIONS: dict[str, str] = {
         "plain multi-path parquet scan of ONLY the level-2 survivors "
         "with the key predicate pushed into their row groups."
     ),
+    "scan_table_log_dv": (
+        "Deletion vectors: clean files scan plain; DV'd files scan "
+        "with _metadata.row_index and a LEFT ANTI hash join against "
+        "the position sidecar keyed on (file path, row index) — "
+        "deleted positions shuffle only against the DV'd files' "
+        "rows, clean files never join."
+    ),
+    "rpt_time_to_convert": (
+        "Conversion latency: events collapse to one row per user "
+        "BEFORE anything expensive (two user-keyed aggregates + one "
+        "range-residual equi-join), segment resolves by broadcast, "
+        "and the quantile machinery (per-segment sort window + two "
+        "sparse rank-probe joins) runs over converted USERS, not "
+        "events."
+    ),
     "llm_pack_sequences": (
         "The global prefix sum runs TWO-PHASE: range repartition, "
         "partition-local cumulative window, then the per-partition "
