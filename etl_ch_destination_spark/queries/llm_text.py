@@ -409,7 +409,10 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the running sum partitions by ``source`` — the per-shard
     cumsum a real corpus uses — so the window is partitioned, never a
-    global single-task scan; one shuffle total."""
+    global single-task scan; one shuffle total. (The global-order
+    form — one stream across the whole corpus, offsets via a
+    two-phase distributed prefix sum — is llm_pack_sequences in
+    llm_training.py.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     w = (

@@ -1234,7 +1234,12 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream is cut into {PACK_CAP}-token context windows; per
     document this yields the chunk it starts in, its offset inside
     that chunk, and whether it straddles a chunk boundary (the rows a
-    loss-masking or best-fit repacking stage then acts on).
+    loss-masking or best-fit repacking stage then acts on). This is
+    the GLOBAL-ORDER complement of llm_sequence_pack (llm_text.py),
+    which packs within source shards and so gets a partitioned window
+    for free; when the training layout demands ONE stream across the
+    whole corpus, the two-phase prefix sum below is how the global
+    cumsum runs without a single-task window.
 
     The interesting part at 100 TB is the GLOBAL RUNNING OFFSET — a
     prefix sum over a total order, which naive formulations compute
