@@ -1487,3 +1487,138 @@ def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("death"))
         .alias("signal"),
     )
+
+
+# seasonal decomposition knobs: centered 25-hour trend window (odd, so
+# no half-weight endpoints) over the dense hourly spine, hour-of-day
+# seasonality (period 24)
+SD_HALF = 12          # trend window = 2*SD_HALF + 1 = 25 buckets
+SD_W = 2 * SD_HALF + 1
+
+
+@query(
+    "ts_seasonal_decompose",
+    f"""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bkt,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    agg AS (SELECT bkt, CAST(SUM(cents) AS BIGINT) AS x FROM b GROUP BY 1),
+    bounds AS (SELECT MIN(bkt) AS lo, MAX(bkt) AS hi FROM agg),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bkt
+      FROM bounds
+    ),
+    dense AS (
+      SELECT spine.bkt, COALESCE(agg.x, 0) AS x
+      FROM spine LEFT JOIN agg ON spine.bkt = agg.bkt
+    ),
+    t AS (
+      SELECT bkt, x,
+             CAST(SUM(x) OVER w AS BIGINT) AS tnum,
+             COUNT(*) OVER w AS cnt
+      FROM dense
+      WINDOW w AS (ORDER BY bkt
+                   ROWS BETWEEN {SD_HALF} PRECEDING AND {SD_HALF} FOLLOWING)
+    ),
+    d AS (
+      SELECT bkt, x, CAST(hour(bkt) AS INT) AS hh,
+             CASE WHEN cnt = {SD_W} THEN tnum END AS tnum,
+             CASE WHEN cnt = {SD_W} THEN {SD_W} * x - tnum END AS dnum
+      FROM t
+    ),
+    s AS (
+      SELECT hh, CAST(SUM(dnum) AS BIGINT) AS snum,
+             CAST({SD_W} * COUNT(dnum) AS BIGINT) AS sden
+      FROM d WHERE dnum IS NOT NULL GROUP BY 1
+    )
+    SELECT d.bkt AS bucket, d.hh, d.x AS x_cents,
+           CAST(d.tnum AS DOUBLE) / {SD_W}.0 AS trend,
+           CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE) AS seasonal,
+           CASE WHEN d.tnum IS NOT NULL THEN
+             CAST(d.x AS DOUBLE) - CAST(d.tnum AS DOUBLE) / {SD_W}.0
+               - CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE)
+           END AS residual
+    FROM d LEFT JOIN s ON d.hh = s.hh
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ADDITIVE SEASONAL DECOMPOSITION (the moving-average
+    `decompose` every forecasting workflow starts with): the hourly
+    revenue series splits into trend (centered {SD_W}-bucket moving
+    mean over a DENSE hourly spine — gaps count as zero-revenue
+    hours, not missing rows), hour-of-day seasonal means of the
+    detrended series, and the residual. ts_seasonality_profile is the
+    raw diurnal rollup; this is the model-grade decomposition —
+    seasonal effects measured AFTER the trend is removed, the
+    difference between "evenings are busy" and "evenings are busy
+    beyond the week's growth".
+
+    Exactness discipline: all sums stay integer cents — the trend is
+    carried as (numerator, fixed denominator {SD_W}) and the
+    detrended series as the EXACT integer {SD_W}·x − Σwindow, so the
+    seasonal means are ratios of exact ints; each output component is
+    ONE final IEEE division / subtraction in identical expression
+    order on both engines (parallel double summation never occurs —
+    the order-sensitivity that would break the hash). The trend is
+    NULL at the first/last {SD_HALF} buckets (incomplete window —
+    stated, not faked with a shrunken mean).
+
+    Plan/scale: one hash aggregate collapses events to the bucket
+    spine (span/width rows — the same bounded-by-construction frame
+    ts_interpolate pins), so the ordered windows and the 24-row
+    seasonal aggregate never see event rows; the spine join is
+    broadcast-sized. At 100 TB the event→bucket aggregate is the only
+    stage that scales with data."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    agg = (
+        ev.select(F.date_trunc("hour", "ts").alias("bkt"), cents.alias("c"))
+        .groupBy("bkt")
+        .agg(F.sum("c").cast("bigint").alias("x"))
+    )
+    bounds = agg.agg(F.min("bkt").alias("lo"), F.max("bkt").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bkt")
+    )
+    dense = spine.join(agg, "bkt", "left").select(
+        "bkt", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("bkt").rowsBetween(-SD_HALF, SD_HALF)
+    t = dense.select(
+        "bkt",
+        "x",
+        F.sum("x").over(w).cast("bigint").alias("tnum_raw"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    d = t.select(
+        "bkt",
+        "x",
+        F.hour("bkt").cast("int").alias("hh"),
+        F.when(F.col("cnt") == SD_W, F.col("tnum_raw")).alias("tnum"),
+        F.when(
+            F.col("cnt") == SD_W, SD_W * F.col("x") - F.col("tnum_raw")
+        ).alias("dnum"),
+    )
+    s = (
+        d.filter(F.col("dnum").isNotNull())
+        .groupBy("hh")
+        .agg(
+            F.sum("dnum").cast("bigint").alias("snum"),
+            (SD_W * F.count("dnum")).cast("bigint").alias("sden"),
+        )
+    )
+    seasonal = F.col("snum").cast("double") / F.col("sden").cast("double")
+    trend = F.col("tnum").cast("double") / float(SD_W)
+    return d.join(s, "hh", "left").select(
+        F.col("bkt").alias("bucket"),
+        "hh",
+        F.col("x").alias("x_cents"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(
+            F.col("tnum").isNotNull(),
+            F.col("x").cast("double") - trend - seasonal,
+        ).alias("residual"),
+    )

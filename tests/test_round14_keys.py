@@ -996,3 +996,52 @@ def test_time_to_convert_matches_brute_force(spark, sf_dir):
         for r in rpt_time_to_convert(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------------------------
+# ts_seasonal_decompose
+# ------------------------------------------------------------------
+
+
+def test_seasonal_decompose_invariants(spark, sf_dir):
+    """Decomposition identities: trend is the exact centered moving
+    mean where defined and NULL at the edges; the seasonal component
+    depends only on hour-of-day; detrended means reconstruct the
+    seasonal exactly; residual = x - trend - seasonal wherever trend
+    exists; the spine is dense (every hour between min and max)."""
+    from etl_ch_destination_spark.queries.timeseries_extra import (
+        SD_HALF,
+        SD_W,
+        ts_seasonal_decompose,
+    )
+
+    rows = sorted(
+        ts_seasonal_decompose(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n = len(rows)
+    assert n > 3 * SD_W
+    # dense hourly spine
+    for a, b in zip(rows, rows[1:]):
+        assert (b["bucket"] - a["bucket"]).total_seconds() == 3600
+    xs = [r["x_cents"] for r in rows]
+    # edge NULLs + exact centered mean inside
+    for i, r in enumerate(rows):
+        if i < SD_HALF or i >= n - SD_HALF:
+            assert r["trend"] is None and r["residual"] is None
+        else:
+            want = sum(xs[i - SD_HALF : i + SD_HALF + 1]) / float(SD_W)
+            assert r["trend"] == want, (i, r["trend"], want)
+            assert r["residual"] == r["x_cents"] - r["trend"] - r["seasonal"]
+    # seasonal is a pure function of hour-of-day and equals the mean
+    # of the detrended values for that hour
+    by_hh: dict[int, list] = {}
+    seasonal_of: dict[int, float] = {}
+    for i, r in enumerate(rows):
+        seasonal_of.setdefault(r["hh"], r["seasonal"])
+        assert r["seasonal"] == seasonal_of[r["hh"]]
+        if r["trend"] is not None:
+            num = SD_W * xs[i] - sum(xs[i - SD_HALF : i + SD_HALF + 1])
+            by_hh.setdefault(r["hh"], []).append(num)
+    for hh, nums in by_hh.items():
+        assert seasonal_of[hh] == sum(nums) / float(SD_W * len(nums))
