@@ -1214,3 +1214,139 @@ def td_merge_quantiles(state: DataFrame, tie_cols: list[str]) -> DataFrame:
             .alias(f"p{tag}")
         )
     return seg.groupBy("grp").agg(*aggs)
+
+
+def _tdw_oracle() -> str:
+    sel = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN {_td_pred_est(q)[0]} THEN {_td_pred_est(q)[1]} END)"
+        f" / 100.0 AS DOUBLE) AS p{tag}"
+        for tag, q in (("50", "0.50"), ("90", "0.90"), ("99", "0.99"))
+    )
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag AS grp, l_orderkey % {TD_SHARDS} AS shard,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp, shard, cents, wt,
+             SUM(wt) OVER (PARTITION BY grp, shard
+                           ORDER BY cents, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(wt) OVER (PARTITION BY grp, shard) AS tw
+      FROM v
+    ),
+    state AS (
+      SELECT grp, shard,
+             CAST(({TD_DELTA} * (2 * cumw - wt)) // (2 * tw) AS BIGINT)
+               AS bucket,
+             CAST(SUM(cents * wt) AS BIGINT) AS s,
+             CAST(SUM(wt) AS BIGINT) AS w
+      FROM r GROUP BY 1, 2, 3
+    ),
+    ordered AS (
+      SELECT grp, s, w,
+             SUM(w) OVER (PARTITION BY grp
+                          ORDER BY CAST(s AS DOUBLE) / w, shard, bucket) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS total
+      FROM state
+    ),
+    merged AS (
+      SELECT grp,
+             CAST(({TD_DELTA} * (2 * cum - w)) // (2 * total) AS BIGINT)
+               AS mbucket,
+             SUM(s) AS s, SUM(w) AS w, MAX(total) AS total
+      FROM ordered GROUP BY 1, 2
+    ),
+    posn AS (
+      SELECT grp, mbucket, total, CAST(s AS DOUBLE) / w AS mean,
+             CAST(SUM(w) OVER (PARTITION BY grp ORDER BY mbucket) AS DOUBLE)
+               - CAST(w AS DOUBLE) / 2 AS m
+      FROM merged
+    ),
+    seg AS (
+      SELECT grp, total, mean, m,
+             LEAD(mean) OVER (PARTITION BY grp ORDER BY mbucket) AS mean2,
+             LEAD(m) OVER (PARTITION BY grp ORDER BY mbucket) AS m2,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mbucket) AS ci
+      FROM posn
+    )
+    SELECT grp AS l_returnflag,
+           CAST(MAX(total) AS BIGINT) AS n,
+           {sel}
+    FROM seg GROUP BY grp
+    """
+
+
+@query("agg_quantile_tdigest_weighted", _tdw_oracle())
+def agg_quantile_tdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTDigestWeighted`` — the weighted form of
+    agg_quantile_tdigest: each price observation carries its QUANTITY
+    as weight, so the digest answers "the price quantile of the units
+    sold", not "of the order lines" (the distinction CH ships a whole
+    second function for). Same pinned policy, one generalization: the
+    per-shard build buckets on CUMULATIVE WEIGHT midpoints —
+    bucket = ⌊δ·(2·cumw − w) / (2·W)⌋ over the (value, orderkey,
+    linenumber)-ordered shard — which is exactly the pinned merge's
+    k0 rule applied at build time (a weighted point IS a centroid of
+    weight w; the build is the merge of singleton centroids, the
+    closure the unweighted key's docstring pins). Centroids carry
+    (Σ value·weight, Σ weight); merge and estimate are the shared
+    td_merge_quantiles, so the two keys can never drift; n = Σ
+    weights, checked by value.
+
+    Determinism: weights are exact integers (whole-unit quantities
+    via the decimal cast), cumulative weights ride int64 windows with
+    a unique (value, orderkey, linenumber) order, and the only floats
+    are the shared mean/estimate ops. Rank-error gate (weighted CDF)
+    ≤ 2.5/δ in tests/test_round14_keys.py, plus the ≤ δ-per-shard
+    state bound.
+
+    Scale: identical plan shape to the unweighted key — one
+    group×shard window sort, then centroid-only exchanges."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_orderkey") % TD_SHARDS).alias("shard"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_ord = (
+        Window.partitionBy("grp", "shard")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = li.select(
+        "grp",
+        "shard",
+        "cents",
+        "wt",
+        F.sum("wt").over(w_ord).alias("cumw"),
+        F.sum("wt")
+        .over(Window.partitionBy("grp", "shard"))
+        .alias("tw"),
+    )
+    state = (
+        r.withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(({TD_DELTA} * (2 * cumw - wt))"
+                f" div (2 * tw) AS BIGINT)"
+            ),
+        )
+        .groupBy("grp", "shard", "bucket")
+        .agg(
+            F.sum(F.col("cents") * F.col("wt")).cast("bigint").alias("s"),
+            F.sum("wt").cast("bigint").alias("w"),
+        )
+    )
+    return td_merge_quantiles(state, ["shard", "bucket"]).withColumnRenamed(
+        "grp", "l_returnflag"
+    )

@@ -1045,3 +1045,66 @@ def test_seasonal_decompose_invariants(spark, sf_dir):
             by_hh.setdefault(r["hh"], []).append(num)
     for hh, nums in by_hh.items():
         assert seasonal_of[hh] == sum(nums) / float(SD_W * len(nums))
+
+
+# ------------------------------------------------------------------
+# agg_quantile_tdigest_weighted
+# ------------------------------------------------------------------
+
+
+def test_tdigest_weighted_rank_error_and_mass(spark, sf_dir):
+    """Weighted accuracy: each estimate's TRUE WEIGHTED rank (position
+    in the quantity-weighted CDF of prices) is within 2.5/δ of the
+    target; n equals the exact total quantity; and weighting actually
+    changes the answer vs the unweighted digest on some group/q."""
+    import bisect
+
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations import (
+        TD_DELTA,
+        agg_quantile_tdigest,
+        agg_quantile_tdigest_weighted,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["n"], r["p50"], r["p90"], r["p99"])
+        for r in agg_quantile_tdigest_weighted(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    by_grp: dict[str, list] = {}
+    for r in li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("bigint").alias("w"),
+    ).collect():
+        by_grp.setdefault(r["l_returnflag"], []).append((r["c"], r["w"]))
+    tol = 2.5 / TD_DELTA
+    for grp, pts in by_grp.items():
+        pts.sort()
+        total = sum(w for _, w in pts)
+        n, p50, p90, p99 = got[grp]
+        assert n == total
+        # weighted CDF at value v (inclusive)
+        vals = [c for c, _ in pts]
+        cums = []
+        acc = 0
+        for _, w in pts:
+            acc += w
+            cums.append(acc)
+
+        def wrank(est_dollars):
+            cents = est_dollars * 100.0
+            i = bisect.bisect_right(vals, cents)
+            return (cums[i - 1] if i else 0) / total
+
+        for est, q in ((p50, 0.50), (p90, 0.90), (p99, 0.99)):
+            assert abs(wrank(est) - q) <= tol, (grp, q, est, wrank(est))
+    unw = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in agg_quantile_tdigest(spark, sf_dir).collect()
+    }
+    assert any(unw[g] != got[g][1:] for g in unw), (
+        "weighting never changed an estimate — the weight is vacuous"
+    )
