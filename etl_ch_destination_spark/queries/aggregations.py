@@ -1350,3 +1350,82 @@ def agg_quantile_tdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     return td_merge_quantiles(state, ["shard", "bucket"]).withColumnRenamed(
         "grp", "l_returnflag"
     )
+
+
+EQD_BUCKETS = 8  # equi-depth bucket count
+
+
+@query(
+    "agg_histogram_eqdepth",
+    f"""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             NTILE({EQD_BUCKETS}) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT), l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT grp AS l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY 1, 2
+    """,
+)
+def agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram — the optimizer-statistics workhorse
+    (ClickHouse `quantileExact`-boundary stats, Spark's own CBO
+    column histograms): per group, {EQD_BUCKETS} buckets holding
+    (near-)equal ROW COUNTS with data-dependent value boundaries —
+    the complement of agg_histogram (equi-WIDTH: fixed boundaries,
+    varying counts) and agg_histogram_log2 (exponential widths).
+    Boundaries are pinned deterministically: NTILE over (value,
+    orderkey, linenumber) — the unique tiebreak makes the bucket of
+    every tied value identical on both engines, so lo/hi/sum per
+    bucket hash-match exactly (ntile distributes the remainder to
+    the leading buckets identically in Spark and DuckDB).
+
+    Per bucket: count (equal ±1 by construction — asserted in
+    tests), the value range [lo, hi] (adjacent buckets may share a
+    boundary value when ties straddle), and the exact cents mass.
+
+    Plan/scale: ONE shuffle on the group key shared by the NTILE
+    window and the (grp, bucket) aggregate (same partition key —
+    Catalyst reuses the exchange); the sort is per-group, the same
+    cost any exact-quantile statistic pays. Output is
+    |groups|×{EQD_BUCKETS} rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("grp").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        cents.alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("bucket", F.ntile(EQD_BUCKETS).over(w))
+    return (
+        v.groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n",
+            "lo_cents",
+            "hi_cents",
+            "sum_cents",
+        )
+    )

@@ -1108,3 +1108,45 @@ def test_tdigest_weighted_rank_error_and_mass(spark, sf_dir):
     assert any(unw[g] != got[g][1:] for g in unw), (
         "weighting never changed an estimate — the weight is vacuous"
     )
+
+
+def test_histogram_eqdepth_invariants(spark, sf_dir):
+    """Equi-depth properties: per group, bucket counts differ by at
+    most 1, buckets are value-ordered (lo/hi non-decreasing across
+    bucket ids), masses sum to the exact group totals, and counts sum
+    to the group row count."""
+    from etl_ch_destination_spark.catalog import load_table
+    from etl_ch_destination_spark.queries.aggregations import (
+        EQD_BUCKETS,
+        agg_histogram_eqdepth,
+    )
+
+    rows = agg_histogram_eqdepth(spark, sf_dir).collect()
+    per_grp: dict[str, list] = {}
+    for r in rows:
+        per_grp.setdefault(r["l_returnflag"], []).append(r)
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        .collect()
+    }
+    for grp, bs in per_grp.items():
+        bs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in bs] == list(range(1, EQD_BUCKETS + 1))
+        ns = [r["n"] for r in bs]
+        assert max(ns) - min(ns) <= 1, (grp, ns)
+        for a, b in zip(bs, bs[1:]):
+            assert a["hi_cents"] <= b["lo_cents"] or a["hi_cents"] <= b["hi_cents"]
+            assert a["lo_cents"] <= a["hi_cents"]
+        assert (sum(ns), sum(r["sum_cents"] for r in bs)) == totals[grp]
