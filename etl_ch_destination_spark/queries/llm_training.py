@@ -1297,3 +1297,127 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("spans_chunks"),
     )
+
+
+DSHUF_EPOCHS = 3   # training epochs replayed
+DSHUF_SHARDS = 8   # data-loader shards (fixed across epochs)
+
+
+@query(
+    "llm_dataset_shuffle",
+    f"""
+    WITH e AS (SELECT UNNEST(range(0, {DSHUF_EPOCHS})) AS epoch),
+    a AS (
+      SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':dshuf'),
+                                  1, 7)) AS BIGINT) % {DSHUF_SHARDS} AS shard,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+               AS okey
+      FROM documents d CROSS JOIN e
+    ),
+    p AS (
+      SELECT epoch, shard, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY okey) - 1
+               AS pos
+      FROM a
+    ),
+    q AS (
+      SELECT epoch, shard, doc_id, pos,
+             MIN(CASE WHEN epoch = 0 THEN pos END) OVER (PARTITION BY doc_id)
+               AS pos0
+      FROM p
+    )
+    SELECT epoch, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS first_doc,
+           CAST(SUM((pos + 1) * doc_id) AS BIGINT) AS order_checksum,
+           CAST(SUM(ABS(pos - pos0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_abs_disp
+    FROM q GROUP BY epoch, shard
+    """,
+)
+def llm_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH reshuffling — the training-dataloader order
+    policy at 100 TB: shards are FIXED per document (md5 uniform hash,
+    the repo's stable-across-cluster-shapes device — llm_shard_assign
+    is the balance report for the same idea), and each epoch re-orders
+    WITHIN every shard by a per-epoch salted hash, so no epoch ever
+    replays another's order, yet any worker can reconstruct its
+    shard's exact sequence from (epoch, shard) alone — no global
+    shuffle service, no materialized permutation table. This is the
+    hash-order trick real loaders (e.g. deterministic tf.data /
+    Megatron-style samplers) use instead of a Fisher-Yates pass over
+    the corpus.
+
+    Output pins the permutation BY VALUE per (epoch, shard):
+    ``order_checksum = Σ (pos+1)·doc_id`` (position-weighted — any
+    transposition changes it), the doc at position 0, and
+    ``mean_abs_disp`` — the mean |pos − pos@epoch0| displacement,
+    which is 0 for epoch 0 and provably positive for later epochs
+    (the reshuffle-actually-reshuffles gate; pytest bounds it from
+    below).
+
+    Plan: the 3-epoch fan-out is a literal-array explode (map-side,
+    no join); position windows partition by (epoch, shard) — 24
+    independent groups here, |shards|×|epochs| at any scale, each
+    sorting only its shard slice; the epoch-0 reference rides a
+    doc_id-partitioned window (one hash exchange), never a self-join.
+    At 100 TB the same plan holds: every exchange keys on
+    (epoch, shard) or doc_id — no global sort anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":dshuf"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % DSHUF_SHARDS
+    )
+    a = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.explode(
+            F.array(*[F.lit(e) for e in range(DSHUF_EPOCHS)])
+        ).alias("epoch"),
+    ).select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "shard",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("okey"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("okey")
+    p = a.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+    w0 = Window.partitionBy("doc_id")
+    q = p.withColumn(
+        "pos0",
+        F.min(F.when(F.col("epoch") == 0, F.col("pos"))).over(w0),
+    )
+    return q.groupBy("epoch", F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min(F.when(F.col("pos") == 0, F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_doc"),
+        F.sum((F.col("pos") + 1) * F.col("doc_id"))
+        .cast("bigint")
+        .alias("order_checksum"),
+        (
+            F.sum(F.abs(F.col("pos") - F.col("pos0"))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_abs_disp"),
+    )
