@@ -86,3 +86,112 @@ def test_dataset_shuffle_epochs_actually_reshuffle(spark, sf_dir):
             # a uniform random permutation of n items displaces ~n/3
             assert eps[e]["mean_abs_disp"] > ns[e] / 10.0
             assert eps[e]["order_checksum"] != eps[0]["order_checksum"]
+
+
+# ------------------------------------------------------------------
+# sink/warc.py codec gates
+# ------------------------------------------------------------------
+
+
+def _mk_record(body=b"hello", warc_type="response", **extra):
+    from etl_ch_destination_spark.sink.warc import encode_record
+
+    headers = [
+        ("WARC-Record-ID", "<urn:uuid:1>"),
+        ("WARC-Date", "2024-01-01T00:00:00Z"),
+    ]
+    headers += list(extra.items())
+    return encode_record(warc_type, headers, body)
+
+
+def test_warc_golden_framing():
+    """Pin the exact bytes of a minimal record against the ISO 28500
+    layout: version line, named fields, CRLFCRLF, payload, CRLFCRLF."""
+    rec = _mk_record(b"hi")
+    assert rec == (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"hi\r\n\r\n"
+    )
+
+
+def test_warc_payload_may_contain_version_marker():
+    """Content-Length framing, not delimiter scanning: a payload that
+    contains the literal record header bytes must round-trip intact."""
+    from etl_ch_destination_spark.sink.warc import parse_warc
+
+    evil = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n trap"
+    buf = _mk_record(evil) + _mk_record(b"tail")
+    recs = parse_warc(buf)
+    assert [p for _, p in recs] == [evil, b"tail"]
+
+
+def test_warc_malformed_inputs_raise():
+    from etl_ch_destination_spark.sink.warc import (
+        encode_record,
+        parse_warc,
+        split_gzip_members,
+    )
+
+    good = _mk_record(b"xyz")
+    # bad version line
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"WARC/0.9" + good[8:])
+    # truncated payload
+    with pytest.raises(ValueError, match="overruns"):
+        parse_warc(good[:-5])
+    # missing record terminator
+    with pytest.raises(ValueError, match="terminator"):
+        parse_warc(good[:-4] + b"XXXX")
+    # missing mandatory field
+    bad = encode_record("response", [("WARC-Record-ID", "<urn:uuid:1>")], b"x")
+    with pytest.raises(ValueError, match="warc-date"):
+        parse_warc(bad)
+    # non-numeric Content-Length
+    evil = good.replace(b"Content-Length: 3", b"Content-Length: 3a")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(evil)
+    # header values may not smuggle CRLF
+    with pytest.raises(ValueError, match="CR/LF"):
+        encode_record("response", [("X", "a\r\nY: b")], b"")
+    # corrupt / unterminated gzip members
+    with pytest.raises(ValueError, match="gzip"):
+        split_gzip_members(b"\x1f\x8b\x08\x00garbage")
+
+
+def test_warc_gzip_members_split_record_at_time():
+    from etl_ch_destination_spark.sink.warc import (
+        gzip_member,
+        parse_warc,
+        split_gzip_members,
+    )
+
+    a, b = _mk_record(b"alpha"), _mk_record(b"beta", warc_type="request")
+    buf = gzip_member(a) + gzip_member(b)
+    members = split_gzip_members(buf)
+    assert members == [a, b]
+    assert parse_warc(members[1])[0][0]["warc-type"] == "request"
+
+
+def test_warc_http_parse_and_type_skip(spark, sf_dir):
+    """The staged corpus interleaves warcinfo + request records; the
+    scan surfaces exactly one row per document (responses only), and
+    the HTTP envelope parses status/headers/body apart."""
+    from etl_ch_destination_spark.queries.sources_sinks import scan_warc_import
+    from etl_ch_destination_spark.sink.warc import parse_http_response
+
+    status, headers, body = parse_http_response(
+        b"HTTP/1.1 404 Not Found\r\nX-A: b\r\n\r\npayload"
+    )
+    assert (status, headers["x-a"], body) == (404, "b", b"payload")
+    with pytest.raises(ValueError, match="status line"):
+        parse_http_response(b"not-http\r\n\r\n")
+
+    out = scan_warc_import(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert out.count() == n_docs
+    assert out.filter(F.col("http_status") != 200).count() == 0
