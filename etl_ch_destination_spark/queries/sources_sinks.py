@@ -3584,3 +3584,197 @@ def scan_warc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, source string, lang string,"
         " http_status bigint, body string, body_bytes bigint",
     )
+
+
+# scan_table_log_cdf: Change-Data-Feed layout knobs
+CDF_SLICES = 8       # contiguous o_orderkey-range data files at v0
+CDF_UPD_SLICE = 3    # slice UPDATEd at v1 (explicit cdc files)
+CDF_DEL_SLICE = 6    # slice DELETEd at v2 (derived from remove action)
+
+
+@query(
+    "scan_table_log_cdf",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({CDF_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    ),
+    pre AS (
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice = {CDF_UPD_SLICE} AND o_orderstatus = 'O'
+    ),
+    del AS (
+      SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+      WHERE slice = {CDF_DEL_SLICE}
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'update_preimage' AS change_type,
+           CAST(1 AS BIGINT) AS commit_version
+    FROM pre
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, (price_cents * 11) // 10,
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM pre
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'delete', CAST(2 AS BIGINT)
+    FROM del
+    """,
+)
+def scan_table_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the transaction log — the CDC surface of
+    the Delta protocol (PROTOCOL.md §Change Data Files) that turns a
+    lake table into an incremental source: "give me every row-level
+    change between versions A and B" without diffing snapshots.
+    Completes the table-log family (snapshot / time-travel /
+    checkpoint / deletion-vectors) with the read path downstream ETL
+    actually consumes.
+
+    Both protocol modes are staged and exercised: v1 is an UPDATE
+    commit that carries EXPLICIT ``cdc`` actions — readers must use
+    ONLY the referenced ``_change_data`` files for that commit
+    (update_preimage/update_postimage rows, written by the updating
+    transaction), ignoring its add/remove data files; v2 is a DELETE
+    commit with NO cdc action — readers DERIVE the changes from the
+    dataChange add/remove actions (an added file's rows are inserts,
+    a removed file's rows — read at its pre-remove content — are
+    deletes). A reader that only implements one mode double-counts
+    the update or misses the delete; the hash oracle replays both
+    relationally and pins the union by value.
+
+    Scale: action replay touches only the |files|-row manifest;
+    change rows come from exactly the files the log names (cdc files
+    for v1, one removed file for v2) — I/O proportional to the CHANGE
+    volume, never the table, which is the whole point of CDF at
+    100 TB (re-syncing a downstream copy costs O(delta))."""
+    import json as _json
+
+    root = _scratch(sf_dir, "scan_table_log_cdf")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_table_log")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sliced = o.withColumn(
+        "slice", F.ntile(CDF_SLICES).over(Window.orderBy("o_orderkey"))
+    )
+    sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
+
+    # ---- v1: UPDATE slice CDF_UPD_SLICE ('O' rows +10% price) with
+    # explicit cdc files ----
+    upd = sliced.filter(F.col("slice") == CDF_UPD_SLICE).drop("slice")
+    pre = upd.filter(F.col("o_orderstatus") == "O")
+    post = pre.withColumn(
+        "price_cents", F.expr("(price_cents * 11) div 10")
+    )
+    rewrite = post.unionByName(upd.filter(F.col("o_orderstatus") != "O"))
+    rewrite.write.mode("overwrite").parquet(
+        os.path.join(data_dir, "rewrite-upd")
+    )
+    cdc = pre.withColumn("change_type", F.lit("update_preimage")).unionByName(
+        post.withColumn("change_type", F.lit("update_postimage"))
+    )
+    cdc.write.mode("overwrite").parquet(
+        os.path.join(root, "_change_data", "cdc-1")
+    )
+
+    def _w(version: int, actions: list) -> None:
+        with open(os.path.join(log_dir, "%020d.json" % version), "w") as f:
+            f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    _w(0, [{"metaData": {"id": "cdf-fixture"}},
+           *[{"add": {"path": f"slice={s}", "dataChange": True}}
+             for s in range(1, CDF_SLICES + 1)]])
+    _w(1, [{"remove": {"path": f"slice={CDF_UPD_SLICE}", "dataChange": True}},
+           {"add": {"path": "rewrite-upd", "dataChange": True}},
+           {"cdc": {"path": "../_change_data/cdc-1", "dataChange": False}}])
+    _w(2, [{"remove": {"path": f"slice={CDF_DEL_SLICE}", "dataChange": True}}])
+
+    # ---- reader: changes for versions (0, 2] ----
+    actions = (
+        spark.read.text(log_dir)
+        .withColumn(
+            "version",
+            F.regexp_extract(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"^(\d+)\.json$",
+                1,
+            ).cast("long"),
+        )
+        .withColumn("j", F.from_json(
+            "value",
+            "add struct<path:string,dataChange:boolean>,"
+            "remove struct<path:string,dataChange:boolean>,"
+            "cdc struct<path:string,dataChange:boolean>",
+        ))
+        .filter((F.col("version") >= 1) & (F.col("version") <= 2))
+    )
+    # bounded manifest collect: |actions in the version range| rows
+    manifest = actions.select(
+        "version",
+        F.col("j.add.path").alias("add_path"),
+        F.col("j.add.dataChange").alias("add_dc"),
+        F.col("j.remove.path").alias("rm_path"),
+        F.col("j.remove.dataChange").alias("rm_dc"),
+        F.col("j.cdc.path").alias("cdc_path"),
+    ).collect()
+    by_version: dict[int, dict[str, list]] = {}
+    for r in manifest:
+        b = by_version.setdefault(r["version"], {"cdc": [], "add": [], "rm": []})
+        if r["cdc_path"] is not None:
+            b["cdc"].append(r["cdc_path"])
+        if r["add_path"] is not None and r["add_dc"]:
+            b["add"].append(r["add_path"])
+        if r["rm_path"] is not None and r["rm_dc"]:
+            b["rm"].append(r["rm_path"])
+
+    cols = ["o_orderkey", "o_orderstatus", "price_cents"]
+    parts = []
+    for v in sorted(by_version):
+        b = by_version[v]
+        if b["cdc"]:
+            # explicit mode: cdc files carry change_type; data files
+            # of this commit are IGNORED for CDF purposes
+            df = spark.read.parquet(
+                *[os.path.join(data_dir, p) for p in b["cdc"]]
+            ).select(*cols, "change_type")
+        else:
+            # derived mode: adds are inserts, removed files are deletes
+            ins = [
+                spark.read.parquet(os.path.join(data_dir, p))
+                .select(*cols)
+                .withColumn("change_type", F.lit("insert"))
+                for p in b["add"]
+            ]
+            dels = [
+                spark.read.parquet(os.path.join(data_dir, p))
+                .select(*cols)
+                .withColumn("change_type", F.lit("delete"))
+                for p in b["rm"]
+            ]
+            dfs = ins + dels
+            if not dfs:
+                continue
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+        parts.append(
+            df.withColumn("commit_version", F.lit(v).cast("bigint"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -195,3 +195,75 @@ def test_warc_http_parse_and_type_skip(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert out.count() == n_docs
     assert out.filter(F.col("http_status") != 200).count() == 0
+
+
+# ------------------------------------------------------------------
+# scan_table_log_cdf
+# ------------------------------------------------------------------
+
+
+def test_cdf_modes_and_consistency(spark, sf_dir):
+    """Three invariants the CDF contract demands: (1) v1 changes come
+    ONLY from the cdc files (pre/post pairs — equal counts, postimage
+    prices strictly higher for the updated rows), (2) v2 deletes equal
+    the removed file's full content, and (3) applying the feed to the
+    v0 snapshot reproduces the v2 snapshot (delete preimage keys,
+    delete deleted keys, insert postimages) — the downstream-sync
+    correctness CDF exists for."""
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        CDF_DEL_SLICE,
+        CDF_SLICES,
+        CDF_UPD_SLICE,
+        scan_table_log_cdf,
+    )
+    from pyspark.sql.window import Window as W
+
+    feed = scan_table_log_cdf(spark, sf_dir).cache()
+    v1 = feed.filter(F.col("commit_version") == 1)
+    pre = v1.filter(F.col("change_type") == "update_preimage")
+    post = v1.filter(F.col("change_type") == "update_postimage")
+    assert pre.count() == post.count() > 0
+    assert v1.filter(
+        ~F.col("change_type").isin("update_preimage", "update_postimage")
+    ).count() == 0
+    joined = pre.alias("a").join(
+        post.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey")
+    )
+    assert joined.filter(
+        F.col("b.price_cents") < F.col("a.price_cents")
+    ).count() == 0
+    assert joined.filter(
+        F.col("b.price_cents") > F.col("a.price_cents")
+    ).count() > 0
+
+    # replay: v0 snapshot +feed = v2 snapshot
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).withColumn("slice", F.ntile(CDF_SLICES).over(W.orderBy("o_orderkey")))
+    v0 = o.drop("slice")
+    expect_v2 = (
+        o.filter(F.col("slice") != CDF_DEL_SLICE)
+        .withColumn(
+            "price_cents",
+            F.when(
+                (F.col("slice") == CDF_UPD_SLICE)
+                & (F.col("o_orderstatus") == "O"),
+                F.expr("(price_cents * 11) div 10"),
+            ).otherwise(F.col("price_cents")),
+        )
+        .drop("slice")
+    )
+    deletes = feed.filter(
+        F.col("change_type").isin("delete", "update_preimage")
+    ).select("o_orderkey")
+    inserts = feed.filter(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).select("o_orderkey", "o_orderstatus", "price_cents")
+    applied = v0.join(deletes, "o_orderkey", "left_anti").unionByName(inserts)
+    assert applied.exceptAll(expect_v2).count() == 0
+    assert expect_v2.exceptAll(applied).count() == 0
+    feed.unpersist()
