@@ -3778,3 +3778,148 @@ def scan_table_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# sink_table_log_write: destination-side commit-protocol knobs
+TLW_MONTHS = tuple(range(199501, 199507))  # v0 initial load
+TLW_RESTATE = (199502, 199503)             # v1 partition overwrite (+5c)
+TLW_APPEND = 199507                        # v2 late-arriving month
+
+
+@query(
+    "sink_table_log_write",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS ym,
+             o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders
+    )
+    SELECT o_orderkey, ym, o_orderstatus,
+           CASE WHEN ym IN {TLW_RESTATE!r} THEN price_cents + 5
+                ELSE price_cents END AS price_cents
+    FROM base
+    WHERE ym BETWEEN {TLW_MONTHS[0]} AND {TLW_APPEND}
+    """,
+)
+def sink_table_log_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destination-side TRANSACTION-LOG WRITER — the other half of the
+    scan_table_log family: this repo is an ETL *destination*, and a
+    lakehouse destination publishes data by writing immutable parquet
+    files and then ATOMICALLY committing a ``%020d.json`` action file
+    (sink/table_log.commit — put-if-absent via os.link, the primitive
+    the Delta protocol demands of its log store; a version collision
+    raises CommitConflict instead of rewriting history, gated in
+    tests/test_round14b_keys.py together with the
+    loser-retries-at-N+1 path).
+
+    Three commits model the destination's real write lifecycle:
+    v0 = initial load of months {TLW_MONTHS[0]}..{TLW_MONTHS[-1]}
+    (one file + one stats-bearing add per month partition),
+    v1 = DYNAMIC PARTITION OVERWRITE restating months {TLW_RESTATE}
+    (+5c correction — remove the partitions' files, add the restated
+    ones, in ONE atomic commit so readers never see a half-restated
+    table), v2 = append of the late month {TLW_APPEND}. The query
+    then reads its own table back through the standard log replay
+    (table_log_snapshot — the same reader the scan keys use) at the
+    LATEST version; the hash oracle recomputes the expected final
+    state relationally, proving writer and reader agree on the
+    protocol end-to-end, restatement included.
+
+    Scale: each commit's actions are the |files|-touched manifest
+    (bytes); data writes are ordinary parquet jobs. The month loop
+    here is driver-side over a BOUNDED 7-partition fixture — a
+    production writer lands all partitions in one partitionBy job and
+    emits one add per written file from the job's commit manifest
+    (sink_dynamic_partition_overwrite is that write shape); the
+    protocol cost is unchanged: one linked JSON file per transaction
+    at any data scale."""
+    from etl_ch_destination_spark.sink.table_log import (
+        add_action,
+        commit,
+        latest_version,
+    )
+
+    root = _scratch(sf_dir, "sink_table_log_write")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_table_log")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    base = o.filter(
+        F.col("ym").between(TLW_MONTHS[0], TLW_MONTHS[-1])
+    ).cache()
+
+    # per-partition stats in one pass — the write job's commit manifest
+    stats = {
+        r["ym"]: (r["n"], r["lo"], r["hi"])
+        for r in base.groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .collect()
+    }
+
+    def _write(df: DataFrame, rel: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(data_dir, rel))
+
+    # ---- v0: initial load, one file + stats-bearing add per month ----
+    adds = []
+    for ym in TLW_MONTHS:
+        _write(base.filter(F.col("ym") == ym), f"base-{ym}")
+        n, lo, hi = stats[ym]
+        adds.append(add_action(f"base-{ym}", n, lo, hi, {"ym": ym}))
+    commit(log_dir, 0, [{"metaData": {"id": "tlw-fixture"}}, *adds])
+
+    # ---- v1: atomic dynamic partition overwrite (restatement) ----
+    actions = []
+    for ym in TLW_RESTATE:
+        restated = base.filter(F.col("ym") == ym).withColumn(
+            "price_cents", F.col("price_cents") + 5
+        )
+        _write(restated, f"restate-{ym}")
+        n, lo, hi = stats[ym]
+        actions.append(
+            {"remove": {"path": f"base-{ym}", "dataChange": True}}
+        )
+        actions.append(add_action(f"restate-{ym}", n, lo, hi, {"ym": ym}))
+    commit(log_dir, 1, actions)
+
+    # ---- v2: late-month append ----
+    july = o.filter(F.col("ym") == TLW_APPEND)
+    _write(july, f"base-{TLW_APPEND}")
+    js = july.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    ).collect()[0]
+    commit(
+        log_dir,
+        2,
+        [add_action(f"base-{TLW_APPEND}", js["n"], js["lo"], js["hi"],
+                    {"ym": TLW_APPEND})],
+    )
+    base.unpersist()
+
+    # ---- read back through the standard log replay ----
+    v = latest_version(log_dir)
+    snap = table_log_snapshot(spark, log_dir, v)
+    paths = [r["path"] for r in snap.collect()]  # bounded file manifest
+    return spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in paths]
+    ).select("o_orderkey", "ym", "o_orderstatus", "price_cents")

@@ -267,3 +267,92 @@ def test_cdf_modes_and_consistency(spark, sf_dir):
     assert applied.exceptAll(expect_v2).count() == 0
     assert expect_v2.exceptAll(applied).count() == 0
     feed.unpersist()
+
+
+# ------------------------------------------------------------------
+# sink/table_log.py commit protocol + sink_table_log_write
+# ------------------------------------------------------------------
+
+
+def test_commit_is_put_if_absent(tmp_path):
+    """The commit primitive must never overwrite: racing writers get
+    CommitConflict and retry at N+1 — and the losing attempt leaves no
+    temp debris behind."""
+    import os
+
+    from etl_ch_destination_spark.sink.table_log import (
+        CommitConflict,
+        commit,
+        latest_version,
+        read_actions,
+    )
+
+    log = str(tmp_path / "_log")
+    commit(log, 0, [{"metaData": {"id": "x"}}])
+    with pytest.raises(CommitConflict):
+        commit(log, 0, [{"add": {"path": "evil", "dataChange": True}}])
+    # history intact, no temp files, loser retries at the next version
+    assert [a for _, a in read_actions(log)] == [{"metaData": {"id": "x"}}]
+    assert all(not f.endswith(".tmp") for f in os.listdir(log))
+    commit(log, latest_version(log) + 1,
+           [{"add": {"path": "retry", "dataChange": True}}])
+    assert latest_version(log) == 1
+
+
+def test_txn_action_tracks_idempotent_writers(tmp_path):
+    from etl_ch_destination_spark.sink.table_log import (
+        commit,
+        last_txn_version,
+    )
+
+    log = str(tmp_path / "_log")
+    assert last_txn_version(log, "app-a") == -1
+    commit(log, 0, [{"txn": {"appId": "app-a", "version": 3}},
+                    {"add": {"path": "f0", "dataChange": True}}])
+    commit(log, 1, [{"txn": {"appId": "app-b", "version": 9}}])
+    assert last_txn_version(log, "app-a") == 3
+    assert last_txn_version(log, "app-b") == 9
+    assert last_txn_version(log, "app-c") == -1
+
+
+def test_table_log_write_versions_replay(spark, sf_dir):
+    """Version pinning over the written log: v0 shows original prices
+    for the restated months, v1 shows +5c, v2 adds the late month —
+    the writer's commits are individually addressable history."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        TLW_APPEND,
+        TLW_MONTHS,
+        TLW_RESTATE,
+        sink_table_log_write,
+        table_log_snapshot,
+        _scratch,
+    )
+
+    final = sink_table_log_write(spark, sf_dir)
+    assert final.filter(F.col("ym") == TLW_APPEND).count() > 0
+
+    root = _scratch(sf_dir, "sink_table_log_write")
+    data_dir, log_dir = os.path.join(root, "data"), os.path.join(root, "_table_log")
+
+    def rows_at(version):
+        paths = [r["path"] for r in
+                 table_log_snapshot(spark, log_dir, version).collect()]
+        return spark.read.parquet(
+            *[os.path.join(data_dir, p) for p in paths]
+        )
+
+    v0, v1 = rows_at(0), rows_at(1)
+    m = TLW_RESTATE[0]
+    a = v0.filter(F.col("ym") == m).agg(F.sum("price_cents")).collect()[0][0]
+    b = v1.filter(F.col("ym") == m).agg(F.sum("price_cents")).collect()[0][0]
+    n = v0.filter(F.col("ym") == m).count()
+    assert b - a == 5 * n  # exactly the +5c restatement, every row
+    assert v0.filter(F.col("ym") == TLW_APPEND).count() == 0
+    assert v1.count() == v0.count()  # overwrite preserves cardinality
+    # untouched months identical across versions
+    keep = [ym for ym in TLW_MONTHS if ym not in TLW_RESTATE]
+    assert v0.filter(F.col("ym").isin(keep)).exceptAll(
+        v1.filter(F.col("ym").isin(keep))
+    ).count() == 0
