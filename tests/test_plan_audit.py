@@ -82,6 +82,10 @@ EFFECTFUL = {
     "stream_tdigest_compact": (
         "test_round14_keys.py",
         "test_stream_tdigest_compact_accuracy_and_bounds"),
+    # runs a REAL streaming query committing to the transaction log
+    "stream_table_log_sink": (
+        "test_round14b_keys.py",
+        "test_stream_table_log_sink_commits_exactly_once"),
     # writes view-state versions to scratch
     "job_matview_refresh": (
         "test_relational_round4.py",

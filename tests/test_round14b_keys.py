@@ -356,3 +356,52 @@ def test_table_log_write_versions_replay(spark, sf_dir):
     assert v0.filter(F.col("ym").isin(keep)).exceptAll(
         v1.filter(F.col("ym").isin(keep))
     ).count() == 0
+
+
+# ------------------------------------------------------------------
+# stream_table_log_sink
+# ------------------------------------------------------------------
+
+
+def test_stream_table_log_sink_commits_exactly_once(spark, sf_dir):
+    """One txn-bearing commit per micro-batch, the replayed epoch adds
+    nothing, and an orphaned data file (crash before commit) is
+    invisible to log readers."""
+    import os
+
+    from etl_ch_destination_spark.catalog import scratch_dir
+    from etl_ch_destination_spark.queries.streaming_batch import (
+        stream_table_log_sink,
+    )
+    from etl_ch_destination_spark.sink.table_log import (
+        last_txn_version,
+        read_actions,
+    )
+
+    out = stream_table_log_sink(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.agg(F.sum("n")).collect()[0][0] == src.count()
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = scratch_dir(f"stream_table_log_sink/{tag}")
+    log_dir = os.path.join(root, "_table_log")
+    acts = read_actions(log_dir)
+    txns = [a["txn"] for _, a in acts if "txn" in a]
+    adds = [a["add"] for _, a in acts if "add" in a]
+    # 6 slices -> 6 epochs, each committed exactly once (the epoch-0
+    # replay inside the key must NOT have added a 7th commit)
+    assert sorted(t["version"] for t in txns) == list(range(6))
+    assert len(adds) == 6
+    assert last_txn_version(log_dir, "stream-table-log-sink") == 5
+
+    # crash-before-commit: an orphaned data file never surfaces
+    orphan = os.path.join(root, "data", "epoch-99")
+    spark.read.parquet(os.path.join(root, "data", "epoch-0")).write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    live = [a["add"]["path"] for _, a in read_actions(log_dir) if "add" in a]
+    assert "epoch-99" not in live
+    back = spark.read.parquet(
+        *[os.path.join(root, "data", p) for p in live]
+    )
+    assert back.count() == src.count()
