@@ -3923,3 +3923,91 @@ def sink_table_log_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         *[os.path.join(data_dir, p) for p in paths]
     ).select("o_orderkey", "ym", "o_orderstatus", "price_cents")
+
+
+@query(
+    "scan_iceberg_pos_delete",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+def scan_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITIONAL DELETES — the spec's row-level delete
+    mechanism (format spec §Position Delete Files): immutable data
+    files stay put; a DELETE transaction writes small delete files of
+    ``(file_path, pos)`` pairs naming exact ROW POSITIONS inside
+    specific data files, and every reader must apply them as an
+    anti-join before surfacing rows. This is addressing BY POSITION,
+    not by value — two byte-identical rows are distinct deletion
+    targets (tests/test_round14b_keys.py proves a single positional
+    delete removes exactly one of two duplicate rows, which no value
+    predicate can express) — and it completes the Iceberg read
+    surface next to scan_iceberg_manifest's two-level pruning chain.
+
+    Staged: orders as key-range data files; the delete transaction
+    targets every 'F'-status row by reading the files' Spark
+    ``_metadata.file_path``/``row_index`` virtual columns (the
+    engine-native row-position surface — DuckDB's file_row_number is
+    the same device) and writing the (file_path, pos) pairs as the
+    delete files. The reader re-derives positions from the SAME
+    virtual columns and anti-joins on (file_path, pos). The hash
+    oracle states the transaction's INTENT relationally (<> 'F'): a
+    match proves position capture, delete-file round trip, and
+    positional application together hit exactly the intended rows —
+    a one-off-by-one in row_index on either side fails the hash.
+
+    Scale: delete files are proportional to DELETED rows, not table
+    size (the whole point of merge-on-read at 100 TB); the apply is
+    an equi anti-join keyed (file_path, pos) which AQE broadcasts
+    while deletes are small and shuffle-partitions once a major
+    delete backlog accumulates — at which point Iceberg's own answer
+    is compaction (scan_table_log's rewrite shape), not a cleverer
+    join."""
+    from pyspark.sql.window import Window
+
+    root = _scratch(sf_dir, "scan_iceberg_pos_delete")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, "deletes")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(del_dir, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sliced = o.withColumn(
+        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+    )
+    sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
+
+    # ---- the DELETE transaction: capture (file_path, pos) of every
+    # 'F' row from the files' native row-position virtual columns ----
+    staged = spark.read.parquet(data_dir)
+    (
+        staged.filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .write.mode("overwrite")
+        .parquet(del_dir)
+    )
+
+    # ---- reader: merge-on-read positional apply ----
+    deletes = spark.read.parquet(del_dir)
+    data = spark.read.parquet(data_dir).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "o_orderkey",
+        "o_orderstatus",
+        "price_cents",
+    )
+    return data.join(deletes, ["file_path", "pos"], "left_anti").select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )

@@ -405,3 +405,49 @@ def test_stream_table_log_sink_commits_exactly_once(spark, sf_dir):
         *[os.path.join(root, "data", p) for p in live]
     )
     assert back.count() == src.count()
+
+
+# ------------------------------------------------------------------
+# scan_iceberg_pos_delete
+# ------------------------------------------------------------------
+
+
+def test_pos_delete_is_positional_not_value_based(spark, tmp_path):
+    """The defining property of Iceberg positional deletes: two
+    byte-identical rows are DISTINCT delete targets. One (file, pos)
+    pair removes exactly one of two duplicate rows — impossible for
+    any value predicate."""
+    import pandas as pd
+
+    data_dir = str(tmp_path / "data")
+    spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "v": ["same", "same", "other"]})
+    ).coalesce(1).write.parquet(data_dir)
+
+    staged = spark.read.parquet(data_dir).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+        "v",
+    )
+    # delete the FIRST of the two identical rows only
+    first_dup = (
+        staged.filter(F.col("v") == "same")
+        .orderBy("pos")
+        .limit(1)
+        .select("file_path", "pos")
+    )
+    alive = staged.join(first_dup, ["file_path", "pos"], "left_anti")
+    assert alive.count() == 2
+    assert alive.filter(F.col("v") == "same").count() == 1
+
+
+def test_pos_delete_scan_drops_only_f_rows(spark, sf_dir):
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_iceberg_pos_delete,
+    )
+
+    out = scan_iceberg_pos_delete(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert out.filter(F.col("o_orderstatus") == "F").count() == 0
+    assert out.count() == src.filter(F.col("o_orderstatus") != "F").count()
