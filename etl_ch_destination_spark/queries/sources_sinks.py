@@ -4011,3 +4011,155 @@ def scan_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data.join(deletes, ["file_path", "pos"], "left_anti").select(
         "o_orderkey", "o_orderstatus", "price_cents"
     )
+
+
+@query(
+    "scan_hudi_timeline",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O' THEN price_cents + 7
+                ELSE price_cents END AS price_cents
+    FROM base
+    """,
+)
+def scan_hudi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi-style TIMELINE scan — the third lakehouse metadata design
+    next to the Delta action log (scan_table_log*) and the Iceberg
+    manifest chain (scan_iceberg_*), per the public Apache Hudi
+    copy-on-write model: data lives in FILE GROUPS (stable fileId per
+    partition), every commit writes a new FILE SLICE (base file) for
+    each file group it touches, and a ``.hoodie`` timeline of instants
+    ``<ts>.<action>[.<state>]`` defines which slices are live — a
+    snapshot reader takes, per file group, the latest slice whose
+    instant is COMPLETED, and honors ``replacecommit`` instants that
+    retire whole file groups (clustering/compaction).
+
+    Four instants exercise every rule: t1 = initial insert (one file
+    group per o_orderstatus partition); t2 = UPSERT rewriting the 'O'
+    file group's slice (+7c — upserts REPLACE the slice, they never
+    append duplicates); t3 = clustering ``replacecommit`` splitting
+    the 'F' group into two key-range groups (same rows, new layout —
+    invisible to the hash); t4 = an INFLIGHT commit on 'P' whose data
+    file exists on disk but whose completed marker does not — the
+    uncommitted-write-invisibility rule; a reader that lists the data
+    directory instead of the timeline surfaces t4's rows and fails
+    the hash (and the duplicate-slice rule: taking any but the LATEST
+    slice of 'O' double-counts or under-prices).
+
+    Scale: the timeline is a bounded listing (|instants|); commit
+    metadata names |touched file groups| entries per instant — Hudi's
+    own planner reads both driver-side. Data I/O is the union of the
+    chosen base files, a plain multi-path parquet scan."""
+    import json as _json
+
+    root = _scratch(sf_dir, "scan_hudi_timeline")
+    data_dir = os.path.join(root, "data")
+    hoodie = os.path.join(root, ".hoodie")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(hoodie, ignore_errors=True)
+    os.makedirs(hoodie)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).cache()
+    kmid = o.filter(F.col("o_orderstatus") == "F").agg(
+        F.percentile_approx("o_orderkey", 0.5).alias("m")
+    ).collect()[0]["m"]
+
+    def _write(df: DataFrame, rel: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(data_dir, rel))
+
+    def _instant(ts: str, action: str, meta: dict, state: str = "") -> None:
+        name = f"{ts}.{action}" + (f".{state}" if state else "")
+        with open(os.path.join(hoodie, name), "w") as f:
+            f.write(_json.dumps(meta))
+
+    # t1: initial insert, one file group per partition
+    t1 = "20240101000000"
+    stats: dict = {}
+    for st in ("O", "F", "P"):
+        rel = f"fg-{st}-0_{t1}.parquet"
+        _write(o.filter(F.col("o_orderstatus") == st), rel)
+        stats.setdefault(st, []).append({"fileId": f"fg-{st}-0", "path": rel})
+    _instant(t1, "commit", {"partitionToWriteStats": stats})
+
+    # t2: upsert rewrites the 'O' file group's slice (+7c)
+    t2 = "20240102000000"
+    rel2 = f"fg-O-0_{t2}.parquet"
+    _write(
+        o.filter(F.col("o_orderstatus") == "O").withColumn(
+            "price_cents", F.col("price_cents") + 7
+        ),
+        rel2,
+    )
+    _instant(t2, "commit", {"partitionToWriteStats": {
+        "O": [{"fileId": "fg-O-0", "path": rel2}]}})
+
+    # t3: clustering replacecommit splits the 'F' group by key range
+    t3 = "20240103000000"
+    f_rows = o.filter(F.col("o_orderstatus") == "F")
+    lo_rel, hi_rel = f"fg-F-1_{t3}.parquet", f"fg-F-2_{t3}.parquet"
+    _write(f_rows.filter(F.col("o_orderkey") <= kmid), lo_rel)
+    _write(f_rows.filter(F.col("o_orderkey") > kmid), hi_rel)
+    _instant(t3, "replacecommit", {
+        "partitionToReplaceFileIds": {"F": ["fg-F-0"]},
+        "partitionToWriteStats": {"F": [
+            {"fileId": "fg-F-1", "path": lo_rel},
+            {"fileId": "fg-F-2", "path": hi_rel},
+        ]},
+    })
+
+    # t4: INFLIGHT commit on 'P' — data staged, never completed
+    t4 = "20240104000000"
+    rel4 = f"fg-P-0_{t4}.parquet"
+    _write(
+        o.filter(F.col("o_orderstatus") == "P").withColumn(
+            "price_cents", F.lit(0).cast("long")
+        ),
+        rel4,
+    )
+    _instant(t4, "commit", {"partitionToWriteStats": {
+        "P": [{"fileId": "fg-P-0", "path": rel4}]}}, state="inflight")
+    o.unpersist()
+
+    files = hudi_snapshot_files(hoodie)
+    return spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in files]
+    ).select("o_orderkey", "o_orderstatus", "price_cents")
+
+
+def hudi_snapshot_files(hoodie_dir: str) -> list[str]:
+    """Replay the timeline driver-side (bounded |instants| listing):
+    walk COMPLETED instants in timestamp order, track the latest file
+    slice per file group, retire groups named by replacecommits.
+    Returns the live base-file paths."""
+    import json as _json
+
+    instants = []
+    for name in sorted(os.listdir(hoodie_dir)):
+        parts = name.split(".")
+        if len(parts) != 2 or parts[1] not in ("commit", "replacecommit"):
+            continue  # inflight/requested states never count
+        with open(os.path.join(hoodie_dir, name)) as f:
+            instants.append((parts[0], parts[1], _json.load(f)))
+
+    latest: dict[str, str] = {}  # fileId -> live base-file path
+    for _ts, action, meta in instants:
+        if action == "replacecommit":
+            for fids in meta.get("partitionToReplaceFileIds", {}).values():
+                for fid in fids:
+                    latest.pop(fid, None)
+        for ws in meta.get("partitionToWriteStats", {}).values():
+            for w in ws:
+                latest[w["fileId"]] = w["path"]
+    return sorted(latest.values())

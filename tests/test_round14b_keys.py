@@ -451,3 +451,45 @@ def test_pos_delete_scan_drops_only_f_rows(spark, sf_dir):
     src = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert out.filter(F.col("o_orderstatus") == "F").count() == 0
     assert out.count() == src.filter(F.col("o_orderstatus") != "F").count()
+
+
+# ------------------------------------------------------------------
+# scan_hudi_timeline
+# ------------------------------------------------------------------
+
+
+def test_hudi_timeline_rules(spark, sf_dir):
+    """The four timeline rules, each by value: latest-slice-wins for
+    the upserted group, replacecommit retires the clustered group,
+    inflight instants are invisible, and a directory-listing reader
+    would have seen MORE files than the timeline surfaces."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        _scratch,
+        hudi_snapshot_files,
+        scan_hudi_timeline,
+    )
+
+    out = scan_hudi_timeline(spark, sf_dir).cache()
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert out.count() == src.count()  # no dup slices, no lost groups
+
+    root = _scratch(sf_dir, "scan_hudi_timeline")
+    hoodie = os.path.join(root, ".hoodie")
+    files = hudi_snapshot_files(hoodie)
+    # t2's slice superseded t1's for fg-O-0; fg-F-0 was replaced by
+    # the clustering; t4's inflight file is absent
+    assert [f.split("_")[0] for f in files] == [
+        "fg-F-1", "fg-F-2", "fg-O-0", "fg-P-0"
+    ]
+    assert any("20240102000000" in f for f in files)      # latest O slice
+    assert not any("20240104000000" in f for f in files)  # inflight
+    on_disk = set(os.listdir(os.path.join(root, "data")))
+    assert len(on_disk) > len(files)  # listing the dir would over-read
+
+    # the inflight zero-price write must not have leaked
+    assert out.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("price_cents") == 0)
+    ).count() == 0
+    out.unpersist()
