@@ -1622,3 +1622,176 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").cast("double") - trend - seasonal,
         ).alias("residual"),
     )
+
+
+HW_M = 24  # Holt-Winters season length: hour-of-day over the hourly spine
+
+
+@query(
+    "ts_holt_winters",
+    f"""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    groups AS (SELECT DISTINCT event_type AS g FROM events),
+    spine AS (
+      SELECT g, CAST(u.t AS BIGINT) AS t
+      FROM groups, bounds,
+           UNNEST(range(0, CAST(date_diff('hour', lo, hi) AS BIGINT) + 1))
+             AS u(t)
+    ),
+    agg AS (
+      SELECT event_type AS g,
+             CAST(date_diff('hour', (SELECT lo FROM bounds),
+                            date_trunc('hour', ts)) AS BIGINT) AS t,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT s.g, s.t, COALESCE(a.y, 0) AS y
+      FROM spine s LEFT JOIN agg a USING (g, t)
+    ),
+    init_l AS (
+      SELECT g, CAST(SUM(y) // {HW_M} AS BIGINT) AS l
+      FROM series WHERE t < {HW_M} GROUP BY g
+    ),
+    init AS (
+      SELECT series.g, FIRST(l) AS l, list(y - l ORDER BY t) AS sv
+      FROM series JOIN init_l USING (g) WHERE t < {HW_M} GROUP BY series.g
+    ),
+    rec(g, t, l, b, sv, y, fitted, resid, s_new) AS (
+      SELECT g, CAST({HW_M} - 1 AS BIGINT), l, CAST(0 AS BIGINT), sv,
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM init
+      UNION ALL
+      SELECT q.g, q.t, q.l_new,
+             q.b + (q.l_new - q.l - q.b) // 16,
+             list_transform(q.sv, (x, i) -> CASE WHEN i = q.idx
+               THEN q.s_old + (q.y - q.l_new - q.s_old) // 8 ELSE x END),
+             q.y,
+             q.l + q.b + q.s_old,
+             q.y - (q.l + q.b + q.s_old),
+             q.s_old + (q.y - q.l_new - q.s_old) // 8
+      FROM (
+        SELECT p.*, p.l + p.b + (p.y - p.s_old - p.l - p.b) // 4 AS l_new
+        FROM (
+          SELECT r.g, r.t + 1 AS t, r.l, r.b, r.sv, ser.y,
+                 CAST(((r.t + 1) % {HW_M}) + 1 AS INT) AS idx,
+                 r.sv[CAST(((r.t + 1) % {HW_M}) + 1 AS INT)] AS s_old
+          FROM rec r JOIN series ser ON ser.g = r.g AND ser.t = r.t + 1
+        ) p
+      ) q
+    )
+    SELECT g, t, y, l AS level, b AS trend, s_new AS seasonal, fitted, resid
+    FROM rec WHERE t >= {HW_M}
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple exponential smoothing (additive HOLT-WINTERS — the
+    classical level/trend/seasonal forecaster) over per-event-type
+    hourly revenue, HASH-EXACT by construction: the recursion runs in
+    pure int64 cents with DYADIC smoothing in error-correction form
+    — α=1/4, β=1/16, γ=1/8, each update one truncating
+    power-of-two division (the ts_ema_dyadic
+    no-compounding-float-error discipline, extended from a fold to a
+    full three-state recursion) — so both engines replay the
+    identical integer sequence and every level, trend, seasonal,
+    one-step-ahead fit and residual matches bit-for-bit. The
+    parameters sit INSIDE the additive-HW stability region
+    (α=β=γ=1/2 provably DIVERGES on a clean trend+seasonal
+    series — measured while building the gate; high β is the
+    classic HW instability) and lock a structured series to the
+    cents-scale truncation floor (tests/test_round14b_keys.py).
+    Initialization is the textbook one, integer-exact: level = mean
+    of the first season (truncated), trend = 0, seasonals = first-
+    season deviations. The DuckDB oracle replays all ~{HW_M}×29 steps
+    per series in ONE recursive CTE carrying the {HW_M}-slot seasonal
+    vector as a list (the BPE-merge replay device, state upgraded
+    from scalars to a vector via an indexed list_transform).
+
+    Plan/scale: events collapse to the dense (group × hour) spine in
+    one hash aggregate — after that the sequential recursion runs
+    per-series inside ``applyInPandas``, the honest shape for an
+    inherently order-dependent model: series are independent, so a
+    100 TB deployment with millions of (product, region) series is
+    embarrassingly parallel across groups while each series pays its
+    own O(T) loop over ALREADY-AGGREGATED buckets (T ≈ hours, not
+    events). The 1-row bounds frame rides a broadcast; no stage ever
+    sees event rows after the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    agg = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.date_trunc("hour", "ts").alias("bkt"),
+            cents.alias("c"),
+        )
+        .groupBy("g", "bkt")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    agg_t = agg.crossJoin(F.broadcast(bounds)).select(
+        "g",
+        F.expr("CAST(timestampdiff(HOUR, lo, bkt) AS BIGINT)").alias("t"),
+        "y",
+    )
+    spine = (
+        ev.select(F.col("event_type").alias("g"))
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            F.explode(
+                F.expr(
+                    "sequence(CAST(0 AS BIGINT),"
+                    " CAST(timestampdiff(HOUR, lo, hi) AS BIGINT))"
+                )
+            ).alias("t"),
+        )
+    )
+    series = spine.join(agg_t, ["g", "t"], "left").select(
+        "g", "t", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+
+    m = HW_M
+
+    def hw(pdf):
+        import pandas as pd
+
+        def tdiv(a: int, d: int) -> int:  # truncate-toward-zero div
+            return -((-a) // d) if a < 0 else a // d
+
+        pdf = pdf.sort_values("t")
+        g = pdf["g"].iloc[0]
+        ys = [int(v) for v in pdf["y"]]
+        lvl = sum(ys[:m]) // m
+        sv = [ys[i] - lvl for i in range(m)]
+        b = 0
+        rows = []
+        for t in range(m, len(ys)):
+            y = ys[t]
+            idx = t % m
+            s_old = sv[idx]
+            fitted = lvl + b + s_old
+            l_new = lvl + b + tdiv(y - s_old - lvl - b, 4)
+            b_new = b + tdiv(l_new - lvl - b, 16)
+            s_new = s_old + tdiv(y - l_new - s_old, 8)
+            rows.append((g, t, y, l_new, b_new, s_new, fitted, y - fitted))
+            lvl, b, sv[idx] = l_new, b_new, s_new
+        return pd.DataFrame(
+            rows,
+            columns=["g", "t", "y", "level", "trend", "seasonal",
+                     "fitted", "resid"],
+        )
+
+    return series.groupBy("g").applyInPandas(
+        hw,
+        schema="g string, t bigint, y bigint, level bigint, trend bigint,"
+        " seasonal bigint, fitted bigint, resid bigint",
+    )

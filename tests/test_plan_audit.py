@@ -194,6 +194,10 @@ ALLOWED_NLJ = {
     # interp-exact reshape over converted-user latencies
     # (reports_behavior.py rpt_time_to_convert)
     "rpt_time_to_convert",
+    # 1-row (lo, hi) hourly-bounds broadcast onto the bucket aggregate
+    # and the 5-row group frame — condition-free spine construction
+    # (timeseries_extra.py ts_holt_winters)
+    "ts_holt_winters",
     # 1-row (max_avg, min_avg) bounds broadcast onto suppliers —
     # condition-free by design (joins_extra.py)
     "subq_any_all",
