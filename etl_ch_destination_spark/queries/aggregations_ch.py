@@ -3744,3 +3744,133 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.alias("tie_correction"),
         (h / nz(c)).alias("h_corrected"),
     )
+
+
+# agg_min_sample_size: A/B-test power-analysis constants.
+# MSS_C = (z_{1-alpha/2} + z_{power})^2 for alpha=0.05, power=0.8 —
+# the standard normal quantiles as exact double literals, squared
+# once offline so both engines consume ONE shared constant.
+MSS_C = 7.848879734349091
+MSS_MDE_REL = 0.05   # continuous: detect a 5% relative shift in mean
+MSS_MDE_ABS = 0.02   # conversion: detect a 2-point absolute shift
+
+
+@query(
+    "agg_min_sample_size",
+    f"""
+    WITH q AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                  AS DECIMAL(10,0)) AS x,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    s AS (
+      SELECT segment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS s1,
+             CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(21,0))) AS HUGEINT)
+                       // 4294967296 AS BIGINT) AS DOUBLE) * 4294967296.0
+               + CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(21,0))) AS HUGEINT)
+                           % 4294967296 AS BIGINT) AS DOUBLE) AS s2,
+             CAST(SUM(conv) AS DOUBLE) AS cf
+      FROM q GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n,
+           s1 / n AS mean_cents,
+           cf / n AS conv_rate,
+           CAST(CEIL({MSS_C} * 2.0
+                 * (GREATEST(0.0, (s2 / n - (s1 / n) * (s1 / n))
+                                  * n / NULLIF(n - 1, 0)))
+                 / (({MSS_MDE_REL} * (s1 / n)) * ({MSS_MDE_REL} * (s1 / n))))
+             AS BIGINT) AS n_req_continuous,
+           CAST(CEIL({MSS_C}
+                 * ((cf / n) * (1.0 - cf / n)
+                    + (cf / n + {MSS_MDE_ABS})
+                      * (1.0 - (cf / n + {MSS_MDE_ABS})))
+                 / 0.0004)
+             AS BIGINT) AS n_req_conversion
+    FROM s
+    """,
+)
+def agg_min_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``minSampleSizeContinuous`` / ``minSampleSizeConversion`` —
+    A/B-test POWER ANALYSIS as an aggregate: per market segment, the
+    minimum per-variant sample size to detect (α=0.05, power=0.8) a
+    {MSS_MDE_REL:.0%} relative shift in mean order value (continuous:
+    n = (z₁₋α/₂+z_pow)²·2σ²/(mde·μ)², the two-sample means formula)
+    and a {MSS_MDE_ABS:.0%}-point absolute shift in the 'F'-status
+    rate (conversion: the two-proportion formula with
+    p₂ = p₁ + mde). The z-quantile combination is ONE shared double
+    literal (MSS_C) computed offline, so neither engine evaluates a
+    normal quantile at runtime.
+
+    Hash-exactness is the agg_welch_ttest recipe end to end: moments
+    stay exact integers (cents through DECIMAL(10,0), squares staged
+    via DECIMAL(21,0), the wide sum split hi/lo at 2³² before the
+    double cast), then one IDENTICAL IEEE expression tree on both
+    engines for mean, sample variance, and both sample-size formulas
+    — bit-for-bit including the CEIL.
+
+    Plan/scale: one broadcast-dim join (customer segment onto orders)
+    + one 5-group aggregate — the cost is the scan; the power math is
+    5 rows of arithmetic. This is the aggregate every experimentation
+    platform runs over yesterday's data to size today's test."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    x = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+        "decimal(10,0)"
+    )
+    q = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        x.alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
+    )
+    x2 = (F.col("x") * F.col("x")).cast("decimal(21,0)")
+
+    def hilo(col: str):
+        hi = F.expr(f"CAST({col} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({col} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = (
+        q.select("segment", "x", x2.alias("x2"), "conv")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("r1"),
+            F.sum("x2").alias("r2"),
+            F.sum("conv").cast("double").alias("cf"),
+        )
+        .select(
+            "segment",
+            "n",
+            hilo("r1").alias("s1"),
+            hilo("r2").alias("s2"),
+            "cf",
+        )
+    )
+    n, s1, s2, cf = (F.col(c_) for c_ in ("n", "s1", "s2", "cf"))
+    mean = s1 / n
+    var = pos((s2 / n - (s1 / n) * (s1 / n)) * n / nz(n - 1))
+    p = cf / n
+    p2 = cf / n + F.lit(MSS_MDE_ABS)
+    return s.select(
+        "segment",
+        n.cast("bigint").alias("n"),
+        mean.alias("mean_cents"),
+        p.alias("conv_rate"),
+        F.ceil(
+            F.lit(MSS_C) * F.lit(2.0) * var
+            / ((F.lit(MSS_MDE_REL) * (s1 / n)) * (F.lit(MSS_MDE_REL) * (s1 / n)))
+        ).cast("bigint").alias("n_req_continuous"),
+        F.ceil(
+            F.lit(MSS_C)
+            * (p * (F.lit(1.0) - p) + p2 * (F.lit(1.0) - p2))
+            / F.lit(0.0004)
+        ).cast("bigint").alias("n_req_conversion"),
+    )

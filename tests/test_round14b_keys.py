@@ -607,3 +607,56 @@ def test_holt_winters_internal_consistency(spark, sf_dir):
     for r in per_g:
         assert r["lo"] == HW_M
         assert r["n"] == r["hi"] - HW_M + 1  # dense, no dropped steps
+
+
+# ------------------------------------------------------------------
+# agg_min_sample_size
+# ------------------------------------------------------------------
+
+
+def test_min_sample_size_matches_textbook_formulas(spark, sf_dir):
+    """Replay both power formulas in plain python from the segment
+    aggregates and pin monotonicity: noisier segments need more
+    samples, and conversion rates nearer 0.5 need more samples."""
+    import math
+
+    from etl_ch_destination_spark.queries.aggregations_ch import (
+        MSS_C,
+        MSS_MDE_ABS,
+        MSS_MDE_REL,
+        agg_min_sample_size,
+    )
+
+    rows = agg_min_sample_size(spark, sf_dir).collect()
+    assert len(rows) == 5
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("conv"),
+    )
+    for r in rows:
+        xs = [
+            (x["cents"], x["conv"])
+            for x in j.filter(F.col("segment") == r["segment"]).collect()
+        ]
+        n = len(xs)
+        mean = sum(v for v, _ in xs) / n
+        var = sum((v - mean) ** 2 for v, _ in xs) / (n - 1)
+        p = sum(cv for _, cv in xs) / n
+        want_cont = math.ceil(
+            MSS_C * 2.0 * var / (MSS_MDE_REL * mean) ** 2
+        )
+        p2 = p + MSS_MDE_ABS
+        want_conv = math.ceil(
+            MSS_C * (p * (1 - p) + p2 * (1 - p2)) / MSS_MDE_ABS**2
+        )
+        # python's two-pass variance differs from the moment form in
+        # rounding only; the required-n integers must agree to ±1
+        assert abs(r["n_req_continuous"] - want_cont) <= 1, r
+        assert abs(r["n_req_conversion"] - want_conv) <= 1, r
+        assert r["n"] == n
+        assert r["conv_rate"] == pytest.approx(p)
