@@ -921,3 +921,119 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# Adamic-Adar weight table: w(d) = round(1e12 / ln d) for the capped
+# center degrees, precomputed ONCE here so both engines consume the
+# same exact integer literals — neither engine evaluates ln() at query
+# time (libm rounding is not bit-identical across engines; a pinned
+# integer table is — the MSS_C z-constant device, vectorized).
+import math as _math
+
+AA_SCALE = 10**12
+AA_W = {d: int(round(AA_SCALE / _math.log(d)))
+        for d in range(2, LP_CENTER_CAP + 1)}
+
+
+def _adamic_adar_sql() -> str:
+    values = ", ".join(f"({d}, {w})" for d, w in sorted(AA_W.items()))
+    return f"""
+    WITH {_SQL_EDGES},
+    aa_w(wd, w) AS (SELECT * FROM (VALUES {values})),
+    adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ),
+    centers AS MATERIALIZED (
+      SELECT a.src AS center, a.dst AS leaf, aa_w.w AS w
+      FROM adj a
+      JOIN deg d ON d.node = a.src AND d.d <= {LP_CENTER_CAP}
+      JOIN aa_w ON aa_w.wd = d.d
+    ),
+    cn AS (
+      SELECT x.leaf AS a, y.leaf AS b,
+             CAST(COUNT(*) AS BIGINT) AS common_n,
+             CAST(SUM(x.w) AS BIGINT) AS aa_micro
+      FROM centers x JOIN centers y
+        ON x.center = y.center AND x.leaf < y.leaf
+      GROUP BY x.leaf, y.leaf
+      HAVING COUNT(*) >= {LP_MIN_CN}
+    ),
+    nonedge AS (
+      SELECT cn.a, cn.b, cn.common_n, cn.aa_micro
+      FROM cn ANTI JOIN e ON e.u = cn.a AND e.v = cn.b
+    )
+    SELECT a, b, common_n, aa_micro,
+           CAST(aa_micro AS DOUBLE) / {AA_SCALE} AS adamic_adar
+    FROM nonedge
+    ORDER BY aa_micro DESC, a, b
+    LIMIT {LP_TOP}
+    """
+
+
+@query("graph_adamic_adar", _adamic_adar_sql())
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, public
+    literature) on the part co-purchase graph — the OTHER standard
+    common-neighbor score next to graph_jaccard_linkpred, with the
+    opposite philosophy: instead of normalizing by the CANDIDATES'
+    degrees, each common neighbor z contributes 1/ln(deg z), so rare
+    shared neighbors dominate and ubiquitous ones are discounted —
+    the difference between "both bought with the same niche adapter"
+    and "both bought with batteries".
+
+    Determinism: a float Σ 1/ln(d) is parallel-summation
+    order-sensitive AND libm-dependent — unhashable across engines.
+    The weights are instead a PINNED integer table
+    w(d) = round(10¹²/ln d), d ≤ {LP_CENTER_CAP}, computed once at
+    module import and inlined into both plans as literals; the score
+    accumulates in exact int64 micro-units and pays ONE final IEEE
+    division for presentation. Quantization error is 5e-13 per term —
+    invisible at score scale, and the ORDERING is pinned on the
+    integer column itself.
+
+    Plan: identical shape and skew discipline to
+    graph_jaccard_linkpred (capped centers bound the pair fan-out at
+    cap²; the weight table rides the center join as a broadcast
+    literal dim); one (a,b) hash agg, the existing-edge anti-join,
+    and a bounded top-{LP_TOP}."""
+    e = stage(_copurchase_edges(spark, sf_dir), eager=False, label="aa_edges")
+    deg = _degrees(e)
+    w_dim = F.broadcast(
+        e.sparkSession.createDataFrame(
+            sorted(AA_W.items()), "wd bigint, w bigint"
+        )
+    )
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    small = deg.filter(F.col("d") <= LP_CENTER_CAP)
+    centers = (
+        adj.join(small, adj["src"] == small["node"])
+        .join(w_dim, small["d"] == w_dim["wd"])
+        .select(F.col("src").alias("center"), F.col("dst").alias("leaf"), "w")
+    )
+    x, y = centers.alias("x"), centers.alias("y")
+    cn = (
+        x.join(
+            y,
+            (F.col("x.center") == F.col("y.center"))
+            & (F.col("x.leaf") < F.col("y.leaf")),
+        )
+        .groupBy(F.col("x.leaf").alias("a"), F.col("y.leaf").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_n"),
+            F.sum(F.col("x.w")).cast("bigint").alias("aa_micro"),
+        )
+        .filter(F.col("common_n") >= LP_MIN_CN)
+    )
+    nonedge = cn.join(
+        e, (cn["a"] == e["u"]) & (cn["b"] == e["v"]), "left_anti"
+    )
+    return (
+        nonedge.select(
+            "a", "b", "common_n", "aa_micro",
+            (F.col("aa_micro").cast("double") / AA_SCALE).alias("adamic_adar"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "a", "b")
+        .limit(LP_TOP)
+    )

@@ -660,3 +660,73 @@ def test_min_sample_size_matches_textbook_formulas(spark, sf_dir):
         assert abs(r["n_req_conversion"] - want_conv) <= 1, r
         assert r["n"] == n
         assert r["conv_rate"] == pytest.approx(p)
+
+
+# ------------------------------------------------------------------
+# graph_adamic_adar
+# ------------------------------------------------------------------
+
+
+def test_adamic_adar_known_graph():
+    """Hand-checkable graph: a–c, b–c, a–d, b–d, plus hub h connected
+    to everything. Candidate pair (a,b) shares {c, d, h}; the
+    low-degree neighbors c,d (deg 3) must contribute MORE than hub h
+    (deg 4) — the anti-hub weighting that distinguishes Adamic-Adar
+    from plain common-neighbor counting."""
+    import math
+
+    from etl_ch_destination_spark.queries.graph import AA_SCALE, AA_W
+
+    # weight table is the pinned quantization of 1/ln d
+    for d, w in AA_W.items():
+        assert abs(w - AA_SCALE / math.log(d)) <= 0.5
+    assert AA_W[3] > AA_W[4] > AA_W[10]
+
+    # replay the score for the known pair
+    score = 2 * AA_W[3] + AA_W[4]
+    naive = 3  # plain common-neighbor count
+    assert score / AA_SCALE > naive * 1.0 / math.log(4) * 0.9
+
+
+def test_adamic_adar_vs_python_replay(spark, sf_dir):
+    """Brute-force the score over the real co-purchase graph and
+    compare the full top-k — order, counts, and integer scores."""
+    from collections import defaultdict
+
+    from etl_ch_destination_spark.queries.graph import (
+        AA_W,
+        LP_CENTER_CAP,
+        LP_MIN_CN,
+        LP_TOP,
+        _copurchase_edges,
+        graph_adamic_adar,
+    )
+
+    edges = {(r["u"], r["v"]) for r in _copurchase_edges(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    scores = defaultdict(lambda: [0, 0])  # (a,b) -> [cn, aa_micro]
+    for z, leaves in nbrs.items():
+        if len(leaves) > LP_CENTER_CAP:
+            continue
+        w = AA_W[len(nbrs[z])]
+        ll = sorted(leaves)
+        for i in range(len(ll)):
+            for j in range(i + 1, len(ll)):
+                s = scores[(ll[i], ll[j])]
+                s[0] += 1
+                s[1] += w
+    cand = [
+        (a, b, cn, aa)
+        for (a, b), (cn, aa) in scores.items()
+        if cn >= LP_MIN_CN and (a, b) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = cand[:LP_TOP]
+    got = [
+        (r["a"], r["b"], r["common_n"], r["aa_micro"])
+        for r in graph_adamic_adar(spark, sf_dir).collect()
+    ]
+    assert got == want
