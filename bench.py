@@ -139,6 +139,17 @@ BENCH_KEYS = [
     # replay + pruned data scan)
     "scan_protobuf_import",
     "scan_table_log_checkpoint",
+    # round-14 continuation representatives: the WARC corpus-ingest
+    # round trip (record-gzip encode -> stage -> strict parse, the
+    # Common Crawl path), the change-data-feed read (cdc staging +
+    # action replay + change-proportional scans), the integer-dyadic
+    # Holt-Winters recursion (bucket aggregate + per-series
+    # applyInPandas), and the streaming commit-protocol sink
+    # (availableNow micro-batches, one atomic txn commit per epoch)
+    "scan_warc_import",
+    "scan_table_log_cdf",
+    "ts_holt_winters",
+    "stream_table_log_sink",
 ]
 
 N_RUNS = 5

@@ -71,7 +71,8 @@ def main() -> int:
             "the exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' "
             "the foreachBatch ingest + session-window state spine; "
             "'tdigest' the centroid-sketch build at fixed vs scaled shards; "
-            "'avro'/'protobuf' the wire-codec encode→store→decode paths"
+            "'avro'/'protobuf'/'warc' the wire-codec encode→store→decode"
+            " paths"
         ),
     )
     args = ap.parse_args()
@@ -1097,6 +1098,83 @@ def main() -> int:
 
             row["protobuf_decode"] = time_action(pb_decode)
 
+        if want("warc"):
+            # --- WARC codec spine (round 14): the Common Crawl ingest
+            # path of scan_warc_import — record-at-time gzip encode
+            # (one member per record, warcinfo + request records
+            # interleaved) → parquet store → inflate + strict-framing
+            # parse + HTTP-envelope split. Both stages are pure
+            # per-file Python over independent WARC files with no
+            # exchange; wall-clock must track rows linearly on fixed
+            # cores or the "one task per WARC file" claim is wrong.
+            from etl_ch_destination_spark.sink.warc import (
+                parse_http_response,
+                parse_warc,
+                split_gzip_members,
+                warc_files,
+            )
+
+            dw0 = parallelize_scan(
+                load_table(spark, SF_DIR, "documents").select(
+                    "doc_id", "text", "lang", "source"
+                ),
+                spark,
+            )
+            if n == 1:
+                dw = dw0
+            else:
+                dw = dw0.withColumn(
+                    "__copy", F.explode(F.sequence(F.lit(1), F.lit(n)))
+                ).select(
+                    (
+                        F.col("doc_id")
+                        + F.col("__copy").cast("long") * 10_000_000
+                    ).alias("doc_id"),
+                    "text",
+                    "lang",
+                    "source",
+                )
+            warc_path = os.path.join(
+                tempfile.gettempdir(), "stress_staging", f"warc_{n}x"
+            )
+
+            def warc_encode():
+                warc_files(
+                    dw, docs_per_file=256, request_every=5
+                ).write.mode("overwrite").parquet(warc_path)
+
+            row["warc_encode"] = time_action(warc_encode)
+            files_warc = spark.read.parquet(warc_path)
+
+            def _warc_dec(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    counts = []
+                    for payload, cnt in zip(
+                        pdf["payload"], pdf["block_rows"]
+                    ):
+                        n_resp = 0
+                        for member in split_gzip_members(bytes(payload)):
+                            for hdrs, rec in parse_warc(member):
+                                if hdrs["warc-type"] != "response":
+                                    continue
+                                status, _hh, body = parse_http_response(rec)
+                                if status != 200 or not body:
+                                    raise ValueError("bad response record")
+                                n_resp += 1
+                        if n_resp != int(cnt):
+                            raise ValueError("response-count drift")
+                        counts.append(n_resp)
+                    yield pd.DataFrame({"n": counts})
+
+            def warc_decode():
+                files_warc.mapInPandas(
+                    _warc_dec, schema="n bigint"
+                ).write.mode("overwrite").format("noop").save()
+
+            row["warc_decode"] = time_action(warc_decode)
+
         results[str(n)] = row
         spark.catalog.clearCache()
         # Reclaim the factor's durable staging tables: standalone
@@ -1147,7 +1225,7 @@ def main() -> int:
         "semdedup", "sim_exact", "sim_lsh", "bfs", "tri_approx",
         "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
         "asof", "tdigest", "avro_encode", "avro_decode",
-        "protobuf_encode", "protobuf_decode",
+        "protobuf_encode", "protobuf_decode", "warc_encode", "warc_decode",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
