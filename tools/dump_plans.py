@@ -677,6 +677,84 @@ ANNOTATIONS: dict[str, str] = {
         "exchange; the naive formulation would funnel the corpus "
         "through one task."
     ),
+    "llm_dataset_shuffle": (
+        "Epoch reshuffle: the 3-epoch fan-out is a literal-array "
+        "explode (projection, no join node); position windows "
+        "partition by (epoch, shard) — |epochs|×|shards| independent "
+        "sort groups, never a global sort; the epoch-0 reference is "
+        "a doc_id-partitioned window, not a self-join."
+    ),
+    "scan_warc_import": (
+        "Common Crawl ingest shape: encode and decode are both "
+        "mapInPandas over independent record-gzipped WARC files — "
+        "the plan shows scan → Python stages with NO exchange "
+        "anywhere; one task per WARC file is exactly how a 100 TB "
+        "crawl estate is read, and the warc stress spine measures "
+        "the claim (sublinear 100→300×)."
+    ),
+    "scan_table_log_cdf": (
+        "Change data feed: action replay touches only the manifest "
+        "(a text scan of the commit files); change rows come from "
+        "exactly the files the log names — cdc files for the UPDATE "
+        "commit, the one removed file for the DELETE — so the union "
+        "of scans is proportional to CHANGE volume, never table "
+        "size. No node in the plan reads an untouched slice."
+    ),
+    "sink_table_log_write": (
+        "Destination-side commit writer: data writes are ordinary "
+        "parquet jobs; each transaction publishes as ONE linked JSON "
+        "file (put-if-absent — kilobytes at any scale). The captured "
+        "plan is the read-back through the standard log replay: a "
+        "multi-path parquet scan of the live files the snapshot "
+        "names, restated partitions included."
+    ),
+    "stream_table_log_sink": (
+        "Streaming commit-protocol sink: per micro-batch one parquet "
+        "write + one atomic txn commit; the captured plan is the "
+        "log-mediated read-back — a multi-path scan of exactly the "
+        "committed epoch files with partial aggregation before the "
+        "exchange. The replayed epoch adds no file (txn probe skips), "
+        "which the oracle totals prove by value."
+    ),
+    "scan_iceberg_pos_delete": (
+        "Positional deletes: data files scan with _metadata "
+        "file_path/row_index virtual columns and one LEFT ANTI hash "
+        "join against the delete files keyed (file_path, pos) — "
+        "delete-side volume is proportional to deleted rows, AQE "
+        "broadcasts it while small; no value predicate appears "
+        "because position, not content, addresses the rows."
+    ),
+    "scan_hudi_timeline": (
+        "Hudi timeline scan: instants and commit metadata replay "
+        "driver-side over the bounded .hoodie listing; the plan is a "
+        "plain multi-path parquet scan of the latest live file slice "
+        "per file group — the inflight commit's staged file and the "
+        "superseded/replaced slices never enter the scan's file "
+        "list."
+    ),
+    "ts_holt_winters": (
+        "Events collapse to the dense (group × hour) spine in ONE "
+        "hash aggregate; the sequential recursion runs per-series "
+        "inside applyInPandas over already-aggregated buckets — "
+        "millions of independent series parallelize across groups at "
+        "100 TB while each pays O(hours), not O(events). The 1-row "
+        "bounds frame rides a broadcast."
+    ),
+    "agg_min_sample_size": (
+        "Power analysis: one broadcast dim join (segment onto "
+        "orders) + one 5-group aggregate with partial aggregation "
+        "before the exchange — the cost IS the scan; the z-constant "
+        "is a pinned literal so no quantile function executes at "
+        "query time."
+    ),
+    "graph_adamic_adar": (
+        "Same skew discipline as graph_jaccard_linkpred: capped "
+        "centers bound the common-neighbor fan-out at cap² per "
+        "center; the pinned 1/ln-weight table joins as a broadcast "
+        "literal dim; one (a,b) hash aggregate accumulates the "
+        "integer score, then the existing-edge anti-join and a "
+        "bounded top-k."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
