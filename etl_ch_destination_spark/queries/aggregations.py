@@ -1429,3 +1429,170 @@ def agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+# ------------------------------------------------------------------
+# agg_quantile_ddsketch: DDSketch (Masson/Rim/Lee, VLDB 2019 — the
+# public Datadog relative-error quantile sketch) with gamma = 2^(1/4),
+# bucketing made EXACT-INTEGER so the whole sketch hash-oracles:
+# boundaries b_i = ceil(2^(i/4)) and geometric-mid representatives
+# m_i = round(2^((2i+1)/8)) are computed offline with integer
+# nth-roots (no float pow anywhere near a boundary decision), and
+# bucket(x) = |{i : b_i <= x}| - 1 is a pure int comparison fold.
+# ------------------------------------------------------------------
+
+def _iroot(n: int, k: int) -> int:
+    """floor(n^(1/k)) by Newton + exact adjust (ints only)."""
+    if n == 0:
+        return 0
+    r = int(round(n ** (1.0 / k)))
+    while (r + 1) ** k <= n:
+        r += 1
+    while r ** k > n:
+        r -= 1
+    return r
+
+
+def _dds_tables(n_buckets: int = 104):
+    bounds, mids = [], []
+    for i in range(n_buckets):
+        n4 = 2 ** i
+        r = _iroot(n4, 4)
+        bounds.append(r if r ** 4 == n4 else r + 1)
+        # round(2^((2i+1)/8)): r8 = floor(..), pick r8 / r8+1 by exact
+        # comparison of 2^(2i+1) * 2^8 vs (2*r8+1)^8
+        n8 = 2 ** (2 * i + 1)
+        r8 = _iroot(n8, 8)
+        mids.append(r8 if n8 * 256 < (2 * r8 + 1) ** 8 else r8 + 1)
+    return bounds, mids
+
+
+DDS_BOUNDS, DDS_MIDS = _dds_tables()
+
+
+@query(
+    "agg_quantile_ddsketch",
+    f"""
+    WITH x AS (
+      SELECT event_type,
+             list_sum(list_transform({DDS_BOUNDS},
+                 b -> CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                AS BIGINT) >= b THEN 1 ELSE 0 END)) - 1
+               AS bucket
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM x GROUP BY event_type, bucket
+    ),
+    c AS (
+      SELECT event_type, bucket, n_b,
+             SUM(n_b) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(n_b) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) AS k50,
+             MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bucket END) AS k90,
+             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END) AS k99
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n, n_buckets,
+           CAST({DDS_MIDS}[CAST(k50 AS INT) + 1] AS BIGINT) AS p50_est,
+           CAST({DDS_MIDS}[CAST(k90 AS INT) + 1] AS BIGINT) AS p90_est,
+           CAST({DDS_MIDS}[CAST(k99 AS INT) + 1] AS BIGINT) AS p99_est
+    FROM est
+    """,
+)
+def agg_quantile_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (public Datadog sketch, VLDB 2019) per
+    event_type — the RELATIVE-error companion to the rank-error
+    t-digest family: γ-geometric buckets guarantee every estimate is
+    within (γ−1)/(γ+1) ≈ 9.5% of the true value at ANY quantile
+    (γ = 2^(1/4)), and the sketch is a plain bucket→count map, so
+    MERGE is exact bucket-count addition — order-free, associative,
+    the ideal distributed-aggregate algebra (sharded-merge ≡ direct is
+    gated in tests/test_round14b_keys.py, alongside the relative-error
+    bound against exact quantiles).
+
+    The hash-oracle trick: γ-bucketing normally needs log(x)/log(γ) —
+    libm, not bit-reproducible across engines. Here boundaries
+    b_i = ceil(2^(i/4)) and representatives m_i = round(2^((2i+1)/8))
+    are EXACT INTEGERS computed offline with integer nth-roots and
+    inlined into both plans; bucket(x) is a ≤104-comparison integer
+    fold (whole-stage codegen HOF — the ts_ema_dyadic device), so no
+    transcendental function executes at query time and the full
+    sketch — counts, bucket set, all three estimates — matches
+    bit-for-bit.
+
+    Plan/scale: one map-side fold per row, one (type, bucket) hash
+    aggregate bounded by |types| × 104 rows, window + final rollup
+    over that bounded frame. At 100 TB the exchange carries bucket
+    counts, never values — the same centroid-not-data shape as
+    agg_quantile_tdigest, with an even simpler merge."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    barr = F.array(*[F.lit(b).cast("bigint") for b in DDS_BOUNDS])
+    marr = F.array(*[F.lit(m).cast("bigint") for m in DDS_MIDS])
+    bucket = (
+        F.aggregate(
+            barr,
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.when(F.col("cents") >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        - 1
+    )
+    x = ev.select("event_type", cents.alias("cents")).select(
+        "event_type", bucket.alias("bucket")
+    )
+    b = x.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    w_all = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bucket",
+        "n_b",
+        F.sum("n_b").over(w_cum).alias("cum"),
+        F.sum("n_b").over(w_all).alias("n"),
+    )
+    est = c.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("n") + 1) / 2), F.col("bucket")
+            )
+        ).alias("k50"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((9 * F.col("n") + 9) / 10),
+                F.col("bucket"),
+            )
+        ).alias("k90"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((99 * F.col("n") + 99) / 100),
+                F.col("bucket"),
+            )
+        ).alias("k99"),
+    )
+    return est.select(
+        "event_type",
+        "n",
+        "n_buckets",
+        F.element_at(marr, F.col("k50").cast("int") + 1)
+        .cast("bigint")
+        .alias("p50_est"),
+        F.element_at(marr, F.col("k90").cast("int") + 1)
+        .cast("bigint")
+        .alias("p90_est"),
+        F.element_at(marr, F.col("k99").cast("int") + 1)
+        .cast("bigint")
+        .alias("p99_est"),
+    )

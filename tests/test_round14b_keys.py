@@ -730,3 +730,89 @@ def test_adamic_adar_vs_python_replay(spark, sf_dir):
         for r in graph_adamic_adar(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+# ------------------------------------------------------------------
+# agg_quantile_ddsketch
+# ------------------------------------------------------------------
+
+
+def test_ddsketch_tables_are_exact():
+    """Boundaries/mids must be the exact integer ceil/round of the
+    irrational gamma powers — checked against high-precision floats,
+    and gamma-monotone."""
+    from etl_ch_destination_spark.queries.aggregations import (
+        DDS_BOUNDS,
+        DDS_MIDS,
+    )
+
+    for i, (b, m) in enumerate(zip(DDS_BOUNDS, DDS_MIDS)):
+        t = 2.0 ** (i / 4.0)
+        assert b - 1 < t <= b or abs(t - b) < 1e-6
+        tm = 2.0 ** ((2 * i + 1) / 8.0)
+        assert abs(m - tm) <= 0.5 + 1e-6
+    assert DDS_BOUNDS == sorted(DDS_BOUNDS)
+
+
+def test_ddsketch_relative_error_and_merge(spark, sf_dir):
+    """The two DDSketch contracts: every estimate within the gamma
+    relative-error bound of the EXACT quantile, and sharded
+    build-then-merge (bucket-count addition) equals the direct
+    build — the distributed-aggregate algebra."""
+    from etl_ch_destination_spark.queries.aggregations import (
+        agg_quantile_ddsketch,
+        DDS_BOUNDS,
+    )
+
+    rows = {r["event_type"]: r
+            for r in agg_quantile_ddsketch(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    gamma = 2.0 ** 0.25
+    alpha = (gamma - 1) / (gamma + 1)  # ~0.095
+    data = {}
+    for r in ev.collect():
+        data.setdefault(r["event_type"], []).append((r["cents"], r["user_id"]))
+    for et, vals in data.items():
+        xs = sorted(v for v, _ in vals)
+        n = len(xs)
+        got = rows[et]
+        assert got["n"] == n
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            import math
+
+            exact = xs[math.ceil(q * n) - 1]
+            assert abs(got[col] - exact) <= alpha * exact + 2, (
+                et, q, got[col], exact
+            )
+
+    # merge algebra: per-shard bucket maps summed == direct bucket map
+    def bucket(x):
+        lo = 0
+        for i, b in enumerate(DDS_BOUNDS):
+            if x >= b:
+                lo = i
+            else:
+                break
+        return lo
+
+    for et, vals in data.items():
+        direct = {}
+        for v, _ in vals:
+            k = bucket(v)
+            direct[k] = direct.get(k, 0) + 1
+        shards = {}
+        for v, u in vals:
+            sk = shards.setdefault(u % 8, {})
+            k = bucket(v)
+            sk[k] = sk.get(k, 0) + 1
+        merged = {}
+        for sk in shards.values():
+            for k, c in sk.items():
+                merged[k] = merged.get(k, 0) + c
+        assert merged == direct
