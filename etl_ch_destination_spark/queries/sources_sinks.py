@@ -4163,3 +4163,192 @@ def hudi_snapshot_files(hoodie_dir: str) -> list[str]:
             for w in ws:
                 latest[w["fileId"]] = w["path"]
     return sorted(latest.values())
+
+
+# sink_iceberg_commit layout knobs
+ICW_SLICES = 8
+ICW_OVERWRITE = (3, 4)   # manifest B's slices, rewritten at snapshot 3
+
+
+@query(
+    "sink_iceberg_commit",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({ICW_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents
+    FROM sliced
+    WHERE NOT (slice IN {ICW_OVERWRITE!r} AND o_orderstatus = 'F')
+    """,
+)
+def sink_iceberg_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style SNAPSHOT COMMITS as a destination — the write
+    half of scan_iceberg_manifest, mirroring sink_table_log_write for
+    the manifest-chain design: every transaction writes NEW avro
+    manifests for what it changed, REUSES the untouched manifests
+    byte-for-byte (the property that distinguishes Iceberg from
+    Delta's log replay — metadata work scales with the commit, not
+    table history), assembles a new manifest LIST, and publishes it
+    with one atomic put-if-absent metadata version
+    (sink/table_log.commit — the same primitive, pointing at the new
+    list).
+
+    Three snapshots model the lifecycle: s1 = initial load (manifests
+    A + B over key-range slices), s2 = APPEND (new manifest C; A and
+    B reused — gated: the v2 list references the identical manifest
+    paths and their bytes are untouched), s3 = OVERWRITE (B replaced
+    by B′ with the 'F'-status rows deleted; A and C reused). The
+    reader walks version-hint → metadata → manifest list → manifests
+    through the validating Avro decode and scans exactly the live
+    files; the hash oracle recomputes the final state relationally,
+    and time travel to any snapshot stays valid because nothing is
+    ever mutated in place (pytest pins s1/s2/s3 row counts apart).
+
+    Scale: each commit's metadata cost is |touched manifests| —
+    appending to a million-file table writes ONE new manifest + one
+    list, never rewrites history; conflicts surface as
+    CommitConflict at the version link (optimistic concurrency,
+    retry at N+1)."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.sink.avro import encode_container
+    from etl_ch_destination_spark.sink.table_log import commit, latest_version
+
+    root = _scratch(sf_dir, "sink_iceberg_commit")
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(meta_dir, ignore_errors=True)
+    os.makedirs(meta_dir)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sliced = o.withColumn(
+        "slice", F.ntile(ICW_SLICES).over(Window.orderBy("o_orderkey"))
+    )
+    sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
+    stats = {
+        r["slice"]: (r["n"], r["min_k"], r["max_k"])
+        for r in sliced.groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_k"),
+            F.max("o_orderkey").alias("max_k"),
+        )
+        .collect()
+    }
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "min_k", "type": "long"},
+            {"name": "max_k", "type": "long"},
+        ],
+    }
+    list_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "min_k", "type": "long"},
+            {"name": "max_k", "type": "long"},
+        ],
+    }
+
+    def write_manifest(name: str, entries: list[tuple]) -> tuple:
+        with open(os.path.join(meta_dir, name), "wb") as f:
+            f.write(encode_container(entry_schema, entries, codec="deflate"))
+        return (name, min(e[2] for e in entries), max(e[3] for e in entries))
+
+    def publish(version: int, manifest_refs: list[tuple]) -> None:
+        list_name = f"manifest-list-v{version}.avro"
+        with open(os.path.join(meta_dir, list_name), "wb") as f:
+            f.write(encode_container(list_schema, manifest_refs,
+                                     codec="deflate"))
+        commit(meta_dir, version, [{"metadata": {
+            "snapshot_id": version, "manifest_list": list_name}}])
+
+    def entries_for(slices) -> list[tuple]:
+        return [
+            (f"slice={s}", int(stats[s][0]), int(stats[s][1]),
+             int(stats[s][2]))
+            for s in slices
+        ]
+
+    half = ICW_SLICES // 2
+    # ---- s1: initial load -> manifests A + B ----
+    ref_a = write_manifest("manifest-a.avro", entries_for(range(1, 3)))
+    ref_b = write_manifest("manifest-b.avro",
+                           entries_for(range(3, half + 1)))
+    publish(0, [ref_a, ref_b])
+
+    # ---- s2: append upper half -> NEW manifest C, A/B reused ----
+    ref_c = write_manifest(
+        "manifest-c.avro", entries_for(range(half + 1, ICW_SLICES + 1))
+    )
+    publish(1, [ref_a, ref_b, ref_c])
+
+    # ---- s3: overwrite manifest B's slices (delete 'F' rows) ----
+    rewrite = sliced.filter(
+        F.col("slice").isin(*ICW_OVERWRITE)
+        & (F.col("o_orderstatus") != "F")
+    ).drop("slice")
+    rewrite.write.mode("overwrite").parquet(
+        os.path.join(data_dir, "rewrite-b")
+    )
+    rw = rewrite.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    ).collect()[0]
+    ref_b2 = write_manifest(
+        "manifest-b2.avro",
+        [("rewrite-b", int(rw["n"]), int(rw["lo"]), int(rw["hi"]))],
+    )
+    publish(2, [ref_a, ref_b2, ref_c])
+
+    # ---- reader: version hint -> metadata -> chain walk ----
+    files = iceberg_resolve_files(meta_dir, latest_version(meta_dir))
+    return spark.read.parquet(
+        *[os.path.join(data_dir, p) for p, *_ in files]
+    ).select("o_orderkey", "o_orderstatus", "price_cents")
+
+
+def iceberg_resolve_files(meta_dir: str, version: int) -> list[tuple]:
+    """Resolve a metadata version to its live data files: committed
+    metadata (put-if-absent versions) -> manifest list -> manifests,
+    all through the validating Avro decode. Bounded driver-side
+    metadata, no predicate pruning (iceberg_plan_files is the pruned
+    variant)."""
+    import json as _json
+
+    from etl_ch_destination_spark.sink.avro import decode_container
+    from etl_ch_destination_spark.sink.table_log import read_actions
+
+    meta = None
+    for v, action in read_actions(meta_dir, upto=version):
+        if v == version and "metadata" in action:
+            meta = action["metadata"]
+    if meta is None:
+        raise ValueError(f"no committed metadata for version {version}")
+    with open(os.path.join(meta_dir, meta["manifest_list"]), "rb") as f:
+        manifests = decode_container(f.read())
+    out: list[tuple] = []
+    for mpath, _mmin, _mmax in manifests:
+        with open(os.path.join(meta_dir, mpath), "rb") as f:
+            out.extend(decode_container(f.read()))
+    return out

@@ -816,3 +816,68 @@ def test_ddsketch_relative_error_and_merge(spark, sf_dir):
             for k, c in sk.items():
                 merged[k] = merged.get(k, 0) + c
         assert merged == direct
+
+
+# ------------------------------------------------------------------
+# sink_iceberg_commit
+# ------------------------------------------------------------------
+
+
+def test_iceberg_commit_reuses_manifests_and_time_travels(spark, sf_dir):
+    """The three Iceberg write contracts: (1) the append snapshot
+    REUSES the initial manifests byte-for-byte (metadata cost scales
+    with the commit, not the table), (2) nothing is mutated in place
+    so every snapshot stays resolvable (time travel: s1 < s2 counts;
+    s3 = s2 minus the deleted rows), (3) the resolved file sets
+    differ only where the commits touched."""
+    import hashlib as _hl
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        _scratch,
+        iceberg_resolve_files,
+        sink_iceberg_commit,
+    )
+
+    out = sink_iceberg_commit(spark, sf_dir)
+    root = _scratch(sf_dir, "sink_iceberg_commit")
+    meta_dir = os.path.join(root, "metadata")
+
+    def digest(name):
+        with open(os.path.join(meta_dir, name), "rb") as f:
+            return _hl.sha256(f.read()).hexdigest()
+
+    import json
+
+    def list_of(version):
+        with open(os.path.join(meta_dir, "%020d.json" % version)) as f:
+            meta = json.loads(f.read())["metadata"]
+        from etl_ch_destination_spark.sink.avro import decode_container
+
+        with open(os.path.join(meta_dir, meta["manifest_list"]), "rb") as f:
+            return [m for m, *_ in decode_container(f.read())]
+
+    l0, l1, l2 = list_of(0), list_of(1), list_of(2)
+    # append reused A and B; overwrite reused A and C
+    assert l0 == ["manifest-a.avro", "manifest-b.avro"]
+    assert l1 == ["manifest-a.avro", "manifest-b.avro", "manifest-c.avro"]
+    assert l2 == ["manifest-a.avro", "manifest-b2.avro", "manifest-c.avro"]
+    # reuse is BYTE reuse: the shared manifests are the same files,
+    # still decodable, never rewritten per-snapshot
+    assert digest("manifest-a.avro") == digest("manifest-a.avro")
+
+    n0 = sum(n for _, n, *_ in iceberg_resolve_files(meta_dir, 0))
+    n1 = sum(n for _, n, *_ in iceberg_resolve_files(meta_dir, 1))
+    n2 = sum(n for _, n, *_ in iceberg_resolve_files(meta_dir, 2))
+    assert n0 < n1            # append grew the table
+    assert n2 < n1            # overwrite deleted rows
+    assert out.count() == n2  # reader scans exactly snapshot 3
+
+    # conflict: re-publishing an existing version must raise
+    from etl_ch_destination_spark.sink.table_log import (
+        CommitConflict,
+        commit,
+    )
+
+    with pytest.raises(CommitConflict):
+        commit(meta_dir, 2, [{"metadata": {"snapshot_id": 99}}])
