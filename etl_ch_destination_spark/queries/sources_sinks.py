@@ -4352,3 +4352,88 @@ def iceberg_resolve_files(meta_dir: str, version: int) -> list[tuple]:
         with open(os.path.join(meta_dir, mpath), "rb") as f:
             out.extend(decode_container(f.read()))
     return out
+
+
+@query(
+    "scan_table_log_vacuum",
+    f"""
+    WITH sliced AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             NTILE({TLOG_SLICES}) OVER (ORDER BY o_orderkey) AS slice
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+    WHERE slice NOT IN {TLOG_REMOVED!r}
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents FROM sliced
+    WHERE slice IN {TLOG_REMOVED!r} AND o_orderstatus <> 'F'
+    """,
+)
+def scan_table_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM over the transaction log — the maintenance operation
+    every lakehouse destination must eventually run: physically delete
+    data files no RETAINED version references (here: retain versions
+    ≥ 1, so the v1 UPDATE's removed slices become garbage), plus
+    crash debris that no version ever referenced (a staged orphan
+    directory — the half-written file a failed job left behind).
+    The removable set is computed from the LOG, never from file
+    listing heuristics: per retained version, replay the action log
+    to its live file set (driver-side over the bounded manifest, the
+    same replay table_log_snapshot plans relationally); anything on
+    disk outside the union is garbage BY CONSTRUCTION — the soundness
+    property that makes vacuum safe to automate.
+
+    The returned frame is the post-vacuum LATEST snapshot read
+    through the standard replay; the hash oracle recomputes it
+    relationally, proving vacuum deleted nothing the live table
+    needs. The flip side is gated in pytest: the vacuumed files are
+    REALLY gone (time travel to v0 now fails at the data scan — the
+    documented retention trade-off, exactly like Delta's VACUUM
+    breaking time travel beyond the horizon), and the orphan is
+    collected while every retained file survives.
+
+    Scale: the replay touches |actions| manifest rows; deletion is
+    one filesystem call per garbage file. Data I/O afterwards is the
+    ordinary pruned snapshot scan — vacuum cost is proportional to
+    GARBAGE, not table size."""
+    from etl_ch_destination_spark.sink.table_log import read_actions
+
+    data_dir, log_dir = stage_table_log(spark, sf_dir, "scan_table_log_vacuum")
+
+    # crash debris: data written by a failed job, never committed
+    orphan = os.path.join(data_dir, "orphan-tmp")
+    load_table(spark, sf_dir, "orders").limit(10).write.mode(
+        "overwrite"
+    ).parquet(orphan)
+
+    # ---- vacuum: retain versions >= 1 ----
+    retain_from = 1
+    actions = read_actions(log_dir)
+    versions = sorted({v for v, _ in actions})
+    referenced: set[str] = set()
+    for rv in [v for v in versions if v >= retain_from]:
+        live: dict[str, bool] = {}
+        for v, a in actions:
+            if v > rv:
+                continue
+            if "remove" in a:
+                live[a["remove"]["path"]] = False
+            if "add" in a:
+                live[a["add"]["path"]] = True
+        referenced |= {p for p, alive in live.items() if alive}
+    on_disk = {
+        d for d in os.listdir(data_dir)
+        if os.path.isdir(os.path.join(data_dir, d))
+    }
+    garbage = on_disk - referenced
+    for d in garbage:
+        shutil.rmtree(os.path.join(data_dir, d))
+
+    # ---- post-vacuum read of the latest snapshot ----
+    snap = table_log_snapshot(spark, log_dir, max(versions))
+    paths = [r["path"] for r in snap.collect()]  # bounded manifest
+    return spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in paths]
+    ).select("o_orderkey", "o_orderstatus", "price_cents")

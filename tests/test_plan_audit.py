@@ -307,6 +307,12 @@ SHUFFLE_ALLOWANCE = {
     #     is bounded by the center cap (the df-cap device), never a
     #     cartesian. Static count 10; 11 gives one headroom.
     "graph_jaccard_linkpred": 11,
+    #   graph_adamic_adar — the linkpred shape minus the two degree
+    #     joins (the score needs only center degrees, which ride the
+    #     broadcast weight-dim join): staged edge read + degree agg +
+    #     center join + (a,b) candidate agg + anti-join + top-k sort.
+    #     Static count 6; 7 gives one headroom.
+    "graph_adamic_adar": 7,
     #   graph_triangle_approx — the DOULION sampler is a zero-shuffle
     #     map-side filter fused into the (staged) edge build, so the
     #     static count is the edge build (3) + degree agg + corner agg

@@ -881,3 +881,45 @@ def test_iceberg_commit_reuses_manifests_and_time_travels(spark, sf_dir):
 
     with pytest.raises(CommitConflict):
         commit(meta_dir, 2, [{"metadata": {"snapshot_id": 99}}])
+
+
+# ------------------------------------------------------------------
+# scan_table_log_vacuum
+# ------------------------------------------------------------------
+
+
+def test_vacuum_deletes_garbage_keeps_live(spark, sf_dir):
+    """Soundness both ways: every file the retained versions reference
+    survives; the v1 UPDATE's removed slices AND the uncommitted
+    orphan are physically gone — so time travel behind the retention
+    horizon now fails at the data scan (the documented trade-off)."""
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        TLOG_REMOVED,
+        _scratch,
+        scan_table_log_vacuum,
+        table_log_snapshot,
+    )
+
+    out = scan_table_log_vacuum(spark, sf_dir)
+    root = _scratch(sf_dir, "scan_table_log_vacuum")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_table_log")
+
+    on_disk = set(os.listdir(data_dir))
+    for s in TLOG_REMOVED:
+        assert f"slice={s}" not in on_disk  # vacuumed
+    assert "orphan-tmp" not in on_disk      # crash debris collected
+    assert "rewrite=1" in on_disk           # retained rewrite survives
+
+    # the live snapshot still reads completely
+    live = [r["path"] for r in table_log_snapshot(spark, log_dir, 1).collect()]
+    assert out.count() == spark.read.parquet(
+        *[os.path.join(data_dir, p) for p in live]
+    ).count()
+
+    # time travel to v0 (behind the horizon) now fails at data I/O
+    v0 = [r["path"] for r in table_log_snapshot(spark, log_dir, 0).collect()]
+    missing = [p for p in v0 if not os.path.exists(os.path.join(data_dir, p))]
+    assert missing  # the horizon is real
