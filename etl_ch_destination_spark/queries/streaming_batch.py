@@ -845,3 +845,125 @@ def stream_table_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "stream_scd2_apply",
+    """
+    SELECT user_id,
+           event_type AS segment,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL) AS is_current
+    FROM events
+    """,
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD TYPE-2 maintenance — the destination workload
+    dim_scd2_history batch-builds, done INCREMENTALLY across
+    micro-batches: events are attribute-change records (user_id's
+    current segment), and each foreachBatch merge (1) versions the
+    in-batch changes per user (valid_to = next in-batch change), (2)
+    CLOSES the previously-current row of every touched user at the
+    batch's first change instant, and (3) appends the new rows, the
+    last per user open-ended. State advances through per-epoch
+    versioned directories — epoch e derives v(e) purely from its
+    predecessor and its own batch, so a checkpoint-replayed epoch
+    rewrites its version byte-identically instead of corrupting
+    history (idempotence by construction, the epoch-stamp pattern of
+    stream_tdigest_state applied to a MERGE).
+
+    The hash oracle is the BATCH SCD2 recompute (one LEAD window over
+    all events): a match proves the incremental cross-batch
+    maintenance — close-outs at batch boundaries included — produces
+    exactly the history a from-scratch rebuild would, the equivalence
+    every incremental dim pipeline owes its consumers. Ordering ties
+    break on (ts, event_id) in both forms.
+
+    Scale: per batch, the merge touches |batch| change rows plus the
+    CURRENT rows of touched users — never closed history (the
+    read-side union keeps closed rows untouched); a production
+    deployment swaps the versioned-parquet state for Delta MERGE on
+    (user_id, is_current) with the same plan shape. Arrival is
+    event-time ordered (the staged replay slices by time); late data
+    would ride a watermarked reorder in front of this merge."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.streaming.replay import (
+        read_staged_stream,
+        stage_replay,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = stage_replay(spark, sf_dir, n_slices=6, tag=f"scd2_{tag}")
+    state_root = scratch_dir(f"stream_scd2_apply/{tag}/state")
+    ckpt = scratch_dir(f"stream_scd2_apply/{tag}/ckpt")
+    shutil.rmtree(state_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(state_root)
+
+    SCHEMA = (
+        "user_id long, segment string, valid_from timestamp,"
+        " event_id long, valid_to timestamp, is_current boolean"
+    )
+
+    def versions() -> list[int]:
+        return sorted(
+            int(d[1:]) for d in os.listdir(state_root) if d.startswith("v")
+        )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changes = batch_df.select(
+            "user_id",
+            F.col("event_type").alias("segment"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            F.lead("ts").over(w).alias("valid_to"),
+        ).withColumn("is_current", F.col("valid_to").isNull())
+
+        prior = [v for v in versions() if v < epoch_id]
+        if prior:
+            cur = spark.read.schema(SCHEMA).parquet(
+                os.path.join(state_root, f"v{prior[-1]}")
+            )
+            firsts = batch_df.groupBy("user_id").agg(
+                F.min(F.struct("ts", "event_id")).alias("f")
+            ).select("user_id", F.col("f.ts").alias("first_ts"))
+            open_rows = cur.filter("is_current")
+            closed_now = (
+                open_rows.join(firsts, "user_id")
+                .withColumn("valid_to", F.col("first_ts"))
+                .withColumn("is_current", F.lit(False))
+                .drop("first_ts")
+            )
+            untouched_open = open_rows.join(firsts, "user_id", "left_anti")
+            state = (
+                cur.filter(~F.col("is_current"))
+                .unionByName(closed_now)
+                .unionByName(untouched_open)
+                .unionByName(changes)
+            )
+        else:
+            state = changes
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{epoch_id}")
+        )
+
+    q = (
+        read_staged_stream(spark, staged)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = versions()[-1]
+    return spark.read.schema(SCHEMA).parquet(
+        os.path.join(state_root, f"v{final}")
+    ).select("user_id", "segment", "valid_from", "valid_to", "is_current")

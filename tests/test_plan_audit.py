@@ -86,6 +86,10 @@ EFFECTFUL = {
     "stream_table_log_sink": (
         "test_round14b_keys.py",
         "test_stream_table_log_sink_commits_exactly_once"),
+    # runs a REAL streaming query maintaining versioned SCD2 state
+    "stream_scd2_apply": (
+        "test_round14b_keys.py",
+        "test_scd2_apply_history_chains_are_sound"),
     # writes view-state versions to scratch
     "job_matview_refresh": (
         "test_relational_round4.py",
