@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table
+from etl_ch_destination_spark.queries._util import nz, pos
 from etl_ch_destination_spark.registry import query
 
 
@@ -1631,4 +1632,138 @@ def rpt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val_num_us").cast("double")
             / (F.col("den").cast("double") * 1e6)
         ).alias("quantile_seconds"),
+    )
+
+
+AB_Z_CRIT = 1.959963984540054  # two-sided alpha=0.05 normal quantile
+
+
+@query(
+    "rpt_ab_test_readout",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab1'),
+                                  1, 7)) AS BIGINT) % 2 AS v,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(9,0)) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (v = 0) AS DOUBLE) AS na,
+             CAST(COUNT(*) FILTER (v = 1) AS DOUBLE) AS nb,
+             CAST(CAST(SUM(x) FILTER (v = 0) AS HUGEINT) AS DOUBLE) AS sa1,
+             CAST(CAST(SUM(x) FILTER (v = 1) AS HUGEINT) AS DOUBLE) AS sb1,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0))) FILTER (v = 0)
+                       AS HUGEINT) AS DOUBLE) AS sa2,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(19,0))) FILTER (v = 1)
+                       AS HUGEINT) AS DOUBLE) AS sb2
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           sa1 / na AS mean_a, sb1 / nb AS mean_b,
+           (sb1 / nb - sa1 / na) / (sa1 / na) * 100.0 AS lift_pct,
+           (sb1 / nb - sa1 / na)
+             / NULLIF(sqrt(GREATEST(0.0,
+                 (sa2 / na - (sa1 / na) * (sa1 / na)) / NULLIF(na - 1, 0)
+                 + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / NULLIF(nb - 1, 0))),
+               0) AS z_stat,
+           (abs((sb1 / nb - sa1 / na)
+             / NULLIF(sqrt(GREATEST(0.0,
+                 (sa2 / na - (sa1 / na) * (sa1 / na)) / NULLIF(na - 1, 0)
+                 + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / NULLIF(nb - 1, 0))),
+               0)) >= {AB_Z_CRIT}) AS significant
+    FROM s
+    """,
+)
+def rpt_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment READOUT end to end — the composition every
+    experimentation platform runs daily, and the consumer of
+    agg_min_sample_size's power analysis: users are deterministically
+    assigned variants by the repo's stable md5 device (the assignment
+    every replica of the pipeline reproduces — pmod(hash) is not
+    stable across Spark versions, the reason md5 is policy), then per
+    metric (event_type): per-variant n and mean, relative lift, and
+    the two-sample Welch z statistic with a significance verdict at
+    α=0.05 (the z critical value is a pinned literal, like MSS_C —
+    no quantile function at query time).
+
+    Determinism is the agg_welch_ttest recipe on conditional sums:
+    moments accumulate as exact integers per (metric, variant) inside
+    ONE grouped aggregate (FILTER/when — no self-join, no pivot
+    shuffle), wide squares staged through DECIMAL(19,0), and the
+    statistic assembles in one shared IEEE expression tree — mean,
+    lift, z and the boolean verdict all hash bit-for-bit. Note
+    Welch's variance form (σ²/n as m2/(n−1)) is exactly what the z
+    denominator needs — the form agg_min_sample_size must NOT use
+    (its gate caught that inversion).
+
+    Plan/scale: one scan → one |metrics|-group aggregate with
+    map-side partials; the readout math is |metrics| rows of
+    arithmetic. The assignment hash is map-side codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"),
+                               F.lit(":ab1"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    x = (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(9,0)")
+    q = ev.select("event_type", v.alias("v"), x.alias("x")).withColumn(
+        "x2", (F.col("x") * F.col("x")).cast("decimal(19,0)")
+    )
+
+    def hilo(col):
+        hi = F.expr(f"CAST({col} div 4294967296 AS BIGINT)").cast("double")
+        lo = F.expr(f"CAST({col} % 4294967296 AS BIGINT)").cast("double")
+        return hi * F.lit(4294967296.0) + lo
+
+    s = (
+        q.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("v") == 0, 1)).cast("double").alias("na"),
+            F.count(F.when(F.col("v") == 1, 1)).cast("double").alias("nb"),
+            F.sum(F.when(F.col("v") == 0, F.col("x"))).alias("ra1"),
+            F.sum(F.when(F.col("v") == 1, F.col("x"))).alias("rb1"),
+            F.sum(F.when(F.col("v") == 0, F.col("x2"))).alias("ra2"),
+            F.sum(F.when(F.col("v") == 1, F.col("x2"))).alias("rb2"),
+        )
+        .select(
+            "event_type",
+            "na",
+            "nb",
+            hilo("ra1").alias("sa1"),
+            hilo("rb1").alias("sb1"),
+            hilo("ra2").alias("sa2"),
+            hilo("rb2").alias("sb2"),
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa1, sb1, sa2, sb2 = (F.col(c) for c in ("sa1", "sb1", "sa2", "sb2"))
+    diff = sb1 / nb - sa1 / na
+    z = diff / nz(
+        F.sqrt(
+            pos(
+                (sa2 / na - (sa1 / na) * (sa1 / na)) / nz(na - 1)
+                + (sb2 / nb - (sb1 / nb) * (sb1 / nb)) / nz(nb - 1)
+            )
+        )
+    )
+    return s.select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (sa1 / na).alias("mean_a"),
+        (sb1 / nb).alias("mean_b"),
+        (diff / (sa1 / na) * F.lit(100.0)).alias("lift_pct"),
+        z.alias("z_stat"),
+        (F.abs(z) >= F.lit(AB_Z_CRIT)).alias("significant"),
     )

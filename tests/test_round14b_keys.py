@@ -990,3 +990,52 @@ def test_scd2_apply_epoch_replay_is_idempotent(spark, sf_dir):
     appended = vmid.count() - prev.count()
     assert appended > 0
     assert len(before) == vmid.count()
+
+
+# ------------------------------------------------------------------
+# rpt_ab_test_readout
+# ------------------------------------------------------------------
+
+
+def test_ab_readout_matches_python_replay(spark, sf_dir):
+    """A/A-style soundness: the assignment is a pure function of
+    user_id (replayed here), the z statistic matches a two-pass
+    python computation, and since variants are random halves of the
+    SAME population, no metric should show an extreme z."""
+    import hashlib
+    import math
+
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        AB_Z_CRIT,
+        rpt_ab_test_readout,
+    )
+
+    rows = {r["event_type"]: r
+            for r in rpt_ab_test_readout(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).collect()
+
+    def variant(u):
+        return int(hashlib.md5(f"{u}:ab1".encode()).hexdigest()[:7], 16) % 2
+
+    groups = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], ([], []))[variant(r["user_id"])]\
+            .append(r["cents"])
+    for et, (a, b) in groups.items():
+        got = rows[et]
+        assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        z = (mb - ma) / math.sqrt(va / len(a) + vb / len(b))
+        assert got["z_stat"] == pytest.approx(z, rel=1e-9)
+        assert got["lift_pct"] == pytest.approx((mb - ma) / ma * 100, rel=1e-9)
+        assert got["significant"] == (abs(z) >= AB_Z_CRIT)
+        # A/A property: same-population halves rarely exceed |z| ~ 3
+        assert abs(z) < 4.0, (et, z)
