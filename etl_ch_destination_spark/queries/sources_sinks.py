@@ -4437,3 +4437,102 @@ def scan_table_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(
         *[os.path.join(data_dir, p) for p in paths]
     ).select("o_orderkey", "o_orderstatus", "price_cents")
+
+
+@query(
+    "scan_table_log_column_map",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS order_status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM orders
+    """,
+)
+def scan_table_log_column_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING over the transaction log — the Delta protocol
+    feature (columnMapping mode "name") that makes RENAME COLUMN and
+    DROP COLUMN metadata-only operations on a petabyte table: data
+    files carry stable PHYSICAL names (col-<uuid> style), the
+    metaData action carries the logical→physical map, and a rename
+    or drop rewrites ONE json line, never a data file. A reader that
+    binds logical names positionally or by physical name breaks the
+    moment someone renames — the mapping is the contract.
+
+    Staged: data written ONCE under physical names (p_1/p_2/p_3);
+    v0 metaData maps {o_orderkey, status, price_cents}; v1 is a
+    metadata-only commit RENAMING status→order_status and DROPPING a
+    fourth audit column whose bytes remain in the files. The reader
+    resolves the LATEST metaData, selects exactly the mapped physical
+    columns and aliases them logically; the hash oracle pins the
+    renamed view against the source relationally. Gates: the data
+    directory's contents are byte-identical before/after v1 (the
+    whole point), reading at v0 surfaces the OLD logical names and
+    the not-yet-dropped column, and the dropped column's physical
+    bytes never appear at v1.
+
+    Scale: the rename costs one commit (kilobytes) at any table
+    size; the read plan is an ordinary parquet scan with projection
+    pushdown on the physical columns — ReadSchema lists only the
+    mapped ones, so a dropped column is not even read."""
+    import json as _json
+
+    root = _scratch(sf_dir, "scan_table_log_column_map")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_table_log")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("p_1"),
+        F.col("o_orderstatus").alias("p_2"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("p_3"),
+        F.substring("o_orderpriority", 1, 1).alias("p_4"),  # audit col
+    )
+    o.write.mode("overwrite").parquet(data_dir)
+
+    def _w(version: int, mapping: dict) -> None:
+        with open(os.path.join(log_dir, "%020d.json" % version), "w") as f:
+            f.write(_json.dumps({"metaData": {
+                "columnMapping": "name", "schema": mapping}}) + "\n")
+
+    _w(0, {"o_orderkey": "p_1", "status": "p_2",
+           "price_cents": "p_3", "audit_flag": "p_4"})
+    # v1: metadata-only rename + drop — no data write happens here
+    _w(1, {"o_orderkey": "p_1", "order_status": "p_2",
+           "price_cents": "p_3"})
+
+    mapping = table_log_column_mapping(log_dir, version=1)
+    scan = spark.read.parquet(data_dir)
+    return scan.select(
+        *[F.col(phys).alias(logical) for logical, phys in mapping.items()]
+    )
+
+
+def table_log_column_mapping(log_dir: str, version: int) -> dict[str, str]:
+    """Resolve the logical→physical column map at ``version``: the
+    LATEST metaData action wins (metadata replay is the same bounded
+    manifest walk as the file replay)."""
+    import json as _json
+
+    mapping: dict[str, str] | None = None
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        v = int(name[:-5])
+        if v > version:
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = _json.loads(line)
+                if "metaData" in a and "schema" in a["metaData"]:
+                    mapping = a["metaData"]["schema"]
+    if mapping is None:
+        raise ValueError(f"no metaData with a schema at version {version}")
+    return mapping

@@ -1039,3 +1039,58 @@ def test_ab_readout_matches_python_replay(spark, sf_dir):
         assert got["significant"] == (abs(z) >= AB_Z_CRIT)
         # A/A property: same-population halves rarely exceed |z| ~ 3
         assert abs(z) < 4.0, (et, z)
+
+
+# ------------------------------------------------------------------
+# scan_table_log_column_map
+# ------------------------------------------------------------------
+
+
+def test_column_map_rename_is_metadata_only(spark, sf_dir):
+    """The three column-mapping contracts: the v1 rename/drop touched
+    NO data file (byte-identical directory), v0 resolves the old
+    logical names including the later-dropped column, and the v1
+    read's ReadSchema omits the dropped physical column entirely
+    (projection pushdown on the mapping)."""
+    import hashlib
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        _scratch,
+        scan_table_log_column_map,
+        table_log_column_mapping,
+    )
+
+    def dir_digest(d):
+        h = hashlib.sha256()
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                with open(p, "rb") as f:
+                    h.update(name.encode() + f.read())
+        return h.hexdigest()
+
+    out = scan_table_log_column_map(spark, sf_dir)
+    root = _scratch(sf_dir, "scan_table_log_column_map")
+    data_dir = os.path.join(root, "data")
+    log_dir = os.path.join(root, "_table_log")
+
+    # the key itself wrote data once, then only metadata; re-resolve
+    # both versions and confirm the mapping flips without data change
+    before = dir_digest(data_dir)
+    m0 = table_log_column_mapping(log_dir, 0)
+    m1 = table_log_column_mapping(log_dir, 1)
+    assert dir_digest(data_dir) == before
+    assert m0["status"] == m1["order_status"] == "p_2"  # rename, same bytes
+    assert "audit_flag" in m0 and "audit_flag" not in m1  # dropped
+
+    assert set(out.columns) == {"o_orderkey", "order_status", "price_cents"}
+    # the dropped physical column must not be read at v1
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "p_4" not in plan
