@@ -4536,3 +4536,96 @@ def table_log_column_mapping(log_dir: str, version: int) -> dict[str, str]:
     if mapping is None:
         raise ValueError(f"no metaData with a schema at version {version}")
     return mapping
+
+
+@query(
+    "scan_kafka_import",
+    """
+    SELECT event_id, user_id,
+           epoch_ms(ts) AS ts_ms,
+           event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_cents
+    FROM events
+    """,
+)
+def scan_kafka_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka LOG-SEGMENT ingest — RecordBatch v2 (the public Apache
+    Kafka message format, KIP-98/magic=2), closing the wire-format
+    estate next to Avro, Protobuf and WARC: events are encoded into
+    real multi-batch segments (sink/kafka.py — big-endian batch
+    headers, CRC32C over the post-crc body exactly as brokers
+    enforce it, zigzag-varint records with null-able keys/values and
+    headers, offset/timestamp deltas against the batch base), staged,
+    read back, and decoded distributed with every framing field
+    validated — wrong magic, CRC mismatch, batchLength overrun,
+    record-length drift, recordCount/lastOffsetDelta inconsistency
+    and trailing bytes all raise (gates in
+    tests/test_round14b_keys.py, including a bit-flip → CRC test).
+
+    The row maps the full record surface: the KEY carries user_id
+    (partition-key bytes), the VALUE a delimited payload
+    (event_id|value_cents), the record TIMESTAMP the event time
+    (protocol ms), and a record HEADER carries event_type — so the
+    hash oracle proves key, value, timestamp-delta and header all
+    survive the round trip for every record. This is exactly what a
+    destination consuming tiered-storage segments (or a raw consumer
+    feeding batched inserts — the reference's defining pattern)
+    must do at 100 TB/day.
+
+    Scale: encode/decode are Arrow-batched mapInPandas over
+    independent segments — one task per segment file, no exchange;
+    the per-batch CRC is the only full-body pass, same as the
+    broker's own validation cost."""
+    from etl_ch_destination_spark.sink.kafka import kafka_segments, parse_segment
+
+    path = _scratch(sf_dir, "scan_kafka_import")
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.expr("unix_millis(ts)").alias("ts_ms"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit("|"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .cast("string"),
+        ).cast("binary").alias("value"),
+        F.col("event_type").alias("hdr_src"),
+    )
+    kafka_segments(
+        src, records_per_batch=512, batches_per_segment=8
+    ).write.mode("overwrite").parquet(path)
+
+    files = spark.read.parquet(path)
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "event_id": [],
+                "user_id": [],
+                "ts_ms": [],
+                "event_type": [],
+                "value_cents": [],
+            }
+            for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                records = parse_segment(bytes(payload))
+                if len(records) != int(n):
+                    raise ValueError(
+                        f"segment record-count drift: {len(records)} != {n}"
+                    )
+                for _off, ts, key, value, headers in records:
+                    eid, _, cents = value.decode().partition("|")
+                    out["event_id"].append(int(eid))
+                    out["user_id"].append(int(key.decode()))
+                    out["ts_ms"].append(ts)
+                    out["event_type"].append(headers["src"].decode())
+                    out["value_cents"].append(int(cents))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        decode_partition,
+        schema="event_id bigint, user_id bigint, ts_ms bigint,"
+        " event_type string, value_cents bigint",
+    )

@@ -1094,3 +1094,88 @@ def test_column_map_rename_is_metadata_only(spark, sf_dir):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "p_4" not in plan
+
+
+# ------------------------------------------------------------------
+# sink/kafka.py codec gates
+# ------------------------------------------------------------------
+
+
+def test_kafka_crc32c_known_vectors():
+    """Pin CRC32C against the RFC 3720 published test vectors."""
+    from etl_ch_destination_spark.sink.kafka import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_kafka_zigzag_varint_roundtrip():
+    from etl_ch_destination_spark.sink.kafka import zz_decode, zz_encode
+
+    for n in (0, 1, -1, 63, -64, 64, 300, -300, 2**31, -(2**31), 2**62):
+        buf = zz_encode(n)
+        got, pos = zz_decode(buf, 0)
+        assert (got, pos) == (n, len(buf))
+    with pytest.raises(ValueError, match="truncated"):
+        zz_decode(b"\x80\x80", 0)
+
+
+def test_kafka_batch_roundtrip_and_nulls():
+    from etl_ch_destination_spark.sink.kafka import encode_batch, parse_batch
+
+    recs = [
+        (1000, b"k0", b"v0", [(b"h", b"x")]),
+        (1005, None, b"v1", []),      # null key (compaction tombstop.. key)
+        (1002, b"k2", None, []),      # null value (tombstone)
+    ]
+    buf = encode_batch(700, 1000, recs)
+    base, out, pos = parse_batch(buf, 0)
+    assert (base, pos) == (700, len(buf))
+    assert [(o, ts) for o, ts, *_ in out] == [(700, 1000), (701, 1005),
+                                             (702, 1002)]
+    assert out[0][2:4] == (b"k0", b"v0") and out[0][4] == {"h": b"x"}
+    assert out[1][2] is None and out[2][3] is None
+
+
+def test_kafka_framing_violations_raise():
+    from etl_ch_destination_spark.sink.kafka import encode_batch, parse_segment
+
+    buf = encode_batch(0, 50, [(50, b"k", b"v", [])])
+    # bit flip anywhere in the post-crc body -> CRC mismatch
+    corrupt = bytearray(buf)
+    corrupt[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC32C"):
+        parse_segment(bytes(corrupt))
+    # wrong magic
+    bad_magic = bytearray(buf)
+    bad_magic[16] = 1  # magic byte position: 8 + 4 + 4
+    with pytest.raises(ValueError, match="magic"):
+        parse_segment(bytes(bad_magic))
+    # truncation
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_segment(buf[:-3])
+    # trailing garbage after the last batch
+    with pytest.raises(ValueError, match="truncated batch header"):
+        parse_segment(buf + b"xx")
+
+
+def test_kafka_scan_offsets_are_contiguous(spark, sf_dir):
+    """Round-trip cardinality + per-segment offset contiguity: every
+    segment's records must carry offsets 0..n-1 (the broker
+    invariant the decoder re-derives from base+delta)."""
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        _scratch,
+        scan_kafka_import,
+    )
+    from etl_ch_destination_spark.sink.kafka import parse_segment
+    import os
+
+    out = scan_kafka_import(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n
+    path = _scratch(sf_dir, "scan_kafka_import")
+    seg = spark.read.parquet(path).limit(1).collect()[0]
+    records = parse_segment(bytes(seg["payload"]))
+    offsets = [o for o, *_ in records]
+    assert offsets == list(range(len(records)))
