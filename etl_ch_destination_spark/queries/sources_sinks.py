@@ -4629,3 +4629,127 @@ def scan_kafka_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_id bigint, user_id bigint, ts_ms bigint,"
         " event_type string, value_cents bigint",
     )
+
+
+@query(
+    "scan_kafka_compacted",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS value_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts_ms, event_type, value_cents
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def scan_kafka_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka LOG COMPACTION materialized — the table view every
+    Kafka→warehouse destination maintains over a compacted topic
+    (cleanup.policy=compact): per key, only the LATEST record
+    matters, and a null-value TOMBSTONE deletes the key. Events are
+    encoded as keyed records through the same RecordBatch v2 codec
+    (key = user_id; 'error' events become tombstones — null value,
+    exactly how producers emit deletes), decoded distributed, and
+    compacted relationally: one per-key window keeps the
+    latest-(timestamp, event_id) record, and a surviving tombstone
+    removes its key from the view.
+
+    The hash oracle replays the compaction contract from the source
+    table — a match proves the codec's timestamp/offset deltas,
+    tombstone encoding (valueLength = −1 on the wire, distinct from
+    empty), and the latest-wins window TOGETHER produce the exact
+    table state a compacted-topic consumer would materialize. The
+    asymmetry against scan_kafka_import is deliberate: same wire
+    bytes, entirely different read semantics — ingestion replays ALL
+    records, compaction keeps per-key state.
+
+    Scale: decode is per-segment parallel; compaction is ONE
+    user-keyed window over decoded records — at 100 TB the window is
+    the standard dedup_by_key_latest exchange, and a real deployment
+    runs it incrementally per consumed batch (stream_cdc_upsert is
+    that streaming shape)."""
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.sink.kafka import kafka_segments, parse_segment
+
+    path = _scratch(sf_dir, "scan_kafka_compacted")
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.expr("unix_millis(ts)").alias("ts_ms"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("binary"))
+        .otherwise(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("|"),
+                F.col("event_type"),
+                F.lit("|"),
+                (F.col("value").cast("decimal(12,2)") * 100)
+                .cast("long")
+                .cast("string"),
+            ).cast("binary")
+        )
+        .alias("value"),
+        # tombstones still need the event identity for latest-wins
+        # ordering: it rides a record header, like real CDC deletes
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("|"),
+            F.col("event_type")
+        ).alias("hdr_src"),
+    )
+    kafka_segments(
+        src, records_per_batch=512, batches_per_segment=8
+    ).write.mode("overwrite").parquet(path)
+
+    files = spark.read.parquet(path)
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "user_id": [],
+                "event_id": [],
+                "ts_ms": [],
+                "event_type": [],
+                "value_cents": [],
+                "tombstone": [],
+            }
+            for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                records = parse_segment(bytes(payload))
+                if len(records) != int(n):
+                    raise ValueError("segment record-count drift")
+                for _off, ts, key, value, headers in records:
+                    eid, _, etype = headers["src"].decode().partition("|")
+                    out["user_id"].append(int(key.decode()))
+                    out["event_id"].append(int(eid))
+                    out["ts_ms"].append(ts)
+                    out["event_type"].append(etype)
+                    if value is None:
+                        out["value_cents"].append(None)
+                        out["tombstone"].append(True)
+                    else:
+                        out["value_cents"].append(
+                            int(value.decode().split("|")[2])
+                        )
+                        out["tombstone"].append(False)
+            yield pd.DataFrame(out)
+
+    decoded = files.mapInPandas(
+        decode_partition,
+        schema="user_id bigint, event_id bigint, ts_ms bigint,"
+        " event_type string, value_cents bigint, tombstone boolean",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    return (
+        decoded.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("tombstone"))
+        .select("user_id", "event_id", "ts_ms", "event_type", "value_cents")
+    )

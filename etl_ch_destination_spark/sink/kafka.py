@@ -286,7 +286,9 @@ def kafka_segments(df, records_per_batch: int = 512,
                 pdf["ts_ms"], pdf["key"], pdf["value"], pdf["hdr_src"]
             ):
                 rows.append(
-                    (int(ts_ms), bytes(key), bytes(value),
+                    (int(ts_ms),
+                     None if key is None else bytes(key),
+                     None if value is None else bytes(value),
                      [(b"src", str(src).encode())])
                 )
                 if len(rows) >= records_per_batch:

@@ -1126,7 +1126,7 @@ def test_kafka_batch_roundtrip_and_nulls():
 
     recs = [
         (1000, b"k0", b"v0", [(b"h", b"x")]),
-        (1005, None, b"v1", []),      # null key (compaction tombstop.. key)
+        (1005, None, b"v1", []),      # null key
         (1002, b"k2", None, []),      # null value (tombstone)
     ]
     buf = encode_batch(700, 1000, recs)
@@ -1179,3 +1179,40 @@ def test_kafka_scan_offsets_are_contiguous(spark, sf_dir):
     records = parse_segment(bytes(seg["payload"]))
     offsets = [o for o, *_ in records]
     assert offsets == list(range(len(records)))
+
+
+def test_kafka_compacted_tombstones_delete_keys(spark, sf_dir):
+    """Compaction semantics by value: exactly one row per surviving
+    user, and a user whose LATEST record is an 'error' tombstone is
+    absent even though older non-tombstone records exist on the
+    wire."""
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_kafka_compacted,
+    )
+    from pyspark.sql.window import Window as W
+
+    out = scan_kafka_compacted(spark, sf_dir).cache()
+    assert out.groupBy("user_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+    from etl_ch_destination_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.expr("unix_millis(ts)").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter("rn = 1")
+    )
+    dead = latest.filter("event_type = 'error'").select("user_id")
+    live = latest.filter("event_type <> 'error'").select("user_id")
+    assert dead.count() > 0  # the fixture actually exercises deletion
+    assert out.join(dead, "user_id").count() == 0
+    assert out.count() == live.count()
+    out.unpersist()
