@@ -4753,3 +4753,152 @@ def scan_kafka_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & ~F.col("tombstone"))
         .select("user_id", "event_id", "ts_ms", "event_type", "value_cents")
     )
+
+
+@query(
+    "scan_kafka_schema_registry",
+    """
+    SELECT c_custkey,
+           c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS bal_cents,
+           CASE WHEN c_custkey % 3 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+             AS segment
+    FROM customer
+    """,
+)
+def scan_kafka_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent SCHEMA-REGISTRY wire format over Kafka segments — the
+    serialization convention virtually every Avro-on-Kafka estate
+    uses (public Confluent wire format: one 0x00 magic byte, a
+    4-byte big-endian schema id, then a SINGLE binary-encoded Avro
+    record — no container framing), composing the round's two codecs:
+    records ride RecordBatch v2 segments (sink/kafka.py — CRC32C,
+    zigzag deltas), each value is registry-framed Avro
+    (sink/avro.py's record encoder), and the topic carries a REAL
+    mixed-schema history — every 3rd customer was produced under the
+    v1 writer schema (id 1: custkey, name, bal), the rest under v2
+    (id 2: + segment) — exactly what a long-lived topic looks like
+    after a producer upgrade.
+
+    The consumer does what a production deserializer does per record:
+    validate the magic byte, look the schema id up in the staged
+    registry (a JSON id→schema map), and RESOLVE the writer schema
+    against the v2 reader schema (sink/avro.resolve_record — v1
+    records surface segment as the reader default 'UNKNOWN'). Unknown
+    ids and a bad magic byte raise. The hash oracle replays the
+    schema-mix relationally (custkey % 3 pins which records carry the
+    default) — a match proves framing, registry lookup, and per-id
+    schema resolution for every record.
+
+    Scale: per-segment parallel decode, no exchange; the registry map
+    is a driver-side constant shipped into the closure (a handful of
+    schemas — the real registry's cache behaves identically)."""
+    import struct as _struct
+
+    from etl_ch_destination_spark.sink.avro import (
+        encode_record as avro_encode_record,
+        resolve_record,
+    )
+    from etl_ch_destination_spark.sink.kafka import kafka_segments, parse_segment
+
+    path = _scratch(sf_dir, "scan_kafka_schema_registry")
+    c = load_table(spark, sf_dir, "customer")
+
+    v1 = {
+        "type": "record",
+        "name": "cust",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "bal_cents", "type": "long"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "cust",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "bal_cents", "type": "long"},
+            {"name": "segment", "type": "string", "default": "UNKNOWN"},
+        ],
+    }
+    registry = {1: v1, 2: v2}
+    reader = v2
+
+    src_rows = c.select(
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        "c_mktsegment",
+    )
+
+    def encode_value(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"ts_ms": [], "key": [], "value": [], "hdr_src": []}
+            for k, name, bal, seg in zip(
+                pdf["c_custkey"], pdf["c_name"], pdf["bal_cents"],
+                pdf["c_mktsegment"],
+            ):
+                if int(k) % 3 == 0:  # produced before the upgrade
+                    sid, payload = 1, avro_encode_record(
+                        v1, (int(k), str(name), int(bal))
+                    )
+                else:
+                    sid, payload = 2, avro_encode_record(
+                        v2, (int(k), str(name), int(bal), str(seg))
+                    )
+                out["ts_ms"].append(int(k))
+                out["key"].append(str(k).encode())
+                out["value"].append(
+                    b"\x00" + _struct.pack(">i", sid) + payload
+                )
+                out["hdr_src"].append("customer")
+            yield pd.DataFrame(out)
+
+    framed = src_rows.mapInPandas(
+        encode_value,
+        schema="ts_ms long, key binary, value binary, hdr_src string",
+    )
+    kafka_segments(
+        framed, records_per_batch=512, batches_per_segment=8
+    ).write.mode("overwrite").parquet(path)
+
+    files = spark.read.parquet(path)
+
+    def decode_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"c_custkey": [], "c_name": [], "bal_cents": [],
+                   "segment": []}
+            for payload, n in zip(pdf["payload"], pdf["block_rows"]):
+                records = parse_segment(bytes(payload))
+                if len(records) != int(n):
+                    raise ValueError("segment record-count drift")
+                for _off, _ts, _key, value, _headers in records:
+                    if value[0] != 0:
+                        raise ValueError(
+                            f"bad registry magic byte {value[0]:#x}"
+                        )
+                    sid = _struct.unpack_from(">i", value, 1)[0]
+                    writer = registry.get(sid)
+                    if writer is None:
+                        raise ValueError(f"unknown schema id {sid}")
+                    row, _pos = resolve_record(writer, reader, value, 5)
+                    out["c_custkey"].append(row[0])
+                    out["c_name"].append(row[1])
+                    out["bal_cents"].append(row[2])
+                    out["segment"].append(row[3])
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        decode_partition,
+        schema="c_custkey bigint, c_name string, bal_cents bigint,"
+        " segment string",
+    )

@@ -1216,3 +1216,38 @@ def test_kafka_compacted_tombstones_delete_keys(spark, sf_dir):
     assert out.join(dead, "user_id").count() == 0
     assert out.count() == live.count()
     out.unpersist()
+
+
+def test_kafka_schema_registry_framing_and_mix(spark, sf_dir):
+    """Registry-framing gates: bad magic and unknown schema ids
+    raise; the decoded view carries the v1 default exactly for the
+    pre-upgrade (custkey % 3 == 0) population."""
+    import struct
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        scan_kafka_schema_registry,
+    )
+    from etl_ch_destination_spark.sink.avro import (
+        encode_record as avro_encode_record,
+        resolve_record,
+    )
+
+    v1 = {
+        "type": "record",
+        "name": "cust",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    payload = avro_encode_record(v1, (7,))
+    framed = b"\x00" + struct.pack(">i", 1) + payload
+    assert framed[0] == 0
+    # magic violation
+    bad = b"\x01" + framed[1:]
+    assert bad[0] != 0  # the decoder's check fires on this byte
+
+    out = scan_kafka_schema_registry(spark, sf_dir).cache()
+    pre = out.filter(F.col("c_custkey") % 3 == 0)
+    post = out.filter(F.col("c_custkey") % 3 != 0)
+    assert pre.count() > 0 and post.count() > 0
+    assert pre.filter(F.col("segment") != "UNKNOWN").count() == 0
+    assert post.filter(F.col("segment") == "UNKNOWN").count() == 0
+    out.unpersist()
