@@ -4902,3 +4902,114 @@ def scan_kafka_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_custkey bigint, c_name string, bal_cents bigint,"
         " segment string",
     )
+
+
+MT_GRANULE = 1024  # index_granularity (CH default is 8192; scaled to SF)
+
+
+@query(
+    "scan_mergetree_primary_index",
+    """
+    WITH k AS (
+      SELECT (35 * MAX(o_orderkey)) // 100 AS lo,
+             (60 * MAX(o_orderkey)) // 100 AS hi
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM orders, k
+    WHERE o_orderkey BETWEEN lo AND hi
+    """,
+)
+def scan_mergetree_primary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree PRIMARY-KEY sparse index — the mechanism at the heart
+    of the reference's own storage engine (ClickHouse MergeTree,
+    public architecture): a part stores rows SORTED by primary key in
+    fixed GRANULES of {MT_GRANULE} rows, and ``primary.idx`` holds
+    one mark per granule — the first key value — so a key-range
+    predicate selects granule ranges from kilobytes of index before
+    touching data. This key stages a faithful simplified part (sorted
+    granule files + a real little-endian int64 ``primary.idx`` + the
+    part-level count/minmax sidecars CH writes), then answers a
+    35%..60% key-range query the MergeTree way: binary-search the
+    marks, read ONLY granules whose [mark g, mark g+1) span
+    intersects the range, refine exactly.
+
+    The hash oracle states the predicate relationally — a match
+    proves mark construction, the span-intersection logic (the
+    classic off-by-one: a granule's rows run UP TO the next mark, so
+    the FIRST surviving granule is the one BEFORE the first mark
+    greater than lo), and the data layout together return exactly
+    the range. Pruning itself is gated in pytest via inputFiles():
+    granules outside the span never enter the scan.
+
+    Scale: the index is |rows|/{MT_GRANULE} marks — a 100 TB part
+    carries a few MB of primary.idx, which is why CH point-reads
+    petabyte tables; the granule read is an ordinary multi-path
+    parquet scan with the residual predicate pushed down."""
+    import struct as _struct
+
+    from pyspark.sql.window import Window
+
+    root = _scratch(sf_dir, "scan_mergetree_primary_index")
+    part_dir = os.path.join(root, "part-0")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sorted_rows = o.withColumn(
+        "g",
+        F.expr(
+            f"CAST((row_number() OVER (ORDER BY o_orderkey) - 1)"
+            f" div {MT_GRANULE} AS INT)"
+        ),
+    )
+    sorted_rows.write.mode("overwrite").partitionBy("g").parquet(part_dir)
+
+    # primary.idx: first key per granule, fixed little-endian int64 —
+    # the real CH mark file shape; plus count.txt / minmax sidecars
+    marks_rows = (
+        sorted_rows.groupBy("g")
+        .agg(F.min("o_orderkey").alias("first_key"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("g")
+        .collect()
+    )
+    marks = [r["first_key"] for r in marks_rows]
+    with open(os.path.join(root, "primary.idx"), "wb") as f:
+        for m in marks:
+            f.write(_struct.pack("<q", m))
+    with open(os.path.join(root, "count.txt"), "w") as f:
+        f.write(str(sum(r["n"] for r in marks_rows)))
+    mm = o.agg(F.min("o_orderkey").alias("lo"),
+               F.max("o_orderkey").alias("hi")).collect()[0]
+    with open(os.path.join(root, "minmax_o_orderkey.txt"), "w") as f:
+        f.write(f"{mm['lo']}\n{mm['hi']}\n")
+
+    # ---- the range read, MergeTree-style ----
+    kmax = mm["hi"]
+    lo, hi = (35 * kmax) // 100, (60 * kmax) // 100
+
+    with open(os.path.join(root, "primary.idx"), "rb") as f:
+        raw = f.read()
+    idx = [v for (v,) in _struct.iter_unpack("<q", raw)]
+    import bisect
+
+    # granule g covers keys [idx[g], idx[g+1]) (last granule open):
+    # first candidate = the granule BEFORE the first mark > lo
+    g_lo = max(0, bisect.bisect_right(idx, lo) - 1)
+    g_hi = bisect.bisect_right(idx, hi) - 1
+    survivors = list(range(g_lo, g_hi + 1))
+    scan = spark.read.parquet(
+        *[os.path.join(part_dir, f"g={g}") for g in survivors]
+    )
+    return scan.filter(F.col("o_orderkey").between(lo, hi)).select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )

@@ -1251,3 +1251,59 @@ def test_kafka_schema_registry_framing_and_mix(spark, sf_dir):
     assert pre.filter(F.col("segment") != "UNKNOWN").count() == 0
     assert post.filter(F.col("segment") == "UNKNOWN").count() == 0
     out.unpersist()
+
+
+# ------------------------------------------------------------------
+# scan_mergetree_primary_index
+# ------------------------------------------------------------------
+
+
+def test_mergetree_granule_pruning_reaches_the_scan(spark, sf_dir):
+    """The sparse index must actually prune: the scan's inputFiles
+    touch only granules intersecting the key range, the boundary
+    granule BEFORE the first in-range mark is included (the classic
+    off-by-one), and the mark file is the real little-endian int64
+    layout."""
+    import os
+    import struct
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        MT_GRANULE,
+        _scratch,
+        scan_mergetree_primary_index,
+    )
+
+    out = scan_mergetree_primary_index(spark, sf_dir)
+    root = _scratch(sf_dir, "scan_mergetree_primary_index")
+
+    with open(os.path.join(root, "primary.idx"), "rb") as f:
+        idx = [v for (v,) in struct.iter_unpack("<q", f.read())]
+    assert idx == sorted(idx)
+    n_total = int(open(os.path.join(root, "count.txt")).read())
+    assert len(idx) == (n_total + MT_GRANULE - 1) // MT_GRANULE
+
+    kmax = idx and max(
+        int(x) for x in open(
+            os.path.join(root, "minmax_o_orderkey.txt")
+        ).read().split()
+    )
+    lo, hi = (35 * kmax) // 100, (60 * kmax) // 100
+    touched = {f for f in out.inputFiles()}
+    touched_gs = {
+        int(p.split("g=")[1].split("/")[0]) for p in touched if "g=" in p
+    }
+    # every granule fully below lo (next mark <= lo) must be pruned
+    for g in range(len(idx) - 1):
+        if idx[g + 1] <= lo:
+            assert g not in touched_gs, f"granule {g} below range was read"
+        if idx[g] > hi:
+            assert g not in touched_gs, f"granule {g} above range was read"
+    # the straddling boundary granule IS read
+    import bisect
+
+    g_lo = max(0, bisect.bisect_right(idx, lo) - 1)
+    assert g_lo in touched_gs
+    # correctness of the range itself
+    assert out.filter(
+        (F.col("o_orderkey") < lo) | (F.col("o_orderkey") > hi)
+    ).count() == 0
