@@ -150,6 +150,12 @@ BENCH_KEYS = [
     "scan_table_log_cdf",
     "ts_holt_winters",
     "stream_table_log_sink",
+    # late round-14 continuation: the Kafka RecordBatch round trip
+    # (CRC32C + zigzag records — the interpreter-bound wire hot loop)
+    # and the MergeTree sparse-index range read (granule staging +
+    # mark-file pruning + residual scan)
+    "scan_kafka_import",
+    "scan_mergetree_primary_index",
 ]
 
 N_RUNS = 5

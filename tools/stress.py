@@ -1175,6 +1175,64 @@ def main() -> int:
 
             row["warc_decode"] = time_action(warc_decode)
 
+        if want("kafka"):
+            # --- Kafka RecordBatch v2 spine (round 14): segment
+            # encode (batch headers + CRC32C + zigzag records) →
+            # parquet store → strict decode incl. the per-batch CRC
+            # pass. Pure per-segment Python, no exchange — linear on
+            # fixed cores or the claim is wrong. CRC32C is the
+            # interpreter-bound hot loop, exactly like a broker-less
+            # tiered-storage consumer.
+            from etl_ch_destination_spark.sink.kafka import (
+                kafka_segments,
+                parse_segment,
+            )
+
+            ev_k0 = parallelize_scan(load_table(spark, SF_DIR, "events"), spark)
+            ev_k = replicate_events(ev_k0, n)
+            src_k = ev_k.select(
+                F.expr("unix_millis(ts)").alias("ts_ms"),
+                F.col("user_id").cast("string").cast("binary").alias("key"),
+                F.concat(
+                    F.col("event_id").cast("string"), F.lit("|"),
+                    (F.col("value").cast("decimal(12,2)") * 100)
+                    .cast("long").cast("string"),
+                ).cast("binary").alias("value"),
+                F.col("event_type").alias("hdr_src"),
+            )
+            k_path = os.path.join(
+                tempfile.gettempdir(), "stress_staging", f"kafka_{n}x"
+            )
+
+            def kafka_encode():
+                kafka_segments(
+                    src_k, records_per_batch=512, batches_per_segment=8
+                ).write.mode("overwrite").parquet(k_path)
+
+            row["kafka_encode"] = time_action(kafka_encode)
+            files_k = spark.read.parquet(k_path)
+
+            def _kafka_dec(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    counts = []
+                    for payload, cnt in zip(
+                        pdf["payload"], pdf["block_rows"]
+                    ):
+                        records = parse_segment(bytes(payload))
+                        if len(records) != int(cnt):
+                            raise ValueError("segment record-count drift")
+                        counts.append(len(records))
+                    yield pd.DataFrame({"n": counts})
+
+            def kafka_decode():
+                files_k.mapInPandas(
+                    _kafka_dec, schema="n bigint"
+                ).write.mode("overwrite").format("noop").save()
+
+            row["kafka_decode"] = time_action(kafka_decode)
+
         results[str(n)] = row
         spark.catalog.clearCache()
         # Reclaim the factor's durable staging tables: standalone
@@ -1226,6 +1284,7 @@ def main() -> int:
         "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
         "asof", "tdigest", "avro_encode", "avro_decode",
         "protobuf_encode", "protobuf_decode", "warc_encode", "warc_decode",
+        "kafka_encode", "kafka_decode",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
