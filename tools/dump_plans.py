@@ -755,6 +755,75 @@ ANNOTATIONS: dict[str, str] = {
         "integer score, then the existing-edge anti-join and a "
         "bounded top-k."
     ),
+    "agg_quantile_ddsketch": (
+        "Relative-error sketch: the γ-bucket assignment is a "
+        "104-comparison integer fold in whole-stage codegen (no "
+        "transcendental call — the boundary table is literal); the "
+        "exchange carries (type, bucket) counts bounded by "
+        "|types|×104 rows, never values; windows and the final "
+        "rollup run over that bounded frame."
+    ),
+    "sink_iceberg_commit": (
+        "Writer side: data writes are ordinary partitioned parquet "
+        "jobs; manifests/list/metadata are driver-side Avro+JSON "
+        "kilobytes with put-if-absent publication. The captured plan "
+        "is the read-back: version hint → metadata → manifest chain "
+        "resolved driver-side, then a multi-path scan of exactly the "
+        "live snapshot's files."
+    ),
+    "scan_table_log_vacuum": (
+        "Vacuum replays the action log driver-side (|actions| rows) "
+        "to the retained versions' live-file union; deletion is one "
+        "filesystem call per garbage file — cost ∝ garbage, not "
+        "table. The captured plan is the post-vacuum snapshot scan, "
+        "identical to scan_table_log's read path."
+    ),
+    "rpt_ab_test_readout": (
+        "One scan → one |metrics|-group aggregate with conditional "
+        "per-variant moment sums (no pivot join, no second pass); "
+        "partial aggregation precedes the exchange, and the "
+        "variant-assignment md5 is map-side codegen. The z/lift "
+        "arithmetic runs over |metrics| rows."
+    ),
+    "scan_table_log_column_map": (
+        "Column mapping: the rename/drop is one metadata line; the "
+        "plan is a plain parquet scan whose ReadSchema lists ONLY "
+        "the mapped physical columns — the dropped column's bytes "
+        "are never read (projection pushdown driven by the mapping)."
+    ),
+    "scan_kafka_import": (
+        "RecordBatch v2 ingest: encode and decode are mapInPandas "
+        "over independent log segments — no exchange; per-batch "
+        "CRC32C is the only full-body pass, matching the broker's "
+        "own validation cost. The kafka stress spine measures the "
+        "per-segment parallel claim (sublinear 10→30×)."
+    ),
+    "scan_kafka_compacted": (
+        "Same wire bytes, table semantics: per-segment parallel "
+        "decode, then ONE user-keyed latest-wins window (the "
+        "dedup_by_key_latest exchange) with tombstones filtered "
+        "after ranking — per-key state, not per-record replay."
+    ),
+    "scan_kafka_schema_registry": (
+        "Confluent framing: per-record magic + schema-id lookup + "
+        "writer→reader Avro resolution all inside the per-segment "
+        "mapInPandas — the registry map is a driver constant shipped "
+        "in the closure; no exchange anywhere."
+    ),
+    "scan_mergetree_primary_index": (
+        "Sparse-index read: primary.idx (one int64 mark per granule) "
+        "binary-searched driver-side selects the surviving granule "
+        "span; the plan scans ONLY those granule files with the "
+        "range predicate pushed down as the exact refinement — "
+        "pruned granules never appear in inputFiles()."
+    ),
+    "stream_scd2_apply": (
+        "Incremental SCD2: per batch, the merge touches the batch's "
+        "change rows plus touched users' CURRENT rows (closed "
+        "history passes through untouched); state versions advance "
+        "per epoch so replays rewrite instead of corrupt. The "
+        "captured plan is the final state read."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
