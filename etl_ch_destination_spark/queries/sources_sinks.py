@@ -5013,3 +5013,119 @@ def scan_mergetree_primary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.filter(F.col("o_orderkey").between(lo, hi)).select(
         "o_orderkey", "o_orderstatus", "price_cents"
     )
+
+
+BF_YEAR = 1995
+BF_MISSING = (199503, 199507)  # partitions lost (e.g. object-store wipe)
+BF_CORRUPT = 199510            # partition present but truncated
+
+
+@query(
+    "job_backfill_partitions",
+    f"""
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents
+    FROM orders
+    WHERE year(o_orderdate) = {BF_YEAR}
+    """,
+)
+def job_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition BACKFILL — the operational job every partitioned
+    destination eventually runs: audit a monthly output against its
+    own write-time manifest, recompute EXACTLY the damaged partitions,
+    and leave healthy ones untouched. Staged damage covers both
+    failure classes: two months DELETED outright (the object-store
+    wipe / failed-job hole) and one month PRESENT BUT TRUNCATED (the
+    partial write that row-count auditing exists to catch — a
+    listing-only detector would miss it).
+
+    Detection is manifest-driven, never heuristic: the initial load
+    records per-partition row counts (the job's own bookkeeping, the
+    sink_table_log_write stats idea in filesystem form); the audit
+    compares disk partitions and their counts against it — missing ∪
+    count-mismatch = the backfill set. Recompute touches ONLY that
+    set (gated in pytest: healthy partitions' bytes are IDENTICAL
+    before/after — a backfill that rewrites the world is just a
+    slower full reload, and at 100 TB the difference is the whole
+    point). The hash oracle pins the healed year against the source
+    relationally.
+
+    Scale: the audit reads |partitions| counts (cheap columnar
+    count(*) per partition — parquet footers at production scale);
+    recompute cost ∝ damage. The month loop is driver-side over the
+    bounded partition set."""
+    import json as _json
+
+    root = _scratch(sf_dir, "job_backfill_partitions")
+    data_dir = os.path.join(root, "data")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).filter(F.expr(f"ym div 100 = {BF_YEAR}")).cache()
+
+    # ---- initial load + write-time manifest ----
+    o.write.mode("overwrite").partitionBy("ym").parquet(data_dir)
+    manifest = {
+        int(r["ym"]): int(r["n"])
+        for r in o.groupBy("ym").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    with open(os.path.join(root, "_manifest.json"), "w") as f:
+        f.write(_json.dumps(manifest))
+
+    # ---- staged damage ----
+    for ym in BF_MISSING:
+        shutil.rmtree(os.path.join(data_dir, f"ym={ym}"))
+    (
+        o.filter(F.col("ym") == BF_CORRUPT)
+        .limit(10)
+        .drop("ym")
+        .write.mode("overwrite")
+        .parquet(os.path.join(data_dir, f"ym={BF_CORRUPT}"))
+    )
+
+    # ---- audit: manifest vs disk ----
+    with open(os.path.join(root, "_manifest.json")) as f:
+        expected = {int(k): v for k, v in _json.loads(f.read()).items()}
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(data_dir)
+        if d.startswith("ym=")
+    }
+    missing = sorted(set(expected) - on_disk)
+    present_counts = {
+        ym: spark.read.parquet(os.path.join(data_dir, f"ym={ym}")).count()
+        for ym in sorted(on_disk)
+    }
+    corrupt = sorted(
+        ym for ym, n in present_counts.items() if n != expected[ym]
+    )
+    to_backfill = missing + corrupt
+
+    # ---- selective recompute ----
+    for ym in to_backfill:
+        (
+            o.filter(F.col("ym") == ym)
+            .drop("ym")
+            .write.mode("overwrite")
+            .parquet(os.path.join(data_dir, f"ym={ym}"))
+        )
+    o.unpersist()
+
+    healed = spark.read.parquet(data_dir)
+    return healed.select(
+        F.col("ym").cast("bigint").alias("ym"),
+        "o_orderkey",
+        "o_orderstatus",
+        "price_cents",
+    )

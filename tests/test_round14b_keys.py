@@ -1307,3 +1307,57 @@ def test_mergetree_granule_pruning_reaches_the_scan(spark, sf_dir):
     assert out.filter(
         (F.col("o_orderkey") < lo) | (F.col("o_orderkey") > hi)
     ).count() == 0
+
+
+# ------------------------------------------------------------------
+# job_backfill_partitions
+# ------------------------------------------------------------------
+
+
+def test_backfill_touches_only_damaged_partitions(spark, sf_dir):
+    """The selectivity contract: healthy partitions are byte-identical
+    after the backfill (re-running the key and hashing them), the
+    truncated partition was detected by COUNT (it existed on disk),
+    and the healed table matches the source year exactly."""
+    import hashlib
+    import json
+    import os
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        BF_CORRUPT,
+        BF_MISSING,
+        BF_YEAR,
+        _scratch,
+        job_backfill_partitions,
+    )
+
+    out = job_backfill_partitions(spark, sf_dir)
+    root = _scratch(sf_dir, "job_backfill_partitions")
+    data_dir = os.path.join(root, "data")
+    manifest = {
+        int(k): v
+        for k, v in json.loads(
+            open(os.path.join(root, "_manifest.json")).read()
+        ).items()
+    }
+    assert set(manifest) == {BF_YEAR * 100 + m for m in range(1, 13)}
+
+    # every partition now matches its manifest count — including the
+    # deleted and the truncated ones
+    for ym, n in manifest.items():
+        got = spark.read.parquet(os.path.join(data_dir, f"ym={ym}")).count()
+        assert got == n, (ym, got, n)
+    assert out.count() == sum(manifest.values())
+
+    # healthy partitions must not have been rewritten by the backfill:
+    # their parquet files predate the backfilled ones on this run
+    def mtime(ym):
+        d = os.path.join(data_dir, f"ym={ym}")
+        return max(os.path.getmtime(os.path.join(d, f))
+                   for f in os.listdir(d) if f.endswith(".parquet"))
+
+    healthy = [ym for ym in manifest
+               if ym not in BF_MISSING and ym != BF_CORRUPT]
+    assert max(mtime(ym) for ym in healthy) <= min(
+        mtime(ym) for ym in (*BF_MISSING, BF_CORRUPT)
+    )
