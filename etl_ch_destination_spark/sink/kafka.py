@@ -178,6 +178,12 @@ def parse_batch(buf: bytes, pos: int):
     body_end = body_start + batch_len
     if body_end > len(buf):
         raise ValueError(f"batchLength overruns segment at offset {pos}")
+    # 9 bytes of pre-crc header + the fixed post-crc header block
+    min_body = 9 + struct.calcsize(">hiqqqhii")
+    if batch_len < min_body:
+        raise ValueError(
+            f"batchLength {batch_len} smaller than the fixed headers"
+        )
     _ple, magic, crc = struct.unpack_from(">iBI", buf, body_start)
     if magic != 2:
         raise ValueError(f"unsupported magic {magic} (want 2)")

@@ -1361,3 +1361,13 @@ def test_backfill_touches_only_damaged_partitions(spark, sf_dir):
     assert max(mtime(ym) for ym in healthy) <= min(
         mtime(ym) for ym in (*BF_MISSING, BF_CORRUPT)
     )
+
+
+def test_kafka_undersized_batchlength_raises():
+    import struct
+
+    from etl_ch_destination_spark.sink.kafka import parse_segment
+
+    evil = struct.pack(">qi", 0, 5) + b"\x00" * 5
+    with pytest.raises(ValueError, match="smaller than the fixed headers"):
+        parse_segment(evil)
