@@ -305,3 +305,50 @@ def image_dhash(images: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return images.select(id_col, "content").mapInPandas(
         hash_batch, "doc_id long, phash string"
     )
+
+
+def synthesize_shot_video(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents.text → PVID streams with SHOT structure: frames
+    within a shot are byte-identical (a static camera hold); a new
+    shot starts at frame k ≥ 1 iff (L + k) % 3 == 0 (L = utf-8 byte
+    length), and shot s's pixels are the text byte cycle at offset
+    s·frame_sz with the first byte REPLACED by the shot index — so
+    adjacent shots differ by construction even for degenerate
+    periodic texts (all-'a' documents would otherwise alias). The
+    rule is pure integer arithmetic on L, which is what makes
+    llm_video_scene_detect's oracle SQL-replayable while the Spark
+    side detects boundaries from the actual pixel buffers."""
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def enc(text: str) -> bytes:
+            b = text.encode("utf-8")
+            L = len(b)
+            w = VID_W_BASE + L % VID_W_MOD
+            h = VID_H_BASE + L % VID_H_MOD
+            n = VID_F_BASE + L % VID_F_MOD
+            fb = w * h * 3
+            frames = []
+            shot = 0
+            shot_frame: bytes | None = None
+            for k in range(n):
+                if k >= 1 and (L + k) % 3 == 0:
+                    shot += 1
+                    shot_frame = None
+                if shot_frame is None:
+                    sl = cycle_bytes(b, fb * (shot + 1))[shot * fb:]
+                    shot_frame = bytes([shot % 256]) + sl[1:]
+                frames.append(shot_frame)
+            return pvid_encode(w, h, frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "content": pdf[text_col].map(enc)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        build, "doc_id long, content binary"
+    )

@@ -826,3 +826,106 @@ def llm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "energy",
     )
+
+
+@query(
+    "llm_video_scene_detect",
+    """
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    f AS (SELECT doc_id, L, CAST(4 + L % 5 AS BIGINT) AS n FROM d),
+    k AS (
+      SELECT doc_id, n, CAST(u.k AS BIGINT) AS k,
+             CASE WHEN u.k >= 1 AND (L + u.k) % 3 = 0 THEN 1 ELSE 0 END
+               AS cut
+      FROM f, UNNEST(range(0, n)) AS u(k)
+    ),
+    s AS (
+      SELECT doc_id, n, k, cut,
+             SUM(cut) OVER (PARTITION BY doc_id ORDER BY k) AS shot
+      FROM k
+    ),
+    seg AS (
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_frames,
+             CAST(COUNT(DISTINCT shot) AS BIGINT) AS n_scenes,
+             CAST(MIN(CASE WHEN cut = 1 THEN k END) AS BIGINT) AS first_cut
+      FROM s GROUP BY doc_id
+    ),
+    lens AS (SELECT doc_id, shot, COUNT(*) AS slen FROM s GROUP BY doc_id, shot),
+    longest AS (
+      SELECT doc_id, CAST(MAX(slen) AS BIGINT) AS longest_scene
+      FROM lens GROUP BY doc_id
+    )
+    SELECT seg.doc_id, n_frames, n_scenes, first_cut, longest_scene
+    FROM seg JOIN longest USING (doc_id)
+    """,
+)
+def llm_video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection over video frame streams — the multimodal
+    curation op that turns raw footage into trainable clips (every
+    video-LLM pipeline segments on shot boundaries before captioning
+    or sampling): demux the PVID container frame-by-frame, compare
+    each frame's ACTUAL pixel buffer against its predecessor, and a
+    content change marks a cut; per video the output is the clip
+    inventory (frame count, scene count, first cut, longest hold).
+    Detection here is exact static-shot comparison (digest equality —
+    threshold 0); a production pipeline swaps the comparator for a
+    perceptual distance (llm_image_dedup_phash's hamming machinery)
+    at the same plan position.
+
+    Staging follows the multimodal family's deterministic-fake
+    doctrine (the image/audio libs aren't in this container; the
+    Spark-side plumbing is real): ops/multimodal.synthesize_shot_video
+    plants shot structure by pure integer rule — a new shot at frame
+    k iff (L + k) % 3 == 0 — with within-shot frames byte-identical
+    and adjacent shots provably distinct even for degenerate periodic
+    texts (the shot index overwrites byte 0). The hash oracle replays
+    the RULE relationally; the Spark side never sees the rule, only
+    pixels — a match proves demux order, frame equality comparison,
+    and the segment accounting.
+
+    Plan/scale: demux is the narrow per-file map of sample_frames;
+    the cut comparison is one lag() window per video keyed on doc_id
+    (frames-per-video bounded); aggregates run over frame rows —
+    at 100 TB the frame map dominates and shuffles only (doc,
+    frame-digest) tuples, never pixels."""
+    from pyspark.sql.window import Window
+
+    from etl_ch_destination_spark.ops.multimodal import (
+        sample_frames,
+        synthesize_shot_video,
+    )
+
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0),
+        spark,
+    )
+    frames = sample_frames(synthesize_shot_video(d), every_nth=1)
+    w = Window.partitionBy("doc_id").orderBy("k")
+    cuts = frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("k"),
+        F.md5("frame").alias("sig"),
+    ).withColumn(
+        "cut",
+        F.when(
+            (F.col("k") >= 1) & (F.col("sig") != F.lag("sig").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("shot", F.sum("cut").over(w))
+    seg = cuts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.count_distinct("shot").cast("bigint").alias("n_scenes"),
+        F.min(F.when(F.col("cut") == 1, F.col("k")))
+        .cast("bigint")
+        .alias("first_cut"),
+    )
+    longest = (
+        cuts.groupBy("doc_id", "shot")
+        .agg(F.count(F.lit(1)).alias("slen"))
+        .groupBy("doc_id")
+        .agg(F.max("slen").cast("bigint").alias("longest_scene"))
+    )
+    return seg.join(longest, "doc_id")

@@ -1371,3 +1371,59 @@ def test_kafka_undersized_batchlength_raises():
     evil = struct.pack(">qi", 0, 5) + b"\x00" * 5
     with pytest.raises(ValueError, match="smaller than the fixed headers"):
         parse_segment(evil)
+
+
+# ------------------------------------------------------------------
+# llm_video_scene_detect
+# ------------------------------------------------------------------
+
+
+def test_scene_detect_on_handcrafted_shots(spark):
+    """Plant an explicit shot structure through the REAL pipeline
+    (synth → PVID demux → pixel comparison) and check the clip
+    inventory, including the degenerate periodic text whose cycle
+    slices would alias without the shot-index byte."""
+    import pandas as pd
+
+    from etl_ch_destination_spark.ops.multimodal import (
+        sample_frames,
+        synthesize_shot_video,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2],
+            # L=9 -> n = 4 + 9%5 = 8 frames; cuts at k where (9+k)%3==0
+            # -> k in {3, 6}: scenes of length 3, 3, 2
+            "text": ["abcdefghi", "aaaaaaaaa"],
+        })
+    )
+    frames = sample_frames(synthesize_shot_video(docs), every_nth=1)
+    rows = frames.orderBy("doc_id", "frame_idx").collect()
+    for doc in (1, 2):
+        sigs = [bytes(r["frame"]) for r in rows if r["doc_id"] == doc]
+        assert len(sigs) == 8
+        # within-shot identical, across-cut different
+        assert sigs[0] == sigs[1] == sigs[2]
+        assert sigs[3] == sigs[4] == sigs[5]
+        assert sigs[6] == sigs[7]
+        assert sigs[2] != sigs[3] and sigs[5] != sigs[6]
+
+
+def test_scene_detect_key_consistency(spark, sf_dir):
+    from etl_ch_destination_spark.queries.llm_vectors import (
+        llm_video_scene_detect,
+    )
+
+    out = llm_video_scene_detect(spark, sf_dir).cache()
+    # scene accounting closes: scenes >= 1, longest <= frames,
+    # and a video with one scene has no first cut
+    assert out.filter(F.col("n_scenes") < 1).count() == 0
+    assert out.filter(F.col("longest_scene") > F.col("n_frames")).count() == 0
+    assert out.filter(
+        (F.col("n_scenes") == 1) & F.col("first_cut").isNotNull()
+    ).count() == 0
+    assert out.filter(
+        (F.col("n_scenes") > 1) & F.col("first_cut").isNull()
+    ).count() == 0
+    out.unpersist()
