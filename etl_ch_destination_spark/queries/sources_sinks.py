@@ -5129,3 +5129,121 @@ def job_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "price_cents",
     )
+
+
+@query(
+    "scan_mergetree_projection",
+    """
+    WITH q AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders
+    ),
+    b AS (SELECT MIN(ed) AS d0, MAX(ed) AS d1 FROM q)
+    SELECT o_orderkey, od AS o_orderdate, price_cents
+    FROM q, b
+    WHERE ed >= d0 + ((d1 - d0) * 2) // 5
+      AND ed <  d0 + ((d1 - d0) * 3) // 5
+    """,
+)
+def scan_mergetree_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree PROJECTIONS — ClickHouse's materialized alternative
+    sort orders (public feature: ``ALTER TABLE ... ADD PROJECTION``):
+    the same part stores a second copy of the data sorted by a
+    different key, and the planner picks WHICH projection serves a
+    query by estimating how much each one's sparse index prunes.
+    Staged: one part, two projections — ``bykey`` (o_orderkey order,
+    the scan_mergetree_primary_index layout) and ``bydate``
+    (o_orderdate order, marks = epoch-day int64s). The query is a
+    DATE-range scan: under ``bykey`` the date predicate prunes
+    NOTHING (dates are uniform within every key granule — all marks
+    survive), under ``bydate`` it isolates a contiguous granule
+    span; the reader computes both surviving-granule counts from the
+    mark files ALONE (kilobytes — exactly ClickHouse's
+    projection-selection cost model) and reads the cheaper one.
+
+    The hash oracle states the date predicate relationally; pytest
+    gates the OPTIMIZER property: the chosen projection is
+    ``bydate``, its surviving span is a strict subset of the part,
+    and every scanned file lives under the chosen projection's
+    directory — a selector that silently picked the wrong layout
+    would still return correct rows but fail the pruning gates.
+
+    Scale: projections double write amplification to buy read
+    locality — the same trade CH documents; selection cost is two
+    mark-file reads regardless of data size."""
+    import struct as _struct
+
+    from pyspark.sql.window import Window
+
+    root = _scratch(sf_dir, "scan_mergetree_projection")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_orderdate").cast("date"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).withColumn("epoch_day", F.datediff("o_orderdate", F.lit("1970-01-01")))
+
+    def write_projection(name: str, order_cols: list[str],
+                         mark_col: str) -> list[int]:
+        pdir = os.path.join(root, name)
+        rows = o.withColumn(
+            "g",
+            F.expr(
+                f"CAST((row_number() OVER (ORDER BY {', '.join(order_cols)})"
+                f" - 1) div {MT_GRANULE} AS INT)"
+            ),
+        )
+        rows.write.mode("overwrite").partitionBy("g").parquet(pdir)
+        marks = [
+            int(r["m"])
+            for r in rows.groupBy("g")
+            .agg(F.min(mark_col).alias("m"))
+            .orderBy("g")
+            .collect()
+        ]
+        with open(os.path.join(root, f"{name}.idx"), "wb") as f:
+            for m in marks:
+                f.write(_struct.pack("<q", m))
+        return marks
+
+    write_projection("proj-bykey", ["o_orderkey"], "o_orderkey")
+    write_projection("proj-bydate", ["epoch_day", "o_orderkey"], "epoch_day")
+
+    # ---- the date-range predicate (middle fifth of the span) ----
+    b = o.agg(F.min("epoch_day").alias("d0"),
+              F.max("epoch_day").alias("d1")).collect()[0]
+    d0, d1 = b["d0"], b["d1"]
+    lo = d0 + ((d1 - d0) * 2) // 5
+    hi = d0 + ((d1 - d0) * 3) // 5  # half-open [lo, hi)
+
+    def surviving(name: str, pred_on_marks: bool) -> list[int]:
+        with open(os.path.join(root, f"{name}.idx"), "rb") as f:
+            idx = [v for (v,) in _struct.iter_unpack("<q", f.read())]
+        if not pred_on_marks:
+            return list(range(len(idx)))  # index can't serve the predicate
+        import bisect
+
+        g_lo = max(0, bisect.bisect_right(idx, lo) - 1)
+        g_hi = max(-1, bisect.bisect_right(idx, hi - 1) - 1)
+        return list(range(g_lo, g_hi + 1))
+
+    candidates = {
+        # bykey's marks are order keys: useless for a date predicate
+        "proj-bykey": surviving("proj-bykey", pred_on_marks=False),
+        "proj-bydate": surviving("proj-bydate", pred_on_marks=True),
+    }
+    chosen = min(candidates, key=lambda k: len(candidates[k]))
+    scan = spark.read.parquet(
+        *[os.path.join(root, chosen, f"g={g}") for g in candidates[chosen]]
+    )
+    return scan.filter(
+        (F.col("epoch_day") >= lo) & (F.col("epoch_day") < hi)
+    ).select("o_orderkey", "o_orderdate", "price_cents")

@@ -1427,3 +1427,30 @@ def test_scene_detect_key_consistency(spark, sf_dir):
         (F.col("n_scenes") > 1) & F.col("first_cut").isNull()
     ).count() == 0
     out.unpersist()
+
+
+def test_mergetree_projection_selector_picks_the_pruning_layout(spark, sf_dir):
+    """The optimizer property: every scanned file lives under
+    proj-bydate (the date-sorted projection), and the surviving span
+    is a strict subset of that projection's granules — the bykey
+    layout would have scanned everything."""
+    import os
+    import struct
+
+    from etl_ch_destination_spark.queries.sources_sinks import (
+        _scratch,
+        scan_mergetree_projection,
+    )
+
+    out = scan_mergetree_projection(spark, sf_dir)
+    root = _scratch(sf_dir, "scan_mergetree_projection")
+    files = out.inputFiles()
+    assert files
+    assert all("proj-bydate" in f for f in files)
+    with open(os.path.join(root, "proj-bydate.idx"), "rb") as f:
+        n_granules = len(f.read()) // 8
+    touched = {
+        int(f.split("g=")[1].split("/")[0]) for f in files if "g=" in f
+    }
+    assert 0 < len(touched) < n_granules  # genuine pruning happened
+    assert touched == set(range(min(touched), max(touched) + 1))  # contiguous
