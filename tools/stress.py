@@ -70,7 +70,7 @@ def main() -> int:
             "tri_approx,semdedup,sim,streaming,asof,tdigest — 'sim' covers "
             "the exact/LSH/IVF/IVF-PQ ladder + recall gates; 'streaming' "
             "the foreachBatch ingest + session-window state spine; "
-            "'tdigest' the centroid-sketch build at fixed vs scaled shards; "
+            "'tdigest' the centroid-sketch build at fixed vs scaled shards; 'tlog' the commit-log replay vs checkpoint read; "
             "'avro'/'protobuf'/'warc' the wire-codec encode→store→decode"
             " paths"
         ),
@@ -1233,6 +1233,75 @@ def main() -> int:
 
             row["kafka_decode"] = time_action(kafka_decode)
 
+        if want("tlog"):
+            # --- transaction-log replay spine (round 14): the
+            # table-log family's scale axis is COMMIT COUNT, not data
+            # volume (replay touches only the manifest). Generate a
+            # churn history of 200×n commits (each removes one file
+            # and adds two — the compaction-debt pattern), measure
+            # (a) the relational full replay (scan_table_log's
+            # table_log_snapshot) and (b) the checkpoint read path
+            # (parquet state + empty tail). Replay must stay ~linear
+            # in commits; the checkpoint read must stay FLAT — the
+            # reason the checkpoint path exists.
+            import json as _json
+
+            from etl_ch_destination_spark.queries.sources_sinks import (
+                table_log_snapshot,
+            )
+
+            n_commits = 200 * n
+            tlog_dir = os.path.join(
+                tempfile.gettempdir(), "stress_staging", f"tlog_{n}x", "_log"
+            )
+            os.makedirs(tlog_dir, exist_ok=True)
+
+            def _stats(lo, hi):
+                return _json.dumps({
+                    "numRecords": 1000,
+                    "minValues": {"o_orderkey": lo},
+                    "maxValues": {"o_orderkey": hi},
+                })
+
+            for v in range(n_commits):
+                actions = []
+                if v > 0:
+                    # churn: retire one of the previous commit's files
+                    actions.append(_json.dumps(
+                        {"remove": {"path": f"f-{2 * (v - 1)}",
+                                    "dataChange": True}}))
+                actions.append(_json.dumps({"add": {
+                    "path": f"f-{2 * v}", "dataChange": True,
+                    "stats": _stats(v * 10, v * 10 + 9)}}))
+                actions.append(_json.dumps({"add": {
+                    "path": f"f-{2 * v + 1}", "dataChange": True,
+                    "stats": _stats(v * 10, v * 10 + 9)}}))
+                with open(os.path.join(tlog_dir, "%020d.json" % v), "w") as f:
+                    f.write("\n".join(actions) + "\n")
+
+            def tlog_replay():
+                table_log_snapshot(
+                    spark, tlog_dir, n_commits - 1
+                ).write.mode("overwrite").format("noop").save()
+
+            row["tlog_commits"] = n_commits
+            row["tlog_replay"] = time_action(tlog_replay)
+            # checkpoint path: collapse the live set once, then read it
+            ckpt_path = os.path.join(
+                tempfile.gettempdir(), "stress_staging", f"tlog_{n}x",
+                "ckpt.parquet",
+            )
+            table_log_snapshot(spark, tlog_dir, n_commits - 1).write.mode(
+                "overwrite"
+            ).parquet(ckpt_path)
+
+            def tlog_checkpoint_read():
+                spark.read.parquet(ckpt_path).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+
+            row["tlog_ckpt_read"] = time_action(tlog_checkpoint_read)
+
         results[str(n)] = row
         spark.catalog.clearCache()
         # Reclaim the factor's durable staging tables: standalone
@@ -1284,7 +1353,7 @@ def main() -> int:
         "sim_ivfpq", "linkpred", "stream_fbatch", "stream_session",
         "asof", "tdigest", "avro_encode", "avro_decode",
         "protobuf_encode", "protobuf_decode", "warc_encode", "warc_decode",
-        "kafka_encode", "kafka_decode",
+        "kafka_encode", "kafka_decode", "tlog_replay",
     )
     if len(factors) >= 2:
         f1, f2 = sorted(factors)[-2:]
