@@ -824,6 +824,27 @@ ANNOTATIONS: dict[str, str] = {
         "per epoch so replays rewrite instead of corrupt. The "
         "captured plan is the final state read."
     ),
+    "job_backfill_partitions": (
+        "Backfill: the audit reads |partitions| counts against the "
+        "write-time manifest; recompute touches ONLY the damaged "
+        "partitions (healthy files byte-identical — gated by mtime). "
+        "The captured plan is the healed partitioned read with "
+        "partition discovery."
+    ),
+    "llm_video_scene_detect": (
+        "Scene cuts: PVID demux is the narrow per-file map of "
+        "sample_frames; the cut comparison is one lag() window per "
+        "video over (doc, frame-digest) tuples — pixels never "
+        "shuffle; segment accounting runs over frame rows bounded "
+        "per video."
+    ),
+    "scan_mergetree_projection": (
+        "Projection selection: both candidates are costed from their "
+        "MARK FILES alone (kilobytes); the plan scans only the chosen "
+        "date-sorted projection's surviving granule span with the "
+        "range predicate as the exact refinement — the key-sorted "
+        "copy contributes zero I/O to this query."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
