@@ -1767,3 +1767,216 @@ def rpt_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) >= F.lit(AB_Z_CRIT)).alias("significant"),
     )
+
+
+# Shapley attribution: 3 channels -> masks view=1, click=2, signup=4.
+# Coalition weights |S|!(n-1-|S|)!/n! for n=3, scaled by 3! = 6 to
+# exact integers: |S|=0 -> 2, |S|=1 -> 1, |S|=2 -> 2.
+SHAP_CHANNELS = (("view", 1), ("click", 2), ("signup", 4))
+SHAP_SCALE = 6
+_SHAP_W = {0: 2, 1: 1, 2: 2}
+# (channel, bit, S_without_i, scaled_weight) for every coalition
+SHAP_TERMS = [
+    (name, bit, s, _SHAP_W[bin(s).count("1")])
+    for name, bit in SHAP_CHANNELS
+    for s in range(8)
+    if not s & bit
+]
+
+
+def _shapley_sql() -> str:
+    terms = ", ".join(
+        f"('{name}', {s_no_i}, {s_no_i | bit}, {w})"
+        for name, bit, s_no_i, w in SHAP_TERMS
+    )
+    return f"""
+    WITH p AS (
+      SELECT user_id, MIN(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    m AS (
+      SELECT p.user_id,
+             MAX(CASE WHEN e.event_type = 'view' AND e.ts < p.pts
+                      THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN e.event_type = 'click' AND e.ts < p.pts
+                          THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN e.event_type = 'signup' AND e.ts < p.pts
+                          THEN 1 ELSE 0 END) AS mask
+      FROM p JOIN events e ON e.user_id = p.user_id
+      GROUP BY p.user_id
+    ),
+    mc AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS c
+      FROM m WHERE mask > 0 GROUP BY mask
+    ),
+    subsets AS (SELECT CAST(UNNEST(range(0, 8)) AS BIGINT) AS S),
+    v AS (
+      SELECT S,
+             CAST(COALESCE(SUM(CASE WHEN (mask & S) = mask THEN c END), 0)
+                  AS BIGINT) AS v
+      FROM subsets LEFT JOIN mc ON TRUE GROUP BY S
+    ),
+    terms(channel, s_no_i, s_with_i, w) AS (SELECT * FROM (VALUES {terms})),
+    shap AS (
+      SELECT t.channel,
+             CAST(SUM(t.w * (vi.v - vo.v)) AS BIGINT) AS shapley_num
+      FROM terms t
+      JOIN v vi ON vi.S = t.s_with_i
+      JOIN v vo ON vo.S = t.s_no_i
+      GROUP BY t.channel
+    ),
+    touch AS (
+      SELECT 'view' AS tc, CAST(COALESCE(SUM(c) FILTER ((mask & 1) != 0), 0)
+                                AS BIGINT) AS touched FROM mc
+      UNION ALL
+      SELECT 'click', CAST(COALESCE(SUM(c) FILTER ((mask & 2) != 0), 0)
+                           AS BIGINT) FROM mc
+      UNION ALL
+      SELECT 'signup', CAST(COALESCE(SUM(c) FILTER ((mask & 4) != 0), 0)
+                            AS BIGINT) FROM mc
+    )
+    SELECT channel, touched AS touched_users, shapley_num,
+           CAST(shapley_num AS DOUBLE) / {SHAP_SCALE} AS shapley,
+           CAST(shapley_num AS DOUBLE)
+             / CAST(SUM(shapley_num) OVER () AS DOUBLE) AS share
+    FROM shap JOIN touch ON tc = channel
+    """
+
+
+@query("rpt_attribution_shapley", _shapley_sql())
+def rpt_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE conversion attribution (Shapley 1953; the
+    marketing-analytics standard for fair multi-touch credit, public
+    literature) — the game-theoretic model next to
+    rpt_attribution's first/last-touch lags: each converted user's
+    pre-purchase journey is a channel COALITION (view/click/signup
+    bitmask before the first purchase), the characteristic function
+    v(S) counts conversions whose whole journey S covers, and each
+    channel's credit is its exact Shapley value — the weighted
+    average of its marginal contribution over all coalitions.
+
+    Exactness: with n=3 channels the coalition weights scale by
+    3! = 6 to INTEGERS (the 12-term (channel, S) table is generated
+    once at import and inlined into both plans as literals — the
+    AA_W device); v(S) is integer counts; the whole computation is
+    exact int64 with two presentation divisions. EFFICIENCY — the
+    Shapley axiom Σᵢ φᵢ = v(all channels) = total covered
+    conversions — is gated in pytest, as is symmetry on a
+    hand-crafted journey set.
+
+    Plan/scale: one purchase aggregate + one user-keyed join/agg
+    collapses events to ≤7 mask-count rows; everything after (the
+    8-subset × mask cross, the 12-term join) is literal-dim algebra
+    on single-digit row counts. At 100 TB the user aggregate is the
+    only data-volume stage; n stays small because Shapley is 2^n —
+    the documented reason real attribution stops at a handful of
+    channel GROUPS."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    m = (
+        p.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(
+                    F.when(
+                        (F.col("event_type") == "view")
+                        & (F.col("ts") < F.col("pts")),
+                        1,
+                    ).otherwise(0)
+                )
+                + 2
+                * F.max(
+                    F.when(
+                        (F.col("event_type") == "click")
+                        & (F.col("ts") < F.col("pts")),
+                        1,
+                    ).otherwise(0)
+                )
+                + 4
+                * F.max(
+                    F.when(
+                        (F.col("event_type") == "signup")
+                        & (F.col("ts") < F.col("pts")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("mask")
+        )
+    )
+    mc = (
+        m.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    subsets = spark.range(8).select(F.col("id").cast("bigint").alias("S"))
+    v = (
+        subsets.join(F.broadcast(mc), F.lit(True), "left")
+        .groupBy("S")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mask").bitwiseAND(F.col("S")) == F.col("mask"),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    terms = spark.createDataFrame(
+        [(name, s, s | bit, w) for name, bit, s, w in SHAP_TERMS],
+        "channel string, s_no_i bigint, s_with_i bigint, w bigint",
+    )
+    vi = v.select(F.col("S").alias("si"), F.col("v").alias("v_with"))
+    vo = v.select(F.col("S").alias("so"), F.col("v").alias("v_without"))
+    shap = (
+        terms.join(F.broadcast(vi), terms["s_with_i"] == vi["si"])
+        .join(F.broadcast(vo), terms["s_no_i"] == vo["so"])
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v_with") - F.col("v_without")))
+            .cast("bigint")
+            .alias("shapley_num")
+        )
+    )
+    touch_rows = None
+    for name, bit in SHAP_CHANNELS:
+        t = mc.agg(
+            F.lit(name).alias("tc"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("mask").bitwiseAND(F.lit(bit)) != 0,
+                           F.col("c"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("touched"),
+        )
+        touch_rows = t if touch_rows is None else touch_rows.unionByName(t)
+    w_all = Window.partitionBy()
+    return (
+        shap.join(F.broadcast(touch_rows), shap["channel"] == touch_rows["tc"])
+        .select(
+            "channel",
+            F.col("touched").alias("touched_users"),
+            "shapley_num",
+            (F.col("shapley_num").cast("double") / SHAP_SCALE).alias(
+                "shapley"
+            ),
+            (
+                F.col("shapley_num").cast("double")
+                / F.sum("shapley_num").over(w_all).cast("double")
+            ).alias("share"),
+        )
+    )

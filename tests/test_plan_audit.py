@@ -202,6 +202,10 @@ ALLOWED_NLJ = {
     # and the 5-row group frame — condition-free spine construction
     # (timeseries_extra.py ts_holt_winters)
     "ts_holt_winters",
+    # 8-subset × ≤7-mask-count literal-algebra cross (condition-free
+    # by design, both sides single-digit rows) + the 3-row channel
+    # reshape (reports_behavior.py rpt_attribution_shapley)
+    "rpt_attribution_shapley",
     # 1-row (max_avg, min_avg) bounds broadcast onto suppliers —
     # condition-free by design (joins_extra.py)
     "subq_any_all",

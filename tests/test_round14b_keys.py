@@ -1454,3 +1454,69 @@ def test_mergetree_projection_selector_picks_the_pruning_layout(spark, sf_dir):
     }
     assert 0 < len(touched) < n_granules  # genuine pruning happened
     assert touched == set(range(min(touched), max(touched) + 1))  # contiguous
+
+
+# ------------------------------------------------------------------
+# rpt_attribution_shapley
+# ------------------------------------------------------------------
+
+
+def _shapley_brute(mask_counts, n=3):
+    """Exact Shapley by full permutation enumeration (3! = 6 orders)."""
+    import itertools
+
+    def v(S):
+        return sum(c for m, c in mask_counts.items() if m & S == m)
+
+    phi = {0: 0, 1: 0, 2: 0}
+    for perm in itertools.permutations(range(n)):
+        S = 0
+        for ch in perm:
+            gain = v(S | (1 << ch)) - v(S)
+            phi[ch] += gain
+            S |= 1 << ch
+    return phi  # scaled by n! = 6
+
+
+def test_shapley_axioms_and_brute_force(spark, sf_dir):
+    """Efficiency (Σφ = v(everything)), the permutation brute force,
+    and symmetry on a crafted journey set."""
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        SHAP_SCALE,
+        rpt_attribution_shapley,
+    )
+
+    rows = {r["channel"]: r
+            for r in rpt_attribution_shapley(spark, sf_dir).collect()}
+    assert set(rows) == {"view", "click", "signup"}
+
+    # reconstruct mask counts from the fixture
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    first_p = {}
+    for e in ev:
+        if e["event_type"] == "purchase":
+            t = first_p.get(e["user_id"])
+            if t is None or e["ts"] < t:
+                first_p[e["user_id"]] = e["ts"]
+    masks = {}
+    bits = {"view": 1, "click": 2, "signup": 4}
+    for e in ev:
+        pts = first_p.get(e["user_id"])
+        if pts is None or e["event_type"] not in bits:
+            continue
+        if e["ts"] < pts:
+            masks[e["user_id"]] = masks.get(e["user_id"], 0) | bits[e["event_type"]]
+    mc = {}
+    for m in masks.values():
+        if m:
+            mc[m] = mc.get(m, 0) + 1
+    phi = _shapley_brute(mc)
+    for i, name in enumerate(("view", "click", "signup")):
+        assert rows[name]["shapley_num"] == phi[i], (name, phi)
+    # efficiency: total credit == conversions with any covered journey
+    total = sum(r["shapley_num"] for r in rows.values())
+    assert total == SHAP_SCALE * sum(mc.values())
+
+    # symmetry on a crafted set: two channels appearing identically
+    sym = _shapley_brute({3: 10})  # every journey = {view, click}
+    assert sym[0] == sym[1] and sym[2] == 0
