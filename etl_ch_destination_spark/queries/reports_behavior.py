@@ -1980,3 +1980,131 @@ def rpt_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@query(
+    "rpt_kaplan_meier",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nus
+      FROM events
+    ),
+    obs AS (SELECT MAX(epoch_us(ts)) AS oe FROM events),
+    epi AS (
+      SELECT CASE WHEN nus IS NOT NULL
+                  THEN (nus - tus) // 3600000000
+                  ELSE (oe - tus) // 3600000000 END AS dur,
+             CASE WHEN nus IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM t, obs
+    ),
+    h AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(death) AS BIGINT) AS d_death
+      FROM epi GROUP BY dur
+    ),
+    r AS (
+      SELECT dur, d_death,
+             CAST(SUM(n_all) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+      FROM h
+    ),
+    e AS (
+      SELECT dur, d_death, n_risk,
+             CAST(n_risk - d_death AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+      FROM r WHERE d_death > 0
+    )
+    SELECT CAST(dur AS BIGINT) AS t, n_risk, d_death AS d,
+           list_reduce(
+             list(f) OVER (ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             (a, b) -> a * b) AS km
+    FROM e
+    """,
+)
+def rpt_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve (Kaplan & Meier 1958, public
+    literature) over ENGAGEMENT: each event opens an episode whose
+    survival time is the gap (whole hours, exact integer microsecond
+    arithmetic — never engine-specific date_diff boundary semantics)
+    until the user's NEXT action; a user's last event is CENSORED at
+    the observation end — we know they stayed away at least that
+    long, not when they return. Censored episodes stay in the risk
+    set until their censoring time without counting as events — the
+    correction naive "average gap between actions" gets wrong (it
+    drops exactly the longest-absence tail, one censored episode per
+    user by construction at every SF). At each event time t: risk
+    set n_t, returns d_t, S(t) = Π_{s≤t}(1 − d_s/n_s) — the
+    probability a user is still "away" after t hours.
+
+    Hash-exactness for a cumulative float PRODUCT: parallel
+    multiplication is order-sensitive, but this one folds an ORDERED
+    bounded list — each factor is one IEEE division of exact int64
+    counts and both engines fold the identical sequence
+    left-to-right (Spark: collect_list over the ordered frame +
+    F.aggregate with init 1.0; DuckDB: windowed list + list_reduce —
+    the ts_ema_dyadic fold device lifted from ints to
+    controlled-order doubles), so every S(t) matches bit-for-bit.
+
+    Plan/scale: one user-keyed lead() window collapses events to
+    episodes; everything after runs over |distinct hour-durations|
+    rows (≤ observation window in hours, ~720 here): the
+    reverse-cumsum risk set and the O(k²) windowed fold are
+    bounded-frame algebra. The 1-row observation-end frame rides a
+    broadcast, condition-free by design."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_next = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.lead(F.unix_micros("ts")).over(w_next).alias("nus"),
+    )
+    obs = ev.agg(F.max(F.unix_micros("ts")).alias("oe"))
+    epi = t.crossJoin(F.broadcast(obs)).select(
+        F.when(
+            F.col("nus").isNotNull(),
+            F.expr("(nus - tus) div 3600000000"),
+        )
+        .otherwise(F.expr("(oe - tus) div 3600000000"))
+        .alias("dur"),
+        F.when(F.col("nus").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "death"
+        ),
+    )
+    h = epi.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("death").cast("bigint").alias("d_death"),
+    )
+    w_rev = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "dur",
+        "d_death",
+        F.sum("n_all").over(w_rev).cast("bigint").alias("n_risk"),
+    )
+    e = r.filter(F.col("d_death") > 0).select(
+        "dur",
+        "d_death",
+        "n_risk",
+        (
+            (F.col("n_risk") - F.col("d_death")).cast("double")
+            / F.col("n_risk").cast("double")
+        ).alias("f"),
+    )
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = F.aggregate(
+        F.collect_list("f").over(w_fwd),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return e.select(
+        F.col("dur").alias("t"),
+        "n_risk",
+        F.col("d_death").alias("d"),
+        km.alias("km"),
+    )

@@ -206,6 +206,9 @@ ALLOWED_NLJ = {
     # by design, both sides single-digit rows) + the 3-row channel
     # reshape (reports_behavior.py rpt_attribution_shapley)
     "rpt_attribution_shapley",
+    # 1-row observation-end broadcast onto the episode frame,
+    # condition-free by design (reports_behavior.py rpt_kaplan_meier)
+    "rpt_kaplan_meier",
     # 1-row (max_avg, min_avg) bounds broadcast onto suppliers —
     # condition-free by design (joins_extra.py)
     "subq_any_all",

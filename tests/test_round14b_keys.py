@@ -1520,3 +1520,65 @@ def test_shapley_axioms_and_brute_force(spark, sf_dir):
     # symmetry on a crafted set: two channels appearing identically
     sym = _shapley_brute({3: 10})  # every journey = {view, click}
     assert sym[0] == sym[1] and sym[2] == 0
+
+
+# ------------------------------------------------------------------
+# rpt_kaplan_meier
+# ------------------------------------------------------------------
+
+
+def test_kaplan_meier_matches_textbook_estimator(spark, sf_dir):
+    """Replay the standard KM estimator in python over the same
+    episodes and compare every (t, n_risk, d, S(t)); pin the survival
+    axioms: S decreasing in t, 0 <= S <= 1, and censoring mass exists
+    (every user contributes exactly one censored episode)."""
+    from etl_ch_destination_spark.queries.reports_behavior import (
+        rpt_kaplan_meier,
+    )
+
+    rows = sorted(
+        rpt_kaplan_meier(spark, sf_dir).collect(), key=lambda r: r["t"]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(
+            (e["ts"], e["event_id"])
+        )
+    import datetime as dt
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    oe = max(us(t) for u in by_user.values() for t, _ in u)
+    episodes = []
+    for u, ts_list in by_user.items():
+        ts_list.sort()
+        for i, (t, _) in enumerate(ts_list):
+            if i + 1 < len(ts_list):
+                episodes.append(((us(ts_list[i + 1][0]) - us(t)) // 3600000000, 1))
+            else:
+                episodes.append(((oe - us(t)) // 3600000000, 0))
+    n_censored = sum(1 for _, d in episodes if d == 0)
+    assert n_censored == len(by_user)  # one per user by construction
+
+    # textbook estimator
+    times = sorted({d for d, death in episodes if death})
+    S = 1.0
+    expect = []
+    for t in times:
+        n_risk = sum(1 for d, _ in episodes if d >= t)
+        deaths = sum(1 for d, death in episodes if d == t and death)
+        S = S * ((n_risk - deaths) / n_risk)
+        expect.append((t, n_risk, deaths, S))
+    got = [(r["t"], r["n_risk"], r["d"], r["km"]) for r in rows]
+    assert len(got) == len(expect)
+    for (gt, gn, gd, gkm), (et, en, ed, ekm) in zip(got, expect):
+        assert (gt, gn, gd) == (et, en, ed)
+        assert gkm == pytest.approx(ekm, rel=1e-12)
+    # axioms
+    kms = [r["km"] for r in rows]
+    assert all(0.0 <= k <= 1.0 for k in kms)
+    assert all(a >= b for a, b in zip(kms, kms[1:]))
