@@ -845,6 +845,21 @@ ANNOTATIONS: dict[str, str] = {
         "range predicate as the exact refinement — the key-sorted "
         "copy contributes zero I/O to this query."
     ),
+    "rpt_attribution_shapley": (
+        "Shapley attribution: one purchase aggregate + one user-keyed "
+        "join/agg collapses events to ≤7 mask-count rows; the "
+        "8-subset characteristic function and the 12-term coalition "
+        "algebra are literal-dim broadcasts over single-digit row "
+        "counts — exponential in CHANNELS, constant in data."
+    ),
+    "rpt_kaplan_meier": (
+        "Survival curve: one user-keyed lead() window builds the "
+        "episode frame; risk sets and the O(k²) ordered product fold "
+        "run over |distinct hour-durations| rows (bounded by the "
+        "observation window), never episodes. The cumulative product "
+        "is an ORDERED list fold — deterministic IEEE sequence, not "
+        "a parallel reduction."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
