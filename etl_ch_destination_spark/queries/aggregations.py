@@ -1596,3 +1596,158 @@ def agg_quantile_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p99_est"),
     )
+
+
+# ------------------------------------------------------------------
+# agg_hll_deterministic: HyperLogLog (Flajolet et al. 2007) made
+# fully HASH-ORACLED. Everything nondeterministic in a stock HLL is
+# pinned: the hash is md5 (the repo's stable device), the register
+# harmonic sum folds an ORDERED 256-slot list (identical IEEE
+# sequence both engines), and the small-range correction's ln() comes
+# from a 256-entry literal table computed once here (the AA_W / MSS_C
+# device) — no libm call at query time.
+# ------------------------------------------------------------------
+
+HLL_M = 256          # registers (b = 8 index bits)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256)  # alpha_256, computed once
+import math as _math
+
+HLL_LN = [0.0] + [_math.log(z) for z in range(1, HLL_M + 1)]
+HLL_LN_M = _math.log(HLL_M)
+
+
+def _hll_sql() -> str:
+    ln_list = ", ".join(repr(x) for x in HLL_LN)
+    return f"""
+    WITH x AS (
+      SELECT o_orderstatus AS grp,
+             md5(CAST(o_custkey AS VARCHAR) || ':hll') AS h
+      FROM orders
+    ),
+    rw AS (
+      SELECT grp,
+             CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS j,
+             CAST(('0x' || substr(h, 3, 13)) AS BIGINT) AS w
+      FROM x
+    ),
+    regs AS (
+      SELECT grp, j,
+             CAST(MAX(CASE WHEN w = 0 THEN 53
+                           ELSE 52 - length(bin(w)) + 1 END) AS BIGINT)
+               AS rho
+      FROM rw GROUP BY grp, j
+    ),
+    folded AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS m_used,
+             list_reduce(
+               list(pow(2.0, -CAST(rho AS DOUBLE)) ORDER BY j),
+               (a, b) -> a + b) AS s_present
+      FROM regs GROUP BY grp
+    ),
+    est AS (
+      SELECT grp, m_used,
+             CAST({HLL_M} - m_used AS BIGINT) AS z,
+             CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0
+               / (s_present + CAST({HLL_M} - m_used AS DOUBLE)) AS e_raw
+      FROM folded
+    ),
+    corrected AS (
+      SELECT grp, z,
+             CASE WHEN e_raw <= 2.5 * {HLL_M} AND z > 0
+                  THEN {HLL_M}.0 * (CAST({HLL_LN_M!r} AS DOUBLE)
+                        - CAST(([{ln_list}])[CAST(z AS INT) + 1] AS DOUBLE))
+                  ELSE e_raw END AS estimate
+      FROM est
+    ),
+    exact AS (
+      SELECT o_orderstatus AS grp,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT c.grp, z, estimate, exact_distinct,
+           (estimate - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE) AS rel_err
+    FROM corrected c JOIN exact ON exact.grp = c.grp
+    """
+
+
+@query("agg_hll_deterministic", _hll_sql())
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count (Flajolet-Fuchs-Gandouet-Meunier
+    2007, public literature) with a FULL HASH ORACLE — the
+    demonstration that even the classic "approximate" sketch is a
+    deterministic function once its degrees of freedom are pinned
+    (the registry's rows-only sketch keys are rows-only because their
+    engines' internal hashes differ, not because sketching is
+    inherently unhashable): md5 supplies the 64 hashed bits (8 index
+    + 52 rank bits), registers are exact integer maxima, the harmonic
+    denominator folds the ORDERED register list (256 dyadic terms —
+    identical IEEE sequence both engines), and the small-range
+    linear-counting correction m·ln(m/z) reads ln(z) from a literal
+    256-entry table computed once at import — no libm at query time.
+    The output carries the exact distinct count and relative error
+    alongside, so the oracle hash simultaneously pins the ESTIMATE
+    and documents its accuracy (pytest bounds |rel_err| by the
+    1.04/√m ≈ 6.5% theory band ×3).
+
+    Plan/scale: one map-side hash projection, one (grp, register)
+    aggregate bounded by |groups|×256 rows, then 256-element folds —
+    the exchange carries registers, never values; merge across
+    shards/batches is register-wise MAX (associative, order-free),
+    the same algebra CH's uniqCombined state relies on. The exact
+    count rides along only for the self-documenting report."""
+    ev = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.concat(F.col("o_custkey").cast("string"), F.lit(":hll")))
+    rw = ev.select(
+        F.col("o_orderstatus").alias("grp"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("j"),
+        F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint").alias("w"),
+    )
+    regs = rw.groupBy("grp", "j").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                52 - F.length(F.bin("w")) + 1
+            )
+        )
+        .cast("bigint")
+        .alias("rho")
+    )
+    folded = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_used"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("j", "rho"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.pow(F.lit(2.0), -s["rho"].cast("double")),
+        ).alias("s_present"),
+    )
+    z = (F.lit(HLL_M) - F.col("m_used")).cast("bigint")
+    e_raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        / (F.col("s_present") + z.cast("double"))
+    )
+    ln_arr = F.array(*[F.lit(x) for x in HLL_LN])
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (z > 0),
+        F.lit(float(HLL_M))
+        * (F.lit(HLL_LN_M) - F.element_at(ln_arr, z.cast("int") + 1)),
+    ).otherwise(e_raw)
+    est = folded.select("grp", z.alias("z"), estimate.alias("estimate"))
+    exact = ev.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "grp").select(
+        "grp",
+        "z",
+        "estimate",
+        "exact_distinct",
+        (
+            (F.col("estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )

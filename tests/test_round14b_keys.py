@@ -1582,3 +1582,63 @@ def test_kaplan_meier_matches_textbook_estimator(spark, sf_dir):
     kms = [r["km"] for r in rows]
     assert all(0.0 <= k <= 1.0 for k in kms)
     assert all(a >= b for a, b in zip(kms, kms[1:]))
+
+
+# ------------------------------------------------------------------
+# agg_hll_deterministic
+# ------------------------------------------------------------------
+
+
+def test_hll_matches_python_replay_and_theory_band(spark, sf_dir):
+    """Replay the pinned HLL in python (same md5 bits, same register
+    rule, same correction) and compare estimates exactly; bound
+    |rel_err| by 3 x the 1.04/sqrt(m) theory band; and check merge
+    algebra: register-wise MAX over shards equals the direct build."""
+    import hashlib
+    import math
+
+    from etl_ch_destination_spark.queries.aggregations import (
+        HLL_ALPHA,
+        HLL_M,
+        agg_hll_deterministic,
+    )
+
+    rows = {r["grp"]: r for r in agg_hll_deterministic(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", "o_custkey"
+    ).collect()
+
+    def registers(keys):
+        regs = {}
+        for k in keys:
+            h = hashlib.md5(f"{k}:hll".encode()).hexdigest()
+            j = int(h[:2], 16)
+            w = int(h[2:15], 16)
+            rho = 53 if w == 0 else 52 - w.bit_length() + 1
+            regs[j] = max(regs.get(j, 0), rho)
+        return regs
+
+    groups = {}
+    for r in o:
+        groups.setdefault(r["o_orderstatus"], []).append(r["o_custkey"])
+    for grp, keys in groups.items():
+        regs = registers(keys)
+        s = sum(2.0 ** -rho for j, rho in sorted(regs.items()))
+        z = HLL_M - len(regs)
+        e = HLL_ALPHA * HLL_M * HLL_M / (s + z)
+        if e <= 2.5 * HLL_M and z > 0:
+            e = HLL_M * (math.log(HLL_M) - math.log(z))
+        got = rows[grp]
+        assert got["z"] == z
+        assert got["estimate"] == pytest.approx(e, rel=1e-12)
+        exact = len(set(keys))
+        assert got["exact_distinct"] == exact
+        assert abs(got["rel_err"]) <= 3 * 1.04 / math.sqrt(HLL_M), got
+
+        # merge = register-wise max across arbitrary shards
+        half = len(keys) // 2
+        ra, rb = registers(keys[:half]), registers(keys[half:])
+        merged = {
+            j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)
+        }
+        assert merged == regs
