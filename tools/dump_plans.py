@@ -860,6 +860,13 @@ ANNOTATIONS: dict[str, str] = {
         "is an ORDERED list fold — deterministic IEEE sequence, not "
         "a parallel reduction."
     ),
+    "agg_hll_deterministic": (
+        "Pinned HLL: map-side md5 projection, one (grp, register) "
+        "aggregate bounded by |groups|×256 rows, then 256-element "
+        "ordered folds — the exchange carries registers, never "
+        "values; merge is register-wise MAX (order-free). No libm "
+        "call: the ln table and alpha are literals."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
