@@ -1949,10 +1949,11 @@ def rpt_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shapley_num")
         )
     )
-    touch_rows = None
-    for name, bit in SHAP_CHANNELS:
-        t = mc.agg(
-            F.lit(name).alias("tc"),
+    # ONE pass over mc for all three touch counts, unpivoted with
+    # stack() — a per-channel union would re-plan the whole upstream
+    # lineage three times over
+    touch_wide = mc.agg(
+        *[
             F.coalesce(
                 F.sum(
                     F.when(F.col("mask").bitwiseAND(F.lit(bit)) != 0,
@@ -1961,9 +1962,16 @@ def rpt_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             )
             .cast("bigint")
-            .alias("touched"),
+            .alias(f"t_{name}")
+            for name, bit in SHAP_CHANNELS
+        ]
+    )
+    touch_rows = touch_wide.select(
+        F.expr(
+            "stack(3, 'view', t_view, 'click', t_click,"
+            " 'signup', t_signup) AS (tc, touched)"
         )
-        touch_rows = t if touch_rows is None else touch_rows.unionByName(t)
+    )
     w_all = Window.partitionBy()
     return (
         shap.join(F.broadcast(touch_rows), shap["channel"] == touch_rows["tc"])

@@ -324,6 +324,15 @@ SHUFFLE_ALLOWANCE = {
     #     center join + (a,b) candidate agg + anti-join + top-k sort.
     #     Static count 6; 7 gives one headroom.
     "graph_adamic_adar": 7,
+    #   rpt_attribution_shapley — the events scan feeds TWO lineages
+    #     (the purchase-time aggregate and the mask join/agg) which
+    #     reconverge through the mask-count frame's two consumers
+    #     (v(S) and the touch counts); every exchange after the user
+    #     aggregate carries ≤8-row literal-algebra frames. Static
+    #     count 10 post the single-pass touch rewrite (the first
+    #     draft's per-channel union re-planned the lineage three
+    #     times → 16); 11 gives one headroom.
+    "rpt_attribution_shapley": 11,
     #   graph_triangle_approx — the DOULION sampler is a zero-shuffle
     #     map-side filter fused into the (staged) edge build, so the
     #     static count is the edge build (3) + degree agg + corner agg
