@@ -81,6 +81,46 @@ def encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
+def coarse_kmeans(
+    x: np.ndarray, k: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Whole-vector Lloyd k-means for the IVF coarse quantizer, on the
+    SAME bounded driver-side training sample the PQ codebooks already
+    use (training the coarse quantizer on a sample is the published
+    IVF practice — r14: replaces the distributed Spark ML fit, whose
+    ~2 jobs per Lloyd round dominated ivfpq_topk's runtime while
+    clustering a few thousand sampled unit vectors).
+
+    Seeded sample init, fixed iteration count, argmin ties to the
+    lowest index, empty cells keep their previous centroid — a pure
+    function of (x, k, seed), independent of partitioning entirely
+    (the Spark ML random init sampled per partition, so a staging-mode
+    change could legitimately flip assignments; this cannot)."""
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("empty coarse-quantizer training set")
+    n = x.shape[0]
+    rs = np.random.RandomState(seed)
+    if n >= k:
+        idx = rs.choice(n, size=k, replace=False)
+    else:
+        idx = np.arange(k) % n
+    cent = x[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        assign = coarse_assign(x, cent)
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return cent
+
+
+def coarse_assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, d) vectors -> (n,) nearest-centroid index (squared L2,
+    ties to the lowest index)."""
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
 def adc_lut(q: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(d,) query residual -> (m_sub, ks) table of exact squared
     distances from each query sub-vector to each codeword."""

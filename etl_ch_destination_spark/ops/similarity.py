@@ -331,6 +331,10 @@ def semdedup_flags(
                 fine_df,
                 join_on=F.col("__vc") == F.col("__fc"),
             )
+    # r14: asg feeds three consumers (both self-join sides + the final
+    # flag join); only Exchange nodes are plan-deduplicated, so the
+    # scan + HOF argmax chain re-ran per consumer — stage it once.
+    asg = stage(asg, eager=False, label="semdedup-asg")
     a = asg.select(
         F.col("vec_id").alias("__ida"),
         F.col("__v").alias("__va"),
@@ -495,13 +499,17 @@ def ivfpq_topk(
     lists and brute-force re-rank (VERDICT r10 #7).
 
     Build: vectors are unit-normalized (L2 ranking on unit vectors ≡
-    cosine ranking: |a−b|² = 2−2·cos); a seeded coarse KMeans assigns
+    cosine ranking: |a−b|² = 2−2·cos); a seeded coarse k-means assigns
     each to an inverted list; the RESIDUAL to its centroid is product-
     quantized into ``m_sub`` codes against per-subspace ``ks``-entry
-    codebooks trained on a ``train_cap``-bounded driver sample (PQ
-    training on a bounded sample is the published practice — codebooks
-    are a few KB broadcast, while the encoded corpus is m_sub bytes
-    per vector instead of 4·d).
+    codebooks. BOTH quantizers train on the same ``train_cap``-bounded
+    deterministic driver sample (training on a bounded sample is the
+    published IVF-PQ practice — centroids and codebooks are a few KB
+    broadcast, while the encoded corpus is m_sub bytes per vector
+    instead of 4·d); assign + residual + encode then run as ONE
+    Arrow-batched numpy pass over the corpus (r14: this replaced a
+    distributed Spark ML fit + JVM assign/residual chain that
+    dominated the key's runtime).
 
     Query: rank centroids, keep ``n_probe`` lists (the IVF prune);
     per (query, probed list) an ADC lookup table scores every encoded
@@ -515,18 +523,18 @@ def ivfpq_topk(
     probed-list access pattern an IVF-PQ serving layout has, with
     per-group work |list|·m_sub lookups, never d-dim FLOPs; the only
     d-dim exact math is |queries|·refine·k re-rank rows. Deterministic
-    under the pinned seed AND a fixed input partitioning — Spark ML
-    KMeans' random init samples per partition, so a different staging
-    mode (localCheckpoint vs durable parquet) can legitimately yield
-    different coarse lists; the mode-independent contract is the
-    recall gate, held in BOTH modes (rows-only driver key; gates in
-    tests/test_llm.py and tests/test_round12_keys.py).
+    under the pinned seed ALONE (r14): the numpy Lloyd quantizer is a
+    pure function of the sorted bounded sample, so partitioning and
+    staging mode (localCheckpoint vs durable parquet) cannot move the
+    coarse lists — strictly stronger than the old Spark ML fit, whose
+    per-partition random init could legitimately differ across modes.
+    The recall gate (≥0.8 vs exact) remains the contract (rows-only
+    driver key; gates in tests/test_llm.py and
+    tests/test_round12_keys.py).
 
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     import numpy as np
 
@@ -544,7 +552,7 @@ def ivfpq_topk(
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
         unit(F.col(vec_col)).alias("__cu"),
-    ).withColumn("features", array_to_vector(F.col("__cu")))
+    )
     if cn.rdd.getNumPartitions() < n_parts:
         cn = cn.repartition(n_parts)
     # Materialize the norm/unit/vector projection ONCE and let every
@@ -569,61 +577,54 @@ def ivfpq_topk(
     cn = stage(cn, label="ivfpq-corpus")
     # Coarse-quantizer quality barely moves end recall here — the probe
     # set covers n_probe/n_clusters of the mass and the shortlist is
-    # re-ranked exactly — so cap the fit at 8 Lloyd iterations with
-    # seeded random init (k-means||'s extra init passes buy nothing a
-    # 3/4-mass probe doesn't already): measured 6.39 → 5.09 s per cold
-    # bench run at sf0.1 with the pytest recall gate (≥0.8) unchanged.
-    model = KMeans(
-        k=n_clusters,
-        seed=seed,
-        featuresCol="features",
-        maxIter=8,
-        initMode="random",
-    ).fit(cn)
+    # re-ranked exactly. r14: the quantizer TRAINS on the same bounded,
+    # deterministic driver-side sample the PQ codebooks already use
+    # (lowest ids — a TopK plan, never a full collect; training the
+    # coarse centroids on a sample is the published IVF practice), via
+    # the seeded numpy Lloyd in ops/pq.py. This replaces the Spark ML
+    # KMeans fit — ~2 distributed jobs per Lloyd round + a transform
+    # pass to cluster 2k..few-M unit vectors — and makes the centroids
+    # a pure function of (sample, seed), independent of partitioning
+    # and staging mode (the ML random init sampled per partition).
+    # Measured at sf0.1: 8.0 → ~3 s per cold bench run, recall gate
+    # (≥0.8 vs exact) unchanged.
+    train_rows = (
+        cn.select("neighbor_id", "__cu")
+        .orderBy("neighbor_id")
+        .limit(train_cap)
+        .collect()
+    )
+    train_u = np.asarray([r["__cu"] for r in train_rows], dtype=np.float64)
+    cents = pq.coarse_kmeans(train_u, k=n_clusters, seed=seed, iters=8)
+    train_res = train_u - cents[pq.coarse_assign(train_u, cents)]
+    books = pq.train_codebooks(train_res, m_sub=m_sub, ks=ks, seed=seed)
+    books_b = spark.sparkContext.broadcast(books)
+    cents_b = spark.sparkContext.broadcast(cents)
 
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "__cluster int, __centroid array<double>",
     )
-    assigned = (
-        model.transform(cn)
-        .select("neighbor_id", "__cv", "__cn", "__cu",
-                F.col("prediction").alias("__cluster"))
-        .join(F.broadcast(cent_df), "__cluster")
-        .withColumn(
-            "__res", F.zip_with("__cu", "__centroid", lambda a, b: a - b)
-        )
-    )
 
-    # Bounded, deterministic training sample (lowest ids — a TopK plan,
-    # never a full collect); codebooks broadcast to every encoder task.
-    train = np.asarray(
-        [
-            r["__res"]
-            for r in assigned.select("neighbor_id", "__res")
-            .orderBy("neighbor_id")
-            .limit(train_cap)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    books = pq.train_codebooks(train, m_sub=m_sub, ks=ks, seed=seed)
-    books_b = spark.sparkContext.broadcast(books)
-
+    # One Arrow-batched pass does coarse ASSIGN + residual + PQ encode
+    # (the assign used to be a JVM transform + broadcast-join +
+    # zip_with residual chain feeding a second Python pass).
     def enc(batches):
         for b in batches:
-            codes = pq.encode(
-                np.asarray(list(b["__res"]), dtype=np.float64), books_b.value
-            )
+            if not len(b):
+                continue
+            u = np.asarray(list(b["__cu"]), dtype=np.float64)
+            cl = pq.coarse_assign(u, cents_b.value)
+            codes = pq.encode(u - cents_b.value[cl], books_b.value)
             yield pd.DataFrame(
                 {
                     "neighbor_id": b["neighbor_id"],
-                    "__cluster": b["__cluster"],
+                    "__cluster": cl.astype("int32"),
                     "codes": list(codes.tolist()),
                 }
             )
 
-    encoded = assigned.select("neighbor_id", "__cluster", "__res").mapInPandas(
+    encoded = cn.select("neighbor_id", "__cu").mapInPandas(
         enc, "neighbor_id long, __cluster int, codes array<int>"
     )
 

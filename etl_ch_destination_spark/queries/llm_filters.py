@@ -374,17 +374,30 @@ def rpt_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.isin("the", "a", "of", "and", "to"),
         )
     )
-    dup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # r14 (guide §2.3 "project before the exchange"): compute the
+    # token stats and the md5 dedup key map-side FIRST, so the window
+    # exchange shuffles (doc_id, 32-char hash, four ints) instead of
+    # full document text. Same values — the window partitions on the
+    # identical md5(text) — with corpus bytes never crossing the wire.
+    dup_w = Window.partitionBy("__h").orderBy("doc_id")
+    stats = d.select(
+        "doc_id",
+        F.md5("text").alias("__h"),
+        F.size(F.filter(raw_words, lambda w: w != F.lit("")))
+        .cast("bigint")
+        .alias("n_tok"),
+        n_words_raw.alias("n_words_raw"),
+        n_distinct_raw.alias("n_distinct_raw"),
+        n_stop.alias("n_stop"),
+    )
     flags = (
-        d.join(F.broadcast(contaminated), "doc_id", "left")
+        stats.join(F.broadcast(contaminated), "doc_id", "left")
         .select(
             "doc_id",
-            F.size(F.filter(raw_words, lambda w: w != F.lit("")))
-            .cast("bigint")
-            .alias("n_tok"),
-            n_words_raw.alias("n_words_raw"),
-            n_distinct_raw.alias("n_distinct_raw"),
-            n_stop.alias("n_stop"),
+            "n_tok",
+            "n_words_raw",
+            "n_distinct_raw",
+            "n_stop",
             F.row_number().over(dup_w).alias("dup_rk"),
             F.coalesce("is_contam", F.lit(False)).alias("is_contam"),
         )

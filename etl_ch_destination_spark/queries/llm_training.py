@@ -306,6 +306,15 @@ def llm_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     costing more than both exchanges combined. Keep the relational
     form; revisit only if an exchange-starved cluster profile says
     otherwise."""
+    # r14 optimization attempt, MEASURED AND REJECTED (guide §1.1 —
+    # the "ideal" plan was slower): carrying n = length(text) − 2 as a
+    # map-side column through the explode removes the doc-keyed window
+    # (one exchange + sort fewer, verified in the plan), but widening
+    # the first aggregate's grouping key to (doc_id, n, gram) measured
+    # ~2× slower on the (doc_id, gram) hash aggregate itself
+    # (isolated A/B at sf0.1: 3.1 s vs 6.0 s for the first aggregate
+    # alone) — the extra key column costs more than the whole window
+    # stage it saved. Keeping the relational window form.
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     grams = d.select(
         "doc_id",

@@ -26,7 +26,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_ch_destination_spark.catalog import load_table, scratch_dir
+from etl_ch_destination_spark.catalog import (
+    load_table,
+    parallelize_codec_scan,
+    scratch_dir,
+)
+from etl_ch_destination_spark.ops.staging import stage
 from etl_ch_destination_spark.queries._util import dsum, money, sql_dsum
 from etl_ch_destination_spark.registry import query
 from etl_ch_destination_spark.schemas import EVENTS, NATION
@@ -902,9 +907,18 @@ def scan_rowbinary_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(12,2)"),
         F.col("o_orderdate").cast("timestamp"),
     )
-    rowbinary_blocks(src, rows_per_block=4096).write.mode("overwrite").parquet(path)
+    # The fixture parquet is ONE split, so without a round-robin spread
+    # the interpreter-bound encode would run as a single task (and the
+    # handful of block rows read back would decode on one task too) —
+    # the exact "embarrassingly parallel" shape this codec claims was
+    # serialized locally. parallelize_scan is a no-op at real scale
+    # (many splits) and block payloads are self-contained, so the
+    # decoded values are identical under any partitioning.
+    rowbinary_blocks(
+        parallelize_codec_scan(src, spark), rows_per_block=4096
+    ).write.mode("overwrite").parquet(path)
 
-    blocks = spark.read.parquet(path)
+    blocks = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -993,10 +1007,11 @@ def scan_native_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins the dense-vector wire type (Array(Float32), no element
     # masks) via the schema override — encode still raises if a null
     # element ever violates the declaration
-    native_blocks(src, rows_per_block=2048, wire_schema=wire_schema).write.mode(
-        "overwrite"
-    ).parquet(path)
-    blocks = spark.read.parquet(path)
+    native_blocks(
+        parallelize_codec_scan(src, spark), rows_per_block=2048, wire_schema=wire_schema
+    ).write.mode("overwrite").parquet(path)
+    # spread encode AND decode over the cores (see scan_rowbinary_import)
+    blocks = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -2347,11 +2362,18 @@ def scan_avro_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("note"),
     )
     expected = avro_schema(src.schema)
+    # one-split fixture scan → spread the interpreter-bound encode and
+    # the per-file decode across cores (see scan_rowbinary_import);
+    # container files are self-contained, values identical under any
+    # row-to-file packing
     avro_blocks(
-        src, rows_per_file=8192, objects_per_block=2048, codec="deflate"
+        parallelize_codec_scan(src, spark),
+        rows_per_file=8192,
+        objects_per_block=2048,
+        codec="deflate",
     ).write.mode("overwrite").parquet(path)
 
-    files = spark.read.parquet(path)
+    files = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import datetime as dt
@@ -2452,9 +2474,13 @@ def scan_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     avro_blocks(
-        src, rows_per_file=8192, objects_per_block=2048, codec="deflate"
+        parallelize_codec_scan(src, spark),
+        rows_per_file=8192,
+        objects_per_block=2048,
+        codec="deflate",
     ).write.mode("overwrite").parquet(path)
-    files = spark.read.parquet(path)
+    # spread encode AND decode over the cores (see scan_avro_import)
+    files = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -2566,11 +2592,12 @@ def scan_protobuf_import(spark: SparkSession, sf_dir: str) -> DataFrame:
             (7, "bal", "double", False),
         ]
     )
-    protobuf_blocks(src, schema, rows_per_file=8192).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # spread encode AND decode over the cores (see scan_rowbinary_import)
+    protobuf_blocks(
+        parallelize_codec_scan(src, spark), schema, rows_per_file=8192
+    ).write.mode("overwrite").parquet(path)
 
-    files = spark.read.parquet(path)
+    files = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -2786,8 +2813,15 @@ def stage_table_log(spark: SparkSession, sf_dir: str, key: str):
         .cast("long")
         .alias("price_cents"),
     )
-    sliced = o.withColumn(
-        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+    # staged once: the partitioned write AND the stats/rewrite/cdc
+    # consumers below re-plan this frame — unstaged, each consumer
+    # re-ran the global ntile sort
+    sliced = stage(
+        o.withColumn(
+            "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+        ),
+        eager=False,
+        label="tlog-sliced",
     )
     sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
 
@@ -2983,14 +3017,15 @@ def scan_protobuf_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bal_cents") / 100.0).alias("score"),
     )
     p2 = _scratch(sf_dir, "scan_protobuf_evolution_v2")
-    protobuf_blocks(src_v2, v2, rows_per_file=8192).write.mode(
-        "overwrite"
-    ).parquet(p2)
+    # spread encode over the cores (see scan_rowbinary_import)
+    protobuf_blocks(
+        parallelize_codec_scan(src_v2, spark), v2, rows_per_file=8192
+    ).write.mode("overwrite").parquet(p2)
     # stage v1-written bytes
     p1 = _scratch(sf_dir, "scan_protobuf_evolution_v1")
-    protobuf_blocks(base, v1, rows_per_file=8192).write.mode(
-        "overwrite"
-    ).parquet(p1)
+    protobuf_blocks(
+        parallelize_codec_scan(base, spark), v1, rows_per_file=8192
+    ).write.mode("overwrite").parquet(p1)
 
     out_schema = (
         "direction string, c_custkey bigint, bal_cents bigint,"
@@ -3029,10 +3064,10 @@ def scan_protobuf_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return decode_partition
 
-    fwd = spark.read.parquet(p2).mapInPandas(
+    fwd = parallelize_codec_scan(spark.read.parquet(p2), spark).mapInPandas(
         make_decoder(v1, "fwd", pad_v1=True), schema=out_schema
     )
-    bwd = spark.read.parquet(p1).mapInPandas(
+    bwd = parallelize_codec_scan(spark.read.parquet(p1), spark).mapInPandas(
         make_decoder(v2, "bwd", pad_v1=False), schema=out_schema
     )
     return fwd.unionByName(bwd)
@@ -3283,8 +3318,15 @@ def scan_iceberg_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
-    sliced = o.withColumn(
-        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+    # staged once: the partitioned write AND the stats/rewrite/cdc
+    # consumers below re-plan this frame — unstaged, each consumer
+    # re-ran the global ntile sort
+    sliced = stage(
+        o.withColumn(
+            "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+        ),
+        eager=False,
+        label="tlog-sliced",
     )
     sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
     stats = {
@@ -3536,11 +3578,12 @@ def scan_warc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    warc_files(d, docs_per_file=256, request_every=5).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # spread encode AND decode over the cores (see scan_rowbinary_import)
+    warc_files(
+        parallelize_codec_scan(d, spark), docs_per_file=256, request_every=5
+    ).write.mode("overwrite").parquet(path)
 
-    files = spark.read.parquet(path)
+    files = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -3668,8 +3711,12 @@ def scan_table_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
-    sliced = o.withColumn(
-        "slice", F.ntile(CDF_SLICES).over(Window.orderBy("o_orderkey"))
+    sliced = stage(
+        o.withColumn(
+            "slice", F.ntile(CDF_SLICES).over(Window.orderBy("o_orderkey"))
+        ),
+        eager=False,
+        label="cdf-sliced",
     )
     sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
 
@@ -3981,8 +4028,15 @@ def scan_iceberg_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
-    sliced = o.withColumn(
-        "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+    # staged once: the partitioned write AND the stats/rewrite/cdc
+    # consumers below re-plan this frame — unstaged, each consumer
+    # re-ran the global ntile sort
+    sliced = stage(
+        o.withColumn(
+            "slice", F.ntile(TLOG_SLICES).over(Window.orderBy("o_orderkey"))
+        ),
+        eager=False,
+        label="tlog-sliced",
     )
     sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
 
@@ -4234,8 +4288,12 @@ def sink_iceberg_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
-    sliced = o.withColumn(
-        "slice", F.ntile(ICW_SLICES).over(Window.orderBy("o_orderkey"))
+    sliced = stage(
+        o.withColumn(
+            "slice", F.ntile(ICW_SLICES).over(Window.orderBy("o_orderkey"))
+        ),
+        eager=False,
+        label="icw-sliced",
     )
     sliced.write.mode("overwrite").partitionBy("slice").parquet(data_dir)
     stats = {
@@ -4592,11 +4650,14 @@ def scan_kafka_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("binary").alias("value"),
         F.col("event_type").alias("hdr_src"),
     )
+    # spread encode AND decode over the cores (see scan_rowbinary_import);
+    # offsets restart per segment and are not part of the decoded row,
+    # so the values are identical under any record-to-segment packing
     kafka_segments(
-        src, records_per_batch=512, batches_per_segment=8
+        parallelize_codec_scan(src, spark), records_per_batch=512, batches_per_segment=8
     ).write.mode("overwrite").parquet(path)
 
-    files = spark.read.parquet(path)
+    files = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -4702,11 +4763,12 @@ def scan_kafka_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type")
         ).alias("hdr_src"),
     )
+    # spread encode AND decode over the cores (see scan_kafka_import)
     kafka_segments(
-        src, records_per_batch=512, batches_per_segment=8
+        parallelize_codec_scan(src, spark), records_per_batch=512, batches_per_segment=8
     ).write.mode("overwrite").parquet(path)
 
-    files = spark.read.parquet(path)
+    files = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -4865,11 +4927,13 @@ def scan_kafka_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_value,
         schema="ts_ms long, key binary, value binary, hdr_src string",
     )
+    # spread encode AND decode over the cores (see scan_kafka_import)
     kafka_segments(
-        framed, records_per_batch=512, batches_per_segment=8
+        parallelize_codec_scan(framed, spark), records_per_batch=512,
+        batches_per_segment=8,
     ).write.mode("overwrite").parquet(path)
 
-    files = spark.read.parquet(path)
+    files = parallelize_codec_scan(spark.read.parquet(path), spark)
 
     def decode_partition(batches):
         import pandas as pd
@@ -4964,12 +5028,19 @@ def scan_mergetree_primary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
-    sorted_rows = o.withColumn(
-        "g",
-        F.expr(
-            f"CAST((row_number() OVER (ORDER BY o_orderkey) - 1)"
-            f" div {MT_GRANULE} AS INT)"
+    # staged once (r14): the partitioned write AND the marks aggregate
+    # both consume this frame — unstaged, each re-ran the global
+    # row_number sort
+    sorted_rows = stage(
+        o.withColumn(
+            "g",
+            F.expr(
+                f"CAST((row_number() OVER (ORDER BY o_orderkey) - 1)"
+                f" div {MT_GRANULE} AS INT)"
+            ),
         ),
+        eager=False,
+        label="mt-sorted",
     )
     sorted_rows.write.mode("overwrite").partitionBy("g").parquet(part_dir)
 
@@ -4978,6 +5049,7 @@ def scan_mergetree_primary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks_rows = (
         sorted_rows.groupBy("g")
         .agg(F.min("o_orderkey").alias("first_key"),
+             F.max("o_orderkey").alias("last_key"),
              F.count(F.lit(1)).alias("n"))
         .orderBy("g")
         .collect()
@@ -4988,8 +5060,13 @@ def scan_mergetree_primary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(_struct.pack("<q", m))
     with open(os.path.join(root, "count.txt"), "w") as f:
         f.write(str(sum(r["n"] for r in marks_rows)))
-    mm = o.agg(F.min("o_orderkey").alias("lo"),
-               F.max("o_orderkey").alias("hi")).collect()[0]
+    # r14: the part-level minmax folds out of the per-granule minmax
+    # already aggregated above (granules partition the part) — the old
+    # separate o.agg(min, max) job re-scanned the source table
+    mm = {
+        "lo": min(r["first_key"] for r in marks_rows),
+        "hi": max(r["last_key"] for r in marks_rows),
+    }
     with open(os.path.join(root, "minmax_o_orderkey.txt"), "w") as f:
         f.write(f"{mm['lo']}\n{mm['hi']}\n")
 

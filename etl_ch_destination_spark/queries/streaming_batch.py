@@ -806,7 +806,10 @@ def stream_table_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(
             os.path.join(data_dir, rel)
         )
-        n = batch_df.count()
+        # r14: stats from the just-written files' footers (count-star
+        # is metadata-only) — counting batch_df re-ran the whole
+        # micro-batch read a second time per epoch
+        n = spark.read.parquet(os.path.join(data_dir, rel)).count()
         actions = [
             {"txn": {"appId": app_id, "version": int(epoch_id)}},
             {"add": {"path": rel, "dataChange": True,

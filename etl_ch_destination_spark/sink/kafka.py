@@ -46,6 +46,7 @@ segment, no exchange, the object-store tiered-storage read pattern.
 from __future__ import annotations
 
 import struct
+import sys as _sys
 from collections.abc import Iterator
 
 # Worker-cwd import trap (see sink/rowbinary.py): ship by value.
@@ -73,10 +74,41 @@ for _n in range(256):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
     _CRC32C_TABLE.append(_c)
 
+# Slice-by-8 extension tables (Intel's published technique: process 8
+# bytes per loop iteration with 8 precomputed tables — r14: the
+# byte-at-a-time loop was ~31% of the whole codec's CPU in profile;
+# slicing cuts the interpreter iterations 8×). _T[0] is the classic
+# table; _T[k][b] = crc of byte b shifted through k more zero bytes.
+_T = [_CRC32C_TABLE]
+for _k in range(1, 8):
+    _prev = _T[-1]
+    _T.append(
+        [(_prev[_n] >> 8) ^ _CRC32C_TABLE[_prev[_n] & 0xFF] for _n in range(256)]
+    )
+_T0, _T1, _T2, _T3, _T4, _T5, _T6, _T7 = _T
+
 
 def crc32c(data: bytes, crc: int = 0) -> int:
     crc ^= 0xFFFFFFFF
-    for b in data:
+    n = len(data)
+    end8 = n - (n % 8) if _sys.byteorder == "little" else 0
+    # little-endian word walk via a zero-copy memoryview cast (parquet
+    # payloads arrive as bytes; x86-64/aarch64 are little-endian, and
+    # the cast('Q') view reads the same byte order from_bytes(...,
+    # "little") would — verified by the golden known-answer test)
+    for w in memoryview(data)[:end8].cast("Q"):
+        w ^= crc
+        crc = (
+            _T7[w & 0xFF]
+            ^ _T6[(w >> 8) & 0xFF]
+            ^ _T5[(w >> 16) & 0xFF]
+            ^ _T4[(w >> 24) & 0xFF]
+            ^ _T3[(w >> 32) & 0xFF]
+            ^ _T2[(w >> 40) & 0xFF]
+            ^ _T1[(w >> 48) & 0xFF]
+            ^ _T0[w >> 56]
+        )
+    for b in data[end8:]:
         crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
     return crc ^ 0xFFFFFFFF
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_ch_destination_spark.catalog import load_table, scratch_dir
+from etl_ch_destination_spark.ops.staging import stage
 from etl_ch_destination_spark.schemas import EVENTS_RAW
 from etl_ch_destination_spark.session import ensure_session_defaults
 
@@ -58,9 +59,17 @@ def stage_replay(
     shutil.rmtree(path, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     # slice by time so micro-batches arrive roughly in event-time order
-    # unpartitioned ntile is fine here: test-only staging at fixture scale
-    sliced = ev.withColumn(
-        "__slice", F.ntile(n_slices).over(Window.orderBy("ts", "event_id"))
+    # unpartitioned ntile is fine here: test-only staging at fixture scale.
+    # stage() the sliced frame ONCE: the per-slice writes below each
+    # re-plan their input, so an unstaged frame would pay the global
+    # ntile sort n_slices times (one full window sort per slice file —
+    # measured r14 as the dominant cost of every stage_replay caller).
+    sliced = stage(
+        ev.withColumn(
+            "__slice", F.ntile(n_slices).over(Window.orderBy("ts", "event_id"))
+        ),
+        eager=False,
+        label="replay-sliced",
     )
     for i in range(1, n_slices + 1):
         (
