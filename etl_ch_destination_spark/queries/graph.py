@@ -450,8 +450,20 @@ def pagerank_ranks(e: DataFrame) -> DataFrame:
     deg = _degrees(e).select(
         F.col("node").alias("src"), F.col("d").alias("d")
     )
-    ed = stage(e2.join(deg.hint("shuffle_hash"), "src"),
-               label="pagerank_edges")
+    # r14: pin the staged edge frame's layout to hash(src) at the
+    # session's shuffle width BEFORE checkpointing — AQE otherwise
+    # finalizes the build join at a coalesced input-sized width, and
+    # every subsequent iteration both runs that narrow and re-plans its
+    # rank exchange to match. localCheckpoint preserves the output
+    # partitioning, so each iteration's src-join reuses it and only the
+    # (small) rank side shuffles.
+    n_parts = int(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ed = stage(
+        e2.join(deg.hint("shuffle_hash"), "src").repartition(n_parts, "src"),
+        label="pagerank_edges",
+    )
     rank = None
     for _ in range(PR_ITERS):
         if rank is None:
@@ -666,7 +678,15 @@ def bfs_distances_with_rounds(
     adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    adj = stage(adj, eager=False, label="bfs_adj")
+    # r14: checkpoint the adjacency pre-partitioned on the per-round
+    # join key at session width (see pagerank_edges note) — rounds then
+    # reuse the layout instead of re-exchanging the edge side narrow.
+    n_parts = int(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    adj = stage(
+        adj.repartition(n_parts, "src"), eager=False, label="bfs_adj"
+    )
     dist = (
         _degrees(e)
         .filter(F.col("node") % BFS_SOURCE_MOD == 0)
