@@ -170,6 +170,33 @@ N_RUNS = 5
 PRIME_KEYS = ["agg_groupby_multi", "join_inner_equi", "win_ranking"]
 PRIME_ROUNDS = 2
 
+# Host-drift calibration (r15, VERDICT r14 #2): a fixed, deterministic
+# single-task CPU reference timed alongside the suite so round-over-
+# round comparisons can be drift-normalized. This host's speed moved
+# 20-60% between driver-run eras (10 UNTOUCHED r14 keys "regressed"
+# ×1.4-1.95 on identical code); without an in-band reference those
+# statuses are noise. The spin is half interpreted Python, half a
+# single-partition JVM codegen aggregate — the two substrates the
+# suite's keys run on — with pinned iteration counts, run after the
+# JIT priming (so it measures the same warmed state the keys see) and
+# NEVER counted into suite_wall_sec or any queries entry. Methodology
+# of the timed keys is byte-identical to r14.
+CALIB_PY_ITERS = 3_000_000
+CALIB_JVM_ROWS = 30_000_000
+CALIB_RUNS = 3
+
+
+def _calib_once(spark) -> float:
+    t0 = time.monotonic()
+    x = 0
+    for _ in range(CALIB_PY_ITERS):  # interpreted-Python reference
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    # single-task JVM codegen reference (1 partition => 1 task)
+    spark.range(0, CALIB_JVM_ROWS, 1, 1).selectExpr(
+        "sum(pmod(id * 2654435761, 1000003)) AS s"
+    ).collect()
+    return time.monotonic() - t0
+
 
 def _spawn_cpu_load(n: int) -> list:
     """Background busy-loop processes for --contended runs: measures
@@ -258,6 +285,12 @@ def main() -> int:
             queries[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
+    # drift reference: median of CALIB_RUNS fixed-work spins (post-
+    # priming, pre-timing; excluded from suite_wall_sec and queries)
+    calib_sec = round(
+        statistics.median(_calib_once(spark) for _ in range(CALIB_RUNS)), 3
+    )
+
     load_procs = _spawn_cpu_load(args.contended) if args.contended else []
 
     timings: dict[str, float] = {}
@@ -315,6 +348,7 @@ def main() -> int:
         "queries": timings,
         "queries_p95": p95s,
         "sf": sf_dir,
+        "calib_sec": calib_sec,
         "config": {
             "master": f"local[{cpus}]",
             "shuffle_partitions": int(shuffle),
@@ -352,12 +386,19 @@ def main() -> int:
         # outgrew the old 1500-char self-check.
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_dir,
+        "calib_sec": calib_sec,
     }
     line = json.dumps(compact, separators=(",", ":"))
     # The driver's tail capture is 2,000 chars and this line is the
     # LAST thing printed, so the hard bound is a complete line within
-    # the final 2,000 chars; 1,950 keeps newline margin.
-    assert len(line) <= 1950, f"bench stdout line too long: {len(line)}"
+    # the final 2,000 chars. At 72 keys the full line measures ~1955
+    # chars; if a slow-era run ever pushes it past the margin, drop the
+    # calibration field from STDOUT first (it stays in the sidecar)
+    # rather than risking a truncated-head parse like BENCH_r04's.
+    if len(line) > 1990:
+        del compact["calib_sec"]
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1990, f"bench stdout line too long: {len(line)}"
     print(line)
     spark.stop()
     return 0

@@ -111,16 +111,29 @@ def parallelize_codec_scan(
     this is a no-op exactly like its parent.
 
     Bytes come from the scan's file listing (driver-side metadata, no
-    job). Non-local/unlistable inputs fall back to full fan-out."""
+    job). Non-local/unlistable inputs fall back to full fan-out.
+
+    r15 (ADVICE r14, low): an EMPTY listing (non-file source) now also
+    falls back to full fan-out — total=0 used to yield target=1 and
+    silently serialize the codec, the opposite of the docstring's
+    contract — and listed URIs are percent-DECODED before getsize, so
+    local paths with spaces/non-ASCII stay on the sized path instead of
+    raising into the full-fan-out fallback (re-introducing the
+    tiny-input regression this sizing exists to prevent)."""
     import os as _os
+    from urllib.parse import unquote as _unquote, urlparse as _urlparse
 
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     try:
+        files = df.inputFiles()
+        if not files:
+            return parallelize_scan(df, spark)
         total = 0
-        for f in df.inputFiles():
-            local = f[7:] if f.startswith("file:") and f[5:7] == "//" else f
-            if "://" in local:
+        for f in files:
+            parsed = _urlparse(f)
+            if parsed.scheme not in ("", "file"):
                 return parallelize_scan(df, spark)
+            local = _unquote(parsed.path) if parsed.scheme else f
             total += _os.path.getsize(local)
         target = max(1, min(n_parts, (total + bytes_per_task - 1) // bytes_per_task))
     except Exception:  # listing failed: behave like parallelize_scan

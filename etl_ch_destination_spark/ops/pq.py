@@ -116,9 +116,22 @@ def coarse_kmeans(
 
 def coarse_assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """(n, d) vectors -> (n,) nearest-centroid index (squared L2,
-    ties to the lowest index)."""
-    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    return d2.argmin(axis=1)
+    ties to the lowest index).
+
+    r15 (ADVICE r14, low): chunk the rows so the (chunk, k, d) float64
+    broadcast temporary stays bounded (~32 MB) however large a caller's
+    Arrow batch or ``k`` gets — the per-row arithmetic and argmin tie
+    rule are identical in every chunk, so assignments are unchanged."""
+    n = x.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    per_row = max(1, cents.shape[0] * x.shape[1] * 8)
+    step = max(1, (32 << 20) // per_row)
+    out = np.empty(n, dtype=np.int64)
+    for s in range(0, n, step):
+        d2 = ((x[s : s + step, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out[s : s + step] = d2.argmin(axis=1)
+    return out
 
 
 def adc_lut(q: np.ndarray, books: np.ndarray) -> np.ndarray:

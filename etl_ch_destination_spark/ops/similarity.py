@@ -376,26 +376,38 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_cap: int = 4096,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partition pruning — the
     other classic ANN layout next to LSH (ann_topk).
 
-    Build: seeded KMeans over the candidate vectors; every candidate is
-    assigned to its nearest centroid (the "inverted list"). Query: rank
-    centroids per query, score ONLY candidates in the closest
-    ``n_probe`` lists — at scale each query touches ~n_probe/n_clusters
-    of the corpus instead of all of it, and the per-list layout maps
-    directly onto partition pruning (cluster id as a partition column).
+    Build: a seeded numpy Lloyd k-means over a ``train_cap``-bounded
+    deterministic driver sample (the lowest-id candidates — a TopK
+    plan, never a full collect; training the coarse quantizer on a
+    bounded sample is the published IVF practice, and the same device
+    ivfpq_topk adopted in r14); every candidate is assigned to its
+    nearest centroid (the "inverted list") by a MAP-SIDE codegen argmin
+    over the ``n_clusters`` literal centroids — no Spark ML fit jobs
+    (~2 distributed jobs per Lloyd round + a transform pass, which
+    dominated this key's runtime), no Python boundary, and the
+    centroids are a pure function of (sample, seed) — independent of
+    partitioning and staging mode, strictly stronger determinism than
+    the ML per-partition random init (r15, VERDICT r14 #5; guide §1.2).
+    Query: rank centroids per query, score ONLY candidates in the
+    closest ``n_probe`` lists — at scale each query touches
+    ~n_probe/n_clusters of the corpus instead of all of it, and the
+    per-list layout maps directly onto partition pruning (cluster id
+    as a partition column).
 
     With ``n_probe == n_clusters`` this degrades to exact brute force —
     the equality is asserted in tests/test_llm.py, alongside a recall
     floor for the pruned form. Deterministic under the pinned seed.
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    arr_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    from etl_ch_destination_spark.ops import pq
+
     n_parts = int(
         candidates.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -403,25 +415,55 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
-        array_to_vector(arr_dbl).alias("features"),
     )
     if cn.rdd.getNumPartitions() < n_parts:
-        # one-split fixture scan → parallelize both the KMeans fit and
-        # the downstream probe-scoring stage
+        # one-split fixture scan → parallelize the probe-scoring stage
         cn = cn.repartition(n_parts)
-    cn = cn.persist()  # KMeans iterates over the features — never recompute
-    # the HOF norm/vector projection per iteration
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(cn)
-    cn.unpersist(blocking=False)  # post-fit consumers read cn once, lazily
-    assigned = model.transform(cn).select(
-        "neighbor_id", "__cv", "__cn", F.col("prediction").alias("__cluster")
+    # two consumers (the bounded training TopK + the assignment/scoring
+    # pass) — materialize the norm projection once, as ivfpq does
+    cn = stage(cn, eager=False, label="ivf-corpus")
+    train_rows = (
+        cn.select("neighbor_id", "__cv").orderBy("neighbor_id").limit(train_cap).collect()
+    )
+    train_x = np.asarray(
+        [[float(v) for v in r["__cv"]] for r in train_rows], dtype=np.float64
+    )
+    cents = pq.coarse_kmeans(train_x, k=n_clusters, seed=seed, iters=8)
+
+    # map-side nearest-centroid assignment over literal centroids: the
+    # semdedup HOF-argmax device (K is small by contract here), with
+    # squared-L2 distances and ties to the LOWEST cluster id — numpy
+    # argmin's tie rule, preserved by max(struct(-d2, -id)).
+    def sq_dist(centroid: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("__cv"),
+                F.array(*[F.lit(float(x)) for x in centroid]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    choices = F.array(
+        *[
+            F.struct(
+                (-sq_dist(list(c))).alias("negd"),
+                F.lit(-i).cast("int").alias("negid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    assigned = cn.select(
+        "neighbor_id",
+        "__cv",
+        "__cn",
+        (-F.array_max(choices).getField("negid")).cast("int").alias("__cluster"),
     )
 
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
     cent_df = candidates.sparkSession.createDataFrame(
-        centroids, "__cluster int, __centroid array<double>"
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "__cluster int, __centroid array<double>",
     )
 
     q = queries.select(
@@ -650,23 +692,52 @@ def ivfpq_topk(
         .select("query_id", "__cluster", "__qres")
     )
 
+    # r15 (VERDICT r14 #6, guide §4.1 "fewer, larger groups"): the ADC
+    # stage used to group by (query_id, __cluster) — |queries|·n_probe
+    # ≈ 1200 Python dispatches of a few hundred rows each, so per-group
+    # fixed cost (worker dispatch, Arrow framing, LUT allocation)
+    # dominated the m_sub table lookups. Grouping by (__cluster,
+    # query-bucket) instead packs ~`qb` queries per group — dispatch
+    # count drops ~qb×, while the bucket count keeps the group grain at
+    # or above the session parallelism so no task starves. Inside a
+    # group the per-query LUT build + scoring runs in the same order on
+    # the same rows, so every adc_dist is bit-identical and the
+    # shortlist/re-rank below are unchanged.
     def adc(pdf):
-        lut = pq.adc_lut(
-            np.asarray(pdf["__qres"].iloc[0], dtype=np.float64), books_b.value
-        )
-        codes = np.asarray(list(pdf["codes"]), dtype=np.int32)
-        return pd.DataFrame(
+        import numpy as _np
+
+        parts = []
+        for _qid, g in pdf.groupby("query_id", sort=False):
+            lut = pq.adc_lut(
+                _np.asarray(g["__qres"].iloc[0], dtype=_np.float64),
+                books_b.value,
+            )
+            codes = _np.asarray(list(g["codes"]), dtype=_np.int32)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": g["query_id"],
+                        "neighbor_id": g["neighbor_id"],
+                        "adc_dist": pq.adc_scores(codes, lut),
+                    }
+                )
+            )
+        return pd.concat(parts) if parts else pd.DataFrame(
             {
-                "query_id": pdf["query_id"],
-                "neighbor_id": pdf["neighbor_id"],
-                "adc_dist": pq.adc_scores(codes, lut),
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "adc_dist": pd.Series(dtype="float64"),
             }
         )
 
+    # bucket width: enough (cluster, bucket) cells to fill the session
+    # parallelism twice over; scales with conf, not a local constant
+    qb = max(1, (2 * n_parts + n_clusters - 1) // n_clusters)
     cand = (
         encoded.join(F.broadcast(probes), "__cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "__cluster")
+        .withColumn("__qb", F.pmod(F.col("query_id"), F.lit(qb)).cast("int"))
+        .groupBy("__cluster", "__qb")
         .applyInPandas(adc, "query_id long, neighbor_id long, adc_dist double")
     )
     ws = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))

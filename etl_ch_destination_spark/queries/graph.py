@@ -94,15 +94,18 @@ def _degrees(e: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(e: DataFrame, stage_input: bool = True) -> DataFrame:
-    """Per-node triangle participation over a canonical undirected edge
-    frame ``(u, v)`` with u < v, distinct — the degree-ordered
-    enumeration described in graph_triangle_count's docstring, exposed
-    on an arbitrary edge set so tests can pin it on known graphs.
-    Returns ``(node, d, n_triangles)``; nodes in no triangle are
-    absent. Callers that already staged ``e`` pass
-    ``stage_input=False`` — re-staging an already-checkpointed frame
-    is a wasted write+read cycle of the full edge list."""
+def closed_triangles(
+    e: DataFrame, stage_input: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """The degree-ordered enumeration's CLOSED-WEDGE frame: returns
+    ``(tri, deg)`` where ``tri`` holds one row (s, a, b) per triangle
+    (each triangle exactly once — see graph_triangle_count) and ``deg``
+    is the shared degree frame. Split out of ``triangle_counts`` (r15,
+    guide §1.2 "don't compute things you throw away") so consumers
+    that only need the GLOBAL count — graph_triangle_approx's DOULION
+    estimate — can aggregate ``tri`` directly instead of paying the
+    per-node corner explode + hash agg + degree join and then summing
+    it back down to one number."""
     # the edge frame feeds the degree aggregate AND the orientation
     # join — materialize it once instead of rebuilding the co-purchase
     # self-join per consumer
@@ -153,6 +156,19 @@ def triangle_counts(e: DataFrame, stage_input: bool = True) -> DataFrame:
     tri = wedges.join(
         oc, (F.col("a") == F.col("oc.s")) & (F.col("b") == F.col("oc.t"))
     ).select(wedges["s"], wedges["a"], wedges["b"])
+    return tri, deg
+
+
+def triangle_counts(e: DataFrame, stage_input: bool = True) -> DataFrame:
+    """Per-node triangle participation over a canonical undirected edge
+    frame ``(u, v)`` with u < v, distinct — the degree-ordered
+    enumeration described in graph_triangle_count's docstring, exposed
+    on an arbitrary edge set so tests can pin it on known graphs.
+    Returns ``(node, d, n_triangles)``; nodes in no triangle are
+    absent. Callers that already staged ``e`` pass
+    ``stage_input=False`` — re-staging an already-checkpointed frame
+    is a wasted write+read cycle of the full edge list."""
+    tri, deg = closed_triangles(e, stage_input=stage_input)
     corners = tri.select(
         F.explode(F.array(F.col("s"), F.col("a"), F.col("b"))).alias("node")
     )
@@ -320,17 +336,20 @@ def graph_triangle_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
         label="tri-sampled-edges",
     )
-    tri_counts = triangle_counts(es, stage_input=False)
+    tri, _deg = closed_triangles(es, stage_input=False)
     edges_row = es.agg(
         F.count(F.lit(1)).cast("bigint").alias("sampled_edges"),
         F.lit(1).alias("__k"),
     )
-    # each triangle contributes exactly 3 corners to the per-node
-    # counts, so div 3 is exact integer arithmetic
-    tri_row = tri_counts.agg(
-        F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0))
-        .cast("bigint")
-        .alias("sampled_triangles"),
+    # r15 (guide §1.2): the estimate needs ONE number — the closed-
+    # wedge count — which the oracle also computes as COUNT(*) over
+    # the closure join. The old form ran the full per-node pipeline
+    # (corner explode ×3, per-node hash agg, degree join) and then
+    # summed the per-node counts back down via sum div 3; counting the
+    # triangle frame directly is the identical integer (each triangle
+    # contributed exactly 3 corners) with three operators fewer.
+    tri_row = tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_triangles"),
         F.lit(1).alias("__k"),
     )
     return edges_row.join(tri_row, "__k").select(

@@ -347,24 +347,44 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = va.shape[1]
         acc_a = np.zeros(len(ia))
         acc_b = np.zeros(len(ib))
-        dots = np.zeros((len(ia), len(ib)))
         for i in range(d):  # sequential over dim = the oracle's fold order
             acc_a = acc_a + va[:, i] * va[:, i]
             acc_b = acc_b + vb[:, i] * vb[:, i]
-            dots = dots + va[:, i][:, None] * vb[:, i][None, :]
         na = np.sqrt(acc_a)
         nb = np.sqrt(acc_b)
-        cos = dots / (na[:, None] * nb[None, :])
-        ra, rb = np.nonzero(cos >= COS_MIN)
-        if same_block:
-            keep = ia[ra] < ib[rb]
-            ra, rb = ra[keep], rb[keep]
-        aa, bb = ia[ra], ib[rb]
+        # r15 (ADVICE r14, medium): the dense (|A|×|B|) dots matrix is
+        # quadratic in the per-cell block size — fine at fixture scale,
+        # a worker OOM at the module's 100 TB design point. Tile the
+        # LEFT side so the live temporary is bounded at TILE×|B|
+        # float64 (~4 MB/cell at TILE=512 and |B|≈1k rows; the bound is
+        # per-task, independent of corpus size for fixed P because the
+        # tile height is fixed). Each pair's fold still accumulates
+        # sequentially over the dimension index with identical operand
+        # order — tiling partitions the ROWS, never the fold — so every
+        # cos_sim stays bit-identical (pinned by the r14 bit-identity
+        # test plus the 3-SF hash parity).
+        TILE = 512
+        out_a, out_b, out_c = [], [], []
+        for t0 in range(0, len(ia), TILE):
+            t1 = min(t0 + TILE, len(ia))
+            vat = va[t0:t1]
+            dots = np.zeros((t1 - t0, len(ib)))
+            for i in range(d):  # same per-pair IEEE sequence as before
+                dots = dots + vat[:, i][:, None] * vb[:, i][None, :]
+            cos = dots / (na[t0:t1, None] * nb[None, :])
+            ra, rb = np.nonzero(cos >= COS_MIN)
+            if same_block:
+                keep = ia[t0 + ra] < ib[rb]
+                ra, rb = ra[keep], rb[keep]
+            aa, bb = ia[t0 + ra], ib[rb]
+            out_a.append(np.minimum(aa, bb))
+            out_b.append(np.maximum(aa, bb))
+            out_c.append(cos[ra, rb])
         return pd.DataFrame(
             {
-                "id_a": np.minimum(aa, bb),
-                "id_b": np.maximum(aa, bb),
-                "cos_sim": cos[ra, rb],
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cos_sim": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
             }
         )
 

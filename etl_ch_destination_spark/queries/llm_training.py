@@ -314,7 +314,20 @@ def llm_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2× slower on the (doc_id, gram) hash aggregate itself
     # (isolated A/B at sf0.1: 3.1 s vs 6.0 s for the first aggregate
     # alone) — the extra key column costs more than the whole window
-    # stage it saved. Keeping the relational window form.
+    # stage it saved. Keeping the relational window form... for the
+    # FIRST aggregate. r15 (VERDICT r14 #7, guide §2.3/§2.4): the doc
+    # window itself is gone anyway — the entropy term depends on the
+    # (doc_id, gram) counts only through the COUNT VALUE c, so the
+    # per-gram frame collapses to a per-document count HISTOGRAM
+    # (doc_id, c, m = #grams with that count) first. The histogram is
+    # tiny (count values are small integers), so the window that
+    # attaches the per-doc total n — previously a full second exchange
+    # + sort of the corpus-sized (doc_id, gram, c) frame — now sorts a
+    # few rows per document, and the first aggregate's key is untouched
+    # (the r14-rejected rewrite's mistake). n = Σ c·m, n_distinct =
+    # Σ m, Σ_grams c·bits(n div c) = Σ_c m·c·bits(n div c): exact
+    # int64 identities, so the final division sees the identical
+    # integers and the hash oracle is unchanged.
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     grams = d.select(
         "doc_id",
@@ -328,19 +341,26 @@ def llm_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    hist = gc.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
     w = Window.partitionBy("doc_id")
-    per = gc.select(
-        "doc_id", "c", F.sum("c").over(w).cast("bigint").alias("n")
+    per = hist.select(
+        "doc_id",
+        "c",
+        "m",
+        F.sum(F.col("c") * F.col("m")).over(w).cast("bigint").alias("n"),
     )
     bits = (
         F.length(F.conv(F.expr("n div c"), 10, 2)) - F.lit(1)
     ).cast("bigint")
     return per.groupBy("doc_id").agg(
         F.max("n").cast("bigint").alias("n_grams"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        (F.sum(F.col("c") * bits).cast("double") / F.max("n").cast("double")).alias(
-            "entropy_bits"
-        ),
+        F.sum("m").cast("bigint").alias("n_distinct"),
+        (
+            F.sum(F.col("m") * F.col("c") * bits).cast("double")
+            / F.max("n").cast("double")
+        ).alias("entropy_bits"),
     )
 
 

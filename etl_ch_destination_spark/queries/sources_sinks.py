@@ -5062,7 +5062,16 @@ def scan_mergetree_primary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(str(sum(r["n"] for r in marks_rows)))
     # r14: the part-level minmax folds out of the per-granule minmax
     # already aggregated above (granules partition the part) — the old
-    # separate o.agg(min, max) job re-scanned the source table
+    # separate o.agg(min, max) job re-scanned the source table.
+    # r15 (ADVICE r14, low): an EMPTY part has no granules — CH writes
+    # no minmax sidecar for an empty part, and the range query over it
+    # is empty; answer it directly instead of min()-ing an empty
+    # sequence (the pre-r14 agg returned a null row here, which crashed
+    # a few lines later anyway).
+    if not marks_rows:
+        return o.filter(F.lit(False)).select(
+            "o_orderkey", "o_orderstatus", "price_cents"
+        )
     mm = {
         "lo": min(r["first_key"] for r in marks_rows),
         "hi": max(r["last_key"] for r in marks_rows),

@@ -118,8 +118,21 @@ def crc32c(data: bytes, crc: int = 0) -> int:
 # ------------------------------------------------------------------
 
 
+# r15 (VERDICT r14 #8, guide §4): the varint hot loops were ~33% of
+# the codec's CPU after the CRC slice-by-8 work. The wire format is
+# unchanged; the common case — a SINGLE-BYTE varint (zigzag value in
+# [-64, 63]: record-internal deltas, small lengths, header counts) —
+# takes a precomputed-table path on encode and an inlined branch in
+# parse_batch on decode, while zz_encode/zz_decode remain the
+# validating general path (multi-byte values, truncation, >10-byte
+# overlong) that the malformed-framing gates exercise.
+_ZZ1 = [bytes([u]) for u in range(0x80)]
+
+
 def zz_encode(n: int) -> bytes:
     u = (n << 1) ^ (n >> 63)
+    if u < 0x80:
+        return _ZZ1[u]
     out = bytearray()
     while True:
         b = u & 0x7F
@@ -227,33 +240,78 @@ def parse_batch(buf: bytes, pos: int):
      n_records) = struct.unpack_from(">hiqqqhii", after_crc, 0)
     rpos = struct.calcsize(">hiqqqhii")
     records = []
+    n_ac = len(after_crc)
+    # inlined single-byte-varint fast path (see the zigzag section
+    # note): `p < n_ac and byte < 0x80` falls through to the validating
+    # zz_decode for every other case — truncation at the buffer end
+    # raises the same ValueError there, so error behavior is identical
     for _ in range(n_records):
-        rlen, rpos = zz_decode(after_crc, rpos)
+        b0 = after_crc[rpos] if rpos < n_ac else 0x80
+        if b0 < 0x80:
+            rlen = (b0 >> 1) ^ -(b0 & 1)
+            rpos += 1
+        else:
+            rlen, rpos = zz_decode(after_crc, rpos)
         rend = rpos + rlen
-        if rend > len(after_crc):
+        if rend > n_ac:
             raise ValueError("record length overruns batch")
         if after_crc[rpos] != 0:
             raise ValueError("unsupported record attributes")
         p = rpos + 1
-        ts_delta, p = zz_decode(after_crc, p)
-        off_delta, p = zz_decode(after_crc, p)
-        klen, p = zz_decode(after_crc, p)
+        b0 = after_crc[p] if p < n_ac else 0x80
+        if b0 < 0x80:
+            ts_delta = (b0 >> 1) ^ -(b0 & 1)
+            p += 1
+        else:
+            ts_delta, p = zz_decode(after_crc, p)
+        b0 = after_crc[p] if p < n_ac else 0x80
+        if b0 < 0x80:
+            off_delta = (b0 >> 1) ^ -(b0 & 1)
+            p += 1
+        else:
+            off_delta, p = zz_decode(after_crc, p)
+        b0 = after_crc[p] if p < n_ac else 0x80
+        if b0 < 0x80:
+            klen = (b0 >> 1) ^ -(b0 & 1)
+            p += 1
+        else:
+            klen, p = zz_decode(after_crc, p)
         key = None
         if klen >= 0:
             key = after_crc[p:p + klen]
             p += klen
-        vlen, p = zz_decode(after_crc, p)
+        b0 = after_crc[p] if p < n_ac else 0x80
+        if b0 < 0x80:
+            vlen = (b0 >> 1) ^ -(b0 & 1)
+            p += 1
+        else:
+            vlen, p = zz_decode(after_crc, p)
         value = None
         if vlen >= 0:
             value = after_crc[p:p + vlen]
             p += vlen
-        hcount, p = zz_decode(after_crc, p)
+        b0 = after_crc[p] if p < n_ac else 0x80
+        if b0 < 0x80:
+            hcount = (b0 >> 1) ^ -(b0 & 1)
+            p += 1
+        else:
+            hcount, p = zz_decode(after_crc, p)
         headers = {}
         for _h in range(hcount):
-            hklen, p = zz_decode(after_crc, p)
+            b0 = after_crc[p] if p < n_ac else 0x80
+            if b0 < 0x80:
+                hklen = (b0 >> 1) ^ -(b0 & 1)
+                p += 1
+            else:
+                hklen, p = zz_decode(after_crc, p)
             hk = after_crc[p:p + hklen]
             p += hklen
-            hvlen, p = zz_decode(after_crc, p)
+            b0 = after_crc[p] if p < n_ac else 0x80
+            if b0 < 0x80:
+                hvlen = (b0 >> 1) ^ -(b0 & 1)
+                p += 1
+            else:
+                hvlen, p = zz_decode(after_crc, p)
             headers[hk.decode()] = after_crc[p:p + hvlen]
             p += hvlen
         if p != rend:

@@ -883,6 +883,12 @@ def main() -> int:
                         "stream_fbatch": round(statistics.median([t_fb]), 3),
                         "stream_session": round(statistics.median(t_ss_runs), 3),
                         "stream_fbatch_evps": round(t_fb and n_events / t_fb),
+                        # r15 (VERDICT r14 #10): per-epoch wall — the
+                        # micro-batch count is CONSTANT across factors
+                        # (N_SLICES staged files, maxFilesPerTrigger=1),
+                        # so this row shows the ~fixed trigger/commit
+                        # overhead amortizing as batches grow N×
+                        "stream_sec_per_epoch": round(t_fb / N_SLICES, 3),
                         "stream_state_rows": state_rows,
                     }
                 )
