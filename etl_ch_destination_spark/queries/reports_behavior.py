@@ -1199,18 +1199,24 @@ def rpt_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one broadcast join to the part dim for the brand, the deduped
     (order, brand) projection STAGED once (three consumers — marginals,
-    basket count, pair expansion — read stored blocks instead of
-    re-deriving the dedup), and the per-basket pair expansion runs
-    MAP-SIDE from each order's sorted brand set (r15, guide §2.4 — the
-    `_copurchase_edges` device: baskets are bounded, ≤ C(brands/order,
-    2) pair structs each, so one groupBy(o) collect_set aggregate
-    replaces the old self-equi-join's two exchange+sort sides and the
-    merge join; identical per-order distinct pairs with a < b, proven
-    by the key's hash oracle, which keeps the relational self-join
-    form). Partial-agg pair counts (brand-pair cardinality is tiny)
-    and broadcast joins of the per-brand marginals back onto the
-    pairs. Nothing is collected; the only big shuffles are the dedup
-    and the one per-order aggregate."""
+    basket count, pair join — read stored blocks instead of re-deriving
+    the dedup), one self-equi-join on the order key (its natural
+    layout), partial-agg pair counts (brand-pair cardinality is tiny),
+    and broadcast joins of the per-brand marginals back onto the pairs.
+    Nothing is collected; the only big shuffles are the dedup and the
+    self-join.
+
+    Measured and REJECTED (r15, guide §1.1): replacing the self-join
+    with a per-order sorted collect_set + map-side a<b pair expansion
+    (the `_copurchase_edges` device, which DID pay off for the two
+    common-neighbor graph keys). It halves the ob frame's shuffled
+    bytes (one aggregate exchange instead of two join sides), but at
+    bench scale the ObjectHashAggregate + nested-HOF struct expansion
+    costs more CPU than the sorts it removes: per-key floors over 4
+    alternating matched full-suite runs 1.56 → 1.85 s (×1.19), and an
+    interleaved re-probe confirmed (old 2.09 s vs new 2.34 s median,
+    result-identical). Revisit only if the per-order exchange bytes —
+    not CPU — dominate this key at the target scale."""
     from etl_ch_destination_spark.ops.staging import stage
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1225,24 +1231,11 @@ def rpt_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk = ob.agg(
         F.countDistinct("o").cast("bigint").alias("n_baskets")
     )
-    sets = ob.groupBy("o").agg(F.sort_array(F.collect_set("b")).alias("bs"))
-    pair_structs = F.flatten(
-        F.transform(
-            "bs",
-            lambda x, i: F.transform(
-                F.slice(
-                    "bs",
-                    i + F.lit(2),
-                    F.greatest(F.size("bs") - i - F.lit(1), F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("ba"), y.alias("bb")),
-            ),
-        )
-    )
+    a, c = ob.alias("a"), ob.alias("c")
     pr = (
-        sets.select(F.explode(pair_structs).alias("e"))
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
         .groupBy(
-            F.col("e.ba").alias("brand_a"), F.col("e.bb").alias("brand_b")
+            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
         .filter(F.col("n_pair") >= 3)
